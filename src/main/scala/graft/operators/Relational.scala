@@ -1,0 +1,500 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.Cols._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory over the TPC-H-ish test tables.
+  *
+  * Query names key into SURVEY.md §2's inventory (F=filters/scans,
+  * J=joins, A=aggregations, W=windows, S=sort/limit/top-k, SET=set ops).
+  * Each mirrors a concrete access path of the reference
+  * (ripple/rippled-historical-database), cited as file:line.
+  *
+  * Scale notes (100 TB): every query keeps filters/projections at the
+  * scan (parquet pushdown), aggregates with map-side partial
+  * aggregation, broadcasts dimension tables, and uses
+  * `orderBy(...).limit(n)` so Spark plans TakeOrderedAndProject instead
+  * of a global sort.
+  */
+object Relational {
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  def specs: Seq[QuerySpec] = Seq(
+    // ------------------------------------------------------------------
+    // A: aggregation — pricing summary (candle-style multi-agg per group;
+    // reference analogue: lib/aggregation/exchanges.js:515-582 reduce).
+    QuerySpec.sql(
+      "q1_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  ${davgSql("l_quantity")} AS avg_qty,
+         |  ${davgSql("l_extendedprice")} AS avg_price,
+         |  ${davgSql("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= expr("TIMESTAMP '2001-09-02 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // J+A+S: join → aggregate → top-k (shipping-priority shape). The small
+    // filtered customer side is broadcast; top-k plans as
+    // TakeOrderedAndProject (no global sort at scale).
+    QuerySpec.sql(
+      "q3_topk_revenue",
+      s"""SELECT l_orderkey,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < expr("TIMESTAMP '1998-03-15 00:00:00'"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > expr("TIMESTAMP '1998-03-15 00:00:00'"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast("date").as("order_date"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // J: multi-way star join with two broadcast dims + regional filter
+    // (local-supplier-volume shape).
+    QuerySpec.sql(
+      "q5_nation_revenue",
+      s"""SELECT n_name,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE r_name IN ('ASIA', 'EUROPE')
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region").filter(col("r_name").isin("ASIA", "EUROPE"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // F+A: pure pushed-down range/predicate scan with a single aggregate
+    // (forecast-revenue shape; all predicates reach the parquet reader).
+    QuerySpec.sql(
+      "q6_filtered_revenue",
+      s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    },
+
+    // F1: rowkey-range scan ≡ time-range scan with projection + limit
+    // (reference: every get* query; lib/hbase/hbase-thrift/index.js:531-550).
+    QuerySpec.sql(
+      "f1_range_scan",
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber
+        |LIMIT 500""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1997-03-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1997-04-01 00:00:00'"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_shipdate").cast("date").as("ship_date"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(500)
+    },
+
+    // F2: conjunctive equality filters (server-side SingleColumnValueFilter
+    // stack; reference index.js:346-373).
+    QuerySpec.sql(
+      "f2_composite_filter",
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS order_date
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("order_date"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // F5: key-only count scan (KeyOnlyFilter; reference data.js:2405).
+    QuerySpec.sql(
+      "f5_count_range",
+      """SELECT COUNT(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // F7: dust filter — exclude below-threshold legs before aggregating
+    // (reference data.js:1609-1620).
+    QuerySpec.sql(
+      "f7_dust_filter",
+      s"""SELECT l_returnflag,
+         |  ${dsumSql("l_extendedprice")} AS sum_price, COUNT(*) AS n
+         |FROM lineitem
+         |WHERE NOT (l_quantity < 3 AND l_discount > 0.05)
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(!(col("l_quantity") < 3 && col("l_discount") > 0.05))
+        .groupBy(col("l_returnflag"))
+        .agg(dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // F8: marker/keyset pagination — limit+1-style page after a marker
+    // rowkey (reference index.js:412-452, lib/utils.js:190-199).
+    QuerySpec.sql(
+      "f8_keyset_page",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey > 5000
+        |   OR (l_orderkey = 5000 AND l_linenumber > 3)
+        |ORDER BY l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") > 5000 ||
+          (col("l_orderkey") === 5000 && col("l_linenumber") > 3))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    },
+
+    // J1: index-scan → detail fetch (semi-join then join; reference
+    // account-transactions path, data.js:1172-1246).
+    QuerySpec.sql(
+      "j1_index_detail_join",
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, o_totalprice
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey >= 100 AND o_custkey < 120
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val idx = t(s, dir, "orders")
+        .filter(col("o_custkey") >= 100 && col("o_custkey") < 120)
+      t(s, dir, "lineitem")
+        .join(broadcast(idx), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("o_totalprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // J2: latest-row lookup → member expansion (getLedger latest + tx
+    // expand; reference data.js:1856-1977, latest at 1949-1954).
+    QuerySpec.sql(
+      "j2_latest_expand",
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey = (
+        |  SELECT o_orderkey FROM orders
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1)
+        |ORDER BY l_linenumber""".stripMargin) { (s, dir) =>
+      val latest = t(s, dir, "orders")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .limit(1)
+        .select(col("o_orderkey"))
+      t(s, dir, "lineitem")
+        .join(broadcast(latest), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+        .orderBy(col("l_linenumber"))
+    },
+
+    // J6: left outer join decorating a dimension (validator_reports ×
+    // validator_state; reference topology.js:300-331).
+    QuerySpec.sql(
+      "j6_left_join_profile",
+      s"""SELECT c_custkey, c_name, n_name,
+         |  COUNT(o_orderkey) AS order_count,
+         |  COALESCE(${dsumSql("o_totalprice")}, 0.0) AS total_spent
+         |FROM customer
+         |LEFT JOIN orders ON o_custkey = c_custkey
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+      t(s, dir, "customer")
+        .join(ord, col("o_custkey") === col("c_custkey"), "left")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(count(col("o_orderkey")).as("order_count"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // J9: ratio of two scalar aggregates (normalize two-rate division;
+    // reference api/routes/normalize.js:24-52).
+    QuerySpec.sql(
+      "j9_rate_ratio",
+      s"""SELECT a.avg_small AS avg_small, b.avg_large AS avg_large,
+         |  a.avg_small / b.avg_large AS ratio
+         |FROM (SELECT ${davgSql("p_retailprice")} AS avg_small
+         |      FROM part WHERE p_size <= 10) a
+         |CROSS JOIN
+         |     (SELECT ${davgSql("p_retailprice")} AS avg_large
+         |      FROM part WHERE p_size > 40) b""".stripMargin) { (s, dir) =>
+      val part = t(s, dir, "part")
+      val a = part.filter(col("p_size") <= 10)
+        .agg(davg(col("p_retailprice")).as("avg_small"))
+      val b = part.filter(col("p_size") > 40)
+        .agg(davg(col("p_retailprice")).as("avg_large"))
+      a.crossJoin(b)
+        .select(col("avg_small"), col("avg_large"),
+          (col("avg_small") / col("avg_large")).as("ratio"))
+    },
+
+    // J10/W5: order-book depth walk — cumulative sum over price-ordered
+    // rows, cut at target depth (reference api/routes/estimate.js:262-318).
+    QuerySpec.sql(
+      "j10_depth_walk",
+      """SELECT o_orderkey, o_totalprice, cum_depth
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+        |      ORDER BY o_totalprice, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      AS cum_depth
+        |  FROM orders
+        |  WHERE o_orderstatus = 'O'
+        |    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |) WHERE cum_depth <= 500000.0
+        |ORDER BY cum_depth""".stripMargin) { (s, dir) =>
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O" &&
+          col("o_orderdate") >= expr("TIMESTAMP '1999-01-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          dsumOver(col("o_totalprice"), w).as("cum_depth"))
+        .filter(col("cum_depth") <= 500000.0)
+        .orderBy(col("cum_depth"))
+    },
+
+    // W2: running cumulative balance per partition (issuer capitalization
+    // cumulative columns; reference data.js:980-988).
+    QuerySpec.sql(
+      "w2_cumulative_balance",
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) OVER (
+        |    PARTITION BY c_nationkey ORDER BY c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_bal
+        |FROM customer
+        |ORDER BY c_nationkey, c_custkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          dsumOver(col("c_acctbal"), w).as("running_bal"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    },
+
+    // W6: rank / top-k per partition (top_markets rank column; reference
+    // data.js:1075-1090).
+    QuerySpec.sql(
+      "w6_rank_per_group",
+      """SELECT p_brand, p_partkey, p_retailprice, rnk
+        |FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        |  FROM part)
+        |WHERE rnk <= 3
+        |ORDER BY p_brand, rnk""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      t(s, dir, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("p_brand"), col("rnk"))
+    },
+
+    // S: global top-k (descending scan + limit idiom; reference §2.6,
+    // TakeOrderedAndProject in Spark — no full sort at scale).
+    QuerySpec.sql(
+      "s_topk_orders",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // S: latest-row-per-key (descending scan limit 1 per account;
+    // reference data.js:1120-1139).
+    QuerySpec.sql(
+      "s_latest_order_per_customer",
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  o_totalprice
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // SET: union of partial range scans then aggregate (hybrid count plan;
+    // reference data.js:2460-2494).
+    QuerySpec.sql(
+      "set_union_ranges",
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM (
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '2000-07-01 00:00:00')
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders")
+      val a = ord.filter(col("o_orderdate") >= expr("TIMESTAMP '1995-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("TIMESTAMP '1995-07-01 00:00:00'"))
+      val b = ord.filter(col("o_orderdate") >= expr("TIMESTAMP '2000-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("TIMESTAMP '2000-07-01 00:00:00'"))
+      a.select(col("o_orderstatus"), col("o_totalprice"))
+        .unionByName(b.select(col("o_orderstatus"), col("o_totalprice")))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // SET: anti join — keys absent from a set (removeLedger delete-set
+    // semantics; reference data.js:3181-3208).
+    QuerySpec.sql(
+      "set_anti_join",
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1995-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1996-01-01 00:00:00'"))
+      t(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // A13: distinct / dedup by natural key (dropDuplicates semantics;
+    // reference accountPayments.js:135-166).
+    QuerySpec.sql(
+      "a13_distinct_pairs",
+      """SELECT DISTINCT l_returnflag, l_linestatus
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .dropDuplicates()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // A8: count grouped by coarse time bucket (accounts-created weekly
+    // pre-agg; reference data.js:2403-2495). date_trunc('week') = Monday
+    // start in both engines.
+    QuerySpec.sql(
+      "a8_weekly_counts",
+      """SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+        |  COUNT(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1
+        |ORDER BY week_start""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+        .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("week_start"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("week_start"))
+    })
+}

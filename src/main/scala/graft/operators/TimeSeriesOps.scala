@@ -1,0 +1,302 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.Cols._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Time-series aggregations over the `events` stream table, modeling the
+  * reference's incremental aggregation daemons
+  * (lib/aggregation/{exchanges,payments,accountPayments,stats,fees}.js).
+  *
+  * Batch forms here; streaming variants live in graft.streaming. OHLC
+  * open/close use `min_by`/`max_by` against a unique monotonic key
+  * (event_id ≡ the reference's ledger|tx|node composite sort key,
+  * lib/aggregation/exchanges.js:540-566) — no global sort required, and
+  * candle merge stays associative so the interval cascade (1h → 1d) can
+  * re-reduce child candles exactly like exchanges.js:282-359.
+  *
+  * The `props` JSON-string column mirrors the reference's stringified
+  * JSON cells (lib/hbase/hbase-thrift/index.js:1021-1024): weight `k`
+  * is extracted at query time with get_json_object.
+  */
+object TimeSeriesOps {
+
+  /** Events with the JSON weight column parsed out. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    // The testdata was written with parquet TIMESTAMP(NANOS), which the
+    // Spark 4 reader rejects by default; read it as epoch-nanos long and
+    // convert. Integer `div` (not `/`) — nanos ≈ 1.7e18 overflows the
+    // 53-bit double mantissa a float division would go through.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = Tables(s, dir, "events")
+    val ts = df.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case _        => col("ts")
+    }
+    df.withColumn("ts", ts)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+  }
+
+  private val oracleEvents =
+    "(SELECT *, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)"
+
+  /** Hourly OHLC candle aggregation (A1; exchanges.js:515-582). */
+  private def hourlyCandles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(
+        col("event_type"),
+        to_date(col("ts")).as("day"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max_by(col("value"), col("event_id")).as("close"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        dsum(col("value")).as("volume"),
+        dsum(col("value") * col("k")).as("notional"),
+        dsum(col("k")).as("k_vol"),
+        count(lit(1)).as("n"))
+      // vwap = Σ(value·k)/Σk, guarded: ANSI mode (and DuckDB) error on /0.
+      .withColumn("vwap",
+        when(col("k_vol") =!= 0d, col("notional") / col("k_vol")))
+
+  private val hourlyCandlesSql =
+    s"""SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       |  min_by(value, event_id) AS open, max_by(value, event_id) AS close,
+       |  max(value) AS high, min(value) AS low,
+       |  ${dsumSql("value")} AS volume,
+       |  ${dsumSql("value * k")} AS notional,
+       |  ${dsumSql("k")} AS k_vol,
+       |  COUNT(*) AS n,
+       |  CASE WHEN ${dsumSql("k")} <> 0 THEN
+       |    ${dsumSql("value * k")} / ${dsumSql("k")} END AS vwap
+       |FROM $oracleEvents
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  def specs: Seq[QuerySpec] = Seq(
+    // A1: per-(series, hour) OHLC+volume+vwap candles.
+    QuerySpec.sql(
+      "a1_hourly_candles",
+      s"""SELECT * FROM ($hourlyCandlesSql)
+         |ORDER BY event_type, hour""".stripMargin) { (s, dir) =>
+      hourlyCandles(s, dir).orderBy(col("event_type"), col("hour"))
+    },
+
+    // A2: candle rollup cascade — daily candles re-reduced from hourly
+    // children using the hour key as sort_open/sort_close
+    // (exchanges.js:282-359): associative merge, no rescan of raw rows.
+    QuerySpec.sql(
+      "a2_daily_candle_rollup",
+      s"""SELECT event_type, day,
+         |  min_by(open, hour) AS open, max_by(close, hour) AS close,
+         |  max(high) AS high, min(low) AS low,
+         |  ${dsumSql("volume")} AS volume,
+         |  CAST(SUM(n) AS BIGINT) AS n
+         |FROM ($hourlyCandlesSql)
+         |GROUP BY event_type, day
+         |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      hourlyCandles(s, dir)
+        .groupBy(col("event_type"), col("day"))
+        .agg(
+          min_by(col("open"), col("hour")).as("open"),
+          max_by(col("close"), col("hour")).as("close"),
+          max(col("high")).as("high"),
+          min(col("low")).as("low"),
+          dsum(col("volume")).as("volume"),
+          sum(col("n")).cast("long").as("n"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // A4: per-(series, day) count/amount/average (payment volume;
+    // payments.js:361-384).
+    QuerySpec.sql(
+      "a4_daily_volume",
+      s"""SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |  COUNT(*) AS n, ${dsumSql("value")} AS amount,
+         |  ${davgSql("value")} AS avg_amount
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("amount"),
+          davg(col("value")).as("avg_amount"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // A5: per-(account, day) activity profile with distinct counterparty
+    // count (accountPayments.js:223-285; collect_set → countDistinct).
+    QuerySpec.sql(
+      "a5_user_day_profile",
+      s"""SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |  COUNT(*) AS n_events,
+         |  COUNT(DISTINCT event_type) AS n_types,
+         |  ${dsumSql("value")} AS total,
+         |  MAX(value) AS max_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          dsum(col("value")).as("total"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("user_id"), col("day"))
+    },
+
+    // A6: network-stats counters — per-day counts by type (dynamic
+    // `type:` column family → conditional aggregation; stats.js:235-288)
+    // plus running averages (stats.js:313-337).
+    QuerySpec.sql(
+      "a6_daily_stats",
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id) AS events_per_user
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      def cnt(tpe: String) =
+        sum(when(col("event_type") === tpe, 1).otherwise(0)).cast("long").as(s"n_$tpe")
+      events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_total"),
+          cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"),
+          countDistinct(col("user_id")).as("n_users"),
+          (count(lit(1)).cast("double") / countDistinct(col("user_id")))
+            .as("events_per_user"))
+        .orderBy(col("day"))
+    },
+
+    // A8: first-seen-per-key counts (accounts created per day;
+    // lib/ledgerParser/accountsCreated.js + data.js:2403-2495).
+    QuerySpec.sql(
+      "a8_new_users_daily",
+      """SELECT CAST(date_trunc('day', first_ts) AS DATE) AS day,
+        |  COUNT(*) AS n_new
+        |FROM (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id)
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"))
+        .groupBy(to_date(col("first_ts")).as("day"))
+        .agg(count(lit(1)).as("n_new"))
+        .orderBy(col("day"))
+    },
+
+    // A11/W2: cumulative daily volume per series (issuer capitalization
+    // running total; data.js:980-988).
+    QuerySpec.sql(
+      "a11_cumulative_daily_volume",
+      s"""SELECT event_type, day, vol,
+         |  CAST(SUM(CAST(vol AS DECIMAL(38,6))) OVER (
+         |    PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS cum_vol
+         |FROM (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    ${dsumSql("value")} AS vol
+         |  FROM events GROUP BY 1, 2)
+         |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(dsum(col("value")).as("vol"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .select(col("event_type"), col("day"), col("vol"),
+          dsumOver(col("vol"), w).as("cum_vol"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // W4: inter-event interval per key via lag (ledger_interval running
+    // average; stats.js:327-331).
+    QuerySpec.sql(
+      "w4_avg_event_gap",
+      """SELECT user_id, COUNT(gap) AS n_gaps,
+        |  CAST(SUM(gap) AS BIGINT) AS total_gap_s,
+        |  CAST(SUM(gap) AS DOUBLE) / COUNT(gap) AS avg_gap_s
+        |FROM (
+        |  SELECT user_id,
+        |    sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS gap
+        |  FROM (SELECT user_id, ts, event_id,
+        |          CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events))
+        |GROUP BY user_id
+        |HAVING COUNT(gap) > 0
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(col("gap")).as("n_gaps"),
+          sum(col("gap")).cast("long").as("total_gap_s"),
+          (sum(col("gap")).cast("double") / count(col("gap"))).as("avg_gap_s"))
+        .filter(col("n_gaps") > 0)
+        .orderBy(col("user_id"))
+    },
+
+    // S: latest event per key (descending scan limit 1 per account;
+    // data.js:1120-1139). Timestamp exported as epoch micros for exact
+    // cross-engine comparison.
+    QuerySpec.sql(
+      "s_latest_event_per_user",
+      """SELECT user_id, event_id, last_us, last_type, last_value
+        |FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS last_us,
+        |    event_type AS last_type, value AS last_value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("last_us"),
+          col("event_type").as("last_type"), col("value").as("last_value"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .drop("rn")
+        .orderBy(col("user_id"))
+    },
+
+    // J4: time-bucket equi-join of two aggregate series (metric ↔ FX-rate
+    // bucket join; data.js:800-856).
+    QuerySpec.sql(
+      "j4_bucket_join",
+      s"""SELECT p.day AS day, p.purchase_vol, c.clicks
+         |FROM (
+         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    ${dsumSql("value")} AS purchase_vol
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1) p
+         |JOIN (
+         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    COUNT(*) AS clicks
+         |  FROM events WHERE event_type = 'click' GROUP BY 1) c
+         |ON p.day = c.day
+         |ORDER BY day""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(dsum(col("value")).as("purchase_vol"))
+      val c = ev.filter(col("event_type") === "click")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("clicks"))
+      p.join(c, Seq("day")).orderBy(col("day"))
+    })
+}
