@@ -12,7 +12,8 @@ import graft.operators._
 object SparkEntry {
 
   def allSpecs: Seq[QuerySpec] =
-    Relational.specs ++ TimeSeriesOps.specs
+    Relational.specs ++ TimeSeriesOps.specs ++ TextOps.specs ++
+      DedupOps.specs ++ SimilarityOps.specs ++ MultimodalOps.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (language-ID heuristic, quality
+  * scoring, token counting, fingerprinting) required beyond the
+  * reference's own operators.
+  *
+  * All token-level work is expressed as explode + hash-aggregate so it
+  * scales horizontally: no per-document UDF state, everything stays in
+  * whole-stage codegen, and the shuffle key is doc_id (uniform — no
+  * skew).
+  */
+object TextOps {
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Stopword markers per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic, mirrored verbatim in the oracle SQL.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "im"),
+    "es" -> Seq("el", "los", "de", "y", "un", "es", "en"),
+    "zh" -> Seq("de", "shi", "le", "bu", "zai", "wo", "you"))
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  def specs: Seq[QuerySpec] = Seq(
+    // Token counting: whitespace tokenization + char stats per document.
+    QuerySpec.sql(
+      "text_token_stats",
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .withColumn("avg_token_len",
+          (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring: stopword ratio + vocabulary-diversity ratio,
+    // combined into a deterministic score. explode → per-doc aggregate.
+    QuerySpec.sql(
+      "text_quality_score",
+      s"""SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(CASE WHEN tok IN ${inList(langMarkers.head._2)}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         |  COUNT(DISTINCT tok) AS n_distinct,
+         |  CAST(SUM(CASE WHEN tok IN ${inList(langMarkers.head._2)}
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stop_ratio,
+         |  CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*) AS distinct_ratio,
+         |  0.3 * (CAST(SUM(CASE WHEN tok IN ${inList(langMarkers.head._2)}
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))
+         |  + 0.7 * (CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*)) AS quality
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |      FROM documents)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val stop = langMarkers.head._2
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      toks.groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("tok").isin(stop: _*), 1).otherwise(0)).cast("long").as("n_stop"),
+          countDistinct(col("tok")).as("n_distinct"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+        .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_tokens"))
+        .withColumn("quality",
+          lit(0.3) * col("stop_ratio") + lit(0.7) * col("distinct_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Language-ID heuristic: per-language stopword-hit ratio, argmax with
+    // a fixed preference order (deterministic tie-break).
+    QuerySpec.sql(
+      "text_lang_id", {
+        val scoreCols = langMarkers.map { case (l, ws) =>
+          s"""  CAST(SUM(CASE WHEN tok IN ${inList(ws)} THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / COUNT(*) AS score_$l""".stripMargin
+        }.mkString(",\n")
+        val langs = langMarkers.map(_._1)
+        val pred = langs.init.zipWithIndex.map { case (l, i) =>
+          val rest = langs.drop(i + 1)
+          s"WHEN score_$l > 0 AND ${rest.map(r => s"score_$l >= score_$r").mkString(" AND ")} THEN '$l'"
+        }.mkString(" ") + s" WHEN score_${langs.last} > 0 THEN '${langs.last}'"
+        s"""SELECT doc_id, score_en, score_fr, score_de, score_es, score_zh,
+           |  CASE $pred ELSE 'unknown' END AS pred_lang
+           |FROM (
+           |  SELECT doc_id,
+           |$scoreCols
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |        FROM documents)
+           |  GROUP BY doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val scored = toks.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n"),
+        langMarkers.map { case (l, ws) =>
+          sum(when(col("tok").isin(ws: _*), 1).otherwise(0)).as(s"hits_$l")
+        }: _*)
+      val withScores = langMarkers.foldLeft(scored) { case (df, (l, _)) =>
+        df.withColumn(s"score_$l", col(s"hits_$l").cast("double") / col("n"))
+      }
+      val langs = langMarkers.map(_._1)
+      val pred = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1)
+        s"WHEN score_$l > 0 AND ${rest.map(r => s"score_$l >= score_$r").mkString(" AND ")} THEN '$l'"
+      }.mkString(" ") + s" WHEN score_${langs.last} > 0 THEN '${langs.last}'"
+      withScores
+        .withColumn("pred_lang", expr(s"CASE $pred ELSE 'unknown' END"))
+        .select(col("doc_id"), col("score_en"), col("score_fr"), col("score_de"),
+          col("score_es"), col("score_zh"), col("pred_lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Document fingerprinting: full-content hash + short prefix (the
+    // reference's rowkey-prefix idiom, topology.js:99-109) + length.
+    QuerySpec.sql(
+      "text_fingerprint",
+      """SELECT doc_id, md5(lower(text)) AS fp,
+        |  substr(md5(lower(text)), 1, 8) AS fp_prefix,
+        |  length(text) AS n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), md5(lower(col("text"))).as("fp"),
+          substring(md5(lower(col("text"))), 1, 8).as("fp_prefix"),
+          length(col("text")).as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // J7: prefix join — resolve entities by shared key prefix (topology
+    // pubkey-prefix resolution, topology.js:99-109): part pairs sharing
+    // the first name word, aggregated per prefix.
+    QuerySpec.sql(
+      "j7_prefix_join",
+      """SELECT prefix, COUNT(*) AS n_pairs
+        |FROM (
+        |  SELECT a.prefix AS prefix
+        |  FROM (SELECT p_partkey, string_split(p_name, ' ')[1] AS prefix FROM part) a
+        |  JOIN (SELECT p_partkey, string_split(p_name, ' ')[1] AS prefix FROM part) b
+        |  ON a.prefix = b.prefix AND a.p_partkey < b.p_partkey)
+        |GROUP BY prefix
+        |ORDER BY prefix""".stripMargin) { (s, dir) =>
+      val p = Tables(s, dir, "part")
+        .select(col("p_partkey"), expr("element_at(split(p_name, ' '), 1)").as("prefix"))
+      val a = p.as("a")
+      val b = p.select(col("p_partkey").as("b_key"), col("prefix").as("b_prefix"))
+      a.join(b, col("prefix") === col("b_prefix") && col("p_partkey") < col("b_key"))
+        .groupBy(col("prefix"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("prefix"))
+    })
+}
