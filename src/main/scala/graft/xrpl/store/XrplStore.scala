@@ -1,0 +1,79 @@
+package graft.xrpl.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.xrpl.XrplTables
+
+/** Storage layout (SURVEY.md §1.4 / §4): each derived dataset is
+  * parquet partitioned by `date`, sorted within partitions by the
+  * reference's rowkey columns. The rowkey-range scans of the reference
+  * (lib/hbase/hbase-thrift/index.js:531-550) become partition pruning
+  * (date =) + parquet min/max row-group skipping (sorted key columns)
+  * — the two mechanisms that make a 100 TB time-range query read only
+  * its slice.
+  *
+  * The `lu_*` lookup tables are NOT materialized: they are alternate
+  * sort orders, which the sorted-within-partition layout plus
+  * predicate pushdown covers (SURVEY.md §1.4).
+  */
+object XrplStore {
+
+  /** table name → (time column, in-partition sort keys ≙ rowkey). */
+  val layout: Map[String, (String, Seq[String])] = Map(
+    "ledgers" -> ("close_time", Seq("ledger_index")),
+    "transactions" -> ("executed_time", Seq("ledger_index", "tx_index")),
+    "exchanges" -> ("time", Seq("base_currency", "base_issuer",
+      "counter_currency", "counter_issuer", "time", "ledger_index",
+      "tx_index", "node_index")),
+    "offers" -> ("executed_time", Seq("account", "executed_time",
+      "ledger_index", "tx_index")),
+    "balance_changes" -> ("time", Seq("account", "time", "ledger_index",
+      "tx_index", "node_index")),
+    "payments" -> ("time", Seq("currency", "issuer", "time", "ledger_index",
+      "tx_index")),
+    "accounts_created" -> ("time", Seq("time", "ledger_index", "tx_index")),
+    "affected_accounts" -> ("time", Seq("account", "time", "ledger_index",
+      "tx_index")),
+    "memos" -> ("executed_time", Seq("account", "executed_time",
+      "ledger_index", "tx_index", "memo_index")),
+    "escrows" -> ("time", Seq("account", "time", "ledger_index", "tx_index")),
+    "paychan" -> ("time", Seq("account", "time", "ledger_index", "tx_index")),
+    "fee_summaries" -> ("", Seq("ledger_index")))
+
+  private def withDate(df: DataFrame, timeCol: String): DataFrame =
+    if (timeCol.isEmpty) df.withColumn("date", to_date(col("date")))
+    else df.withColumn("date", to_date(timestamp_seconds(col(timeCol))))
+
+  def write(df: DataFrame, name: String, rootDir: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val (timeCol, sortKeys) = layout(name)
+    withDate(df, timeCol)
+      .repartition(col("date"))
+      .sortWithinPartitions(sortKeys.map(col): _*)
+      .write.mode(mode)
+      .partitionBy("date")
+      .parquet(s"$rootDir/$name")
+  }
+
+  /** Persist every derived table (the reference's saveParsedData,
+    * data.js:2729-3127 — minus the lu_* fan-out copies).
+    */
+  def writeAll(t: XrplTables, rootDir: String): Unit = {
+    write(t.ledgers.toDF(), "ledgers", rootDir)
+    write(t.transactions.toDF(), "transactions", rootDir)
+    write(t.exchanges.toDF(), "exchanges", rootDir)
+    write(t.offers.toDF(), "offers", rootDir)
+    write(t.balanceChanges.toDF(), "balance_changes", rootDir)
+    write(t.payments.toDF(), "payments", rootDir)
+    write(t.accountsCreated.toDF(), "accounts_created", rootDir)
+    write(t.affectedAccounts.toDF(), "affected_accounts", rootDir)
+    write(t.memos.toDF(), "memos", rootDir)
+    write(t.escrows.toDF(), "escrows", rootDir)
+    write(t.paychans.toDF(), "paychan", rootDir)
+    write(t.feeSummaries.toDF(), "fee_summaries", rootDir)
+  }
+
+  def read(spark: SparkSession, rootDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$rootDir/$name")
+}

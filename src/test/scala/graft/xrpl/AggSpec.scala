@@ -1,0 +1,110 @@
+package graft.xrpl
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.xrpl.agg.{Aggregations, Candles}
+
+/** Aggregation-layer tests over the parsed mock ledgers: candle
+  * cascade invariants, volumes, stats, fee rollups — mirroring the
+  * reference's test/aggregationTests.
+  */
+class AggSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  lazy val tables: XrplTables = {
+    val path = getClass.getResource("/ledgers").getPath
+    XrplTables.fromFiles(spark, path)
+  }
+  lazy val exchanges = tables.exchanges.toDF().cache()
+
+  test("minute candles: one row per (pair, minute); OHLC invariants hold") {
+    val c = Candles.fromExchanges(exchanges)
+    val rows = c.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val high = r.getAs[Double]("high")
+      val low = r.getAs[Double]("low")
+      val open = r.getAs[Double]("open")
+      val close = r.getAs[Double]("close")
+      assert(low <= high + 1e-12)
+      assert(open >= low - 1e-12 && open <= high + 1e-12)
+      assert(close >= low - 1e-12 && close <= high + 1e-12)
+      assert(r.getAs[Double]("buy_volume") <= r.getAs[Double]("base_volume") + 1e-9)
+    }
+    // grouping key is unique
+    assert(c.groupBy((col("start") +: Candles.pairCols.map(col)): _*)
+      .count().filter(col("count") > 1).count() === 0L)
+  }
+
+  test("cascade: volumes and counts are conserved at every interval") {
+    val minute = Candles.fromExchanges(exchanges)
+    val totalCount = minute.agg(sum("count")).head().getLong(0)
+    val totalBase = minute
+      .groupBy(Candles.pairCols.map(col): _*).agg(sum("base_volume").as("v"))
+      .collect().map(r => r.getAs[Double]("v")).sum
+    for ((name, multiple, unit) <- Candles.intervals if name != "1minute") {
+      val rolled = Candles.rollup(minute, unit, multiple)
+      assert(rolled.agg(sum("count")).head().getLong(0) === totalCount,
+        s"count conserved at $name")
+      val rolledBase = rolled
+        .groupBy(Candles.pairCols.map(col): _*).agg(sum("base_volume").as("v"))
+        .collect().map(r => r.getAs[Double]("v")).sum
+      assert(math.abs(rolledBase - totalBase) < 1e-6, s"base volume at $name")
+    }
+  }
+
+  test("cascade: daily rollup equals direct daily aggregation") {
+    val minute = Candles.fromExchanges(exchanges)
+    // issuer columns are null for XRP legs — make the join null-safe
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.na.fill("", Seq("base_issuer", "counter_issuer"))
+    val viaCascade = keyed(Candles.rollup(minute, "day", 1))
+    val direct = keyed(Candles.fromExchanges(exchanges, "day", 1))
+    val joined = viaCascade.as("a").join(direct.as("b"),
+      Seq("start") ++ Candles.pairCols)
+    assert(joined.count() === direct.count())
+    assert(joined.count() === viaCascade.count())
+    // open/close picked via sort keys must agree exactly
+    assert(joined.filter(col("a.open") =!= col("b.open") ||
+      col("a.close") =!= col("b.close") ||
+      col("a.count") =!= col("b.count")).count() === 0L)
+  }
+
+  test("payment volume: counts per currency sum to 182") {
+    val vol = Aggregations.paymentVolume(tables.payments.toDF())
+    assert(vol.agg(sum("count")).head().getLong(0) === 182L)
+    assert(vol.filter(col("amount") < 0).count() === 0L)
+  }
+
+  test("account payments: sent+received counts double-count each payment") {
+    val ap = Aggregations.accountPayments(tables.payments.toDF())
+    val sums = ap.agg(sum("payments_sent"), sum("payments_received")).head()
+    assert(sums.getLong(0) === 182L)
+    assert(sums.getLong(1) === 182L)
+  }
+
+  test("stats: 7 daily rows per ubiquitous metric; type counts match tx counts") {
+    val s = Aggregations.stats(tables.transactions.toDF(),
+      tables.payments.toDF(), exchanges, tables.accountsCreated.toDF(),
+      tables.ledgers.toDF())
+    val txDays = s.filter(col("family") === "metric" &&
+      col("name") === "transaction_count")
+    assert(txDays.count() === 7L)
+    val totalTx = txDays.agg(sum("value")).head().getDouble(0)
+    assert(totalTx === tables.transactions.count().toDouble)
+    // per-type counts also sum to the total
+    val typeTotal = s.filter(col("family") === "type").agg(sum("value"))
+      .head().getDouble(0)
+    assert(typeTotal === totalTx)
+  }
+
+  test("fee rollup: totals conserved from per-ledger summaries") {
+    val perLedger = tables.feeSummaries.toDF()
+    val rolled = Aggregations.feeRollup(perLedger, "day")
+    val a = perLedger.agg(sum("total")).head().getDouble(0)
+    val b = rolled.agg(sum("total")).head().getDouble(0)
+    assert(math.abs(a - b) < 1e-9)
+    assert(rolled.filter(col("min") > col("max")).count() === 0L)
+  }
+}

@@ -1,0 +1,139 @@
+package graft.xrpl
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.xrpl.api.Queries
+import graft.xrpl.api.Queries.{Pair, RangeOpts}
+
+/** Query-layer tests mirroring the reference's endpoint test suite
+  * (test/test.*.js) over the same 54 mock ledgers.
+  */
+class QueriesSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  lazy val tables: XrplTables = {
+    val path = getClass.getResource("/ledgers").getPath
+    XrplTables.fromFiles(spark, path)
+  }
+  lazy val exchanges = tables.exchanges.toDF().cache()
+
+  val usd = Pair("USD", Some("rMwjYedjc7qqtKYVLiAccJSmCwih4LnE2q"))
+  val xrp = Pair("XRP", None)
+
+  test("getExchanges: 5 trades for USD/XRP (test.exchanges.js:24)") {
+    assert(Queries.getExchanges(exchanges, usd, xrp).count() === 5L)
+  }
+
+  test("getExchanges: date range narrows to 2 (test.exchanges.js:47-72)") {
+    val start = java.time.Instant.parse("2015-01-14T18:28:40Z").getEpochSecond
+    val end = java.time.Instant.parse("2015-01-14T18:51:40Z").getEpochSecond
+    val n = Queries.getExchanges(exchanges, usd, xrp,
+      RangeOpts(Some(start), Some(end))).count()
+    assert(n === 2L)
+  }
+
+  test("getExchanges: inversion reciprocity (test.exchanges.js:109-140)") {
+    val fwd = Queries.getExchanges(exchanges, usd, xrp).collect()
+    val inv = Queries.getExchanges(exchanges, xrp, usd).collect()
+    assert(fwd.length === inv.length)
+    val fwdByHash = fwd.map(r =>
+      (r.getAs[String]("tx_hash"), r.getAs[Int]("node_index")) -> r).toMap
+    inv.foreach { r =>
+      val f = fwdByHash((r.getAs[String]("tx_hash"), r.getAs[Int]("node_index")))
+      assert(r.getAs[Double]("base_amount") === f.getAs[Double]("counter_amount"))
+      assert(r.getAs[Double]("counter_amount") === f.getAs[Double]("base_amount"))
+      assert(math.abs(r.getAs[Double]("rate") * f.getAs[Double]("rate") - 1d) < 1e-9)
+      assert(r.getAs[String]("buyer") === f.getAs[String]("seller"))
+    }
+  }
+
+  test("getExchanges: descending order flag") {
+    val desc = Queries.getExchanges(exchanges, usd, xrp,
+      RangeOpts(descending = true)).collect()
+    val times = desc.map(_.getAs[Long]("time"))
+    assert(times.zip(times.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("reduceExchanges: one summary row with consistent OHLC") {
+    val r = Queries.reduceExchanges(exchanges, usd, xrp).head()
+    assert(r.getAs[Long]("count") === 5L)
+    assert(r.getAs[Double]("low") <= r.getAs[Double]("high"))
+    val vwap = r.getAs[Double]("counter_volume") / r.getAs[Double]("base_volume")
+    assert(math.abs(r.getAs[Double]("vwap") - vwap) < 1e-12)
+  }
+
+  test("getExchangeCandles: 1day candles cover the trades") {
+    val c = Queries.getExchangeCandles(exchanges, usd, xrp, "1day").collect()
+    assert(c.map(_.getAs[Long]("count")).sum === 5L)
+  }
+
+  test("getAccountTransactions: index join returns detail rows") {
+    // account from the reference's own account-tx tests
+    val account = "rvYAfWj5gh67oV6fW32ZzP3Aw4Eubs59B"
+    val rows = Queries.getAccountTransactions(tables, account,
+      RangeOpts(limit = 100)).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("tx_hash").length == 64))
+  }
+
+  test("getLedger by index / hash / latest (test.ledgers.js)") {
+    val byIndex = Queries.getLedgerByIndex(tables, 11119599L).collect()
+    assert(byIndex.length === 1)
+    val hash = byIndex.head.getAs[String]("ledger_hash")
+    assert(Queries.getLedgerByHash(tables, hash).count() === 1L)
+    assert(Queries.getLatestLedger(tables).head()
+      .getAs[Long]("ledger_index") === 29709909L)
+    // expansion returns the ledger's full tx set (J2)
+    val txs = Queries.expandLedgerTransactions(tables, 11119599L).count()
+    assert(txs === byIndex.head.getAs[Int]("tx_count").toLong)
+  }
+
+  test("getPayments: all and currency-filtered (test.payments.js)") {
+    assert(Queries.getPayments(tables, opts = RangeOpts(limit = 1000))
+      .count() === 182L)
+    val xrpOnly = Queries.getPayments(tables, Some(Pair("XRP", None)),
+      RangeOpts(limit = 1000))
+    assert(xrpOnly.count() > 0L)
+    assert(xrpOnly.filter(col("currency") =!= "XRP").count() === 0L)
+  }
+
+  test("getActiveAccounts: ordered by volume, buy+sell symmetric") {
+    val a = Queries.getActiveAccounts(exchanges, usd, xrp).collect()
+    assert(a.nonEmpty)
+    val vols = a.map(_.getAs[Double]("base_volume"))
+    assert(vols.zip(vols.tail).forall { case (x, y) => x >= y })
+    val buys = a.map(_.getAs[Long]("buy_count")).sum
+    val sells = a.map(_.getAs[Long]("sell_count")).sum
+    assert(buys === sells) // every trade has one buyer and one seller
+  }
+
+  test("exchangeRate: blend of period and last-50 vwap") {
+    val start = java.time.Instant.parse("2015-01-01T00:00:00Z").getEpochSecond
+    val end = java.time.Instant.parse("2015-02-01T00:00:00Z").getEpochSecond
+    val r = Queries.exchangeRate(exchanges, usd, xrp, start, end).head()
+    val blend = (r.getAs[Double]("period_vwap") + r.getAs[Double]("last50_vwap")) / 2
+    assert(math.abs(r.getAs[Double]("rate") - blend) < 1e-12)
+    assert(r.getAs[Double]("rate") > 0)
+  }
+
+  test("topMarkets / topCurrencies rank within day") {
+    val tm = Queries.topMarkets(exchanges).collect()
+    assert(tm.nonEmpty)
+    assert(tm.forall(_.getAs[Int]("rank") >= 1))
+    val tc = Queries.topCurrencies(tables.payments.toDF()).collect()
+    assert(tc.nonEmpty)
+  }
+
+  test("getBalanceChanges honors filters") {
+    val any = tables.balanceChanges.toDF().head()
+    val acct = any.getAs[String]("account")
+    val rows = Queries.getBalanceChanges(tables, acct, opts = RangeOpts(limit = 500))
+    assert(rows.count() > 0)
+    assert(rows.filter(col("account") =!= acct).count() === 0L)
+  }
+
+  test("countAccountsCreated = 13 (test.accounts.js:24)") {
+    assert(Queries.countAccountsCreated(tables) === 13L)
+  }
+}
