@@ -160,6 +160,17 @@ final class XrplTables(spark: SparkSession, bundles: Dataset[ParsedLedger]) {
 }
 
 object XrplTables {
+
+  /** The bundled reference mock-ledger fixtures. `sbt run` packages
+    * resources into a jar (not a readable directory for
+    * spark.read.text), so prefer the source tree when present.
+    */
+  def fixturesPath: String =
+    Seq("/root/repo/src/main/resources/ledgers", "src/main/resources/ledgers")
+      .find(p => new java.io.File(p).isDirectory)
+      .orElse(Option(getClass.getResource("/ledgers")).map(_.getPath))
+      .getOrElse(sys.error("ledger fixtures not found"))
+
   /** Read ledger JSON files (one ledger per file or per line) and parse. */
   def fromFiles(spark: SparkSession, path: String): XrplTables = {
     import spark.implicits._

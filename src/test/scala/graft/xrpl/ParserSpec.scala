@@ -12,7 +12,7 @@ class ParserSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkTest.session
   lazy val tables: XrplTables = {
-    val path = getClass.getResource("/ledgers").getPath
+    val path = XrplTables.fixturesPath
     XrplTables.fromFiles(spark, path)
   }
 

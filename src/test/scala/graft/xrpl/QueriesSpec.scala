@@ -13,7 +13,7 @@ class QueriesSpec extends AnyFunSuite {
 
   lazy val spark = SparkTest.session
   lazy val tables: XrplTables = {
-    val path = getClass.getResource("/ledgers").getPath
+    val path = XrplTables.fixturesPath
     XrplTables.fromFiles(spark, path)
   }
   lazy val exchanges = tables.exchanges.toDF().cache()

@@ -14,7 +14,7 @@ class StoreStreamSpec extends AnyFunSuite {
 
   lazy val spark = SparkTest.session
   lazy val tables: XrplTables = {
-    val path = getClass.getResource("/ledgers").getPath
+    val path = XrplTables.fixturesPath
     XrplTables.fromFiles(spark, path)
   }
 
@@ -38,7 +38,7 @@ class StoreStreamSpec extends AnyFunSuite {
     import spark.implicits._
     // file-drop source: one ledger JSON per line
     val dir = Files.createTempDirectory("graft-stream").toString
-    val src = getClass.getResource("/ledgers").getPath
+    val src = XrplTables.fixturesPath
     val raw = spark.read.option("wholetext", "true").text(src)
       .as[String].collect()
     // stream sees compact single-line JSON
@@ -72,7 +72,7 @@ class StoreStreamSpec extends AnyFunSuite {
   test("streaming daily tx stats count every transaction") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream2").toString
-    val src = getClass.getResource("/ledgers").getPath
+    val src = XrplTables.fixturesPath
     val raw = spark.read.option("wholetext", "true").text(src).as[String].collect()
     val lines = raw.map(s => Json.parse(s).toString)
     Files.write(java.nio.file.Paths.get(s"$dir/ledgers.jsonl"),
