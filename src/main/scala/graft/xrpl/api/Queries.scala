@@ -213,6 +213,75 @@ object Queries {
       .orderBy(col("tx_index"))
 
   // -----------------------------------------------------------------
+  // GET /v2/transactions[/:hash] — data.js:2021-2163 (limit cap 100,
+  // api/routes/getTransactions.js:119-122; type/result filters F2)
+  // -----------------------------------------------------------------
+  def getTransactions(t: XrplTables, opts: RangeOpts = RangeOpts(limit = 20),
+      txType: Option[String] = None, txResult: Option[String] = None): DataFrame = {
+    var df = t.transactions.toDF()
+    txType.foreach(v => df = df.filter(col("tx_type") === v))
+    txResult.foreach(v => df = df.filter(col("tx_result") === v))
+    timeFilter(df, "executed_time", opts)
+      .orderBy(pageOrder(opts, col("executed_time"), col("ledger_index"),
+        col("tx_index")): _*)
+      .limit(math.min(opts.limit, 100)) // route cap
+  }
+
+  /** Point get by hash (X15-validated upstream; data.js:2056-2111). */
+  def getTransactionByHash(t: XrplTables, hash: String): DataFrame =
+    t.transactions.toDF().filter(col("tx_hash") === hash)
+
+  // -----------------------------------------------------------------
+  // GET /v2/accounts/:address/memos — lu_account_memos scan
+  // -----------------------------------------------------------------
+  def getMemos(t: XrplTables, account: String,
+      opts: RangeOpts = RangeOpts()): DataFrame =
+    timeFilter(t.memos.toDF().filter(col("account") === account),
+      "executed_time", opts)
+      .orderBy(pageOrder(opts, col("executed_time"), col("ledger_index"),
+        col("tx_index"), col("memo_index")): _*)
+      .limit(opts.limit)
+
+  // -----------------------------------------------------------------
+  // GET /v2/accounts/:address/escrows — data.js escrow scans
+  // -----------------------------------------------------------------
+  def getAccountEscrows(t: XrplTables, account: String,
+      opts: RangeOpts = RangeOpts()): DataFrame =
+    timeFilter(t.escrows.toDF().filter(col("account") === account),
+      "time", opts)
+      .orderBy(pageOrder(opts, col("time"), col("ledger_index"),
+        col("tx_index")): _*)
+      .limit(opts.limit)
+
+  // -----------------------------------------------------------------
+  // GET /v2/accounts/:address/payment_channels
+  // -----------------------------------------------------------------
+  def getAccountPayChannels(t: XrplTables, account: String,
+      opts: RangeOpts = RangeOpts()): DataFrame =
+    timeFilter(t.paychans.toDF()
+      .filter(col("account") === account || col("source") === account ||
+        col("destination") === account),
+      "time", opts)
+      .orderBy(pageOrder(opts, col("time"), col("ledger_index"),
+        col("tx_index")): _*)
+      .limit(opts.limit)
+
+  // -----------------------------------------------------------------
+  // GET /v2/accounts/:address/orders — offer lifecycle events
+  // (lu_account_offers_by_sequence; data.js offer scans)
+  // -----------------------------------------------------------------
+  def getAccountOffers(t: XrplTables, account: String,
+      opts: RangeOpts = RangeOpts(),
+      changeType: Option[String] = None): DataFrame = {
+    var df = t.offers.toDF().filter(col("account") === account)
+    changeType.foreach(v => df = df.filter(col("change_type") === v))
+    timeFilter(df, "executed_time", opts)
+      .orderBy(pageOrder(opts, col("executed_time"), col("ledger_index"),
+        col("tx_index"), col("node_index")): _*)
+      .limit(opts.limit)
+  }
+
+  // -----------------------------------------------------------------
   // GET /v2/payments[/:currency] — data.js:1251-1306
   // -----------------------------------------------------------------
   def getPayments(t: XrplTables, currency: Option[Pair] = None,

@@ -136,4 +136,37 @@ class QueriesSpec extends AnyFunSuite {
   test("countAccountsCreated = 13 (test.accounts.js:24)") {
     assert(Queries.countAccountsCreated(tables) === 13L)
   }
+
+  test("getTransactions: filters, 100-row cap, point get by hash") {
+    val all = Queries.getTransactions(tables, RangeOpts(limit = 1000))
+    assert(all.count() === 100L) // route cap (getTransactions.js:119-122)
+    val payments = Queries.getTransactions(tables, RangeOpts(limit = 100),
+      txType = Some("Payment"))
+    assert(payments.filter(col("tx_type") =!= "Payment").count() === 0L)
+    val hash = all.head().getAs[String]("tx_hash")
+    val one = Queries.getTransactionByHash(tables, hash)
+    assert(one.count() === 1L)
+  }
+
+  test("getMemos / getAccountEscrows / getAccountPayChannels / getAccountOffers") {
+    val memoAcct = tables.memos.toDF().head().getAs[String]("account")
+    assert(Queries.getMemos(tables, memoAcct).count() > 0)
+
+    val escrows = Queries.getAccountEscrows(tables,
+      "rGhDCgik9CwiNpcNnYHkEHcMgw2dkLgtNB")
+    assert(escrows.count() === 1L) // test.escrows.js:22
+
+    val pcAcct = tables.paychans.toDF().head().getAs[String]("account")
+    assert(Queries.getAccountPayChannels(tables, pcAcct).count() > 0)
+
+    val offerAcct = tables.offers.toDF().head().getAs[String]("account")
+    val offers = Queries.getAccountOffers(tables, offerAcct,
+      RangeOpts(limit = 500))
+    assert(offers.count() > 0)
+    assert(offers.filter(col("account") =!= offerAcct).count() === 0L)
+    // change_type filter narrows
+    val filled = Queries.getAccountOffers(tables, offerAcct,
+      RangeOpts(limit = 500), changeType = Some("partial_fill"))
+    assert(filled.count() <= offers.count())
+  }
 }
