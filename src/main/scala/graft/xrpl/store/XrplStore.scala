@@ -76,4 +76,48 @@ object XrplStore {
 
   def read(spark: SparkSession, rootDir: String, name: String): DataFrame =
     spark.read.parquet(s"$rootDir/$name")
+
+  /** Materialize the candle cascade as agg_exchanges partitions —
+    * the reference's pre-aggregation tables (§4: "keep the
+    * agg-building jobs"); interval queries then read these instead of
+    * re-reducing raw trades (data.js:1665-1691 table routing).
+    */
+  def writeCandleStore(exchanges: DataFrame, rootDir: String): Unit = {
+    import graft.xrpl.agg.Candles
+    Candles.cascade(exchanges).foreach { case (interval, candles) =>
+      candles.write.mode(SaveMode.Overwrite)
+        .parquet(s"$rootDir/agg_exchanges/interval=$interval")
+    }
+  }
+
+  /** Read one interval's pre-aggregated candles. */
+  def readCandles(spark: SparkSession, rootDir: String, interval: String): DataFrame =
+    spark.read.parquet(s"$rootDir/agg_exchanges/interval=$interval")
+
+  /** S8: removeLedger — the reference deletes every derived row of a
+    * ledger across its tables (data.js:3133-3216). In an immutable
+    * store this is an anti-join rewrite of the affected date
+    * partition(s): read, filter out the ledger, overwrite.
+    */
+  def removeLedger(spark: SparkSession, rootDir: String, name: String,
+      ledgerIndex: Long): Unit = {
+    val df = read(spark, rootDir, name)
+    val affectedDates = df.filter(col("ledger_index") === ledgerIndex)
+      .select(col("date")).distinct().collect().map(_.get(0))
+    if (affectedDates.nonEmpty) {
+      // localCheckpoint breaks lineage to the files being overwritten
+      // (read-then-overwrite of the same path)
+      val rewritten = df
+        .filter(col("date").isin(affectedDates: _*))
+        .filter(col("ledger_index") =!= ledgerIndex)
+        .localCheckpoint(true)
+      // dynamic partition overwrite touches only the affected dates
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try rewritten.write.mode(SaveMode.Overwrite)
+        .partitionBy("date").parquet(s"$rootDir/$name")
+      finally prev.foreach(
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    }
+  }
 }

@@ -34,6 +34,31 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(pay.count() === 182L)
   }
 
+  test("removeLedger: anti-join rewrite removes only that ledger's rows") {
+    val dir = Files.createTempDirectory("graft-remove").toString
+    XrplStore.write(tables.exchanges.toDF(), "exchanges", dir)
+    val before = XrplStore.read(spark, dir, "exchanges")
+    val beforeCount = before.count()
+    val victim = before.select(col("ledger_index")).head().getLong(0)
+    val victimRows = before.filter(col("ledger_index") === victim).count()
+    assert(victimRows > 0)
+    XrplStore.removeLedger(spark, dir, "exchanges", victim)
+    val after = XrplStore.read(spark, dir, "exchanges")
+    assert(after.filter(col("ledger_index") === victim).count() === 0L)
+    assert(after.count() === beforeCount - victimRows)
+  }
+
+  test("candle store: interval routing reads pre-aggregated candles") {
+    val dir = Files.createTempDirectory("graft-candles").toString
+    XrplStore.writeCandleStore(tables.exchanges.toDF(), dir)
+    val daily = XrplStore.readCandles(spark, dir, "1day")
+    val direct = graft.xrpl.agg.Candles.fromExchanges(
+      tables.exchanges.toDF(), "day", 1)
+    assert(daily.count() === direct.count())
+    assert(daily.agg(sum("count")).head().getLong(0) ===
+      direct.agg(sum("count")).head().getLong(0))
+  }
+
   test("streaming minute candles match the batch aggregation") {
     import spark.implicits._
     // file-drop source: one ledger JSON per line
