@@ -120,6 +120,57 @@ object DedupOps {
         .orderBy(col("doc_id"))
     },
 
+    // Banded MinHash-LSH: 4 hashes → 2 bands of 2; docs sharing ANY
+    // band signature become candidate pairs (the classic b×r banding
+    // that catches near-dups a full-signature match misses), scored by
+    // the fraction of matching minhashes (Jaccard estimator).
+    QuerySpec.sql(
+      "dedup_minhash_banded",
+      s"""WITH sig AS ($minhashSigSql),
+         |bands AS (
+         |  SELECT doc_id, 1 AS band, m0 || '|' || m1 AS key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 2 AS band, m2 || '|' || m3 AS key FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT c.a_id, c.b_id,
+         |  CAST((CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END
+         |      + CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END
+         |      + CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END
+         |      + CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END) AS DOUBLE) / 4
+         |    AS est_jaccard
+         |FROM cand c
+         |JOIN sig sa ON sa.doc_id = c.a_id
+         |JOIN sig sb ON sb.doc_id = c.b_id
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val sig = minhashSig(s, dir)
+      val bands = sig.select(col("doc_id"), lit(1).as("band"),
+          concat_ws("|", col("m0"), col("m1")).as("key"))
+        .unionByName(sig.select(col("doc_id"), lit(2).as("band"),
+          concat_ws("|", col("m2"), col("m3")).as("key")))
+      val cand = bands.as("a")
+        .join(bands.select(col("doc_id").as("b_id"), col("band").as("b_band"),
+          col("key").as("b_key")),
+          col("band") === col("b_band") && col("key") === col("b_key") &&
+            col("doc_id") < col("b_id"))
+        .select(col("doc_id").as("a_id"), col("b_id"))
+        .dropDuplicates()
+      val sa = sig.select(col("doc_id").as("a_id"), col("m0").as("a0"),
+        col("m1").as("a1"), col("m2").as("a2"), col("m3").as("a3"))
+      val sb = sig.select(col("doc_id").as("b_id"), col("m0").as("b0"),
+        col("m1").as("b1"), col("m2").as("b2"), col("m3").as("b3"))
+      cand.join(sa, Seq("a_id")).join(sb, Seq("b_id"))
+        .withColumn("est_jaccard",
+          ((when(col("a0") === col("b0"), 1).otherwise(0)
+            + when(col("a1") === col("b1"), 1).otherwise(0)
+            + when(col("a2") === col("b2"), 1).otherwise(0)
+            + when(col("a3") === col("b3"), 1).otherwise(0)).cast("double") / 4))
+        .select(col("a_id"), col("b_id"), col("est_jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // N-gram Jaccard near-dup: distinct word-3-gram sets, candidate
     // pairs within (lang, source) blocks, |A∩B| / |A∪B| ≥ 0.02.
     QuerySpec.sql(

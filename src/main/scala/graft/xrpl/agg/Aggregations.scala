@@ -126,6 +126,26 @@ object Aggregations {
       .reduce(_ unionByName _)
   }
 
+  /** T6: weekly re-aggregation of daily stat rows
+    * (lib/aggregation/stats.js:75-141, cron every 5 min in the
+    * reference; a scheduled batch job here). Counts sum; the running
+    * averages (`tx_per_ledger`, `ledger_interval`) re-average weighted
+    * equally per day, matching the reference's re-reduce.
+    */
+  def weeklyStats(daily: DataFrame): DataFrame = {
+    // ISO week start (Monday): epoch day 0 was a Thursday (+3 shift)
+    val week = ((col("date") + 3L * 86400L) / (7L * 86400L)).cast("long") *
+      (7L * 86400L) - 3L * 86400L
+    val averaged = Set("tx_per_ledger", "ledger_interval")
+    daily
+      .withColumn("week", week)
+      .withColumn("is_avg", col("name").isin(averaged.toSeq: _*))
+      .groupBy(col("week").as("date"), col("family"), col("name"), col("is_avg"))
+      .agg(sum(col("value")).as("sum_v"), avg(col("value")).as("avg_v"))
+      .withColumn("value", when(col("is_avg"), col("avg_v")).otherwise(col("sum_v")))
+      .select(col("date"), col("family"), col("name"), col("value"))
+  }
+
   /** A7: fee rollups — lib/aggregation/fees.js:116-178: per-ledger
     * summaries merged into hour/day rows; avg = total / tx_count.
     */

@@ -430,6 +430,68 @@ object Queries {
   }
 
   // -----------------------------------------------------------------
+  // Estimate: order-book depth walk — api/routes/estimate.js:170-318
+  // (J10/W5). Walk a price-ordered book until the target amount is
+  // consumed; the crossing offer fills partially.
+  // -----------------------------------------------------------------
+
+  /** One book walk: offers (price asc for a buy) with columns
+    * `price` (per-unit) and `amount` (depth at that price). Returns
+    * the consumed rows with cumulative depth, the partial fill of the
+    * crossing offer, and per-row cost — Σcost / target = effective
+    * rate. Window cumsum + filter: no driver-side loop
+    * (estimate.js:262-318 walks in JS; here the walk is a plan).
+    */
+  def walkBook(book: DataFrame, target: Double,
+      ascending: Boolean = true): DataFrame = {
+    // ascending when price is a cost per unit (minimize), descending
+    // when it is proceeds per unit (maximize) — estimate.js walks each
+    // book from its best price
+    val ord = if (ascending) Seq(col("price"), col("offer_id"))
+      else Seq(col("price").desc, col("offer_id"))
+    val w = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    book
+      .withColumn("cum", sum(col("amount")).over(w))
+      // keep every offer whose start-of-depth is below the target:
+      // all fully consumed rows + the crossing row
+      .filter(col("cum") - col("amount") < target)
+      .withColumn("fill",
+        when(col("cum") <= target, col("amount"))
+          .otherwise(lit(target) - (col("cum") - col("amount"))))
+      .withColumn("cost", col("fill") * col("price"))
+  }
+
+  /** Effective rate for converting `target` units through one book. */
+  def bookRate(book: DataFrame, target: Double,
+      ascending: Boolean = true): DataFrame =
+    walkBook(book, target, ascending)
+      .agg(sum(col("fill")).as("filled"), sum(col("cost")).as("cost"))
+      .withColumn("rate", col("cost") / col("filled"))
+
+  /** Two-book estimate (src→XRP then XRP→dst; estimate.js:170-224):
+    * walk book A for the source amount, then walk book B with the XRP
+    * proceeds; returns the combined conversion.
+    */
+  def estimate(bookA: DataFrame, bookB: DataFrame, amount: Double): DataFrame = {
+    val a = bookRate(bookA, amount)
+      .select(col("filled").as("a_filled"), col("cost").as("a_cost"),
+        col("rate").as("a_rate"))
+    // the XRP proceeds of leg A feed leg B; the driver of the second
+    // walk is a scalar from the first — cross of two 1-row aggregates
+    val aRow = a.head()
+    val xrpProceeds = aRow.getAs[Double]("a_cost")
+    // leg B's price is dst proceeds per XRP → best price first (desc)
+    val b = bookRate(bookB, xrpProceeds, ascending = false)
+      .select(col("filled").as("b_filled"), col("cost").as("b_cost"),
+        col("rate").as("b_rate"))
+    a.crossJoin(b)
+      .withColumn("amount", lit(amount))
+      .withColumn("estimated", col("b_cost"))
+      .withColumn("effective_rate", col("b_cost") / lit(amount))
+  }
+
+  // -----------------------------------------------------------------
   // Top markets / currencies — data.js:1049-1141 (W6)
   // -----------------------------------------------------------------
   def topMarkets(exchanges: DataFrame, limit: Int = 10): DataFrame = {

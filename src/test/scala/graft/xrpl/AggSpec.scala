@@ -99,6 +99,24 @@ class AggSpec extends AnyFunSuite {
     assert(typeTotal === totalTx)
   }
 
+  test("weekly stats re-aggregate dailies: counts sum, averages re-average") {
+    val daily = Aggregations.stats(tables.transactions.toDF(),
+      tables.payments.toDF(), exchanges, tables.accountsCreated.toDF(),
+      tables.ledgers.toDF())
+    val weekly = Aggregations.weeklyStats(daily)
+    val dailyTx = daily.filter(col("family") === "metric" &&
+      col("name") === "transaction_count").agg(sum("value")).head().getDouble(0)
+    val weeklyTx = weekly.filter(col("family") === "metric" &&
+      col("name") === "transaction_count").agg(sum("value")).head().getDouble(0)
+    assert(dailyTx === weeklyTx) // counts conserved
+    // week keys are Mondays
+    weekly.select(col("date")).distinct().collect().foreach { r =>
+      val dt = java.time.LocalDateTime.ofEpochSecond(r.getLong(0), 0,
+        java.time.ZoneOffset.UTC)
+      assert(dt.getDayOfWeek === java.time.DayOfWeek.MONDAY)
+    }
+  }
+
   test("fee rollup: totals conserved from per-ledger summaries") {
     val perLedger = tables.feeSummaries.toDF()
     val rolled = Aggregations.feeRollup(perLedger, "day")

@@ -137,6 +137,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(Queries.countAccountsCreated(tables) === 13L)
   }
 
+  test("estimate: two-book depth walk with partial crossing fill") {
+    import spark.implicits._
+    // book A: src→XRP, price = XRP per src unit
+    val bookA = Seq((1L, 2.0, 50.0), (2L, 2.5, 40.0), (3L, 3.0, 100.0))
+      .toDF("offer_id", "price", "amount")
+    // book B: XRP→dst, price = dst per XRP
+    val bookB = Seq((1L, 0.5, 80.0), (2L, 0.4, 500.0))
+      .toDF("offer_id", "price", "amount")
+    // walk A for 60 units: 50 @2.0 + 10 @2.5 = 125 XRP
+    val a = Queries.bookRate(bookA, 60.0).head()
+    assert(a.getAs[Double]("filled") === 60.0)
+    assert(a.getAs[Double]("cost") === 125.0)
+    // walk B for 125 XRP: 80 @0.5 + 45 @0.4 = 58 dst
+    val est = Queries.estimate(bookA, bookB, 60.0).head()
+    assert(est.getAs[Double]("estimated") === 58.0)
+    assert(math.abs(est.getAs[Double]("effective_rate") - 58.0 / 60.0) < 1e-12)
+  }
+
   test("getTransactions: filters, 100-row cap, point get by hash") {
     val all = Queries.getTransactions(tables, RangeOpts(limit = 1000))
     assert(all.count() === 100L) // route cap (getTransactions.js:119-122)
