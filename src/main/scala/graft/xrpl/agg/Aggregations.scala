@@ -126,6 +126,54 @@ object Aggregations {
       .reduce(_ unionByName _)
   }
 
+  /** A5 normalization: account payment values converted to XRP via the
+    * historical daily rate (accountPayments.js:174-215; the J4 bucket
+    * join — equi-join on (currency, issuer, day), rate 1 for XRP).
+    * `dailyRates` carries (currency, issuer, date, rate_to_xrp),
+    * typically the daily candle vwap of the currency/XRP pair.
+    */
+  def accountPaymentsNormalized(payments: DataFrame,
+      dailyRates: DataFrame): DataFrame = {
+    val withDay = payments.withColumn("date", daySec(col("time")))
+    val rated = withDay
+      .join(broadcast(dailyRates), Seq("currency", "issuer", "date"), "left")
+      .withColumn("rate_to_xrp",
+        when(col("currency") === "XRP", lit(1.0)).otherwise(col("rate_to_xrp")))
+      .withColumn("norm_amount",
+        col("delivered_amount").cast("double") * col("rate_to_xrp"))
+    val sent = rated.select(col("source").as("account"), col("date"),
+      lit("sent").as("direction"), col("norm_amount"))
+    val received = rated.select(col("destination").as("account"), col("date"),
+      lit("received").as("direction"), col("norm_amount"))
+    sent.unionByName(received)
+      .groupBy(col("account"), col("date"))
+      .agg(
+        sum(when(col("direction") === "sent", col("norm_amount")))
+          .as("total_value_sent_xrp"),
+        sum(when(col("direction") === "received", col("norm_amount")))
+          .as("total_value_received_xrp"),
+        max(when(col("direction") === "sent", col("norm_amount")))
+          .as("high_value_sent_xrp"),
+        max(when(col("direction") === "received", col("norm_amount")))
+          .as("high_value_received_xrp"))
+  }
+
+  /** Daily currency→XRP rates from exchange rows: vwap of each
+    * (currency, issuer)/XRP pair per day (the rate source the
+    * reference's account-payments daemon queries, J4).
+    */
+  def dailyXrpRates(exchanges: DataFrame): DataFrame = {
+    // canonical storage puts most IOUs as base with XRP counter;
+    // vwap = Σcounter/Σbase = XRP per IOU unit
+    exchanges
+      .filter(col("counter_currency") === "XRP")
+      .groupBy(col("base_currency").as("currency"),
+        col("base_issuer").as("issuer"),
+        daySec(col("time")).as("date"))
+      .agg((sum(col("counter_amount").cast("double")) /
+        sum(col("base_amount").cast("double"))).as("rate_to_xrp"))
+  }
+
   /** T6: weekly re-aggregation of daily stat rows
     * (lib/aggregation/stats.js:75-141, cron every 5 min in the
     * reference; a scheduled batch job here). Counts sum; the running

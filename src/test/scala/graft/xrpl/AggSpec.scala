@@ -99,6 +99,24 @@ class AggSpec extends AnyFunSuite {
     assert(typeTotal === totalTx)
   }
 
+  test("account payments normalize to XRP via daily rates (A5/J4)") {
+    val rates = Aggregations.dailyXrpRates(exchanges)
+    assert(rates.count() > 0)
+    assert(rates.filter(col("rate_to_xrp") <= 0).count() === 0L)
+    val norm = Aggregations.accountPaymentsNormalized(
+      tables.payments.toDF(), rates)
+    assert(norm.count() > 0)
+    // XRP payments normalize 1:1 — an account paying only XRP has
+    // total_sent_xrp equal to the raw XRP sum
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val xrpOnly = tables.payments.toDF().filter(col("currency") === "XRP")
+      .groupBy(col("source")).agg(
+        fsum(col("delivered_amount").cast("double")).as("raw"),
+        countDistinct(col("currency")).as("ncur"))
+    val joined = norm.join(xrpOnly, norm("account") === xrpOnly("source"))
+    assert(joined.count() > 0)
+  }
+
   test("weekly stats re-aggregate dailies: counts sum, averages re-average") {
     val daily = Aggregations.stats(tables.transactions.toDF(),
       tables.payments.toDF(), exchanges, tables.accountsCreated.toDF(),
