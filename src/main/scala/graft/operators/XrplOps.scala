@@ -22,7 +22,9 @@ import graft.xrpl.XrplTables
   */
 object XrplOps {
 
-  private val DumpDir = "/tmp/graft_xrpl"
+  // inside the repo (gitignored) so the driver's DuckDB stage sees the
+  // same filesystem the Verify stage wrote to
+  private val DumpDir = "/root/repo/target/graft_xrpl"
   private val Dec = DecimalType(38, 18)
 
   @volatile private var prepared = false
