@@ -590,8 +590,8 @@ object TxParsers {
         if (kind == "CreatedNode") opt(node, "NewFields")
         else opt(node, "FinalFields")
       fields.foreach { f =>
-        f.fields().asScala.foreach { e =>
-          val (name, v) = (e.getKey, e.getValue)
+        f.fieldNames().asScala.foreach { name =>
+          val v = f.get(name)
           if (accountFields.contains(name) && v.isTextual) seen += v.asText()
           else if (amountFields.contains(name) && v.isObject)
             opt(v, "issuer").foreach(iss => seen += iss.asText())

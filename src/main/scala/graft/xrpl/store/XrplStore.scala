@@ -108,7 +108,7 @@ object XrplStore {
       // localCheckpoint breaks lineage to the files being overwritten
       // (read-then-overwrite of the same path)
       val rewritten = df
-        .filter(col("date").isin(affectedDates: _*))
+        .filter(col("date").isin(affectedDates.toIndexedSeq: _*))
         .filter(col("ledger_index") =!= ledgerIndex)
         .localCheckpoint(true)
       // dynamic partition overwrite touches only the affected dates
