@@ -78,15 +78,26 @@ object MultimodalOps {
 
     // Decode path (not SQL-expressible → rows-only check): binary
     // column → per-partition batched stub decode → typed features.
+    // The feature vector is emitted as fixed scalar columns f0..f7 (not
+    // array<double>) so downstream row hashing/sorting sees plain
+    // sortable scalars.
     QuerySpec.rowsOnly("mm_decode_stub") { (s, dir) =>
       import s.implicits._
       val bin = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])]
-      bin.mapPartitions { batch =>
+      val decoded = bin.mapPartitions { batch =>
         // batched decode: one decoder instance per partition, streaming
         // through the rows (the mapInPandas batch shape).
         batch.map { case (id, bytes) => StubDecoder.decode(id, bytes) }
-      }.toDF().orderBy(col("doc_id"))
+      }.toDF()
+      val featCols = (0 until StubDecoder.FeatureDim).map { i =>
+        // micro-unit quantization keeps the scalar exactly reproducible
+        round(col("feature").getItem(i) * 1e6).cast("long").as(s"f$i")
+      }
+      decoded
+        .select(Seq(col("doc_id"), col("n_bytes"), col("width"),
+          col("height"), col("channels")) ++ featCols: _*)
+        .orderBy(col("doc_id"))
     })
 }

@@ -328,13 +328,18 @@ object Relational {
         |    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
         |) WHERE cum_depth <= 500000.0
         |ORDER BY cum_depth""".stripMargin) { (s, dir) =>
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "orders")
+      // scale-safe global cumsum: range-partitioned two-pass prefix sum
+      // (graft.functions.PrefixSum) instead of an unpartitioned Window —
+      // no single-task bottleneck at 100×.
+      val filtered = t(s, dir, "orders")
         .filter(col("o_orderstatus") === "O" &&
           col("o_orderdate") >= expr("TIMESTAMP '1999-01-01 00:00:00'"))
-        .select(col("o_orderkey"), col("o_totalprice"),
-          dsumOver(col("o_totalprice"), w).as("cum_depth"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.functions.PrefixSum.globalCumsum(filtered,
+          Seq(col("o_totalprice"), col("o_orderkey")),
+          col("o_totalprice").cast(Dec), "cum_dec")
+        .withColumn("cum_depth", col("cum_dec").cast("double"))
+        .drop("cum_dec")
         .filter(col("cum_depth") <= 500000.0)
         .orderBy(col("cum_depth"))
     },

@@ -42,6 +42,16 @@ object XrplOps {
       dump(t.affectedAccounts.toDF(), "affected_accounts")
       dump(t.balanceChanges.toDF(), "balance_changes")
       dump(t.feeSummaries.toDF(), "fee_summaries")
+      dump(t.memos.toDF(), "memos")
+      // tx_hashes is an array column — dropped so every dumped column
+      // stays scalar-sortable for the cross-engine row hash
+      dump(t.ledgers.toDF().drop("tx_hashes"), "ledgers")
+      dump(graft.xrpl.topology.Topology.loadValidatorReports(s,
+        graft.xrpl.topology.Topology.networkFixture("validator-reports.json")),
+        "validator_reports")
+      dump(graft.xrpl.topology.Topology.loadLedgerValidations(s,
+        graft.xrpl.topology.Topology.networkFixture("ledger-validations.json")),
+        "ledger_validations")
       prepared = true
     }
   }
@@ -258,6 +268,240 @@ object XrplOps {
           min(col("min")).as("min"), max(col("max")).as("max"),
           count(lit(1)).as("ledger_count"))
         .orderBy(col("start"))
+    },
+
+    // Account exchanges (data.js:1752-1812): exchanges where the
+    // account was buyer or seller, account-perspective `side` column,
+    // keyset-paged — exercises Queries.getAccountExchanges.
+    QuerySpec.sql(
+      "xrpl_account_exchanges",
+      s"""SELECT base_currency, COALESCE(base_issuer, '') AS base_issuer,
+         |  CAST(base_amount AS DOUBLE) AS base_amount,
+         |  counter_currency, COALESCE(counter_issuer, '') AS counter_issuer,
+         |  CAST(counter_amount AS DOUBLE) AS counter_amount,
+         |  CAST(rate AS DOUBLE) AS rate,
+         |  CASE WHEN buyer = 'rJAeQMhtr89PvFPnAZXkdgJgScZ1YuB9UR'
+         |    THEN 'buy' ELSE 'sell' END AS side,
+         |  buyer, seller, taker, tx_hash, time, ledger_index, tx_index,
+         |  node_index
+         |FROM ${t("exchanges")}
+         |WHERE buyer = 'rJAeQMhtr89PvFPnAZXkdgJgScZ1YuB9UR'
+         |   OR seller = 'rJAeQMhtr89PvFPnAZXkdgJgScZ1YuB9UR'
+         |ORDER BY time, ledger_index, tx_index, node_index
+         |LIMIT 200""".stripMargin) { (s, _) =>
+      graft.xrpl.api.Queries.getAccountExchanges(pq(s, "exchanges"),
+          "rJAeQMhtr89PvFPnAZXkdgJgScZ1YuB9UR")
+        .select(col("base_currency"),
+          coalesce(col("base_issuer"), lit("")).as("base_issuer"),
+          col("base_amount"), col("counter_currency"),
+          coalesce(col("counter_issuer"), lit("")).as("counter_issuer"),
+          col("counter_amount"), col("rate"), col("side"), col("buyer"),
+          col("seller"), col("taker"), col("tx_hash"), col("time"),
+          col("ledger_index"), col("tx_index"), col("node_index"))
+    },
+
+    // getMetric payment_volume (data.js:791-942): per-day per-currency
+    // components FX-normalized to XRP via the daily vwap rate table,
+    // with interval totals — exercises Aggregations.metricPaymentVolume
+    // + dailyXrpRates (the composed J4 metric).
+    QuerySpec.sql(
+      "xrpl_metric_volume",
+      s"""WITH rates AS (
+         |  SELECT base_currency AS currency, base_issuer AS issuer,
+         |    (time // 86400) * 86400 AS date,
+         |    ${dsumSql("counter_amount")} / ${dsumSql("base_amount")}
+         |      AS rate_to_xrp
+         |  FROM ${t("exchanges")}
+         |  WHERE counter_currency = 'XRP'
+         |  GROUP BY 1, 2, 3),
+         |comp AS (
+         |  SELECT currency, issuer, (time // 86400) * 86400 AS start,
+         |    COUNT(*) AS count, ${dsumSql("delivered_amount")} AS amount
+         |  FROM ${t("payments")}
+         |  GROUP BY 1, 2, 3),
+         |rated AS (
+         |  SELECT c.currency, c.issuer, c.start, c.count, c.amount,
+         |    CASE WHEN c.currency = 'XRP' THEN 1.0
+         |      ELSE COALESCE(r.rate_to_xrp, 0.0) END AS rate
+         |  FROM comp c LEFT JOIN rates r
+         |    ON c.currency = r.currency AND c.issuer = r.issuer
+         |    AND c.start = r.date)
+         |SELECT currency, COALESCE(issuer, '') AS issuer, start, count,
+         |  amount, rate, amount * rate AS converted_amount,
+         |  CAST(CAST(SUM(CAST(amount * rate AS DECIMAL(38,18)))
+         |    OVER (PARTITION BY start) AS VARCHAR) AS DOUBLE) AS total,
+         |  CAST(SUM(count) OVER (PARTITION BY start) AS BIGINT)
+         |    AS total_count
+         |FROM rated
+         |ORDER BY start, currency, issuer""".stripMargin) { (s, _) =>
+      import graft.xrpl.agg.Aggregations
+      Aggregations.metricPaymentVolume(pq(s, "payments"),
+          Aggregations.dailyXrpRates(pq(s, "exchanges")))
+        .select(col("currency"), coalesce(col("issuer"), lit("")).as("issuer"),
+          col("start"), col("count"), col("amount"), col("rate"),
+          col("converted_amount"), col("total"), col("total_count"))
+        .orderBy(col("start"), col("currency"), col("issuer"))
+    },
+
+    // A3: query-time reduce of an exchange range to one summary row,
+    // 10 k guard enforced lazily in-plan — exercises
+    // Queries.reduceExchanges (single-pass, no pre-count).
+    QuerySpec.sql(
+      "xrpl_reduce_exchanges",
+      s"""WITH rows_ AS (
+         |  SELECT base_amount, counter_amount,
+         |    CAST(rate AS DOUBLE) AS rate, buyer, taker, time, $skSql AS sk
+         |  FROM ${t("exchanges")}
+         |  WHERE base_currency = 'USD'
+         |    AND base_issuer = 'rMwjYedjc7qqtKYVLiAccJSmCwih4LnE2q'
+         |    AND counter_currency = 'XRP'
+         |    AND NOT (CAST(counter_amount AS DOUBLE) < 0.0005))
+         |SELECT min_by(rate, sk) AS open, max_by(rate, sk) AS close,
+         |  max(rate) AS high, min(rate) AS low,
+         |  min_by(time, sk) AS open_time, max_by(time, sk) AS close_time,
+         |  ${dsumSql("base_amount")} AS base_volume,
+         |  ${dsumSql("counter_amount")} AS counter_volume,
+         |  ${dsumSql("CASE WHEN buyer = taker THEN base_amount ELSE '0' END")}
+         |    AS buy_volume,
+         |  COUNT(*) AS count,
+         |  ${dsumSql("counter_amount")} / ${dsumSql("base_amount")} AS vwap
+         |FROM rows_""".stripMargin) { (s, _) =>
+      graft.xrpl.api.Queries.reduceExchanges(pq(s, "exchanges"),
+        graft.xrpl.api.Queries.Pair("USD",
+          Some("rMwjYedjc7qqtKYVLiAccJSmCwih4LnE2q")),
+        graft.xrpl.api.Queries.Pair("XRP", None))
+    },
+
+    // A9: blended exchange rate — mean of period vwap and
+    // last-50-trade vwap (data.js:1318-1367) — exercises
+    // Queries.exchangeRate.
+    QuerySpec.sql(
+      "xrpl_exchange_rate",
+      s"""WITH rows_ AS (
+         |  SELECT base_amount, counter_amount,
+         |    time, ledger_index, tx_index, node_index
+         |  FROM ${t("exchanges")}
+         |  WHERE base_currency = 'USD'
+         |    AND base_issuer = 'rMwjYedjc7qqtKYVLiAccJSmCwih4LnE2q'
+         |    AND counter_currency = 'XRP'),
+         |period AS (
+         |  SELECT ${dsumSql("counter_amount")} / ${dsumSql("base_amount")}
+         |    AS period_vwap
+         |  FROM rows_),
+         |last50 AS (
+         |  SELECT ${dsumSql("counter_amount")} / ${dsumSql("base_amount")}
+         |    AS last50_vwap
+         |  FROM (SELECT * FROM rows_
+         |        ORDER BY time DESC, ledger_index DESC, tx_index DESC,
+         |          node_index DESC
+         |        LIMIT 50))
+         |SELECT period_vwap, last50_vwap,
+         |  (period_vwap + last50_vwap) / 2 AS rate
+         |FROM period, last50""".stripMargin) { (s, _) =>
+      graft.xrpl.api.Queries.exchangeRate(pq(s, "exchanges"),
+        graft.xrpl.api.Queries.Pair("USD",
+          Some("rMwjYedjc7qqtKYVLiAccJSmCwih4LnE2q")),
+        graft.xrpl.api.Queries.Pair("XRP", None),
+        start = 0L, end = 4102444800L)
+    },
+
+    // J3: point lookup by (account, sequence range)
+    // (lu_account_transactions, data.js:1147-1166).
+    QuerySpec.sql(
+      "xrpl_account_tx_seq",
+      s"""SELECT tx_hash, ledger_index, tx_index, tx_type, tx_result,
+         |  account, sequence, executed_time
+         |FROM ${t("transactions")}
+         |WHERE account = 'rM3X3QSr8icjTGpaF52dozhbT2BZSXJQYM'
+         |  AND sequence BETWEEN 1487201 AND 1487225
+         |ORDER BY sequence""".stripMargin) { (s, _) =>
+      pq(s, "transactions")
+        .filter(col("account") === "rM3X3QSr8icjTGpaF52dozhbT2BZSXJQYM" &&
+          col("sequence").between(1487201L, 1487225L))
+        .select(col("tx_hash"), col("ledger_index"), col("tx_index"),
+          col("tx_type"), col("tx_result"), col("account"), col("sequence"),
+          col("executed_time"))
+        .orderBy(col("sequence"))
+    },
+
+    // X11: decoded memos (lib/ledgerParser/memos.js) — the parsed memo
+    // table with decode metadata, keyset-ordered.
+    QuerySpec.sql(
+      "xrpl_memos",
+      s"""SELECT account, COALESCE(destination, '') AS destination,
+         |  COALESCE(memo_type, '') AS memo_type,
+         |  COALESCE(memo_format, '') AS memo_format,
+         |  COALESCE(memo_data, '') AS memo_data,
+         |  COALESCE(decoded_type, '') AS decoded_type,
+         |  COALESCE(decoded_data, '') AS decoded_data,
+         |  COALESCE(decoded_format, '') AS decoded_format,
+         |  COALESCE(type_encoding, '') AS type_encoding,
+         |  COALESCE(data_encoding, '') AS data_encoding,
+         |  executed_time, ledger_index, tx_index, memo_index, tx_hash
+         |FROM ${t("memos")}
+         |ORDER BY ledger_index, tx_index, memo_index""".stripMargin) { (s, _) =>
+      pq(s, "memos")
+        .select(col("account"),
+          coalesce(col("destination"), lit("")).as("destination"),
+          coalesce(col("memo_type"), lit("")).as("memo_type"),
+          coalesce(col("memo_format"), lit("")).as("memo_format"),
+          coalesce(col("memo_data"), lit("")).as("memo_data"),
+          coalesce(col("decoded_type"), lit("")).as("decoded_type"),
+          coalesce(col("decoded_data"), lit("")).as("decoded_data"),
+          coalesce(col("decoded_format"), lit("")).as("decoded_format"),
+          coalesce(col("type_encoding"), lit("")).as("type_encoding"),
+          coalesce(col("data_encoding"), lit("")).as("data_encoding"),
+          col("executed_time"), col("ledger_index"), col("tx_index"),
+          col("memo_index"), col("tx_hash"))
+        .orderBy(col("ledger_index"), col("tx_index"), col("memo_index"))
+    },
+
+    // A12: validator daily-report scoring (topology.js:265-296) —
+    // exercises Topology.scoreDailyReports on the reference fixture.
+    QuerySpec.sql(
+      "xrpl_validator_scores",
+      s"""SELECT pubkey AS validation_public_key, date, chain,
+         |  CAST(score AS DOUBLE) AS score,
+         |  CAST(total AS BIGINT) AS total,
+         |  CAST(missed AS BIGINT) AS missed
+         |FROM ${t("validator_reports")}
+         |ORDER BY date, validation_public_key""".stripMargin) { (s, _) =>
+      graft.xrpl.topology.Topology.scoreDailyReports(pq(s, "validator_reports"))
+        .orderBy(col("date"), col("validation_public_key"))
+    },
+
+    // J5: validation index (by validator) → per-ledger detail
+    // (topology.js:512-576) — exercises Topology.validationsByValidator.
+    QuerySpec.sql(
+      "xrpl_validations_by_validator",
+      s"""SELECT rowkey, string_split(rowkey, '|')[1] AS ledger_hash,
+         |  string_split(rowkey, '|')[2] AS validation_public_key,
+         |  ledger_index, "count", "full", signing_time
+         |FROM ${t("ledger_validations")}
+         |WHERE string_split(rowkey, '|')[2] =
+         |  'nHUkp7WhouVMobBUKGrV5FNqjsdD9zKP5jpGnnLLnYxUQSGAwrZ6'
+         |ORDER BY rowkey""".stripMargin) { (s, _) =>
+      graft.xrpl.topology.Topology.validationsByValidator(
+          pq(s, "ledger_validations"),
+          "nHUkp7WhouVMobBUKGrV5FNqjsdD9zKP5jpGnnLLnYxUQSGAwrZ6")
+        .select(col("rowkey"), col("ledger_hash"),
+          col("validation_public_key"), col("ledger_index"), col("count"),
+          col("full"), col("signing_time"))
+    },
+
+    // getLastValidated control row (data.js:37-42) — the reference's
+    // checkpoint surface: the newest parsed ledger.
+    QuerySpec.sql(
+      "xrpl_last_validated",
+      s"""SELECT ledger_index, ledger_hash, parent_hash, close_time
+         |FROM ${t("ledgers")}
+         |ORDER BY ledger_index DESC
+         |LIMIT 1""".stripMargin) { (s, _) =>
+      pq(s, "ledgers")
+        .orderBy(col("ledger_index").desc)
+        .select(col("ledger_index"), col("ledger_hash"), col("parent_hash"),
+          col("close_time"))
+        .limit(1)
     },
 
     // A11/W2: issuer capitalization running total per trustline currency.

@@ -164,14 +164,108 @@ object Aggregations {
     */
   def dailyXrpRates(exchanges: DataFrame): DataFrame = {
     // canonical storage puts most IOUs as base with XRP counter;
-    // vwap = Σcounter/Σbase = XRP per IOU unit
+    // vwap = Σcounter/Σbase = XRP per IOU unit. Decimal sums → the
+    // vwap is order-independent (bit-identical across retries/engines).
     exchanges
       .filter(col("counter_currency") === "XRP")
       .groupBy(col("base_currency").as("currency"),
         col("base_issuer").as("issuer"),
         daySec(col("time")).as("date"))
-      .agg((sum(col("counter_amount").cast("double")) /
-        sum(col("base_amount").cast("double"))).as("rate_to_xrp"))
+      .agg((sum(col("counter_amount").cast(Dec)).cast("double") /
+        sum(col("base_amount").cast(Dec)).cast("double")).as("rate_to_xrp"))
+  }
+
+  /** getMetric volume metrics (data.js:791-942; route
+    * api/routes/network/getMetric.js). The reference serves
+    * pre-aggregated `agg_metrics` rows whose `components` JSON blob
+    * holds per-currency breakdowns normalized to XRP; here the metric
+    * is a live plan in long format — one row per (start, component)
+    * carrying the component volume, its XRP rate, the converted
+    * amount, and the interval totals. Totals ride on a window over the
+    * already-aggregated component rows (partition = interval, a few
+    * rows each) so the raw input shuffles exactly once.
+    */
+  def metricPaymentVolume(payments: DataFrame, dailyRates: DataFrame,
+      unit: String = "day"): DataFrame = {
+    val bucket = if (unit == "hour") hourSec(col("time")) else daySec(col("time"))
+    val comp = payments
+      .groupBy(col("currency"), col("issuer"), bucket.as("start"))
+      .agg(count(lit(1)).as("count"),
+        sum(col("delivered_amount").cast(Dec)).cast("double").as("amount"))
+    attachXrpTotals(comp, dailyRates, "currency", "issuer")
+  }
+
+  /** trade_volume flavor of [[metricPaymentVolume]]: per-pair exchange
+    * volume components, converted via the base leg's XRP rate
+    * (data.js:791-942, metric `trade_volume`).
+    */
+  def metricTradeVolume(exchanges: DataFrame, dailyRates: DataFrame,
+      unit: String = "day"): DataFrame = {
+    val bucket = if (unit == "hour") hourSec(col("time")) else daySec(col("time"))
+    val comp = exchanges
+      .groupBy(col("base_currency"), col("base_issuer"),
+        col("counter_currency"), col("counter_issuer"), bucket.as("start"))
+      .agg(count(lit(1)).as("count"),
+        sum(col("base_amount").cast(Dec)).cast("double").as("amount"))
+    attachXrpTotals(comp, dailyRates, "base_currency", "base_issuer")
+  }
+
+  /** Rate-join + XRP conversion + interval totals shared by the volume
+    * metrics: left-join the component rows to the (small, broadcast)
+    * daily rate table, rate 1 for XRP itself, unknown rates count 0
+    * toward the total (`rates[time] || 0`, data.js:837-842).
+    */
+  private def attachXrpTotals(comp: DataFrame, dailyRates: DataFrame,
+      curCol: String, issCol: String): DataFrame = {
+    val rates = dailyRates.select(col("currency").as(curCol),
+      col("issuer").as(issCol), col("date").as("start"), col("rate_to_xrp"))
+    val rated = comp
+      .join(broadcast(rates), Seq(curCol, issCol, "start"), "left")
+      .withColumn("rate",
+        when(col(curCol) === "XRP", lit(1.0))
+          .otherwise(coalesce(col("rate_to_xrp"), lit(0.0))))
+      .withColumn("converted_amount", col("amount") * col("rate"))
+      .drop("rate_to_xrp")
+    val w = Window.partitionBy(col("start"))
+    rated
+      .withColumn("total",
+        sum(col("converted_amount").cast(Dec)).over(w).cast("double"))
+      .withColumn("total_count", sum(col("count")).over(w))
+  }
+
+  /** The `…|live` rolling rows of getMetric (data.js:858-897): the
+    * interval is [newest − period, newest] relative to the data's own
+    * frontier rather than a calendar bucket, and the conversion rate is
+    * the vwap over that same rolling window. One broadcast scalar
+    * (the frontier) ranges both scans; components and totals come out
+    * long-format like the calendar variant.
+    */
+  def metricPaymentVolumeLive(payments: DataFrame, exchanges: DataFrame,
+      periodSec: Long = 86400L): DataFrame = {
+    val frontier = payments.agg(max(col("time")).as("live_end"))
+    val windowed = payments.crossJoin(broadcast(frontier))
+      .filter(col("time") > col("live_end") - periodSec)
+    val rates = exchanges.crossJoin(broadcast(frontier))
+      .filter(col("time") > col("live_end") - periodSec &&
+        col("counter_currency") === "XRP")
+      .groupBy(col("base_currency").as("currency"),
+        col("base_issuer").as("issuer"))
+      .agg((sum(col("counter_amount").cast(Dec)).cast("double") /
+        sum(col("base_amount").cast(Dec)).cast("double")).as("rate_to_xrp"))
+    val comp = windowed
+      .groupBy(col("currency"), col("issuer"))
+      .agg(count(lit(1)).as("count"),
+        sum(col("delivered_amount").cast(Dec)).cast("double").as("amount"))
+      .join(broadcast(rates), Seq("currency", "issuer"), "left")
+      .withColumn("rate",
+        when(col("currency") === "XRP", lit(1.0))
+          .otherwise(coalesce(col("rate_to_xrp"), lit(0.0))))
+      .withColumn("converted_amount", col("amount") * col("rate"))
+      .drop("rate_to_xrp")
+    val totals = comp.agg(
+      sum(col("converted_amount").cast(Dec)).cast("double").as("total"),
+      sum(col("count")).as("total_count"))
+    comp.crossJoin(broadcast(totals))
   }
 
   /** T6: weekly re-aggregation of daily stat rows

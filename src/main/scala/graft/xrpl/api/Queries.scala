@@ -38,11 +38,13 @@ object Queries {
   // GET /v2/exchanges/:base/:counter — data.js:1463-1750
   // -----------------------------------------------------------------
 
-  /** Raw (unreduced) exchanges for a pair; inverts rows when the
-    * requested order differs from the canonical stored order
-    * (invertPair unreduced branch, data.js:1482-1498).
+  /** The filter + canonicalize + invert core of the /v2/exchanges scan
+    * (invertPair unreduced branch, data.js:1482-1498) WITHOUT the
+    * page's orderBy/limit — aggregating callers (active accounts,
+    * vwap, reduce) consume this directly so no global sort is planned
+    * above their aggregates.
     */
-  def getExchanges(exchanges: DataFrame, base: Pair, counter: Pair,
+  def exchangePairRows(exchanges: DataFrame, base: Pair, counter: Pair,
       opts: RangeOpts = RangeOpts(), autobridgedOnly: Boolean = false): DataFrame = {
     // canonical key order (data.js:1656-1663)
     val invert = counter.key.toLowerCase <= base.key.toLowerCase
@@ -63,24 +65,73 @@ object Queries {
       .withColumn("base_d", col("base_amount").cast("double"))
       .withColumn("counter_d", col("counter_amount").cast("double"))
 
-    val oriented =
-      if (!invert)
-        typed.select(col("time"), col("ledger_index"), col("tx_index"),
-          col("node_index"), col("base_d").as("base_amount"),
-          col("counter_d").as("counter_amount"), col("rate_d").as("rate"),
-          col("buyer"), col("seller"), col("taker"), col("provider"),
-          col("offer_sequence"), col("tx_hash"), col("tx_type"),
-          col("autobridged_currency"))
-      else
-        typed.select(col("time"), col("ledger_index"), col("tx_index"),
-          col("node_index"),
-          col("counter_d").as("base_amount"), col("base_d").as("counter_amount"),
-          (lit(1d) / col("rate_d")).as("rate"),
-          col("seller").as("buyer"), col("buyer").as("seller"),
-          col("taker"), col("provider"), col("offer_sequence"),
-          col("tx_hash"), col("tx_type"), col("autobridged_currency"))
+    // *_raw keep the source's exact decimal strings so aggregating
+    // callers can sum them losslessly (string → DECIMAL(38,18), exact
+    // in any engine); the double columns serve the row-level API shape.
+    if (!invert)
+      typed.select(col("time"), col("ledger_index"), col("tx_index"),
+        col("node_index"), col("base_d").as("base_amount"),
+        col("counter_d").as("counter_amount"), col("rate_d").as("rate"),
+        col("base_amount").as("base_amount_raw"),
+        col("counter_amount").as("counter_amount_raw"),
+        col("buyer"), col("seller"), col("taker"), col("provider"),
+        col("offer_sequence"), col("tx_hash"), col("tx_type"),
+        col("autobridged_currency"))
+    else
+      typed.select(col("time"), col("ledger_index"), col("tx_index"),
+        col("node_index"),
+        col("counter_d").as("base_amount"), col("base_d").as("counter_amount"),
+        (lit(1d) / col("rate_d")).as("rate"),
+        col("counter_amount").as("base_amount_raw"),
+        col("base_amount").as("counter_amount_raw"),
+        col("seller").as("buyer"), col("buyer").as("seller"),
+        col("taker"), col("provider"), col("offer_sequence"),
+        col("tx_hash"), col("tx_type"), col("autobridged_currency"))
+  }
 
-    oriented
+  /** Raw (unreduced) exchange page for a pair: the core above plus the
+    * keyset page order and limit.
+    */
+  def getExchanges(exchanges: DataFrame, base: Pair, counter: Pair,
+      opts: RangeOpts = RangeOpts(), autobridgedOnly: Boolean = false): DataFrame =
+    exchangePairRows(exchanges, base, counter, opts, autobridgedOnly)
+      .drop("base_amount_raw", "counter_amount_raw")
+      .orderBy(pageOrder(opts, col("time"), col("ledger_index"),
+        col("tx_index"), col("node_index")): _*)
+      .limit(opts.limit)
+
+  // -----------------------------------------------------------------
+  // GET /v2/accounts/:address/exchanges[/:base/:counter] —
+  // data.js:1752-1812 (account_exchanges fan-out read path)
+  // -----------------------------------------------------------------
+
+  /** Exchanges where the account traded (buyer or seller), optionally
+    * restricted to a pair, time-ranged, keyset-paged. The reference
+    * scans the per-account `account_exchanges` fan-out table keyed
+    * `account|time|ledger|tx|node` (data.js:1779-1786); here the same
+    * read is a predicate on the canonical exchanges table — at scale
+    * the account filter is a pushed-down parquet predicate and the page
+    * is TakeOrderedAndProject, no second materialized table needed.
+    * Rows are emitted from the account's perspective like the fan-out
+    * writer does: the pair stays canonical, `side` says which leg the
+    * account was on.
+    */
+  def getAccountExchanges(exchanges: DataFrame, account: String,
+      base: Option[Pair] = None, counter: Option[Pair] = None,
+      opts: RangeOpts = RangeOpts()): DataFrame = {
+    def legEq(curCol: String, issCol: String, p: Pair): Column =
+      col(curCol) === p.currency &&
+        p.issuer.map(col(issCol) === _).getOrElse(col(issCol).isNull)
+
+    var df = exchanges.filter(col("buyer") === account || col("seller") === account)
+    base.foreach(p => df = df.filter(legEq("base_currency", "base_issuer", p)))
+    counter.foreach(p => df = df.filter(legEq("counter_currency", "counter_issuer", p)))
+    timeFilter(df, "time", opts)
+      .withColumn("side",
+        when(col("buyer") === account, lit("buy")).otherwise(lit("sell")))
+      .withColumn("base_amount", col("base_amount").cast("double"))
+      .withColumn("counter_amount", col("counter_amount").cast("double"))
+      .withColumn("rate", col("rate").cast("double"))
       .orderBy(pageOrder(opts, col("time"), col("ledger_index"),
         col("tx_index"), col("node_index")): _*)
       .limit(opts.limit)
@@ -138,15 +189,18 @@ object Queries {
     */
   def reduceExchanges(exchanges: DataFrame, base: Pair, counter: Pair,
       opts: RangeOpts = RangeOpts(), guard: Int = 10000): DataFrame = {
-    val rows = getExchanges(exchanges, base, counter, opts.copy(limit = guard))
-    val n = rows.count()
-    require(n < guard, "too many rows") // data.js:1716-1722
+    // single pass: no pre-count scan and no sort — the row count rides
+    // along in the aggregate and the guard (data.js:1716-1722) is
+    // enforced lazily on the one result row via assert_true, so the
+    // range is read exactly once.
+    val rows = exchangePairRows(exchanges, base, counter, opts)
     val dustFiltered = rows.filter(
       !(lit(base.currency == "XRP") && col("base_amount") < 0.0005) &&
         !(lit(counter.currency == "XRP") && col("counter_amount") < 0.0005))
     val sk = concat_ws("|", lpad(col("ledger_index").cast("string"), 12, "0"),
       lpad(col("tx_index").cast("string"), 5, "0"),
       lpad(col("node_index").cast("string"), 5, "0"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
     dustFiltered
       .withColumn("sk", sk)
       .agg(
@@ -156,12 +210,17 @@ object Queries {
         min(col("rate")).as("low"),
         min_by(col("time"), col("sk")).as("open_time"),
         max_by(col("time"), col("sk")).as("close_time"),
-        sum(col("base_amount")).as("base_volume"),
-        sum(col("counter_amount")).as("counter_volume"),
-        sum(when(col("buyer") === col("taker"), col("base_amount")).otherwise(0d))
-          .as("buy_volume"),
+        // raw-string decimal sums → exact and order-independent (the
+        // double column would round-trip through binary first)
+        sum(col("base_amount_raw").cast(dec)).cast("double").as("base_volume"),
+        sum(col("counter_amount_raw").cast(dec)).cast("double")
+          .as("counter_volume"),
+        sum(when(col("buyer") === col("taker"), col("base_amount_raw"))
+          .otherwise(lit("0")).cast(dec)).cast("double").as("buy_volume"),
         count(lit(1)).as("count"))
       .withColumn("vwap", col("counter_volume") / col("base_volume"))
+      .filter(assert_true(col("count") < lit(guard),
+        lit("too many rows")).isNull) // data.js:1716-1722, checked per-response
   }
 
   // -----------------------------------------------------------------
@@ -347,7 +406,7 @@ object Queries {
   // -----------------------------------------------------------------
   def getActiveAccounts(exchanges: DataFrame, base: Pair, counter: Pair,
       opts: RangeOpts = RangeOpts()): DataFrame = {
-    val rows = getExchanges(exchanges, base, counter, opts.copy(limit = Int.MaxValue))
+    val rows = exchangePairRows(exchanges, base, counter, opts)
     // buyer and seller perspectives (the account_exchanges fan-out)
     val perspectives = rows.select(col("buyer").as("account"),
         lit("buy").as("side"), col("base_amount"), col("counter_amount"))
@@ -377,11 +436,14 @@ object Queries {
 
   /** VWAP over a period: Σcounter/Σbase of the range (data.js:1371-1414). */
   def periodVwap(exchanges: DataFrame, base: Pair, counter: Pair,
-      start: Long, end: Long): DataFrame =
-    getExchanges(exchanges, base, counter,
-      RangeOpts(Some(start), Some(end), limit = Int.MaxValue))
-      .agg((sum(col("counter_amount")) / sum(col("base_amount"))).as("vwap"),
+      start: Long, end: Long): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    exchangePairRows(exchanges, base, counter,
+      RangeOpts(Some(start), Some(end)))
+      .agg((sum(col("counter_amount_raw").cast(dec)).cast("double") /
+        sum(col("base_amount_raw").cast(dec)).cast("double")).as("vwap"),
         count(lit(1)).as("count"))
+  }
 
   /** Blended rate: mean of period vwap and last-50-trade vwap
     * (data.js:1318-1367).
@@ -390,9 +452,14 @@ object Queries {
       start: Long, end: Long): DataFrame = {
     val period = periodVwap(exchanges, base, counter, start, end)
       .select(col("vwap").as("period_vwap"))
-    val last50 = getExchanges(exchanges, base, counter,
-      RangeOpts(end = Some(end), descending = true, limit = 50))
-      .agg((sum(col("counter_amount")) / sum(col("base_amount")))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val lastOpts = RangeOpts(end = Some(end), descending = true, limit = 50)
+    val last50 = exchangePairRows(exchanges, base, counter, lastOpts)
+      .orderBy(pageOrder(lastOpts, col("time"), col("ledger_index"),
+        col("tx_index"), col("node_index")): _*)
+      .limit(lastOpts.limit)
+      .agg((sum(col("counter_amount_raw").cast(dec)).cast("double") /
+        sum(col("base_amount_raw").cast(dec)).cast("double"))
         .as("last50_vwap"))
     period.crossJoin(last50)
       .withColumn("rate", (col("period_vwap") + col("last50_vwap")) / 2d)
@@ -446,13 +513,14 @@ object Queries {
       ascending: Boolean = true): DataFrame = {
     // ascending when price is a cost per unit (minimize), descending
     // when it is proceeds per unit (maximize) — estimate.js walks each
-    // book from its best price
+    // book from its best price. The cumulative depth is the two-pass
+    // range-partitioned prefix sum (graft.functions.PrefixSum), not an
+    // unpartitioned Window — one hot book never serializes onto a
+    // single task.
     val ord = if (ascending) Seq(col("price"), col("offer_id"))
       else Seq(col("price").desc, col("offer_id"))
-    val w = Window.orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    book
-      .withColumn("cum", sum(col("amount")).over(w))
+    graft.functions.PrefixSum
+      .globalCumsum(book, ord, col("amount"), "cum")
       // keep every offer whose start-of-depth is below the target:
       // all fully consumed rows + the crossing row
       .filter(col("cum") - col("amount") < target)
