@@ -24,10 +24,34 @@ object DedupOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** 4-permutation MinHash over 8-char shingles. Hash h_i(s) =
-    * md5(i || s); the minimum per doc is an order statistic of a
-    * uniform hash — the standard MinHash construction, engine-portable
-    * because md5 is identical everywhere.
+  /** MinHash parameters: `NumHashes` permutations split into
+    * `NumBands` bands of `NumHashes / NumBands` rows — the standard
+    * b×r trade-off (more bands → higher recall, bigger candidate set).
+    * The oracle SQL is generated from the same parameters, so changing
+    * them keeps Spark and DuckDB in lockstep. Defaults (4, 2) preserve
+    * the original gate semantics.
+    */
+  val NumHashes = 4
+  val NumBands = 2
+  require(NumHashes % NumBands == 0, "bands must evenly split the hashes")
+
+  /** Bound on docs per (band, key) bucket considered for candidate
+    * pairs: a degenerate band value (e.g. near-empty docs hashing
+    * alike) otherwise goes O(bucket²). Far above test-scale buckets;
+    * truncation is deterministic (lowest doc_id kept).
+    */
+  val MaxBandBucket = 100000
+
+  private def mcols: Seq[String] = (0 until NumHashes).map(i => s"m$i")
+
+  /** n-permutation MinHash over 8-char shingles. Permutation i is the
+    * i%4-th 8-hex-char slice of md5(i/4 || s) — independent uniform
+    * 32-bit hashes at a quarter of the digest cost (one md5 serves
+    * four permutations), and the minimum per doc is the standard
+    * MinHash order statistic. Engine-portable because md5 and substr
+    * are identical everywhere. Cached: the signature table is computed
+    * once per (dir) and shared by every query and join side (at
+    * warehouse scale it is a write-once table).
     */
   private def minhashSig(s: SparkSession, dir: String): DataFrame = {
     val shingles = docs(s, dir)
@@ -35,23 +59,25 @@ object DedupOps {
       .select(col("doc_id"),
         explode(expr(
           "transform(sequence(1, length(text)-7), i -> substring(text, i, 8))")).as("s"))
-    shingles.groupBy(col("doc_id")).agg(
-      min(md5(concat(lit("0"), col("s")))).as("m0"),
-      min(md5(concat(lit("1"), col("s")))).as("m1"),
-      min(md5(concat(lit("2"), col("s")))).as("m2"),
-      min(md5(concat(lit("3"), col("s")))).as("m3"))
+    val aggs = (0 until NumHashes).map { i =>
+      val digest = md5(concat(lit((i / 4).toString), col("s")))
+      min(substring(digest, (i % 4) * 8 + 1, 8)).as(s"m$i")
+    }
+    shingles.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).cache()
   }
 
-  private val minhashSigSql =
-    """SELECT doc_id,
-      |  min(md5('0' || s)) AS m0, min(md5('1' || s)) AS m1,
-      |  min(md5('2' || s)) AS m2, min(md5('3' || s)) AS m3
-      |FROM (
-      |  SELECT doc_id, substr(text, i, 8) AS s
-      |  FROM documents,
-      |    LATERAL (SELECT unnest(generate_series(1, length(text)-7)) AS i) g
-      |  WHERE length(text) >= 8)
-      |GROUP BY doc_id""".stripMargin
+  private def minhashSigSql: String = {
+    val mins = (0 until NumHashes).map { i =>
+      s"min(substr(md5('${i / 4}' || s), ${(i % 4) * 8 + 1}, 8)) AS m$i"
+    }.mkString(", ")
+    s"""SELECT doc_id, $mins
+       |FROM (
+       |  SELECT doc_id, substr(text, i, 8) AS s
+       |  FROM documents,
+       |    LATERAL (SELECT unnest(generate_series(1, length(text)-7)) AS i) g
+       |  WHERE length(text) >= 8)
+       |GROUP BY doc_id""".stripMargin
+  }
 
   def specs: Seq[QuerySpec] = Seq(
     // Exact dedup: hash-groupBy on content digest; every doc mapped to
@@ -67,17 +93,17 @@ object DedupOps {
     },
 
     // MinHash + LSH dedup: signature per doc; docs sharing the full
-    // 4-hash signature land in one LSH bucket; canonical id per bucket.
+    // n-hash signature land in one LSH bucket; canonical id per bucket.
     QuerySpec.sql(
       "dedup_minhash_lsh",
-      s"""SELECT doc_id, m0, m1, m2, m3,
-         |  MIN(doc_id) OVER (PARTITION BY m0, m1, m2, m3) AS keep_id
+      s"""SELECT doc_id, ${mcols.mkString(", ")},
+         |  MIN(doc_id) OVER (PARTITION BY ${mcols.mkString(", ")}) AS keep_id
          |FROM ($minhashSigSql)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       minhashSig(s, dir)
         .withColumn("keep_id",
           min(col("doc_id")).over(
-            Window.partitionBy(col("m0"), col("m1"), col("m2"), col("m3"))))
+            Window.partitionBy(mcols.map(col): _*)))
         .orderBy(col("doc_id"))
     },
 
@@ -120,36 +146,52 @@ object DedupOps {
         .orderBy(col("doc_id"))
     },
 
-    // Banded MinHash-LSH: 4 hashes → 2 bands of 2; docs sharing ANY
-    // band signature become candidate pairs (the classic b×r banding
-    // that catches near-dups a full-signature match misses), scored by
-    // the fraction of matching minhashes (Jaccard estimator).
+    // Banded MinHash-LSH: n hashes → b bands of n/b rows; docs sharing
+    // ANY band signature become candidate pairs (the classic b×r
+    // banding that catches near-dups a full-signature match misses),
+    // scored by the fraction of matching minhashes (Jaccard estimator).
+    // Band buckets are capped at MaxBandBucket so one hot band value
+    // can't go quadratic.
     QuerySpec.sql(
-      "dedup_minhash_banded",
-      s"""WITH sig AS ($minhashSigSql),
-         |bands AS (
-         |  SELECT doc_id, 1 AS band, m0 || '|' || m1 AS key FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 2 AS band, m2 || '|' || m3 AS key FROM sig),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-         |SELECT c.a_id, c.b_id,
-         |  CAST((CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END
-         |      + CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END
-         |      + CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END
-         |      + CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END) AS DOUBLE) / 4
-         |    AS est_jaccard
-         |FROM cand c
-         |JOIN sig sa ON sa.doc_id = c.a_id
-         |JOIN sig sb ON sb.doc_id = c.b_id
-         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      "dedup_minhash_banded", {
+        val r = NumHashes / NumBands
+        val bandSelects = (0 until NumBands).map { bi =>
+          val key = (bi * r until (bi + 1) * r).map(i => s"m$i")
+            .mkString(" || '|' || ")
+          s"SELECT doc_id, ${bi + 1} AS band, $key AS key FROM sig"
+        }.mkString("\n  UNION ALL\n  ")
+        val estimator = (0 until NumHashes)
+          .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+          .mkString("\n         |      + ")
+        s"""WITH sig AS ($minhashSigSql),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+           |SELECT c.a_id, c.b_id,
+           |  CAST(($estimator) AS DOUBLE) / $NumHashes
+           |    AS est_jaccard
+           |FROM cand c
+           |JOIN sig sa ON sa.doc_id = c.a_id
+           |JOIN sig sb ON sb.doc_id = c.b_id
+           |ORDER BY a_id, b_id""".stripMargin
+      }) { (s, dir) =>
+      val r = NumHashes / NumBands
       val sig = minhashSig(s, dir)
-      val bands = sig.select(col("doc_id"), lit(1).as("band"),
-          concat_ws("|", col("m0"), col("m1")).as("key"))
-        .unionByName(sig.select(col("doc_id"), lit(2).as("band"),
-          concat_ws("|", col("m2"), col("m3")).as("key")))
+      val bands0 = (0 until NumBands).map { bi =>
+        val keyCols = (bi * r until (bi + 1) * r).map(i => col(s"m$i"))
+        sig.select(col("doc_id"), lit(bi + 1).as("band"),
+          concat_ws("|", keyCols: _*).as("key"))
+      }.reduce(_ unionByName _)
+      // hot-bucket cap: deterministic truncation by doc_id rank
+      val wBucket = Window.partitionBy(col("band"), col("key"))
+        .orderBy(col("doc_id"))
+      val bands = bands0
+        .withColumn("__rk", row_number().over(wBucket))
+        .filter(col("__rk") <= MaxBandBucket)
+        .drop("__rk")
       val cand = bands.as("a")
         .join(bands.select(col("doc_id").as("b_id"), col("band").as("b_band"),
           col("key").as("b_key")),
@@ -157,16 +199,15 @@ object DedupOps {
             col("doc_id") < col("b_id"))
         .select(col("doc_id").as("a_id"), col("b_id"))
         .dropDuplicates()
-      val sa = sig.select(col("doc_id").as("a_id"), col("m0").as("a0"),
-        col("m1").as("a1"), col("m2").as("a2"), col("m3").as("a3"))
-      val sb = sig.select(col("doc_id").as("b_id"), col("m0").as("b0"),
-        col("m1").as("b1"), col("m2").as("b2"), col("m3").as("b3"))
+      val sa = sig.select(col("doc_id").as("a_id") +:
+        (0 until NumHashes).map(i => col(s"m$i").as(s"a$i")): _*)
+      val sb = sig.select(col("doc_id").as("b_id") +:
+        (0 until NumHashes).map(i => col(s"m$i").as(s"b$i")): _*)
+      val matches = (0 until NumHashes)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
       cand.join(sa, Seq("a_id")).join(sb, Seq("b_id"))
-        .withColumn("est_jaccard",
-          ((when(col("a0") === col("b0"), 1).otherwise(0)
-            + when(col("a1") === col("b1"), 1).otherwise(0)
-            + when(col("a2") === col("b2"), 1).otherwise(0)
-            + when(col("a3") === col("b3"), 1).otherwise(0)).cast("double") / 4))
+        .withColumn("est_jaccard", matches.cast("double") / NumHashes)
         .select(col("a_id"), col("b_id"), col("est_jaccard"))
         .orderBy(col("a_id"), col("b_id"))
     },
@@ -208,6 +249,14 @@ object DedupOps {
               |  i -> concat(element_at(ts, i), ' ', element_at(ts, i+1),
               |              ' ', element_at(ts, i+2)))""".stripMargin)).as("ng"))
         .dropDuplicates("doc_id", "ng")
+        // block cap: at most MaxBandBucket docs per (lang, source)
+        // block enter pair generation (deterministic, lowest doc_id
+        // first) — bounds the block-local self-join at any scale
+        .withColumn("__doc_rk",
+          dense_rank().over(Window.partitionBy(col("lang"), col("source"))
+            .orderBy(col("doc_id"))))
+        .filter(col("__doc_rk") <= MaxBandBucket)
+        .drop("__doc_rk")
       val sizes = ngrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = ngrams.select(col("doc_id").as("a_id"), col("lang"), col("source"), col("ng"))
       val b = ngrams.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),

@@ -324,4 +324,58 @@ object Aggregations {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     issuerRows.withColumn("cumulative", sum(col("daily_change")).over(w))
   }
+
+  /** Issuer-cap week/month calendar sampling (data.js:988-1046): the
+    * reference reads the daily snapshot at each calendar-boundary−1-day
+    * key and reports it AT the boundary, clamped at 0. The daily
+    * cumulative series is sparse (rows only on change days), so the
+    * sample is an as-of lookup — expressed as the union-marker window
+    * idiom: boundary marker rows interleave with the real rows in one
+    * (currency, issuer)-partitioned sort, and `last_value(ignoreNulls)`
+    * carries the latest cumulative forward onto each marker. One
+    * shuffle, no point queries, no driver loop.
+    */
+  def issuerCapitalizationSampled(balanceChanges: DataFrame,
+      interval: String, startSec: Long, endSec: Long): DataFrame = {
+    require(interval == "week" || interval == "month",
+      "invalid interval - use: day, week, month")
+    val daily = issuerCapitalization(balanceChanges)
+    val spark = daily.sparkSession
+
+    // calendar boundaries in [start, end]: ISO-week (Monday) or
+    // month starts (data.js:992-1011); sampled at boundary−1d
+    val trunc = if (interval == "week") "week" else "month"
+    val step = if (interval == "week") "interval 7 days" else "interval 1 month"
+    val boundaries = spark.sql(
+      s"""SELECT explode(sequence(
+         |  date_trunc('$trunc', timestamp_seconds(${startSec}L)),
+         |  timestamp_seconds(${endSec}L), $step)) AS b""".stripMargin)
+      .select(unix_timestamp(col("b")).as("boundary"))
+
+    // one marker row per (currency, issuer) × boundary; the pair list
+    // is small next to the change rows → broadcast side of the cross
+    val pairs = daily.select(col("currency"), col("issuer")).distinct()
+    val markers = pairs.crossJoin(broadcast(boundaries))
+      .select(col("currency"), col("issuer"),
+        (col("boundary") - 86400L).as("date"), col("boundary"),
+        lit(null).cast("double").as("cumulative"), lit(1).as("is_marker"))
+    val real = daily
+      .select(col("currency"), col("issuer"), col("date"),
+        lit(null).cast("long").as("boundary"), col("cumulative"),
+        lit(0).as("is_marker"))
+
+    // markers sort after a real row on the same date, so a change ON
+    // the sample day is included (snapshot semantics)
+    val w = Window.partitionBy(col("currency"), col("issuer"))
+      .orderBy(col("date"), col("is_marker"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    real.unionByName(markers)
+      .withColumn("sampled",
+        last(col("cumulative"), ignoreNulls = true).over(w))
+      .filter(col("is_marker") === 1 && col("sampled").isNotNull)
+      .select(col("currency"), col("issuer"),
+        col("boundary").as("date"),
+        greatest(col("sampled"), lit(0d)).as("amount")) // clamp (data.js:962-965)
+      .orderBy(col("currency"), col("issuer"), col("date"))
+  }
 }

@@ -138,9 +138,10 @@ object Queries {
   }
 
   /** Interval candles for a pair (agg_exchanges path, data.js:1665-1691)
-    * with X4 inversion of aggregates (data.js:1500-1521).
+    * with X4 inversion of aggregates (data.js:1500-1521) — the candle
+    * core without the page's orderBy/limit, for aggregating callers.
     */
-  def getExchangeCandles(exchanges: DataFrame, base: Pair, counter: Pair,
+  def exchangePairCandles(exchanges: DataFrame, base: Pair, counter: Pair,
       interval: String, opts: RangeOpts = RangeOpts(limit = 400)): DataFrame = {
     require(Candles.intervals.exists(_._1 == interval), s"invalid interval: $interval")
     val invert = counter.key.toLowerCase <= base.key.toLowerCase
@@ -180,8 +181,41 @@ object Queries {
         .withColumnRenamed("nbuy", "buy_volume")
 
     candles
+  }
+
+  /** The paged /v2/exchanges interval read: candle core + page order. */
+  def getExchangeCandles(exchanges: DataFrame, base: Pair, counter: Pair,
+      interval: String, opts: RangeOpts = RangeOpts(limit = 400)): DataFrame =
+    exchangePairCandles(exchanges, base, counter, interval, opts)
       .orderBy(pageOrder(opts, col("start")): _*)
       .limit(opts.limit)
+
+  /** A9 rolling-period rate (data.js:1354-1373): the vwap over the
+    * rolling window [end − span, end], computed from the period's
+    * child-interval candles exactly like the reference (hour→5minute,
+    * day→15minute, 3day/7day→1hour, 30day→1day), Σcounter/Σbase over
+    * the candles, 0 when the window is empty.
+    */
+  def rollingRate(exchanges: DataFrame, base: Pair, counter: Pair,
+      period: String, end: Long): DataFrame = {
+    val (spanSec, interval) = period match {
+      case "hour" => (3600L, "5minute")
+      case "day" => (86400L, "15minute")
+      case "3day" => (3L * 86400L, "1hour")
+      case "7day" => (7L * 86400L, "1hour")
+      case "30day" => (30L * 86400L, "1day")
+      case other => throw new IllegalArgumentException(
+        s"invalid period: $other - use hour, day, 3day, 7day, 30day")
+    }
+    exchangePairCandles(exchanges, base, counter, interval,
+      RangeOpts(Some(end - spanSec), Some(end)))
+      .agg(sum(col("base_volume")).as("base_sum"),
+        sum(col("counter_volume")).as("counter_sum"))
+      .select(
+        when(col("base_sum").isNull || col("base_sum") === 0d, lit(0d))
+          .otherwise(col("counter_sum") / col("base_sum")).as("rate"),
+        coalesce(col("base_sum"), lit(0d)).as("base_volume"),
+        coalesce(col("counter_sum"), lit(0d)).as("counter_volume"))
   }
 
   /** reduce=true: collapse the (≤10 000-row guarded) range to one row

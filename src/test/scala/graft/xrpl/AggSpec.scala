@@ -143,4 +143,56 @@ class AggSpec extends AnyFunSuite {
     assert(math.abs(a - b) < 1e-9)
     assert(rolled.filter(col("min") > col("max")).count() === 0L)
   }
+
+  test("metric volume: totals equal the sum of converted components") {
+    val m = Aggregations.metricPaymentVolume(tables.payments.toDF(),
+      Aggregations.dailyXrpRates(exchanges))
+    // XRP components convert at rate 1; totals are per-interval sums
+    assert(m.filter(col("currency") === "XRP" && col("rate") =!= 1.0)
+      .count() === 0L)
+    val rows = m.collect()
+    val byStart = rows.groupBy(_.getAs[Long]("start"))
+    byStart.foreach { case (_, rs) =>
+      val expected = rs.map(_.getAs[Double]("converted_amount")).sum
+      val total = rs.head.getAs[Double]("total")
+      assert(math.abs(total - expected) < 1e-6)
+      assert(rs.head.getAs[Long]("total_count") ===
+        rs.map(_.getAs[Long]("count")).sum)
+    }
+  }
+
+  test("metric volume live: rolling 24h window relative to the frontier") {
+    val pays = tables.payments.toDF()
+    val live = Aggregations.metricPaymentVolumeLive(pays, exchanges)
+    val maxT = pays.agg(max("time")).head().getLong(0)
+    val windowed = pays.filter(col("time") > maxT - 86400L)
+    // component counts cover exactly the rolling window
+    val expected = windowed.count()
+    assert(live.agg(sum("count")).head().getLong(0) === expected)
+    assert(live.select("total_count").distinct().count() === 1L)
+  }
+
+  test("issuer capitalization sampling: as-of value at calendar boundaries") {
+    import spark.implicits._
+    // synthetic sparse series: one issuer, changes on two days
+    val day = 86400L
+    val monday = 1420416000L // 2015-01-05, a Monday
+    val bc = Seq(
+      // (account, counterparty, currency, change, time, ledger, tx, node)
+      ("rA", "rIssuer", "USD", "10.0", monday - 3 * day),
+      ("rA", "rIssuer", "USD", "5.0", monday + 2 * day),
+      ("rA", "rIssuer", "USD", "-20.0", monday + 9 * day))
+      .toDF("account", "counterparty", "currency", "change", "time")
+    val sampled = Aggregations.issuerCapitalizationSampled(
+      bc, "week", monday - 3 * day, monday + 15 * day)
+      .collect()
+    val byDate = sampled.map(r =>
+      r.getAs[Long]("date") -> r.getAs[Double]("amount")).toMap
+    // boundary Monday: cumulative through Sunday = 10
+    assert(math.abs(byDate(monday) - 10.0) < 1e-9)
+    // next Monday: 10 + 5 = 15
+    assert(math.abs(byDate(monday + 7 * day) - 15.0) < 1e-9)
+    // following Monday: 15 - 20 = -5 → clamped to 0 (data.js:962-965)
+    assert(math.abs(byDate(monday + 14 * day) - 0.0) < 1e-9)
+  }
 }

@@ -117,6 +117,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("rate") > 0)
   }
 
+  test("rollingRate: period windows pick the reference's child intervals") {
+    val end = java.time.Instant.parse("2015-02-01T00:00:00Z").getEpochSecond
+    // a 30-day window covering every fixture trade: Σcounter/Σbase over
+    // the 1day candles equals the period vwap over the raw trades
+    val rolling = Queries.rollingRate(exchanges, usd, xrp, "30day", end).head()
+    val vwap = Queries.periodVwap(exchanges, usd, xrp,
+      end - 30L * 86400L, end).head().getAs[Double]("vwap")
+    assert(math.abs(rolling.getAs[Double]("rate") - vwap) < 1e-9)
+    // an empty window rates 0, not an error (data.js:1345-1348)
+    val empty = Queries.rollingRate(exchanges, usd, xrp, "hour",
+      java.time.Instant.parse("2020-01-01T00:00:00Z").getEpochSecond).head()
+    assert(empty.getAs[Double]("rate") === 0d)
+    intercept[IllegalArgumentException] {
+      Queries.rollingRate(exchanges, usd, xrp, "fortnight", end)
+    }
+  }
+
   test("topMarkets / topCurrencies rank within day") {
     val tm = Queries.topMarkets(exchanges).collect()
     assert(tm.nonEmpty)
