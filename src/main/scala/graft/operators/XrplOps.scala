@@ -43,6 +43,7 @@ object XrplOps {
       dump(t.balanceChanges.toDF(), "balance_changes")
       dump(t.feeSummaries.toDF(), "fee_summaries")
       dump(t.memos.toDF(), "memos")
+      dump(t.escrows.toDF(), "escrows")
       // tx_hashes is an array column — dropped so every dumped column
       // stays scalar-sortable for the cross-engine row hash
       dump(t.ledgers.toDF().drop("tx_hashes"), "ledgers")
@@ -487,6 +488,93 @@ object XrplOps {
         .select(col("rowkey"), col("ledger_hash"),
           col("validation_public_key"), col("ledger_index"), col("count"),
           col("full"), col("signing_time"))
+    },
+
+    // Account reports (api/routes/accountReports.js; data.js
+    // getAggregateAccountPayments:383-450): per-day report rows over
+    // the A5 aggregate for one account — exercises
+    // Aggregations.accountPayments + Queries.getAccountReports.
+    QuerySpec.sql(
+      "xrpl_account_reports",
+      s"""WITH dirs AS (
+         |  SELECT source AS account, destination AS counterparty,
+         |    'sent' AS dir, delivered_amount, time FROM ${t("payments")}
+         |  UNION ALL
+         |  SELECT destination, source, 'received', delivered_amount, time
+         |  FROM ${t("payments")})
+         |SELECT account, (time // 86400) * 86400 AS date,
+         |  CAST(SUM(CASE WHEN dir = 'sent' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS payments_sent,
+         |  CAST(SUM(CASE WHEN dir = 'received' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS payments_received,
+         |  CAST(COUNT(DISTINCT CASE WHEN dir = 'sent' THEN counterparty END)
+         |    AS BIGINT) AS sending_counterparties,
+         |  CAST(COUNT(DISTINCT CASE WHEN dir = 'received' THEN counterparty END)
+         |    AS BIGINT) AS receiving_counterparties,
+         |  ${dsumSql("CASE WHEN dir = 'sent' THEN delivered_amount ELSE '0' END")}
+         |    AS total_value_sent,
+         |  ${dsumSql("CASE WHEN dir = 'received' THEN delivered_amount ELSE '0' END")}
+         |    AS total_value_received,
+         |  MAX(CASE WHEN dir = 'sent' THEN CAST(delivered_amount AS DOUBLE) END)
+         |    AS high_value_sent,
+         |  MAX(CASE WHEN dir = 'received' THEN CAST(delivered_amount AS DOUBLE) END)
+         |    AS high_value_received,
+         |  ${dsumSql("CASE WHEN dir = 'sent' THEN delivered_amount ELSE '0' END")}
+         |  + ${dsumSql("CASE WHEN dir = 'received' THEN delivered_amount ELSE '0' END")}
+         |    AS total_value
+         |FROM dirs
+         |WHERE account = 'rwvLbHQtU16BwQJyrQb9cfFKvx13Ksbkja'
+         |GROUP BY 1, 2
+         |ORDER BY date""".stripMargin) { (s, _) =>
+      graft.xrpl.api.Queries.getAccountReports(
+        graft.xrpl.agg.Aggregations.accountPayments(pq(s, "payments")),
+        "rwvLbHQtU16BwQJyrQb9cfFKvx13Ksbkja",
+        graft.xrpl.api.Queries.RangeOpts(limit = 500))
+    },
+
+    // xrp_distribution (api/routes/network/xrpDistribution.js): daily
+    // total/escrowed/distributed supply recomputed from fee burn and
+    // escrow lifecycles — exercises Aggregations.xrpDistribution.
+    QuerySpec.sql(
+      "xrpl_xrp_distribution",
+      s"""WITH fees AS (
+         |  SELECT (CAST(floor(epoch(strptime(date, '%Y-%m-%dT%H:%M:%SZ')))
+         |      AS BIGINT) // 86400) * 86400 AS day,
+         |    SUM(CAST(total AS DECIMAL(38,18))) AS fee_burn,
+         |    CAST(0 AS DECIMAL(38,18)) AS esc_delta
+         |  FROM ${t("fee_summaries")}
+         |  WHERE tx_count > 0
+         |  GROUP BY 1),
+         |esc AS (
+         |  SELECT (time // 86400) * 86400 AS day,
+         |    CAST(0 AS DECIMAL(38,18)) AS fee_burn,
+         |    SUM(CASE WHEN tx_type = 'EscrowCreate'
+         |      THEN CAST(amount AS DECIMAL(38,18))
+         |      ELSE -CAST(amount AS DECIMAL(38,18)) END) AS esc_delta
+         |  FROM ${t("escrows")}
+         |  GROUP BY 1),
+         |daily AS (
+         |  SELECT day, CAST(SUM(fee_burn) AS DECIMAL(38,18)) AS fee_burn,
+         |    CAST(SUM(esc_delta) AS DECIMAL(38,18)) AS esc_delta
+         |  FROM (SELECT * FROM fees UNION ALL SELECT * FROM esc)
+         |  GROUP BY 1),
+         |cums AS (
+         |  SELECT day,
+         |    SUM(fee_burn) OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_fees,
+         |    SUM(esc_delta) OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_esc
+         |  FROM daily)
+         |SELECT day AS date,
+         |  100000000000.0 - CAST(CAST(cum_fees AS VARCHAR) AS DOUBLE) AS total,
+         |  CAST(CAST(cum_esc AS VARCHAR) AS DOUBLE) AS escrowed,
+         |  0.0 AS undistributed,
+         |  (100000000000.0 - CAST(CAST(cum_fees AS VARCHAR) AS DOUBLE))
+         |    - CAST(CAST(cum_esc AS VARCHAR) AS DOUBLE) AS distributed
+         |FROM cums
+         |ORDER BY date""".stripMargin) { (s, _) =>
+      graft.xrpl.agg.Aggregations.xrpDistribution(
+        pq(s, "fee_summaries"), pq(s, "escrows"), pq(s, "balance_changes"))
     },
 
     // getLastValidated control row (data.js:37-42) — the reference's

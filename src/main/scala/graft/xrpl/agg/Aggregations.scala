@@ -41,13 +41,15 @@ object Aggregations {
     * join against daily candles — exposed via `normalized` param.)
     */
   def accountPayments(payments: DataFrame): DataFrame = {
-    val amt = col("delivered_amount").cast("double")
+    // sums ride the raw decimal strings (→ DECIMAL, exact and
+    // order-independent); the double cast serves only max()
+    val amtRaw = col("delivered_amount")
     val sent = payments.select(
       col("source").as("account"), col("destination").as("counterparty"),
-      lit("sent").as("direction"), amt.as("amount"), col("time"))
+      lit("sent").as("direction"), amtRaw.as("amount"), col("time"))
     val received = payments.select(
       col("destination").as("account"), col("source").as("counterparty"),
-      lit("received").as("direction"), amt.as("amount"), col("time"))
+      lit("received").as("direction"), amtRaw.as("amount"), col("time"))
     sent.unionByName(received)
       .groupBy(col("account"), daySec(col("time")).as("date"))
       .agg(
@@ -59,12 +61,13 @@ object Aggregations {
           .as("sent_counterparties"),
         collect_set(when(col("direction") === "received", col("counterparty")))
           .as("received_counterparties"),
-        sum(when(col("direction") === "sent", col("amount")).otherwise(0d))
-          .as("total_value_sent"),
-        sum(when(col("direction") === "received", col("amount")).otherwise(0d))
-          .as("total_value_received"),
-        max(when(col("direction") === "sent", col("amount"))).as("high_value_sent"),
-        max(when(col("direction") === "received", col("amount")))
+        sum(when(col("direction") === "sent", col("amount")).otherwise(lit("0"))
+          .cast(Dec)).cast("double").as("total_value_sent"),
+        sum(when(col("direction") === "received", col("amount")).otherwise(lit("0"))
+          .cast(Dec)).cast("double").as("total_value_received"),
+        max(when(col("direction") === "sent", col("amount").cast("double")))
+          .as("high_value_sent"),
+        max(when(col("direction") === "received", col("amount").cast("double")))
           .as("high_value_received"))
       .withColumn("total_value", col("total_value_sent") + col("total_value_received"))
   }
@@ -323,6 +326,71 @@ object Aggregations {
       .orderBy(col("date"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     issuerRows.withColumn("cumulative", sum(col("daily_change")).over(w))
+  }
+
+  /** xrp_distribution read path (api/routes/network/xrpDistribution.js;
+    * the reference serves rows written by an external balance-snapshot
+    * job). Recomputed from first principles per activity day:
+    * `total` = genesis 100 B XRP minus the cumulative fee burn (fees
+    * are destroyed); `escrowed` accumulates EscrowCreate minus
+    * Finish/Cancel amounts; `undistributed` is the cumulative XRP
+    * balance of the `reserved` account set (the reference's
+    * company-wallet list, no public equivalent — defaults empty);
+    * `distributed` is the remainder. Cumulative columns use the
+    * range-partitioned prefix sum — day-grain rows are few, but the
+    * plan stays single-task-free.
+    */
+  def xrpDistribution(feeSummaries: DataFrame, escrows: DataFrame,
+      balanceChanges: DataFrame, reserved: Seq[String] = Nil): DataFrame = {
+    val genesis = 100000000000.0 // 100 B XRP
+    val zero = lit(0).cast(Dec)
+    // everything stays DECIMAL until the final select — no
+    // double→decimal round trips mid-pipeline (engines disagree on
+    // that cast's low digits)
+    val feeDay = daySec(unix_timestamp(col("date"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    val fees = feeSummaries
+      .filter(col("tx_count") > 0)
+      .groupBy(feeDay.as("day"))
+      .agg(sum(col("total").cast(Dec)).as("fee_burn"))
+      .select(col("day"), col("fee_burn"), zero.as("esc_delta"),
+        zero.as("res_delta"))
+    val escDelta = escrows
+      .groupBy(daySec(col("time")).as("day"))
+      .agg(sum(
+        when(col("tx_type") === "EscrowCreate", col("amount").cast(Dec))
+          .otherwise(-col("amount").cast(Dec))).as("esc_delta"))
+      .select(col("day"), zero.as("fee_burn"), col("esc_delta"),
+        zero.as("res_delta"))
+    val reservedPred =
+      if (reserved.isEmpty) lit(false) else col("account").isin(reserved: _*)
+    val resDelta = balanceChanges
+      .filter(col("currency") === "XRP" && reservedPred)
+      .groupBy(daySec(col("time")).as("day"))
+      .agg(sum(col("change").cast(Dec)).as("res_delta"))
+      .select(col("day"), zero.as("fee_burn"), zero.as("esc_delta"),
+        col("res_delta"))
+
+    val daily = fees.unionByName(escDelta).unionByName(resDelta)
+      .groupBy(col("day"))
+      .agg(sum(col("fee_burn")).cast(Dec).as("fee_burn"),
+        sum(col("esc_delta")).cast(Dec).as("esc_delta"),
+        sum(col("res_delta")).cast(Dec).as("res_delta"))
+
+    val withFees = graft.functions.PrefixSum.globalCumsum(
+      daily, Seq(col("day")), col("fee_burn"), "cum_fees", 8)
+    val withEsc = graft.functions.PrefixSum.globalCumsum(
+      withFees, Seq(col("day")), col("esc_delta"), "cum_esc", 8)
+    val withRes = graft.functions.PrefixSum.globalCumsum(
+      withEsc, Seq(col("day")), col("res_delta"), "cum_res", 8)
+
+    withRes
+      .select(col("day").as("date"),
+        (lit(genesis) - col("cum_fees").cast("double")).as("total"),
+        col("cum_esc").cast("double").as("escrowed"),
+        col("cum_res").cast("double").as("undistributed"))
+      .withColumn("distributed",
+        col("total") - col("escrowed") - col("undistributed"))
+      .orderBy(col("date"))
   }
 
   /** Issuer-cap week/month calendar sampling (data.js:988-1046): the

@@ -436,6 +436,50 @@ object Queries {
     timeFilter(t.accountsCreated.toDF(), "time", opts).count()
 
   // -----------------------------------------------------------------
+  // GET /v2/accounts/:address/reports — api/routes/accountReports.js;
+  // data.js getAggregateAccountPayments:383-450. The keyed read layer
+  // over the A5 agg_account_payments aggregate.
+  // -----------------------------------------------------------------
+
+  /** Per-day report rows for one account over the A5 aggregate
+    * (Aggregations.accountPayments output). Counterparty sets collapse
+    * to counts unless `counterparties` is requested
+    * (accountReports.js:31-35); reference row names are emitted
+    * (sending_/receiving_counterparties).
+    */
+  def getAccountReports(aggAccountPayments: DataFrame, account: String,
+      opts: RangeOpts = RangeOpts(), counterparties: Boolean = false): DataFrame = {
+    val keyed = timeFilter(
+      aggAccountPayments.filter(col("account") === account), "date", opts)
+    val shaped =
+      if (counterparties)
+        keyed
+          .withColumnRenamed("sent_counterparties", "sending_counterparties")
+          .withColumnRenamed("received_counterparties", "receiving_counterparties")
+      else keyed
+        .withColumn("sending_counterparties",
+          size(col("sent_counterparties")).cast("long"))
+        .withColumn("receiving_counterparties",
+          size(col("received_counterparties")).cast("long"))
+        .drop("sent_counterparties", "received_counterparties")
+    shaped
+      .orderBy(pageOrder(opts, col("date")): _*)
+      .limit(opts.limit)
+  }
+
+  /** The no-account variant (data.js:429-450): all accounts' report
+    * rows in a date range, the rowkey scan as a date-range filter.
+    */
+  def getAccountReportsByDate(aggAccountPayments: DataFrame,
+      opts: RangeOpts = RangeOpts()): DataFrame =
+    timeFilter(aggAccountPayments, "date", opts)
+      .withColumn("sending_counterparties", size(col("sent_counterparties")))
+      .withColumn("receiving_counterparties", size(col("received_counterparties")))
+      .drop("sent_counterparties", "received_counterparties")
+      .orderBy(pageOrder(opts, col("date"), col("account")): _*)
+      .limit(opts.limit)
+
+  // -----------------------------------------------------------------
   // GET /v2/active_accounts/:base/:counter — activeAccounts.js:79-166 (A10)
   // -----------------------------------------------------------------
   def getActiveAccounts(exchanges: DataFrame, base: Pair, counter: Pair,
