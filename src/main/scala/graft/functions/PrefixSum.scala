@@ -1,8 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** Distributed global cumulative sum.
   *
@@ -12,15 +13,16 @@ import org.apache.spark.sql.functions._
   *
   *   1. range-partition by the sort keys (global order across
   *      partitions, local sort within);
-  *   2. per-partition local cumulative sum (window partitioned by the
+  *   2. per-partition local cumulative sums (window partitioned by the
   *      physical partition id — every task works in parallel);
   *   3. per-partition totals → exclusive running offsets (at most one
   *      row per partition, computed on the driver — bounded by the
   *      partition count, not the data);
-  *   4. broadcast the offsets back and add to the local cumsum.
+  *   4. broadcast the offsets back and add to the local cumsums.
   *
-  * The value expression's type is preserved (pass a DECIMAL cast for
-  * exact, order-independent totals — see [[Cols]]).
+  * Value expression types are preserved (pass a DECIMAL cast for
+  * exact, order-independent totals — see [[Cols]]). Multiple value
+  * columns cumsum in ONE pass (one range shuffle, one totals job).
   */
 object PrefixSum {
 
@@ -29,10 +31,18 @@ object PrefixSum {
     * deterministic result).
     */
   def globalCumsum(df: DataFrame, sortKeys: Seq[Column], value: Column,
-      out: String, partitions: Int = 32): DataFrame = {
+      out: String, partitions: Int = 32): DataFrame =
+    globalCumsumMulti(df, sortKeys, Seq(value -> out), partitions)
+
+  /** Multi-column variant: every (value, outName) pair gets its own
+    * running sum, sharing the single range partitioning and totals
+    * pass.
+    */
+  def globalCumsumMulti(df: DataFrame, sortKeys: Seq[Column],
+      values: Seq[(Column, String)], partitions: Int = 32): DataFrame = {
     val pidCol = "__cumsum_pid"
-    val localCol = "__cumsum_local"
-    val offsetCol = "__cumsum_offset"
+    def localCol(i: Int) = s"__cumsum_local_$i"
+    def offsetCol(i: Int) = s"__cumsum_offset_$i"
 
     // Persisted: the totals job and the final plan must see the SAME
     // partition assignment, and RangePartitioner samples its bounds
@@ -46,53 +56,63 @@ object PrefixSum {
     // local pass: each range partition cumsums independently
     val wLocal = Window.partitionBy(col(pidCol)).orderBy(sortKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn(localCol, sum(value).over(wLocal))
+    val local = values.zipWithIndex.foldLeft(ranged) {
+      case (acc, ((value, _), i)) =>
+        acc.withColumn(localCol(i), sum(value).over(wLocal))
+    }
 
     // offsets: partition totals → exclusive prefix. One row per
     // partition — the collect is bounded by `partitions`, not data.
     // (Totals are summed directly, not taken from the cumsum column,
     // so negative values are handled.)
     val totals = ranged.groupBy(col(pidCol))
-      .agg(sum(value).as("__total"))
+      .agg(sum(values.head._1).as("__t0"),
+        values.tail.zipWithIndex.map { case ((v, _), i) =>
+          sum(v).as(s"__t${i + 1}")
+        }: _*)
       .orderBy(col(pidCol))
       .collect()
-    val spark = df.sparkSession
-    var running: Any = null
+
+    def add(a: Any, b: Any): Any = (a, b) match {
+      case (null, t) => t
+      case (r0, null) => r0
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.add(y)
+      case (x: Double, y: Double) => x + y
+      case (x: Long, y: Long) => x + y
+      case (x, y) => sys.error(s"unsupported cumsum type: $x + $y")
+    }
+    val running = Array.fill[Any](values.size)(null)
     val offsets = totals.map { r =>
       val pid = r.getInt(0)
-      val off = running
-      val total = r.get(1)
-      running = (running, total) match {
-        case (null, t) => t
-        case (r0, null) => r0
-        case (a: java.math.BigDecimal, b: java.math.BigDecimal) => a.add(b)
-        case (a: Double, b: Double) => a + b
-        case (a: Long, b: Long) => a + b
-        case (a, b) => sys.error(s"unsupported cumsum type: $a + $b")
+      val off = running.clone()
+      values.indices.foreach { i =>
+        running(i) = add(running(i), r.get(i + 1))
       }
       (pid, off)
     }
 
     import scala.jdk.CollectionConverters._
-    val valueType = local.schema(localCol).dataType
-    val offsetSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(pidCol,
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField(offsetCol, valueType)))
+    val offsetSchema = StructType(
+      StructField(pidCol, IntegerType, nullable = false) +:
+        values.indices.map(i =>
+          StructField(offsetCol(i), local.schema(localCol(i)).dataType)))
     val offsetRows = offsets.map { case (pid, off) =>
-      org.apache.spark.sql.Row(pid,
-        off match {
-          case bd: java.math.BigDecimal => new java.math.BigDecimal(bd.toString)
-          case other => other
-        })
+      Row.fromSeq(pid +: off.toSeq.map {
+        case bd: java.math.BigDecimal => new java.math.BigDecimal(bd.toString)
+        case other => other
+      })
     }.toSeq
-    val offsetDf = spark.createDataFrame(offsetRows.asJava, offsetSchema)
+    val offsetDf = df.sparkSession.createDataFrame(offsetRows.asJava, offsetSchema)
 
-    local
-      .join(broadcast(offsetDf), Seq(pidCol), "left")
-      .withColumn(out,
-        when(col(offsetCol).isNull, col(localCol))
-          .otherwise(col(localCol) + col(offsetCol)))
-      .drop(pidCol, localCol, offsetCol)
+    val joined = local.join(broadcast(offsetDf), Seq(pidCol), "left")
+    val withOuts = values.zipWithIndex.foldLeft(joined) {
+      case (acc, ((_, out), i)) =>
+        acc.withColumn(out,
+          when(col(offsetCol(i)).isNull, col(localCol(i)))
+            .otherwise(col(localCol(i)) + col(offsetCol(i))))
+    }
+    val dropCols = pidCol +: values.indices.flatMap(i =>
+      Seq(localCol(i), offsetCol(i)))
+    withOuts.drop(dropCols: _*)
   }
 }

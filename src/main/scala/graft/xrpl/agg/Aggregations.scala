@@ -376,14 +376,12 @@ object Aggregations {
         sum(col("esc_delta")).cast(Dec).as("esc_delta"),
         sum(col("res_delta")).cast(Dec).as("res_delta"))
 
-    val withFees = graft.functions.PrefixSum.globalCumsum(
-      daily, Seq(col("day")), col("fee_burn"), "cum_fees", 8)
-    val withEsc = graft.functions.PrefixSum.globalCumsum(
-      withFees, Seq(col("day")), col("esc_delta"), "cum_esc", 8)
-    val withRes = graft.functions.PrefixSum.globalCumsum(
-      withEsc, Seq(col("day")), col("res_delta"), "cum_res", 8)
+    val withCums = graft.functions.PrefixSum.globalCumsumMulti(
+      daily, Seq(col("day")),
+      Seq(col("fee_burn") -> "cum_fees", col("esc_delta") -> "cum_esc",
+        col("res_delta") -> "cum_res"), 8)
 
-    withRes
+    withCums
       .select(col("day").as("date"),
         (lit(genesis) - col("cum_fees").cast("double")).as("total"),
         col("cum_esc").cast("double").as("escrowed"),
