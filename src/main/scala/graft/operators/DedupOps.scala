@@ -49,21 +49,25 @@ object DedupOps {
     * 32-bit hashes at a quarter of the digest cost (one md5 serves
     * four permutations), and the minimum per doc is the standard
     * MinHash order statistic. Engine-portable because md5 and substr
-    * are identical everywhere. Cached: the signature table is computed
-    * once per (dir) and shared by every query and join side (at
-    * warehouse scale it is a write-once table).
+    * are identical everywhere.
+    *
+    * The signature is computed by the codegen'd
+    * [[graft.functions.MinHashSig]] expression — a per-document tight
+    * loop producing identical values to the declarative
+    * explode→md5→groupBy-min plan (the oracle SQL keeps that
+    * formulation) with no exploded rows and no shuffle: the dedup
+    * family's dominant cost becomes pure digest arithmetic. Cached:
+    * computed once per (dir) and shared by every query and join side
+    * (at warehouse scale, a write-once table).
     */
   private def minhashSig(s: SparkSession, dir: String): DataFrame = {
-    val shingles = docs(s, dir)
+    val sig = graft.functions.MinHashSig.minhash_sig(col("text"), NumHashes)
+    val mSel = (0 until NumHashes).map(i => col("sig").getItem(i).as(s"m$i"))
+    docs(s, dir)
       .filter(length(col("text")) >= 8)
-      .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, length(text)-7), i -> substring(text, i, 8))")).as("s"))
-    val aggs = (0 until NumHashes).map { i =>
-      val digest = md5(concat(lit((i / 4).toString), col("s")))
-      min(substring(digest, (i % 4) * 8 + 1, 8)).as(s"m$i")
-    }
-    shingles.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).cache()
+      .select(col("doc_id") +: sig.as("sig") +: Nil: _*)
+      .select(col("doc_id") +: mSel: _*)
+      .cache()
   }
 
   private def minhashSigSql: String = {
