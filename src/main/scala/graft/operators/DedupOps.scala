@@ -243,16 +243,17 @@ object DedupOps {
         |JOIN sizes sb ON sb.doc_id = b_id
         |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.02
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      // distinct n-grams per doc via array_distinct BEFORE the explode:
+      // map-side, no dropDuplicates shuffle of the exploded table
       val ngrams = docs(s, dir)
         .select(col("doc_id"), col("lang"), col("source"),
           split(col("text"), " ").as("ts"))
         .filter(size(col("ts")) >= 3)
         .select(col("doc_id"), col("lang"), col("source"),
           explode(expr(
-            """transform(sequence(1, size(ts)-2),
+            """array_distinct(transform(sequence(1, size(ts)-2),
               |  i -> concat(element_at(ts, i), ' ', element_at(ts, i+1),
-              |              ' ', element_at(ts, i+2)))""".stripMargin)).as("ng"))
-        .dropDuplicates("doc_id", "ng")
+              |              ' ', element_at(ts, i+2))))""".stripMargin)).as("ng"))
         // block cap: at most MaxBandBucket docs per (lang, source)
         // block enter pair generation (deterministic, lowest doc_id
         // first) — bounds the block-local self-join at any scale

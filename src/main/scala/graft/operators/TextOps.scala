@@ -49,6 +49,52 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // BPE-ish token counting: a GPT-2-style pre-tokenizer regex
+    // (letter runs / digit runs / punctuation runs) instead of plain
+    // whitespace splitting, with per-class counts. Both engines use
+    // the same pattern; classification is first-char range compares
+    // (no per-token regex) so the whole thing stays codegen-friendly.
+    QuerySpec.sql(
+      "text_token_bpe",
+      """SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, t ->
+        |    (t[1] BETWEEN 'A' AND 'Z') OR (t[1] BETWEEN 'a' AND 'z')))
+        |    AS BIGINT) AS n_alpha,
+        |  CAST(len(list_filter(toks, t -> t[1] BETWEEN '0' AND '9'))
+        |    AS BIGINT) AS n_digit,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+        |    AS n_token_chars,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(list_sum(list_transform(toks, t -> length(t)))
+        |      AS DOUBLE) / len(toks) END AS avg_token_chars
+        |FROM (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')
+        |      AS toks
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0))
+      docs(s, dir)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          expr("""CAST(size(filter(toks, t ->
+            |  (substring(t, 1, 1) >= 'A' AND substring(t, 1, 1) <= 'Z') OR
+            |  (substring(t, 1, 1) >= 'a' AND substring(t, 1, 1) <= 'z')))
+            |AS BIGINT)""".stripMargin).as("n_alpha"),
+          expr("""CAST(size(filter(toks, t ->
+            |  substring(t, 1, 1) >= '0' AND substring(t, 1, 1) <= '9'))
+            |AS BIGINT)""".stripMargin).as("n_digit"),
+          expr("""aggregate(toks, CAST(0 AS BIGINT),
+            |  (a, t) -> a + length(t))""".stripMargin).as("n_token_chars"))
+        .withColumn("avg_token_chars",
+          when(col("n_tokens") === 0L, lit(0.0))
+            .otherwise(col("n_token_chars").cast("double") / col("n_tokens")))
+        .orderBy(col("doc_id"))
+    },
+
     // Quality scoring: stopword ratio + vocabulary-diversity ratio,
     // combined into a deterministic score. explode → per-doc aggregate.
     QuerySpec.sql(
