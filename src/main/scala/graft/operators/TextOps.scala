@@ -113,14 +113,16 @@ object TextOps {
          |      FROM documents)
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val stop = langMarkers.head._2
-      val toks = docs(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      toks.groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_tokens"),
-          sum(when(col("tok").isin(stop: _*), 1).otherwise(0)).cast("long").as("n_stop"),
-          countDistinct(col("tok")).as("n_distinct"))
+      // per-document array functions instead of explode + groupBy: the
+      // oracle keeps the unnest formulation, the Spark plan computes
+      // identical values map-side with NO shuffle at all
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          expr(s"CAST(size(filter(ts, t -> t IN ${inList(langMarkers.head._2)})) AS BIGINT)")
+            .as("n_stop"),
+          size(array_distinct(col("ts"))).cast("long").as("n_distinct"))
         .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
         .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_tokens"))
         .withColumn("quality",
@@ -151,13 +153,15 @@ object TextOps {
            |  GROUP BY doc_id)
            |ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
-      val toks = docs(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val scored = toks.groupBy(col("doc_id")).agg(
-        count(lit(1)).as("n"),
-        langMarkers.map { case (l, ws) =>
-          sum(when(col("tok").isin(ws: _*), 1).otherwise(0)).as(s"hits_$l")
-        }: _*)
+      // shuffle-free: stopword hits per language are per-document array
+      // filters over the split tokens (oracle keeps the unnest+groupBy
+      // formulation; values identical)
+      val scored = docs(s, dir)
+        .select(col("doc_id") +: split(col("text"), " ").as("ts") +: Nil: _*)
+        .select(col("doc_id") +: size(col("ts")).as("n") +:
+          langMarkers.map { case (l, ws) =>
+            expr(s"size(filter(ts, t -> t IN ${inList(ws)}))").as(s"hits_$l")
+          }: _*)
       val withScores = langMarkers.foldLeft(scored) { case (df, (l, _)) =>
         df.withColumn(s"score_$l", col(s"hits_$l").cast("double") / col("n"))
       }
