@@ -44,6 +44,7 @@ object XrplOps {
       dump(t.feeSummaries.toDF(), "fee_summaries")
       dump(t.memos.toDF(), "memos")
       dump(t.escrows.toDF(), "escrows")
+      dump(t.accountsCreated.toDF(), "accounts_created")
       // tx_hashes is an array column — dropped so every dumped column
       // stays scalar-sortable for the cross-engine row hash
       dump(t.ledgers.toDF().drop("tx_hashes"), "ledgers")
@@ -575,6 +576,82 @@ object XrplOps {
          |ORDER BY date""".stripMargin) { (s, _) =>
       graft.xrpl.agg.Aggregations.xrpDistribution(
         pq(s, "fee_summaries"), pq(s, "escrows"), pq(s, "balance_changes"))
+    },
+
+    // Account stats, `transactions` family (accountStats.js;
+    // data.js:699-775): per-(account, day) tx type/result counts in
+    // long format — exercises Aggregations.accountStatsTransactions +
+    // Queries.getAccountStats.
+    QuerySpec.sql(
+      "xrpl_account_stats_tx",
+      s"""WITH base AS (
+         |  SELECT account, (time // 86400) * 86400 AS date, tx_type,
+         |    tx_result
+         |  FROM ${t("affected_accounts")}
+         |  WHERE account = 'rKiCet8SdvWxPXnAgYarFUXMh1zCPz432Y')
+         |SELECT account, date, 'type' AS family, tx_type AS name,
+         |  CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM base GROUP BY 1, 2, 4
+         |UNION ALL
+         |SELECT account, date, 'result' AS family, tx_result AS name,
+         |  CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM base GROUP BY 1, 2, 4
+         |UNION ALL
+         |SELECT account, date, 'metric' AS family,
+         |  'transaction_count' AS name, CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM base GROUP BY 1, 2
+         |ORDER BY date, family, name""".stripMargin) { (s, _) =>
+      graft.xrpl.api.Queries.getAccountStats(
+          graft.xrpl.agg.Aggregations.accountStatsTransactions(
+            pq(s, "affected_accounts")),
+          "rKiCet8SdvWxPXnAgYarFUXMh1zCPz432Y",
+          graft.xrpl.api.Queries.RangeOpts(limit = 5000))
+        .orderBy(col("date"), col("family"), col("name"))
+    },
+
+    // Account stats, `value` family (agg_account_balance_changes,
+    // data.js:751-758): daily XRP balance-change counts, net change
+    // and running account value — exercises
+    // Aggregations.accountValueStats.
+    QuerySpec.sql(
+      "xrpl_account_stats_value",
+      s"""WITH daily AS (
+         |  SELECT account, (time // 86400) * 86400 AS date,
+         |    CAST(COUNT(*) AS BIGINT) AS balance_change_count,
+         |    SUM(CAST(change AS DECIMAL(38,18))) AS net_dec
+         |  FROM ${t("balance_changes")}
+         |  WHERE currency = 'XRP'
+         |    AND account = 'rHsZHqa5oMQNL5hFm4kfLd47aEMYjPstpg'
+         |  GROUP BY 1, 2)
+         |SELECT account, date, balance_change_count,
+         |  CAST(CAST(net_dec AS VARCHAR) AS DOUBLE) AS net_change,
+         |  CAST(CAST(SUM(net_dec) OVER (PARTITION BY account ORDER BY date
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)
+         |    AS DOUBLE) AS account_value
+         |FROM daily
+         |ORDER BY date""".stripMargin) { (s, _) =>
+      graft.xrpl.api.Queries.getAccountStats(
+          graft.xrpl.agg.Aggregations.accountValueStats(
+            pq(s, "balance_changes")),
+          "rHsZHqa5oMQNL5hFm4kfLd47aEMYjPstpg",
+          graft.xrpl.api.Queries.RangeOpts(limit = 5000))
+        .orderBy(col("date"))
+    },
+
+    // getAccount point lookup (api/routes/getAccount.js): the
+    // account-creation row — exercises Queries.getAccountCreation's
+    // access path over the parsed accounts_created table.
+    QuerySpec.sql(
+      "xrpl_accounts_created",
+      s"""SELECT account, parent, CAST(balance AS DOUBLE) AS balance,
+         |  time, ledger_index, tx_index, tx_hash
+         |FROM ${t("accounts_created")}
+         |ORDER BY ledger_index, tx_index""".stripMargin) { (s, _) =>
+      pq(s, "accounts_created")
+        .select(col("account"), col("parent"),
+          col("balance").cast("double").as("balance"),
+          col("time"), col("ledger_index"), col("tx_index"), col("tx_hash"))
+        .orderBy(col("ledger_index"), col("tx_index"))
     },
 
     // getLastValidated control row (data.js:37-42) — the reference's

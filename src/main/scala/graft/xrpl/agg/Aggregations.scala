@@ -328,6 +328,55 @@ object Aggregations {
     issuerRows.withColumn("cumulative", sum(col("daily_change")).over(w))
   }
 
+  /** agg_account_stats writer (served by /v2/accounts/:addr/stats/
+    * transactions, api/routes/accountStats.js; data.js:699-775): per
+    * (account, day) transaction counts by type and by result, long
+    * format like [[stats]] so new tx types flow through without schema
+    * changes. Shuffle key (account, day) is uniform.
+    */
+  def accountStatsTransactions(affectedAccounts: DataFrame): DataFrame = {
+    val base = affectedAccounts
+      .select(col("account"), daySec(col("time")).as("date"),
+        col("tx_type"), col("tx_result"))
+    val typeRows = base
+      .groupBy(col("account"), col("date"), col("tx_type").as("name"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .withColumn("family", lit("type"))
+    val resultRows = base
+      .groupBy(col("account"), col("date"), col("tx_result").as("name"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .withColumn("family", lit("result"))
+    val totals = base
+      .groupBy(col("account"), col("date"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .withColumn("name", lit("transaction_count"))
+      .withColumn("family", lit("metric"))
+    val cols = Seq("account", "date", "family", "name", "value").map(col)
+    Seq(typeRows, resultRows, totals).map(_.select(cols: _*))
+      .reduce(_ unionByName _)
+  }
+
+  /** agg_account_balance_changes writer (the `value` family of
+    * /v2/accounts/:addr/stats; data.js:751-758): per (account, day)
+    * XRP balance-change count, net change, and the running end-of-day
+    * balance-change total (`account_value`). Stays DECIMAL through the
+    * running sum; the per-account window partitions on the account.
+    */
+  def accountValueStats(balanceChanges: DataFrame): DataFrame = {
+    val daily = balanceChanges
+      .filter(col("currency") === "XRP")
+      .groupBy(col("account"), daySec(col("time")).as("date"))
+      .agg(count(lit(1)).as("balance_change_count"),
+        sum(col("change").cast(Dec)).as("net_dec"))
+    val w = Window.partitionBy(col("account")).orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("value_dec", sum(col("net_dec")).over(w))
+      .select(col("account"), col("date"), col("balance_change_count"),
+        col("net_dec").cast("double").as("net_change"),
+        col("value_dec").cast("double").as("account_value"))
+  }
+
   /** xrp_distribution read path (api/routes/network/xrpDistribution.js;
     * the reference serves rows written by an external balance-snapshot
     * job). Recomputed from first principles per activity day:

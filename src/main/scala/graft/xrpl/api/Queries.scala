@@ -435,6 +435,25 @@ object Queries {
   def countAccountsCreated(t: XrplTables, opts: RangeOpts = RangeOpts()): Long =
     timeFilter(t.accountsCreated.toDF(), "time", opts).count()
 
+  /** GET /v2/accounts/:address — the account-creation point lookup
+    * (api/routes/getAccount.js; data.js getAccount over
+    * lu_accounts_created).
+    */
+  def getAccountCreation(t: XrplTables, address: String): DataFrame =
+    t.accountsCreated.toDF().filter(col("account") === address)
+
+  /** GET /v2/accounts/:address/stats/:family — keyed scan over the
+    * per-account stats aggregates (api/routes/accountStats.js;
+    * data.js:699-775). `statsRows` is the output of
+    * `Aggregations.accountStatsTransactions` (family "transactions")
+    * or `Aggregations.accountValueStats` (family "value").
+    */
+  def getAccountStats(statsRows: DataFrame, account: String,
+      opts: RangeOpts = RangeOpts()): DataFrame =
+    timeFilter(statsRows.filter(col("account") === account), "date", opts)
+      .orderBy(pageOrder(opts, col("date")): _*)
+      .limit(opts.limit)
+
   // -----------------------------------------------------------------
   // GET /v2/accounts/:address/reports — api/routes/accountReports.js;
   // data.js getAggregateAccountPayments:383-450. The keyed read layer
