@@ -133,20 +133,14 @@ object DedupOps {
         |  GROUP BY doc_id, j)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val toks = docs(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val tv = toks.select(col("doc_id"), expr(
-        """(instr('0123456789abcdef', substr(md5(tok),1,1))-1)*4096
-          |+ (instr('0123456789abcdef', substr(md5(tok),2,1))-1)*256
-          |+ (instr('0123456789abcdef', substr(md5(tok),3,1))-1)*16
-          |+ (instr('0123456789abcdef', substr(md5(tok),4,1))-1)""".stripMargin).as("v"))
-      val votes = tv
-        .select(col("doc_id"), col("v"), explode(expr("sequence(0, 15)")).as("j"))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(sum(expr("2 * (CAST(FLOOR(v / POW(2, j)) AS BIGINT) % 2) - 1")).as("vote"))
-      votes.groupBy(col("doc_id"))
-        .agg(sum(expr("CASE WHEN vote > 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END"))
-          .cast("long").as("simhash"))
+      // codegen'd per-document expression (graft.functions.SimHash):
+      // the declarative token×16-bit-row explode with two groupBys
+      // became one generated loop — identical values, no shuffle (the
+      // oracle keeps the unnest formulation; SimHashSpec proves the
+      // equivalence against it)
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.SimHash.simhash(col("text")).as("simhash"))
         .orderBy(col("doc_id"))
     },
 
