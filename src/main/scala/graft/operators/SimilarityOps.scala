@@ -47,6 +47,9 @@ object SimilarityOps {
     */
   val maxCellSize = 100000
 
+  /** Cells probed per query in the multi-probe IVF search (nprobe). */
+  val Probes = 2
+
   // Same quantization, one spelling per engine: Spark higher-order
   // `transform`, DuckDB `list_transform`.
   private val quantizeSpark =
@@ -117,6 +120,93 @@ object SimilarityOps {
     // IVF-style ANN: search only the query's coarse cell (label).
     QuerySpec.sql("sim_ivf_topk", topkSql("AND a.label = b.label")) { (s, dir) =>
       topk(s, dir, sameCell = true)
+    },
+
+    // IVF multi-probe: rank cells by query↔centroid cosine, probe the
+    // top `Probes` cells, exact top-k within them — the full inverted-
+    // file search (train: centroid per cell; search: nprobe cells).
+    // Centroids are floor-averaged INTEGER vectors: cosine is scale-
+    // invariant, so the floor-avg direction is exact integer math in
+    // both engines (sums stay < 2^53 — no float divergence anywhere).
+    QuerySpec.sql(
+      "sim_ivf_probe",
+      s"""WITH sig AS ($quantizedSql),
+         |dims AS (
+         |  SELECT label, pos, CAST(SUM(qv[pos]) AS BIGINT) AS sv,
+         |    COUNT(*) AS n
+         |  FROM sig, UNNEST(generate_series(1, len(qv))) AS t(pos)
+         |  GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT label,
+         |    list(CAST(FLOOR(sv / n) AS BIGINT) ORDER BY pos) AS cvec
+         |  FROM dims GROUP BY 1),
+         |cent2 AS (
+         |  SELECT label, cvec, list_dot_product(cvec, cvec) AS cnorm2
+         |  FROM cent),
+         |q AS (
+         |  SELECT vec_id AS qid, qv AS qa, norm2 AS qn
+         |  FROM sig WHERE vec_id < 10),
+         |ranked AS (
+         |  SELECT qid, label,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+         |      list_dot_product(qa, cvec)
+         |        / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cnorm2 AS DOUBLE)))
+         |      DESC, label) AS cell_rank
+         |  FROM q CROSS JOIN cent2),
+         |cand AS (
+         |  SELECT q.qid, s.vec_id AS vid,
+         |    list_dot_product(q.qa, s.qv)
+         |      / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(s.norm2 AS DOUBLE)))
+         |      AS cos
+         |  FROM q
+         |  JOIN (SELECT qid, label FROM ranked WHERE cell_rank <= $Probes) p
+         |    ON p.qid = q.qid
+         |  JOIN sig s ON s.label = p.label AND s.vec_id <> q.qid)
+         |SELECT qid, vid, cos, rnk FROM (
+         |  SELECT qid, vid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk
+         |  FROM cand)
+         |WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val base = signatures(s, dir)
+      // "train": one integer centroid per cell — 64 tiny rows per cell
+      // after the posexplode aggregate, output = one row per cell
+      val dims = base
+        .select(col("label"), posexplode(col("qv")).as(Seq("pos0", "v")))
+        .groupBy(col("label"), (col("pos0") + 1).as("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      val cent = dims
+        .withColumn("c", floor(col("sv") / col("n")).cast("long"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+          .as("cvec"))
+        .withColumn("cnorm2", dot_long(col("cvec"), col("cvec")))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("qa"),
+          col("norm2").as("qn"))
+      // "search": rank cells by centroid cosine, probe the best cells
+      val wCell = Window.partitionBy(col("qid"))
+        .orderBy(col("cell_cos").desc, col("label"))
+      val probes = q.crossJoin(broadcast(cent))
+        .withColumn("cell_cos",
+          dot_long(col("qa"), col("cvec")).cast("double") /
+            (sqrt(col("qn").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("cell_rank", row_number().over(wCell))
+        .filter(col("cell_rank") <= Probes)
+        .select(col("qid"), col("label"))
+      val cand = base.select(col("vec_id").as("vid"), col("label"),
+        col("qv").as("qb"), col("norm2").as("c_norm2"))
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+      broadcast(q).join(broadcast(probes), Seq("qid"))
+        .join(cand, Seq("label"))
+        .filter(col("qid") =!= col("vid"))
+        .withColumn("cos",
+          dot_long(col("qa"), col("qb")).cast("double") /
+            (sqrt(col("qn").cast("double")) * sqrt(col("c_norm2").cast("double"))))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("vid"), col("cos"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
     },
 
     // Embedding near-dup candidates: same-cell pairs above a cosine

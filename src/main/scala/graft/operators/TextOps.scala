@@ -193,6 +193,48 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // Winnowing fingerprint (the rolling-hash document fingerprint of
+    // the MOSS scheme): hash every k-gram, slide a w-window over the
+    // hash sequence, keep each window's minimum — the selected set is
+    // the document's fingerprint. Near-dup docs share most selected
+    // hashes. Expressed with array higher-order functions per document
+    // (no explode, no shuffle); the digest column makes the set a
+    // sortable scalar.
+    QuerySpec.sql(
+      "text_winnow", {
+        val k = 8; val w = 4
+        s"""SELECT doc_id,
+           |  len(fp) AS n_fingerprints,
+           |  md5(array_to_string(fp, '')) AS fp_digest
+           |FROM (
+           |  SELECT doc_id,
+           |    list_sort(list_distinct(list_transform(
+           |      generate_series(1, len(hashes) - ${w - 1}),
+           |      j -> list_aggregate(hashes[j:j+${w - 1}], 'min')))) AS fp
+           |  FROM (
+           |    SELECT doc_id,
+           |      list_transform(generate_series(1, length(text) - ${k - 1}),
+           |        i -> md5(substr(text, i, $k))) AS hashes
+           |    FROM documents
+           |    WHERE length(text) >= ${k + w - 1}))
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val k = 8; val w = 4
+      docs(s, dir)
+        .filter(length(col("text")) >= k + w - 1)
+        .select(col("doc_id"),
+          expr(s"""transform(sequence(1, length(text) - ${k - 1}),
+            | i -> md5(substring(text, i, $k)))""".stripMargin).as("hashes"))
+        .select(col("doc_id"),
+          expr(s"""array_sort(array_distinct(transform(
+            | sequence(1, size(hashes) - ${w - 1}),
+            | j -> array_min(slice(hashes, j, $w)))))""".stripMargin).as("fp"))
+        .select(col("doc_id"),
+          size(col("fp")).cast("long").as("n_fingerprints"),
+          md5(concat_ws("", col("fp"))).as("fp_digest"))
+        .orderBy(col("doc_id"))
+    },
+
     // J7: prefix join — resolve entities by shared key prefix (topology
     // pubkey-prefix resolution, topology.js:99-109): part pairs sharing
     // the first name word, aggregated per prefix.
