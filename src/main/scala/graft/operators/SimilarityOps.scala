@@ -39,13 +39,14 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Hard bound on vectors considered per cell in pair-generation
-    * paths; a cell beyond this is deterministically truncated (lowest
-    * vec_id first). Far above test-data cell sizes — exists so the
-    * worst-case cost per cell is capped at C(maxCellSize, 2) at any
-    * data scale.
+  /** Rank-ordered block width for the triangle block decomposition of
+    * within-cell pair generation: one hot cell's C(n,2) pairs split
+    * into independent (block-i, block-j) tasks of at most
+    * PairBlockSize² pairs each — completeness preserved at any cell
+    * size (no truncation). Test-scale cells fit one block, so the plan
+    * degenerates to the plain self-join.
     */
-  val maxCellSize = 100000
+  val PairBlockSize = 10000
 
   /** Cells probed per query in the multi-probe IVF search (nprobe). */
   val Probes = 2
@@ -69,6 +70,32 @@ object SimilarityOps {
       .withColumn("norm2", dot_long(col("qv"), col("qv")))
       .withColumn("cell_rank", row_number().over(w))
       .cache()
+  }
+
+  /** All unordered same-cell pairs (a_id < b_id) of a signature table
+    * (columns label, vec_id, qv, norm2, cell_rank) via the triangle
+    * block decomposition: the join key is (label, block-i, block-j)
+    * with i ≤ j, each pair produced exactly once (cell_rank orders by
+    * vec_id, so ids in block i precede ids in block j for i < j).
+    * Complete at any cell size; worst task = blockSize² pairs.
+    */
+  def cellPairs(sig: DataFrame, blockSize: Int): DataFrame = {
+    val blocked = sig
+      .withColumn("blk", floor((col("cell_rank") - 1) / blockSize).cast("int"))
+    val nblk = blocked.groupBy(col("label")).agg(max(col("blk")).as("max_blk"))
+    // left side owns block i and partners with every j >= i;
+    // right side owns block j and partners with every i <= j
+    val a = blocked.join(broadcast(nblk), Seq("label"))
+      .select(col("label"), col("vec_id").as("a_id"), col("qv").as("qa"),
+        col("norm2").as("a_norm2"), col("blk").as("bi"),
+        explode(expr("sequence(blk, max_blk)")).as("bj"))
+    val b = blocked
+      .select(col("label"), col("vec_id").as("b_id"), col("qv").as("qb"),
+        col("norm2").as("b_norm2"), col("blk").as("bj"),
+        explode(expr("sequence(0, blk)")).as("bi"))
+    a.join(b, Seq("label", "bi", "bj"))
+      .filter(col("a_id") < col("b_id"))
+      .drop("bi", "bj")
   }
 
   private val quantizedSql =
@@ -211,6 +238,16 @@ object SimilarityOps {
 
     // Embedding near-dup candidates: same-cell pairs above a cosine
     // threshold (the embedding-cosine dedup path).
+    //
+    // Pair generation uses the TRIANGLE BLOCK decomposition: each
+    // cell's vectors are split into rank-ordered blocks of
+    // [[PairBlockSize]]; the join key is the (cell, block-i, block-j)
+    // triple with i ≤ j, so every pair is produced exactly once (ids in
+    // block i are all smaller than ids in block j for i < j) and the
+    // work for one huge cell spreads across C(nblocks+1, 2) independent
+    // tasks instead of one O(cell²) task — completeness preserved, no
+    // truncation cap. At test scale every cell is a single block and
+    // the plan degenerates to the plain self-join the oracle expresses.
     QuerySpec.sql(
       "dedup_embedding_cosine",
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -223,12 +260,7 @@ object SimilarityOps {
          |    / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))
          |    >= 0.3
          |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val base = signatures(s, dir).filter(col("cell_rank") <= maxCellSize)
-      val a = base.select(col("vec_id").as("a_id"), col("label"),
-        col("qv").as("qa"), col("norm2").as("a_norm2"))
-      val b = base.select(col("vec_id").as("b_id"), col("label").as("b_label"),
-        col("qv").as("qb"), col("norm2").as("b_norm2"))
-      a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+      cellPairs(signatures(s, dir), PairBlockSize)
         .withColumn("dot", dot_long(col("qa"), col("qb")))
         .withColumn("cos", expr(
           "CAST(dot AS DOUBLE) / (sqrt(CAST(a_norm2 AS DOUBLE)) * sqrt(CAST(b_norm2 AS DOUBLE)))"))
