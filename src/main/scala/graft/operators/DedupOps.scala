@@ -35,10 +35,12 @@ object DedupOps {
   val NumBands = 2
   require(NumHashes % NumBands == 0, "bands must evenly split the hashes")
 
-  /** Bound on docs per (band, key) bucket considered for candidate
-    * pairs: a degenerate band value (e.g. near-empty docs hashing
-    * alike) otherwise goes O(bucket²). Far above test-scale buckets;
-    * truncation is deterministic (lowest doc_id kept).
+  /** Triangle-decomposition block size for band-bucket candidate
+    * generation ([[graft.functions.Pairs.blockedSelfPairs]]): a
+    * degenerate band value (e.g. near-empty docs hashing alike) would
+    * otherwise compute O(bucket²) pairs in one task; blocking spreads
+    * them across tasks with NO truncation. Also bounds the docs per
+    * (lang, source) block of the n-gram path.
     */
   val MaxBandBucket = 100000
 
@@ -148,8 +150,8 @@ object DedupOps {
     // ANY band signature become candidate pairs (the classic b×r
     // banding that catches near-dups a full-signature match misses),
     // scored by the fraction of matching minhashes (Jaccard estimator).
-    // Band buckets are capped at MaxBandBucket so one hot band value
-    // can't go quadratic.
+    // Band-bucket pair generation is triangle-block-decomposed so one
+    // hot band value can't serialize onto a single task.
     QuerySpec.sql(
       "dedup_minhash_banded", {
         val r = NumHashes / NumBands
@@ -178,24 +180,18 @@ object DedupOps {
       }) { (s, dir) =>
       val r = NumHashes / NumBands
       val sig = minhashSig(s, dir)
-      val bands0 = (0 until NumBands).map { bi =>
+      val bands = (0 until NumBands).map { bi =>
         val keyCols = (bi * r until (bi + 1) * r).map(i => col(s"m$i"))
         sig.select(col("doc_id"), lit(bi + 1).as("band"),
           concat_ws("|", keyCols: _*).as("key"))
       }.reduce(_ unionByName _)
-      // hot-bucket cap: deterministic truncation by doc_id rank
-      val wBucket = Window.partitionBy(col("band"), col("key"))
-        .orderBy(col("doc_id"))
-      val bands = bands0
-        .withColumn("__rk", row_number().over(wBucket))
-        .filter(col("__rk") <= MaxBandBucket)
-        .drop("__rk")
-      val cand = bands.as("a")
-        .join(bands.select(col("doc_id").as("b_id"), col("band").as("b_band"),
-          col("key").as("b_key")),
-          col("band") === col("b_band") && col("key") === col("b_key") &&
-            col("doc_id") < col("b_id"))
-        .select(col("doc_id").as("a_id"), col("b_id"))
+      // triangle block decomposition of each band bucket: complete
+      // candidate set, one hot bucket's pairs spread across block-pair
+      // tasks (graft.functions.Pairs)
+      val cand = graft.functions.Pairs.blockedSelfPairs(bands,
+          keyCols = Seq("band", "key"), idCol = "doc_id",
+          payload = Nil, blockSize = MaxBandBucket)
+        .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"))
         .dropDuplicates()
       val sa = sig.select(col("doc_id").as("a_id") +:
         (0 until NumHashes).map(i => col(s"m$i").as(s"a$i")): _*)

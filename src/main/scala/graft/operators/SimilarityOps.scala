@@ -79,24 +79,13 @@ object SimilarityOps {
     * vec_id, so ids in block i precede ids in block j for i < j).
     * Complete at any cell size; worst task = blockSize² pairs.
     */
-  def cellPairs(sig: DataFrame, blockSize: Int): DataFrame = {
-    val blocked = sig
-      .withColumn("blk", floor((col("cell_rank") - 1) / blockSize).cast("int"))
-    val nblk = blocked.groupBy(col("label")).agg(max(col("blk")).as("max_blk"))
-    // left side owns block i and partners with every j >= i;
-    // right side owns block j and partners with every i <= j
-    val a = blocked.join(broadcast(nblk), Seq("label"))
-      .select(col("label"), col("vec_id").as("a_id"), col("qv").as("qa"),
-        col("norm2").as("a_norm2"), col("blk").as("bi"),
-        explode(expr("sequence(blk, max_blk)")).as("bj"))
-    val b = blocked
-      .select(col("label"), col("vec_id").as("b_id"), col("qv").as("qb"),
-        col("norm2").as("b_norm2"), col("blk").as("bj"),
-        explode(expr("sequence(0, blk)")).as("bi"))
-    a.join(b, Seq("label", "bi", "bj"))
-      .filter(col("a_id") < col("b_id"))
-      .drop("bi", "bj")
-  }
+  def cellPairs(sig: DataFrame, blockSize: Int): DataFrame =
+    graft.functions.Pairs.blockedSelfPairs(sig,
+        keyCols = Seq("label"), idCol = "vec_id",
+        payload = Seq("qv", "norm2"), blockSize = blockSize)
+      .select(col("label"), col("a_vec_id").as("a_id"), col("a_qv").as("qa"),
+        col("a_norm2"), col("b_vec_id").as("b_id"), col("b_qv").as("qb"),
+        col("b_norm2"))
 
   private val quantizedSql =
     s"""SELECT vec_id, label, $quantizeDuck AS qv,
