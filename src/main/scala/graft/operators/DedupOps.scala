@@ -39,10 +39,17 @@ object DedupOps {
     * generation ([[graft.functions.Pairs.blockedSelfPairs]]): a
     * degenerate band value (e.g. near-empty docs hashing alike) would
     * otherwise compute O(bucket²) pairs in one task; blocking spreads
-    * them across tasks with NO truncation. Also bounds the docs per
-    * (lang, source) block of the n-gram path.
+    * them across tasks with NO truncation.
     */
   val MaxBandBucket = 100000
+
+  /** Stop-phrase ceiling for the n-gram Jaccard path: n-grams shared
+    * by more docs than this within a (lang, source) block are treated
+    * as stop phrases and removed from the sets (sizes and
+    * intersections alike). Bounds every posting list in the pair join;
+    * never triggers at test scale (max df there is 5).
+    */
+  val MaxNgramDf = 1000
 
   private def mcols: Seq[String] = (0 until NumHashes).map(i => s"m$i")
 
@@ -208,17 +215,26 @@ object DedupOps {
 
     // N-gram Jaccard near-dup: distinct word-3-gram sets, candidate
     // pairs within (lang, source) blocks, |A∩B| / |A∪B| ≥ 0.02.
+    // Stop-phrase guard: n-grams shared by more than MaxNgramDf docs in
+    // a block are removed from the sets ENTIRELY (sizes and
+    // intersections — consistent Jaccard over non-stop n-grams), so no
+    // posting list can explode the pair join. The ceiling never
+    // triggers at test scale (max df there is 5).
     QuerySpec.sql(
       "dedup_ngram_jaccard",
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, lang, source, string_split(text, ' ') AS ts
         |  FROM documents),
-        |ngrams AS (
+        |ngrams0 AS (
         |  SELECT DISTINCT doc_id, lang, source,
         |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS ng
         |  FROM toks,
         |    LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g
         |  WHERE len(ts) >= 3),
+        |ngrams AS (
+        |  SELECT * FROM ngrams0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY lang, source, ng)
+        |    <= $MaxNgramDf),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ngrams GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
@@ -244,14 +260,15 @@ object DedupOps {
             """array_distinct(transform(sequence(1, size(ts)-2),
               |  i -> concat(element_at(ts, i), ' ', element_at(ts, i+1),
               |              ' ', element_at(ts, i+2))))""".stripMargin)).as("ng"))
-        // block cap: at most MaxBandBucket docs per (lang, source)
-        // block enter pair generation (deterministic, lowest doc_id
-        // first) — bounds the block-local self-join at any scale
-        .withColumn("__doc_rk",
-          dense_rank().over(Window.partitionBy(col("lang"), col("source"))
-            .orderBy(col("doc_id"))))
-        .filter(col("__doc_rk") <= MaxBandBucket)
-        .drop("__doc_rk")
+        // stop-phrase guard: drop n-grams shared by more than
+        // MaxNgramDf docs in the block (from sizes AND intersections —
+        // consistent Jaccard over non-stop n-grams); bounds every
+        // posting list entering the pair join
+        .withColumn("__df",
+          count(lit(1)).over(Window.partitionBy(col("lang"), col("source"),
+            col("ng"))))
+        .filter(col("__df") <= MaxNgramDf)
+        .drop("__df")
       val sizes = ngrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = ngrams.select(col("doc_id").as("a_id"), col("lang"), col("source"), col("ng"))
       val b = ngrams.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),

@@ -607,6 +607,14 @@ object Queries {
     * (estimate.js:262-318 walks in JS; here the walk is a plan).
     */
   def walkBook(book: DataFrame, target: Double,
+      ascending: Boolean = true): DataFrame =
+    walkBookWith(book, lit(target), ascending)
+
+  /** Column-target variant: the target may come from another plan
+    * (e.g. leg A's proceeds cross-joined onto leg B's book), keeping
+    * multi-leg walks one lazy plan.
+    */
+  def walkBookWith(book: DataFrame, target: Column,
       ascending: Boolean = true): DataFrame = {
     // ascending when price is a cost per unit (minimize), descending
     // when it is proceeds per unit (maximize) — estimate.js walks each
@@ -623,7 +631,7 @@ object Queries {
       .filter(col("cum") - col("amount") < target)
       .withColumn("fill",
         when(col("cum") <= target, col("amount"))
-          .otherwise(lit(target) - (col("cum") - col("amount"))))
+          .otherwise(target - (col("cum") - col("amount"))))
       .withColumn("cost", col("fill") * col("price"))
   }
 
@@ -642,15 +650,16 @@ object Queries {
     val a = bookRate(bookA, amount)
       .select(col("filled").as("a_filled"), col("cost").as("a_cost"),
         col("rate").as("a_rate"))
-    // the XRP proceeds of leg A feed leg B; the driver of the second
-    // walk is a scalar from the first — cross of two 1-row aggregates
-    val aRow = a.head()
-    val xrpProceeds = aRow.getAs[Double]("a_cost")
-    // leg B's price is dst proceeds per XRP → best price first (desc)
-    val b = bookRate(bookB, xrpProceeds, ascending = false)
-      .select(col("filled").as("b_filled"), col("cost").as("b_cost"),
-        col("rate").as("b_rate"))
-    a.crossJoin(b)
+    // the XRP proceeds of leg A feed leg B as a broadcast scalar
+    // COLUMN (1-row cross join) — the two walks compose into one lazy
+    // plan, no driver-side materialization between legs. Leg B's price
+    // is dst proceeds per XRP → best price first (desc).
+    val bWalked = walkBookWith(bookB.crossJoin(broadcast(a)),
+      col("a_cost"), ascending = false)
+    bWalked
+      .groupBy(col("a_filled"), col("a_cost"), col("a_rate"))
+      .agg(sum(col("fill")).as("b_filled"), sum(col("cost")).as("b_cost"))
+      .withColumn("b_rate", col("b_cost") / col("b_filled"))
       .withColumn("amount", lit(amount))
       .withColumn("estimated", col("b_cost"))
       .withColumn("effective_rate", col("b_cost") / lit(amount))
