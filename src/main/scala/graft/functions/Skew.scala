@@ -19,9 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Add a uniform salt column to the skewed side. */
-  def salted(df: DataFrame, factor: Int, saltCol: String = "__salt"): DataFrame =
-    df.withColumn(saltCol, (rand(seed = 42) * factor).cast("int"))
+  /** Add a uniform salt column to the skewed side, derived from a hash
+    * of `saltKeys` (typically row-identifying columns): unlike
+    * rand(seed) — whose values depend on the physical partition layout
+    * — the salt is a pure row function, so retries, re-runs and
+    * re-partitioned inputs salt every row identically.
+    */
+  def salted(df: DataFrame, factor: Int, saltCol: String = "__salt",
+      saltKeys: Seq[Column] = Nil): DataFrame = {
+    val basis =
+      if (saltKeys.nonEmpty) saltKeys
+      else df.columns.toSeq.map(col)
+    df.withColumn(saltCol, pmod(hash(basis: _*), lit(factor)))
+  }
 
   /** Replicate the dimension side across every salt value. */
   def replicated(dim: DataFrame, factor: Int, saltCol: String = "__salt"): DataFrame =
