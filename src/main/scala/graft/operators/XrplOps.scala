@@ -533,6 +533,47 @@ object XrplOps {
         graft.xrpl.api.Queries.RangeOpts(limit = 500))
     },
 
+    // /v2/reports date scan (api/routes/reports.js; the no-account
+    // branch of getAggregateAccountPayments, data.js:429-450): all
+    // accounts' report rows in a date range — exercises
+    // Queries.getAccountReportsByDate.
+    QuerySpec.sql(
+      "xrpl_reports_by_date",
+      s"""WITH dirs AS (
+         |  SELECT source AS account, destination AS counterparty,
+         |    'sent' AS dir, delivered_amount, time FROM ${t("payments")}
+         |  UNION ALL
+         |  SELECT destination, source, 'received', delivered_amount, time
+         |  FROM ${t("payments")})
+         |SELECT account, (time // 86400) * 86400 AS date,
+         |  CAST(SUM(CASE WHEN dir = 'sent' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS payments_sent,
+         |  CAST(SUM(CASE WHEN dir = 'received' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS payments_received,
+         |  CAST(COUNT(DISTINCT CASE WHEN dir = 'sent' THEN counterparty END)
+         |    AS BIGINT) AS sending_counterparties,
+         |  CAST(COUNT(DISTINCT CASE WHEN dir = 'received' THEN counterparty END)
+         |    AS BIGINT) AS receiving_counterparties,
+         |  ${dsumSql("CASE WHEN dir = 'sent' THEN delivered_amount ELSE '0' END")}
+         |    AS total_value_sent,
+         |  ${dsumSql("CASE WHEN dir = 'received' THEN delivered_amount ELSE '0' END")}
+         |    AS total_value_received,
+         |  MAX(CASE WHEN dir = 'sent' THEN CAST(delivered_amount AS DOUBLE) END)
+         |    AS high_value_sent,
+         |  MAX(CASE WHEN dir = 'received' THEN CAST(delivered_amount AS DOUBLE) END)
+         |    AS high_value_received,
+         |  ${dsumSql("CASE WHEN dir = 'sent' THEN delivered_amount ELSE '0' END")}
+         |  + ${dsumSql("CASE WHEN dir = 'received' THEN delivered_amount ELSE '0' END")}
+         |    AS total_value
+         |FROM dirs
+         |GROUP BY 1, 2
+         |ORDER BY date, account""".stripMargin) { (s, _) =>
+      graft.xrpl.api.Queries.getAccountReportsByDate(
+          graft.xrpl.agg.Aggregations.accountPayments(pq(s, "payments")),
+          graft.xrpl.api.Queries.RangeOpts(limit = 100000))
+        .orderBy(col("date"), col("account"))
+    },
+
     // xrp_distribution (api/routes/network/xrpDistribution.js): daily
     // total/escrowed/distributed supply recomputed from fee burn and
     // escrow lifecycles — exercises Aggregations.xrpDistribution.

@@ -492,8 +492,10 @@ object Queries {
   def getAccountReportsByDate(aggAccountPayments: DataFrame,
       opts: RangeOpts = RangeOpts()): DataFrame =
     timeFilter(aggAccountPayments, "date", opts)
-      .withColumn("sending_counterparties", size(col("sent_counterparties")))
-      .withColumn("receiving_counterparties", size(col("received_counterparties")))
+      .withColumn("sending_counterparties",
+        size(col("sent_counterparties")).cast("long"))
+      .withColumn("receiving_counterparties",
+        size(col("received_counterparties")).cast("long"))
       .drop("sent_counterparties", "received_counterparties")
       .orderBy(pageOrder(opts, col("date"), col("account")): _*)
       .limit(opts.limit)
