@@ -149,6 +149,51 @@ object XrplOps {
           col("counter_currency"), col("counter_issuer"), col("start"))
     },
 
+    // X4 inversion through the interval-candle route: requesting the
+    // non-canonical order (XRP/USD) re-orients the canonical candles —
+    // volumes swap, prices reciprocate, buy volume re-bases
+    // (data.js:1500-1521) — exercises Queries.getExchangeCandles'
+    // inversion branch end-to-end.
+    QuerySpec.sql(
+      "xrpl_candles_inverted",
+      s"""WITH c AS (
+         |  SELECT (time // 86400) * 86400 AS start,
+         |    min_by(CAST(rate AS DOUBLE), $skSql) AS open,
+         |    max_by(CAST(rate AS DOUBLE), $skSql) AS close,
+         |    max(CAST(rate AS DOUBLE)) AS high,
+         |    min(CAST(rate AS DOUBLE)) AS low,
+         |    ${dsumSql("base_amount")} AS bv,
+         |    ${dsumSql("counter_amount")} AS cv,
+         |    ${dsumSql("CASE WHEN buyer = taker THEN base_amount ELSE '0' END")}
+         |      AS buyv,
+         |    COUNT(*) AS count
+         |  FROM ${t("exchanges")}
+         |  WHERE base_currency = 'USD'
+         |    AND base_issuer = 'rMwjYedjc7qqtKYVLiAccJSmCwih4LnE2q'
+         |    AND counter_currency = 'XRP'
+         |    AND NOT (CAST(counter_amount AS DOUBLE) <= 0.0005)
+         |  GROUP BY 1),
+         |v AS (SELECT *, cv / bv AS vwap FROM c)
+         |SELECT start,
+         |  cv AS base_volume, bv AS counter_volume,
+         |  1.0 / low AS high, 1.0 / high AS low,
+         |  1.0 / open AS open, 1.0 / close AS close,
+         |  1.0 / vwap AS vwap,
+         |  buyv / (1.0 / vwap) AS buy_volume,
+         |  count
+         |FROM v
+         |ORDER BY start""".stripMargin) { (s, _) =>
+      graft.xrpl.api.Queries.getExchangeCandles(pq(s, "exchanges"),
+          graft.xrpl.api.Queries.Pair("XRP", None),
+          graft.xrpl.api.Queries.Pair("USD",
+            Some("rMwjYedjc7qqtKYVLiAccJSmCwih4LnE2q")),
+          "1day")
+        .select(col("start"), col("base_volume"), col("counter_volume"),
+          col("high"), col("low"), col("open"), col("close"), col("vwap"),
+          col("buy_volume"), col("count"))
+        .orderBy(col("start"))
+    },
+
     // A4: payment volume per currency/day.
     QuerySpec.sql(
       "xrpl_payment_volume",

@@ -2,6 +2,7 @@ package graft.xrpl.agg
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** OHLC candle aggregation cascade — the Spark form of the reference's
   * exchange aggregation daemon (lib/aggregation/exchanges.js).
@@ -25,6 +26,7 @@ import org.apache.spark.sql.functions._
   * reference's cascade, exchanges.js:12-25).
   */
 object Candles {
+  private val Dec = DecimalType(38, 18)
 
   /** interval name → (multiple, unit, seconds-per-unit where fixed). */
   val intervals: Seq[(String, Int, String)] = Seq(
@@ -115,10 +117,13 @@ object Candles {
         max_by(col("time"), col("sk")).as("close_time"),
         min(col("sk")).as("sort_open"),
         max(col("sk")).as("sort_close"),
-        sum(col("base_d")).as("base_volume"),
-        sum(col("counter_d")).as("counter_volume"),
-        sum(when(col("buyer") === col("taker"), col("base_d")).otherwise(0d))
-          .as("buy_volume"),
+        // volumes sum the raw decimal strings — exact, order-independent
+        // and engine-identical (a double sum would wobble in the low
+        // bits per partitioning)
+        sum(col("base_amount").cast(Dec)).cast("double").as("base_volume"),
+        sum(col("counter_amount").cast(Dec)).cast("double").as("counter_volume"),
+        sum(when(col("buyer") === col("taker"), col("base_amount"))
+          .otherwise(lit("0")).cast(Dec)).cast("double").as("buy_volume"),
         count(lit(1)).as("count"))
       .withColumn("vwap", col("counter_volume") / col("base_volume"))
   }
