@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Library entry point for `spark.sql.extensions` — installs the
+  * engine's native Catalyst expressions as SQL functions so any
+  * session (SQL-only users included) can call them:
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  *
+  * SELECT graft_minhash_sig(text, 4)   FROM docs;   -- MinHash signature
+  * SELECT graft_simhash(text)          FROM docs;   -- 16-bit SimHash
+  * SELECT graft_dot_long(qa, qb)       FROM pairs;  -- integer dot product
+  * SELECT xrpl_quality_decode(bd, p, g) FROM exch;  -- X5 quality decode
+  * }}}
+  *
+  * The same functions are available on the Column API via their
+  * companion objects (`MinHashSig.minhash_sig`, `SimHash.simhash`,
+  * `DotProductLong.dot_long`, `QualityDecode.quality_decode`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig",
+        "graft_minhash_sig(text, n) - n-permutation MinHash signature over 8-char shingles"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.MinHashSig(exprs.head,
+          exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      info("graft_simhash",
+        "graft_simhash(text) - 16-bit SimHash fingerprint of whitespace tokens"),
+      (exprs: Seq[Expression]) => graft.functions.SimHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot_long"),
+      info("graft_dot_long",
+        "graft_dot_long(a, b) - exact integer dot product of two array<bigint>"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.DotProductLong(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("xrpl_quality_decode"),
+      info("xrpl_quality_decode",
+        "xrpl_quality_decode(book_directory, pays_currency, gets_currency) - offer quality from a BookDirectory"),
+      (exprs: Seq[Expression]) =>
+        graft.xrpl.catalyst.QualityDecode(exprs.head, exprs(1), exprs(2))))
+  }
+}
