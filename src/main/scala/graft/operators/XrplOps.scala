@@ -149,6 +149,44 @@ object XrplOps {
           col("counter_currency"), col("counter_issuer"), col("start"))
     },
 
+    // X13 weekly alignment cross-engine: 7-day candles anchor on the
+    // ISO week (Monday — epoch day 0 was a Thursday, +3d shift;
+    // utils.js:66-130 getAlignedTime), verified value-exact per pair.
+    QuerySpec.sql(
+      "xrpl_candles_7day",
+      s"""SELECT base_currency, COALESCE(base_issuer, '') AS base_issuer,
+         |  counter_currency, COALESCE(counter_issuer, '') AS counter_issuer,
+         |  ((time + 259200) // 604800) * 604800 - 259200 AS start,
+         |  min_by(CAST(rate AS DOUBLE), $skSql) AS open,
+         |  max_by(CAST(rate AS DOUBLE), $skSql) AS close,
+         |  max(CAST(rate AS DOUBLE)) AS high,
+         |  min(CAST(rate AS DOUBLE)) AS low,
+         |  ${dsumSql("base_amount")} AS base_volume,
+         |  ${dsumSql("counter_amount")} AS counter_volume,
+         |  COUNT(*) AS count
+         |FROM ${t("exchanges")}
+         |GROUP BY 1, 2, 3, 4, 5
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin) { (s, _) =>
+      val weekStart = graft.xrpl.agg.Candles.alignExpr(col("time"), "day", 7)
+      pq(s, "exchanges")
+        .groupBy(
+          col("base_currency"),
+          coalesce(col("base_issuer"), lit("")).as("base_issuer"),
+          col("counter_currency"),
+          coalesce(col("counter_issuer"), lit("")).as("counter_issuer"),
+          weekStart.as("start"))
+        .agg(
+          min_by(col("rate").cast("double"), skSpark).as("open"),
+          max_by(col("rate").cast("double"), skSpark).as("close"),
+          max(col("rate").cast("double")).as("high"),
+          min(col("rate").cast("double")).as("low"),
+          dsum(col("base_amount")).as("base_volume"),
+          dsum(col("counter_amount")).as("counter_volume"),
+          count(lit(1)).as("count"))
+        .orderBy(col("base_currency"), col("base_issuer"),
+          col("counter_currency"), col("counter_issuer"), col("start"))
+    },
+
     // X4 inversion through the interval-candle route: requesting the
     // non-canonical order (XRP/USD) re-orients the canonical candles —
     // volumes swap, prices reciprocate, buy volume re-bases

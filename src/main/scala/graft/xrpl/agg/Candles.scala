@@ -145,9 +145,12 @@ object Candles {
         max_by(col("close_time"), col("sort_close")).as("close_time"),
         min(col("sort_open")).as("sort_open"),
         max(col("sort_close")).as("sort_close"),
-        sum(col("base_volume")).as("base_volume"),
-        sum(col("counter_volume")).as("counter_volume"),
-        sum(col("buy_volume")).as("buy_volume"),
+        // decimal re-sums: retry/partitioning-independent totals (the
+        // child volumes are short decimal-exact doubles, so the
+        // double→decimal cast is lossless here)
+        sum(col("base_volume").cast(Dec)).cast("double").as("base_volume"),
+        sum(col("counter_volume").cast(Dec)).cast("double").as("counter_volume"),
+        sum(col("buy_volume").cast(Dec)).cast("double").as("buy_volume"),
         sum(col("count")).as("count"))
       .withColumnRenamed("rstart", "start")
       .withColumn("vwap", col("counter_volume") / col("base_volume"))
