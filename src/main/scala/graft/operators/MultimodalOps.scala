@@ -31,6 +31,26 @@ object MultimodalOps {
       channels: Int,
       feature: Array[Double])
 
+  /** Typed output row of the resize stage. */
+  final case class ResizedMedia(
+      doc_id: Long,
+      src_width: Int,
+      src_height: Int,
+      out_width: Int,
+      out_height: Int,
+      scale: Double,
+      checksum: Long)
+
+  /** Typed output row of the frame-sample stage: one row per sampled
+    * frame (video → frames is a flatMap, 1→N).
+    */
+  final case class SampledFrame(
+      doc_id: Long,
+      frame_index: Int,
+      n_frames: Int,
+      offset_bytes: Long,
+      frame_checksum: Long)
+
   /** STUB: deterministic fake "decode + feature extraction" over raw
     * bytes. Stands in for an image/audio decoder (none in-container);
     * the output shape (dims + fixed-length feature vector) is what a
@@ -50,6 +70,41 @@ object MultimodalOps {
       var j = 0
       while (j < FeatureDim) { feature(j) = feature(j) / math.max(n, 1); j += 1 }
       MediaFeature(docId, n, 16 + n % 64, 16 + n % 48, 3, feature)
+    }
+
+    /** STUB resize: scale the fake decoded dims to fit a 32×32 target
+      * box (a real implementation swaps in an image library; the
+      * distributed shape — per-partition batch, fixed schema — is the
+      * part under test). The checksum stands in for the resized
+      * payload.
+      */
+    def resize(docId: Long, bytes: Array[Byte]): ResizedMedia = {
+      val d = decode(docId, bytes)
+      val scale = math.min(32.0 / d.width, 32.0 / d.height)
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
+      ResizedMedia(docId, d.width, d.height,
+        math.max(1, math.floor(d.width * scale).toInt),
+        math.max(1, math.floor(d.height * scale).toInt),
+        scale, sum)
+    }
+
+    /** STUB frame sampling: treat the payload as `n_frames` fixed-width
+      * frames and emit every other frame (1→N flatMap — the video
+      * keyframe-sampling batch shape).
+      */
+    val FrameBytes = 64
+    def sampleFrames(docId: Long, bytes: Array[Byte]): Seq[SampledFrame] = {
+      val nFrames = math.max(1, bytes.length / FrameBytes)
+      (0 until nFrames by 2).map { f =>
+        val off = f.toLong * FrameBytes
+        val end = math.min(bytes.length, (f + 1) * FrameBytes).toLong
+        var sum = 0L
+        var i = off.toInt
+        while (i < end) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
+        SampledFrame(docId, f, nFrames, off, sum)
+      }
     }
   }
 
@@ -99,5 +154,64 @@ object MultimodalOps {
         .select(Seq(col("doc_id"), col("n_bytes"), col("width"),
           col("height"), col("channels")) ++ featCols: _*)
         .orderBy(col("doc_id"))
+    },
+
+    // Resize stage: binary → per-partition batched stub resize with a
+    // fixed target box; all-scalar output schema. The resize math is
+    // SQL-expressible from the decode dims, so this one gets a full
+    // DuckDB oracle (mirroring the stub's dim formulas).
+    QuerySpec.sql(
+      "mm_resize_stub",
+      """SELECT doc_id,
+        |  CAST(16 + octet_length(encode(text)) % 64 AS INT) AS src_width,
+        |  CAST(16 + octet_length(encode(text)) % 48 AS INT) AS src_height,
+        |  GREATEST(1, CAST(FLOOR((16 + octet_length(encode(text)) % 64) *
+        |    LEAST(32.0 / (16 + octet_length(encode(text)) % 64),
+        |          32.0 / (16 + octet_length(encode(text)) % 48))) AS INT))
+        |    AS out_width,
+        |  GREATEST(1, CAST(FLOOR((16 + octet_length(encode(text)) % 48) *
+        |    LEAST(32.0 / (16 + octet_length(encode(text)) % 64),
+        |          32.0 / (16 + octet_length(encode(text)) % 48))) AS INT))
+        |    AS out_height,
+        |  LEAST(32.0 / (16 + octet_length(encode(text)) % 64),
+        |        32.0 / (16 + octet_length(encode(text)) % 48)) AS scale
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          StubDecoder.resize(id, bytes)
+        })
+        .toDF()
+        .select(col("doc_id"), col("src_width"), col("src_height"),
+          col("out_width"), col("out_height"), col("scale"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Frame-sample stage: binary → 1→N flatMap of sampled frames (the
+    // video keyframe batch shape); frame count/offsets SQL-expressible,
+    // so oracle-checked.
+    QuerySpec.sql(
+      "mm_frame_sample",
+      """SELECT doc_id, CAST(frame_index AS INT) AS frame_index,
+        |  CAST(GREATEST(1, octet_length(encode(text)) // 64) AS INT)
+        |    AS n_frames,
+        |  CAST(frame_index * 64 AS BIGINT) AS offset_bytes
+        |FROM documents,
+        |  LATERAL (SELECT unnest(range(0,
+        |    GREATEST(1, octet_length(encode(text)) // 64), 2))
+        |    AS frame_index) f
+        |ORDER BY doc_id, frame_index""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) => StubDecoder.sampleFrames(id, bytes) }
+        .toDF()
+        .select(col("doc_id"), col("frame_index"), col("n_frames"),
+          col("offset_bytes"))
+        .orderBy(col("doc_id"), col("frame_index"))
     })
 }
