@@ -48,6 +48,10 @@ object XrplOps {
       // tx_hashes is an array column — dropped so every dumped column
       // stays scalar-sortable for the cross-engine row hash
       dump(t.ledgers.toDF().drop("tx_hashes"), "ledgers")
+      // materialized candle store: the 13-interval cascade written as
+      // partitioned parquet, read back through interval routing
+      graft.xrpl.store.XrplStore.writeCandleStore(t.exchanges.toDF(),
+        s"$DumpDir/store")
       dump(graft.xrpl.topology.Topology.loadValidatorReports(s,
         graft.xrpl.topology.Topology.networkFixture("validator-reports.json")),
         "validator_reports")
@@ -145,6 +149,45 @@ object XrplOps {
           dsum(when(col("buyer") === col("taker"), col("base_amount"))
             .otherwise(lit("0"))).as("buy_volume"),
           count(lit(1)).as("count"))
+        .orderBy(col("base_currency"), col("base_issuer"),
+          col("counter_currency"), col("counter_issuer"), col("start"))
+    },
+
+    // The materialized candle store end-to-end: cascade written as
+    // interval-partitioned parquet at prepare time, read back through
+    // XrplStore.readCandles interval routing, hash-matched against
+    // DuckDB recomputing minute candles from the raw trades (S3 store
+    // scan + A1/A2 materialization + dust filter, value-exact).
+    QuerySpec.sql(
+      "xrpl_candle_store_minute",
+      s"""SELECT base_currency, COALESCE(base_issuer, '') AS base_issuer,
+         |  counter_currency, COALESCE(counter_issuer, '') AS counter_issuer,
+         |  (time // 60) * 60 AS start,
+         |  min_by(CAST(rate AS DOUBLE), $skSql) AS open,
+         |  max_by(CAST(rate AS DOUBLE), $skSql) AS close,
+         |  max(CAST(rate AS DOUBLE)) AS high,
+         |  min(CAST(rate AS DOUBLE)) AS low,
+         |  ${dsumSql("base_amount")} AS base_volume,
+         |  ${dsumSql("counter_amount")} AS counter_volume,
+         |  ${dsumSql("CASE WHEN buyer = taker THEN base_amount ELSE '0' END")}
+         |    AS buy_volume,
+         |  COUNT(*) AS count
+         |FROM ${t("exchanges")}
+         |WHERE NOT (base_currency = 'XRP'
+         |    AND CAST(base_amount AS DOUBLE) <= 0.0005)
+         |  AND NOT (counter_currency = 'XRP'
+         |    AND CAST(counter_amount AS DOUBLE) <= 0.0005)
+         |GROUP BY 1, 2, 3, 4, 5
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin) { (s, _) =>
+      prepare(s)
+      graft.xrpl.store.XrplStore.readCandles(s, s"$DumpDir/store", "1minute")
+        .select(col("base_currency"),
+          coalesce(col("base_issuer"), lit("")).as("base_issuer"),
+          col("counter_currency"),
+          coalesce(col("counter_issuer"), lit("")).as("counter_issuer"),
+          col("start"), col("open"), col("close"), col("high"), col("low"),
+          col("base_volume"), col("counter_volume"), col("buy_volume"),
+          col("count"))
         .orderBy(col("base_currency"), col("base_issuer"),
           col("counter_currency"), col("counter_issuer"), col("start"))
     },
