@@ -52,6 +52,13 @@ object XrplOps {
       // partitioned parquet, read back through interval routing
       graft.xrpl.store.XrplStore.writeCandleStore(t.exchanges.toDF(),
         s"$DumpDir/store")
+      // delete path: a date-partitioned transactions store with the
+      // newest ledger removed via the anti-join partition rewrite
+      graft.xrpl.store.XrplStore.write(
+        t.transactions.toDF().drop("tx_json", "meta_json"),
+        "transactions", s"$DumpDir/store_rm")
+      graft.xrpl.store.XrplStore.removeLedger(s, s"$DumpDir/store_rm",
+        "transactions", 29709909L)
       dump(graft.xrpl.topology.Topology.loadValidatorReports(s,
         graft.xrpl.topology.Topology.networkFixture("validator-reports.json")),
         "validator_reports")
@@ -818,6 +825,25 @@ object XrplOps {
         .select(col("account"), col("parent"),
           col("balance").cast("double").as("balance"),
           col("time"), col("ledger_index"), col("tx_index"), col("tx_hash"))
+        .orderBy(col("ledger_index"), col("tx_index"))
+    },
+
+    // S8 removeLedger end-to-end: the date-partitioned store after
+    // deleting the newest ledger (dynamic-partition anti-join rewrite,
+    // data.js:3133-3216) must equal the parsed table minus that
+    // ledger's rows.
+    QuerySpec.sql(
+      "xrpl_remove_ledger",
+      s"""SELECT tx_hash, ledger_index, tx_index, tx_type, tx_result,
+         |  account, executed_time
+         |FROM ${t("transactions")}
+         |WHERE ledger_index <> 29709909
+         |ORDER BY ledger_index, tx_index""".stripMargin) { (s, _) =>
+      prepare(s)
+      graft.xrpl.store.XrplStore.read(s, s"$DumpDir/store_rm", "transactions")
+        .select(col("tx_hash"), col("ledger_index"), col("tx_index"),
+          col("tx_type"), col("tx_result"), col("account"),
+          col("executed_time"))
         .orderBy(col("ledger_index"), col("tx_index"))
     },
 

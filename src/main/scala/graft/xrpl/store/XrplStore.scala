@@ -102,22 +102,39 @@ object XrplStore {
   def removeLedger(spark: SparkSession, rootDir: String, name: String,
       ledgerIndex: Long): Unit = {
     val df = read(spark, rootDir, name)
+    // dates as ISO strings: comparable by value regardless of the
+    // JVM's java.sql.Date accessibility and of partition-column typing
     val affectedDates = df.filter(col("ledger_index") === ledgerIndex)
-      .select(col("date")).distinct().collect().map(_.get(0))
+      .select(date_format(col("date"), "yyyy-MM-dd").as("d"))
+      .distinct().collect().map(_.getString(0))
     if (affectedDates.nonEmpty) {
       // localCheckpoint breaks lineage to the files being overwritten
       // (read-then-overwrite of the same path)
       val rewritten = df
-        .filter(col("date").isin(affectedDates.toIndexedSeq: _*))
+        .filter(date_format(col("date"), "yyyy-MM-dd")
+          .isin(affectedDates.toIndexedSeq: _*))
         .filter(col("ledger_index") =!= ledgerIndex)
         .localCheckpoint(true)
-      // dynamic partition overwrite touches only the affected dates
+      // dynamic partition overwrite touches only the affected dates —
+      // but it cannot express "this partition is now EMPTY" (an empty
+      // rewrite writes nothing and the old files survive), so dates
+      // whose every row belonged to the removed ledger are deleted
+      // explicitly afterwards.
+      val remaining = rewritten
+        .select(date_format(col("date"), "yyyy-MM-dd").as("d"))
+        .distinct().collect().map(_.getString(0)).toSet
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try rewritten.write.mode(SaveMode.Overwrite)
         .partitionBy("date").parquet(s"$rootDir/$name")
       finally prev.foreach(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      (affectedDates.toSet -- remaining).foreach { d =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$rootDir/$name/date=$d"),
+          true)
+      }
     }
   }
 }
