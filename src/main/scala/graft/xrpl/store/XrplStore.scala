@@ -77,6 +77,21 @@ object XrplStore {
   def read(spark: SparkSession, rootDir: String, name: String): DataFrame =
     spark.read.parquet(s"$rootDir/$name")
 
+  /** Bucketed variant for co-located joins: both sides of a recurring
+    * equi-join (e.g. affected-account index ⋈ transactions on tx_hash)
+    * written with the same bucket count and key join WITHOUT a shuffle
+    * — the exchange that dominates a 100 TB join simply disappears.
+    * Bucketing needs the session catalog, so tables land in the
+    * warehouse under `tableName` rather than a raw path.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, bucketKey: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketKey)
+      .sortBy(bucketKey)
+      .format("parquet")
+      .saveAsTable(tableName) // managed table in spark.sql.warehouse.dir
+
   /** Materialize the candle cascade as agg_exchanges partitions —
     * the reference's pre-aggregation tables (§4: "keep the
     * agg-building jobs"); interval queries then read these instead of
