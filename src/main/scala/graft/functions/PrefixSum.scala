@@ -113,6 +113,13 @@ object PrefixSum {
     }
     val dropCols = pidCol +: values.indices.flatMap(i =>
       Seq(localCol(i), offsetCol(i)))
-    withOuts.drop(dropCols: _*)
+    // Eagerly materialize the result, then release the ranged cache —
+    // otherwise every cumsum invocation leaks a MEMORY_AND_DISK entry
+    // for the session lifetime. The checkpoint pins the partition
+    // assignment the offsets were computed against, so dropping the
+    // cache cannot re-sample different range bounds.
+    val out = withOuts.drop(dropCols: _*).localCheckpoint(true)
+    ranged.unpersist()
+    out
   }
 }

@@ -131,12 +131,43 @@ object MultimodalOps {
         .orderBy(col("source"))
     },
 
-    // Decode path (not SQL-expressible → rows-only check): binary
-    // column → per-partition batched stub decode → typed features.
-    // The feature vector is emitted as fixed scalar columns f0..f7 (not
-    // array<double>) so downstream row hashing/sorting sees plain
-    // sortable scalars.
-    QuerySpec.rowsOnly("mm_decode_stub") { (s, dir) =>
+    // Decode path: binary column → per-partition batched stub decode →
+    // typed features. The feature vector is emitted as fixed scalar
+    // columns f0..f7 (not array<double>) so downstream row
+    // hashing/sorting sees plain sortable scalars, and — because the
+    // stub's byte-sum math IS SQL-expressible — the oracle recomputes
+    // the same per-position byte sums from hex(encode(text)) pairs.
+    QuerySpec.sql(
+      "mm_decode_stub",
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, n, i,
+        |    strpos('123456789ABCDEF', substr(h, 2*i+1, 1))*16 +
+        |    strpos('123456789ABCDEF', substr(h, 2*i+2, 1)) AS byte
+        |  FROM b, LATERAL (SELECT unnest(range(0, n)) AS i) t
+        |), feat AS (
+        |  SELECT doc_id, n, CAST(i % 8 AS INT) AS k,
+        |         CAST(SUM(byte) AS BIGINT) AS s
+        |  FROM pos GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, CAST(n AS INT) AS n_bytes,
+        |  CAST(16 + n % 64 AS INT) AS width,
+        |  CAST(16 + n % 48 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  CAST(round(COALESCE(MAX(CASE WHEN k=0 THEN s END), 0) / GREATEST(n,1) * 1e6) AS BIGINT) AS f0,
+        |  CAST(round(COALESCE(MAX(CASE WHEN k=1 THEN s END), 0) / GREATEST(n,1) * 1e6) AS BIGINT) AS f1,
+        |  CAST(round(COALESCE(MAX(CASE WHEN k=2 THEN s END), 0) / GREATEST(n,1) * 1e6) AS BIGINT) AS f2,
+        |  CAST(round(COALESCE(MAX(CASE WHEN k=3 THEN s END), 0) / GREATEST(n,1) * 1e6) AS BIGINT) AS f3,
+        |  CAST(round(COALESCE(MAX(CASE WHEN k=4 THEN s END), 0) / GREATEST(n,1) * 1e6) AS BIGINT) AS f4,
+        |  CAST(round(COALESCE(MAX(CASE WHEN k=5 THEN s END), 0) / GREATEST(n,1) * 1e6) AS BIGINT) AS f5,
+        |  CAST(round(COALESCE(MAX(CASE WHEN k=6 THEN s END), 0) / GREATEST(n,1) * 1e6) AS BIGINT) AS f6,
+        |  CAST(round(COALESCE(MAX(CASE WHEN k=7 THEN s END), 0) / GREATEST(n,1) * 1e6) AS BIGINT) AS f7
+        |FROM feat
+        |GROUP BY doc_id, n
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val bin = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))

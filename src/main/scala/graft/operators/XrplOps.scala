@@ -65,6 +65,13 @@ object XrplOps {
       dump(graft.xrpl.topology.Topology.loadLedgerValidations(s,
         graft.xrpl.topology.Topology.networkFixture("ledger-validations.json")),
         "ledger_validations")
+      // externally-collected read paths (estimate forex/books,
+      // external markets) — deterministic fixture stand-ins for the
+      // out-of-band collectors
+      dump(graft.xrpl.external.External.forexFixture(s), "forex_rates")
+      dump(graft.xrpl.external.External.orderbooksFixture(s),
+        "external_orderbooks")
+      dump(graft.xrpl.external.External.marketsFixture(s), "external_markets")
       prepared = true
     }
   }
@@ -470,8 +477,7 @@ object XrplOps {
          |FROM rated
          |ORDER BY start, currency, issuer""".stripMargin) { (s, _) =>
       import graft.xrpl.agg.Aggregations
-      Aggregations.metricPaymentVolume(pq(s, "payments"),
-          Aggregations.dailyXrpRates(pq(s, "exchanges")))
+      Aggregations.metricPaymentVolume(pq(s, "payments"), pq(s, "exchanges"))
         .select(col("currency"), coalesce(col("issuer"), lit("")).as("issuer"),
           col("start"), col("count"), col("amount"), col("rate"),
           col("converted_amount"), col("total"), col("total_count"))
@@ -878,5 +884,131 @@ object XrplOps {
           ((col("time") / 86400L).cast("long") * 86400L).as("date"))
         .agg(dsum(col("change")).as("daily_change"))
         .orderBy(col("currency"), col("issuer"), col("date"))
+    },
+
+    // Full two-book estimate with exchange/transfer fees, midpoint
+    // spread, and the forex reference rate (estimate.js:170-236 +
+    // getForex:101-143) — USD through bitstamp XRP/USD asks, XRP
+    // through bitso XRP/MXN bids. Fixture prices are binary-exact, so
+    // both engines' walks agree bit-for-bit.
+    QuerySpec.sql(
+      "xrpl_estimate",
+      s"""WITH a_book AS (
+         |  SELECT CAST(1.0 AS DOUBLE)/price AS price,
+         |         price*amount AS amount, offer_id
+         |  FROM ${t("external_orderbooks")}
+         |  WHERE source='bitstamp' AND base='XRP' AND counter='USD'
+         |    AND side='ask'
+         |), a_walk AS (
+         |  SELECT price, amount,
+         |    SUM(amount) OVER (ORDER BY price DESC, offer_id) AS cum
+         |  FROM a_book
+         |), a_fill AS (
+         |  SELECT price, CASE WHEN cum <= 63.0 THEN amount
+         |    ELSE CAST(63.0 AS DOUBLE)-(cum-amount) END AS fill
+         |  FROM a_walk WHERE cum - amount < 63.0
+         |), a_leg AS (
+         |  SELECT CAST(SUM(fill) AS DOUBLE) AS a_filled,
+         |         CAST(SUM(fill*price) AS DOUBLE) AS a_cost
+         |  FROM a_fill
+         |), a2 AS (
+         |  SELECT a_filled, a_cost, a_cost/a_filled AS a_rate,
+         |    a_cost * CAST(0.9921875 AS DOUBLE) - CAST(0.25 AS DOUBLE)
+         |      AS b_target
+         |  FROM a_leg
+         |), b_walk AS (
+         |  SELECT b.price, b.amount, a2.a_filled, a2.a_cost, a2.a_rate,
+         |    a2.b_target,
+         |    SUM(b.amount) OVER (ORDER BY b.price DESC, b.offer_id) AS cum
+         |  FROM (SELECT price, amount, offer_id
+         |        FROM ${t("external_orderbooks")}
+         |        WHERE source='bitso' AND base='XRP' AND counter='MXN'
+         |          AND side='bid') b
+         |  CROSS JOIN a2
+         |), b_leg AS (
+         |  SELECT a_filled, a_cost, a_rate, b_target,
+         |    CAST(SUM(CASE WHEN cum <= b_target THEN amount
+         |      ELSE b_target-(cum-amount) END) AS DOUBLE) AS b_filled,
+         |    CAST(SUM((CASE WHEN cum <= b_target THEN amount
+         |      ELSE b_target-(cum-amount) END) * price) AS DOUBLE) AS b_cost
+         |  FROM b_walk WHERE cum - amount < b_target
+         |  GROUP BY 1, 2, 3, 4
+         |), mids AS (
+         |  SELECT
+         |    (SELECT (MAX(CASE WHEN side='bid' THEN price END) +
+         |             MIN(CASE WHEN side='ask' THEN price END)) / 2
+         |     FROM ${t("external_orderbooks")} WHERE source='bitstamp')
+         |      AS mid_a,
+         |    (SELECT (MAX(CASE WHEN side='bid' THEN price END) +
+         |             MIN(CASE WHEN side='ask' THEN price END)) / 2
+         |     FROM ${t("external_orderbooks")} WHERE source='bitso')
+         |      AS mid_b
+         |), fx AS (
+         |  SELECT max_by(rate, time) AS fx_rate
+         |  FROM ${t("forex_rates")} WHERE currency='MXN'
+         |)
+         |SELECT a_filled, a_cost, a_rate, b_target, b_filled, b_cost,
+         |  b_cost/b_filled AS b_rate,
+         |  CAST(64.0 AS DOUBLE) AS amount,
+         |  b_cost AS estimated,
+         |  b_cost/CAST(64.0 AS DOUBLE) AS effective_rate,
+         |  mid_b/mid_a AS midpoint,
+         |  CAST(abs(ceil((b_cost/CAST(64.0 AS DOUBLE)/(mid_b/mid_a) - 1)
+         |    * 10000)) AS BIGINT) AS bps,
+         |  fx_rate
+         |FROM b_leg, mids, fx""".stripMargin) { (s, _) =>
+      import graft.xrpl.external.External
+      import graft.xrpl.api.Queries
+      val books = pq(s, "external_orderbooks")
+      // source leg re-expressed in source-currency (USD) depth: depth
+      // = price×amount USD, proceeds-per-USD = 1/price → walk best
+      // (highest) proceeds first
+      val bookA = External.book(books, "bitstamp", "XRP", "USD", "ask")
+        .select((lit(1.0) / col("price")).as("price"),
+          (col("price") * col("amount")).as("amount"), col("offer_id"))
+      val bookB = External.book(books, "bitso", "XRP", "MXN", "bid")
+      Queries.estimate(bookA, bookB, 64.0,
+        Queries.EstimateFees(sourceExchange = 0.015625,
+          destExchange = 0.0078125, transfer = 0.25),
+        forex = Some(External.forexRate(pq(s, "forex_rates"), "USD", "MXN")),
+        midpoints = Some((External.midpoint(books, "bitstamp", "XRP", "USD"),
+          External.midpoint(books, "bitso", "XRP", "MXN"))),
+        aAscending = false)
+    },
+
+    // External-markets aggregate (externalMarkets.js:19-95): rolling
+    // [frontier − period] per-market volume components with vwap rate
+    // and interval totals, computed live from the trade feed.
+    QuerySpec.sql(
+      "xrpl_external_markets",
+      s"""WITH f AS (
+         |  SELECT MAX(time) AS live_end FROM ${t("external_markets")}
+         |), w AS (
+         |  SELECT m.* FROM ${t("external_markets")} m, f
+         |  WHERE m.time > f.live_end - 86400
+         |), comp AS (
+         |  SELECT market,
+         |    SUM(CAST(base_volume AS DECIMAL(38,18))) AS base_dec,
+         |    SUM(CAST(counter_volume AS DECIMAL(38,18))) AS counter_dec,
+         |    COUNT(*) AS n
+         |  FROM w GROUP BY market
+         |), c2 AS (
+         |  SELECT market,
+         |    CAST(CAST(base_dec AS VARCHAR) AS DOUBLE) AS base_volume,
+         |    CAST(CAST(counter_dec AS VARCHAR) AS DOUBLE) AS counter_volume,
+         |    CAST(CAST(counter_dec AS VARCHAR) AS DOUBLE) /
+         |      CAST(CAST(base_dec AS VARCHAR) AS DOUBLE) AS rate,
+         |    CAST(n AS BIGINT) AS "count", base_dec
+         |  FROM comp
+         |)
+         |SELECT market, base_volume, counter_volume, rate, "count",
+         |  CAST(CAST((SELECT SUM(base_dec) FROM c2) AS VARCHAR) AS DOUBLE)
+         |    AS total,
+         |  (SELECT CAST(SUM("count") AS BIGINT) FROM c2) AS total_count
+         |FROM c2
+         |ORDER BY market""".stripMargin) { (s, _) =>
+      graft.xrpl.external.External
+        .externalMarkets(pq(s, "external_markets"), 86400L)
+        .orderBy(col("market"))
     })
 }

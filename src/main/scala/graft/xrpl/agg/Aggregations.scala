@@ -165,15 +165,25 @@ object Aggregations {
     * (currency, issuer)/XRP pair per day (the rate source the
     * reference's account-payments daemon queries, J4).
     */
-  def dailyXrpRates(exchanges: DataFrame): DataFrame = {
+  def dailyXrpRates(exchanges: DataFrame): DataFrame =
+    xrpRates(exchanges, "day")
+
+  /** [[dailyXrpRates]] generalized to an arbitrary bucket unit, so the
+    * volume metrics can fetch rates at their own interval the way the
+    * reference does (`'1' + interval`, data.js:920-927) — a day-keyed
+    * rate table joined against hourly components would silently rate
+    * every off-midnight component 0.
+    */
+  def xrpRates(exchanges: DataFrame, unit: String): DataFrame = {
     // canonical storage puts most IOUs as base with XRP counter;
     // vwap = Σcounter/Σbase = XRP per IOU unit. Decimal sums → the
     // vwap is order-independent (bit-identical across retries/engines).
+    val bucket = if (unit == "hour") hourSec(col("time")) else daySec(col("time"))
     exchanges
       .filter(col("counter_currency") === "XRP")
       .groupBy(col("base_currency").as("currency"),
         col("base_issuer").as("issuer"),
-        daySec(col("time")).as("date"))
+        bucket.as("date"))
       .agg((sum(col("counter_amount").cast(Dec)).cast("double") /
         sum(col("base_amount").cast(Dec)).cast("double")).as("rate_to_xrp"))
   }
@@ -188,21 +198,23 @@ object Aggregations {
     * already-aggregated component rows (partition = interval, a few
     * rows each) so the raw input shuffles exactly once.
     */
-  def metricPaymentVolume(payments: DataFrame, dailyRates: DataFrame,
+  def metricPaymentVolume(payments: DataFrame, rateExchanges: DataFrame,
       unit: String = "day"): DataFrame = {
     val bucket = if (unit == "hour") hourSec(col("time")) else daySec(col("time"))
     val comp = payments
       .groupBy(col("currency"), col("issuer"), bucket.as("start"))
       .agg(count(lit(1)).as("count"),
         sum(col("delivered_amount").cast(Dec)).cast("double").as("amount"))
-    attachXrpTotals(comp, dailyRates, "currency", "issuer")
+    // rates are derived at the metric's own unit (data.js:920-927) so
+    // hourly components join hourly vwaps, not a day-keyed table
+    attachXrpTotals(comp, xrpRates(rateExchanges, unit), "currency", "issuer")
   }
 
   /** trade_volume flavor of [[metricPaymentVolume]]: per-pair exchange
     * volume components, converted via the base leg's XRP rate
     * (data.js:791-942, metric `trade_volume`).
     */
-  def metricTradeVolume(exchanges: DataFrame, dailyRates: DataFrame,
+  def metricTradeVolume(exchanges: DataFrame, rateExchanges: DataFrame,
       unit: String = "day"): DataFrame = {
     val bucket = if (unit == "hour") hourSec(col("time")) else daySec(col("time"))
     val comp = exchanges
@@ -210,7 +222,8 @@ object Aggregations {
         col("counter_currency"), col("counter_issuer"), bucket.as("start"))
       .agg(count(lit(1)).as("count"),
         sum(col("base_amount").cast(Dec)).cast("double").as("amount"))
-    attachXrpTotals(comp, dailyRates, "base_currency", "base_issuer")
+    attachXrpTotals(comp, xrpRates(rateExchanges, unit),
+      "base_currency", "base_issuer")
   }
 
   /** Rate-join + XRP conversion + interval totals shared by the volume

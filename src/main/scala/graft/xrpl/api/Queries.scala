@@ -223,38 +223,49 @@ object Queries {
     */
   def reduceExchanges(exchanges: DataFrame, base: Pair, counter: Pair,
       opts: RangeOpts = RangeOpts(), guard: Int = 10000): DataFrame = {
-    // single pass: no pre-count scan and no sort — the row count rides
-    // along in the aggregate and the guard (data.js:1716-1722) is
-    // enforced lazily on the one result row via assert_true, so the
-    // range is read exactly once.
+    // single pass: no pre-count scan and no sort — both row counts
+    // (scanned, for the guard; post-dust, for the response) ride along
+    // in one aggregate. The guard counts SCANNED rows like the
+    // reference (data.js:1716-1722 errors on the range's row count
+    // before reduction, dust included); it fires lazily when the
+    // result row is consumed, as a SparkRuntimeException rather than
+    // the reference's eager request error — a documented divergence of
+    // error type/timing, not of boundary.
     val rows = exchangePairRows(exchanges, base, counter, opts)
-    val dustFiltered = rows.filter(
-      !(lit(base.currency == "XRP") && col("base_amount") < 0.0005) &&
-        !(lit(counter.currency == "XRP") && col("counter_amount") < 0.0005))
+    val isDust =
+      (lit(base.currency == "XRP") && col("base_amount") < 0.0005) ||
+        (lit(counter.currency == "XRP") && col("counter_amount") < 0.0005)
     val sk = concat_ws("|", lpad(col("ledger_index").cast("string"), 12, "0"),
       lpad(col("tx_index").cast("string"), 5, "0"),
       lpad(col("node_index").cast("string"), 5, "0"))
     val dec = org.apache.spark.sql.types.DecimalType(38, 18)
-    dustFiltered
+    // min_by/max_by skip rows whose ordering key is NULL, so nulling
+    // the sort key on dust rows excludes them without a second scan
+    def live(c: Column): Column = when(!col("dust"), c)
+    rows
+      .withColumn("dust", isDust)
       .withColumn("sk", sk)
       .agg(
-        min_by(col("rate"), col("sk")).as("open"),
-        max_by(col("rate"), col("sk")).as("close"),
-        max(col("rate")).as("high"),
-        min(col("rate")).as("low"),
-        min_by(col("time"), col("sk")).as("open_time"),
-        max_by(col("time"), col("sk")).as("close_time"),
+        min_by(col("rate"), live(col("sk"))).as("open"),
+        max_by(col("rate"), live(col("sk"))).as("close"),
+        max(live(col("rate"))).as("high"),
+        min(live(col("rate"))).as("low"),
+        min_by(col("time"), live(col("sk"))).as("open_time"),
+        max_by(col("time"), live(col("sk"))).as("close_time"),
         // raw-string decimal sums → exact and order-independent (the
         // double column would round-trip through binary first)
-        sum(col("base_amount_raw").cast(dec)).cast("double").as("base_volume"),
-        sum(col("counter_amount_raw").cast(dec)).cast("double")
+        sum(live(col("base_amount_raw")).cast(dec)).cast("double")
+          .as("base_volume"),
+        sum(live(col("counter_amount_raw")).cast(dec)).cast("double")
           .as("counter_volume"),
-        sum(when(col("buyer") === col("taker"), col("base_amount_raw"))
-          .otherwise(lit("0")).cast(dec)).cast("double").as("buy_volume"),
-        count(lit(1)).as("count"))
+        sum(live(when(col("buyer") === col("taker"), col("base_amount_raw"))
+          .otherwise(lit("0"))).cast(dec)).cast("double").as("buy_volume"),
+        count(when(!col("dust"), lit(1))).as("count"),
+        count(lit(1)).as("scanned"))
       .withColumn("vwap", col("counter_volume") / col("base_volume"))
-      .filter(assert_true(col("count") < lit(guard),
-        lit("too many rows")).isNull) // data.js:1716-1722, checked per-response
+      .filter(assert_true(col("scanned") < lit(guard),
+        lit("too many rows")).isNull) // data.js:1716-1722, pre-dust count
+      .drop("scanned")
   }
 
   // -----------------------------------------------------------------
@@ -644,27 +655,68 @@ object Queries {
       .agg(sum(col("fill")).as("filled"), sum(col("cost")).as("cost"))
       .withColumn("rate", col("cost") / col("filled"))
 
-  /** Two-book estimate (src→XRP then XRP→dst; estimate.js:170-224):
-    * walk book A for the source amount, then walk book B with the XRP
-    * proceeds; returns the combined conversion.
+  /** Per-exchange fee schedule for the two-book estimate — the static
+    * `fees` table of estimate.js:12-27 made a parameter: exchange fees
+    * scale each leg's input, the transfer fee is a flat deduction in
+    * intermediary units between legs (estimate.js:200-221).
     */
-  def estimate(bookA: DataFrame, bookB: DataFrame, amount: Double): DataFrame = {
-    val a = bookRate(bookA, amount)
+  final case class EstimateFees(
+      sourceExchange: Double = 0.0,
+      destExchange: Double = 0.0,
+      transfer: Double = 0.0)
+
+  /** Two-book estimate (src→XRP then XRP→dst; estimate.js:170-236):
+    * walk book A for the fee-adjusted source amount, deduct the
+    * destination's exchange + transfer fees from the intermediary
+    * proceeds, walk book B, and decorate with the midpoint spread
+    * (`bps`) and the forex reference rate (`fx_rate`,
+    * estimate.js:101-143) when those inputs are supplied.
+    *
+    * `midpoints`: 1-row frames with a `mid` column per book (see
+    * [[graft.xrpl.external.External.midpoint]]); `forex`: a 1-row
+    * frame with `fx_rate` ([[graft.xrpl.external.External.forexRate]]).
+    */
+  def estimate(bookA: DataFrame, bookB: DataFrame, amount: Double,
+      fees: EstimateFees = EstimateFees(),
+      forex: Option[DataFrame] = None,
+      midpoints: Option[(DataFrame, DataFrame)] = None,
+      aAscending: Boolean = true): DataFrame = {
+    val adjusted1 = amount * (1 - fees.sourceExchange)
+    // aAscending=false when bookA's price is proceeds-per-unit (e.g. a
+    // source book re-expressed in source-currency depth): best offer =
+    // highest proceeds per consumed unit
+    val a = bookRate(bookA, adjusted1, aAscending)
       .select(col("filled").as("a_filled"), col("cost").as("a_cost"),
         col("rate").as("a_rate"))
+      // destination-side fees come off the intermediary proceeds
+      // BEFORE the second walk (estimate.js:216-218)
+      .withColumn("b_target",
+        col("a_cost") * lit(1 - fees.destExchange) - lit(fees.transfer))
     // the XRP proceeds of leg A feed leg B as a broadcast scalar
     // COLUMN (1-row cross join) — the two walks compose into one lazy
     // plan, no driver-side materialization between legs. Leg B's price
     // is dst proceeds per XRP → best price first (desc).
     val bWalked = walkBookWith(bookB.crossJoin(broadcast(a)),
-      col("a_cost"), ascending = false)
-    bWalked
-      .groupBy(col("a_filled"), col("a_cost"), col("a_rate"))
+      col("b_target"), ascending = false)
+    val base = bWalked
+      .groupBy(col("a_filled"), col("a_cost"), col("a_rate"), col("b_target"))
       .agg(sum(col("fill")).as("b_filled"), sum(col("cost")).as("b_cost"))
       .withColumn("b_rate", col("b_cost") / col("b_filled"))
       .withColumn("amount", lit(amount))
       .withColumn("estimated", col("b_cost"))
       .withColumn("effective_rate", col("b_cost") / lit(amount))
+    val withMid = midpoints.fold(base) { case (mA, mB) =>
+      // midpoint-of-midpoints spread in basis points
+      // (estimate.js:208-212, 229-230)
+      val mids = mA.select(col("mid").as("mid_a"))
+        .crossJoin(mB.select(col("mid").as("mid_b")))
+        .select((col("mid_b") / col("mid_a")).as("midpoint"))
+      base.crossJoin(broadcast(mids))
+        .withColumn("bps",
+          abs(ceil((col("effective_rate") / col("midpoint") - 1) * 10000))
+            .cast("long"))
+    }
+    forex.fold(withMid)(fx => withMid.crossJoin(broadcast(fx)))
   }
 
   // -----------------------------------------------------------------

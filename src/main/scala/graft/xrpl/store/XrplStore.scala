@@ -144,11 +144,13 @@ object XrplStore {
         .partitionBy("date").parquet(s"$rootDir/$name")
       finally prev.foreach(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
       (affectedDates.toSet -- remaining).foreach { d =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$rootDir/$name/date=$d"),
-          true)
+        // resolve the filesystem from the path itself — the store root
+        // may live on a non-default FS (s3a:// under an HDFS default),
+        // where the default-FS delete would throw Wrong-FS or no-op
+        val p = new org.apache.hadoop.fs.Path(s"$rootDir/$name/date=$d")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
       }
     }
   }

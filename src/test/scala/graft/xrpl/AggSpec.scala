@@ -145,8 +145,7 @@ class AggSpec extends AnyFunSuite {
   }
 
   test("metric volume: totals equal the sum of converted components") {
-    val m = Aggregations.metricPaymentVolume(tables.payments.toDF(),
-      Aggregations.dailyXrpRates(exchanges))
+    val m = Aggregations.metricPaymentVolume(tables.payments.toDF(), exchanges)
     // XRP components convert at rate 1; totals are per-interval sums
     assert(m.filter(col("currency") === "XRP" && col("rate") =!= 1.0)
       .count() === 0L)
@@ -159,6 +158,29 @@ class AggSpec extends AnyFunSuite {
       assert(rs.head.getAs[Long]("total_count") ===
         rs.map(_.getAs[Long]("count")).sum)
     }
+  }
+
+  test("hourly metric volume rates components at their own hour") {
+    import spark.implicits._
+    val day = 1421193600L // 2015-01-14
+    // one USD/XRP trade at 18:30 (2 XRP per USD) and a USD payment at
+    // 18:45 — with day-keyed rates the 18:00 component got rate 0
+    val ex = Seq(
+      ("USD", "rIss", "XRP", null.asInstanceOf[String],
+        day + 18 * 3600 + 1800L, "1", "2")
+    ).toDF("base_currency", "base_issuer", "counter_currency",
+      "counter_issuer", "time", "base_amount", "counter_amount")
+    val pays = Seq(
+      ("USD", "rIss", day + 18 * 3600 + 2700L, "10"),
+      ("XRP", null.asInstanceOf[String], day + 3600L, "5")
+    ).toDF("currency", "issuer", "time", "delivered_amount")
+    val hourly = Aggregations.metricPaymentVolume(pays, ex, "hour").collect()
+    val usd = hourly.find(_.getAs[String]("currency") == "USD").get
+    assert(usd.getAs[Long]("start") === day + 18 * 3600)
+    assert(usd.getAs[Double]("rate") === 2.0)
+    assert(usd.getAs[Double]("converted_amount") === 20.0)
+    val xrp = hourly.find(_.getAs[String]("currency") == "XRP").get
+    assert(xrp.getAs[Double]("rate") === 1.0)
   }
 
   test("metric volume live: rolling 24h window relative to the frontier") {

@@ -28,9 +28,14 @@ object ExpressionProps extends Properties("Expressions") {
   // ---------------------------------------------------------------
   // MinHashSig vs a direct per-shingle min over md5 slices
   // ---------------------------------------------------------------
+  // includes supplementary-plane code points (emoji, CJK-ext) so the
+  // shingle boundaries are exercised across surrogate pairs
+  private val cpGen: Gen[String] = Gen.frequency(
+    (8, Gen.alphaNumChar.map(_.toString)),
+    (2, Gen.const(" ")),
+    (1, Gen.oneOf("😀", "🔥", "𣀊")))
   private val textGen = Gen.chooseNum(0, 60).flatMap(n =>
-    Gen.listOfN(n, Gen.frequency(
-      (8, Gen.alphaNumChar), (2, Gen.const(' ')))).map(_.mkString))
+    Gen.listOfN(n, cpGen).map(_.mkString))
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -38,7 +43,10 @@ object ExpressionProps extends Properties("Expressions") {
       .map(b => f"${b & 0xff}%02x").mkString
 
   private def refSig(text: String, n: Int): Option[Vector[String]] = {
-    val shingles = text.sliding(8).filter(_.length == 8).toVector
+    // code-point sliding windows (SQL substr semantics), not UTF-16
+    val cps = text.codePoints().toArray
+    val shingles = cps.sliding(8).filter(_.length == 8)
+      .map(w => new String(w, 0, w.length)).toVector
     if (shingles.isEmpty) None
     else Some((0 until n).map { i =>
       shingles.map(s => md5hex(s"${i / 4}$s").substring((i % 4) * 8, (i % 4) * 8 + 8)).min
