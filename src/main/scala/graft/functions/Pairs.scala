@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scalable all-pairs generation within groups.
@@ -9,49 +8,64 @@ import org.apache.spark.sql.functions._
   * A plain self-join on the group key computes C(n, 2) pairs of the
   * hottest group in ONE task — the classic quadratic blow-up of
   * similarity/dedup pair generation. The triangle block decomposition
-  * splits each group's members into id-ordered blocks of `blockSize`
-  * and joins on (group, block-i, block-j) with i ≤ j:
+  * splits each group's members into blocks and joins on
+  * (group, block-i, block-j) with i ≤ j:
   *
-  *   - complete: every pair lands in exactly one block pair (ids in
-  *     block i precede ids in block j for i < j, and the i = j case is
-  *     filtered to a_id < b_id);
-  *   - bounded: the worst task computes blockSize² pairs, however
+  *   - complete: every unordered pair lands in exactly one block pair
+  *     (the smaller-block member on the `a` side, the larger-block
+  *     member on the `b` side; same-block pairs de-duplicated by id);
+  *   - bounded: the worst task computes ~blockSize² pairs, however
   *     large the group;
   *   - degenerate-free: groups that fit one block reduce to exactly
   *     the plain self-join plan.
+  *
+  * Block membership is `pmod(xxhash64(id), nblocks)` with nblocks =
+  * ⌈group size / blockSize⌉ from a plain hash-agg count — no
+  * per-group `row_number` window, so even the hottest group's block
+  * assignment is map-side parallel (the previous rank-based assignment
+  * serialized each hot key through one sort task).
   */
 object Pairs {
 
-  /** All unordered same-group pairs (`a_id` < `b_id`). Input needs the
-    * group `keyCols`, an orderable numeric `idCol`, and any `payload`
-    * columns; output carries keyCols plus `a_`/`b_`-prefixed id and
-    * payload columns.
+  /** All unordered same-group pairs, normalized to `a_id` < `b_id`.
+    * Input needs the group `keyCols`, an orderable unique `idCol`, and
+    * any `payload` columns; output carries keyCols plus `a_`/`b_`-
+    * prefixed id and payload columns.
     */
   def blockedSelfPairs(df: DataFrame, keyCols: Seq[String], idCol: String,
       payload: Seq[String], blockSize: Int): DataFrame = {
     val keys = keyCols.map(col)
-    val w = Window.partitionBy(keys: _*).orderBy(col(idCol))
-    val blocked = df
+    // per-group block count from a hash-agg (map-side partials, no sort)
+    val nblk = df.groupBy(keys: _*)
+      .agg(ceil(count(lit(1)) / lit(blockSize.toDouble)).cast("int")
+        .as("__nblk"))
+    val blocked = df.join(broadcast(nblk), keyCols)
       .withColumn("__blk",
-        floor((row_number().over(w) - 1) / blockSize).cast("int"))
-    val nblk = blocked.groupBy(keys: _*).agg(max(col("__blk")).as("__max_blk"))
+        pmod(xxhash64(col(idCol)), col("__nblk").cast("long")).cast("int"))
 
-    def side(prefix: String, partners: Column): DataFrame = {
-      val cols = keys ++
-        Seq(col(idCol).as(s"${prefix}_$idCol")) ++
-        payload.map(c => col(c).as(s"${prefix}_$c")) ++
-        Seq(col("__blk"), partners)
-      (if (prefix == "a") blocked.join(broadcast(nblk), keyCols) else blocked)
-        .select(cols: _*)
-    }
+    val fields = idCol +: payload
+    def tagged(prefix: String): Seq[Column] =
+      keys ++ fields.map(c => col(c).as(s"${prefix}_$c"))
     // left side owns block i, partnering every j >= i; right side owns
-    // block j, partnering every i <= j
-    val a = side("a", explode(expr("sequence(__blk, __max_blk)")).as("__bj"))
-      .withColumnRenamed("__blk", "__bi")
-    val b = side("b", explode(expr("sequence(0, __blk)")).as("__bi"))
-      .withColumnRenamed("__blk", "__bj")
-    a.join(b, keyCols ++ Seq("__bi", "__bj"))
-      .filter(col(s"a_$idCol") < col(s"b_$idCol"))
-      .drop("__bi", "__bj")
+    // block j, partnering every i <= j — a cross-block pair matches in
+    // exactly one orientation (smaller block on the left)
+    val a = blocked.select(tagged("a") ++ Seq(col("__blk").as("__bi"),
+      explode(expr("sequence(__blk, __nblk - 1)")).as("__bj")): _*)
+    val b = blocked.select(tagged("b") ++ Seq(
+      explode(expr("sequence(0, __blk)")).as("__bi"),
+      col("__blk").as("__bj")): _*)
+    val joined = a.join(b, keyCols ++ Seq("__bi", "__bj"))
+      // same-block cells would emit both orientations — keep one
+      .filter(col("__bi") < col("__bj") ||
+        col(s"a_$idCol") < col(s"b_$idCol"))
+      .filter(col(s"a_$idCol") =!= col(s"b_$idCol"))
+    // hash blocks are id-unordered, so normalize the output to
+    // a_id < b_id (what the rank-ordered blocks used to guarantee)
+    val lt = col(s"a_$idCol") < col(s"b_$idCol")
+    val aOut = fields.map(f =>
+      when(lt, col(s"a_$f")).otherwise(col(s"b_$f")).as(s"a_$f"))
+    val bOut = fields.map(f =>
+      when(lt, col(s"b_$f")).otherwise(col(s"a_$f")).as(s"b_$f"))
+    joined.select(keys ++ aOut ++ bOut: _*)
   }
 }

@@ -220,15 +220,14 @@ object TextOps {
            |ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
       val k = 8; val w = 4
+      // fingerprint via the codegen'd WinnowFp expression — one tight
+      // pass per document (monotonic-deque sliding min) with values
+      // identical to the declarative transform/slice/array_min plan
+      // the oracle keeps (equivalence spec: WinnowSpec)
       docs(s, dir)
         .filter(length(col("text")) >= k + w - 1)
         .select(col("doc_id"),
-          expr(s"""transform(sequence(1, length(text) - ${k - 1}),
-            | i -> md5(substring(text, i, $k)))""".stripMargin).as("hashes"))
-        .select(col("doc_id"),
-          expr(s"""array_sort(array_distinct(transform(
-            | sequence(1, size(hashes) - ${w - 1}),
-            | j -> array_min(slice(hashes, j, $w)))))""".stripMargin).as("fp"))
+          graft.functions.WinnowFp.winnow_fp(col("text"), k, w).as("fp"))
         .select(col("doc_id"),
           size(col("fp")).cast("long").as("n_fingerprints"),
           md5(concat_ws("", col("fp"))).as("fp_digest"))

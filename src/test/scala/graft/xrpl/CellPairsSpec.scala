@@ -50,4 +50,16 @@ class CellPairsSpec extends AnyFunSuite {
       .groupBy("a_id", "b_id").count().filter(col("count") > 1).count()
     assert(got === 0L)
   }
+
+  test("hash block assignment plans no per-key Window sort") {
+    import spark.implicits._
+    // window-free input: the fixture's cell_rank (itself a Window)
+    // would mask the property under test
+    val df = (0 until 18).map(i => (i.toLong, s"cell${i % 2}", i * 2L))
+      .toDF("vec_id", "label", "payload")
+    val plan = graft.functions.Pairs
+      .blockedSelfPairs(df, Seq("label"), "vec_id", Seq("payload"), 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.linesIterator.take(20).mkString("\n"))
+  }
 }

@@ -94,6 +94,57 @@ class StoreStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cascade via foreachBatch fills the candle store") {
+    import spark.implicits._
+    // drop dir and output dirs must be separate — the file source
+    // lists its watched directory recursively
+    val dropDir = Files.createTempDirectory("graft-cascade-drop").toString
+    val dir = Files.createTempDirectory("graft-cascade-out").toString
+    val src = XrplTables.fixturesPath
+    val raw = spark.read.option("wholetext", "true").text(src)
+      .as[String].collect()
+    val lines = raw.map(s => Json.parse(s).toString)
+    // two drop files + maxFilesPerTrigger=1 → two real micro-batches
+    val (first, second) = lines.splitAt(lines.length / 2)
+    Files.write(java.nio.file.Paths.get(s"$dropDir/ledgers_a.jsonl"),
+      first.mkString("\n").getBytes)
+    Files.write(java.nio.file.Paths.get(s"$dropDir/ledgers_b.jsonl"),
+      second.mkString("\n").getBytes)
+
+    val stream = spark.readStream
+      .schema("value STRING").option("maxFilesPerTrigger", "1").text(dropDir)
+    val exchanges = CandleStream.parsedStream(spark, stream)
+      .flatMap(_.exchanges).toDF()
+    val q = exchanges.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // T1/T6: stage the batch's raw trades, then re-run the full
+        // 13-interval cascade from the staged table — the reference's
+        // periodic full-reload repair (exchanges.js:484-496) as an
+        // idempotent batch job per micro-batch
+        batch.write.mode("append").parquet(s"$dir/staging")
+        XrplStore.writeCandleStore(
+          spark.read.parquet(s"$dir/staging"), s"$dir/store")
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.length >= 2) // the cascade ran per batch
+    } finally q.stop()
+
+    // final streamed store ≡ the store built from the batch table, at
+    // every cascade interval (row-exact, not just aggregate-equal)
+    val batchDir = Files.createTempDirectory("graft-cascade-batch").toString
+    XrplStore.writeCandleStore(tables.exchanges.toDF(), batchDir)
+    Seq("1minute", "15minute", "1hour", "1day", "7day").foreach { iv =>
+      val streamed = XrplStore.readCandles(spark, s"$dir/store", iv)
+      val batch = XrplStore.readCandles(spark, batchDir, iv)
+      assert(streamed.count() === batch.count(), iv)
+      assert(streamed.exceptAll(batch).count() === 0L, iv)
+      assert(batch.exceptAll(streamed).count() === 0L, iv)
+    }
+  }
+
   test("streaming daily tx stats count every transaction") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream2").toString
