@@ -251,7 +251,7 @@ object DedupOps {
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       // distinct n-grams per doc via array_distinct BEFORE the explode:
       // map-side, no dropDuplicates shuffle of the exploded table
-      val ngrams = docs(s, dir)
+      val exploded = docs(s, dir)
         .select(col("doc_id"), col("lang"), col("source"),
           split(col("text"), " ").as("ts"))
         .filter(size(col("ts")) >= 3)
@@ -260,23 +260,29 @@ object DedupOps {
             """array_distinct(transform(sequence(1, size(ts)-2),
               |  i -> concat(element_at(ts, i), ' ', element_at(ts, i+1),
               |              ' ', element_at(ts, i+2))))""".stripMargin)).as("ng"))
-        // stop-phrase guard: drop n-grams shared by more than
-        // MaxNgramDf docs in the block (from sizes AND intersections —
-        // consistent Jaccard over non-stop n-grams); bounds every
-        // posting list entering the pair join
-        .withColumn("__df",
-          count(lit(1)).over(Window.partitionBy(col("lang"), col("source"),
-            col("ng"))))
-        .filter(col("__df") <= MaxNgramDf)
-        .drop("__df")
-      val sizes = ngrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = ngrams.select(col("doc_id").as("a_id"), col("lang"), col("source"), col("ng"))
-      val b = ngrams.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-        col("source").as("b_source"), col("ng").as("b_ng"))
-      val inter = a.join(b,
-          col("ng") === col("b_ng") && col("lang") === col("b_lang") &&
-            col("source") === col("b_source") && col("a_id") < col("b_id"))
-        .groupBy(col("a_id"), col("b_id"))
+      // one hash-agg to posting lists per (block, n-gram); the
+      // stop-phrase ceiling bounds every list — from sizes AND
+      // intersections, so the Jaccard stays consistent over non-stop
+      // n-grams. Replaces the former count-Window + exploded self-join
+      // (three recomputations of the exploded table, two sort
+      // shuffles) with: explode → groupBy(ng) → in-list pair explode →
+      // groupBy(pair). No Window, no join of exploded tables.
+      val posting = exploded
+        .groupBy(col("lang"), col("source"), col("ng"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) <= MaxNgramDf)
+      val sizes = posting
+        .select(explode(col("ds")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // every same-list pair, ids ascending: ≤ C(MaxNgramDf, 2) per
+      // n-gram by construction
+      val inter = posting
+        .filter(size(col("ds")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+            |  transform(slice(ds, i + 2, size(ds)),
+            |    y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
         .agg(count(lit(1)).as("n_inter"))
       inter
         .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
