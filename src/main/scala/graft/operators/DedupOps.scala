@@ -92,6 +92,47 @@ object DedupOps {
        |GROUP BY doc_id""".stripMargin
   }
 
+  /** Banded-LSH candidate pairs (a_id < b_id, distinct): docs sharing
+    * ANY band signature. Shared by the banded-scoring gate and the
+    * cluster-resolution (connected components) gate.
+    */
+  private def bandedCandidates(s: SparkSession, dir: String): DataFrame = {
+    val r = NumHashes / NumBands
+    val sig = minhashSig(s, dir)
+    val bands = (0 until NumBands).map { bi =>
+      val keyCols = (bi * r until (bi + 1) * r).map(i => col(s"m$i"))
+      sig.select(col("doc_id"), lit(bi + 1).as("band"),
+        concat_ws("|", keyCols: _*).as("key"))
+    }.reduce(_ unionByName _)
+    // triangle block decomposition of each band bucket: complete
+    // candidate set, one hot bucket's pairs spread across block-pair
+    // tasks (graft.functions.Pairs)
+    graft.functions.Pairs.blockedSelfPairs(bands,
+        keyCols = Seq("band", "key"), idCol = "doc_id",
+        payload = Nil, blockSize = MaxBandBucket)
+      .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"))
+      .dropDuplicates()
+  }
+
+  /** The `sig`/`bands`/`cand` CTE chain mirroring [[bandedCandidates]]
+    * for the DuckDB oracles (no leading WITH — callers splice it).
+    */
+  private def bandedCandCtes: String = {
+    val r = NumHashes / NumBands
+    val bandSelects = (0 until NumBands).map { bi =>
+      val key = (bi * r until (bi + 1) * r).map(i => s"m$i")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, ${bi + 1} AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""sig AS ($minhashSigSql),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     // Exact dedup: hash-groupBy on content digest; every doc mapped to
     // the canonical (minimum) doc_id of its content group.
@@ -161,22 +202,10 @@ object DedupOps {
     // hot band value can't serialize onto a single task.
     QuerySpec.sql(
       "dedup_minhash_banded", {
-        val r = NumHashes / NumBands
-        val bandSelects = (0 until NumBands).map { bi =>
-          val key = (bi * r until (bi + 1) * r).map(i => s"m$i")
-            .mkString(" || '|' || ")
-          s"SELECT doc_id, ${bi + 1} AS band, $key AS key FROM sig"
-        }.mkString("\n  UNION ALL\n  ")
         val estimator = (0 until NumHashes)
           .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
           .mkString("\n         |      + ")
-        s"""WITH sig AS ($minhashSigSql),
-           |bands AS (
-           |  $bandSelects),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        s"""WITH $bandedCandCtes
            |SELECT c.a_id, c.b_id,
            |  CAST(($estimator) AS DOUBLE) / $NumHashes
            |    AS est_jaccard
@@ -185,21 +214,8 @@ object DedupOps {
            |JOIN sig sb ON sb.doc_id = c.b_id
            |ORDER BY a_id, b_id""".stripMargin
       }) { (s, dir) =>
-      val r = NumHashes / NumBands
       val sig = minhashSig(s, dir)
-      val bands = (0 until NumBands).map { bi =>
-        val keyCols = (bi * r until (bi + 1) * r).map(i => col(s"m$i"))
-        sig.select(col("doc_id"), lit(bi + 1).as("band"),
-          concat_ws("|", keyCols: _*).as("key"))
-      }.reduce(_ unionByName _)
-      // triangle block decomposition of each band bucket: complete
-      // candidate set, one hot bucket's pairs spread across block-pair
-      // tasks (graft.functions.Pairs)
-      val cand = graft.functions.Pairs.blockedSelfPairs(bands,
-          keyCols = Seq("band", "key"), idCol = "doc_id",
-          payload = Nil, blockSize = MaxBandBucket)
-        .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"))
-        .dropDuplicates()
+      val cand = bandedCandidates(s, dir)
       val sa = sig.select(col("doc_id").as("a_id") +:
         (0 until NumHashes).map(i => col(s"m$i").as(s"a$i")): _*)
       val sb = sig.select(col("doc_id").as("b_id") +:
@@ -292,5 +308,34 @@ object DedupOps {
         .filter(col("jaccard") >= 0.02)
         .select(col("a_id"), col("b_id"), col("n_inter"), col("jaccard"))
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Cluster resolution: near-dup PAIRS (the banded-LSH candidates)
+    // → connected components → one canonical keeper (minimum doc_id)
+    // per component. The missing last stage of a dedup pipeline: pair
+    // gates prove candidate generation, this proves the doc_id →
+    // cluster_id assignment a 100 TB dedup job actually ships. Spark
+    // side: O(diameter) rounds of min-label propagation
+    // (graft.functions.ConnectedComponents); oracle: DuckDB recursive
+    // CTE computing min reachable id — different algorithms, identical
+    // fixpoint.
+    QuerySpec.sql(
+      "dedup_connected_components",
+      s"""WITH RECURSIVE $bandedCandCtes,
+         |edges AS (
+         |  SELECT a_id AS u, b_id AS v FROM cand
+         |  UNION ALL SELECT b_id, a_id FROM cand),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT re.id, e.v FROM reach re JOIN edges e ON e.u = re.r)
+         |SELECT id AS doc_id, MIN(r) AS cluster_id
+         |FROM reach GROUP BY id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.ConnectedComponents.minLabels(
+          docs(s, dir).select(col("doc_id")), "doc_id",
+          bandedCandidates(s, dir), "a_id", "b_id")
+        .select(col("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
     })
 }
