@@ -14,7 +14,7 @@ object SparkEntry {
   def allSpecs: Seq[QuerySpec] =
     Relational.specs ++ TimeSeriesOps.specs ++ TextOps.specs ++
       DedupOps.specs ++ SimilarityOps.specs ++ MultimodalOps.specs ++
-      XrplOps.specs
+      PipelineOps.specs ++ XrplOps.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,197 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators — the sampling / packing stages between a
+  * filtered document set and a training run.
+  *
+  * Both are deterministic by construction (hash thresholds, prefix
+  * sums over a total order) so re-runs and engines agree bit-for-bit:
+  * a sampling decision that depends on partitioning or RNG state is a
+  * provenance bug at 100 TB.
+  */
+object PipelineOps {
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Per-language keep rates as EXACT integer thresholds against a
+    * 32-bit hash: keep iff hash(doc_id) < rate · 2³². Integer
+    * comparison, no float boundary — both engines agree on every row.
+    */
+  val StratThresholds: Seq[(String, Long)] = Seq(
+    "en" -> (1L << 32), // 1.0  — keep everything
+    "fr" -> (1L << 31), // 0.5
+    "de" -> (1L << 31), // 0.5
+    "es" -> (1L << 30), // 0.25
+    "zh" -> (1L << 30)) // 0.25
+  val StratDefault: Long = 429496729L // ⌊0.1 · 2³²⌋ for unlisted langs
+
+  /** Token budget per packed sequence (small so sf0.01 splits packs). */
+  val PackBudget = 256
+
+  def specs: Seq[QuerySpec] = Seq(
+    // Stratified downsampling: deterministic per-language quota via a
+    // salted md5 of the stable doc id. The hash is uniform and
+    // independent of partitioning, so the sample is reproducible
+    // across runs, engines, and cluster sizes — and the filter is a
+    // map-side predicate (no shuffle at all).
+    QuerySpec.sql(
+      "sample_stratified", {
+        val cases = StratThresholds
+          .map { case (l, t) => s"WHEN '$l' THEN $t" }.mkString(" ")
+        s"""SELECT doc_id, lang, source, hv
+           |FROM (
+           |  SELECT doc_id, lang, source,
+           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'),
+           |      1, 8)) AS BIGINT) AS hv
+           |  FROM documents)
+           |WHERE hv < CASE lang $cases ELSE $StratDefault END
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val hv = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit(":strat"))), 1, 8),
+        16, 10).cast("long")
+      val thresh = StratThresholds.foldLeft(
+          when(lit(false), lit(0L))) { case (acc, (l, t)) =>
+        acc.when(col("lang") === l, lit(t))
+      }.otherwise(lit(StratDefault))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), hv.as("hv"))
+        .filter(col("hv") < thresh)
+        .orderBy(col("doc_id"))
+    },
+
+    // Sequence packing: assign each document to a fixed-token-budget
+    // pack within its source stream, by exclusive running token count
+    // (a document belongs to the pack where its prefix starts). The
+    // running sum is the range-partitioned two-pass PrefixSum over the
+    // total order (source, doc_id) — NOT a per-source Window, so one
+    // hot source cannot serialize onto a single task; the per-source
+    // reset is a broadcast join of each source's first offset.
+    QuerySpec.sql(
+      "text_pack",
+      s"""SELECT doc_id, source, n_tok, (cum - n_tok) // $PackBudget AS pack_id
+         |FROM (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(SUM(len(string_split(text, ' '))) OVER
+         |      (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val cum = graft.functions.PrefixSum.globalCumsum(
+        base, Seq(col("source"), col("doc_id")), col("n_tok"), "cum")
+      val off = cum.groupBy(col("source"))
+        .agg(min(col("cum") - col("n_tok")).as("src_off"))
+      cum.join(broadcast(off), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          expr(s"(cum - src_off - n_tok) div $PackBudget").as("pack_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Repetition quality signals (the Gopher-style "fraction of the
+    // doc that is its most-repeated n-gram" family). Shuffle-free:
+    // each doc's top-n-gram count is the longest run in its SORTED
+    // n-gram array — one sort_array + one aggregate() fold per doc,
+    // no explode and no (doc, gram) shuffle. The two-level
+    // explode→groupBy plan computes the same number but shuffles every
+    // n-gram occurrence; per-doc HOFs keep the whole signal map-side.
+    QuerySpec.sql(
+      "text_repetition",
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |g1 AS (SELECT doc_id, unnest(ts) AS g FROM toks),
+        |c1 AS (SELECT doc_id, g, COUNT(*) AS c FROM g1 GROUP BY 1,2),
+        |r1 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |         CAST(MAX(c) AS DOUBLE)/SUM(c) AS top_unigram_frac
+        |       FROM c1 GROUP BY doc_id),
+        |g2 AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-1)) AS i) gi
+        |       WHERE len(ts) >= 2),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1,2),
+        |r2 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE)/SUM(c) AS top_bigram_frac
+        |       FROM c2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) gi
+        |       WHERE len(ts) >= 3),
+        |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1,2),
+        |r3 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE)/SUM(c) AS top_trigram_frac
+        |       FROM c3 GROUP BY doc_id)
+        |SELECT r1.doc_id AS doc_id, n_tokens, top_unigram_frac,
+        |  COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac,
+        |  COALESCE(top_trigram_frac, 0.0) AS top_trigram_frac
+        |FROM r1 LEFT JOIN r2 ON r1.doc_id = r2.doc_id
+        |        LEFT JOIN r3 ON r1.doc_id = r3.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // longest run in the sorted n-gram array == the max per-doc
+      // n-gram count; integer count / integer total keeps the double
+      // division bit-identical across engines
+      def topRun(ng: String): String =
+        s"""aggregate(sort_array($ng),
+           |  named_struct('prev', CAST(NULL AS STRING),
+           |               'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+           |  (a, x) -> named_struct('prev', x,
+           |    'run', IF(x <=> a.prev, a.run + CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+           |    'best', GREATEST(a.best,
+           |      IF(x <=> a.prev, a.run + CAST(1 AS BIGINT), CAST(1 AS BIGINT)))),
+           |  a -> a.best)""".stripMargin
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .withColumn("ng2", expr(
+          """IF(size(ts) >= 2, transform(sequence(1, size(ts)-1),
+            |  i -> concat(element_at(ts, i), ' ', element_at(ts, i+1))),
+            |  CAST(array() AS ARRAY<STRING>))""".stripMargin))
+        .withColumn("ng3", expr(
+          """IF(size(ts) >= 3, transform(sequence(1, size(ts)-2),
+            |  i -> concat(element_at(ts, i), ' ', element_at(ts, i+1),
+            |              ' ', element_at(ts, i+2))),
+            |  CAST(array() AS ARRAY<STRING>))""".stripMargin))
+        .select(
+          col("doc_id"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          (expr(topRun("ts")).cast("double") / size(col("ts")))
+            .as("top_unigram_frac"),
+          when(size(col("ng2")) === 0, lit(0.0))
+            .otherwise(expr(topRun("ng2")).cast("double") / size(col("ng2")))
+            .as("top_bigram_frac"),
+          when(size(col("ng3")) === 0, lit(0.0))
+            .otherwise(expr(topRun("ng3")).cast("double") / size(col("ng3")))
+            .as("top_trigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PII-style redaction: count + scrub emails and a domain-entity
+    // token class, fingerprint the scrubbed text. Pure per-row regex —
+    // map-side, no shuffle, and the same RE2-compatible patterns run
+    // in both engines (no lookarounds/backrefs, so Java regex and
+    // DuckDB's RE2 agree). The email pattern matches nothing in the
+    // synthetic corpus (by design — the count proving that is part of
+    // the check); the entity class exercises real replacements.
+    QuerySpec.sql(
+      "text_redact",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b(customer|order|value)\b')) AS BIGINT) AS n_entity,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b(customer|order|value)\b', '[ENTITY]', 'g')) AS redacted_fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val entityRe = "\\b(customer|order|value)\\b"
+      docs(s, dir).select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all(col("text"), lit(entityRe), lit(0)))
+            .cast("long").as("n_entity"),
+          md5(regexp_replace(
+            regexp_replace(col("text"), emailRe, "[EMAIL]"),
+            entityRe, "[ENTITY]")).as("redacted_fp"))
+        .orderBy(col("doc_id"))
+    })
+}

@@ -178,6 +178,33 @@ object Relational {
         .orderBy(col("o_orderkey"))
     },
 
+    // F4: dependent-column filter — the predicate compares two columns
+    // of the SAME row (the reference's autobridged-presence filter,
+    // data.js:1696-1702, generalized; the literal autobridged path is
+    // gated as xrpl_autobridged). Row-local, so it stays a map-side
+    // scan predicate: no shuffle, and Parquet still prunes on the
+    // standalone l_shipdate range even though the two-column compare
+    // itself can't push down.
+    QuerySpec.sql(
+      "f4_dependent_filter",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_commitdate AS DATE) AS commit_date,
+        |  CAST(l_receiptdate AS DATE) AS receipt_date
+        |FROM lineitem
+        |WHERE l_receiptdate < l_commitdate
+        |  AND l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_receiptdate") < col("l_commitdate") &&
+          col("l_shipdate") >= expr("TIMESTAMP '1997-06-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1997-07-01 00:00:00'"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_commitdate").cast("date").as("commit_date"),
+          col("l_receiptdate").cast("date").as("receipt_date"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // F5: key-only count scan (KeyOnlyFilter; reference data.js:2405).
     QuerySpec.sql(
       "f5_count_range",
