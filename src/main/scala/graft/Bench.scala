@@ -40,6 +40,7 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     Seq("xrpl_stats_daily",      // fixture parse + store dump
         "dedup_minhash_lsh",     // MinHash signature cache
+        "dedup_minhash_banded",  // banded candidate-pair cache
         "sim_ivf_topk",          // quantized-embedding signature cache
         "q6_filtered_revenue",   // lineitem
         "s_topk_orders",         // orders
@@ -48,15 +49,24 @@ object Bench {
         "text_token_stats"       // documents
     ).foreach(n => try evalFull(n) catch { case _: Throwable => })
 
+    // a failing query must NOT read as a fast success: its elapsed
+    // time is negated (sentinel) and its name listed under "errors"
     val results = SparkEntry.allSpecs.map { q =>
       val t0 = System.nanoTime()
-      try evalFull(q.name) catch { case _: Throwable => }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { evalFull(q.name); true } catch {
+        case e: Throwable =>
+          System.err.println(s"bench: ${q.name} FAILED: ${e.getMessage}")
+          false
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      (q.name, if (ok) dt else -dt)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map { case (_, v) => math.abs(v) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

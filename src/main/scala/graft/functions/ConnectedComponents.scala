@@ -37,9 +37,8 @@ object ConnectedComponents {
       .select(col(srcCol).as("__u"), col(dstCol).as("__v"))
       .unionByName(edges.select(col(dstCol).as("__u"), col(srcCol).as("__v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes
-      .select(col(idCol).as("__id"), col(idCol).as("__label"))
-      .localCheckpoint(true)
+    var labels = Materialize.stable(
+      nodes.select(col(idCol).as("__id"), col(idCol).as("__label")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -47,12 +46,14 @@ object ConnectedComponents {
         .join(labels.select(col("__id").as("__u"), col("__label")), Seq("__u"))
         .groupBy(col("__v").as("__id"))
         .agg(min(col("__label")).as("__nbr"))
-      val next = labels.join(msgs, Seq("__id"), "left")
+      val next0 = labels.join(msgs, Seq("__id"), "left")
         .select(col("__id"),
           least(col("__label"), coalesce(col("__nbr"), col("__label")))
             .as("__label"),
           (coalesce(col("__nbr"), col("__label")) < col("__label")).as("__chg"))
-        .localCheckpoint(true) // truncate lineage; one job per round
+      // truncate lineage so the plan never grows with the round count;
+      // reliable-vs-local trade-off documented on Materialize.stable
+      val next = Materialize.stable(next0)
       changed = next.filter(col("__chg")).count()
       labels = next.drop("__chg")
       iter += 1

@@ -117,8 +117,10 @@ object PrefixSum {
     // otherwise every cumsum invocation leaks a MEMORY_AND_DISK entry
     // for the session lifetime. The checkpoint pins the partition
     // assignment the offsets were computed against, so dropping the
-    // cache cannot re-sample different range bounds.
-    val out = withOuts.drop(dropCols: _*).localCheckpoint(true)
+    // cache cannot re-sample different range bounds. Reliable vs
+    // executor-local (and the fault-tolerance trade-off) is decided by
+    // [[Materialize.stable]]: set a checkpoint dir at cluster scale.
+    val out = Materialize.stable(withOuts.drop(dropCols: _*))
     ranged.unpersist()
     out
   }

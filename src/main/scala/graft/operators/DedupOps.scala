@@ -112,6 +112,11 @@ object DedupOps {
         payload = Nil, blockSize = MaxBandBucket)
       .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"))
       .dropDuplicates()
+      // cached: the banded-scoring gate and the connected-components
+      // gate both consume this pair set (Spark's cache manager dedupes
+      // by logical plan, so the two invocations share one entry — the
+      // same write-once-candidates shape a warehouse pipeline has)
+      .cache()
   }
 
   /** The `sig`/`bands`/`cand` CTE chain mirroring [[bandedCandidates]]
@@ -276,17 +281,28 @@ object DedupOps {
             """array_distinct(transform(sequence(1, size(ts)-2),
               |  i -> concat(element_at(ts, i), ' ', element_at(ts, i+1),
               |              ' ', element_at(ts, i+2))))""".stripMargin)).as("ng"))
-      // one hash-agg to posting lists per (block, n-gram); the
-      // stop-phrase ceiling bounds every list — from sizes AND
-      // intersections, so the Jaccard stays consistent over non-stop
-      // n-grams. Replaces the former count-Window + exploded self-join
-      // (three recomputations of the exploded table, two sort
-      // shuffles) with: explode → groupBy(ng) → in-list pair explode →
-      // groupBy(pair). No Window, no join of exploded tables.
+      // Two-pass posting-list construction so the stop-phrase ceiling
+      // bounds every list BY CONSTRUCTION, not after the fact: pass 1
+      // is a pure hash-agg count per (block, n-gram) — constant-size
+      // aggregation buffers however hot the n-gram — whose over-ceiling
+      // survivors (the stop phrases, a tiny set: at most
+      // total-occurrences / MaxNgramDf entries) anti-join the exploded
+      // table; only then does pass 2 collect_list, every buffer now
+      // ≤ MaxNgramDf ids. A single-pass collect-then-filter would
+      // materialize a hot stop-phrase's ENTIRE doc list in one
+      // aggregation buffer first — the exact unbounded state this
+      // ceiling exists to prevent. The anti-join is left un-hinted so
+      // AQE broadcasts the stop-phrase set when it is small (the
+      // common case) without betting correctness on it.
+      val hot = exploded
+        .groupBy(col("lang"), col("source"), col("ng"))
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > MaxNgramDf)
+        .select(col("lang"), col("source"), col("ng"))
       val posting = exploded
+        .join(hot, Seq("lang", "source", "ng"), "left_anti")
         .groupBy(col("lang"), col("source"), col("ng"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")) <= MaxNgramDf)
       val sizes = posting
         .select(explode(col("ds")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

@@ -149,11 +149,14 @@ object MultimodalOps {
         |    strpos('123456789ABCDEF', substr(h, 2*i+2, 1)) AS byte
         |  FROM b, LATERAL (SELECT unnest(range(0, n)) AS i) t
         |), feat AS (
-        |  SELECT doc_id, n, CAST(i % 8 AS INT) AS k,
+        |  SELECT doc_id, CAST(i % 8 AS INT) AS k,
         |         CAST(SUM(byte) AS BIGINT) AS s
-        |  FROM pos GROUP BY 1, 2, 3
+        |  FROM pos GROUP BY 1, 2
         |)
-        |SELECT doc_id, CAST(n AS INT) AS n_bytes,
+        |-- group from b, not feat: a zero-byte payload yields no pos
+        |-- rows, but the decoder still emits its zero-feature row —
+        |-- the LEFT JOIN keeps the engines aligned on empty payloads
+        |SELECT b.doc_id AS doc_id, CAST(n AS INT) AS n_bytes,
         |  CAST(16 + n % 64 AS INT) AS width,
         |  CAST(16 + n % 48 AS INT) AS height,
         |  CAST(3 AS INT) AS channels,
@@ -165,8 +168,8 @@ object MultimodalOps {
         |  CAST(round(COALESCE(MAX(CASE WHEN k=5 THEN s END), 0) / GREATEST(n,1) * 1e6) AS BIGINT) AS f5,
         |  CAST(round(COALESCE(MAX(CASE WHEN k=6 THEN s END), 0) / GREATEST(n,1) * 1e6) AS BIGINT) AS f6,
         |  CAST(round(COALESCE(MAX(CASE WHEN k=7 THEN s END), 0) / GREATEST(n,1) * 1e6) AS BIGINT) AS f7
-        |FROM feat
-        |GROUP BY doc_id, n
+        |FROM b LEFT JOIN feat ON feat.doc_id = b.doc_id
+        |GROUP BY b.doc_id, n
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val bin = Tables(s, dir, "documents")

@@ -31,6 +31,19 @@ object PipelineOps {
   /** Token budget per packed sequence (small so sf0.01 splits packs). */
   val PackBudget = 256
 
+  /** Benchmark-decontamination parameters: the "eval set" is the
+    * fixture rows with doc_id ≡ 0 (mod [[EvalModulus]]) — a stand-in
+    * for the held-out benchmark table a real pipeline joins against —
+    * and overlap is counted over word [[ContamNgram]]-grams (the
+    * 8-to-13-gram collision window the published decontamination
+    * recipes use).
+    */
+  val EvalModulus = 7
+  val ContamNgram = 8
+
+  /** Sample size for the weighted (priority) sampling gate. */
+  val PrioritySampleK = 100
+
   def specs: Seq[QuerySpec] = Seq(
     // Stratified downsampling: deterministic per-language quota via a
     // salted md5 of the stable doc id. The hash is uniform and
@@ -91,6 +104,93 @@ object PipelineOps {
         .select(col("doc_id"), col("source"), col("n_tok"),
           expr(s"(cum - src_off - n_tok) div $PackBudget").as("pack_id"))
         .orderBy(col("doc_id"))
+    },
+
+    // Benchmark decontamination: flag corpus documents sharing any
+    // word-8-gram with the eval set (the held-out benchmark a training
+    // pipeline must not leak). Scale shape: distinct 8-grams per doc
+    // are built map-side (array_distinct before the explode), the eval
+    // side reduces to a DISTINCT n-gram set — typically millions of
+    // rows against the corpus's trillions, so the join is left
+    // un-hinted for AQE to broadcast when it fits — and the overlap
+    // count is a hash-agg per doc. No windows, no driver loops.
+    QuerySpec.sql(
+      "decontaminate", {
+        val g = (0 until ContamNgram)
+          .map(k => s"ts[i+$k]").mkString(" || ' ' || ")
+        s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts
+           |  FROM documents),
+           |grams AS (
+           |  SELECT DISTINCT doc_id, $g AS ng
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+           |    len(ts)-${ContamNgram - 1})) AS i) gi
+           |  WHERE len(ts) >= $ContamNgram),
+           |eval_grams AS (
+           |  SELECT DISTINCT ng FROM grams WHERE doc_id % $EvalModulus = 0),
+           |hits AS (
+           |  SELECT g.doc_id AS doc_id, COUNT(*) AS n_shared
+           |  FROM grams g JOIN eval_grams e ON g.ng = e.ng
+           |  WHERE g.doc_id % $EvalModulus != 0
+           |  GROUP BY 1)
+           |SELECT d.doc_id AS doc_id,
+           |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+           |  CAST(CASE WHEN COALESCE(n_shared, 0) > 0 THEN 1 ELSE 0 END
+           |    AS INT) AS contaminated
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % $EvalModulus != 0) d
+           |LEFT JOIN hits ON hits.doc_id = d.doc_id
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val grams = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= ContamNgram)
+        .select(col("doc_id"), explode(expr(
+          s"""array_distinct(transform(sequence(1, size(ts)-${ContamNgram - 1}),
+             |  i -> concat_ws(' ', slice(ts, i, $ContamNgram))))""".stripMargin))
+          .as("ng"))
+      val evalGrams = grams
+        .filter(col("doc_id") % EvalModulus === 0)
+        .select(col("ng")).distinct()
+      val hits = grams
+        .filter(col("doc_id") % EvalModulus =!= 0)
+        .join(evalGrams, Seq("ng"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      docs(s, dir)
+        .filter(col("doc_id") % EvalModulus =!= 0)
+        .select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          when(coalesce(col("n_shared"), lit(0L)) > 0, 1).otherwise(0)
+            .as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Weighted sampling by PRIORITY SAMPLING (Duffield-Lund-Thorup):
+    // priority = uniform-hash / weight, keep the k smallest — inclusion
+    // probability proportional to weight, deterministic (hash of the
+    // stable id, no RNG state), and single-op IEEE division so both
+    // engines compute bit-identical priorities. Spark's orderBy+limit
+    // plans as TakeOrderedAndProject: per-partition top-k heaps, only
+    // k rows per partition reach the driver-side merge — the
+    // scale-correct global top-k (no global sort).
+    QuerySpec.sql(
+      "sample_priority",
+      s"""SELECT doc_id, lang, w, pri FROM (
+         |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+         |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':prio'),
+         |      1, 8)) AS BIGINT) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS pri
+         |  FROM documents)
+         |ORDER BY pri, doc_id LIMIT $PrioritySampleK""".stripMargin) { (s, dir) =>
+      val hv = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit(":prio"))), 1, 8),
+        16, 10).cast("long")
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("w"),
+          (hv.cast("double") / col("n_chars").cast("double")).as("pri"))
+        .orderBy(col("pri"), col("doc_id"))
+        .limit(PrioritySampleK)
     },
 
     // Repetition quality signals (the Gopher-style "fraction of the

@@ -187,21 +187,18 @@ object Relational {
     // itself can't push down.
     QuerySpec.sql(
       "f4_dependent_filter",
-      """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_commitdate AS DATE) AS commit_date,
-        |  CAST(l_receiptdate AS DATE) AS receipt_date
+      """SELECT l_orderkey, l_linenumber, l_discount, l_tax
         |FROM lineitem
-        |WHERE l_receiptdate < l_commitdate
+        |WHERE l_discount < l_tax
         |  AND l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
-        .filter(col("l_receiptdate") < col("l_commitdate") &&
+        .filter(col("l_discount") < col("l_tax") &&
           col("l_shipdate") >= expr("TIMESTAMP '1997-06-01 00:00:00'") &&
           col("l_shipdate") < expr("TIMESTAMP '1997-07-01 00:00:00'"))
         .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_commitdate").cast("date").as("commit_date"),
-          col("l_receiptdate").cast("date").as("receipt_date"))
+          col("l_discount"), col("l_tax"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 

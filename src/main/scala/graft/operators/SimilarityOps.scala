@@ -225,6 +225,48 @@ object SimilarityOps {
         .orderBy(col("qid"), col("rnk"))
     },
 
+    // k-NN graph construction: every vector's top-3 same-cell
+    // neighbors by cosine — the graph that graph-based curation
+    // (clustering, semantic dedup, diversity sampling) consumes.
+    // Pair generation reuses the triangle-blocked same-cell pairs
+    // (each unordered pair computed ONCE, then symmetrized by a
+    // column-swap union — half the dot products of a naive
+    // directed self-join); ranking is a per-vector window, uniform
+    // keys at any scale.
+    QuerySpec.sql(
+      "sim_knn_graph",
+      s"""WITH sig AS ($quantizedSql),
+         |sym AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         |    list_dot_product(a.qv, b.qv)
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))
+         |      AS cos
+         |  FROM sig a JOIN sig b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, nbr_id, cos, rnk FROM (
+         |  SELECT vec_id, nbr_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, nbr_id) AS rnk
+         |  FROM sym)
+         |WHERE rnk <= 3
+         |ORDER BY vec_id, rnk""".stripMargin) { (s, dir) =>
+      val pairs = cellPairs(signatures(s, dir), PairBlockSize)
+        .withColumn("dot", dot_long(col("qa"), col("qb")))
+        .withColumn("cos", expr(
+          "CAST(dot AS DOUBLE) / (sqrt(CAST(a_norm2 AS DOUBLE)) * sqrt(CAST(b_norm2 AS DOUBLE)))"))
+        .select(col("a_id"), col("b_id"), col("cos"))
+      val sym = pairs
+        .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"), col("cos"))
+        .unionByName(pairs
+          .select(col("b_id").as("vec_id"), col("a_id").as("nbr_id"), col("cos")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("nbr_id"))
+      sym.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("vec_id"), col("nbr_id"), col("cos"), col("rnk"))
+        .orderBy(col("vec_id"), col("rnk"))
+    },
+
     // Embedding near-dup candidates: same-cell pairs above a cosine
     // threshold (the embedding-cosine dedup path).
     //

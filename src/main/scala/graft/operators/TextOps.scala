@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the
@@ -259,5 +260,98 @@ object TextOps {
         .select(col("prefix"),
           (col("n") * (col("n") - 1) / 2).cast("long").as("n_pairs"))
         .orderBy(col("prefix"))
+    },
+
+    // Heavy hitters: global top-20 tokens by total frequency — the
+    // vocabulary/stop-list discovery pass a corpus pipeline runs first.
+    // Shape: explode → hash-agg (map-side partial combine collapses
+    // each partition to its distinct tokens before the shuffle) →
+    // TakeOrderedAndProject top-k. The df column rides along via
+    // count(distinct), planned as a two-phase expand-agg — still
+    // shuffle-on-token, no windows.
+    QuerySpec.sql(
+      "text_heavy_hitters",
+      """SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY tok
+        |ORDER BY tf DESC, tok LIMIT 20""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("tok"))
+        .limit(20)
+    },
+
+    // Per-document salient terms: top-3 tokens by tf/df — the
+    // idf-proportional relevance ranking (monotone in tf·(1/df); the
+    // log is dropped so the score is ONE correctly-rounded IEEE
+    // division and both engines agree bit-for-bit — ln() across
+    // libm implementations does not). Two hash-aggs (doc-term, then
+    // term) + a shuffle join on token + a per-doc window; all keys
+    // uniform at corpus scale.
+    QuerySpec.sql(
+      "text_tfidf_topk",
+      """WITH tf AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT doc_id, tf.tok AS tok, tf, df,
+        |    CAST(tf AS DOUBLE) / df AS score
+        |  FROM tf JOIN df ON tf.tok = df.tok)
+        |SELECT doc_id, tok, tf, df, score, rnk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(df, Seq("tok"))
+        .withColumn("score", col("tf").cast("double") / col("df"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          col("score"), col("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+
+    // Fixed-window chunking with overlap: 64-token chunks on a
+    // 48-token stride (16-token overlap) — the doc→context-window
+    // split that feeds tokenization. Pure per-row 1→N flatMap
+    // (explode of a stride sequence), no shuffle; the fingerprint
+    // proves the chunk CONTENT, not just its offsets.
+    QuerySpec.sql(
+      "text_chunk",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents)
+        |SELECT doc_id, CAST((i - 1) // 48 AS INT) AS chunk_id,
+        |  CAST(i AS INT) AS tok_start,
+        |  CAST(LEAST(i + 63, len(ts)) AS INT) AS tok_end,
+        |  md5(array_to_string(ts[i:LEAST(i + 63, len(ts))], ' ')) AS chunk_fp
+        |FROM toks,
+        |  LATERAL (SELECT unnest(generate_series(1, GREATEST(len(ts), 1), 48))
+        |    AS i) g
+        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"), col("ts"),
+          explode(expr("sequence(1, greatest(size(ts), 1), 48)")).as("i"))
+        .select(col("doc_id"),
+          expr("CAST((i - 1) div 48 AS INT)").as("chunk_id"),
+          col("i").cast("int").as("tok_start"),
+          least(col("i") + 63, size(col("ts"))).cast("int").as("tok_end"),
+          md5(expr("array_join(slice(ts, i, 64), ' ')")).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_id"))
     })
 }
