@@ -16,13 +16,20 @@ import org.apache.spark.storage.StorageLevel
   * shallow by construction (most are cliques from a shared LSH bucket,
   * diameter 1-2). Each round is two hash-shuffles on the node id (an
   * edges⨝labels join and a min aggregate), both map-side combinable;
-  * labels are localCheckpoint'ed per round so the plan never grows
-  * with the iteration count. The only driver-side value per round is
-  * the single `changed` counter — the same bounded-scalar pattern as
-  * [[PrefixSum]] — so this remains a pure shuffle-on-key design at
-  * 100 TB. (For adversarial long-chain graphs, the alternating
-  * large-star/small-star variant converges in O(log n) rounds; near-dup
-  * graphs don't need it.)
+  * labels are checkpoint'ed per round ([[Materialize.stable]]) so the
+  * plan never grows with the iteration count. The only driver-side
+  * value per round is the single `changed` counter — the same
+  * bounded-scalar pattern as [[PrefixSum]] — so this remains a pure
+  * shuffle-on-key design at 100 TB. (For adversarial long-chain
+  * graphs, the alternating large-star/small-star variant converges in
+  * O(log n) rounds; near-dup graphs don't need it.)
+  *
+  * The loop runs on the EDGE-TOUCHED subgraph only: in a dedup
+  * pipeline the overwhelming majority of documents are isolated nodes
+  * (no candidate pair at all), and iterating over them would shuffle
+  * the whole corpus once per round for rows that can never change.
+  * Isolated nodes are attached at the end via one left join — their
+  * label is their own id by definition.
   */
 object ConnectedComponents {
 
@@ -37,8 +44,10 @@ object ConnectedComponents {
       .select(col(srcCol).as("__u"), col(dstCol).as("__v"))
       .unionByName(edges.select(col(dstCol).as("__u"), col(srcCol).as("__v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // iterate only where propagation can happen: nodes with ≥1 edge
     var labels = Materialize.stable(
-      nodes.select(col(idCol).as("__id"), col(idCol).as("__label")))
+      sym.select(col("__u").as("__id")).distinct()
+        .withColumn("__label", col("__id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -61,6 +70,11 @@ object ConnectedComponents {
     sym.unpersist()
     if (changed > 0) throw new IllegalStateException(
       s"connected components did not converge within $maxIter rounds")
-    labels.select(col("__id").as(idCol), col("__label").as("label"))
+    // isolated nodes (the corpus majority) never entered the loop:
+    // attach them with their own id in one final join
+    nodes.select(col(idCol).as("__id"))
+      .join(labels, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__label"), col("__id")).as("label"))
   }
 }

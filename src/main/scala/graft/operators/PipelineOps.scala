@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-assembly operators — the sampling / packing stages between a
@@ -43,6 +44,12 @@ object PipelineOps {
 
   /** Sample size for the weighted (priority) sampling gate. */
   val PrioritySampleK = 100
+
+  /** Total sample size for temperature sampling, and the salt fan-out
+    * of its two-level per-language top-k.
+    */
+  val TempSampleK = 200
+  val TempSalts = 16
 
   def specs: Seq[QuerySpec] = Seq(
     // Stratified downsampling: deterministic per-language quota via a
@@ -191,6 +198,71 @@ object PipelineOps {
           (hv.cast("double") / col("n_chars").cast("double")).as("pri"))
         .orderBy(col("pri"), col("doc_id"))
         .limit(PrioritySampleK)
+    },
+
+    // Temperature sampling (α = 0.5): rebalance languages by sampling
+    // quota_l ∝ n_l^α — the standard multilingual rebalancing that
+    // up-weights low-resource languages. Exactness across engines:
+    // α = 0.5 makes the scaling a SQRT, which IEEE requires correctly
+    // rounded (unlike pow/ln), and the rounded value is immediately
+    // floor-quantized to an integer, so quotas are pure integer
+    // arithmetic — order-independent sums, exact division — in both
+    // engines. Membership is then "the quota_l smallest salted hashes
+    // per language": deterministic, partition-independent.
+    //
+    // Scale shape: quotas come from a 5-row aggregate (broadcast);
+    // per-language selection is a TWO-LEVEL top-k — local row_number
+    // within (lang, salt) buckets caps every sort task, then the
+    // ≤ salts·K survivors per language rank in one tiny final window.
+    // A single Window.partitionBy(lang) would sort an entire
+    // language's corpus share in ONE task; the salted level bounds it.
+    // (Correct because quota_l ≤ K: any global top-K row is top-K
+    // within its salt bucket.)
+    QuerySpec.sql(
+      "sample_temperature",
+      s"""WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         |scaled AS (
+         |  SELECT lang, CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+         |    AS s
+         |  FROM counts),
+         |quotas AS (
+         |  SELECT lang,
+         |    CAST(($TempSampleK * s) // (SELECT CAST(SUM(s) AS BIGINT)
+         |      FROM scaled) AS BIGINT) AS quota
+         |  FROM scaled),
+         |ranked AS (
+         |  SELECT doc_id, lang,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+         |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':temp'),
+         |        1, 8)) AS BIGINT), doc_id) AS rk
+         |  FROM documents)
+         |SELECT doc_id, lang, rk, quota
+         |FROM ranked JOIN quotas USING (lang)
+         |WHERE rk <= quota
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val hv = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit(":temp"))), 1, 8),
+        16, 10).cast("long")
+      val scaled = docs(s, dir)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .withColumn("s", floor(sqrt(col("n").cast("double")) * 1e6).cast("long"))
+      val quotas = scaled
+        .crossJoin(broadcast(scaled.agg(sum(col("s")).as("st"))))
+        .select(col("lang"), expr(s"($TempSampleK * s) div st").as("quota"))
+      val wLocal = Window.partitionBy(col("lang"),
+          pmod(xxhash64(col("doc_id")), lit(TempSalts)))
+        .orderBy(col("hv"), col("doc_id"))
+      val wFinal = Window.partitionBy(col("lang"))
+        .orderBy(col("hv"), col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), hv.as("hv"))
+        .withColumn("lrk", row_number().over(wLocal))
+        .filter(col("lrk") <= TempSampleK) // ≤ salts·K survivors per lang
+        .withColumn("rk", row_number().over(wFinal))
+        .join(broadcast(quotas), Seq("lang"))
+        .filter(col("rk") <= col("quota"))
+        .select(col("doc_id"), col("lang"), col("rk"), col("quota"))
+        .orderBy(col("doc_id"))
     },
 
     // Repetition quality signals (the Gopher-style "fraction of the
