@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: the occurrence count of a token
+  * array's MOST-REPEATED word n-gram (the numerator of the
+  * Gopher-style repetition signals).
+  *
+  * The declarative formulation materializes the n-gram array, sorts
+  * it, and folds an interpreted `aggregate` lambda over the sorted
+  * copy to find the longest equal-run — O(L log L) with per-element
+  * lambda dispatch, three times per document (uni/bi/tri-gram). The
+  * max run of a sorted multiset is just the max multiplicity, so this
+  * expression counts n-grams into one open-addressing pass —
+  * O(L) per document with no array materialization. Identical values
+  * to the sort+fold plan (proven in TopNgramSpec); the DuckDB oracle
+  * keeps the explode+groupBy formulation.
+  *
+  * Returns 0 when the array holds fewer than `n` tokens (no n-gram
+  * exists — matching the SQL plan's empty-array guard).
+  */
+case class TopNgramCount(child: Expression, n: Int)
+  extends UnaryExpression {
+  require(n >= 1, "n-gram width must be positive")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(tokens: Any): Any =
+    TopNgramCount.topCount(tokens.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val cls = TopNgramCount.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.topCount($t, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TopNgramCount {
+
+  /** Max multiplicity over the n-grams of `tokens` (0 if none). The
+    * n-gram key is the tokens joined by a single space — the same
+    * string the SQL plan concatenates, so ties and counts agree.
+    */
+  def topCount(tokens: ArrayData, n: Int): Long = {
+    val len = tokens.numElements()
+    if (len < n) return 0L
+    val toks = new Array[String](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = tokens.getUTF8String(i).toString
+      i += 1
+    }
+    val counts = new java.util.HashMap[String, Int](len * 2)
+    var best = 0
+    i = 0
+    val sb = new java.lang.StringBuilder
+    while (i <= len - n) {
+      val key =
+        if (n == 1) toks(i)
+        else {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          sb.toString
+        }
+      val c = counts.merge(key, 1, Integer.sum)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+
+  /** Column-API form over an `array<string>` token column. */
+  def top_ngram_count(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      TopNgramCount(
+        org.apache.spark.sql.graft.ColumnBridge.expression(tokens), n))
+}

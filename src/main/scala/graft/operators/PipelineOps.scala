@@ -298,39 +298,27 @@ object PipelineOps {
         |FROM r1 LEFT JOIN r2 ON r1.doc_id = r2.doc_id
         |        LEFT JOIN r3 ON r1.doc_id = r3.doc_id
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // longest run in the sorted n-gram array == the max per-doc
-      // n-gram count; integer count / integer total keeps the double
-      // division bit-identical across engines
-      def topRun(ng: String): String =
-        s"""aggregate(sort_array($ng),
-           |  named_struct('prev', CAST(NULL AS STRING),
-           |               'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
-           |  (a, x) -> named_struct('prev', x,
-           |    'run', IF(x <=> a.prev, a.run + CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
-           |    'best', GREATEST(a.best,
-           |      IF(x <=> a.prev, a.run + CAST(1 AS BIGINT), CAST(1 AS BIGINT)))),
-           |  a -> a.best)""".stripMargin
+      // max n-gram multiplicity via the codegen'd
+      // [[graft.functions.TopNgramCount]] expression — one O(L)
+      // counting pass per width instead of materialize + sort_array +
+      // interpreted fold (TopNgramSpec proves value equivalence to
+      // that plan; the oracle keeps the explode+groupBy formulation).
+      // Integer count / integer total keeps the double division
+      // bit-identical across engines.
+      import graft.functions.TopNgramCount.top_ngram_count
+      val nTok = size(col("ts"))
       docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("ts"))
-        .withColumn("ng2", expr(
-          """IF(size(ts) >= 2, transform(sequence(1, size(ts)-1),
-            |  i -> concat(element_at(ts, i), ' ', element_at(ts, i+1))),
-            |  CAST(array() AS ARRAY<STRING>))""".stripMargin))
-        .withColumn("ng3", expr(
-          """IF(size(ts) >= 3, transform(sequence(1, size(ts)-2),
-            |  i -> concat(element_at(ts, i), ' ', element_at(ts, i+1),
-            |              ' ', element_at(ts, i+2))),
-            |  CAST(array() AS ARRAY<STRING>))""".stripMargin))
         .select(
           col("doc_id"),
-          size(col("ts")).cast("long").as("n_tokens"),
-          (expr(topRun("ts")).cast("double") / size(col("ts")))
+          nTok.cast("long").as("n_tokens"),
+          (top_ngram_count(col("ts"), 1).cast("double") / nTok)
             .as("top_unigram_frac"),
-          when(size(col("ng2")) === 0, lit(0.0))
-            .otherwise(expr(topRun("ng2")).cast("double") / size(col("ng2")))
+          when(nTok < 2, lit(0.0))
+            .otherwise(top_ngram_count(col("ts"), 2).cast("double") / (nTok - 1))
             .as("top_bigram_frac"),
-          when(size(col("ng3")) === 0, lit(0.0))
-            .otherwise(expr(topRun("ng3")).cast("double") / size(col("ng3")))
+          when(nTok < 3, lit(0.0))
+            .otherwise(top_ngram_count(col("ts"), 3).cast("double") / (nTok - 2))
             .as("top_trigram_frac"))
         .orderBy(col("doc_id"))
     },
