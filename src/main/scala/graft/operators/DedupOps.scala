@@ -299,10 +299,15 @@ object DedupOps {
         .agg(count(lit(1)).as("__df"))
         .filter(col("__df") > MaxNgramDf)
         .select(col("lang"), col("source"), col("ng"))
-      val posting = exploded
+      // posting lists are the bounded intermediate both downstream
+      // consumers (sizes, intersections) read — materialize them once
+      // (Materialize.stable) instead of re-exploding the corpus per
+      // consumer; at warehouse scale this is the transient posting
+      // table a dedup job writes between its two phases
+      val posting = graft.functions.Materialize.stable(exploded
         .join(hot, Seq("lang", "source", "ng"), "left_anti")
         .groupBy(col("lang"), col("source"), col("ng"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds")))
       val sizes = posting
         .select(explode(col("ds")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
