@@ -298,5 +298,41 @@ object TimeSeriesOps {
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("clicks"))
       p.join(c, Seq("day")).orderBy(col("day"))
+    },
+
+    // Backward as-of join: every event picks up the user's latest
+    // order at-or-before its timestamp — the point-in-time temporal
+    // join (rates→trades, features→labels) Spark lacks natively,
+    // implemented as the merge-and-forward-fill plan in
+    // [[graft.functions.AsOfJoin]] (one key shuffle + ordered window;
+    // no per-row range probe). The build side is pre-deduped to one
+    // row per (cust, date) so "latest" is well-defined and both
+    // engines agree; the oracle is DuckDB's native ASOF LEFT JOIN —
+    // different algorithm, identical relation.
+    QuerySpec.sql(
+      "j_asof_latest_order",
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    CAST(MAX(o_orderkey) AS BIGINT) AS o_orderkey,
+        |    max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  o.o_orderkey, o.o_totalprice
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val ords = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      graft.functions.AsOfJoin.asofBackward(
+          events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+          "user_id", "ts",
+          ords, "o_custkey", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
     })
 }
