@@ -334,5 +334,92 @@ object TimeSeriesOps {
           unix_micros(col("ts")).as("ts_us"),
           col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("event_id"))
+    },
+
+    // Range (interval) join: clicks landing in the day after each
+    // purchase, per user — the point-in-interval temporal join.
+    // [[graft.functions.RangeJoin]] buckets time so the range predicate
+    // rides a plain hash equi-join on (user, bucket) — no nested-loop
+    // range probe; each interval is replicated to ≤ 2 one-day buckets.
+    // The oracle keeps the declarative BETWEEN formulation.
+    QuerySpec.sql(
+      "j_range_clicks_after_purchase",
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, CAST(COUNT(c.ts) AS BIGINT) AS n_clicks_1d
+        |FROM p LEFT JOIN c
+        |  ON c.user_id = p.user_id
+        |  AND p.ts <= c.ts AND c.ts < p.ts + INTERVAL 1 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val dayUs = 86400000000L
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t0"))
+        .withColumn("t1", col("t0") + dayUs)
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("ct"))
+      val pairs = graft.functions.RangeJoin.pointInInterval(
+        p, "user_id", "t0", "t1", c, "user_id", "ct", dayUs)
+      val counts = pairs
+        .groupBy(col("i_event_id").as("event_id"))
+        .agg(count(lit(1)).as("n_clicks_1d"))
+      p.select(col("event_id"))
+        .join(counts, Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_clicks_1d"), lit(0L)).as("n_clicks_1d"))
+        .orderBy(col("event_id"))
+    },
+
+    // KMV (k-minimum-values) distinct-count sketch, k = 64: estimate
+    // distinct users per event type from the 64 smallest md5 hash
+    // values — the mergeable bottom-k sketch (Bar-Yossef et al.);
+    // unlike HLL it is DETERMINISTIC given the hash, so both engines
+    // produce the identical estimate and the gate hash-compares. The
+    // bottom-k selection is the same two-level (salt-bucketed local
+    // rank → tiny global rank) shape as temperature sampling, so no
+    // per-type sort of the full distinct-hash set. 13 hex chars = 52
+    // bits keeps every value and the estimator arithmetic exact in
+    // doubles.
+    QuerySpec.sql(
+      "sketch_kmv_distinct",
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+        |      AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (SELECT event_type, hv,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |      FROM h)
+        |SELECT event_type, CAST(nd AS BIGINT) AS n_hashes,
+        |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+        |       ELSE (CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE))
+        |            / CAST(hv AS DOUBLE) END AS kmv_est
+        |FROM r WHERE rn = LEAST(nd, 64)
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val k = 64
+      val h = events(s, dir)
+        .select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+            .cast("long").as("hv"))
+        .distinct()
+      val wLocal = Window
+        .partitionBy(col("event_type"), pmod(xxhash64(col("hv")), lit(16)))
+        .orderBy(col("hv"))
+      val wGlobal = Window.partitionBy(col("event_type")).orderBy(col("hv"))
+      val nd = h.groupBy(col("event_type")).agg(count(lit(1)).as("nd"))
+      h.withColumn("lrk", row_number().over(wLocal))
+        .filter(col("lrk") <= k) // ≤ 16·k survivors per type
+        .withColumn("rn", row_number().over(wGlobal))
+        .join(broadcast(nd), Seq("event_type"))
+        .filter(col("rn") === least(col("nd"), lit(k)))
+        .select(col("event_type"), col("nd").as("n_hashes"),
+          when(col("nd") < k, col("nd").cast("double"))
+            .otherwise(lit(63.0) * lit(4503599627370496.0) /
+              col("hv").cast("double"))
+            .as("kmv_est"))
+        .orderBy(col("event_type"))
     })
 }
