@@ -200,6 +200,40 @@ object PipelineOps {
         .limit(PrioritySampleK)
     },
 
+    // Deterministic dataset split: every document assigned to
+    // train/val/test by integer hash thresholds (90/5/5) — the split
+    // each training run must reproduce identically on any cluster, so
+    // it is a pure function of the stable id (map-side predicate, no
+    // shuffle, no RNG state; same construction as sample_stratified).
+    QuerySpec.sql(
+      "split_train_val_test", {
+        val t1 = (0.90 * (1L << 32)).toLong // 3865470566
+        val t2 = (0.95 * (1L << 32)).toLong // 4080218931
+        s"""SELECT doc_id,
+           |  CASE WHEN hv < $t1 THEN 'train'
+           |       WHEN hv < $t2 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM (
+           |  SELECT doc_id,
+           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+           |      1, 8)) AS BIGINT) AS hv
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val t1 = (0.90 * (1L << 32)).toLong
+      val t2 = (0.95 * (1L << 32)).toLong
+      val hv = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 8),
+        16, 10).cast("long")
+      docs(s, dir)
+        .select(col("doc_id"), hv.as("hv"))
+        .select(col("doc_id"),
+          when(col("hv") < t1, "train")
+            .when(col("hv") < t2, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // Temperature sampling (α = 0.5): rebalance languages by sampling
     // quota_l ∝ n_l^α — the standard multilingual rebalancing that
     // up-weights low-resource languages. Exactness across engines:
