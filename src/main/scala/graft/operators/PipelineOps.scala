@@ -200,6 +200,109 @@ object PipelineOps {
         .limit(PrioritySampleK)
     },
 
+    // End-to-end corpus curation in ONE declarative plan — the
+    // composition a real training-data job ships: quality filter
+    // (stopword + vocabulary-diversity score) → exact-dedup keepers
+    // (min doc_id per content digest) → benchmark decontamination
+    // (drop eval docs and anything sharing an 8-gram with them) →
+    // deterministic train/val/test assignment. Every stage is the
+    // already-gated operator; composing them proves the stages stack
+    // without materialization barriers (Catalyst sees one tree:
+    // map-side quality + split, one digest window, one broadcastable
+    // n-gram anti-join).
+    QuerySpec.sql(
+      "curate_corpus", {
+        val g = (0 until ContamNgram)
+          .map(k => s"ts[i+$k]").mkString(" || ' ' || ")
+        val t1 = (0.90 * (1L << 32)).toLong
+        val t2 = (0.95 * (1L << 32)).toLong
+        s"""WITH q AS (
+           |  SELECT doc_id,
+           |    0.3 * (CAST(SUM(CASE WHEN tok IN
+           |      ('the','a','of','and','is','to','in')
+           |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))
+           |    + 0.7 * (CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*))
+           |      AS quality
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |        FROM documents)
+           |  GROUP BY doc_id),
+           |keep AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id,
+           |      MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS k
+           |    FROM documents)
+           |  WHERE doc_id = k),
+           |toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+           |  FROM documents),
+           |grams AS (
+           |  SELECT DISTINCT doc_id, $g AS ng
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+           |    len(ts)-${ContamNgram - 1})) AS i) gi
+           |  WHERE len(ts) >= $ContamNgram),
+           |eval_grams AS (
+           |  SELECT DISTINCT ng FROM grams WHERE doc_id % $EvalModulus = 0),
+           |contaminated AS (
+           |  SELECT DISTINCT g.doc_id AS doc_id
+           |  FROM grams g JOIN eval_grams e ON g.ng = e.ng)
+           |SELECT d.doc_id AS doc_id, d.lang AS lang, q.quality AS quality,
+           |  CASE WHEN hv < $t1 THEN 'train'
+           |       WHEN hv < $t2 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM (
+           |  SELECT doc_id, lang,
+           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+           |      1, 8)) AS BIGINT) AS hv
+           |  FROM documents) d
+           |JOIN q ON q.doc_id = d.doc_id
+           |JOIN keep ON keep.doc_id = d.doc_id
+           |WHERE q.quality >= 0.25
+           |  AND d.doc_id % $EvalModulus != 0
+           |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val t1 = (0.90 * (1L << 32)).toLong
+      val t2 = (0.95 * (1L << 32)).toLong
+      val stop = "('the','a','of','and','is','to','in')"
+      // stage 1: map-side quality (same per-doc array plan as
+      // text_quality_score — no shuffle)
+      val quality = docs(s, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"),
+          md5(lower(col("text"))).as("fp"))
+        .withColumn("quality",
+          lit(0.3) * (expr(s"CAST(size(filter(ts, t -> t IN $stop)) AS BIGINT)")
+            .cast("double") / size(col("ts"))) +
+          lit(0.7) * (size(array_distinct(col("ts"))).cast("double") /
+            size(col("ts"))))
+      // stage 2: exact-dedup keepers (digest window)
+      val kept = quality
+        .withColumn("keep_id", min(col("doc_id")).over(W.partitionBy(col("fp"))))
+        .filter(col("doc_id") === col("keep_id"))
+        .filter(col("quality") >= 0.25)
+        .filter(col("doc_id") % EvalModulus =!= 0)
+      // stage 3: decontamination anti-join (AQE-broadcastable eval set)
+      val grams = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= ContamNgram)
+        .select(col("doc_id"), explode(expr(
+          s"""array_distinct(transform(sequence(1, size(ts)-${ContamNgram - 1}),
+             |  i -> concat_ws(' ', slice(ts, i, $ContamNgram))))""".stripMargin))
+          .as("ng"))
+      val evalGrams = grams.filter(col("doc_id") % EvalModulus === 0)
+        .select(col("ng")).distinct()
+      val contaminated = grams.join(evalGrams, Seq("ng"))
+        .select(col("doc_id")).distinct()
+      // stage 4: deterministic split assignment (map-side)
+      val hv = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 8),
+        16, 10).cast("long")
+      kept.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("quality"),
+          when(hv < t1, "train").when(hv < t2, "val").otherwise("test")
+            .as("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic dataset split: every document assigned to
     // train/val/test by integer hash thresholds (90/5/5) — the split
     // each training run must reproduce identically on any cluster, so
