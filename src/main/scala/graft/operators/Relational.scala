@@ -525,5 +525,50 @@ object Relational {
         .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("week_start"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("week_start"))
+    },
+
+    // Exact distributed quantiles (percentile_disc semantics) per
+    // group, the scale-safe way: collapse to a value histogram (one
+    // hash aggregate — the working set becomes |distinct values|, not
+    // |rows|), then a range-partitioned two-pass prefix sum over
+    // (group, value) for cumulative counts — NO single-task window at
+    // any group size. percentile_disc(p) = the smallest value whose
+    // within-group cumulative count reaches ceil(p·N); the threshold
+    // is computed in pure integer arithmetic ((p·N+99) div 100) so
+    // both engines agree bit-for-bit. The oracle runs DuckDB's native
+    // percentile_disc — an entirely different (sorting) algorithm,
+    // same relation. Per-group offsets come from a second prefix sum
+    // over the group-totals table (bounded by group cardinality).
+    QuerySpec.sql(
+      "quantile_disc_grouped",
+      Seq(25, 50, 75, 90, 99).map(p =>
+        s"""SELECT o_orderpriority, $p AS p_pct,
+           |  percentile_disc($p/100.0) WITHIN GROUP (ORDER BY o_totalprice)
+           |    AS q
+           |FROM orders GROUP BY 1""".stripMargin)
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY 1, 2")) {
+      (s, dir) =>
+        val counts = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val cum = graft.functions.PrefixSum.globalCumsum(
+          counts, Seq(col("g"), col("v")), col("cnt"), "gcum")
+        // Per-group offset straight from the one cumsum: at each
+        // group's FIRST row (g-order prefixes (g,v)-order), gcum − cnt
+        // is exactly the count of all earlier groups — so min(gcum −
+        // cnt) per group recovers the exclusive group prefix with one
+        // hash aggregate, no second cumsum pass.
+        val offs = cum.groupBy(col("g")).agg(
+          sum(col("cnt")).as("ng"),
+          min(col("gcum") - col("cnt")).as("off"))
+        val pdf = s.range(1).select(
+          explode(array(Seq(25, 50, 75, 90, 99).map(lit): _*)).as("p_pct"))
+        cum.join(broadcast(offs), Seq("g"))
+          .crossJoin(broadcast(pdf))
+          .filter(col("gcum") - col("off") >=
+            expr("(p_pct * ng + 99) div 100"))
+          .groupBy(col("g").as("o_orderpriority"), col("p_pct"))
+          .agg(min(col("v")).as("q"))
+          .orderBy(col("o_orderpriority"), col("p_pct"))
     })
 }

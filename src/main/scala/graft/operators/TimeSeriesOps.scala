@@ -372,6 +372,123 @@ object TimeSeriesOps {
         .orderBy(col("event_id"))
     },
 
+    // Gap-based sessionization — the standard event-stream operator
+    // (split a user's clickstream into sessions at >4 h idle gaps):
+    // lag over (user, ts) marks session starts, a running sum of the
+    // marks numbers the sessions, then one hash aggregate per
+    // (user, session). Both windows share the single user_id shuffle
+    // partitioning, so the whole operator costs ONE exchange; session
+    // keys are uniform (per-user event counts), no skew. Timestamps
+    // compared in epoch micros — exact vs DuckDB's nanos because the
+    // events fixture is µs-aligned.
+    QuerySpec.sql(
+      "sessionize_events",
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN
+        |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |       > 14400000000 THEN 1 ELSE 0 END AS new_s FROM e),
+        |g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS BIGINT) AS sess FROM f)
+        |SELECT user_id, sess, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchase
+        |FROM g GROUP BY 1, 2
+        |ORDER BY user_id, sess""".stripMargin) { (s, dir) =>
+      val gapUs = 14400000000L // 4 hours
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("new_s",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > gapUs, 1).otherwise(0))
+        .withColumn("sess", sum(col("new_s")).over(wc).cast("long"))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0))
+            .cast("long").as("n_purchase"))
+        .orderBy(col("user_id"), col("sess"))
+    },
+
+    // Weekly cohort retention over purchase events: cohort = a user's
+    // first purchase day; each later purchase lands in a week-offset
+    // bucket relative to that cohort day. Two hash aggregates plus one
+    // shuffle join on the uniform user_id key (the per-user firsts
+    // table is a dimension — AQE broadcasts it when it fits); the
+    // distinct collapses map-side before the final count.
+    QuerySpec.sql(
+      "cohort_retention",
+      """WITH p AS (SELECT user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        |  FROM p GROUP BY 1),
+        |a AS (SELECT DISTINCT p.user_id, f.cohort_day,
+        |    CAST((CAST(p.ts AS DATE) - f.cohort_day) // 7 AS BIGINT)
+        |      AS week_offset
+        |  FROM p JOIN f USING (user_id))
+        |SELECT cohort_day, week_offset, count(*) AS n_users
+        |FROM a GROUP BY 1, 2
+        |ORDER BY cohort_day, week_offset""".stripMargin) { (s, dir) =>
+      val p = events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      val f = p.groupBy(col("user_id"))
+        .agg(to_date(min(col("ts"))).as("cohort_day"))
+      p.join(f, Seq("user_id"))
+        .select(col("user_id"), col("cohort_day"),
+          expr("datediff(CAST(ts AS DATE), cohort_day) div 7")
+            .cast("long").as("week_offset"))
+        .distinct()
+        .groupBy(col("cohort_day"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_day"), col("week_offset"))
+    },
+
+    // Conversion funnel: of the users who signed up, how many purchased
+    // within 7 days of their first signup, by signup day. The probe is
+    // an equi-join on user_id with the time window as a post-predicate
+    // — a plain hash join (no nested-loop range probe needed because
+    // conversion only needs EXISTS, not the matching rows).
+    QuerySpec.sql(
+      "funnel_signup_purchase",
+      """WITH s AS (SELECT user_id, min(ts) AS s_ts, min(epoch_us(ts)) AS s_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT s.user_id, CAST(s.s_ts AS DATE) AS signup_day,
+        |    CAST(max(CASE WHEN p.us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS converted
+        |  FROM s LEFT JOIN (SELECT user_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'purchase') p
+        |    ON p.user_id = s.user_id AND p.us > s.s_us
+        |    AND p.us <= s.s_us + 604800000000
+        |  GROUP BY 1, 2)
+        |SELECT signup_day, CAST(count(*) AS BIGINT) AS n_signups,
+        |  CAST(sum(converted) AS BIGINT) AS n_converted
+        |FROM c GROUP BY 1 ORDER BY signup_day""".stripMargin) { (s, dir) =>
+      val weekUs = 604800000000L
+      val ev = events(s, dir)
+      val s0 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("s_ts"),
+          min(unix_micros(col("ts"))).as("s_us"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("us"))
+      s0.join(pur,
+          col("p_user") === col("user_id") && col("us") > col("s_us") &&
+            col("us") <= col("s_us") + weekUs, "left")
+        .groupBy(col("user_id"), to_date(col("s_ts")).as("signup_day"))
+        .agg(max(when(col("us").isNotNull, 1).otherwise(0))
+          .cast("long").as("converted"))
+        .groupBy(col("signup_day"))
+        .agg(count(lit(1)).cast("long").as("n_signups"),
+          sum(col("converted")).cast("long").as("n_converted"))
+        .orderBy(col("signup_day"))
+    },
+
     // KMV (k-minimum-values) distinct-count sketch, k = 64: estimate
     // distinct users per event type from the 64 smallest md5 hash
     // values — the mergeable bottom-k sketch (Bar-Yossef et al.);
