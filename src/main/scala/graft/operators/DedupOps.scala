@@ -353,10 +353,67 @@ object DedupOps {
          |SELECT id AS doc_id, MIN(r) AS cluster_id
          |FROM reach GROUP BY id
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      graft.functions.ConnectedComponents.minLabels(
-          docs(s, dir).select(col("doc_id")), "doc_id",
-          bandedCandidates(s, dir), "a_id", "b_id")
+      clusterLabels(s, dir)
         .select(col("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id"))
+    },
+
+    // Cluster-representative selection — the decision step AFTER
+    // clustering: keep the best document of every near-dup cluster
+    // (longest text, doc_id as the deterministic tie-break) and record
+    // the cluster size. One join of the cluster labels against the
+    // docs dimension, then a per-cluster window (keys uniform — a
+    // cluster is as big as its near-dup set, which LSH banding keeps
+    // bounded). Shares the memoized component labels with the
+    // dedup_connected_components gate, so the fixpoint iteration runs
+    // ONCE per session/dir — exactly how a pipeline would stage it
+    // (labels as a write-once table consumed by both reports).
+    QuerySpec.sql(
+      "dedup_cluster_rep",
+      s"""WITH RECURSIVE $bandedCandCtes,
+         |edges AS (
+         |  SELECT a_id AS u, b_id AS v FROM cand
+         |  UNION ALL SELECT b_id, a_id FROM cand),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT re.id, e.v FROM reach re JOIN edges e ON e.u = re.r),
+         |cc AS (
+         |  SELECT id AS doc_id, MIN(r) AS cluster_id
+         |  FROM reach GROUP BY id)
+         |SELECT cluster_id, rep_id, sz FROM (
+         |  SELECT cc.cluster_id, d.doc_id AS rep_id,
+         |    count(*) OVER (PARTITION BY cc.cluster_id) AS sz,
+         |    row_number() OVER (PARTITION BY cc.cluster_id
+         |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         |  FROM cc JOIN documents d ON d.doc_id = cc.doc_id)
+         |WHERE rn = 1
+         |ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("cluster_id"))
+      val labeled = clusterLabels(s, dir)
+        .select(col("doc_id"), col("label").as("cluster_id"))
+        .join(docs(s, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      labeled
+        .select(col("cluster_id"), col("doc_id").as("rep_id"),
+          count(lit(1)).over(w).as("sz"),
+          row_number().over(w.orderBy(col("n_chars").desc, col("doc_id")))
+            .as("rn"))
+        .filter(col("rn") === 1)
+        .drop("rn")
+        .orderBy(col("cluster_id"))
     })
+
+  /** Component labels memoized per (session, dir): the fixpoint
+    * iteration's checkpointed output can't be deduped by Spark's
+    * plan-equality cache (every invocation builds fresh checkpoint
+    * RDDs), so the sharing is explicit. At warehouse scale this is the
+    * write-once `cluster_labels` table both downstream reports read.
+    */
+  private val ccMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    ccMemo.getOrElseUpdate((s, dir),
+      graft.functions.ConnectedComponents.minLabels(
+        docs(s, dir).select(col("doc_id")), "doc_id",
+        bandedCandidates(s, dir), "a_id", "b_id"))
 }
