@@ -36,8 +36,15 @@ object Bench {
 
     // untimed setup: JVM warmup + one-time domain ETL + shared caches
     // + one cheap touch per base table (file listing / footer reads
-    // would otherwise be billed to whichever query scans a table first)
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // would otherwise be billed to whichever query scans a table first).
+    // A broken warmup query silently shifts first-touch costs into the
+    // timed section, so failures are logged loudly (but stay untimed).
+    def warm(name: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable =>
+          System.err.println(s"bench: WARN warmup '$name' failed: ${e.getMessage}")
+      }
+    warm("entry")(SparkEntry.entry(spark).count())
     Seq("xrpl_stats_daily",      // fixture parse + store dump
         "dedup_minhash_lsh",     // MinHash signature cache
         "dedup_minhash_banded",  // banded candidate-pair cache
@@ -47,7 +54,7 @@ object Bench {
         "w4_avg_event_gap",      // events
         "j6_left_join_profile",  // customer/nation
         "text_token_stats"       // documents
-    ).foreach(n => try evalFull(n) catch { case _: Throwable => })
+    ).foreach(n => warm(n)(evalFull(n)))
 
     // SPARK_GRAFT_ONLY=a,b,c restricts the timed set (iteration aid);
     // the driver never sets it, so the full suite runs per-round
@@ -57,9 +64,11 @@ object Bench {
       case Some(names) => SparkEntry.allSpecs.filter(q => names(q.name))
       case None        => SparkEntry.allSpecs
     }
-    // SPARK_GRAFT_REPS=n times each query n times and reports the MIN
-    // (iteration aid against VM noise); the driver default is 1
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1)
+    // SPARK_GRAFT_REPS=n times each query n times and reports the MIN.
+    // Default is 2 so a single contended run can't masquerade as a plan
+    // regression (r5: the driver's one-shot capture showed phantom 3-4x
+    // slowdowns that a clean run disproved).
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
     // a failing query must NOT read as a fast success: its elapsed
     // time is negated (sentinel) and its name listed under "errors"
     val results = specs.map { q =>
@@ -76,12 +85,26 @@ object Bench {
       (q.name, if (runs.exists(_ < 0)) -runs.map(math.abs).min
                else runs.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal (0.1 ms) resolution keeps the line compact; the raw
+    // nanos carry no information at bench noise levels anyway
+    val qs = results
+      .map { case (k, v) => s"\"" + k + "\":" + (math.rint(v * 1e4) / 1e4) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map { case (_, v) => math.abs(v) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // The full JSON goes to a repo file AND is printed FIRST: the
+    // driver captures only a bounded stdout tail, which in r5 truncated
+    // the head of this line ("parsed": null). The file is the durable
+    // artifact; the trailing summary line is small enough to always fit.
+    val out = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    println(json)
+    println(s"bench: ${results.size} queries, total ${math.rint(total * 10) / 10} s, " +
+      s"errors=${results.count(_._2 < 0)}, reps=$reps, full JSON at target/bench.json")
     spark.stop()
   }
 }

@@ -74,6 +74,24 @@ object XrplOps {
       dump(graft.xrpl.topology.Topology.loadLedgerValidations(s,
         graft.xrpl.topology.Topology.networkFixture("ledger-validations.json")),
         "ledger_validations")
+      // topology snapshot read path: the raw crawl's node rows and
+      // "prefix>prefix" connection strings — both engines resolve and
+      // format from these raw dumps (topology.js:111-135, 176-210)
+      locally {
+        val (nodes, links) = graft.xrpl.topology.Topology.loadCrawl(s,
+          graft.xrpl.topology.Topology.networkFixture("topology-crawl.json"))
+        dump(nodes.select(col("pubkey_node"), col("host"), col("port"),
+          col("version"), col("uptime"), col("in"), col("out")), "crawl_nodes")
+        dump(links, "crawl_links")
+      }
+      // manifests read path: parsed + ed25519-verified manifest rows
+      // (the verdict has no SQL equivalent, so it is materialized once
+      // here and the LISTING semantics are what the gates cross-check;
+      // the crypto itself is unit-tested against real fixtures in
+      // ManifestsSpec)
+      dump(graft.xrpl.topology.Topology.loadManifests(s,
+        graft.xrpl.topology.Topology.networkFixture("manifests.json")),
+        "manifests")
       // externally-collected read paths (estimate forex/books,
       // external markets) — deterministic fixture stand-ins for the
       // out-of-band collectors
@@ -1160,5 +1178,117 @@ object XrplOps {
       Queries.rollingRate(pq(s, "exchanges"),
         Queries.Pair("USD", Some("rMwjYedjc7qqtKYVLiAccJSmCwih4LnE2q")),
         Queries.Pair("XRP", None), "hour", 1421262000L)
+    },
+
+    // /v2/network/topology/nodes (topology.js:176-189): the latest
+    // crawl's node list in API shape — exercises
+    // Topology.topologyNodes over the raw crawl dump.
+    QuerySpec.sql(
+      "xrpl_topology_nodes",
+      s"""SELECT pubkey_node AS node_public_key, host AS ip,
+         |  CAST(port AS BIGINT) AS port,
+         |  'rippled-' || version AS version,
+         |  CAST(uptime AS BIGINT) AS uptime,
+         |  CAST("in" AS BIGINT) AS inbound_count,
+         |  CAST("out" AS BIGINT) AS outbound_count
+         |FROM ${t("crawl_nodes")}
+         |ORDER BY node_public_key""".stripMargin) { (s, _) =>
+      graft.xrpl.topology.Topology.topologyNodes(pq(s, "crawl_nodes"))
+    },
+
+    // /v2/network/topology/links (topology.js:81-94, 208-210): link
+    // endpoints resolved through the 12-char pubkey-prefix dictionary
+    // — exercises Topology.resolveLinks end-to-end over the raw dump.
+    QuerySpec.sql(
+      "xrpl_topology_links",
+      s"""WITH dict AS (
+         |  SELECT substr(pubkey_node, 1, 12) AS prefix,
+         |    pubkey_node AS pubkey
+         |  FROM ${t("crawl_nodes")}),
+         |parts AS (
+         |  SELECT string_split(link, '>')[1] AS src_prefix,
+         |    string_split(link, '>')[2] AS dst_prefix
+         |  FROM ${t("crawl_links")})
+         |SELECT COALESCE(ds.pubkey, '') AS source,
+         |  COALESCE(dt.pubkey, '') AS target
+         |FROM parts
+         |LEFT JOIN dict ds ON parts.src_prefix = ds.prefix
+         |LEFT JOIN dict dt ON parts.dst_prefix = dt.prefix
+         |ORDER BY source, target""".stripMargin) { (s, _) =>
+      import graft.xrpl.topology.Topology
+      Topology.resolveLinks(pq(s, "crawl_nodes"), pq(s, "crawl_links"))
+        .select(coalesce(col("source"), lit("")).as("source"),
+          coalesce(col("target"), lit("")).as("target"))
+        .orderBy(col("source"), col("target"))
+    },
+
+    // Topology node degrees over the resolved link graph — the
+    // graph-shaped summary the nodes/links endpoints feed.
+    QuerySpec.sql(
+      "xrpl_topology_degrees",
+      s"""WITH dict AS (
+         |  SELECT substr(pubkey_node, 1, 12) AS prefix,
+         |    pubkey_node AS pubkey
+         |  FROM ${t("crawl_nodes")}),
+         |parts AS (
+         |  SELECT string_split(link, '>')[1] AS src_prefix,
+         |    string_split(link, '>')[2] AS dst_prefix
+         |  FROM ${t("crawl_links")}),
+         |resolved AS (
+         |  SELECT ds.pubkey AS source, dt.pubkey AS target
+         |  FROM parts
+         |  LEFT JOIN dict ds ON parts.src_prefix = ds.prefix
+         |  LEFT JOIN dict dt ON parts.dst_prefix = dt.prefix),
+         |ends AS (
+         |  SELECT source AS pubkey FROM resolved
+         |  UNION ALL
+         |  SELECT target FROM resolved)
+         |SELECT COALESCE(pubkey, '') AS pubkey, COUNT(*) AS degree
+         |FROM ends
+         |GROUP BY 1
+         |ORDER BY degree DESC, pubkey""".stripMargin) { (s, _) =>
+      import graft.xrpl.topology.Topology
+      Topology.nodeDegrees(
+          Topology.resolveLinks(pq(s, "crawl_nodes"), pq(s, "crawl_links")))
+        .select(coalesce(col("pubkey"), lit("")).as("pubkey"), col("degree"))
+        .orderBy(col("degree").desc, col("pubkey"))
+    },
+
+    // getManifests scan (topology.js:592-620): manifests_by_validator
+    // rows under the master|seq(10)|ephemeral rowkey, rowkey-ordered,
+    // ed25519 verdict riding along as a boolean column — exercises
+    // Topology.manifestsByValidator.
+    QuerySpec.sql(
+      "xrpl_manifests",
+      s"""SELECT master_public_key || '|' ||
+         |    lpad(CAST(sequence AS VARCHAR), 10, '0') || '|' ||
+         |    COALESCE(ephemeral_public_key, '') AS rowkey,
+         |  master_public_key,
+         |  COALESCE(ephemeral_public_key, '') AS ephemeral_public_key,
+         |  sequence, signature, verified
+         |FROM ${t("manifests")}
+         |ORDER BY rowkey""".stripMargin) { (s, _) =>
+      graft.xrpl.topology.Topology.manifestsByValidator(pq(s, "manifests"))
+    },
+
+    // manifests_by_master_key (manifests.js:99-112 setActiveManifest,
+    // 117-136 deleteActiveManifest): the active (highest verified
+    // sequence) ephemeral key per master key, with MAX_SEQUENCE
+    // revocations removing the master — exercises
+    // Topology.activeManifests.
+    QuerySpec.sql(
+      "xrpl_manifests_active",
+      s"""WITH v AS (
+         |  SELECT * FROM ${t("manifests")} WHERE verified)
+         |SELECT master_public_key,
+         |  max_by(ephemeral_public_key, sequence) AS ephemeral_public_key,
+         |  MAX(sequence) AS sequence
+         |FROM v
+         |WHERE sequence < 4294967295
+         |  AND master_public_key NOT IN
+         |    (SELECT master_public_key FROM v WHERE sequence = 4294967295)
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin) { (s, _) =>
+      graft.xrpl.topology.Topology.activeManifests(pq(s, "manifests"))
     })
 }

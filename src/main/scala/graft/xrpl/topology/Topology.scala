@@ -62,6 +62,101 @@ object Topology {
       .agg(count(lit(1)).as("degree"))
       .orderBy(col("degree").desc, col("pubkey"))
 
+  /** /v2/network/topology node listing (topology.js:176-189
+    * getTopologyNodes): the latest crawl's node rows reshaped to the
+    * API contract — `node_public_key`, `ip` (crawl `host`), numeric
+    * `port`, `version` prefixed with "rippled-", numeric uptime and
+    * in/outbound connection counts. Pure per-row projection; at scale
+    * this is a map-only stage over the crawl partition.
+    */
+  def topologyNodes(nodes: DataFrame): DataFrame =
+    nodes.select(
+      col("pubkey_node").as("node_public_key"),
+      col("host").as("ip"),
+      col("port").cast("long").as("port"),
+      concat(lit("rippled-"), col("version")).as("version"),
+      col("uptime").cast("long").as("uptime"),
+      col("in").cast("long").as("inbound_count"),
+      col("out").cast("long").as("outbound_count"))
+      .orderBy(col("node_public_key"))
+
+  // -----------------------------------------------------------------
+  // Manifests (manifests_by_validator / manifests_by_master_key)
+  // -----------------------------------------------------------------
+
+  /** Parse + ed25519-verify the raw manifest feed
+    * (lib/validations/manifests.js:38-72). The verdict is computed
+    * per row with [[Manifests.verifyManifest]] — a JVM crypto
+    * primitive with no SQL equivalent, so it is the one place a UDF
+    * is the right tool (executed once at ETL time, never in a query
+    * hot path).
+    */
+  def loadManifests(spark: SparkSession, path: String): DataFrame = {
+    val verify = udf((seq: Long, master: String, signing: String,
+        masterSig: String, sig: String) =>
+      Manifests.verifyManifest(seq, master, Option(signing),
+        // verifySignature prefers master_signature (manifests.js:48)
+        if (masterSig != null) masterSig else sig))
+    readJson(spark, path)
+      .select(
+        col("master_key").as("master_public_key"),
+        col("signing_key").as("ephemeral_public_key"),
+        col("seq").cast("long").as("sequence"),
+        col("signature"),
+        col("master_signature"),
+        verify(col("seq").cast("long"), col("master_key"),
+          col("signing_key"), col("master_signature"), col("signature"))
+          .as("verified"))
+  }
+
+  /** Key-revocation sentinel: a manifest at MAX_SEQUENCE revokes the
+    * master key itself (manifests.js:20, 391-394).
+    */
+  val MaxSequence = 4294967295L
+
+  /** getManifests scan shape (topology.js:592-620): the
+    * manifests_by_validator rowkey is
+    * `master|sequence(10)|ephemeral` (manifests.js:196-201 makeRowkey,
+    * SEQ_PAD=10), scanned in rowkey order. A revocation manifest has
+    * no ephemeral key; JS Array.join renders it as a trailing empty
+    * segment, so the missing key maps to '' here.
+    */
+  def manifestsByValidator(manifests: DataFrame): DataFrame =
+    manifests
+      .withColumn("ephemeral_public_key",
+        coalesce(col("ephemeral_public_key"), lit("")))
+      .withColumn("rowkey", concat_ws("|",
+        col("master_public_key"),
+        lpad(col("sequence").cast("string"), 10, "0"),
+        col("ephemeral_public_key")))
+      .select(col("rowkey"), col("master_public_key"),
+        col("ephemeral_public_key"), col("sequence"), col("signature"),
+        col("verified"))
+      .orderBy(col("rowkey"))
+
+  /** manifests_by_master_key (manifests.js:99-112 setActiveManifest,
+    * 117-136 deleteActiveManifest): the active (highest-sequence,
+    * verified) ephemeral key per master key; a verified revocation at
+    * MAX_SEQUENCE removes the master entirely. One hash aggregation
+    * plus a broadcastable anti-join on the (tiny) revocation set — no
+    * window.
+    */
+  def activeManifests(manifests: DataFrame): DataFrame = {
+    val verified = manifests.filter(col("verified"))
+    val revoked = verified
+      .filter(col("sequence") === MaxSequence)
+      .select(col("master_public_key"))
+    verified
+      .filter(col("sequence") < MaxSequence)
+      .groupBy(col("master_public_key"))
+      .agg(
+        max_by(col("ephemeral_public_key"), col("sequence"))
+          .as("ephemeral_public_key"),
+        max(col("sequence")).as("sequence"))
+      .join(revoked, Seq("master_public_key"), "left_anti")
+      .orderBy(col("master_public_key"))
+  }
+
   // -----------------------------------------------------------------
   // Validations
   // -----------------------------------------------------------------
