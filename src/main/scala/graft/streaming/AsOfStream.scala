@@ -24,20 +24,39 @@ object AsOfStream {
   final case class Enriched(id: Long, key: Long, t: Long,
       value: Option[Double])
 
+  /** Default build-side row cap — the same order of magnitude Spark's
+    * own autoBroadcastJoinThreshold implies for a dimension table.
+    */
+  val DefaultMaxBuildRows = 4000000
+
   /** Per-key (sorted times, values) index. Build from a DataFrame of
     * (key, t, value) rows; the build side must be unique per (key, t)
     * — pre-aggregate upstream, same contract as the batch join.
+    *
+    * The index lives on the driver and broadcasts to every executor,
+    * so the build side MUST be dimension-sized. `maxRows` enforces
+    * that contract loudly: the collect is bounded at maxRows + 1 rows
+    * (so an unbounded build side cannot OOM the driver first) and an
+    * over-limit build fails with a pointer to the batch merge join.
     */
   def buildIndex(build: DataFrame, keyCol: String, tCol: String,
-      vCol: String): Map[Long, (Array[Long], Array[Double])] =
-    build.select(col(keyCol).cast("long"), col(tCol).cast("long"),
+      vCol: String, maxRows: Int = DefaultMaxBuildRows)
+      : Map[Long, (Array[Long], Array[Double])] = {
+    val rows = build.select(col(keyCol).cast("long"), col(tCol).cast("long"),
         col(vCol).cast("double"))
+      .limit(maxRows + 1)
       .collect()
+    require(rows.length <= maxRows,
+      s"as-of build side exceeds $maxRows rows — this is the broadcast-" +
+        "dimension regime; an unbounded build side needs the batch merge " +
+        "join (graft.functions.AsOfJoin.asofBackward) instead")
+    rows
       .groupBy(_.getLong(0))
-      .map { case (k, rows) =>
-        val sorted = rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      .map { case (k, rs) =>
+        val sorted = rs.map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
         k -> (sorted.map(_._1), sorted.map(_._2))
       }
+  }
 
   /** Greatest index i with ts(i) <= t, or -1. */
   private def floorIdx(ts: Array[Long], t: Long): Int = {

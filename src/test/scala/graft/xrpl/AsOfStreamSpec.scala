@@ -63,4 +63,19 @@ class AsOfStreamSpec extends AnyFunSuite {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("buildIndex rejects a build side over the row cap") {
+    import spark.implicits._
+    val build = spark.range(0, 100)
+      .select(col("id").as("k"), col("id").as("t"),
+        col("id").cast("double").as("v"))
+    // under the cap: builds fine
+    assert(AsOfStream.buildIndex(build, "k", "t", "v", maxRows = 100)
+      .size === 100)
+    // over the cap: fails loudly instead of OOMing the driver
+    val e = intercept[IllegalArgumentException] {
+      AsOfStream.buildIndex(build, "k", "t", "v", maxRows = 99)
+    }
+    assert(e.getMessage.contains("broadcast-dimension"))
+  }
 }
