@@ -127,63 +127,51 @@ object SimilarityOps {
        |WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
 
-  def specs: Seq[QuerySpec] = Seq(
-    // Brute-force exact top-k cosine — the ANN correctness baseline.
-    QuerySpec.sql("sim_brute_topk", topkSql("")) { (s, dir) =>
-      topk(s, dir, sameCell = false)
-    },
+  /** The full multi-probe IVF search SQL (shared by the sim_ivf_probe
+    * gate and the recall gate, which embeds it as a derived table).
+    */
+  private val probeSql =
+    s"""WITH sig AS ($quantizedSql),
+       |dims AS (
+       |  SELECT label, pos, CAST(SUM(qv[pos]) AS BIGINT) AS sv,
+       |    COUNT(*) AS n
+       |  FROM sig, UNNEST(generate_series(1, len(qv))) AS t(pos)
+       |  GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label,
+       |    list(CAST(FLOOR(sv / n) AS BIGINT) ORDER BY pos) AS cvec
+       |  FROM dims GROUP BY 1),
+       |cent2 AS (
+       |  SELECT label, cvec, list_dot_product(cvec, cvec) AS cnorm2
+       |  FROM cent),
+       |q AS (
+       |  SELECT vec_id AS qid, qv AS qa, norm2 AS qn
+       |  FROM sig WHERE vec_id < 10),
+       |ranked AS (
+       |  SELECT qid, label,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+       |      list_dot_product(qa, cvec)
+       |        / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cnorm2 AS DOUBLE)))
+       |      DESC, label) AS cell_rank
+       |  FROM q CROSS JOIN cent2),
+       |cand AS (
+       |  SELECT q.qid, s.vec_id AS vid,
+       |    list_dot_product(q.qa, s.qv)
+       |      / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(s.norm2 AS DOUBLE)))
+       |      AS cos
+       |  FROM q
+       |  JOIN (SELECT qid, label FROM ranked WHERE cell_rank <= $Probes) p
+       |    ON p.qid = q.qid
+       |  JOIN sig s ON s.label = p.label AND s.vec_id <> q.qid)
+       |SELECT qid, vid, cos, rnk FROM (
+       |  SELECT qid, vid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk
+       |  FROM cand)
+       |WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
 
-    // IVF-style ANN: search only the query's coarse cell (label).
-    QuerySpec.sql("sim_ivf_topk", topkSql("AND a.label = b.label")) { (s, dir) =>
-      topk(s, dir, sameCell = true)
-    },
-
-    // IVF multi-probe: rank cells by query↔centroid cosine, probe the
-    // top `Probes` cells, exact top-k within them — the full inverted-
-    // file search (train: centroid per cell; search: nprobe cells).
-    // Centroids are floor-averaged INTEGER vectors: cosine is scale-
-    // invariant, so the floor-avg direction is exact integer math in
-    // both engines (sums stay < 2^53 — no float divergence anywhere).
-    QuerySpec.sql(
-      "sim_ivf_probe",
-      s"""WITH sig AS ($quantizedSql),
-         |dims AS (
-         |  SELECT label, pos, CAST(SUM(qv[pos]) AS BIGINT) AS sv,
-         |    COUNT(*) AS n
-         |  FROM sig, UNNEST(generate_series(1, len(qv))) AS t(pos)
-         |  GROUP BY 1, 2),
-         |cent AS (
-         |  SELECT label,
-         |    list(CAST(FLOOR(sv / n) AS BIGINT) ORDER BY pos) AS cvec
-         |  FROM dims GROUP BY 1),
-         |cent2 AS (
-         |  SELECT label, cvec, list_dot_product(cvec, cvec) AS cnorm2
-         |  FROM cent),
-         |q AS (
-         |  SELECT vec_id AS qid, qv AS qa, norm2 AS qn
-         |  FROM sig WHERE vec_id < 10),
-         |ranked AS (
-         |  SELECT qid, label,
-         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
-         |      list_dot_product(qa, cvec)
-         |        / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cnorm2 AS DOUBLE)))
-         |      DESC, label) AS cell_rank
-         |  FROM q CROSS JOIN cent2),
-         |cand AS (
-         |  SELECT q.qid, s.vec_id AS vid,
-         |    list_dot_product(q.qa, s.qv)
-         |      / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(s.norm2 AS DOUBLE)))
-         |      AS cos
-         |  FROM q
-         |  JOIN (SELECT qid, label FROM ranked WHERE cell_rank <= $Probes) p
-         |    ON p.qid = q.qid
-         |  JOIN sig s ON s.label = p.label AND s.vec_id <> q.qid)
-         |SELECT qid, vid, cos, rnk FROM (
-         |  SELECT qid, vid, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk
-         |  FROM cand)
-         |WHERE rnk <= 5
-         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+  /** IVF multi-probe search plan (see the sim_ivf_probe spec). */
+  private def probeTopk(s: SparkSession, dir: String): DataFrame = {
       val base = signatures(s, dir)
       // "train": one integer centroid per cell — 64 tiny rows per cell
       // after the posexplode aggregate, output = one row per cell
@@ -223,6 +211,54 @@ object SimilarityOps {
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("vid"), col("cos"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
+  }
+
+  def specs: Seq[QuerySpec] = Seq(
+    // Brute-force exact top-k cosine — the ANN correctness baseline.
+    QuerySpec.sql("sim_brute_topk", topkSql("")) { (s, dir) =>
+      topk(s, dir, sameCell = false)
+    },
+
+    // IVF-style ANN: search only the query's coarse cell (label).
+    QuerySpec.sql("sim_ivf_topk", topkSql("AND a.label = b.label")) { (s, dir) =>
+      topk(s, dir, sameCell = true)
+    },
+
+    // IVF multi-probe: rank cells by query↔centroid cosine, probe the
+    // top `Probes` cells, exact top-k within them — the full inverted-
+    // file search (train: centroid per cell; search: nprobe cells).
+    // Centroids are floor-averaged INTEGER vectors: cosine is scale-
+    // invariant, so the floor-avg direction is exact integer math in
+    // both engines (sums stay < 2^53 — no float divergence anywhere).
+    QuerySpec.sql("sim_ivf_probe", probeSql) { (s, dir) =>
+      probeTopk(s, dir)
+    },
+
+    // Self-measuring ANN quality: recall@5 of the multi-probe IVF
+    // search against the exact brute-force baseline, per query id, in
+    // ONE plan — the quality knob (Probes) is itself oracle-checked.
+    // Both sides reuse the cached signature table; the join is on
+    // (qid, vid) over two k-row-per-query sets, so the recall overlay
+    // costs one broadcast-sized join beyond the searches themselves.
+    QuerySpec.sql(
+      "sim_ivf_recall",
+      s"""WITH brute AS (${topkSql("")}),
+         |probe AS ($probeSql)
+         |SELECT b.qid,
+         |  CAST(SUM(CASE WHEN p.vid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / 5.0 AS recall
+         |FROM brute b
+         |LEFT JOIN probe p ON b.qid = p.qid AND b.vid = p.vid
+         |GROUP BY b.qid
+         |ORDER BY b.qid""".stripMargin) { (s, dir) =>
+      val brute = topk(s, dir, sameCell = false).select(col("qid"), col("vid"))
+      val ivf = probeTopk(s, dir)
+        .select(col("qid"), col("vid"), lit(1).as("hit"))
+      brute.join(ivf, Seq("qid", "vid"), "left")
+        .groupBy(col("qid"))
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / lit(5.0))
+          .as("recall"))
+        .orderBy(col("qid"))
     },
 
     // k-NN graph construction: every vector's top-3 same-cell
