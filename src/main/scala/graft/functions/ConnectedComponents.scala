@@ -38,6 +38,15 @@ object ConnectedComponents {
     * irrelevant). Returns (`idCol`, `label`). Nodes with no edges keep
     * their own id. Ids must be numeric (the convergence check sums
     * labels). Throws if `maxIter` rounds don't converge.
+    *
+    * PRECONDITION: every edge endpoint must appear in `nodes`
+    * (edges ⊆ nodes × nodes). Labels are seeded from the edge
+    * endpoints (so the loop never shuffles isolated nodes), which
+    * means an endpoint id absent from `nodes` would still relay
+    * propagation — and could even become a cluster label — instead of
+    * being ignored. All in-repo callers derive edges from pairs of
+    * `nodes` rows; semi-join `edges` against `nodes` first if yours
+    * don't.
     */
   def minLabels(nodes: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, maxIter: Int = 50): DataFrame = {

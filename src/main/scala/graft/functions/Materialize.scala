@@ -28,6 +28,15 @@ import org.apache.spark.sql.DataFrame
   * of leaking them for the session lifetime (the alternative, lazy
   * checkpoint + upstream cache kept alive, trades a bounded job for
   * an unbounded memory hold).
+  *
+  * Checkpoint retention: Spark does NOT delete reliable checkpoints
+  * when their RDDs are collected unless
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` — a
+  * long-lived session iterating many fixpoints (one checkpoint per
+  * ConnectedComponents round) otherwise accumulates unbounded
+  * checkpoint files on HDFS/S3. Cluster deployments should set that
+  * flag alongside the checkpoint dir; superseded per-round checkpoints
+  * are then collected as each round's RDD goes out of scope.
   */
 object Materialize {
 

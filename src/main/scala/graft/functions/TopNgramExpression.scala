@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: the occurrence count of a token
@@ -25,9 +25,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * exists — matching the SQL plan's empty-array guard).
   */
 case class TopNgramCount(child: Expression, n: Int)
-  extends UnaryExpression {
+  extends UnaryExpression with ExpectsInputTypes {
   require(n >= 1, "n-gram width must be positive")
 
+  // analysis-time type check: a non-array<string> child fails with a
+  // clear error instead of a runtime ClassCastException (the element
+  // type is the concrete ArrayType — AbstractDataType is private[sql],
+  // so the member type is inferred)
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 

@@ -408,6 +408,11 @@ object DedupOps {
     * plan-equality cache (every invocation builds fresh checkpoint
     * RDDs), so the sharing is explicit. At warehouse scale this is the
     * write-once `cluster_labels` table both downstream reports read.
+    *
+    * Entries hold checkpoint RDDs for the JVM lifetime by design (the
+    * gate harness runs one session); a long-lived service recycling
+    * sessions over many dirs should call [[clearClusterLabels]] when a
+    * dir's labels are no longer needed.
     */
   private val ccMemo =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
@@ -416,4 +421,14 @@ object DedupOps {
       graft.functions.ConnectedComponents.minLabels(
         docs(s, dir).select(col("doc_id")), "doc_id",
         bandedCandidates(s, dir), "a_id", "b_id"))
+
+  /** Release memoized cluster labels — all entries of `session`, or
+    * every entry when called with None. Checkpoint/cache data backing
+    * the dropped DataFrames becomes collectable once callers release
+    * their references.
+    */
+  def clearClusterLabels(session: Option[SparkSession] = None): Unit =
+    ccMemo.keys
+      .filter(k => session.forall(_ eq k._1))
+      .foreach(ccMemo.remove)
 }
