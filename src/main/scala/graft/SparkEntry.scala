@@ -13,7 +13,8 @@ object SparkEntry {
 
   def allSpecs: Seq[QuerySpec] =
     Relational.specs ++ TimeSeriesOps.specs ++ TextOps.specs ++
-      DedupOps.specs ++ SimilarityOps.specs ++ MultimodalOps.specs ++
+      DedupOps.specs ++ SimilarityOps.specs ++ ClusterOps.specs ++
+      MultimodalOps.specs ++
       PipelineOps.specs ++ XrplOps.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.functions.Materialize
+import graft.functions.DotProductLong.dot_long
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed clustering + graph analytics over the embedding space —
+  * the curation stages that consume the similarity machinery: k-means
+  * partitions a corpus into semantic groups (diversity sampling, IVF
+  * training, per-cluster quotas); PageRank over the k-NN graph scores
+  * centrality (representative selection, graph-weighted sampling).
+  *
+  * Cross-engine determinism (same discipline as [[SimilarityOps]]):
+  * every iterative step is exact integer math or a single
+  * correctly-rounded IEEE double op, so Spark and DuckDB produce
+  * identical bits at any parallelism:
+  *   - k-means distances are integer expansions
+  *     ‖a‖² − 2⟨a,c⟩ + ‖c‖² over micro-unit quantized vectors;
+  *     centroid updates floor the exact rational mean (sums < 2^53,
+  *     so the double division is exact-input correctly-rounded on
+  *     both engines); ties broken by centroid id.
+  *   - PageRank holds ranks as integer mass (RankScale = 1e12):
+  *     per-edge contribution = floor(rank / outdeg), damping =
+  *     floor(0.85 · Σ) — one correctly-rounded multiply per node per
+  *     round. No float accumulation anywhere, so aggregation order
+  *     (and therefore partitioning) cannot change the answer.
+  *
+  * Scale shape: both loops are fixed-iteration shuffle-on-key
+  * fixpoints of the [[graft.functions.ConnectedComponents]] family —
+  * per-round lineage truncation ([[Materialize.stable]]: reliable
+  * checkpoint when a dir is set, executor-local otherwise), no
+  * driver-side data movement (centroids stay a K-row DataFrame that
+  * Spark auto-broadcasts; ranks shuffle on vec_id). The k-NN edge
+  * list is built once by [[SimilarityOps.knnEdges]] (triangle-blocked
+  * pair generation) and reused across all 5 PageRank rounds.
+  */
+object ClusterOps {
+
+  /** Cluster count. Tiny relative to the corpus — the centroid table
+    * is always broadcast-sized (K rows), the corpus side never
+    * re-shuffles during assignment.
+    */
+  val K = 4
+
+  /** Fixed Lloyd iterations (assignments), so the computation is
+    * expressible as a finite SQL plan on both engines. */
+  val KmeansIters = 3
+
+  /** Fixed power-iteration rounds for PageRank. */
+  val PageRankIters = 5
+
+  /** Integer rank mass per node at initialization (1e12: six decimal
+    * digits of rank precision after five damped rounds, total mass
+    * n·1e12 < 2^53 up to ~9 · 10^3 billion-node graphs per partition
+    * sum — exact in both engines' double casts at any test scale). */
+  val RankScale = 1000000000000L
+
+  /** floor(0.15 · RankScale) — the teleport mass added each round. */
+  val TeleportMass: Long = RankScale / 100L * 15L
+
+  /** Assignment step: nearest centroid by squared L2 distance, ties
+    * to the smallest centroid id. One broadcast join (K rows) + one
+    * map-side-combinable hash aggregate — the corpus never shuffles.
+    */
+  private def assignStep(sig: DataFrame, cent: DataFrame): DataFrame =
+    sig.select(col("vec_id"), col("qv"), col("norm2"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist2",
+        col("norm2") - lit(2L) * dot_long(col("qv"), col("cv")) + col("cnorm2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist2").as("dist2"))
+
+  /** Centroid update: per-dimension floor-mean of the assigned
+    * vectors. posexplode → hash aggregate on (cid, dim) — K·64 groups,
+    * map-side combinable — then one K-row re-assembly (array_sort on
+    * the dim index makes collect_list order-independent).
+    */
+  private def updateStep(sig: DataFrame, assigned: DataFrame): DataFrame =
+    assigned.select(col("vec_id"), col("cid"))
+      .join(sig.select(col("vec_id"), posexplode(col("qv")).as(Seq("pos0", "x"))),
+        Seq("vec_id"))
+      .groupBy(col("cid"), col("pos0"))
+      .agg(floor(sum(col("x")) / count(lit(1))).cast("long").as("v"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos0, v))), p -> p.v)")
+        .as("cv"))
+      .withColumn("cnorm2", dot_long(col("cv"), col("cv")))
+
+  /** Deterministic init: the K smallest vec_ids' vectors, cid = rank
+    * among them. The window is bounded by construction — it runs on
+    * exactly K rows after the TakeOrderedAndProject. */
+  private def initCentroids(sig: DataFrame): DataFrame =
+    sig.orderBy(col("vec_id")).limit(K)
+      .select(col("vec_id"), col("qv"), col("norm2"))
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
+      .select(col("cid"), col("qv").as("cv"), col("norm2").as("cnorm2"))
+
+  /** Final assignment after KmeansIters Lloyd rounds:
+    * (vec_id, cid, dist2). */
+  def kmeansAssignments(s: SparkSession, dir: String): DataFrame = {
+    val sig = SimilarityOps.signatures(s, dir)
+    var cent = Materialize.stable(initCentroids(sig))
+    for (_ <- 1 until KmeansIters) {
+      val a = assignStep(sig, cent)
+      cent = Materialize.stable(updateStep(sig, a))
+    }
+    assignStep(sig, cent).orderBy(col("vec_id"))
+  }
+
+  /** PageRank over the directed k-NN graph: 5 damped power-iteration
+    * rounds in integer mass. Per round: one shuffle-on-key join
+    * (edges ⨝ ranks), one hash aggregate, one left join back to the
+    * node set (isolated nodes hold the teleport mass). Dangling mass
+    * is dropped (not redistributed) — the conventional simplification,
+    * mirrored exactly by the oracle.
+    */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val sig = SimilarityOps.signatures(s, dir)
+    val edges = Materialize.stable(
+      SimilarityOps.knnEdges(s, dir, 3).select(col("vec_id"), col("nbr_id")))
+    val outdeg = edges.groupBy(col("vec_id")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(outdeg, Seq("vec_id"))
+    val nodes = sig.select(col("vec_id"))
+    var ranks = nodes.withColumn("rank", lit(RankScale))
+    for (_ <- 1 to PageRankIters) {
+      val contrib = withDeg.join(ranks, Seq("vec_id"))
+        .select(col("nbr_id").as("vec_id"),
+          floor(col("rank").cast("double") / col("outdeg")).cast("long").as("c"))
+      val summed = contrib.groupBy(col("vec_id")).agg(sum(col("c")).as("sc"))
+      ranks = Materialize.stable(
+        nodes.join(summed, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            (lit(TeleportMass) +
+              floor(lit(0.85) * coalesce(col("sc"), lit(0L)).cast("double"))
+                .cast("long")).as("rank")))
+    }
+    ranks.orderBy(col("rank").desc, col("vec_id"))
+  }
+
+  // ---- oracle SQL (generated to mirror the fixed iteration count) ----
+
+  private def kmeansOracle: String = {
+    val init =
+      s"""SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv,
+         |  norm2 AS cnorm2
+         |FROM (SELECT * FROM sig ORDER BY vec_id LIMIT $K) t""".stripMargin
+    def assign(c: String) =
+      s"""SELECT vec_id, cid, dist2 FROM (
+         |  SELECT s.vec_id, c.cid,
+         |    s.norm2 - 2 * CAST(list_dot_product(s.qv, c.cv) AS BIGINT)
+         |      + c.cnorm2 AS dist2,
+         |    ROW_NUMBER() OVER (PARTITION BY s.vec_id
+         |      ORDER BY s.norm2 - 2 * CAST(list_dot_product(s.qv, c.cv) AS BIGINT)
+         |        + c.cnorm2, c.cid) AS rnk
+         |  FROM sig s CROSS JOIN $c c) t
+         |WHERE rnk = 1""".stripMargin
+    def update(a: String) =
+      s"""SELECT cid, list(v ORDER BY pos) AS cv,
+         |  CAST(list_dot_product(list(v ORDER BY pos), list(v ORDER BY pos))
+         |    AS BIGINT) AS cnorm2
+         |FROM (
+         |  SELECT a.cid, pos,
+         |    CAST(FLOOR(SUM(s.qv[pos]) / COUNT(*)) AS BIGINT) AS v
+         |  FROM $a a, sig s,
+         |    UNNEST(generate_series(1, len(s.qv))) AS u(pos)
+         |  WHERE s.vec_id = a.vec_id
+         |  GROUP BY a.cid, pos) d
+         |GROUP BY cid""".stripMargin
+    val quantSig = s"sig AS (SELECT vec_id, qv, CAST(norm2 AS BIGINT) AS norm2 " +
+      s"FROM (${SimilarityOps.quantizedSql}) q0)"
+    val ctes = scala.collection.mutable.ArrayBuffer(quantSig, s"c0 AS ($init)")
+    for (i <- 1 to KmeansIters) {
+      ctes += s"a$i AS (${assign(s"c${i - 1}")})"
+      if (i < KmeansIters) ctes += s"c$i AS (${update(s"a$i")})"
+    }
+    ctes.mkString("WITH ", ",\n", "") +
+      s"\nSELECT vec_id, cid, dist2 FROM a$KmeansIters ORDER BY vec_id"
+  }
+
+  private def pagerankOracle: String = {
+    def step(prev: String) =
+      s"""SELECT n.vec_id,
+         |  CAST($TeleportMass AS BIGINT) + CAST(FLOOR(CAST(0.85 AS DOUBLE)
+         |    * CAST(COALESCE(SUM(
+         |        CAST(FLOOR(CAST(r.rank AS DOUBLE) / o.outdeg) AS BIGINT)
+         |      ), 0) AS DOUBLE)) AS BIGINT) AS rank
+         |FROM (SELECT vec_id FROM sig) n
+         |LEFT JOIN knn e ON e.nbr_id = n.vec_id
+         |LEFT JOIN $prev r ON r.vec_id = e.vec_id
+         |LEFT JOIN deg o ON o.vec_id = e.vec_id
+         |GROUP BY n.vec_id""".stripMargin
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"sig AS (${SimilarityOps.quantizedSql})",
+      s"knn AS (SELECT vec_id, nbr_id FROM (${SimilarityOps.knnEdgesSql(3)}) k)",
+      "deg AS (SELECT vec_id, COUNT(*) AS outdeg FROM knn GROUP BY vec_id)",
+      s"r0 AS (SELECT vec_id, CAST($RankScale AS BIGINT) AS rank FROM sig)")
+    for (i <- 1 to PageRankIters) ctes += s"r$i AS (${step(s"r${i - 1}")})"
+    ctes.mkString("WITH ", ",\n", "") +
+      s"\nSELECT vec_id, rank FROM r$PageRankIters ORDER BY rank DESC, vec_id"
+  }
+
+  def specs: Seq[QuerySpec] = Seq(
+    // Deterministic Lloyd k-means over the quantized embeddings:
+    // 3 fixed rounds, init = K smallest vec_ids, integer distances,
+    // floor-mean centroids. Output: final assignment + distance.
+    QuerySpec.sql("cluster_kmeans", kmeansOracle) { (s, dir) =>
+      kmeansAssignments(s, dir)
+    },
+
+    // PageRank centrality over the k-NN graph (integer mass, 5 damped
+    // rounds) — graph-weighted representative scoring.
+    QuerySpec.sql("graph_pagerank", pagerankOracle) { (s, dir) =>
+      pagerank(s, dir)
+    })
+}

@@ -63,7 +63,7 @@ object SimilarityOps {
     * keys on the analyzed plan, so every caller — including both sides
     * of a self-join — shares one materialization per (dir).
     */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def signatures(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("label")).orderBy(col("vec_id"))
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), expr(quantizeSpark).as("qv"))
@@ -87,7 +87,7 @@ object SimilarityOps {
         col("a_norm2"), col("b_vec_id").as("b_id"), col("b_qv").as("qb"),
         col("b_norm2"))
 
-  private val quantizedSql =
+  private[operators] val quantizedSql =
     s"""SELECT vec_id, label, $quantizeDuck AS qv,
        |  list_dot_product($quantizeDuck, $quantizeDuck) AS norm2
        |FROM embeddings""".stripMargin
@@ -213,6 +213,49 @@ object SimilarityOps {
         .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Directed k-NN edge list (vec_id, nbr_id, cos, rnk ≤ k): every
+    * vector's top-k same-cell neighbors by cosine — the graph that
+    * graph-based curation (clustering, centrality, diversity
+    * sampling) consumes. Shared by the sim_knn_graph gate and
+    * [[ClusterOps]] (PageRank). Pair generation reuses the
+    * triangle-blocked same-cell pairs (each unordered pair scored
+    * ONCE, then symmetrized by a column-swap union — half the dot
+    * products of a naive directed self-join); ranking is a
+    * per-vector window, uniform keys at any scale.
+    */
+  private[operators] def knnEdges(s: SparkSession, dir: String,
+      k: Int = 3): DataFrame = {
+    val pairs = cellPairs(signatures(s, dir), PairBlockSize)
+      .withColumn("dot", dot_long(col("qa"), col("qb")))
+      .withColumn("cos", expr(
+        "CAST(dot AS DOUBLE) / (sqrt(CAST(a_norm2 AS DOUBLE)) * sqrt(CAST(b_norm2 AS DOUBLE)))"))
+      .select(col("a_id"), col("b_id"), col("cos"))
+    val sym = pairs
+      .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"), col("cos"))
+      .unionByName(pairs
+        .select(col("b_id").as("vec_id"), col("a_id").as("nbr_id"), col("cos")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    sym.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** DuckDB derived-table SQL equivalent of [[knnEdges]]; expects a
+    * `sig` CTE bound to [[quantizedSql]]. */
+  private[operators] def knnEdgesSql(k: Int = 3): String =
+    s"""SELECT vec_id, nbr_id, cos, rnk FROM (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+       |    list_dot_product(a.qv, b.qv)
+       |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))
+       |      AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY list_dot_product(a.qv, b.qv)
+       |        / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) DESC,
+       |      b.vec_id) AS rnk
+       |  FROM sig a JOIN sig b
+       |    ON a.label = b.label AND a.vec_id <> b.vec_id) t
+       |WHERE rnk <= $k""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     // Brute-force exact top-k cosine — the ANN correctness baseline.
     QuerySpec.sql("sim_brute_topk", topkSql("")) { (s, dir) =>
@@ -261,44 +304,15 @@ object SimilarityOps {
         .orderBy(col("qid"))
     },
 
-    // k-NN graph construction: every vector's top-3 same-cell
-    // neighbors by cosine — the graph that graph-based curation
-    // (clustering, semantic dedup, diversity sampling) consumes.
-    // Pair generation reuses the triangle-blocked same-cell pairs
-    // (each unordered pair computed ONCE, then symmetrized by a
-    // column-swap union — half the dot products of a naive
-    // directed self-join); ranking is a per-vector window, uniform
-    // keys at any scale.
+    // k-NN graph construction — see [[knnEdges]] for the plan
+    // shape (triangle-blocked pairs scored once, symmetrized by
+    // column swap, per-vector top-k window).
     QuerySpec.sql(
       "sim_knn_graph",
-      s"""WITH sig AS ($quantizedSql),
-         |sym AS (
-         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
-         |    list_dot_product(a.qv, b.qv)
-         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))
-         |      AS cos
-         |  FROM sig a JOIN sig b
-         |    ON a.label = b.label AND a.vec_id <> b.vec_id)
-         |SELECT vec_id, nbr_id, cos, rnk FROM (
-         |  SELECT vec_id, nbr_id, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id
-         |      ORDER BY cos DESC, nbr_id) AS rnk
-         |  FROM sym)
-         |WHERE rnk <= 3
+      s"""WITH sig AS ($quantizedSql)
+         |SELECT vec_id, nbr_id, cos, rnk FROM (${knnEdgesSql(3)}) e
          |ORDER BY vec_id, rnk""".stripMargin) { (s, dir) =>
-      val pairs = cellPairs(signatures(s, dir), PairBlockSize)
-        .withColumn("dot", dot_long(col("qa"), col("qb")))
-        .withColumn("cos", expr(
-          "CAST(dot AS DOUBLE) / (sqrt(CAST(a_norm2 AS DOUBLE)) * sqrt(CAST(b_norm2 AS DOUBLE)))"))
-        .select(col("a_id"), col("b_id"), col("cos"))
-      val sym = pairs
-        .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"), col("cos"))
-        .unionByName(pairs
-          .select(col("b_id").as("vec_id"), col("a_id").as("nbr_id"), col("cos")))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("nbr_id"))
-      sym.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
+      knnEdges(s, dir, 3)
         .select(col("vec_id"), col("nbr_id"), col("cos"), col("rnk"))
         .orderBy(col("vec_id"), col("rnk"))
     },
