@@ -353,5 +353,64 @@ object TextOps {
           least(col("i") + 63, size(col("ts"))).cast("int").as("tok_end"),
           md5(expr("array_join(slice(ts, i, 64), ' ')")).as("chunk_fp"))
         .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // Bigram collocation strength (PMI): how much more often two
+    // adjacent tokens co-occur than independence predicts. The log is
+    // dropped (monotone), leaving pmi_ratio =
+    //   (c_xy * N_uni^2) / (c_x * c_y * N_big)
+    // — both operands are exact integer products < 2^53, so the single
+    // IEEE division is identical in both engines. Plan: one explode +
+    // hash-agg per granularity (bigram / unigram / two scalar totals);
+    // unigram counts join back onto the bigram counts by token key —
+    // hot stopword keys skew the build side rows, not the hash-join
+    // partitioning, and the c_xy >= 5 support filter prunes the long
+    // tail before the joins.
+    QuerySpec.sql(
+      "text_collocation_pmi",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |uni AS (SELECT unnest(ts) AS tok FROM toks),
+        |ucnt AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY 1),
+        |nu AS (SELECT COUNT(*) AS n_uni FROM uni),
+        |big AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)),
+        |bcnt AS (SELECT w1, w2, COUNT(*) AS c_xy FROM big GROUP BY 1, 2),
+        |nb AS (SELECT COUNT(*) AS n_big FROM big)
+        |SELECT w1, w2, c_xy,
+        |  (CAST(c_xy AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE))
+        |    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)
+        |       * CAST(n_big AS DOUBLE)) AS pmi_ratio
+        |FROM bcnt
+        |JOIN ucnt u1 ON u1.tok = bcnt.w1
+        |JOIN ucnt u2 ON u2.tok = bcnt.w2
+        |CROSS JOIN nu CROSS JOIN nb
+        |WHERE c_xy >= 5
+        |ORDER BY pmi_ratio DESC, w1, w2
+        |LIMIT 50""".stripMargin) { (s, dir) =>
+      val toks = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val uni = toks.select(explode(col("ts")).as("tok"))
+      val ucnt = uni.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val nUni = uni.agg(count(lit(1)).as("n_uni"))
+      val big = toks.filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
+          .as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val bcnt = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+      val nBig = big.agg(count(lit(1)).as("n_big"))
+      bcnt
+        .join(ucnt.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(ucnt.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBig))
+        .select(col("w1"), col("w2"), col("c_xy"),
+          ((col("c_xy").cast("double") * col("n_uni").cast("double") *
+            col("n_uni").cast("double")) /
+            (col("c1").cast("double") * col("c2").cast("double") *
+              col("n_big").cast("double"))).as("pmi_ratio"))
+        .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+        .limit(50)
     })
 }

@@ -77,6 +77,90 @@ object TimeSeriesOps {
        |FROM $oracleEvents
        |GROUP BY 1, 2, 3""".stripMargin
 
+
+  // ---- gap-aware daily series (gap fill / interpolation / anomaly) ----
+
+  /** Sparse daily series: decimal-exact daily totals of the value>200
+    * tail — deliberately gappy, so the fill operators have real work.
+    */
+  private def sparseDaily(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).filter(col("value") > 200)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(dsum(col("value")).as("total"))
+
+  /** Per-series dense calendar LEFT-joined to the sparse series: one
+    * row per (event_type, day in [min, max]), total null on gap days.
+    * The calendar explode is per-series bounded metadata (30 rows per
+    * series here; one row per day at any scale) — never a per-event
+    * blowup.
+    */
+  private def calendarJoined(s: SparkSession, dir: String): DataFrame = {
+    val daily = sparseDaily(s, dir)
+    val cal = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    cal.join(daily, Seq("event_type", "day"), "left")
+  }
+
+  private val sparseDailySql =
+    s"""SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |  ${dsumSql("value")} AS total
+       |FROM events WHERE value > 200 GROUP BY 1, 2""".stripMargin
+
+  private val calendarJoinedSql =
+    s"""WITH daily AS ($sparseDailySql),
+       |cal AS (
+       |  SELECT b.event_type, CAST(g AS DATE) AS day
+       |  FROM (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+       |        FROM daily GROUP BY 1) b,
+       |    UNNEST(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS t(g)),
+       |j AS (
+       |  SELECT c.event_type, c.day, d.total
+       |  FROM cal c LEFT JOIN daily d
+       |    ON d.event_type = c.event_type AND d.day = c.day)""".stripMargin
+
+  /** Gap-sessionized user sessions (4 h idle cut): one row per
+    * (user_id, sess) with [start_us, end_us] bounds — shared by the
+    * sessionize gate and the interval-overlap join. Both windows and
+    * the aggregate share the single user_id shuffle partitioning.
+    */
+  private def sessions(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 14400000000L // 4 hours
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("sess", sum(col("new_s")).over(wc).cast("long"))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .cast("long").as("n_purchase"))
+  }
+
+  /** DuckDB CTE chain producing the same session table (expects to be
+    * embedded in a WITH list; final CTE is named `sess`). */
+  private val sessionsSql =
+    """e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |f AS (SELECT *, CASE WHEN
+      |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+      |    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |       > 14400000000 THEN 1 ELSE 0 END AS new_s FROM e),
+      |g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |    CURRENT ROW) AS BIGINT) AS sess FROM f),
+      |sess AS (SELECT user_id, sess, count(*) AS n_events,
+      |  min(us) AS start_us, max(us) AS end_us,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_purchase
+      |FROM g GROUP BY 1, 2)""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     // A1: per-(series, hour) OHLC+volume+vwap candles.
     QuerySpec.sql(
@@ -383,37 +467,10 @@ object TimeSeriesOps {
     // events fixture is µs-aligned.
     QuerySpec.sql(
       "sessionize_events",
-      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
-        |  FROM events),
-        |f AS (SELECT *, CASE WHEN
-        |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
-        |    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
-        |       > 14400000000 THEN 1 ELSE 0 END AS new_s FROM e),
-        |g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
-        |    ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
-        |    CURRENT ROW) AS BIGINT) AS sess FROM f)
-        |SELECT user_id, sess, count(*) AS n_events,
-        |  min(us) AS start_us, max(us) AS end_us,
-        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_purchase
-        |FROM g GROUP BY 1, 2
-        |ORDER BY user_id, sess""".stripMargin) { (s, dir) =>
-      val gapUs = 14400000000L // 4 hours
-      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      events(s, dir)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
-        .withColumn("new_s",
-          when(lag(col("us"), 1).over(w).isNull ||
-            col("us") - lag(col("us"), 1).over(w) > gapUs, 1).otherwise(0))
-        .withColumn("sess", sum(col("new_s")).over(wc).cast("long"))
-        .groupBy(col("user_id"), col("sess"))
-        .agg(count(lit(1)).as("n_events"),
-          min(col("us")).as("start_us"), max(col("us")).as("end_us"),
-          sum(when(col("event_type") === "purchase", 1).otherwise(0))
-            .cast("long").as("n_purchase"))
-        .orderBy(col("user_id"), col("sess"))
+      s"""WITH $sessionsSql
+        |SELECT user_id, sess, n_events, start_us, end_us, n_purchase
+        |FROM sess ORDER BY user_id, sess""".stripMargin) { (s, dir) =>
+      sessions(s, dir).orderBy(col("user_id"), col("sess"))
     },
 
     // Weekly cohort retention over purchase events: cohort = a user's
@@ -538,5 +595,161 @@ object TimeSeriesOps {
               col("hv").cast("double"))
             .as("kmv_est"))
         .orderBy(col("event_type"))
+    },
+
+    // Gap fill (forward fill): dense per-series calendar, missing days
+    // carry the last observed value. The window is partitioned by
+    // series — per-series sequential fill parallelized across series;
+    // a single pathological series falls back to the two-pass
+    // PrefixSum pattern (functions/PrefixSum.scala) if it ever
+    // dominates a partition.
+    QuerySpec.sql(
+      "ts_gap_fill",
+      s"""$calendarJoinedSql
+         |SELECT event_type, day, total,
+         |  last_value(total IGNORE NULLS) OVER (
+         |    PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+         |  total IS NULL AS is_gap
+         |FROM j ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      val wPrev = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      calendarJoined(s, dir)
+        .withColumn("filled", last(col("total"), ignoreNulls = true).over(wPrev))
+        .withColumn("is_gap", col("total").isNull)
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // Linear interpolation to the dense grid: gap days take the
+    // straight line between the bracketing observations (forward fill
+    // past the last observation; leading gaps cannot occur — the
+    // calendar starts at each series' first observed day). The
+    // interpolation weight is a single exact-integer-ratio division,
+    // then one multiply + two adds — every step a correctly-rounded
+    // IEEE op on identical inputs in both engines.
+    QuerySpec.sql(
+      "ts_interp_linear",
+      s"""$calendarJoinedSql,
+         |f AS (
+         |  SELECT event_type, day, total,
+         |    last_value(total IGNORE NULLS) OVER w_prev AS pv,
+         |    last_value(CASE WHEN total IS NOT NULL THEN day END IGNORE NULLS)
+         |      OVER w_prev AS pd,
+         |    first_value(total IGNORE NULLS) OVER w_next AS nv,
+         |    first_value(CASE WHEN total IS NOT NULL THEN day END IGNORE NULLS)
+         |      OVER w_next AS nd
+         |  FROM j
+         |  WINDOW w_prev AS (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    w_next AS (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT event_type, day, total,
+         |  CASE WHEN total IS NOT NULL THEN total
+         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         |         pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+         |           / CAST(date_diff('day', pd, nd) AS DOUBLE))
+         |       ELSE pv END AS interp
+         |FROM f ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      val wPrev = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      calendarJoined(s, dir)
+        .withColumn("pv", last(col("total"), ignoreNulls = true).over(wPrev))
+        .withColumn("pd", last(when(col("total").isNotNull, col("day")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("total"), ignoreNulls = true).over(wNext))
+        .withColumn("nd", first(when(col("total").isNotNull, col("day")),
+          ignoreNulls = true).over(wNext))
+        .withColumn("interp",
+          when(col("total").isNotNull, col("total"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv") + (col("nv") - col("pv")) *
+                (datediff(col("day"), col("pd")).cast("double") /
+                  datediff(col("nd"), col("pd")).cast("double")))
+            .otherwise(col("pv")))
+        .select(col("event_type"), col("day"), col("total"), col("interp"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // Rolling z-score anomaly flags on daily event counts. The z>2
+    // test is algebraically cleared of division and sqrt:
+    //   (x-mu)^2 > 4*sigma^2  <=>  (n*x - S)^2 > 4*(n*Q - S^2)
+    // with S = rolling sum, Q = rolling sum of squares — pure integer
+    // comparison, so partitioning/aggregation order cannot flip a
+    // flag. Trailing 7-day window per series, warmup (n<4) never
+    // flagged.
+    QuerySpec.sql(
+      "ts_anomaly_zscore",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n_events,
+        |    SUM(n_events) OVER w7 AS s,
+        |    SUM(n_events * n_events) OVER w7 AS q,
+        |    COUNT(*) OVER w7 AS n
+        |  FROM daily
+        |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, n_events, CAST(n AS BIGINT) AS win_n,
+        |  n >= 4 AND (n * n_events - s) * (n * n_events - s)
+        |    > 4 * (n * q - s * s) AS is_anomaly
+        |FROM w ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("s", sum(col("n_events")).over(w7))
+        .withColumn("q", sum(col("n_events") * col("n_events")).over(w7))
+        .withColumn("win_n", count(lit(1)).over(w7))
+        .select(col("event_type"), col("day"), col("n_events"), col("win_n"),
+          (col("win_n") >= 4 &&
+            (col("win_n") * col("n_events") - col("s")) *
+              (col("win_n") * col("n_events") - col("s")) >
+              lit(4L) * (col("win_n") * col("q") - col("s") * col("s")))
+            .as("is_anomaly"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // Interval-overlap join: user sessions x per-(series, day)
+    // busy-hour windows ([first event of the day, +6 h]). The naive
+    // form is an inequality theta-join (quadratic); here BOTH interval
+    // sides explode into the 1-day time buckets they cover, the join
+    // runs as a hash EQUI-join on the bucket key with the overlap
+    // predicate as a residual filter, and a distinct collapses pairs
+    // that met in more than one bucket. Bucket fan-out is bounded by
+    // interval length / bucket width (sessions: 4 h idle cut keeps
+    // spans short; windows: exactly 6 h), so the explode is O(rows),
+    // never O(rows x span).
+    QuerySpec.sql(
+      "j_interval_overlap",
+      s"""WITH $sessionsSql,
+         |win AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    MIN(epoch_us(ts)) AS w_start,
+         |    MIN(epoch_us(ts)) + 21600000000 AS w_end
+         |  FROM events GROUP BY 1, 2)
+         |SELECT s.user_id, s.sess, w.event_type, w.day,
+         |  LEAST(s.end_us, w.w_end) - GREATEST(s.start_us, w.w_start)
+         |    AS overlap_us
+         |FROM sess s JOIN win w
+         |  ON s.start_us <= w.w_end AND w.w_start <= s.end_us
+         |ORDER BY s.user_id, s.sess, w.event_type, w.day""".stripMargin) { (s, dir) =>
+      val sess = sessions(s, dir)
+        .select(col("user_id"), col("sess"), col("start_us"), col("end_us"))
+      val win = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(min(unix_micros(col("ts"))).as("w_start"))
+        .withColumn("w_end", col("w_start") + lit(21600000000L))
+      graft.functions.IntervalJoin
+        .overlap(sess, win, "start_us", "end_us", "w_start", "w_end",
+          bucketWidth = 86400000000L) // 1-day buckets
+        .select(col("user_id"), col("sess"), col("event_type"), col("day"),
+          (least(col("end_us"), col("w_end")) -
+            greatest(col("start_us"), col("w_start"))).as("overlap_us"))
+        .orderBy(col("user_id"), col("sess"), col("event_type"), col("day"))
     })
 }
