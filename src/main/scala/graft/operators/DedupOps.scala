@@ -401,6 +401,52 @@ object DedupOps {
         .filter(col("rn") === 1)
         .drop("rn")
         .orderBy(col("cluster_id"))
+    },
+
+    // Shared-span near-dup pairs via winnowing: two documents that
+    // share >= 3 winnow fingerprints (k=8-char shingles, window w=4 —
+    // the text_winnow parameters) share long literal character spans,
+    // the MOSS/substring-dedup signal that token-level Jaccard can
+    // miss. Plan: per-doc fingerprints from the codegen'd WinnowFp
+    // pass, explode to postings, document-frequency filter (df in
+    // [2, 16]) bounds every posting list BEFORE pair generation —
+    // boilerplate fingerprints shared by half the corpus never join —
+    // then a fp-keyed equi-self-join and one pair-count aggregate.
+    // Worst-case pairs per fingerprint = C(16, 2), linear overall.
+    QuerySpec.sql(
+      "dedup_winnow_pairs",
+      """WITH fps AS (
+        |  SELECT doc_id, unnest(fp) AS fp FROM (
+        |    SELECT doc_id, list_sort(list_distinct(list_transform(
+        |      generate_series(1, len(hashes) - 3),
+        |      j -> list_aggregate(hashes[j:j+3], 'min')))) AS fp
+        |    FROM (SELECT doc_id,
+        |        list_transform(generate_series(1, length(text) - 7),
+        |          i -> md5(substr(text, i, 8))) AS hashes
+        |      FROM documents WHERE length(text) >= 11) h) x),
+        |df AS (SELECT fp, COUNT(*) AS dfc FROM fps GROUP BY 1),
+        |keep AS (SELECT f.doc_id, f.fp FROM fps f JOIN df d ON d.fp = f.fp
+        |  AND d.dfc BETWEEN 2 AND 16)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+        |FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val (k, w) = (8, 4)
+      val fps = docs(s, dir)
+        .filter(length(col("text")) >= k + w - 1)
+        .select(col("doc_id"),
+          explode(graft.functions.WinnowFp.winnow_fp(col("text"), k, w))
+            .as("fp"))
+      val df = fps.groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
+        .filter(col("dfc").between(2, 16))
+      val keep = fps.join(df.select(col("fp")), Seq("fp"))
+      keep.select(col("fp"), col("doc_id").as("a_id"))
+        .join(keep.select(col("fp"), col("doc_id").as("b_id")), Seq("fp"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy(col("a_id"), col("b_id"))
     })
 
   /** Component labels memoized per (session, dir): the fixpoint

@@ -120,6 +120,27 @@ object TimeSeriesOps {
        |  FROM cal c LEFT JOIN daily d
        |    ON d.event_type = c.event_type AND d.day = c.day)""".stripMargin
 
+  /** Rolling z-score flags over a daily-count frame
+    * (event_type, day, n_events) — shared by the batch gate and the
+    * streaming pipeline (graft.streaming.AnomalyStream feeds its
+    * incrementally-maintained daily counts through this exact query).
+    * Integer-only test: see the ts_anomaly_zscore gate comment.
+    */
+  private[graft] def anomalyFlags(daily: DataFrame): DataFrame = {
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    daily
+      .withColumn("s", sum(col("n_events")).over(w7))
+      .withColumn("q", sum(col("n_events") * col("n_events")).over(w7))
+      .withColumn("win_n", count(lit(1)).over(w7))
+      .select(col("event_type"), col("day"), col("n_events"), col("win_n"),
+        (col("win_n") >= 4 &&
+          (col("win_n") * col("n_events") - col("s")) *
+            (col("win_n") * col("n_events") - col("s")) >
+            lit(4L) * (col("win_n") * col("q") - col("s") * col("s")))
+          .as("is_anomaly"))
+  }
+
   /** Gap-sessionized user sessions (4 h idle cut): one row per
     * (user_id, sess) with [start_us, end_us] bounds — shared by the
     * sessionize gate and the interval-overlap join. Both windows and
@@ -697,20 +718,9 @@ object TimeSeriesOps {
         |  n >= 4 AND (n * n_events - s) * (n * n_events - s)
         |    > 4 * (n * q - s * s) AS is_anomaly
         |FROM w ORDER BY event_type, day""".stripMargin) { (s, dir) =>
-      val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
-        .rowsBetween(-6, 0)
-      events(s, dir)
+      anomalyFlags(events(s, dir)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n_events"))
-        .withColumn("s", sum(col("n_events")).over(w7))
-        .withColumn("q", sum(col("n_events") * col("n_events")).over(w7))
-        .withColumn("win_n", count(lit(1)).over(w7))
-        .select(col("event_type"), col("day"), col("n_events"), col("win_n"),
-          (col("win_n") >= 4 &&
-            (col("win_n") * col("n_events") - col("s")) *
-              (col("win_n") * col("n_events") - col("s")) >
-              lit(4L) * (col("win_n") * col("q") - col("s") * col("s")))
-            .as("is_anomaly"))
+        .agg(count(lit(1)).as("n_events")))
         .orderBy(col("event_type"), col("day"))
     },
 
