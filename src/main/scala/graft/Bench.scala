@@ -49,6 +49,7 @@ object Bench {
         "dedup_minhash_lsh",     // MinHash signature cache
         "dedup_minhash_banded",  // banded candidate-pair cache
         "sim_ivf_topk",          // quantized-embedding signature cache
+        "text_winnow",           // winnow fingerprint cache
         "q6_filtered_revenue",   // lineitem
         "s_topk_orders",         // orders
         "w4_avg_event_gap",      // events

@@ -64,10 +64,30 @@ object AsOfJoin {
     */
   def asofBackward(probe: DataFrame, probeKey: String, probeTime: String,
       build: DataFrame, buildKey: String, buildTime: String,
-      payload: Seq[String]): DataFrame = {
-    // build-before-probe at equal __t ⇒ fills implement "≤", not "<"
+      payload: Seq[String]): DataFrame =
+    asofFill(probe, probeKey, probeTime, build, buildKey, buildTime,
+      payload, descending = false)
+
+  /** Forward variant: every probe row picks up the build row with the
+    * SMALLEST build time ≥ its probe time per key (next-quote /
+    * next-event semantics). Identical machinery scanned in reverse:
+    * the merge order is time-descending, so the forward fill carries
+    * the nearest at-or-after payload instead. Same single key shuffle.
+    */
+  def asofForward(probe: DataFrame, probeKey: String, probeTime: String,
+      build: DataFrame, buildKey: String, buildTime: String,
+      payload: Seq[String]): DataFrame =
+    asofFill(probe, probeKey, probeTime, build, buildKey, buildTime,
+      payload, descending = true)
+
+  private def asofFill(probe: DataFrame, probeKey: String,
+      probeTime: String, build: DataFrame, buildKey: String,
+      buildTime: String, payload: Seq[String], descending: Boolean)
+      : DataFrame = {
+    // build-before-probe at equal __t ⇒ fills are inclusive ("≤" for
+    // the backward scan, "≥" for the forward/descending scan)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(if (descending) col("__t").desc else col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled =
       taggedUnion(probe, probeKey, probeTime, build, buildKey, buildTime,

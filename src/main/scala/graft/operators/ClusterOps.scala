@@ -142,6 +142,62 @@ object ClusterOps {
     ranks.orderBy(col("rank").desc, col("vec_id"))
   }
 
+  /** Per-node triangle counts over the undirected k-NN graph — the
+    * local-clustering signal (a node whose neighbors interlink sits in
+    * a dense semantic pocket; one with zero triangles is a hub between
+    * unrelated regions).
+    *
+    * Scale shape: the classic degree-ordered enumeration. Each
+    * undirected edge is oriented from its lower-(degree, id) endpoint
+    * to the higher, so every triangle is generated exactly once from
+    * the wedge at its minimum-order vertex; a pivot's out-degree is
+    * bounded by O(√m) on any graph (and by 2k here), so the wedge
+    * self-join on the pivot key never explodes on a high-degree hub —
+    * the naive id-ordered join (which the DuckDB oracle keeps; the
+    * result is algorithm-independent) would put a celebrity node's
+    * full neighborhood² into one task. Cost: two hash aggregates
+    * (degrees, counts) + two shuffle joins (wedge, closing edge).
+    */
+  def triangleCounts(s: SparkSession, dir: String): DataFrame = {
+    val nodes = SimilarityOps.signatures(s, dir).select(col("vec_id"))
+    val und = Materialize.stable(
+      SimilarityOps.knnEdges(s, dir, 3)
+        .select(least(col("vec_id"), col("nbr_id")).as("u"),
+          greatest(col("vec_id"), col("nbr_id")).as("v"))
+        .distinct())
+    val deg = und.select(col("u").as("n"))
+      .unionByName(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient low-(degree, id) → high; carry the head's order key so
+    // the wedge join can demand o(b) < o(c) without a re-join
+    val oriented = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+          .otherwise(
+            struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+    val x = oriented.select(col("s"), col("t").as("b"), col("dt").as("db"))
+    val y = oriented.select(col("s"), col("t").as("c"), col("dt").as("dc"))
+    val wedges = x.join(y, Seq("s"))
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+    val tris = wedges.join(
+      oriented.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
+      .select(col("s").as("a"), col("b"), col("c"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_triangles"))
+    nodes.join(perNode, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---- oracle SQL (generated to mirror the fixed iteration count) ----
 
   private def kmeansOracle: String = {
@@ -216,5 +272,30 @@ object ClusterOps {
     // rounds) — graph-weighted representative scoring.
     QuerySpec.sql("graph_pagerank", pagerankOracle) { (s, dir) =>
       pagerank(s, dir)
+    },
+
+    // Per-node triangle counts over the undirected k-NN graph. The
+    // oracle enumerates each triangle once by id order (a < b < c);
+    // the Spark plan uses the degree-ordered orientation — same
+    // triangle set, hub-safe task sizes.
+    QuerySpec.sql(
+      "graph_triangles",
+      s"""WITH sig AS (${SimilarityOps.quantizedSql}),
+         |knn AS (SELECT vec_id, nbr_id FROM (${SimilarityOps.knnEdgesSql(3)}) k),
+         |und AS (SELECT DISTINCT LEAST(vec_id, nbr_id) AS u,
+         |    GREATEST(vec_id, nbr_id) AS v FROM knn),
+         |tri AS (
+         |  SELECT x.u AS a, x.v AS b, y.v AS c
+         |  FROM und x JOIN und y ON y.u = x.v
+         |    JOIN und z ON z.u = x.u AND z.v = y.v),
+         |tn AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT a AS n FROM tri
+         |    UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri) m
+         |  GROUP BY n)
+         |SELECT s.vec_id, CAST(COALESCE(t.c, 0) AS BIGINT) AS n_triangles
+         |FROM sig s LEFT JOIN tn t ON t.n = s.vec_id
+         |ORDER BY s.vec_id""".stripMargin) { (s, dir) =>
+      triangleCounts(s, dir)
     })
 }

@@ -431,12 +431,8 @@ object DedupOps {
         |FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val (k, w) = (8, 4)
-      val fps = docs(s, dir)
-        .filter(length(col("text")) >= k + w - 1)
-        .select(col("doc_id"),
-          explode(graft.functions.WinnowFp.winnow_fp(col("text"), k, w))
-            .as("fp"))
+      val fps = TextOps.winnowFps(s, dir)
+        .select(col("doc_id"), explode(col("fp")).as("fp"))
       val df = fps.groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
         .filter(col("dfc").between(2, 16))
       val keep = fps.join(df.select(col("fp")), Seq("fp"))

@@ -32,6 +32,26 @@ object TextOps {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Winnow fingerprint parameters shared by the text_winnow gate and
+    * the dedup_winnow_pairs posting-list join (k-char shingles, window
+    * of w shingle hashes).
+    */
+  private[operators] val (winnowK, winnowW) = (8, 4)
+
+  /** Per-document winnow fingerprints (doc_id, fp: array<string>),
+    * cached: CacheManager keys on the analyzed plan, so the winnow
+    * gate and the pair-generation gate share one fingerprint pass per
+    * (dir) — at warehouse scale this is the materialized fingerprint
+    * table every substring-dedup consumer reads.
+    */
+  private[operators] def winnowFps(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(length(col("text")) >= winnowK + winnowW - 1)
+      .select(col("doc_id"),
+        graft.functions.WinnowFp.winnow_fp(col("text"), winnowK, winnowW)
+          .as("fp"))
+      .cache()
+
   def specs: Seq[QuerySpec] = Seq(
     // Token counting: whitespace tokenization + char stats per document.
     QuerySpec.sql(
@@ -220,15 +240,12 @@ object TextOps {
            |    WHERE length(text) >= ${k + w - 1}))
            |ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
-      val k = 8; val w = 4
       // fingerprint via the codegen'd WinnowFp expression — one tight
       // pass per document (monotonic-deque sliding min) with values
       // identical to the declarative transform/slice/array_min plan
-      // the oracle keeps (equivalence spec: WinnowSpec)
-      docs(s, dir)
-        .filter(length(col("text")) >= k + w - 1)
-        .select(col("doc_id"),
-          graft.functions.WinnowFp.winnow_fp(col("text"), k, w).as("fp"))
+      // the oracle keeps (equivalence spec: WinnowSpec); the cached
+      // fingerprint frame is shared with dedup_winnow_pairs
+      winnowFps(s, dir)
         .select(col("doc_id"),
           size(col("fp")).cast("long").as("n_fingerprints"),
           md5(concat_ws("", col("fp"))).as("fp_digest"))

@@ -724,6 +724,123 @@ object TimeSeriesOps {
         .orderBy(col("event_type"), col("day"))
     },
 
+    // Exponential smoothing (EWMA, α = 1/2) per series over daily
+    // counts, in EXACT integer arithmetic: ewma_1 = x_1,
+    // ewma_i = (ewma_{i-1} + x_i) div 2 (floor). The float form is a
+    // recursive product of roundings no two engines replay
+    // identically; the floored-integer form is deterministic
+    // everywhere. Spark has no recursion, but the recursion is
+    // per-SERIES over the DAILY frame — bounded by the calendar, not
+    // by event volume — so a higher-order `aggregate` fold over each
+    // series' sorted day array computes it in one hash aggregate +
+    // one explode, no window, no shuffle beyond the daily rollup.
+    // The DuckDB oracle keeps the textbook recursive-CTE definition.
+    QuerySpec.sql(
+      "ts_ewma",
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, day, n_events,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |      CAST(COUNT(*) AS BIGINT) AS n_events
+        |    FROM events GROUP BY 1, 2) d),
+        |r AS (
+        |  SELECT event_type, rn, day, n_events, n_events AS ewma
+        |  FROM daily WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.rn, d.day, d.n_events,
+        |    (r.ewma + d.n_events) // 2
+        |  FROM r JOIN daily d
+        |    ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+        |SELECT event_type, day, n_events, CAST(ewma AS BIGINT) AS ewma
+        |FROM r ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("n_events"))))
+          .as("arr"))
+        .select(col("event_type"), explode(expr(
+          """aggregate(arr,
+            |  CAST(array() AS ARRAY<STRUCT<day: DATE, n_events: BIGINT,
+            |    ewma: BIGINT>>),
+            |  (acc, x) -> array_append(acc, named_struct(
+            |    'day', x.day, 'n_events', x.n_events,
+            |    'ewma', CASE WHEN size(acc) = 0 THEN x.n_events
+            |      ELSE (element_at(acc, -1).ewma + x.n_events) div 2
+            |      END)))""".stripMargin)).as("e"))
+        .select(col("event_type"), col("e.day").as("day"),
+          col("e.n_events").as("n_events"), col("e.ewma").as("ewma"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // Trailing 7-day rolling MEDIAN of daily counts per series — the
+    // robust-baseline companion to the z-score gate (a single spike
+    // day cannot drag the median the way it drags the mean). Exact
+    // integers: emitted as 2·median (the sum of the two middle order
+    // statistics) so the even-window halving never leaves the integer
+    // domain. The per-row sort is over ≤ 7 values — constant work per
+    // row, no cross-row state beyond the bounded frame.
+    QuerySpec.sql(
+      "ts_rolling_median",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n_events,
+        |    list_sort(list(n_events) OVER w7) AS win
+        |  FROM daily
+        |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, n_events,
+        |  CAST(win[(len(win) + 1) // 2] + win[len(win) // 2 + 1] AS BIGINT)
+        |    AS med_x2
+        |FROM w ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("win", sort_array(collect_list(col("n_events")).over(w7)))
+        .select(col("event_type"), col("day"), col("n_events"),
+          (element_at(col("win"), expr("(size(win) + 1) div 2").cast("int")) +
+            element_at(col("win"), expr("size(win) div 2 + 1").cast("int")))
+            .as("med_x2"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // Forward as-of join: each event picks up the user's NEXT order
+    // at-or-after the event time (conversion attribution: which
+    // purchase followed this click). Same merge-and-fill machinery as
+    // the backward gate, scanned time-descending — one key shuffle,
+    // vs DuckDB's native forward ASOF (build time ≥ probe time).
+    QuerySpec.sql(
+      "j_asof_next_order",
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    CAST(MIN(o_orderkey) AS BIGINT) AS o_orderkey,
+        |    min_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  o.o_orderkey, o.o_totalprice
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val ords = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(min(col("o_orderkey")).as("o_orderkey"),
+          min_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      graft.functions.AsOfJoin.asofForward(
+          events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+          "user_id", "ts",
+          ords, "o_custkey", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    },
+
     // Interval-overlap join: user sessions x per-(series, day)
     // busy-hour windows ([first event of the day, +6 h]). The naive
     // form is an inequality theta-join (quadratic); here BOTH interval
