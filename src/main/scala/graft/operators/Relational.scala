@@ -138,6 +138,180 @@ object Relational {
         .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
     },
 
+    // A+EXISTS: order counts by priority over a correlated-EXISTS
+    // semi-join (TPC-H q4 shape, adapted to the available columns:
+    // "has a lineitem shipped >90 days after the order date"). Spark
+    // plans the EXISTS as a LeftSemi hash join on l_orderkey — the
+    // probe side is the filtered date range, the dedup happens inside
+    // the semi join, no distinct/aggregate on the big side.
+    QuerySpec.sql(
+      "q4_order_priority",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1996-07-01 00:00:00'"))
+      val late = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(late,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
+          "leftsemi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // J+A: conditional CASE-sums over a fact↔fact join (TPC-H q12
+    // shape): per return flag, how many lineitems belong to
+    // high-priority vs low-priority orders. One shuffle join on the
+    // order key + one map-side-combinable aggregate; the CASE stays
+    // in whole-stage codegen.
+    QuerySpec.sql(
+      "q12_priority_class",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_count"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // J+A: promo revenue share (TPC-H q14 shape) — conditional
+    // revenue ratio over a broadcast dimension join. Both sums are
+    // exact decimals; the single double division happens on identical
+    // operands in both engines (the Cols.scala discipline).
+    QuerySpec.sql(
+      "q14_promo_revenue",
+      s"""SELECT 100.0 * ${dsumSql(
+           "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+         |    / ${dsumSql("l_extendedprice * (1 - l_discount)")} AS promo_share
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""".stripMargin) {
+        (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1997-07-01 00:00:00'"))
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"),
+          col("p_type"))), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          dsum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(lit(0))) /
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("promo_share"))
+    },
+
+    // A+J: large-volume orders (TPC-H q18 shape): aggregate the fact
+    // table FIRST (sum of quantities per order, HAVING > 250), then
+    // join the small surviving key set back to orders/customer. The
+    // heavy side collapses before any join — the opposite order would
+    // shuffle lineitem against orders at full width.
+    QuerySpec.sql(
+      "q18_large_orders",
+      s"""SELECT c_custkey, o_orderkey,
+         |  CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+         |HAVING SUM(l_quantity) > 250
+         |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin) { (s, dir) =>
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_quantity")).as("__q"))
+        .filter(col("__q") > 250)
+        .drop("__q")
+      big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    },
+
+    // A: grouping sets — one pass producing the full CUBE lattice
+    // (cell, row totals, column totals, grand total) with the
+    // grouping-id bitmask disambiguating NULL-as-rollup from
+    // NULL-as-value. Spark expands the cube into a single partial+
+    // final aggregate pair (no N-pass union of GROUP BYs).
+    QuerySpec.sql(
+      "agg_cube_orders",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+        |    AS grouping_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY grouping_id, o_orderstatus, o_orderpriority""".stripMargin) {
+        (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("grouping_id"),
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("grouping_id"), col("n_orders"), col("sum_price"))
+        .orderBy(col("grouping_id"), col("o_orderstatus"),
+          col("o_orderpriority"))
+    },
+
+    // Skyline: the Pareto frontier of orders maximizing (total price,
+    // recency) — "no other order is both at least as expensive and at
+    // least as recent, one strictly". The oracle keeps the quadratic
+    // NOT EXISTS dominance definition; the Spark plan is the two-pass
+    // sort-scan in functions/ParetoFront.scala (no single-task window,
+    // no pair join — frontier size is bounded by the number of
+    // distinct dates, so the survivor set broadcasts).
+    QuerySpec.sql(
+      "skyline_orders",
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS order_date
+        |FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders d
+        |  WHERE d.o_totalprice >= o.o_totalprice
+        |    AND d.o_orderdate >= o.o_orderdate
+        |    AND (d.o_totalprice > o.o_totalprice
+        |      OR d.o_orderdate > o.o_orderdate))
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      graft.functions.ParetoFront.skyline2d(
+          t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")),
+          "o_totalprice", "o_orderdate")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("order_date"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // F1: rowkey-range scan ≡ time-range scan with projection + limit
     // (reference: every get* query; lib/hbase/hbase-thrift/index.js:531-550).
     QuerySpec.sql(
