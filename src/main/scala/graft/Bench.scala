@@ -50,6 +50,7 @@ object Bench {
         "dedup_minhash_banded",  // banded candidate-pair cache
         "sim_ivf_topk",          // quantized-embedding signature cache
         "text_winnow",           // winnow fingerprint cache
+        "sim_knn_graph",         // k-NN edge-list cache
         "q6_filtered_revenue",   // lineitem
         "s_topk_orders",         // orders
         "w4_avg_event_gap",      // events

@@ -165,6 +165,14 @@ object ClusterOps {
         .select(least(col("vec_id"), col("nbr_id")).as("u"),
           greatest(col("vec_id"), col("nbr_id")).as("v"))
         .distinct())
+    triangleCountsOf(nodes, und)
+  }
+
+  /** Core of [[triangleCounts]] over an explicit node set and a
+    * deduplicated undirected edge list (u < v, u and v ∈ nodes).
+    */
+  private[graft] def triangleCountsOf(nodes: DataFrame,
+      und: DataFrame): DataFrame = {
     val deg = und.select(col("u").as("n"))
       .unionByName(und.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))

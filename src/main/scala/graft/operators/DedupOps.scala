@@ -403,6 +403,77 @@ object DedupOps {
         .orderBy(col("cluster_id"))
     },
 
+    // LSH → verify: the production near-dup pipeline's second stage.
+    // Banded-MinHash candidates are a superset with false positives;
+    // each candidate pair is VERIFIED against the true word-3-gram
+    // Jaccard before any document is dropped. The exact set
+    // intersection runs only on the candidate pairs (LSH already cut
+    // the quadratic space), as one per-pair array_intersect over the
+    // per-doc distinct-3-gram arrays — no posting-list re-join, no
+    // df-ceiling needed because the pair set is already bounded.
+    QuerySpec.sql(
+      "dedup_lsh_verified",
+      s"""WITH $bandedCandCtes,
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |ngrams AS (
+         |  SELECT DISTINCT doc_id,
+         |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS ng
+         |  FROM toks,
+         |    LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g
+         |  WHERE len(ts) >= 3),
+         |sizes AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM ngrams GROUP BY 1),
+         |inter AS (
+         |  SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS n_inter
+         |  FROM cand c
+         |  JOIN ngrams a ON a.doc_id = c.a_id
+         |  JOIN ngrams b ON b.doc_id = c.b_id AND b.ng = a.ng
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, n_inter, jaccard,
+         |  jaccard >= 0.05 AS is_dup
+         |FROM (
+         |  SELECT c.a_id, c.b_id,
+         |    CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+         |    CASE WHEN COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+         |        - COALESCE(i.n_inter, 0) = 0 THEN CAST(0 AS DOUBLE)
+         |      ELSE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         |        / (COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+         |          - COALESCE(i.n_inter, 0)) END AS jaccard
+         |  FROM cand c
+         |  LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+         |  LEFT JOIN sizes sa ON sa.doc_id = c.a_id
+         |  LEFT JOIN sizes sb ON sb.doc_id = c.b_id) v
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val g = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .select(col("doc_id"), expr(
+          """array_distinct(transform(sequence(1, size(ts)-2),
+            |  i -> concat(element_at(ts, i), ' ', element_at(ts, i+1),
+            |              ' ', element_at(ts, i+2))))""".stripMargin).as("gs"))
+      val na = when(col("ga").isNull, 0L)
+        .otherwise(size(col("ga")).cast("long"))
+      val nb = when(col("gb").isNull, 0L)
+        .otherwise(size(col("gb")).cast("long"))
+      val ni = when(col("ga").isNull || col("gb").isNull, 0L)
+        .otherwise(size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      bandedCandidates(s, dir)
+        .join(g.select(col("doc_id").as("a_id"), col("gs").as("ga")),
+          Seq("a_id"), "left")
+        .join(g.select(col("doc_id").as("b_id"), col("gs").as("gb")),
+          Seq("b_id"), "left")
+        .withColumn("n_inter", ni)
+        .withColumn("jaccard",
+          when(na + nb - col("n_inter") === 0, lit(0.0))
+            .otherwise(col("n_inter").cast("double") /
+              (na + nb - col("n_inter"))))
+        .select(col("a_id"), col("b_id"), col("n_inter"), col("jaccard"),
+          (col("jaccard") >= 0.05).as("is_dup"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Shared-span near-dup pairs via winnowing: two documents that
     // share >= 3 winnow fingerprints (k=8-char shingles, window w=4 —
     // the text_winnow parameters) share long literal character spans,

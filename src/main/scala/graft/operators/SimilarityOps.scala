@@ -222,6 +222,12 @@ object SimilarityOps {
     * ONCE, then symmetrized by a column-swap union — half the dot
     * products of a naive directed self-join); ranking is a
     * per-vector window, uniform keys at any scale.
+    *
+    * Cached (same CacheManager plan-equality sharing as
+    * [[signatures]]): the edge list is consumed by three gates
+    * (sim_knn_graph, graph_pagerank, graph_triangles) — at warehouse
+    * scale it is the materialized `knn_edges` table all graph
+    * analytics read.
     */
   private[operators] def knnEdges(s: SparkSession, dir: String,
       k: Int = 3): DataFrame = {
@@ -238,6 +244,7 @@ object SimilarityOps {
       .orderBy(col("cos").desc, col("nbr_id"))
     sym.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
+      .cache()
   }
 
   /** DuckDB derived-table SQL equivalent of [[knnEdges]]; expects a

@@ -141,6 +141,30 @@ object TimeSeriesOps {
           .as("is_anomaly"))
   }
 
+  /** Exact-integer EWMA (α = 1/2, floor) over a daily-count frame
+    * (event_type, day, n_events) — shared by the ts_ewma gate and the
+    * streaming pipeline (AnomalyStream daily counts → this fold, the
+    * same split as [[anomalyFlags]]). Recursion is per-series over the
+    * calendar-bounded daily frame, so the per-group fold is constant
+    * work per day regardless of event volume.
+    */
+  private[graft] def ewmaFold(daily: DataFrame): DataFrame =
+    daily
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("n_events"))))
+        .as("arr"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(arr,
+          |  CAST(array() AS ARRAY<STRUCT<day: DATE, n_events: BIGINT,
+          |    ewma: BIGINT>>),
+          |  (acc, x) -> array_append(acc, named_struct(
+          |    'day', x.day, 'n_events', x.n_events,
+          |    'ewma', CASE WHEN size(acc) = 0 THEN x.n_events
+          |      ELSE (element_at(acc, -1).ewma + x.n_events) div 2
+          |      END)))""".stripMargin)).as("e"))
+      .select(col("event_type"), col("e.day").as("day"),
+        col("e.n_events").as("n_events"), col("e.ewma").as("ewma"))
+
   /** Gap-sessionized user sessions (4 h idle cut): one row per
     * (user_id, sess) with [start_us, end_us] bounds — shared by the
     * sessionize gate and the interval-overlap join. Both windows and
@@ -753,23 +777,9 @@ object TimeSeriesOps {
         |    ON d.event_type = r.event_type AND d.rn = r.rn + 1)
         |SELECT event_type, day, n_events, CAST(ewma AS BIGINT) AS ewma
         |FROM r ORDER BY event_type, day""".stripMargin) { (s, dir) =>
-      events(s, dir)
+      ewmaFold(events(s, dir)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n_events"))
-        .groupBy(col("event_type"))
-        .agg(sort_array(collect_list(struct(col("day"), col("n_events"))))
-          .as("arr"))
-        .select(col("event_type"), explode(expr(
-          """aggregate(arr,
-            |  CAST(array() AS ARRAY<STRUCT<day: DATE, n_events: BIGINT,
-            |    ewma: BIGINT>>),
-            |  (acc, x) -> array_append(acc, named_struct(
-            |    'day', x.day, 'n_events', x.n_events,
-            |    'ewma', CASE WHEN size(acc) = 0 THEN x.n_events
-            |      ELSE (element_at(acc, -1).ewma + x.n_events) div 2
-            |      END)))""".stripMargin)).as("e"))
-        .select(col("event_type"), col("e.day").as("day"),
-          col("e.n_events").as("n_events"), col("e.ewma").as("ewma"))
+        .agg(count(lit(1)).as("n_events")))
         .orderBy(col("event_type"), col("day"))
     },
 

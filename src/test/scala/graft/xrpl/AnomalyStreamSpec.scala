@@ -53,11 +53,24 @@ class AnomalyStreamSpec extends AnyFunSuite {
       q.processAllAvailable()
       stream.addData(Seq(sentinel))
       q.processAllAvailable()
-      val got = TimeSeriesOps.anomalyFlags(
-        spark.table("anom_daily").filter(col("event_type") =!= "noise-sentinel"))
+      val sinkDaily = spark.table("anom_daily")
+        .filter(col("event_type") =!= "noise-sentinel")
+      val got = TimeSeriesOps.anomalyFlags(sinkDaily)
         .collect().map(_.toSeq).toSet
       assert(got === expected)
       assert(got.nonEmpty)
+
+      // the EWMA fold over the same streamed sink must equal the
+      // batch ts_ewma relation — same stream ≡ batch split
+      val expectedEwma = TimeSeriesOps.ewmaFold(
+        ev.groupBy(col("event_type"),
+            to_date(timestamp_micros(col("us"))).as("day"))
+          .agg(count(lit(1)).as("n_events")))
+        .collect().map(_.toSeq).toSet
+      val gotEwma = TimeSeriesOps.ewmaFold(sinkDaily)
+        .collect().map(_.toSeq).toSet
+      assert(gotEwma === expectedEwma)
+      assert(gotEwma.nonEmpty)
     } finally q.stop()
   }
 }
