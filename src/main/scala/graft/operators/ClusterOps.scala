@@ -91,14 +91,30 @@ object ClusterOps {
       .withColumn("cnorm2", dot_long(col("cv"), col("cv")))
 
   /** Deterministic init: the K smallest vec_ids' vectors, cid = rank
-    * among them. The window is bounded by construction — it runs on
-    * exactly K rows after the TakeOrderedAndProject. */
-  private def initCentroids(sig: DataFrame): DataFrame =
-    sig.orderBy(col("vec_id")).limit(K)
+    * among them. The rank is assigned on the DRIVER over the K
+    * collected rows (K is a constant; this is the same
+    * bounded-by-construction driver step as PrefixSum's offsets) —
+    * not via a global window, which would emit the unpartitioned-
+    * WindowExec plan even though only K rows ever reach it.
+    */
+  private def initCentroids(sig: DataFrame): DataFrame = {
+    val s = sig.sparkSession
+    val rows = sig.orderBy(col("vec_id")).limit(K)
       .select(col("vec_id"), col("qv"), col("norm2"))
-      .withColumn("cid",
-        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
-      .select(col("cid"), col("qv").as("cv"), col("norm2").as("cnorm2"))
+      .collect()
+    val data = rows.sortBy(_.getLong(0)).zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(i.toLong, r.getSeq[Long](1), r.getLong(2))
+    }.toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("cnorm2",
+        org.apache.spark.sql.types.LongType)))
+    s.createDataFrame(s.sparkContext.parallelize(data, 1), schema)
+  }
 
   /** Final assignment after KmeansIters Lloyd rounds:
     * (vec_id, cid, dist2). */

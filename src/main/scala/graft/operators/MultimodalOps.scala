@@ -51,6 +51,14 @@ object MultimodalOps {
       offset_bytes: Long,
       frame_checksum: Long)
 
+  /** Typed output row of the perceptual-hash stage: a 64-bit
+    * blockhash held as four 16-bit bands (b0..b3) — the bands are the
+    * Hamming-LSH bucketing keys, and 4×16 avoids ever assembling a
+    * sign-bit-risky full 64-bit value.
+    */
+  final case class MediaPhash(doc_id: Long, b0: Long, b1: Long, b2: Long,
+      b3: Long)
+
   /** STUB: deterministic fake "decode + feature extraction" over raw
     * bytes. Stands in for an image/audio decoder (none in-container);
     * the output shape (dims + fixed-length feature vector) is what a
@@ -88,6 +96,39 @@ object MultimodalOps {
         math.max(1, math.floor(d.width * scale).toInt),
         math.max(1, math.floor(d.height * scale).toInt),
         scale, sum)
+    }
+
+    /** STUB perceptual hash (blockhash family): the payload is split
+      * into 64 contiguous blocks; bit k is set iff block k's mean byte
+      * exceeds the payload's mean byte. The comparison is the integer
+      * cross-multiply `block_sum·n > total_sum·block_len` — exact, so
+      * the SQL oracle reproduces identical bits. A real pHash swaps a
+      * DCT in here; the banding/bucketing plumbing is what's under
+      * test.
+      */
+    def phash(docId: Long, bytes: Array[Byte]): MediaPhash = {
+      val n = bytes.length
+      if (n == 0) return MediaPhash(docId, 0L, 0L, 0L, 0L)
+      val blockSum = new Array[Long](64)
+      val blockLen = new Array[Long](64)
+      var total = 0L
+      var i = 0
+      while (i < n) {
+        val k = (i.toLong * 64 / n).toInt
+        val b = bytes(i) & 0xff
+        blockSum(k) += b
+        blockLen(k) += 1
+        total += b
+        i += 1
+      }
+      val bands = new Array[Long](4)
+      var k = 0
+      while (k < 64) {
+        if (blockSum(k) * n > total * blockLen(k))
+          bands(k / 16) |= (1L << (k % 16))
+        k += 1
+      }
+      MediaPhash(docId, bands(0), bands(1), bands(2), bands(3))
     }
 
     /** STUB frame sampling: treat the payload as `n_frames` fixed-width
@@ -247,5 +288,95 @@ object MultimodalOps {
         .select(col("doc_id"), col("frame_index"), col("n_frames"),
           col("offset_bytes"))
         .orderBy(col("doc_id"), col("frame_index"))
+    },
+
+    // Perceptual-hash near-dup: media payloads fingerprinted with the
+    // 64-bit blockhash stub, then paired by Hamming-LSH — candidates
+    // share at least one of four 16-bit bands (any pair within
+    // Hamming distance 3 MUST share a band; distance ≤ 6 is then
+    // verified exactly with popcounts). The image-dedup analogue of
+    // banded MinHash: band buckets are the shuffle keys, pair
+    // generation is triangle-blocked so one hot bucket (e.g. the
+    // all-zero band of blank media) cannot serialize into one task.
+    QuerySpec.sql(
+      "mm_phash_near_dup", {
+        val bandExpr = (0 until 4).map { bi =>
+          s"""CAST(COALESCE(SUM(CASE WHEN k // 16 = $bi
+             |    THEN bit * CAST(POW(2, k % 16) AS BIGINT) END), 0)
+             |    AS BIGINT) AS b$bi""".stripMargin
+        }.mkString(",\n  ")
+        s"""WITH b AS (
+           |  SELECT doc_id, hex(encode(text)) AS h,
+           |         octet_length(encode(text)) AS n
+           |  FROM documents),
+           |pos AS (
+           |  SELECT doc_id, n, i,
+           |    strpos('123456789ABCDEF', substr(h, 2*i+1, 1))*16 +
+           |    strpos('123456789ABCDEF', substr(h, 2*i+2, 1)) AS byte
+           |  FROM b, LATERAL (SELECT unnest(range(0, n)) AS i) t),
+           |blk AS (
+           |  SELECT doc_id, n, CAST(i * 64 // n AS INT) AS k,
+           |    SUM(byte) AS bs, COUNT(*) AS bl
+           |  FROM pos GROUP BY 1, 2, 3),
+           |tot AS (SELECT doc_id, SUM(byte) AS ts FROM pos GROUP BY 1),
+           |bits AS (
+           |  SELECT blk.doc_id, k,
+           |    CASE WHEN bs * n > ts * bl THEN 1 ELSE 0 END AS bit
+           |  FROM blk JOIN tot ON tot.doc_id = blk.doc_id),
+           |bands AS (
+           |  SELECT b.doc_id,
+           |  $bandExpr
+           |  FROM b LEFT JOIN bits ON bits.doc_id = b.doc_id
+           |  GROUP BY b.doc_id),
+           |bexp AS (
+           |  SELECT doc_id, 0 AS band, b0 AS val FROM bands
+           |  UNION ALL SELECT doc_id, 1, b1 FROM bands
+           |  UNION ALL SELECT doc_id, 2, b2 FROM bands
+           |  UNION ALL SELECT doc_id, 3, b3 FROM bands),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bexp a JOIN bexp b
+           |    ON a.band = b.band AND a.val = b.val
+           |    AND a.doc_id < b.doc_id)
+           |SELECT c.a_id, c.b_id,
+           |  CAST(bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+           |    + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))
+           |    AS BIGINT) AS hamming,
+           |  bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+           |    + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))
+           |    <= 6 AS is_near
+           |FROM cand c
+           |JOIN bands pa ON pa.doc_id = c.a_id
+           |JOIN bands pb ON pb.doc_id = c.b_id
+           |ORDER BY a_id, b_id""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val bands = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          StubDecoder.phash(id, bytes)
+        })
+        .toDF()
+        .cache()
+      val bexp = bands.select(col("doc_id"),
+        expr("stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, val)"))
+      val cand = graft.functions.Pairs.blockedSelfPairs(bexp,
+          keyCols = Seq("band", "val"), idCol = "doc_id",
+          payload = Seq.empty, blockSize = 10000)
+        .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"))
+        .distinct()
+      val ham = (0 until 4).map(i =>
+          expr(s"bit_count(a_b$i ^ b_b$i)").cast("long"))
+        .reduce(_ + _)
+      cand
+        .join(bands.select(col("doc_id").as("a_id") +:
+          (0 until 4).map(i => col(s"b$i").as(s"a_b$i")): _*), Seq("a_id"))
+        .join(bands.select(col("doc_id").as("b_id") +:
+          (0 until 4).map(i => col(s"b$i").as(s"b_b$i")): _*), Seq("b_id"))
+        .withColumn("hamming", ham)
+        .select(col("a_id"), col("b_id"), col("hamming"),
+          (col("hamming") <= 6).as("is_near"))
+        .orderBy(col("a_id"), col("b_id"))
     })
 }

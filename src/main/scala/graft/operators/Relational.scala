@@ -647,6 +647,55 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     },
 
+    // SET: intersection — customers active in BOTH of two disjoint
+    // date ranges (returning-customer semantics). Spark plans INTERSECT
+    // as a LeftSemi join over distinct keys — no full-row comparator
+    // sort; both branches keep their date predicate at the scan.
+    QuerySpec.sql(
+      "set_intersect_customers",
+      """SELECT o_custkey FROM (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '2001-01-01 00:00:00') t
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders")
+      val a = ord.filter(col("o_orderdate") >= expr("TIMESTAMP '1995-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("TIMESTAMP '1996-01-01 00:00:00'"))
+      val b = ord.filter(col("o_orderdate") >= expr("TIMESTAMP '2000-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("TIMESTAMP '2001-01-01 00:00:00'"))
+      a.select(col("o_custkey"))
+        .intersect(b.select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    },
+
+    // W: distribution ranks — ntile quartiles + percent_rank +
+    // cume_dist per status partition, tie-broken to a total order so
+    // both engines agree row-for-row. percent_rank/cume_dist are one
+    // double division of identical integers — engine-portable.
+    QuerySpec.sql(
+      "w7_rank_distribution",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank,
+        |  CAST(cume_dist() OVER w AS DOUBLE) AS cum_dist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cum_dist"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // SET: anti join — keys absent from a set (removeLedger delete-set
     // semantics; reference data.js:3181-3208).
     QuerySpec.sql(

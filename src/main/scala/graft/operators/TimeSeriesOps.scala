@@ -819,6 +819,35 @@ object TimeSeriesOps {
         .orderBy(col("event_type"), col("day"))
     },
 
+    // Reshape: long → wide pivot of daily counts (one column per
+    // series) — the dashboard/feature-matrix layout. The pivot value
+    // list is EXPLICIT, so Spark skips the values-discovery job and
+    // plans one partial+final aggregate pair (each pivot cell is a
+    // conditional count — map-side combinable, one shuffle on day).
+    QuerySpec.sql(
+      "pivot_event_daily", {
+        val cols = Seq("click", "error", "purchase", "signup", "view")
+          .map(t => s"""CAST(COALESCE(SUM(CASE WHEN event_type = '$t'
+             |    THEN 1 END), 0) AS BIGINT) AS $t""".stripMargin)
+          .mkString(",\n  ")
+        s"""SELECT day,
+           |  $cols
+           |FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           |    event_type FROM events) e
+           |GROUP BY day
+           |ORDER BY day""".stripMargin
+      }) { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy(col("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("day") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("day"))
+    },
+
     // Forward as-of join: each event picks up the user's NEXT order
     // at-or-after the event time (conversion attribution: which
     // purchase followed this click). Same merge-and-fill machinery as
