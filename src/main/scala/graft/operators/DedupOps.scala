@@ -122,7 +122,7 @@ object DedupOps {
   /** The `sig`/`bands`/`cand` CTE chain mirroring [[bandedCandidates]]
     * for the DuckDB oracles (no leading WITH — callers splice it).
     */
-  private def bandedCandCtes: String = {
+  private[operators] def bandedCandCtes: String = {
     val r = NumHashes / NumBands
     val bandSelects = (0 until NumBands).map { bi =>
       val key = (bi * r until (bi + 1) * r).map(i => s"m$i")
@@ -389,18 +389,7 @@ object DedupOps {
          |  FROM cc JOIN documents d ON d.doc_id = cc.doc_id)
          |WHERE rn = 1
          |ORDER BY cluster_id""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("cluster_id"))
-      val labeled = clusterLabels(s, dir)
-        .select(col("doc_id"), col("label").as("cluster_id"))
-        .join(docs(s, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-      labeled
-        .select(col("cluster_id"), col("doc_id").as("rep_id"),
-          count(lit(1)).over(w).as("sz"),
-          row_number().over(w.orderBy(col("n_chars").desc, col("doc_id")))
-            .as("rn"))
-        .filter(col("rn") === 1)
-        .drop("rn")
-        .orderBy(col("cluster_id"))
+      clusterReps(s, dir).orderBy(col("cluster_id"))
     },
 
     // LSH → verify: the production near-dup pipeline's second stage.
@@ -534,6 +523,25 @@ object DedupOps {
       graft.functions.ConnectedComponents.minLabels(
         docs(s, dir).select(col("doc_id")), "doc_id",
         bandedCandidates(s, dir), "a_id", "b_id"))
+
+  /** One row per near-dup cluster: (cluster_id, rep_id, sz) — the
+    * keeper (longest text, doc_id tie-break) and the cluster size.
+    * Shared by the dedup_cluster_rep gate and the near-dup corpus
+    * curation pipeline ([[PipelineOps]] curate_corpus_near).
+    */
+  private[operators] def clusterReps(s: SparkSession, dir: String)
+      : DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+    clusterLabels(s, dir)
+      .select(col("doc_id"), col("label").as("cluster_id"))
+      .join(docs(s, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .select(col("cluster_id"), col("doc_id").as("rep_id"),
+        count(lit(1)).over(w).as("sz"),
+        row_number().over(w.orderBy(col("n_chars").desc, col("doc_id")))
+          .as("rn"))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
 
   /** Release memoized cluster labels — all entries of `session`, or
     * every entry when called with None. Checkpoint/cache data backing

@@ -303,6 +303,114 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     },
 
+    // The NEAR-dup curation pipeline: curate_corpus with stage 2
+    // upgraded from exact-digest keepers to cluster representatives —
+    // banded-MinHash candidates → connected components → keep the
+    // longest doc per near-dup cluster — then the same quality gate,
+    // decontamination anti-join, and split assignment. This is the
+    // full production shape: LSH + graph clustering feeding the
+    // curation decision, composed with the memoized cluster labels
+    // (the fixpoint runs once per session/dir across all three
+    // consuming gates).
+    QuerySpec.sql(
+      "curate_corpus_near", {
+        val g = (0 until ContamNgram)
+          .map(k => s"ts[i+$k]").mkString(" || ' ' || ")
+        val t1 = (0.90 * (1L << 32)).toLong
+        val t2 = (0.95 * (1L << 32)).toLong
+        s"""WITH RECURSIVE ${DedupOps.bandedCandCtes},
+           |edges AS (
+           |  SELECT a_id AS u, b_id AS v FROM cand
+           |  UNION ALL SELECT b_id, a_id FROM cand),
+           |reach AS (
+           |  SELECT doc_id AS id, doc_id AS r FROM documents
+           |  UNION
+           |  SELECT re.id, e.v FROM reach re JOIN edges e ON e.u = re.r),
+           |cc AS (
+           |  SELECT id AS doc_id, MIN(r) AS cluster_id
+           |  FROM reach GROUP BY id),
+           |rep AS (
+           |  SELECT rep_id FROM (
+           |    SELECT d.doc_id AS rep_id,
+           |      row_number() OVER (PARTITION BY cc.cluster_id
+           |        ORDER BY d.n_chars DESC, d.doc_id) AS rn
+           |    FROM cc JOIN documents d ON d.doc_id = cc.doc_id) r0
+           |  WHERE rn = 1),
+           |q AS (
+           |  SELECT doc_id,
+           |    0.3 * (CAST(SUM(CASE WHEN tok IN
+           |      ('the','a','of','and','is','to','in')
+           |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))
+           |    + 0.7 * (CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*))
+           |      AS quality
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |        FROM documents)
+           |  GROUP BY doc_id),
+           |toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+           |  FROM documents),
+           |grams AS (
+           |  SELECT DISTINCT doc_id, $g AS ng
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+           |    len(ts)-${ContamNgram - 1})) AS i) gi
+           |  WHERE len(ts) >= $ContamNgram),
+           |eval_grams AS (
+           |  SELECT DISTINCT ng FROM grams WHERE doc_id % $EvalModulus = 0),
+           |contaminated AS (
+           |  SELECT DISTINCT g.doc_id AS doc_id
+           |  FROM grams g JOIN eval_grams e ON g.ng = e.ng)
+           |SELECT d.doc_id AS doc_id, d.lang AS lang, q.quality AS quality,
+           |  CASE WHEN hv < $t1 THEN 'train'
+           |       WHEN hv < $t2 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM (
+           |  SELECT doc_id, lang,
+           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+           |      1, 8)) AS BIGINT) AS hv
+           |  FROM documents) d
+           |JOIN q ON q.doc_id = d.doc_id
+           |JOIN rep ON rep.rep_id = d.doc_id
+           |WHERE q.quality >= 0.25
+           |  AND d.doc_id % $EvalModulus != 0
+           |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val t1 = (0.90 * (1L << 32)).toLong
+      val t2 = (0.95 * (1L << 32)).toLong
+      val stop = "('the','a','of','and','is','to','in')"
+      val quality = docs(s, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))
+        .withColumn("quality",
+          lit(0.3) * (expr(s"CAST(size(filter(ts, t -> t IN $stop)) AS BIGINT)")
+            .cast("double") / size(col("ts"))) +
+          lit(0.7) * (size(array_distinct(col("ts"))).cast("double") /
+            size(col("ts"))))
+      // stage 2: near-dup cluster keepers (memoized labels + rep window)
+      val kept = quality
+        .join(DedupOps.clusterReps(s, dir)
+          .select(col("rep_id").as("doc_id")), Seq("doc_id"))
+        .filter(col("quality") >= 0.25)
+        .filter(col("doc_id") % EvalModulus =!= 0)
+      val grams = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= ContamNgram)
+        .select(col("doc_id"), explode(expr(
+          s"""array_distinct(transform(sequence(1, size(ts)-${ContamNgram - 1}),
+             |  i -> concat_ws(' ', slice(ts, i, $ContamNgram))))""".stripMargin))
+          .as("ng"))
+      val evalGrams = grams.filter(col("doc_id") % EvalModulus === 0)
+        .select(col("ng")).distinct()
+      val contaminated = grams.join(evalGrams, Seq("ng"))
+        .select(col("doc_id")).distinct()
+      val hv = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 8),
+        16, 10).cast("long")
+      kept.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("quality"),
+          when(hv < t1, "train").when(hv < t2, "val").otherwise("test")
+            .as("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic dataset split: every document assigned to
     // train/val/test by integer hash thresholds (90/5/5) — the split
     // each training run must reproduce identically on any cluster, so
