@@ -411,6 +411,62 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     },
 
+    // Corpus health report: the per-language dashboard a curation run
+    // publishes — doc counts, token volume, exact-dup counts, mean
+    // quality — in ONE tree (per-doc map-side stats → digest window →
+    // one per-language rollup). Per-doc quality doubles are quantized
+    // to integer micro-units (round(q·1e6), the mm_decode discipline —
+    // a DECIMAL cast can land on a tie the two engines round apart)
+    // before the exact integer sum; the language mean is then one
+    // double division of identical operands.
+    QuerySpec.sql(
+      "analyze_corpus",
+      """WITH perdoc AS (
+        |  SELECT d.doc_id, d.lang, len(string_split(d.text, ' ')) AS n_toks,
+        |    q.quality,
+        |    CASE WHEN d.doc_id != MIN(d.doc_id) OVER
+        |      (PARTITION BY md5(lower(d.text))) THEN 1 ELSE 0 END AS is_dup
+        |  FROM documents d
+        |  JOIN (
+        |    SELECT doc_id,
+        |      0.3 * (CAST(SUM(CASE WHEN tok IN
+        |        ('the','a','of','and','is','to','in')
+        |        THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))
+        |      + 0.7 * (CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*))
+        |        AS quality
+        |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |          FROM documents)
+        |    GROUP BY doc_id) q ON q.doc_id = d.doc_id)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(is_dup) AS BIGINT) AS n_exact_dups,
+        |  CAST(SUM(CAST(round(quality * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / (1e6 * COUNT(*)) AS mean_quality
+        |FROM perdoc
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      val stop = "('the','a','of','and','is','to','in')"
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"),
+          md5(lower(col("text"))).as("fp"))
+        .withColumn("quality",
+          lit(0.3) * (expr(s"CAST(size(filter(ts, t -> t IN $stop)) AS BIGINT)")
+            .cast("double") / size(col("ts"))) +
+          lit(0.7) * (size(array_distinct(col("ts"))).cast("double") /
+            size(col("ts"))))
+        .withColumn("is_dup",
+          when(col("doc_id") =!=
+            min(col("doc_id")).over(Window.partitionBy(col("fp"))), 1L)
+            .otherwise(0L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("ts")).cast("long")).as("total_tokens"),
+          sum(col("is_dup")).as("n_exact_dups"),
+          (sum(round(col("quality") * 1e6).cast("long")).cast("double") /
+            (lit(1e6) * count(lit(1)))).as("mean_quality"))
+        .orderBy(col("lang"))
+    },
+
     // Deterministic dataset split: every document assigned to
     // train/val/test by integer hash thresholds (90/5/5) — the split
     // each training run must reproduce identically on any cluster, so

@@ -647,6 +647,104 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     },
 
+    // A: statistical moments — mean / variance / stddev / covariance /
+    // correlation per group, rebuilt from EXACT decimal power sums
+    // (Σx, Σx², Σxy) so aggregation order cannot move a bit; the only
+    // floating-point steps are single correctly-rounded ops on
+    // identical operands (the Cols.scala discipline applied to
+    // second-moment statistics — a plain stddev_samp() would be
+    // order-dependent in both engines).
+    QuerySpec.sql(
+      "a_moments_stats",
+      s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${dsumSql("l_quantity")} / COUNT(*) AS mean_qty,
+         |  (${dsumSql("l_quantity * l_quantity")}
+         |    - ${dsumSql("l_quantity")} * ${dsumSql("l_quantity")} / COUNT(*))
+         |    / (COUNT(*) - 1) AS var_qty,
+         |  sqrt((${dsumSql("l_quantity * l_quantity")}
+         |    - ${dsumSql("l_quantity")} * ${dsumSql("l_quantity")} / COUNT(*))
+         |    / (COUNT(*) - 1)) AS sd_qty,
+         |  (${dsumSql("l_quantity * l_extendedprice")}
+         |    - ${dsumSql("l_quantity")} * ${dsumSql("l_extendedprice")}
+         |      / COUNT(*)) / (COUNT(*) - 1) AS covar_qty_price
+         |FROM lineitem
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val sq = dsum(col("l_quantity"))
+      val sqq = dsum(col("l_quantity") * col("l_quantity"))
+      val sp = dsum(col("l_extendedprice"))
+      val sqp = dsum(col("l_quantity") * col("l_extendedprice"))
+      val n = count(lit(1))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(n.as("n"), sq.as("__s"), sqq.as("__q"), sp.as("__sp"),
+          sqp.as("__sqp"))
+        .select(col("l_returnflag"), col("n"),
+          (col("__s") / col("n")).as("mean_qty"),
+          ((col("__q") - col("__s") * col("__s") / col("n")) /
+            (col("n") - 1)).as("var_qty"),
+          sqrt((col("__q") - col("__s") * col("__s") / col("n")) /
+            (col("n") - 1)).as("sd_qty"),
+          ((col("__sqp") - col("__s") * col("__sp") / col("n")) /
+            (col("n") - 1)).as("covar_qty_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // W: value window functions — first/last/nth over a running frame
+    // per group (the "compare to the group's opening/previous value"
+    // report shape). All values exact; lag default handled identically.
+    QuerySpec.sql(
+      "w8_value_windows",
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  first_value(o_totalprice) OVER wf AS first_price,
+        |  last_value(o_totalprice) OVER wf AS last_price,
+        |  nth_value(o_totalprice, 2) OVER wf AS second_price,
+        |  lag(o_totalprice, 1) OVER wo AS prev_price,
+        |  lead(o_totalprice, 1) OVER wo AS next_price
+        |FROM orders
+        |WINDOW wf AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |  wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val wf = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wo = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          first(col("o_totalprice")).over(wf).as("first_price"),
+          last(col("o_totalprice")).over(wf).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(wf).as("second_price"),
+          lag(col("o_totalprice"), 1).over(wo).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(wo).as("next_price"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // A: deterministic mode — the most frequent event type per user
+    // (max count, lexicographic tie-break spelled out in BOTH engines
+    // instead of leaning on either engine's unspecified mode() ties).
+    QuerySpec.sql(
+      "a_mode_per_user",
+      """SELECT user_id, event_type AS mode_type, n FROM (
+        |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY COUNT(*) DESC, event_type) AS rn
+        |  FROM events GROUP BY user_id, event_type)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("event_type"))
+      TimeSeriesOps.eventsFrame(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+        .orderBy(col("user_id"))
+    },
+
     // SET: intersection — customers active in BOTH of two disjoint
     // date ranges (returning-customer semantics). Spark plans INTERSECT
     // as a LeftSemi join over distinct keys — no full-row comparator

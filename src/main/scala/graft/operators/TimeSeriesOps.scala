@@ -25,6 +25,10 @@ import org.apache.spark.sql.types.LongType
 object TimeSeriesOps {
 
   /** Events with the JSON weight column parsed out. */
+  /** The events frame for sibling operator objects (nanos-safe load). */
+  private[operators] def eventsFrame(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     // The testdata was written with parquet TIMESTAMP(NANOS), which the
     // Spark 4 reader rejects by default; read it as epoch-nanos long and
