@@ -51,6 +51,13 @@ object SimilarityOps {
   /** Cells probed per query in the multi-probe IVF search (nprobe). */
   val Probes = 2
 
+  /** Hyperplane count for the random-projection LSH sketch: 2^8 = 256
+    * buckets — sized so buckets hold a few near neighbors at test
+    * scale (16+ bits would shatter a 500-vector corpus into
+    * singletons; production banding splits a longer sketch instead).
+    */
+  val LshPlanes = 8
+
   // Same quantization, one spelling per engine: Spark higher-order
   // `transform`, DuckDB `list_transform`.
   private val quantizeSpark =
@@ -263,6 +270,49 @@ object SimilarityOps {
        |    ON a.label = b.label AND a.vec_id <> b.vec_id) t
        |WHERE rnk <= $k""".stripMargin
 
+  /** ±1 hyperplane components from md5(p:d) parity — the exact rule
+    * the oracle SQL spells out, replayed in the JVM so both engines
+    * hold the identical plane matrix with no RNG state.
+    */
+  private def lshPlanes(planes: Int = LshPlanes, dims: Int = 64): Array[Array[Long]] =
+    Array.tabulate(planes, dims) { (p, d) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if ("0123456789abcdef".indexOf(hex.charAt(0)) % 2 == 0) 1L else -1L
+    }
+
+  /** 16-bit signed-projection sketch per vector (bit p = sign of the
+    * integer dot with hyperplane p) — the LSH bucket id.
+    */
+  private def lshBuckets(sig: DataFrame): DataFrame = {
+    val bkt = lshPlanes().zipWithIndex.map { case (pl, p) =>
+      when(dot_long(col("qv"), typedLit(pl.toSeq)) > 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    sig.select(col("vec_id"), bkt.as("bkt"))
+  }
+
+  private def lshTopk(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir)
+    val b = lshBuckets(sig)
+    val q = sig.filter(col("vec_id") < 10).join(b, Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("bkt"), col("qv").as("qa"),
+        col("norm2").as("q_norm2"))
+    val cand = sig.join(b, Seq("vec_id"))
+      .select(col("vec_id").as("vid"), col("bkt"), col("qv").as("qb"),
+        col("norm2").as("c_norm2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    broadcast(q).join(cand, Seq("bkt"))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("dot", dot_long(col("qa"), col("qb")))
+      .withColumn("cos", expr(
+        "CAST(dot AS DOUBLE) / (sqrt(CAST(q_norm2 AS DOUBLE)) * sqrt(CAST(c_norm2 AS DOUBLE)))"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("vid"), col("cos"), col("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     // Brute-force exact top-k cosine — the ANN correctness baseline.
     QuerySpec.sql("sim_brute_topk", topkSql("")) { (s, dir) =>
@@ -272,6 +322,56 @@ object SimilarityOps {
     // IVF-style ANN: search only the query's coarse cell (label).
     QuerySpec.sql("sim_ivf_topk", topkSql("AND a.label = b.label")) { (s, dir) =>
       topk(s, dir, sameCell = true)
+    },
+
+    // Random-hyperplane LSH ANN (the third index family beside IVF
+    // and brute force): 16 signed-projection bits per vector — bit p
+    // is the sign of ⟨qv, h_p⟩ for a ±1 hyperplane h_p derived from
+    // md5(p:d) parity, so both engines build the IDENTICAL planes
+    // from the hash alone (no RNG state to ship). Candidates = same
+    // 16-bit sketch bucket (cosine-similar vectors collide by the
+    // hyperplane argument); exact top-k within the bucket. At scale
+    // the bucket id is the shuffle key — same layout as IVF with the
+    // coarse quantizer replaced by data-independent projections.
+    QuerySpec.sql(
+      "sim_lsh_topk", {
+        val dims = 64
+        val planes = LshPlanes
+        s"""WITH sig AS ($quantizedSql),
+           |planes AS (
+           |  SELECT p, d,
+           |    CASE WHEN (strpos('0123456789abcdef',
+           |        substr(md5(p || ':' || d), 1, 1)) - 1) % 2 = 0
+           |      THEN 1 ELSE -1 END AS s
+           |  FROM (SELECT unnest(range(0, $planes)) AS p) pp,
+           |    (SELECT unnest(range(0, $dims)) AS d) dd),
+           |proj AS (
+           |  SELECT v.vec_id, pl.p, SUM(pl.s * v.qv[pl.d + 1]) AS dot
+           |  FROM sig v JOIN planes pl ON TRUE
+           |  GROUP BY 1, 2),
+           |buckets AS (
+           |  SELECT vec_id,
+           |    CAST(COALESCE(SUM(CASE WHEN dot > 0
+           |      THEN CAST(POW(2, p) AS BIGINT) END), 0) AS BIGINT) AS bkt
+           |  FROM proj GROUP BY 1)
+           |SELECT qid, vid, cos, rnk FROM (
+           |  SELECT qid, vid, cos,
+           |    ROW_NUMBER() OVER (PARTITION BY qid
+           |      ORDER BY cos DESC, vid) AS rnk
+           |  FROM (
+           |    SELECT a.vec_id AS qid, b.vec_id AS vid,
+           |      list_dot_product(a.qv, b.qv)
+           |        / (sqrt(CAST(a.norm2 AS DOUBLE))
+           |          * sqrt(CAST(b.norm2 AS DOUBLE))) AS cos
+           |    FROM sig a
+           |    JOIN buckets ba ON ba.vec_id = a.vec_id
+           |    JOIN buckets bb ON bb.bkt = ba.bkt
+           |    JOIN sig b ON b.vec_id = bb.vec_id AND b.vec_id <> a.vec_id
+           |    WHERE a.vec_id < 10) t0) t1
+           |WHERE rnk <= 5
+           |ORDER BY qid, rnk""".stripMargin
+      }) { (s, dir) =>
+      lshTopk(s, dir)
     },
 
     // IVF multi-probe: rank cells by query↔centroid cosine, probe the
