@@ -392,6 +392,38 @@ object DedupOps {
       clusterReps(s, dir).orderBy(col("cluster_id"))
     },
 
+    // Cluster-size histogram: how big are the near-dup clusters —
+    // the dedup-health report (a corpus dominated by large clusters
+    // has a template/boilerplate problem; all-singletons means the
+    // LSH recall knob is too tight). Two hash aggregates over the
+    // memoized labels.
+    QuerySpec.sql(
+      "dedup_cluster_sizes",
+      s"""WITH RECURSIVE $bandedCandCtes,
+         |edges AS (
+         |  SELECT a_id AS u, b_id AS v FROM cand
+         |  UNION ALL SELECT b_id, a_id FROM cand),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT re.id, e.v FROM reach re JOIN edges e ON e.u = re.r),
+         |cc AS (
+         |  SELECT id AS doc_id, MIN(r) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |sizes AS (
+         |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM cc GROUP BY 1)
+         |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters
+         |FROM sizes GROUP BY sz
+         |ORDER BY sz""".stripMargin) { (s, dir) =>
+      clusterLabels(s, dir)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("sz"))
+    },
+
     // LSH → verify: the production near-dup pipeline's second stage.
     // Banded-MinHash candidates are a superset with false positives;
     // each candidate pair is VERIFIED against the true word-3-gram

@@ -787,6 +787,122 @@ object TimeSeriesOps {
         .orderBy(col("event_type"), col("day"))
     },
 
+    // Double exponential smoothing (Holt linear, α = β = ½) in exact
+    // floored-integer arithmetic — the trend-aware forecasting
+    // companion to ts_ewma. Level/trend recursion (values scaled ×2 so
+    // the half-weights stay integral):
+    //   l_1 = 2·x_1, b_1 = 0
+    //   l_i = x_i + (l_{i-1} + b_{i-1}) div 2
+    //   b_i = (b_{i-1} + (l_i - l_{i-1})) div 2
+    // Same per-series `aggregate` fold over the calendar-bounded daily
+    // frame; same recursive-CTE oracle.
+    QuerySpec.sql(
+      "ts_holt_trend",
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, day, n_events,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |      CAST(COUNT(*) AS BIGINT) AS n_events
+        |    FROM events GROUP BY 1, 2) d),
+        |r AS (
+        |  SELECT event_type, rn, day, n_events,
+        |    2 * n_events AS lvl, CAST(0 AS BIGINT) AS trend
+        |  FROM daily WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.rn, d.day, d.n_events,
+        |    d.n_events + (r.lvl + r.trend) // 2,
+        |    (r.trend + (d.n_events + (r.lvl + r.trend) // 2 - r.lvl)) // 2
+        |  FROM r JOIN daily d
+        |    ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+        |SELECT event_type, day, n_events, CAST(lvl AS BIGINT) AS lvl,
+        |  CAST(trend AS BIGINT) AS trend
+        |FROM r ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("n_events"))))
+          .as("arr"))
+        .select(col("event_type"), explode(expr(
+          """aggregate(arr,
+            |  CAST(array() AS ARRAY<STRUCT<day: DATE, n_events: BIGINT,
+            |    lvl: BIGINT, trend: BIGINT>>),
+            |  (acc, x) -> array_append(acc,
+            |    CASE WHEN size(acc) = 0
+            |      THEN named_struct('day', x.day, 'n_events', x.n_events,
+            |        'lvl', 2L * x.n_events, 'trend', 0L)
+            |      ELSE named_struct('day', x.day, 'n_events', x.n_events,
+            |        'lvl', x.n_events +
+            |          (element_at(acc, -1).lvl + element_at(acc, -1).trend)
+            |            div 2,
+            |        'trend', (element_at(acc, -1).trend +
+            |          (x.n_events +
+            |            (element_at(acc, -1).lvl + element_at(acc, -1).trend)
+            |              div 2 - element_at(acc, -1).lvl)) div 2)
+            |    END))""".stripMargin)).as("e"))
+        .select(col("event_type"), col("e.day").as("day"),
+          col("e.n_events").as("n_events"), col("e.lvl").as("lvl"),
+          col("e.trend").as("trend"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // Bidirectional nearest-event join: each event picks whichever of
+    // the user's latest order at-or-before / earliest order at-or-after
+    // is temporally CLOSER (ties to the earlier one) — composing the
+    // two as-of scans in one relation, the "nearest reference row"
+    // enrichment. Cost: the two merge-and-fill passes + one column
+    // comparison; no range probe.
+    QuerySpec.sql(
+      "j_asof_nearest_order",
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    CAST(MIN(o_orderkey) AS BIGINT) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |bwd AS (
+        |  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |    o.o_orderkey AS b_key, epoch_us(o.o_orderdate) AS b_us
+        |  FROM events e ASOF LEFT JOIN ord o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts),
+        |fwd AS (
+        |  SELECT e.event_id, o.o_orderkey AS f_key,
+        |    epoch_us(o.o_orderdate) AS f_us
+        |  FROM events e ASOF LEFT JOIN ord o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts)
+        |SELECT b.event_id, b.user_id, b.ts_us,
+        |  CASE WHEN b.b_key IS NULL THEN f.f_key
+        |       WHEN f.f_key IS NULL THEN b.b_key
+        |       WHEN b.ts_us - b.b_us <= f.f_us - b.ts_us THEN b.b_key
+        |       ELSE f.f_key END AS nearest_orderkey
+        |FROM bwd b JOIN fwd f ON f.event_id = b.event_id
+        |ORDER BY b.event_id""".stripMargin) { (s, dir) =>
+      val ords = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(min(col("o_orderkey")).as("o_orderkey"))
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val bwd = graft.functions.AsOfJoin.asofBackward(ev, "user_id", "ts",
+          ords.withColumn("b_us",
+            unix_micros(col("o_orderdate").cast("timestamp"))),
+          "o_custkey", "o_orderdate", Seq("o_orderkey", "b_us"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("o_orderkey").as("b_key"), col("b_us"))
+      val fwd = graft.functions.AsOfJoin.asofForward(ev, "user_id", "ts",
+          ords.withColumn("f_us",
+            unix_micros(col("o_orderdate").cast("timestamp"))),
+          "o_custkey", "o_orderdate", Seq("o_orderkey", "f_us"))
+        .select(col("event_id").as("f_event_id"),
+          col("o_orderkey").as("f_key"), col("f_us"))
+      bwd.join(fwd, col("f_event_id") === col("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          when(col("b_key").isNull, col("f_key"))
+            .when(col("f_key").isNull, col("b_key"))
+            .when(col("ts_us") - col("b_us") <= col("f_us") - col("ts_us"),
+              col("b_key"))
+            .otherwise(col("f_key")).as("nearest_orderkey"))
+        .orderBy(col("event_id"))
+    },
+
     // Trailing 7-day rolling MEDIAN of daily counts per series — the
     // robust-baseline companion to the z-score gate (a single spike
     // day cannot drag the median the way it drags the mean). Exact
