@@ -24,8 +24,9 @@ import org.apache.spark.sql.types.LongType
   */
 object TimeSeriesOps {
 
-  /** Events with the JSON weight column parsed out. */
-  /** The events frame for sibling operator objects (nanos-safe load). */
+  /** The events frame (JSON weight parsed, nanos-safe load) for
+    * sibling operator objects.
+    */
   private[operators] def eventsFrame(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
 

@@ -100,11 +100,17 @@ object FunnelStream {
         .copy(user_id = userId)
       state.update(FunnelState(sUs, Nil, emitted = true))
       Iterator.single(out)
+    } else if (sUs == Long.MaxValue && purchases.isEmpty) {
+      // nothing retained (no signup; every purchase already aged past
+      // the watermark): keep NO state rather than an empty record
+      // with no timeout
+      state.remove()
+      Iterator.empty
     } else {
       state.update(FunnelState(sUs, purchases, emitted = false))
       if (sUs != Long.MaxValue)
         state.setTimeoutTimestamp((sUs + WindowUs) / 1000L + 1L)
-      else if (purchases.nonEmpty)
+      else
         // purchase-only user: garbage-collect once the watermark has
         // passed every buffered purchase
         state.setTimeoutTimestamp(purchases.max / 1000L + 1L)
