@@ -343,6 +343,32 @@ object TextOps {
         .orderBy(col("doc_id"), col("rnk"))
     },
 
+    // Sentence segmentation: split on terminal punctuation followed by
+    // a space (the same literal-class regex in both engines — kept
+    // deliberately simple so the two regex dialects cannot diverge),
+    // with per-document sentence stats. Pure per-row array math, no
+    // shuffle beyond the output sort.
+    QuerySpec.sql(
+      "text_sentences",
+      """SELECT doc_id,
+        |  CAST(len(ss) AS BIGINT) AS n_sentences,
+        |  CAST(length(ss[1]) AS BIGINT) AS first_len,
+        |  CAST(length(ss[len(ss)]) AS BIGINT) AS last_len,
+        |  md5(array_to_string(ss, '')) AS seg_digest
+        |FROM (SELECT doc_id,
+        |    string_split_regex(text, '[.!?] ') AS ss
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), "[.!?] ").as("ss"))
+        .select(col("doc_id"),
+          size(col("ss")).cast("long").as("n_sentences"),
+          length(element_at(col("ss"), 1)).cast("long").as("first_len"),
+          length(element_at(col("ss"), -1)).cast("long").as("last_len"),
+          md5(concat_ws("", col("ss"))).as("seg_digest"))
+        .orderBy(col("doc_id"))
+    },
+
     // Fixed-window chunking with overlap: 64-token chunks on a
     // 48-token stride (16-token overlap) — the doc→context-window
     // split that feeds tokenization. Pure per-row 1→N flatMap

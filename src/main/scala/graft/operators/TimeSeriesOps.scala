@@ -940,6 +940,32 @@ object TimeSeriesOps {
         .orderBy(col("event_type"), col("day"))
     },
 
+    // Z-order layout key: Morton-interleaved (user, hour-bucket) —
+    // the one sort key that clusters BOTH per-user scans and
+    // time-range scans for parquet row-group skipping
+    // (functions/ZOrder.scala; `sortWithinPartitions(z)` at write
+    // time). Pure integer bit math, verified bit-for-bit.
+    QuerySpec.sql(
+      "store_zorder_key", {
+        val z = graft.functions.ZOrder.zValueSql(
+          "user_id % 65536", "(epoch_us(ts) // 3600000000) % 65536")
+        s"""SELECT event_id, user_id,
+           |  CAST((epoch_us(ts) // 3600000000) % 65536 AS BIGINT)
+           |    AS hour_bucket,
+           |  CAST($z AS BIGINT) AS z_key
+           |FROM events
+           |ORDER BY event_id""".stripMargin
+      }) { (s, dir) =>
+      val hourBucket = pmod(expr("unix_micros(ts) div 3600000000"),
+        lit(65536L))
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          hourBucket.as("hour_bucket"),
+          graft.functions.ZOrder.zValue(
+            pmod(col("user_id"), lit(65536L)), hourBucket).as("z_key"))
+        .orderBy(col("event_id"))
+    },
+
     // Reshape: long → wide pivot of daily counts (one column per
     // series) — the dashboard/feature-matrix layout. The pivot value
     // list is EXPLICIT, so Spark skips the values-discovery job and

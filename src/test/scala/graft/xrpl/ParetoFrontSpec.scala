@@ -52,6 +52,28 @@ class ParetoFrontSpec extends AnyFunSuite {
     }
   }
 
+  test("forward as-of matches a brute-force scan on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val build = Seq.tabulate(200)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(500).toLong, i.toDouble))
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // unique (k, t)
+    val probe = Seq.tabulate(300)(i =>
+      (i.toLong, rnd.nextInt(7).toLong, rnd.nextInt(500).toLong))
+    val expected = probe.map { case (id, k, t) =>
+      id -> build.filter(b => b._1 == k && b._2 >= t)
+        .sortBy(_._2).headOption.map(_._3)
+    }.toMap
+    val got = AsOfJoin.asofForward(
+        probe.toDF("id", "k", "t"), "k", "t",
+        build.toDF("k", "t", "v"), "k", "t", Seq("v"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got === expected)
+  }
+
   test("forward as-of picks the earliest at-or-after build row") {
     import spark.implicits._
     val build = Seq(("usd", 10L, 1.0), ("usd", 20L, 2.0), ("eur", 15L, 9.0))
