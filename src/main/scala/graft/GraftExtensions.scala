@@ -51,5 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "xrpl_quality_decode(book_directory, pays_currency, gets_currency) - offer quality from a BookDirectory"),
       (exprs: Seq[Expression]) =>
         graft.xrpl.catalyst.QualityDecode(exprs.head, exprs(1), exprs(2))))
+    // whole-operator custom plan: top-k per key via bounded heaps
+    // (partial/final pair — see graft.plans.TopKPerKey); sessions not
+    // built with these extensions get the strategy installed lazily by
+    // TopKPerKey.topK itself
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -647,6 +647,32 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     },
 
+    // S: top-k per key through the CUSTOM physical operator
+    // (graft.plans.TopKPerKey — LogicalPlan + Strategy + partial/final
+    // SparkPlan pair with bounded per-key heaps): the window spelling
+    // shuffles and SORTS every key's full history to keep 2 rows; the
+    // custom plan's map-side pass caps the shuffle at k rows per key
+    // per input partition and never sorts (TopKPerKeySpec asserts the
+    // plan). The oracle keeps the row_number formulation — identical
+    // relation under the total (price desc, key) order.
+    QuerySpec.sql(
+      "s_topk_per_key_native",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      graft.plans.TopKPerKey.topK(
+          t(s, dir, "orders")
+            .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+          keys = Seq("o_custkey"),
+          order = Seq("o_totalprice" -> true, "o_orderkey" -> false),
+          k = 2)
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     // A: statistical moments — mean / variance / stddev / covariance /
     // correlation per group, rebuilt from EXACT decimal power sums
     // (Σx, Σx², Σxy) so aggregation order cannot move a bit; the only

@@ -1,0 +1,74 @@
+package graft.xrpl
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{TopKPerKey, TopKPerKeyExec}
+
+/** The custom top-k-per-key operator must produce exactly the
+  * window-formulation's rows (total ordering ⇒ unique answer) on any
+  * partitioning, and its physical plan must be the partial/final pair
+  * around one exchange — never a per-key sort.
+  */
+class TopKPerKeySpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+
+  private def data() = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    Seq.tabulate(500)(i =>
+      (i.toLong, rnd.nextInt(7).toLong, rnd.nextInt(50).toLong))
+      .toDF("id", "k", "v")
+  }
+
+  private def expected(k: Int): Set[(Long, Long, Long)] = {
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("v").desc, col("id"))
+    data().withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("matches the window formulation across partitionings and k") {
+    for (k <- Seq(1, 3, 64); parts <- Seq(1, 7)) {
+      val got = TopKPerKey.topK(
+          data().repartition(parts), Seq("k"),
+          Seq("v" -> true, "id" -> false), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected(k), s"k=$k parts=$parts")
+    }
+  }
+
+  test("plans a partial/final pair with one exchange and no sort") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = TopKPerKey.topK(data(), Seq("k"),
+      Seq("v" -> true, "id" -> false), 3)
+    df.collect() // materialize so AQE finalizes the plan
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val all = nodes(df.queryExecution.executedPlan)
+    val execs = all.collect { case t: TopKPerKeyExec => t }
+    assert(execs.map(_.partial).sorted === Seq(false, true))
+    val s = all.map(_.nodeName).mkString("\n")
+    assert(!s.contains("Sort") && !s.contains("Window"), s)
+  }
+
+  test("keys with fewer than k rows keep all their rows") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 5L), (2L, "a", 7L), (3L, "b", 1L))
+      .toDF("id", "k", "v")
+    val got = TopKPerKey.topK(df, Seq("k"),
+        Seq("v" -> true, "id" -> false), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L, 3L))
+  }
+}
