@@ -298,6 +298,45 @@ object ClusterOps {
       pagerank(s, dir)
     },
 
+    // Link prediction over the k-NN graph: common-neighbor count and
+    // Resource-Allocation index (Σ 1/deg(z) over shared neighbors z —
+    // the Adamic-Adar family member with NO log, so it stays exact:
+    // each term is the integer floor(1e6/deg)) for every
+    // wedge-connected pair. Same wedge join as triangle counting,
+    // grouped per endpoint pair; cost bounded by Σ deg².
+    QuerySpec.sql(
+      "graph_link_predict",
+      s"""WITH sig AS (${SimilarityOps.quantizedSql}),
+         |knn AS (SELECT vec_id, nbr_id FROM (${SimilarityOps.knnEdgesSql(3)}) k),
+         |und AS (SELECT DISTINCT LEAST(vec_id, nbr_id) AS u,
+         |    GREATEST(vec_id, nbr_id) AS v FROM knn),
+         |sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         |deg AS (SELECT u AS z, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM sym GROUP BY 1)
+         |SELECT a.v AS a_id, b.v AS b_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_common,
+         |  CAST(SUM(1000000 // d.d) AS BIGINT) AS ra_x1e6
+         |FROM sym a JOIN sym b ON a.u = b.u AND a.v < b.v
+         |JOIN deg d ON d.z = a.u
+         |GROUP BY 1, 2
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val und = SimilarityOps.knnEdges(s, dir, 3)
+        .select(least(col("vec_id"), col("nbr_id")).as("u"),
+          greatest(col("vec_id"), col("nbr_id")).as("v"))
+        .distinct()
+      val sym = und.unionByName(
+        und.select(col("v").as("u"), col("u").as("v")))
+      val deg = sym.groupBy(col("u").as("z")).agg(count(lit(1)).as("d"))
+      sym.select(col("u").as("z"), col("v").as("a_id"))
+        .join(sym.select(col("u").as("z"), col("v").as("b_id")), Seq("z"))
+        .filter(col("a_id") < col("b_id"))
+        .join(deg, Seq("z"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("n_common"),
+          sum(expr("1000000L div d")).as("ra_x1e6"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Per-node triangle counts over the undirected k-NN graph. The
     // oracle enumerates each triangle once by id order (a < b < c);
     // the Spark plan uses the degree-ordered orientation — same

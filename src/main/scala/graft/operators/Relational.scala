@@ -284,6 +284,35 @@ object Relational {
           col("o_orderpriority"))
     },
 
+    // A: ROLLUP over the time hierarchy (year → month → grand total):
+    // the drill-down report lattice, one pass with grouping-id
+    // disambiguation — the hierarchical complement of the CUBE gate.
+    QuerySpec.sql(
+      "agg_rollup_time",
+      """SELECT y, m,
+        |  CAST(GROUPING(y, m) AS BIGINT) AS grouping_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+        |    CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+        |    o_totalprice
+        |  FROM orders)
+        |GROUP BY ROLLUP (y, m)
+        |ORDER BY grouping_id, y, m""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          col("o_totalprice"))
+        .rollup(col("y"), col("m"))
+        .agg(grouping_id().as("grouping_id"),
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .select(col("y"), col("m"), col("grouping_id"), col("n_orders"),
+          col("sum_price"))
+        .orderBy(col("grouping_id"), col("y"), col("m"))
+    },
+
     // Skyline: the Pareto frontier of orders maximizing (total price,
     // recency) — "no other order is both at least as expensive and at
     // least as recent, one strictly". The oracle keeps the quadratic

@@ -995,6 +995,63 @@ object TimeSeriesOps {
         .orderBy(col("day"))
     },
 
+    // Robust outlier flags via rolling MAD (median absolute
+    // deviation): |x − med| > 3·MAD over the trailing 7-day window —
+    // the robust companion to the z-score gate (one spike day cannot
+    // inflate the MAD the way it inflates σ). Stays in integers by
+    // scaling: med2 = 2·median (sum of middle order statistics),
+    // dev2 = |2x − med2| = 2·|x − med|, mad4 = 2·median(dev2) =
+    // 4·MAD, and the test becomes 2·dev2 > 3·mad4. Per-row work is
+    // two 7-element sorts — constant, window-bounded.
+    QuerySpec.sql(
+      "ts_outlier_mad",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n_events,
+        |    list_sort(list(n_events) OVER w7) AS win
+        |  FROM daily
+        |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |m AS (
+        |  SELECT *, win[(len(win) + 1) // 2] + win[len(win) // 2 + 1]
+        |    AS med2
+        |  FROM w),
+        |d AS (
+        |  SELECT *, list_sort(list_transform(win,
+        |    v -> abs(2 * v - med2))) AS devs
+        |  FROM m)
+        |SELECT event_type, day, n_events, CAST(med2 AS BIGINT) AS med2,
+        |  CAST(devs[(len(devs) + 1) // 2] + devs[len(devs) // 2 + 1]
+        |    AS BIGINT) AS mad4,
+        |  len(win) >= 4 AND 2 * abs(2 * n_events - med2)
+        |    > 3 * (devs[(len(devs) + 1) // 2] + devs[len(devs) // 2 + 1])
+        |    AS is_outlier
+        |FROM d ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("win", sort_array(collect_list(col("n_events")).over(w7)))
+        .withColumn("med2",
+          element_at(col("win"), expr("(size(win) + 1) div 2").cast("int")) +
+            element_at(col("win"), expr("size(win) div 2 + 1").cast("int")))
+        .withColumn("devs",
+          sort_array(expr("transform(win, v -> abs(2L * v - med2))")))
+        .withColumn("mad4",
+          element_at(col("devs"), expr("(size(devs) + 1) div 2").cast("int")) +
+            element_at(col("devs"), expr("size(devs) div 2 + 1").cast("int")))
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("med2"), col("mad4"),
+          (size(col("win")) >= 4 &&
+            lit(2L) * abs(lit(2L) * col("n_events") - col("med2")) >
+              lit(3L) * col("mad4")).as("is_outlier"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
     // Forward as-of join: each event picks up the user's NEXT order
     // at-or-after the event time (conversion attribution: which
     // purchase followed this click). Same merge-and-fill machinery as
