@@ -374,6 +374,47 @@ object SimilarityOps {
       lshTopk(s, dir)
     },
 
+    // Embedding storage quantization: per-vector absmax int8 — the
+    // 4-8× footprint cut every vector store ships (scale = amax/127
+    // kept alongside the int8 payload). Deterministic: one division
+    // and one round per component on identical doubles; the digest
+    // proves the full quantized payload byte-for-byte, the checksum
+    // and amax make failures localizable. Zero vectors quantize to
+    // zeros (guarded — ANSI would overflow on round(inf)).
+    QuerySpec.sql(
+      "emb_quantize_int8",
+      """SELECT vec_id, amax,
+        |  md5(array_to_string(q, ',')) AS q_digest,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum
+        |FROM (
+        |  SELECT vec_id, amax,
+        |    CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0)
+        |      ELSE list_transform(embedding,
+        |        x -> CAST(round(127 * CAST(x AS DOUBLE) / amax) AS BIGINT))
+        |      END AS q
+        |  FROM (
+        |    SELECT vec_id,
+        |      list_max(list_transform(embedding,
+        |        x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |    FROM embeddings) a
+        |  JOIN embeddings USING (vec_id))
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .withColumn("amax",
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .withColumn("q", expr(
+          """CASE WHEN amax = 0D
+            |  THEN transform(embedding, x -> 0L)
+            |  ELSE transform(embedding,
+            |    x -> CAST(round(127 * CAST(x AS DOUBLE) / amax) AS BIGINT))
+            |  END""".stripMargin))
+        .select(col("vec_id"), col("amax"),
+          md5(expr("array_join(transform(q, v -> CAST(v AS STRING)), ',')"))
+            .as("q_digest"),
+          expr("aggregate(q, 0L, (a, v) -> a + v)").as("q_sum"))
+        .orderBy(col("vec_id"))
+    },
+
     // IVF multi-probe: rank cells by query↔centroid cosine, probe the
     // top `Probes` cells, exact top-k within them — the full inverted-
     // file search (train: centroid per cell; search: nprobe cells).

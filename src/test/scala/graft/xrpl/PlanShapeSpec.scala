@@ -42,7 +42,8 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("no nested-loop or cartesian join in the new pair/join gates") {
     for (name <- Seq("mm_phash_near_dup", "dedup_lsh_verified",
-        "dedup_winnow_pairs", "j_asof_next_order", "graph_triangles")) {
+        "dedup_winnow_pairs", "j_asof_next_order", "graph_triangles",
+        "graph_link_predict", "j_asof_nearest_order")) {
       val s = planOf(name).toString
       assert(!s.contains("BroadcastNestedLoopJoin") &&
         !s.contains("CartesianProduct"),
