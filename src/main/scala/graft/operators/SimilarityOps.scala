@@ -415,6 +415,90 @@ object SimilarityOps {
         .orderBy(col("vec_id"))
     },
 
+    // Two-stage retrieval over the quantized store: a cheap int8
+    // coarse scan (exact integer dot of the absmax-quantized vectors,
+    // rescaled by the per-vector amax — the memory-bandwidth-bound
+    // pass a vector store runs over the compressed payload) keeps 20
+    // candidates per query; only those are re-ranked by the
+    // full-precision cosine. The production retrieve→rerank stack,
+    // end-to-end deterministic.
+    QuerySpec.sql(
+      "sim_int8_rerank",
+      s"""WITH sig AS ($quantizedSql),
+         |q8 AS (
+         |  SELECT vec_id, amax,
+         |    CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0)
+         |      ELSE list_transform(embedding,
+         |        x -> CAST(round(127 * CAST(x AS DOUBLE) / amax) AS BIGINT))
+         |      END AS v8
+         |  FROM (
+         |    SELECT vec_id,
+         |      list_max(list_transform(embedding,
+         |        x -> abs(CAST(x AS DOUBLE)))) AS amax
+         |    FROM embeddings) a
+         |  JOIN embeddings USING (vec_id)),
+         |coarse AS (
+         |  SELECT qid, vid, rnk8 FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS vid,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |        CAST(list_dot_product(a.v8, b.v8) AS DOUBLE)
+         |          * a.amax * b.amax DESC, b.vec_id) AS rnk8
+         |    FROM q8 a JOIN q8 b ON a.vec_id < 10 AND b.vec_id <> a.vec_id) t
+         |  WHERE rnk8 <= 20)
+         |SELECT qid, vid, cos, rnk FROM (
+         |  SELECT c.qid, c.vid,
+         |    list_dot_product(sa.qv, sb.qv)
+         |      / (sqrt(CAST(sa.norm2 AS DOUBLE))
+         |        * sqrt(CAST(sb.norm2 AS DOUBLE))) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY
+         |      list_dot_product(sa.qv, sb.qv)
+         |        / (sqrt(CAST(sa.norm2 AS DOUBLE))
+         |          * sqrt(CAST(sb.norm2 AS DOUBLE))) DESC, c.vid) AS rnk
+         |  FROM coarse c
+         |  JOIN sig sa ON sa.vec_id = c.qid
+         |  JOIN sig sb ON sb.vec_id = c.vid) r
+         |WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+        .withColumn("amax",
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .withColumn("v8", expr(
+          """CASE WHEN amax = 0D
+            |  THEN transform(embedding, x -> 0L)
+            |  ELSE transform(embedding,
+            |    x -> CAST(round(127 * CAST(x AS DOUBLE) / amax) AS BIGINT))
+            |  END""".stripMargin))
+        .select(col("vec_id"), col("amax"), col("v8"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("amax").as("qa_max"),
+          col("v8").as("qa8"))
+      val w8 = Window.partitionBy(col("qid"))
+        .orderBy(col("score8").desc, col("vid"))
+      val coarse = broadcast(q)
+        .join(emb.select(col("vec_id").as("vid"), col("amax").as("ca_max"),
+          col("v8").as("cb8")), col("qid") =!= col("vid"))
+        .withColumn("score8",
+          dot_long(col("qa8"), col("cb8")).cast("double") *
+            col("qa_max") * col("ca_max"))
+        .withColumn("rnk8", row_number().over(w8))
+        .filter(col("rnk8") <= 20)
+        .select(col("qid"), col("vid"))
+      val sig = signatures(s, dir)
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+      coarse
+        .join(sig.select(col("vec_id").as("qid"), col("qv").as("qa"),
+          col("norm2").as("q_norm2")), Seq("qid"))
+        .join(sig.select(col("vec_id").as("vid"), col("qv").as("qb"),
+          col("norm2").as("c_norm2")), Seq("vid"))
+        .withColumn("dot", dot_long(col("qa"), col("qb")))
+        .withColumn("cos", expr(
+          "CAST(dot AS DOUBLE) / (sqrt(CAST(q_norm2 AS DOUBLE)) * sqrt(CAST(c_norm2 AS DOUBLE)))"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("vid"), col("cos"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
     // IVF multi-probe: rank cells by query↔centroid cosine, probe the
     // top `Probes` cells, exact top-k within them — the full inverted-
     // file search (train: centroid per cell; search: nprobe cells).

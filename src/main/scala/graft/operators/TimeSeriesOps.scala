@@ -995,6 +995,39 @@ object TimeSeriesOps {
         .orderBy(col("day"))
     },
 
+    // W: RANGE frame over a GAPPY series — trailing 7 calendar days,
+    // not 7 rows: on the sparse (value > 200) series the two frames
+    // genuinely differ wherever days are missing, which is exactly
+    // what a ROWS spelling silently gets wrong. Ordered by
+    // days-since-epoch so the range offset is plain integer
+    // arithmetic in both engines.
+    QuerySpec.sql(
+      "w9_range_frame",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS dnum,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events WHERE value > 200 GROUP BY 1, 2, 3)
+        |SELECT event_type, day, n_events,
+        |  CAST(SUM(n_events) OVER w AS BIGINT) AS sum_7d,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS days_present_7d
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY dnum
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("dnum"))
+        .rangeBetween(-6, 0)
+      events(s, dir).filter(col("value") > 200)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("dnum", datediff(col("day"), lit("1970-01-01")).cast("long"))
+        .select(col("event_type"), col("day"), col("n_events"),
+          sum(col("n_events")).over(w).as("sum_7d"),
+          count(lit(1)).over(w).as("days_present_7d"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
     // Robust outlier flags via rolling MAD (median absolute
     // deviation): |x − med| > 3·MAD over the trailing 7-day window —
     // the robust companion to the z-score gate (one spike day cannot
