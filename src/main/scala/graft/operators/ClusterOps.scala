@@ -53,9 +53,15 @@ object ClusterOps {
   val PageRankIters = 5
 
   /** Integer rank mass per node at initialization (1e12: six decimal
-    * digits of rank precision after five damped rounds, total mass
-    * n·1e12 < 2^53 up to ~9 · 10^3 billion-node graphs per partition
-    * sum — exact in both engines' double casts at any test scale). */
+    * digits of rank precision after five damped rounds). Exactness
+    * bound: a rank cast to double stays exact only while it is below
+    * 2^53 ≈ 9.0e15, i.e. up to ~9e3 nodes' worth of mass concentrated
+    * on ONE node (n·1e12 < 2^53 ⇒ n ≲ 9 007). Beyond that the damping
+    * multiply's long→double conversion rounds, so cross-engine
+    * determinism no longer rests on exactness but on both engines
+    * applying the same correctly-rounded IEEE conversion and multiply
+    * to the same exact integer Σ (the per-edge sums themselves stay
+    * pure long arithmetic, order-independent at any size). */
   val RankScale = 1000000000000L
 
   /** floor(0.15 · RankScale) — the teleport mass added each round. */

@@ -3,8 +3,9 @@ package graft.operators
 import graft.{QuerySpec, Tables}
 import graft.functions.DotProductLong.dot_long
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.plans.TopKPerKey
 
 /** Approximate-nearest-neighbor / similarity search over the
   * `embeddings` table (64-dim float vectors).
@@ -65,26 +66,28 @@ object SimilarityOps {
   private val quantizeDuck =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
 
-  /** vec_id, label, quantized vector, squared norm (exact integer),
-    * in-cell rank (for the cell-size cap). Cached: Spark's CacheManager
-    * keys on the analyzed plan, so every caller — including both sides
-    * of a self-join — shares one materialization per (dir).
+  /** vec_id, label, quantized vector, squared norm (exact integer).
+    * Cached: Spark's CacheManager keys on the analyzed plan, so every
+    * caller — including both sides of a self-join — shares one
+    * materialization per (dir). Deliberately window-free: the build is
+    * a pure per-row map, so one hot cell cannot serialize signature
+    * materialization through a single sort task (block membership for
+    * pair generation is hash-assigned in [[graft.functions.Pairs]],
+    * no rank needed).
     */
-  private[operators] def signatures(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+  private[graft] def signatures(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), expr(quantizeSpark).as("qv"))
       .withColumn("norm2", dot_long(col("qv"), col("qv")))
-      .withColumn("cell_rank", row_number().over(w))
       .cache()
-  }
 
   /** All unordered same-cell pairs (a_id < b_id) of a signature table
-    * (columns label, vec_id, qv, norm2, cell_rank) via the triangle
-    * block decomposition: the join key is (label, block-i, block-j)
-    * with i ≤ j, each pair produced exactly once (cell_rank orders by
-    * vec_id, so ids in block i precede ids in block j for i < j).
-    * Complete at any cell size; worst task = blockSize² pairs.
+    * (columns label, vec_id, qv, norm2) via the triangle block
+    * decomposition: block membership is HASH-assigned per id (no
+    * per-cell rank or sort), the join key is (label, block-i,
+    * block-j) with i ≤ j, and the a_id < b_id filter keeps each
+    * unordered pair exactly once. Complete at any cell size; worst
+    * task = blockSize² pairs.
     */
   def cellPairs(sig: DataFrame, blockSize: Int): DataFrame =
     graft.functions.Pairs.blockedSelfPairs(sig,
@@ -99,6 +102,21 @@ object SimilarityOps {
        |  list_dot_product($quantizeDuck, $quantizeDuck) AS norm2
        |FROM embeddings""".stripMargin
 
+  /** Per-query top-k via the custom [[TopKPerKey]] physical operator —
+    * NOT `row_number().over(partitionBy(qid))`: the window spelling
+    * shuffles and sorts every scored candidate per query; the custom
+    * plan heap-reduces map-side to ≤k rows per query per partition
+    * first, so the shuffle moves k·partitions rows per query
+    * regardless of corpus size. Rank is re-derived from the reduced
+    * set (bounded k-element array sort, no WindowExec anywhere).
+    */
+  private def rankTop5(scored: DataFrame): DataFrame =
+    TopKPerKey.topKRanked(
+        scored.select(col("qid"), col("vid"), col("cos")),
+        Seq("qid"), Seq("cos" -> true, "vid" -> false), 5, "rnk")
+      .select(col("qid"), col("vid"), col("cos"), col("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+
   private def topk(s: SparkSession, dir: String, sameCell: Boolean): DataFrame = {
     val base = signatures(s, dir)
     val q = base.filter(col("vec_id") < 10)
@@ -109,15 +127,10 @@ object SimilarityOps {
     val joinCond =
       if (sameCell) col("q_label") === col("c_label") && col("qid") =!= col("vid")
       else col("qid") =!= col("vid")
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
-    broadcast(q).join(cand, joinCond)
+    rankTop5(broadcast(q).join(cand, joinCond)
       .withColumn("dot", dot_long(col("qa"), col("qb")))
       .withColumn("cos", expr(
-        "CAST(dot AS DOUBLE) / (sqrt(CAST(q_norm2 AS DOUBLE)) * sqrt(CAST(c_norm2 AS DOUBLE)))"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .select(col("qid"), col("vid"), col("cos"), col("rnk"))
-      .orderBy(col("qid"), col("rnk"))
+        "CAST(dot AS DOUBLE) / (sqrt(CAST(q_norm2 AS DOUBLE)) * sqrt(CAST(c_norm2 AS DOUBLE)))")))
   }
 
   private def topkSql(cellFilter: String): String =
@@ -195,29 +208,26 @@ object SimilarityOps {
       val q = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("qv").as("qa"),
           col("norm2").as("qn"))
-      // "search": rank cells by centroid cosine, probe the best cells
-      val wCell = Window.partitionBy(col("qid"))
-        .orderBy(col("cell_cos").desc, col("label"))
-      val probes = q.crossJoin(broadcast(cent))
-        .withColumn("cell_cos",
-          dot_long(col("qa"), col("cvec")).cast("double") /
-            (sqrt(col("qn").cast("double")) * sqrt(col("cnorm2").cast("double"))))
-        .withColumn("cell_rank", row_number().over(wCell))
-        .filter(col("cell_rank") <= Probes)
+      // "search": rank cells by centroid cosine, probe the best cells.
+      // Cell selection is itself a per-query top-k (over #cells ≈ √n
+      // rows at scale) — same custom operator, no window.
+      val probes = TopKPerKey.topKRanked(
+          q.crossJoin(broadcast(cent))
+            .withColumn("cell_cos",
+              dot_long(col("qa"), col("cvec")).cast("double") /
+                (sqrt(col("qn").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+            .select(col("qid"), col("label"), col("cell_cos")),
+          Seq("qid"), Seq("cell_cos" -> true, "label" -> false),
+          Probes, "cell_rank")
         .select(col("qid"), col("label"))
       val cand = base.select(col("vec_id").as("vid"), col("label"),
         col("qv").as("qb"), col("norm2").as("c_norm2"))
-      val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
-      broadcast(q).join(broadcast(probes), Seq("qid"))
+      rankTop5(broadcast(q).join(broadcast(probes), Seq("qid"))
         .join(cand, Seq("label"))
         .filter(col("qid") =!= col("vid"))
         .withColumn("cos",
           dot_long(col("qa"), col("qb")).cast("double") /
-            (sqrt(col("qn").cast("double")) * sqrt(col("c_norm2").cast("double"))))
-        .withColumn("rnk", row_number().over(wTop))
-        .filter(col("rnk") <= 5)
-        .select(col("qid"), col("vid"), col("cos"), col("rnk"))
-        .orderBy(col("qid"), col("rnk"))
+            (sqrt(col("qn").cast("double")) * sqrt(col("c_norm2").cast("double")))))
   }
 
   /** Directed k-NN edge list (vec_id, nbr_id, cos, rnk ≤ k): every
@@ -227,8 +237,9 @@ object SimilarityOps {
     * [[ClusterOps]] (PageRank). Pair generation reuses the
     * triangle-blocked same-cell pairs (each unordered pair scored
     * ONCE, then symmetrized by a column-swap union — half the dot
-    * products of a naive directed self-join); ranking is a
-    * per-vector window, uniform keys at any scale.
+    * products of a naive directed self-join); per-vector ranking goes
+    * through the custom [[TopKPerKey]] plan (map-side heap reduce,
+    * k·partitions shuffle cap per vector, no WindowExec).
     *
     * Cached (same CacheManager plan-equality sharing as
     * [[signatures]]): the edge list is consumed by three gates
@@ -247,10 +258,9 @@ object SimilarityOps {
       .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"), col("cos"))
       .unionByName(pairs
         .select(col("b_id").as("vec_id"), col("a_id").as("nbr_id"), col("cos")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("nbr_id"))
-    sym.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    TopKPerKey.topKRanked(sym, Seq("vec_id"),
+        Seq("cos" -> true, "nbr_id" -> false), k, "rnk")
+      .select(col("vec_id"), col("nbr_id"), col("cos"), col("rnk"))
       .cache()
   }
 
@@ -301,16 +311,11 @@ object SimilarityOps {
     val cand = sig.join(b, Seq("vec_id"))
       .select(col("vec_id").as("vid"), col("bkt"), col("qv").as("qb"),
         col("norm2").as("c_norm2"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
-    broadcast(q).join(cand, Seq("bkt"))
+    rankTop5(broadcast(q).join(cand, Seq("bkt"))
       .filter(col("qid") =!= col("vid"))
       .withColumn("dot", dot_long(col("qa"), col("qb")))
       .withColumn("cos", expr(
-        "CAST(dot AS DOUBLE) / (sqrt(CAST(q_norm2 AS DOUBLE)) * sqrt(CAST(c_norm2 AS DOUBLE)))"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .select(col("qid"), col("vid"), col("cos"), col("rnk"))
-      .orderBy(col("qid"), col("rnk"))
+        "CAST(dot AS DOUBLE) / (sqrt(CAST(q_norm2 AS DOUBLE)) * sqrt(CAST(c_norm2 AS DOUBLE)))")))
   }
 
   def specs: Seq[QuerySpec] = Seq(
@@ -472,31 +477,29 @@ object SimilarityOps {
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("amax").as("qa_max"),
           col("v8").as("qa8"))
-      val w8 = Window.partitionBy(col("qid"))
-        .orderBy(col("score8").desc, col("vid"))
-      val coarse = broadcast(q)
-        .join(emb.select(col("vec_id").as("vid"), col("amax").as("ca_max"),
-          col("v8").as("cb8")), col("qid") =!= col("vid"))
-        .withColumn("score8",
-          dot_long(col("qa8"), col("cb8")).cast("double") *
-            col("qa_max") * col("ca_max"))
-        .withColumn("rnk8", row_number().over(w8))
-        .filter(col("rnk8") <= 20)
+      // coarse pass keeps 20 candidates/query via the custom top-k
+      // operator — the int8 scan is the memory-bandwidth-bound pass
+      // over the WHOLE corpus, exactly where a full per-query
+      // shuffle-and-sort would hurt most
+      val coarse = TopKPerKey.topKRanked(
+          broadcast(q)
+            .join(emb.select(col("vec_id").as("vid"), col("amax").as("ca_max"),
+              col("v8").as("cb8")), col("qid") =!= col("vid"))
+            .withColumn("score8",
+              dot_long(col("qa8"), col("cb8")).cast("double") *
+                col("qa_max") * col("ca_max"))
+            .select(col("qid"), col("vid"), col("score8")),
+          Seq("qid"), Seq("score8" -> true, "vid" -> false), 20, "rnk8")
         .select(col("qid"), col("vid"))
       val sig = signatures(s, dir)
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
-      coarse
+      rankTop5(coarse
         .join(sig.select(col("vec_id").as("qid"), col("qv").as("qa"),
           col("norm2").as("q_norm2")), Seq("qid"))
         .join(sig.select(col("vec_id").as("vid"), col("qv").as("qb"),
           col("norm2").as("c_norm2")), Seq("vid"))
         .withColumn("dot", dot_long(col("qa"), col("qb")))
         .withColumn("cos", expr(
-          "CAST(dot AS DOUBLE) / (sqrt(CAST(q_norm2 AS DOUBLE)) * sqrt(CAST(c_norm2 AS DOUBLE)))"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("qid"), col("vid"), col("cos"), col("rnk"))
-        .orderBy(col("qid"), col("rnk"))
+          "CAST(dot AS DOUBLE) / (sqrt(CAST(q_norm2 AS DOUBLE)) * sqrt(CAST(c_norm2 AS DOUBLE)))")))
     },
 
     // IVF multi-probe: rank cells by query↔centroid cosine, probe the

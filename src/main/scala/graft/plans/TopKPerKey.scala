@@ -34,11 +34,29 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   *
   * Heap comparisons use a codegen'd row ordering
   * ([[GenerateOrdering]]); per-partition memory is k rows per
-  * distinct key — the same bound as an aggregation buffer. The
-  * ordering must be total (include a tiebreaker) for deterministic
-  * results, the same contract as every rank gate.
+  * distinct key — the same bound as an aggregation buffer. Unlike
+  * [[org.apache.spark.sql.execution.aggregate.HashAggregateExec]],
+  * which falls back to sort-based spill when its map outgrows memory,
+  * the partial pass here EMITS-AND-RESETS instead: past `flushKeys`
+  * distinct keys the buffered heaps are streamed downstream and the
+  * map restarts empty. The partial pass may then emit more than k
+  * rows per key (several heaps' worth), which costs shuffle volume
+  * but never correctness — the final merge is exact regardless of how
+  * many partial heaps a key arrives in. The FINAL pass never flushes
+  * (it must see a key's every partial row before emitting); its
+  * per-partition key count is already divided by the shuffle, the
+  * same residual exposure as a final HashAggregate.
+  *
+  * The ordering must be total (include a tiebreaker) for
+  * deterministic results, the same contract as every rank gate.
   */
 object TopKPerKey {
+
+  /** Distinct-key cap of the partial pass's heap map; above it the
+    * buffered heaps are emitted and the map resets. Session-overridable
+    * via `spark.graft.topk.partialFlushKeys` (tests force tiny caps).
+    */
+  val DefaultPartialFlushKeys: Int = 1 << 16
 
   /** Top `k` rows per `keys` group, ordered by `order` — (column
     * name, descending?) pairs, first k under that sort. The sort list
@@ -64,13 +82,51 @@ object TopKPerKey {
     val sortOrders = order.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending)
     }
+    val flushKeys = spark.conf.getOption("spark.graft.topk.partialFlushKeys")
+      .map(_.toInt).getOrElse(DefaultPartialFlushKeys)
+    require(flushKeys > 0, "partialFlushKeys must be positive")
     GraftPlanBridge.ofRows(spark,
-      TopKPerKeyNode(keyExprs, sortOrders, k, analyzed))
+      TopKPerKeyNode(keyExprs, sortOrders, k, flushKeys, analyzed))
+  }
+
+  /** [[topK]] plus a 1-based rank column under the same ordering —
+    * assigned WITHOUT a window. The reduced ≤k rows per key are
+    * collected into one bounded array per key (a hash aggregate that
+    * reuses the clustering the final pass already produced — no extra
+    * exchange), sorted by an inline comparator, and re-exploded with
+    * the position as the rank. This is the drop-in replacement for the
+    * `row_number().over(partitionBy(key).orderBy(...)) <= k` spelling:
+    * that plan shuffles and SORTS every input row per key; this one
+    * heap-reduces first and only ever sorts k-element arrays.
+    *
+    * Ordering columns must be non-null (same totality contract as
+    * [[topK]]; the comparator has no null branch). The rank column is
+    * IntegerType, matching `row_number()`.
+    */
+  def topKRanked(df: DataFrame, keys: Seq[String],
+      order: Seq[(String, Boolean)], k: Int, rankCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, posexplode}
+    val payload = df.columns.filterNot(keys.contains)
+    require(payload.nonEmpty, "need at least one non-key column")
+    val cases = order.map { case (c, desc) =>
+      val (lt, gt) = if (desc) (1, -1) else (-1, 1)
+      s"WHEN l.$c < r.$c THEN $lt WHEN l.$c > r.$c THEN $gt"
+    }.mkString(" ")
+    val top = topK(df, keys, order, k)
+      .groupBy(keys.map(col): _*)
+      .agg(expr(s"collect_list(struct(${payload.mkString(", ")}))")
+        .as("__rows"))
+      .withColumn("__sorted",
+        expr(s"array_sort(__rows, (l, r) -> CASE $cases ELSE 0 END)"))
+    top
+      .select(keys.map(col) :+ posexplode(col("__sorted")).as(Seq("__pos", "__r")): _*)
+      .select(keys.map(col) ++ payload.map(c => col(s"__r.$c").as(c)) :+
+        (col("__pos") + 1).cast("int").as(rankCol): _*)
   }
 }
 
 case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: LogicalPlan) extends UnaryNode {
+    k: Int, flushKeys: Int, child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan)
       : LogicalPlan = copy(child = c)
@@ -78,16 +134,17 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true,
+    case TopKPerKeyNode(keys, order, k, flushKeys, child) =>
+      TopKPerKeyExec(keys, order, k, partial = false, flushKeys,
+        TopKPerKeyExec(keys, order, k, partial = true, flushKeys,
           planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+    k: Int, partial: Boolean, flushKeys: Int,
+    child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -103,14 +160,18 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val keyExprs = keys
     val sortOrders = order
     val limit = k
+    // only the partial pass may emit-and-reset; the final pass must
+    // hold every key it owns until its input is exhausted
+    val flushThreshold = if (partial) flushKeys else Int.MaxValue
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = GenerateOrdering.generate(sortOrders, childOutput)
       // min-heap under the REVERSED ordering ⇒ head = the worst of
       // the current k, evicted when a better row arrives
-      val heaps =
+      var heaps =
         new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+
+      def insert(row: InternalRow): Unit = {
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
@@ -124,7 +185,30 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           heap.add(row.copy())
         }
       }
-      heaps.values.asScala.iterator.flatMap(_.iterator.asScala)
+
+      def drain(): Iterator[InternalRow] = {
+        val snapshot = heaps.values.asScala.toArray
+        heaps = new java.util.HashMap // release the map, keep the heaps
+        snapshot.iterator.flatMap(_.iterator.asScala)
+      }
+
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private def advance(): Unit =
+          while (!out.hasNext && (iter.hasNext || !heaps.isEmpty)) {
+            var flushed = false
+            while (!flushed && iter.hasNext) {
+              insert(iter.next())
+              if (heaps.size >= flushThreshold) {
+                out = drain()
+                flushed = true
+              }
+            }
+            if (!flushed) out = drain()
+          }
+        override def hasNext: Boolean = { advance(); out.hasNext }
+        override def next(): InternalRow = { advance(); out.next() }
+      }
     }
   }
 

@@ -1,6 +1,5 @@
 package graft.xrpl
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -21,9 +20,7 @@ class CellPairsSpec extends AnyFunSuite {
       (i.toLong, if (i < 11) "cellA" else "cellB",
         Array(i.toLong, (i * 7 % 13).toLong), (i * i).toLong)
     }
-    val w = Window.partitionBy(col("label")).orderBy(col("vec_id"))
     rows.toDF("vec_id", "label", "qv", "norm2")
-      .withColumn("cell_rank", row_number().over(w))
   }
 
   private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
@@ -53,13 +50,22 @@ class CellPairsSpec extends AnyFunSuite {
 
   test("hash block assignment plans no per-key Window sort") {
     import spark.implicits._
-    // window-free input: the fixture's cell_rank (itself a Window)
-    // would mask the property under test
     val df = (0 until 18).map(i => (i.toLong, s"cell${i % 2}", i * 2L))
       .toDF("vec_id", "label", "payload")
     val plan = graft.functions.Pairs
       .blockedSelfPairs(df, Seq("label"), "vec_id", Seq("payload"), 3)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("shared signature cache builds window- and shuffle-free") {
+    // The most-shared cache in the suite (feeds ~10 gates): its build
+    // must be a pure per-row map over the parquet scan — a per-cell
+    // rank would serialize a hot cell through one WindowExec task
+    // during materialization, for a column nothing consumes.
+    val plan = SimilarityOps.signatures(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.linesIterator.take(20).mkString("\n"))
+    assert(!plan.contains("Exchange"), plan.linesIterator.take(20).mkString("\n"))
   }
 }

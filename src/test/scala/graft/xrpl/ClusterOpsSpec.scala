@@ -46,10 +46,19 @@ class ClusterOpsSpec extends AnyFunSuite {
     val agg = r.agg(min(col("rank")), sum(col("rank"))).first()
     assert(agg.getLong(0) >= ClusterOps.TeleportMass)
     assert(agg.getLong(1) <= n * ClusterOps.RankScale)
-    // A node with no in-edges ends at exactly the teleport mass.
-    val noIn = ClusterOps.pagerank(spark, dir)
-      .filter(col("rank") === ClusterOps.TeleportMass).count()
-    assert(noIn >= 0L) // presence depends on the fixture; bound only
+    // Two-sided: {rank == TeleportMass} must be EXACTLY the no-in-edge
+    // set from the k-NN edge list. Sound in both directions: a node
+    // with an in-edge receives floor(0.85 · Σ contrib) with every
+    // contrib ≥ floor(TeleportMass / k) ≫ 1, so its rank strictly
+    // exceeds the teleport mass; a node with none gets exactly it.
+    // Non-vacuous whichever way the fixture falls.
+    val edges = graft.SparkEntry.queries("sim_knn_graph")(spark, dir)
+    val atTeleport = r.filter(col("rank") === ClusterOps.TeleportMass)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val withIn = edges.select("nbr_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val allNodes = r.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(atTeleport === (allNodes -- withIn))
     r.unpersist()
   }
 

@@ -6,9 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.IntervalJoin
 
 /** The bucketed interval-overlap join must produce EXACTLY the pair
-  * set of the naive theta-join — complete (a pair spanning many
-  * buckets still meets) and duplicate-free (a pair meeting in several
-  * buckets appears once) — for any bucket width.
+  * BAG of the naive theta-join — complete (a pair spanning many
+  * buckets still meets), duplicate-free (a pair meeting in several
+  * buckets appears once), and multiplicity-preserving (exact-duplicate
+  * input rows yield duplicate pairs, not a collapsed set) — for any
+  * bucket width.
   */
 class IntervalJoinSpec extends AnyFunSuite {
 
@@ -49,6 +51,23 @@ class IntervalJoinSpec extends AnyFunSuite {
       .overlap(a, b, "a_s", "a_e", "b_s", "b_e", bucketWidth = 5L)
       .groupBy("a_id", "b_id").count().filter(col("count") > 1).count()
     assert(dupes === 0L)
+  }
+
+  test("duplicate input rows keep theta-join multiplicity (bag semantics)") {
+    // Owning-bucket emission must not collapse genuinely duplicate
+    // input rows the way a trailing distinct() would: 2 identical left
+    // rows x 3 identical right rows = 6 pairs, across bucket widths
+    // that place the pair in one or many shared buckets.
+    import spark.implicits._
+    val a = Seq((1L, 0L, 100L), (1L, 0L, 100L)).toDF("a_id", "a_s", "a_e")
+    val b = Seq((9L, 50L, 260L), (9L, 50L, 260L), (9L, 50L, 260L))
+      .toDF("b_id", "b_s", "b_e")
+    Seq(7L, 100L, 1000L).foreach { w =>
+      val rows = IntervalJoin
+        .overlap(a, b, "a_s", "a_e", "b_s", "b_e", bucketWidth = w)
+        .collect()
+      assert(rows.length === 6, s"bucketWidth=$w")
+    }
   }
 
   test("touching endpoints count as overlap") {

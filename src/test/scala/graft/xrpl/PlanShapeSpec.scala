@@ -2,6 +2,7 @@ package graft.xrpl
 
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkEntry
@@ -17,12 +18,32 @@ class PlanShapeSpec extends AnyFunSuite {
   lazy val spark = SparkTest.session
   private val dir = "/root/testdata/sf0.001"
 
-  private def planOf(name: String): SparkPlan =
-    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+  /** Materialize first (so AQE finalizes the adaptive plan), then
+    * return the executed plan. Under AQE the top node is an
+    * AdaptiveSparkPlanExec LEAF — traversing .children alone would
+    * visit nothing and every assertion here would pass vacuously.
+    */
+  private def planOf(name: String): SparkPlan = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    // collect() drives the DataFrame's OWN QueryExecution (a noop write
+    // would plan a separate one and leave this adaptive plan unexecuted)
+    df.collect()
+    df.queryExecution.executedPlan
+  }
 
-  private def collectNodes(p: SparkPlan): Seq[SparkPlan] =
-    (p +: p.children.flatMap(collectNodes)) ++
-      p.subqueries.flatMap(collectNodes)
+  private def collectNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(i.relation.cachedPlan) // assert through shared caches too
+      case _ => p.children
+    }
+    (p +: kids.flatMap(collectNodes)) ++ p.subqueries.flatMap(collectNodes)
+  }
+
+  private def planString(name: String): String =
+    collectNodes(planOf(name)).map(_.toString).mkString("\n")
 
   test("no unpartitioned window in any relational/time-series gate plan") {
     for (name <- Seq("skyline_orders", "ts_ewma", "ts_rolling_median",
@@ -36,7 +57,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q4 EXISTS plans as a semi join, not a distinct+inner join") {
-    val s = planOf("q4_order_priority").toString
+    val s = planString("q4_order_priority")
     assert(s.contains("LeftSemi"), s.linesIterator.take(25).mkString("\n"))
   }
 
@@ -44,15 +65,30 @@ class PlanShapeSpec extends AnyFunSuite {
     for (name <- Seq("mm_phash_near_dup", "dedup_lsh_verified",
         "dedup_winnow_pairs", "j_asof_next_order", "graph_triangles",
         "graph_link_predict", "j_asof_nearest_order")) {
-      val s = planOf(name).toString
+      val s = planString(name)
       assert(!s.contains("BroadcastNestedLoopJoin") &&
         !s.contains("CartesianProduct"),
         s"$name plans a nested-loop/cartesian join")
     }
   }
 
+  test("ANN/graph top-k paths run the custom TopKPerKey plan, no WindowExec") {
+    // The row_number().over(partitionBy(qid)) spelling would shuffle
+    // and sort EVERY scored candidate per query; these plans must
+    // instead carry the partial/final TopKPerKeyExec pair (map-side
+    // heap reduce, k·partitions shuffle cap) and no window at all.
+    for (name <- Seq("sim_brute_topk", "sim_ivf_topk", "sim_lsh_topk",
+        "sim_ivf_probe", "sim_int8_rerank", "sim_knn_graph")) {
+      val all = collectNodes(planOf(name))
+      assert(all.exists(_.isInstanceOf[graft.plans.TopKPerKeyExec]),
+        s"$name lacks TopKPerKeyExec")
+      assert(!all.exists(_.isInstanceOf[WindowExec]),
+        s"$name still plans a WindowExec")
+    }
+  }
+
   test("cube expands in one aggregate pass (single Expand, no union)") {
-    val s = planOf("agg_cube_orders").toString
+    val s = planString("agg_cube_orders")
     assert(s.contains("Expand"))
     assert(!s.contains("Union"), s.linesIterator.take(25).mkString("\n"))
   }

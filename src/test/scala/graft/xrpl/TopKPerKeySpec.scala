@@ -62,6 +62,66 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(!s.contains("Sort") && !s.contains("Window"), s)
   }
 
+  test("bounded-memory flush: high-cardinality keys, tiny flush cap") {
+    // Force the partial pass to emit-and-reset many times: 200
+    // distinct keys through a 3-key heap map, single input partition
+    // (so one task really crosses the cap ~67 times). The partial
+    // output is then >k rows per key across several heap snapshots —
+    // the final merge must still produce the exact window answer.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val wide = Seq.tabulate(2000)(i =>
+      (i.toLong, (i % 200).toLong, rnd.nextInt(1000).toLong))
+      .toDF("id", "k", "v")
+    val w = Window.partitionBy(col("k")).orderBy(col("v").desc, col("id"))
+    val oracle = wide.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spark.conf.set("spark.graft.topk.partialFlushKeys", "3")
+    try {
+      val got = TopKPerKey.topK(wide.coalesce(1), Seq("k"),
+          Seq("v" -> true, "id" -> false), 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === oracle)
+    } finally spark.conf.unset("spark.graft.topk.partialFlushKeys")
+  }
+
+  test("AQE on and off: plan stays valid, results identical") {
+    // A custom non-AQE-aware exec node is where AQE breaks silently
+    // (coalesced shuffle partitions, re-planned exchanges) — run the
+    // same query both ways and demand identical rows AND the
+    // partial/final exec pair in the executed plan each time.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    def run(aqe: Boolean): (Set[(Long, Long, Long)], Seq[Boolean]) = {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+      val df = TopKPerKey.topK(data().repartition(5), Seq("k"),
+        Seq("v" -> true, "id" -> false), 3)
+      val rows = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val partials = nodes(df.queryExecution.executedPlan)
+        .collect { case t: TopKPerKeyExec => t.partial }
+      (rows, partials.sorted)
+    }
+    try {
+      val (withAqe, pa) = run(aqe = true)
+      val (without, pb) = run(aqe = false)
+      assert(withAqe === without)
+      assert(pa === Seq(false, true), s"AQE plan lost the exec pair: $pa")
+      assert(pb === Seq(false, true), s"non-AQE plan lost the exec pair: $pb")
+      assert(withAqe === expected(3))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("keys with fewer than k rows keep all their rows") {
     import spark.implicits._
     val df = Seq((1L, "a", 5L), (2L, "a", 7L), (3L, "b", 1L))
