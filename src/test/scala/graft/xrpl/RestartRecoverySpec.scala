@@ -1,0 +1,174 @@
+package graft.xrpl
+
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{CandleStream, FunnelStream}
+import graft.streaming.FunnelStream.FunnelEvent
+
+/** Crash-recovery proof for the T5 exactly-once claim: every other
+  * streaming spec drives happy-path micro-batches through one query
+  * instance; here each query is STOPPED mid-stream and a fresh
+  * instance restarts from the same checkpoint directory — recovered
+  * offsets must skip the already-processed files and recovered state
+  * must carry the pre-crash aggregation/keyed state, or the final sink
+  * diverges from the batch relation.
+  *
+  * Both tests use the file-drop source (replayable from its offset
+  * log — a MemoryStream cannot recover across instances) and a durable
+  * parquet sink (a memory sink forgets its rows on restart), i.e. the
+  * exact pieces the production checkpoint story is made of.
+  */
+class RestartRecoverySpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+
+  test("CandleStream restart from checkpoint: sink equals batch candles") {
+    import spark.implicits._
+    val dropDir = Files.createTempDirectory("graft-rr-drop").toString
+    val ckptDir = Files.createTempDirectory("graft-rr-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-rr-out").toString + "/sink"
+
+    val raw = spark.read.option("wholetext", "true")
+      .text(XrplTables.fixturesPath).as[String].collect()
+    // arrival order must respect event time across the phase split
+    // (as production ingest does): a phase-2 ledger older than
+    // phase-1's watermark would be dropped as late — by design, but
+    // it's watermark semantics, not the recovery under test
+    val lines = raw.map(s => Json.parse(s).toString)
+      .sortBy(l => LedgerParser.parseLedgerJson(l).ledger.close_time)
+    val (first, second) = lines.splitAt(lines.length / 2)
+
+    // far-future sentinel: a copy of an exchange-producing ledger with
+    // close_time pushed 200 days past the LATEST fixture ledger — its
+    // exchanges advance the watermark past every REAL minute window
+    // (flushing them to the append sink) while its own windows stay
+    // unemitted. The watermark tracks the exchange event-time column,
+    // so the base must itself produce exchanges.
+    val baseLine = lines.find(l =>
+      LedgerParser.parseLedgerJson(l).exchanges.nonEmpty).get
+    val maxClose = lines
+      .map(l => LedgerParser.parseLedgerJson(l).ledger.close_time).max
+    val baseClose = LedgerParser.parseLedgerJson(baseLine).ledger.close_time
+    val node = Json.parse(baseLine).asInstanceOf[ObjectNode]
+    node.put("close_time", node.get("close_time").asLong +
+      (maxClose - baseClose) + 200L * 24 * 3600)
+    node.put("ledger_index", 999999999L)
+    val sentinel = node.toString
+
+    def startQuery() = {
+      val stream = spark.readStream.schema("value STRING").text(dropDir)
+      CandleStream.minuteCandles(spark, stream)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append")
+        .start()
+    }
+
+    // phase 1: first half only — all candle state stays buffered
+    // behind the 2 h watermark, nothing emitted yet
+    Files.write(Paths.get(s"$dropDir/a.jsonl"),
+      first.mkString("\n").getBytes)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2: rest + sentinel, NEW query instance, SAME checkpoint —
+    // the recovered state store must still hold phase-1 exchanges
+    Files.write(Paths.get(s"$dropDir/b.jsonl"),
+      (second :+ sentinel).mkString("\n").getBytes)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val proj = Seq("start", "base_currency", "base_issuer",
+      "counter_currency", "counter_issuer", "open", "close", "high",
+      "low", "base_volume", "counter_volume", "buy_volume", "count")
+    val streamed = spark.read.parquet(outDir)
+      .withColumn("start", col("bucket.start")).select(proj.map(col): _*)
+
+    // batch relation: the SAME candle definition over the real lines
+    // (watermark is a no-op in batch; sentinel excluded — its windows
+    // were never flushed to the sink)
+    Files.write(Paths.get(s"$dropDir/all_real.txt"),
+      (first ++ second).mkString("\n").getBytes)
+    val batch = CandleStream.minuteCandles(spark,
+        spark.read.text(s"$dropDir/all_real.txt"))
+      .withColumn("start", col("bucket.start")).select(proj.map(col): _*)
+
+    val missing = batch.exceptAll(streamed).collect()
+    val extra = streamed.exceptAll(batch).collect()
+    assert(missing.isEmpty && extra.isEmpty,
+      s"missing=${missing.mkString("; ")} extra=${extra.mkString("; ")}")
+    assert(streamed.count() === batch.count())
+    assert(streamed.count() > 0L)
+  }
+
+  test("FunnelStream restart from checkpoint: keyed state survives") {
+    import spark.implicits._
+    val dropDir = Files.createTempDirectory("graft-rr-fdrop").toString
+    val ckptDir = Files.createTempDirectory("graft-rr-fckpt").toString
+    val outDir = Files.createTempDirectory("graft-rr-fout").toString + "/sink"
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+
+    // batch oracle — identical to FunnelStreamSpec's
+    val weekUs = FunnelStream.WindowUs
+    val s0 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("s_us"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("us").as("p_us"))
+    val expected = s0.join(pur,
+        col("p_user") === col("user_id") && col("p_us") > col("s_us") &&
+          col("p_us") <= col("s_us") + weekUs, "left")
+      .groupBy(col("user_id"), col("s_us"))
+      .agg(max(when(col("p_us").isNotNull, 1L).otherwise(0L)).as("converted"))
+      .select(col("user_id"), col("s_us").as("signup_us"), col("converted"))
+      .collect().map(_.toSeq).toSet
+
+    val all = ev.as[FunnelEvent].collect().sortBy(_.us)
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val sentinel = FunnelEvent(-1L, "noise",
+      all.last.us + 30L * 24 * 3600 * 1000000)
+
+    def drop(events: Seq[FunnelEvent]): Unit =
+      spark.createDataset(events).repartition(1)
+        .write.mode("append").parquet(dropDir)
+
+    def startQuery() = {
+      val stream = spark.readStream
+        .schema("user_id BIGINT, event_type STRING, us BIGINT")
+        .parquet(dropDir).as[FunnelEvent]
+      FunnelStream.conversions(spark, stream, watermarkDelay = "0 seconds")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append")
+        .start()
+    }
+
+    // phase 1: first half — per-user signup/purchase state builds up,
+    // few (if any) conversion windows close
+    drop(b1.toSeq)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2: rest + watermark-advancing sentinel on a FRESH query
+    // from the same checkpoint: recovered keyed state must still hold
+    // phase-1 signups (and buffered out-of-order purchases), or users
+    // split across the restart report wrong conversions
+    drop(b2.toSeq :+ sentinel)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select(col("user_id"), col("signup_us"), col("converted"))
+      .collect().map(_.toSeq).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+}
