@@ -1117,6 +1117,51 @@ object TimeSeriesOps {
         .orderBy(col("event_id"))
     },
 
+    // Skewed as-of join through the SKEW-PROOF bucketed variant
+    // ([[graft.functions.AsOfJoin.asofBackwardBucketed]]): half of all
+    // probe and build rows collapse onto one hot key (user_id even →
+    // key 0), the exact single-pathological-key shape that serializes
+    // the plain per-key-window formulation into one task. The bucketed
+    // plan range-partitions on (key, time) so the hot key spans many
+    // partitions, fills locally, and stitches partition boundaries
+    // with a broadcast carry — DuckDB's native ASOF LEFT JOIN verifies
+    // the relation end-to-end (the skew path was previously
+    // unit-tested only).
+    QuerySpec.sql(
+      "j_asof_skewed",
+      """WITH ev AS (
+        |  SELECT event_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS k,
+        |    ts FROM events),
+        |ord AS (
+        |  SELECT CASE WHEN o_custkey % 2 = 0 THEN 0 ELSE o_custkey END AS k,
+        |    o_orderdate,
+        |    CAST(MAX(o_orderkey) AS BIGINT) AS o_orderkey,
+        |    max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.k, epoch_us(e.ts) AS ts_us,
+        |  o.o_orderkey, o.o_totalprice
+        |FROM ev e ASOF LEFT JOIN ord o
+        |  ON e.k = o.k AND o.o_orderdate <= e.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val hot = (c: org.apache.spark.sql.Column) =>
+        when(c % 2 === 0, lit(0L)).otherwise(c)
+      val ev = events(s, dir)
+        .select(col("event_id"), hot(col("user_id")).as("k"), col("ts"))
+      val ords = Tables(s, dir, "orders")
+        .withColumn("k", hot(col("o_custkey")))
+        .groupBy(col("k"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      graft.functions.AsOfJoin.asofBackwardBucketed(
+          ev, "k", "ts", ords, "k", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("k"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    },
+
     // Interval-overlap join: user sessions x per-(series, day)
     // busy-hour windows ([first event of the day, +6 h]). The naive
     // form is an inequality theta-join (quadratic); here BOTH interval
