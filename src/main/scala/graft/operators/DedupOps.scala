@@ -560,20 +560,23 @@ object DedupOps {
     * keeper (longest text, doc_id tie-break) and the cluster size.
     * Shared by the dedup_cluster_rep gate and the near-dup corpus
     * curation pipeline ([[PipelineOps]] curate_corpus_near).
+    *
+    * One map-side-combinable hash aggregate — NOT a per-cluster window
+    * (the previous count + row_number pair shuffled AND sorted every
+    * member row of every cluster to keep one): `max_by` under
+    * (n_chars, -doc_id) is the top-1 fold, so a giant cluster reduces
+    * on the map side like any aggregation.
     */
   private[operators] def clusterReps(s: SparkSession, dir: String)
-      : DataFrame = {
-    val w = Window.partitionBy(col("cluster_id"))
+      : DataFrame =
     clusterLabels(s, dir)
       .select(col("doc_id"), col("label").as("cluster_id"))
       .join(docs(s, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-      .select(col("cluster_id"), col("doc_id").as("rep_id"),
-        count(lit(1)).over(w).as("sz"),
-        row_number().over(w.orderBy(col("n_chars").desc, col("doc_id")))
-          .as("rn"))
-      .filter(col("rn") === 1)
-      .drop("rn")
-  }
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+          .as("rep_id"),
+        count(lit(1)).as("sz"))
 
   /** Release memoized cluster labels — all entries of `session`, or
     * every entry when called with None. Checkpoint/cache data backing

@@ -626,7 +626,11 @@ object Relational {
     },
 
     // S: latest-row-per-key (descending scan limit 1 per account;
-    // reference data.js:1120-1139).
+    // reference data.js:1120-1139). Top-1 per key is a FOLD, not a
+    // rank: max_by under the (date, key) struct order reduces
+    // map-side like any aggregate — the row_number spelling (kept in
+    // the oracle) would shuffle and sort every customer's full order
+    // history to keep one row.
     QuerySpec.sql(
       "s_latest_order_per_customer",
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
@@ -638,14 +642,14 @@ object Relational {
         |  FROM orders)
         |WHERE rn = 1
         |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
       t(s, dir, "orders")
-        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          col("o_totalprice"), row_number().over(w).as("rn"))
-        .filter(col("rn") === 1)
-        .select(col("o_custkey"), col("o_orderkey"),
-          col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"))
+        .groupBy(col("o_custkey"))
+        .agg(max_by(
+          struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+        .select(col("o_custkey"), col("m.o_orderkey").as("o_orderkey"),
+          col("m.o_orderdate").cast("date").as("order_date"),
+          col("m.o_totalprice").as("o_totalprice"))
         .orderBy(col("o_custkey"))
     },
 
@@ -789,14 +793,17 @@ object Relational {
         |  FROM events GROUP BY user_id, event_type)
         |WHERE rn = 1
         |ORDER BY user_id""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("n").desc, col("event_type"))
+      // mode = top-1 fold over the (user, type) counts: min_by under
+      // (-n, type) realizes "highest count, lexicographic tie-break"
+      // as a map-side-combinable aggregate — no per-user sort
       TimeSeriesOps.eventsFrame(s, dir)
         .groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+        .groupBy(col("user_id"))
+        .agg(min_by(struct(col("event_type"), col("n")),
+          struct(-col("n"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("m.event_type").as("mode_type"),
+          col("m.n").as("n"))
         .orderBy(col("user_id"))
     },
 

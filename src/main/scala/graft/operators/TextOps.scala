@@ -307,8 +307,10 @@ object TextOps {
     // log is dropped so the score is ONE correctly-rounded IEEE
     // division and both engines agree bit-for-bit — ln() across
     // libm implementations does not). Two hash-aggs (doc-term, then
-    // term) + a shuffle join on token + a per-doc window; all keys
-    // uniform at corpus scale.
+    // term) + a shuffle join on token; per-doc ranking goes through
+    // the custom [[graft.plans.TopKPerKey]] plan (map-side heap
+    // reduce — the window spelling would shuffle and sort EVERY
+    // scored (doc, term) pair to keep 3 per doc).
     QuerySpec.sql(
       "text_tfidf_topk",
       """WITH tf AS (
@@ -332,12 +334,11 @@ object TextOps {
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("tok"))
-      tf.join(df, Seq("tok"))
+      val scored = tf.join(df, Seq("tok"))
         .withColumn("score", col("tf").cast("double") / col("df"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"))
+      graft.plans.TopKPerKey.topKRanked(scored, Seq("doc_id"),
+          Seq("score" -> true, "tok" -> false), 3, "rnk")
         .select(col("doc_id"), col("tok"), col("tf"), col("df"),
           col("score"), col("rnk"))
         .orderBy(col("doc_id"), col("rnk"))

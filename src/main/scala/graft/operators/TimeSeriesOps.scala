@@ -385,7 +385,10 @@ object TimeSeriesOps {
 
     // S: latest event per key (descending scan limit 1 per account;
     // data.js:1120-1139). Timestamp exported as epoch micros for exact
-    // cross-engine comparison.
+    // cross-engine comparison. Top-1 per key as a max_by FOLD (map-side
+    // combine, no per-user sort) — the oracle keeps the row_number
+    // spelling, identical relation under the total (ts, event_id)
+    // order.
     QuerySpec.sql(
       "s_latest_event_per_user",
       """SELECT user_id, event_id, last_us, last_type, last_value
@@ -397,15 +400,16 @@ object TimeSeriesOps {
         |  FROM events)
         |WHERE rn = 1
         |ORDER BY user_id""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
       events(s, dir)
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("last_us"),
-          col("event_type").as("last_type"), col("value").as("last_value"),
-          row_number().over(w).as("rn"))
-        .filter(col("rn") === 1)
-        .drop("rn")
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("event_id"), unix_micros(col("ts")).as("last_us"),
+            col("event_type").as("last_type"),
+            col("value").as("last_value")),
+          struct(col("ts"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("m.event_id").as("event_id"),
+          col("m.last_us").as("last_us"), col("m.last_type").as("last_type"),
+          col("m.last_value").as("last_value"))
         .orderBy(col("user_id"))
     },
 

@@ -87,6 +87,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("top-1-per-key and tf-idf gates fold without any WindowExec") {
+    // top-1 per key is a max_by/min_by fold (map-side combine) and
+    // per-doc tf-idf ranking runs the custom TopKPerKey plan — none of
+    // these may regress to the shuffle-and-sort row_number spelling
+    for (name <- Seq("s_latest_order_per_customer", "s_latest_event_per_user",
+        "a_mode_per_user", "dedup_cluster_rep", "text_tfidf_topk")) {
+      val all = collectNodes(planOf(name))
+      assert(!all.exists(_.isInstanceOf[WindowExec]),
+        s"$name plans a WindowExec")
+    }
+  }
+
   test("cube expands in one aggregate pass (single Expand, no union)") {
     val s = planString("agg_cube_orders")
     assert(s.contains("Expand"))
