@@ -27,6 +27,12 @@ object XrplOps {
   private val DumpDir = "/root/repo/target/graft_xrpl"
   private val Dec = DecimalType(38, 18)
 
+  // @volatile + synchronized is deliberate belt-and-braces: the flag
+  // read races only against the fully-synchronized writer, so the
+  // double-checked shape is correct as written. Note the guard is
+  // per-JVM — the driver harness runs each query main in a fresh JVM,
+  // so the parse+dump re-runs per process (cheap at fixture scale; a
+  // long-lived service amortizes it across all queries).
   @volatile private var prepared = false
 
   /** Parse once per JVM and dump the tables DuckDB needs. */

@@ -28,7 +28,12 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(ex.select(col("date")).distinct().count() >= 1L)
     val oneDay = ex.select(col("date")).head().getDate(0)
     val pruned = ex.filter(col("date") === oneDay)
+    // the date predicate must prune at the PARTITION level (directory
+    // listing), not as a post-scan filter
     val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("date"), plan.linesIterator.take(12).mkString("\n"))
     assert(pruned.count() > 0)
     val pay = XrplStore.read(spark, dir, "payments")
     assert(pay.count() === 182L)
