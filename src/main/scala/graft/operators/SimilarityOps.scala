@@ -210,15 +210,15 @@ object SimilarityOps {
           col("norm2").as("qn"))
       // "search": rank cells by centroid cosine, probe the best cells.
       // Cell selection is itself a per-query top-k (over #cells ≈ √n
-      // rows at scale) — same custom operator, no window.
-      val probes = TopKPerKey.topKRanked(
+      // rows at scale) — same custom operator, no window; plain topK
+      // (not topKRanked) because the rank itself is discarded.
+      val probes = TopKPerKey.topK(
           q.crossJoin(broadcast(cent))
             .withColumn("cell_cos",
               dot_long(col("qa"), col("cvec")).cast("double") /
                 (sqrt(col("qn").cast("double")) * sqrt(col("cnorm2").cast("double"))))
             .select(col("qid"), col("label"), col("cell_cos")),
-          Seq("qid"), Seq("cell_cos" -> true, "label" -> false),
-          Probes, "cell_rank")
+          Seq("qid"), Seq("cell_cos" -> true, "label" -> false), Probes)
         .select(col("qid"), col("label"))
       val cand = base.select(col("vec_id").as("vid"), col("label"),
         col("qv").as("qb"), col("norm2").as("c_norm2"))
@@ -480,8 +480,9 @@ object SimilarityOps {
       // coarse pass keeps 20 candidates/query via the custom top-k
       // operator — the int8 scan is the memory-bandwidth-bound pass
       // over the WHOLE corpus, exactly where a full per-query
-      // shuffle-and-sort would hurt most
-      val coarse = TopKPerKey.topKRanked(
+      // shuffle-and-sort would hurt most; plain topK (not topKRanked)
+      // because only the surviving (qid, vid) set feeds the rerank
+      val coarse = TopKPerKey.topK(
           broadcast(q)
             .join(emb.select(col("vec_id").as("vid"), col("amax").as("ca_max"),
               col("v8").as("cb8")), col("qid") =!= col("vid"))
@@ -489,7 +490,7 @@ object SimilarityOps {
               dot_long(col("qa8"), col("cb8")).cast("double") *
                 col("qa_max") * col("ca_max"))
             .select(col("qid"), col("vid"), col("score8")),
-          Seq("qid"), Seq("score8" -> true, "vid" -> false), 20, "rnk8")
+          Seq("qid"), Seq("score8" -> true, "vid" -> false), 20)
         .select(col("qid"), col("vid"))
       val sig = signatures(s, dir)
       rankTop5(coarse

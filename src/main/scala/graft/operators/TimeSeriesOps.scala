@@ -1171,11 +1171,11 @@ object TimeSeriesOps {
     // form is an inequality theta-join (quadratic); here BOTH interval
     // sides explode into the 1-day time buckets they cover, the join
     // runs as a hash EQUI-join on the bucket key with the overlap
-    // predicate as a residual filter, and a distinct collapses pairs
-    // that met in more than one bucket. Bucket fan-out is bounded by
-    // interval length / bucket width (sessions: 4 h idle cut keeps
-    // spans short; windows: exactly 6 h), so the explode is O(rows),
-    // never O(rows x span).
+    // predicate as a residual filter, and each pair is emitted from
+    // exactly one OWNING bucket (bag semantics — see IntervalJoin).
+    // Bucket fan-out is bounded by interval length / bucket width
+    // (sessions: 4 h idle cut keeps spans short; windows: exactly
+    // 6 h), so the explode is O(rows), never O(rows x span).
     QuerySpec.sql(
       "j_interval_overlap",
       s"""WITH $sessionsSql,

@@ -99,9 +99,12 @@ object TopKPerKey {
     * that plan shuffles and SORTS every input row per key; this one
     * heap-reduces first and only ever sorts k-element arrays.
     *
-    * Ordering columns must be non-null (same totality contract as
-    * [[topK]]; the comparator has no null branch). The rank column is
-    * IntegerType, matching `row_number()`.
+    * NULL ordering values sort exactly as the heap's codegen'd
+    * [[SortOrder]] ranks them (ascending → nulls first, descending →
+    * nulls last — Catalyst's defaults), so a row the heap kept for a
+    * NULL score cannot resurface at a different rank here. An oracle
+    * compared against this output must spell the same null order. The
+    * rank column is IntegerType, matching `row_number()`.
     */
   def topKRanked(df: DataFrame, keys: Seq[String],
       order: Seq[(String, Boolean)], k: Int, rankCol: String): DataFrame = {
@@ -110,7 +113,12 @@ object TopKPerKey {
     require(payload.nonEmpty, "need at least one non-key column")
     val cases = order.map { case (c, desc) =>
       val (lt, gt) = if (desc) (1, -1) else (-1, 1)
-      s"WHEN l.$c < r.$c THEN $lt WHEN l.$c > r.$c THEN $gt"
+      // null branch mirrors SortOrder's default null ordering: for
+      // ascending a null ranks BEFORE any value (-1 on the left), for
+      // descending AFTER (the sign pair flips with lt/gt)
+      s"WHEN l.$c IS NULL AND r.$c IS NOT NULL THEN $lt " +
+        s"WHEN l.$c IS NOT NULL AND r.$c IS NULL THEN $gt " +
+        s"WHEN l.$c < r.$c THEN $lt WHEN l.$c > r.$c THEN $gt"
     }.mkString(" ")
     val top = topK(df, keys, order, k)
       .groupBy(keys.map(col): _*)

@@ -46,8 +46,7 @@ object XrplStore {
     else df.withColumn("date", to_date(timestamp_seconds(col(timeCol))))
 
   def write(df: DataFrame, name: String, rootDir: String,
-      mode: SaveMode = SaveMode.Overwrite,
-      options: Map[String, String] = Map.empty): Unit = {
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
     val (timeCol, sortKeys) = layout(name)
     // the sort MUST lead with the partition column: FileFormatWriter
     // requires its input ordered by the partition columns and inserts
@@ -58,7 +57,7 @@ object XrplStore {
     withDate(df, timeCol)
       .repartition(col("date"))
       .sortWithinPartitions((col("date") +: sortKeys.map(col)): _*)
-      .write.mode(mode).options(options)
+      .write.mode(mode)
       .partitionBy("date")
       .parquet(s"$rootDir/$name")
   }
@@ -108,8 +107,7 @@ object XrplStore {
     * of the data instead.
     */
   def writeZOrdered(df: DataFrame, name: String, rootDir: String,
-      mode: SaveMode = SaveMode.Overwrite,
-      options: Map[String, String] = Map.empty): Unit = {
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(zorderEntity.contains(name), s"no z-order dims for $name")
     val (timeCol, sortKeys) = layout(name)
     // date leads for the same FileFormatWriter reason as in [[write]]
@@ -117,7 +115,7 @@ object XrplStore {
       .repartition(col("date"))
       .sortWithinPartitions(
         (col("date") +: zKey(name, timeCol) +: sortKeys.map(col)): _*)
-      .write.mode(mode).options(options)
+      .write.mode(mode)
       .partitionBy("date")
       .parquet(s"$rootDir/$name")
   }

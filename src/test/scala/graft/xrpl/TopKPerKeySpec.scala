@@ -122,6 +122,27 @@ class TopKPerKeySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("topKRanked ranks NULL ordering values exactly as the heap and window do") {
+    // The heap's SortOrder defaults: ascending → nulls first,
+    // descending → nulls last. The re-rank comparator must agree, or
+    // a row the heap kept for a NULL score resurfaces at rank 1.
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", Some(5L)), (2L, "a", None), (3L, "a", Some(7L)),
+      (4L, "b", None), (5L, "b", None), (6L, "b", Some(1L)))
+      .toDF("id", "k", "v")
+    for (desc <- Seq(true, false)) {
+      val w = Window.partitionBy(col("k"))
+        .orderBy(if (desc) col("v").desc else col("v").asc, col("id"))
+      val oracle = df.withColumn("rn", row_number().over(w))
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("rn"))).toMap
+      val got = graft.plans.TopKPerKey.topKRanked(df, Seq("k"),
+          Seq("v" -> desc, "id" -> false), 10, "rn")
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("rn"))).toMap
+      assert(got === oracle, s"desc=$desc")
+    }
+  }
+
   test("keys with fewer than k rows keep all their rows") {
     import spark.implicits._
     val df = Seq((1L, "a", 5L), (2L, "a", 7L), (3L, "b", 1L))
