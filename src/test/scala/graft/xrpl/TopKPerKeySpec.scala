@@ -86,6 +86,32 @@ class TopKPerKeySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.topk.partialFlushKeys")
   }
 
+  test("randomized sweep: flush cap x partitioning x k all match the oracle") {
+    // cap=1 flushes on every new key (maximally fragmented partial
+    // output — every key arrives at the final pass in many heap
+    // snapshots); cap=7 interleaves flushes with retained keys
+    import spark.implicits._
+    for (seed <- Seq(11L, 12L); cap <- Seq(1, 7)) {
+      val rnd = new scala.util.Random(seed)
+      val df = Seq.tabulate(400)(i =>
+        (i.toLong, rnd.nextInt(23).toLong, rnd.nextInt(9).toLong))
+        .toDF("id", "k", "v")
+      val w = Window.partitionBy(col("k")).orderBy(col("v").desc, col("id"))
+      for (k <- Seq(1, 4); parts <- Seq(1, 5)) {
+        val oracle = df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).drop("rn")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        spark.conf.set("spark.graft.topk.partialFlushKeys", cap.toString)
+        try {
+          val got = TopKPerKey.topK(df.repartition(parts), Seq("k"),
+              Seq("v" -> true, "id" -> false), k)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+          assert(got === oracle, s"seed=$seed cap=$cap k=$k parts=$parts")
+        } finally spark.conf.unset("spark.graft.topk.partialFlushKeys")
+      }
+    }
+  }
+
   test("AQE on and off: plan stays valid, results identical") {
     // A custom non-AQE-aware exec node is where AQE breaks silently
     // (coalesced shuffle partitions, re-planned exchanges) — run the
