@@ -111,18 +111,20 @@ object TopKPerKey {
     import org.apache.spark.sql.functions.{col, expr, posexplode}
     val payload = df.columns.filterNot(keys.contains)
     require(payload.nonEmpty, "need at least one non-key column")
+    require(!df.columns.contains(rankCol),
+      s"rank column $rankCol collides with an input column")
     val cases = order.map { case (c, desc) =>
       val (lt, gt) = if (desc) (1, -1) else (-1, 1)
       // null branch mirrors SortOrder's default null ordering: for
       // ascending a null ranks BEFORE any value (-1 on the left), for
       // descending AFTER (the sign pair flips with lt/gt)
-      s"WHEN l.$c IS NULL AND r.$c IS NOT NULL THEN $lt " +
-        s"WHEN l.$c IS NOT NULL AND r.$c IS NULL THEN $gt " +
-        s"WHEN l.$c < r.$c THEN $lt WHEN l.$c > r.$c THEN $gt"
+      s"WHEN l.`$c` IS NULL AND r.`$c` IS NOT NULL THEN $lt " +
+        s"WHEN l.`$c` IS NOT NULL AND r.`$c` IS NULL THEN $gt " +
+        s"WHEN l.`$c` < r.`$c` THEN $lt WHEN l.`$c` > r.`$c` THEN $gt"
     }.mkString(" ")
     val top = topK(df, keys, order, k)
       .groupBy(keys.map(col): _*)
-      .agg(expr(s"collect_list(struct(${payload.mkString(", ")}))")
+      .agg(expr(s"collect_list(struct(${payload.map(c => s"`$c`").mkString(", ")}))")
         .as("__rows"))
       .withColumn("__sorted",
         expr(s"array_sort(__rows, (l, r) -> CASE $cases ELSE 0 END)"))
