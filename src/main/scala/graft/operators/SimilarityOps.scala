@@ -190,6 +190,47 @@ object SimilarityOps {
        |WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
 
+  /** The full LSH-bucketed top-k SQL (shared by the sim_lsh_topk gate
+    * and the LSH recall gate, which embeds it as a CTE body).
+    */
+  private val lshSql: String = {
+    val dims = 64
+    val planes = LshPlanes
+    s"""WITH sig AS ($quantizedSql),
+       |planes AS (
+       |  SELECT p, d,
+       |    CASE WHEN (strpos('0123456789abcdef',
+       |        substr(md5(p || ':' || d), 1, 1)) - 1) % 2 = 0
+       |      THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT unnest(range(0, $planes)) AS p) pp,
+       |    (SELECT unnest(range(0, $dims)) AS d) dd),
+       |proj AS (
+       |  SELECT v.vec_id, pl.p, SUM(pl.s * v.qv[pl.d + 1]) AS dot
+       |  FROM sig v JOIN planes pl ON TRUE
+       |  GROUP BY 1, 2),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    CAST(COALESCE(SUM(CASE WHEN dot > 0
+       |      THEN CAST(POW(2, p) AS BIGINT) END), 0) AS BIGINT) AS bkt
+       |  FROM proj GROUP BY 1)
+       |SELECT qid, vid, cos, rnk FROM (
+       |  SELECT qid, vid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, vid) AS rnk
+       |  FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS vid,
+       |      list_dot_product(a.qv, b.qv)
+       |        / (sqrt(CAST(a.norm2 AS DOUBLE))
+       |          * sqrt(CAST(b.norm2 AS DOUBLE))) AS cos
+       |    FROM sig a
+       |    JOIN buckets ba ON ba.vec_id = a.vec_id
+       |    JOIN buckets bb ON bb.bkt = ba.bkt
+       |    JOIN sig b ON b.vec_id = bb.vec_id AND b.vec_id <> a.vec_id
+       |    WHERE a.vec_id < 10) t0) t1
+       |WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   /** IVF multi-probe search plan (see the sim_ivf_probe spec). */
   private def probeTopk(s: SparkSession, dir: String): DataFrame = {
       val base = signatures(s, dir)
@@ -338,44 +379,7 @@ object SimilarityOps {
     // hyperplane argument); exact top-k within the bucket. At scale
     // the bucket id is the shuffle key — same layout as IVF with the
     // coarse quantizer replaced by data-independent projections.
-    QuerySpec.sql(
-      "sim_lsh_topk", {
-        val dims = 64
-        val planes = LshPlanes
-        s"""WITH sig AS ($quantizedSql),
-           |planes AS (
-           |  SELECT p, d,
-           |    CASE WHEN (strpos('0123456789abcdef',
-           |        substr(md5(p || ':' || d), 1, 1)) - 1) % 2 = 0
-           |      THEN 1 ELSE -1 END AS s
-           |  FROM (SELECT unnest(range(0, $planes)) AS p) pp,
-           |    (SELECT unnest(range(0, $dims)) AS d) dd),
-           |proj AS (
-           |  SELECT v.vec_id, pl.p, SUM(pl.s * v.qv[pl.d + 1]) AS dot
-           |  FROM sig v JOIN planes pl ON TRUE
-           |  GROUP BY 1, 2),
-           |buckets AS (
-           |  SELECT vec_id,
-           |    CAST(COALESCE(SUM(CASE WHEN dot > 0
-           |      THEN CAST(POW(2, p) AS BIGINT) END), 0) AS BIGINT) AS bkt
-           |  FROM proj GROUP BY 1)
-           |SELECT qid, vid, cos, rnk FROM (
-           |  SELECT qid, vid, cos,
-           |    ROW_NUMBER() OVER (PARTITION BY qid
-           |      ORDER BY cos DESC, vid) AS rnk
-           |  FROM (
-           |    SELECT a.vec_id AS qid, b.vec_id AS vid,
-           |      list_dot_product(a.qv, b.qv)
-           |        / (sqrt(CAST(a.norm2 AS DOUBLE))
-           |          * sqrt(CAST(b.norm2 AS DOUBLE))) AS cos
-           |    FROM sig a
-           |    JOIN buckets ba ON ba.vec_id = a.vec_id
-           |    JOIN buckets bb ON bb.bkt = ba.bkt
-           |    JOIN sig b ON b.vec_id = bb.vec_id AND b.vec_id <> a.vec_id
-           |    WHERE a.vec_id < 10) t0) t1
-           |WHERE rnk <= 5
-           |ORDER BY qid, rnk""".stripMargin
-      }) { (s, dir) =>
+    QuerySpec.sql("sim_lsh_topk", lshSql) { (s, dir) =>
       lshTopk(s, dir)
     },
 
@@ -534,6 +538,33 @@ object SimilarityOps {
       val ivf = probeTopk(s, dir)
         .select(col("qid"), col("vid"), lit(1).as("hit"))
       brute.join(ivf, Seq("qid", "vid"), "left")
+        .groupBy(col("qid"))
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / lit(5.0))
+          .as("recall"))
+        .orderBy(col("qid"))
+    },
+
+    // Self-measuring ANN quality for the SECOND index family: recall@5
+    // of the LSH-bucketed search against the exact brute-force
+    // baseline, per query, in one plan — the plane-count knob
+    // (LshPlanes) is itself oracle-checked, the same discipline as
+    // sim_ivf_recall. Both sides reuse the cached signature table; the
+    // overlay join is on two k-row-per-query sets.
+    QuerySpec.sql(
+      "sim_lsh_recall",
+      s"""WITH brute AS (${topkSql("")}),
+         |lsh AS ($lshSql)
+         |SELECT b.qid,
+         |  CAST(SUM(CASE WHEN p.vid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / 5.0 AS recall
+         |FROM brute b
+         |LEFT JOIN lsh p ON b.qid = p.qid AND b.vid = p.vid
+         |GROUP BY b.qid
+         |ORDER BY b.qid""".stripMargin) { (s, dir) =>
+      val brute = topk(s, dir, sameCell = false).select(col("qid"), col("vid"))
+      val lsh = lshTopk(s, dir)
+        .select(col("qid"), col("vid"), lit(1).as("hit"))
+      brute.join(lsh, Seq("qid", "vid"), "left")
         .groupBy(col("qid"))
         .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / lit(5.0))
           .as("recall"))
