@@ -52,12 +52,21 @@ object SimilarityOps {
   /** Cells probed per query in the multi-probe IVF search (nprobe). */
   val Probes = 2
 
-  /** Hyperplane count for the random-projection LSH sketch: 2^8 = 256
-    * buckets — sized so buckets hold a few near neighbors at test
-    * scale (16+ bits would shatter a 500-vector corpus into
-    * singletons; production banding splits a longer sketch instead).
+  /** Multi-table LSH geometry: [[LshTables]] independent tables of
+    * [[LshPlanes]] hyperplanes each (2^5 = 32 buckets per table). One
+    * fine-grained table has near-zero recall@5 — a true neighbor must
+    * agree on EVERY bit of one sketch; with L independent coarser
+    * tables a neighbor is found if it collides in ANY of them
+    * (1 − (1 − p^P)^L), the standard LSH recall lever. Measured by the
+    * sim_lsh_recall gate: the 8-plane single-table predecessor scored
+    * recall 0.0 at sf0.01; 4×6 lifted it to 0.2, this 4×5 geometry to
+    * 0.3 (parity with the IVF probe search) while scanning ~1/8 of
+    * the corpus per query.
     */
-  val LshPlanes = 8
+  val LshPlanes = 5
+
+  /** Independent LSH hash tables (union of candidates). */
+  val LshTables = 4
 
   // Same quantization, one spelling per engine: Spark higher-order
   // `transform`, DuckDB `list_transform`.
@@ -190,43 +199,49 @@ object SimilarityOps {
        |WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
 
-  /** The full LSH-bucketed top-k SQL (shared by the sim_lsh_topk gate
-    * and the LSH recall gate, which embeds it as a CTE body).
+  /** The full multi-table LSH top-k SQL (shared by the sim_lsh_topk
+    * gate and the LSH recall gate, which embeds it as a CTE body).
     */
   private val lshSql: String = {
     val dims = 64
     val planes = LshPlanes
+    val tables = LshTables
     s"""WITH sig AS ($quantizedSql),
        |planes AS (
-       |  SELECT p, d,
+       |  SELECT t, p, d,
        |    CASE WHEN (strpos('0123456789abcdef',
-       |        substr(md5(p || ':' || d), 1, 1)) - 1) % 2 = 0
+       |        substr(md5(t || ':' || p || ':' || d), 1, 1)) - 1) % 2 = 0
        |      THEN 1 ELSE -1 END AS s
-       |  FROM (SELECT unnest(range(0, $planes)) AS p) pp,
+       |  FROM (SELECT unnest(range(0, $tables)) AS t) tt,
+       |    (SELECT unnest(range(0, $planes)) AS p) pp,
        |    (SELECT unnest(range(0, $dims)) AS d) dd),
        |proj AS (
-       |  SELECT v.vec_id, pl.p, SUM(pl.s * v.qv[pl.d + 1]) AS dot
+       |  SELECT v.vec_id, pl.t, pl.p, SUM(pl.s * v.qv[pl.d + 1]) AS dot
        |  FROM sig v JOIN planes pl ON TRUE
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2, 3),
        |buckets AS (
-       |  SELECT vec_id,
+       |  SELECT vec_id, t,
        |    CAST(COALESCE(SUM(CASE WHEN dot > 0
        |      THEN CAST(POW(2, p) AS BIGINT) END), 0) AS BIGINT) AS bkt
-       |  FROM proj GROUP BY 1)
+       |  FROM proj GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT ba.vec_id AS qid, bb.vec_id AS vid
+       |  FROM buckets ba
+       |  JOIN buckets bb ON bb.t = ba.t AND bb.bkt = ba.bkt
+       |    AND bb.vec_id <> ba.vec_id
+       |  WHERE ba.vec_id < 10)
        |SELECT qid, vid, cos, rnk FROM (
        |  SELECT qid, vid, cos,
        |    ROW_NUMBER() OVER (PARTITION BY qid
        |      ORDER BY cos DESC, vid) AS rnk
        |  FROM (
-       |    SELECT a.vec_id AS qid, b.vec_id AS vid,
+       |    SELECT c.qid, c.vid,
        |      list_dot_product(a.qv, b.qv)
        |        / (sqrt(CAST(a.norm2 AS DOUBLE))
        |          * sqrt(CAST(b.norm2 AS DOUBLE))) AS cos
-       |    FROM sig a
-       |    JOIN buckets ba ON ba.vec_id = a.vec_id
-       |    JOIN buckets bb ON bb.bkt = ba.bkt
-       |    JOIN sig b ON b.vec_id = bb.vec_id AND b.vec_id <> a.vec_id
-       |    WHERE a.vec_id < 10) t0) t1
+       |    FROM cand c
+       |    JOIN sig a ON a.vec_id = c.qid
+       |    JOIN sig b ON b.vec_id = c.vid) t0) t1
        |WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
   }
@@ -321,39 +336,52 @@ object SimilarityOps {
        |    ON a.label = b.label AND a.vec_id <> b.vec_id) t
        |WHERE rnk <= $k""".stripMargin
 
-  /** ±1 hyperplane components from md5(p:d) parity — the exact rule
+  /** ±1 hyperplane components from md5(t:p:d) parity — the exact rule
     * the oracle SQL spells out, replayed in the JVM so both engines
-    * hold the identical plane matrix with no RNG state.
+    * hold the identical plane matrices with no RNG state.
     */
-  private def lshPlanes(planes: Int = LshPlanes, dims: Int = 64): Array[Array[Long]] =
+  private def lshPlanes(table: Int, planes: Int = LshPlanes,
+      dims: Int = 64): Array[Array[Long]] =
     Array.tabulate(planes, dims) { (p, d) =>
       val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .digest(s"$table:$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
       if ("0123456789abcdef".indexOf(hex.charAt(0)) % 2 == 0) 1L else -1L
     }
 
-  /** 16-bit signed-projection sketch per vector (bit p = sign of the
-    * integer dot with hyperplane p) — the LSH bucket id.
+  /** (vec_id, t, bkt): one signed-projection bucket id per vector per
+    * hash table (bit p = sign of the integer dot with plane p of
+    * table t). The L sketches are computed in ONE pass over the cached
+    * signatures (array of structs, exploded) — no per-table rescan.
     */
   private def lshBuckets(sig: DataFrame): DataFrame = {
-    val bkt = lshPlanes().zipWithIndex.map { case (pl, p) =>
-      when(dot_long(col("qv"), typedLit(pl.toSeq)) > 0, lit(1L << p))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
-    sig.select(col("vec_id"), bkt.as("bkt"))
+    val tables = (0 until LshTables).map { t =>
+      val bkt = lshPlanes(t).zipWithIndex.map { case (pl, p) =>
+        when(dot_long(col("qv"), typedLit(pl.toSeq)) > 0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), bkt.as("bkt"))
+    }
+    sig.select(col("vec_id"), explode(array(tables: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
   }
 
   private def lshTopk(s: SparkSession, dir: String): DataFrame = {
     val sig = signatures(s, dir)
     val b = lshBuckets(sig)
-    val q = sig.filter(col("vec_id") < 10).join(b, Seq("vec_id"))
-      .select(col("vec_id").as("qid"), col("bkt"), col("qv").as("qa"),
-        col("norm2").as("q_norm2"))
-    val cand = sig.join(b, Seq("vec_id"))
-      .select(col("vec_id").as("vid"), col("bkt"), col("qv").as("qb"),
-        col("norm2").as("c_norm2"))
-    rankTop5(broadcast(q).join(cand, Seq("bkt"))
+    // candidates = same (table, bucket) in ANY table, deduplicated —
+    // a pair colliding in several tables is scored once
+    val q = b.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("t"), col("bkt"))
+    val c = b.select(col("vec_id").as("vid"), col("t"), col("bkt"))
+    val cand = broadcast(q).join(c, Seq("t", "bkt"))
       .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"))
+      .distinct()
+    rankTop5(cand
+      .join(sig.select(col("vec_id").as("qid"), col("qv").as("qa"),
+        col("norm2").as("q_norm2")), Seq("qid"))
+      .join(sig.select(col("vec_id").as("vid"), col("qv").as("qb"),
+        col("norm2").as("c_norm2")), Seq("vid"))
       .withColumn("dot", dot_long(col("qa"), col("qb")))
       .withColumn("cos", expr(
         "CAST(dot AS DOUBLE) / (sqrt(CAST(q_norm2 AS DOUBLE)) * sqrt(CAST(c_norm2 AS DOUBLE)))")))
@@ -370,15 +398,16 @@ object SimilarityOps {
       topk(s, dir, sameCell = true)
     },
 
-    // Random-hyperplane LSH ANN (the third index family beside IVF
-    // and brute force): 16 signed-projection bits per vector — bit p
-    // is the sign of ⟨qv, h_p⟩ for a ±1 hyperplane h_p derived from
-    // md5(p:d) parity, so both engines build the IDENTICAL planes
-    // from the hash alone (no RNG state to ship). Candidates = same
-    // 16-bit sketch bucket (cosine-similar vectors collide by the
-    // hyperplane argument); exact top-k within the bucket. At scale
-    // the bucket id is the shuffle key — same layout as IVF with the
-    // coarse quantizer replaced by data-independent projections.
+    // Random-hyperplane MULTI-TABLE LSH ANN (the third index family
+    // beside IVF and brute force): LshTables independent sketches of
+    // LshPlanes signed-projection bits each — bit p of table t is the
+    // sign of ⟨qv, h_tp⟩ for a ±1 hyperplane derived from md5(t:p:d)
+    // parity, so both engines build the IDENTICAL plane matrices from
+    // the hash alone (no RNG state to ship). Candidates = same bucket
+    // in ANY table, deduplicated, then exact top-k — the standard
+    // recall lever (1 − (1 − p^P)^L; one fine table scored recall 0).
+    // At scale (t, bkt) is the shuffle key — same layout as IVF with
+    // the coarse quantizer replaced by data-independent projections.
     QuerySpec.sql("sim_lsh_topk", lshSql) { (s, dir) =>
       lshTopk(s, dir)
     },
