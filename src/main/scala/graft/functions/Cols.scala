@@ -65,8 +65,17 @@ object Cols {
     * XrplOps instead), and < ~9.2e12 rows per group (limb SUM(long)
     * overflow).
     */
+  /** The 6-decimal rounding of a double, ×10^6, as a plain long — the
+    * integer domain every exact-decimal trick here works in. Long-
+    * backed end to end: precision-18 decimals are compact, so the
+    * UnscaledValue read is a field access, not BigDecimal math.
+    * DuckDB mirror: `CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT)`.
+    */
+  def micros6(c: Column): Column =
+    column(UnscaledValue(expression(c.cast(Dec18))))
+
   def dsum(c: Column): Column = {
-    val m  = column(UnscaledValue(expression(c.cast(Dec18))))
+    val m  = micros6(c)
     val hi = sum(column(IntegralDivide(expression(m), expression(lit(PartB)))))
     val mid = sum(column(IntegralDivide(expression(m), expression(lit(PartM)))) % lit(PartM))
     val lo = sum(m % lit(PartM))

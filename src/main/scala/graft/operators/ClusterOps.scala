@@ -134,6 +134,78 @@ object ClusterOps {
     assignStep(sig, cent).orderBy(col("vec_id"))
   }
 
+  /** Squared cosine threshold for semantic dedup, as the exact
+    * rational τ² = SemDupNum/SemDupDen (τ = 0.3 — the same
+    * neighborhood the embedding near-dup gate mines). Comparing
+    * `SemDupDen·dot² ≥ SemDupNum·‖a‖²·‖b‖²` keeps the entire decision
+    * in integer arithmetic: no sqrt, no double division, identical
+    * bits on any engine. The products reach ~4e29 (dot ≤ 6.4e13 for
+    * 64-dim micro-quantized vectors), so they are formed in
+    * DECIMAL(38,0) on Spark and HUGEINT in the oracle — both exact.
+    */
+  val SemDupNum = 9L
+  val SemDupDen = 100L
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): prune
+    * documents whose EMBEDDINGS nearly coincide, even when their text
+    * differs (translations, templated rewrites, boilerplate variants
+    * that survive lexical MinHash). Pipeline: k-means partitions the
+    * corpus into semantic clusters ([[kmeansAssignments]], fixed
+    * deterministic rounds), candidate pairs are generated only WITHIN
+    * a cluster, and a document is dropped in favor of its
+    * smallest-vec_id neighbor with cos ≥ τ (greedy keep-first — one
+    * representative per similarity neighborhood, no transitive
+    * chaining through dissimilar middles).
+    *
+    * Scale shape: the cluster id is the shuffle key — the all-pairs
+    * surface is Σ cluster² instead of corpus², and each cluster's
+    * pair work is further split into bounded [[graft.functions.Pairs]]
+    * triangle blocks (worst task = blockSize² pairs, hub-safe). This
+    * is exactly the SemDeDup recipe: k-means IS the blocking
+    * structure, so pair cost is controlled by K, which scales with
+    * the corpus. Output: (vec_id, cid, dup_of, keep).
+    */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val asg = kmeansAssignments(s, dir).select(col("vec_id"), col("cid"))
+    val sig = SimilarityOps.signatures(s, dir)
+      .select(col("vec_id"), col("qv"), col("norm2"))
+    val m = sig.join(asg, Seq("vec_id"))
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val dup = graft.functions.Pairs.blockedSelfPairs(m,
+        keyCols = Seq("cid"), idCol = "vec_id",
+        payload = Seq("qv", "norm2"), blockSize = SimilarityOps.PairBlockSize)
+      .withColumn("dot", dot_long(col("a_qv"), col("b_qv")))
+      .filter(col("dot") > 0 &&
+        lit(SemDupDen).cast(d19) * col("dot").cast(d19) * col("dot").cast(d19) >=
+          lit(SemDupNum).cast(d19) * col("a_norm2").cast(d19) *
+            col("b_norm2").cast(d19))
+      .groupBy(col("b_vec_id").as("vec_id"))
+      .agg(min(col("a_vec_id")).as("dup_of"))
+    m.select(col("vec_id"), col("cid"))
+      .join(dup, Seq("vec_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
+      .orderBy(col("vec_id"))
+  }
+
+  private def semanticDedupOracle: String = {
+    val dot = "CAST(list_dot_product(a.qv, b.qv) AS BIGINT)"
+    (kmeansCtes ++ Seq(
+      s"""m AS (SELECT s.vec_id, s.qv, s.norm2, k.cid
+         |  FROM sig s JOIN a$KmeansIters k ON k.vec_id = s.vec_id)""".stripMargin,
+      s"""dup AS (
+         |  SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+         |  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE $dot > 0
+         |    AND $SemDupDen * CAST($dot AS HUGEINT) * CAST($dot AS HUGEINT)
+         |      >= $SemDupNum * CAST(a.norm2 AS HUGEINT) * CAST(b.norm2 AS HUGEINT)
+         |  GROUP BY b.vec_id)""".stripMargin))
+      .mkString("WITH ", ",\n", "") +
+      s"""
+         |SELECT m.vec_id, m.cid, d.dup_of, d.dup_of IS NULL AS keep
+         |FROM m LEFT JOIN dup d ON d.vec_id = m.vec_id
+         |ORDER BY m.vec_id""".stripMargin
+  }
+
   /** PageRank over the directed k-NN graph: 5 damped power-iteration
     * rounds in integer mass. Per round: one shuffle-on-key join
     * (edges ⨝ ranks), one hash aggregate, one left join back to the
@@ -230,7 +302,8 @@ object ClusterOps {
 
   // ---- oracle SQL (generated to mirror the fixed iteration count) ----
 
-  private def kmeansOracle: String = {
+  /** CTE chain ending in `a$KmeansIters` = (vec_id, cid, dist2). */
+  private def kmeansCtes: Seq[String] = {
     val init =
       s"""SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv,
          |  norm2 AS cnorm2
@@ -264,9 +337,16 @@ object ClusterOps {
       ctes += s"a$i AS (${assign(s"c${i - 1}")})"
       if (i < KmeansIters) ctes += s"c$i AS (${update(s"a$i")})"
     }
-    ctes.mkString("WITH ", ",\n", "") +
-      s"\nSELECT vec_id, cid, dist2 FROM a$KmeansIters ORDER BY vec_id"
+    ctes.toSeq
   }
+
+  /** The full k-means oracle query (assignment after the fixed Lloyd
+    * rounds); [[kmeansCtes]] is shared with the semantic-dedup oracle,
+    * which consumes the same assignment.
+    */
+  private def kmeansOracle: String =
+    kmeansCtes.mkString("WITH ", ",\n", "") +
+      s"\nSELECT vec_id, cid, dist2 FROM a$KmeansIters ORDER BY vec_id"
 
   private def pagerankOracle: String = {
     def step(prev: String) =
@@ -296,6 +376,13 @@ object ClusterOps {
     // floor-mean centroids. Output: final assignment + distance.
     QuerySpec.sql("cluster_kmeans", kmeansOracle) { (s, dir) =>
       kmeansAssignments(s, dir)
+    },
+
+    // Semantic (embedding-space) dedup: k-means clusters as the
+    // blocking structure, within-cluster cosine ≥ τ decided in exact
+    // integer arithmetic, keep = smallest vec_id per neighborhood.
+    QuerySpec.sql("dedup_semantic", semanticDedupOracle) { (s, dir) =>
+      semanticDedup(s, dir)
     },
 
     // PageRank centrality over the k-NN graph (integer mass, 5 damped

@@ -651,6 +651,113 @@ object TimeSeriesOps {
         .orderBy(col("event_type"))
     },
 
+    // Mergeable log-histogram quantile sketch: per event type, values
+    // collapse into at most ~1 000 fixed buckets (16 sub-buckets per
+    // power of two over the 6-decimal integer domain), so quantile
+    // estimation is ONE map-side-combinable hash aggregate plus a
+    // window over the bounded bucket table — never a per-group sort of
+    // row-scale data, the shape that keeps p50/p90/p99 cheap at 100 TB
+    // where the exact operator (quantile_disc_grouped) must range-
+    // partition all values. Estimate = the chosen bucket's lower
+    // bound, guaranteed within one bucket width (≤ 1/16 relative
+    // error) of the true quantile. Everything — bucket id, lower
+    // bound, rank thresholds — is integer arithmetic on micros, so
+    // both engines agree bit-for-bit; `in_bucket` re-derives the
+    // guarantee IN-PLAN against the exact quantile (same self-
+    // measuring discipline as the ANN recall gates: the exact side is
+    // the measurement harness, the histogram is the production path).
+    QuerySpec.sql(
+      "ts_quantile_sketch", {
+        val m = "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+        s"""WITH ev AS (
+           |  SELECT event_type, $m AS m FROM events WHERE value > 0),
+           |b AS (
+           |  SELECT event_type,
+           |    CASE WHEN m < 16 THEN m
+           |      ELSE (length(bin(m))-1)*16 + ((m >> (length(bin(m))-5)) & 15)
+           |    END AS bucket,
+           |    CASE WHEN m < 16 THEN m
+           |      ELSE (16 + ((m >> (length(bin(m))-5)) & 15))
+           |        << (length(bin(m))-5)
+           |    END AS lb
+           |  FROM ev),
+           |hist AS (
+           |  SELECT event_type, bucket, lb, COUNT(*) AS cnt
+           |  FROM b GROUP BY 1, 2, 3),
+           |tot AS (SELECT event_type, SUM(cnt) AS n FROM hist GROUP BY 1),
+           |cum AS (
+           |  SELECT event_type, bucket, lb,
+           |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+           |  FROM hist),
+           |pq AS (SELECT unnest([50, 90, 99]) AS p_pct),
+           |est AS (
+           |  SELECT c.event_type, p.p_pct, MIN(c.lb) AS est_m
+           |  FROM cum c JOIN tot t USING (event_type) CROSS JOIN pq p
+           |  WHERE c.cum >= (p.p_pct * t.n + 99) // 100
+           |  GROUP BY 1, 2),
+           |vals AS (SELECT event_type, m, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+           |vcum AS (
+           |  SELECT event_type, m,
+           |    SUM(c) OVER (PARTITION BY event_type ORDER BY m) AS cum
+           |  FROM vals),
+           |ex AS (
+           |  SELECT v.event_type, p.p_pct, MIN(v.m) AS exact_m
+           |  FROM vcum v JOIN tot t USING (event_type) CROSS JOIN pq p
+           |  WHERE v.cum >= (p.p_pct * t.n + 99) // 100
+           |  GROUP BY 1, 2)
+           |SELECT e.event_type, e.p_pct,
+           |  CAST(est_m AS DOUBLE) / 1000000.0 AS est,
+           |  CAST(exact_m AS DOUBLE) / 1000000.0 AS exact,
+           |  est_m <= exact_m AND (CASE WHEN est_m < 16 THEN exact_m = est_m
+           |    ELSE exact_m < est_m + (1 << (length(bin(est_m))-5)) END)
+           |    AS in_bucket
+           |FROM est e JOIN ex x ON x.event_type = e.event_type
+           |  AND x.p_pct = e.p_pct
+           |ORDER BY 1, 2""".stripMargin
+      }) { (s, dir) =>
+      val ps = Seq(50, 90, 99)
+      val ev = events(s, dir).filter(col("value") > 0)
+        .select(col("event_type"),
+          graft.functions.Cols.micros6(col("value")).as("m"))
+      val hist = ev.selectExpr("event_type",
+          """CASE WHEN m < 16 THEN m
+            |  ELSE (length(bin(m))-1)*16 + ((m >> (length(bin(m))-5)) & 15)
+            |END AS bucket""".stripMargin,
+          """CASE WHEN m < 16 THEN m
+            |  ELSE (16 + ((m >> (length(bin(m))-5)) & 15))
+            |    << (length(bin(m))-5)
+            |END AS lb""".stripMargin)
+        .groupBy(col("event_type"), col("bucket"), col("lb"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = hist.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+      val wB = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      val pdf = s.range(1)
+        .select(explode(array(ps.map(lit): _*)).as("p_pct"))
+      val est = hist.withColumn("cum", sum(col("cnt")).over(wB))
+        .join(broadcast(tot), Seq("event_type"))
+        .crossJoin(broadcast(pdf))
+        .filter(col("cum") >= expr("(p_pct * n + 99) div 100"))
+        .groupBy(col("event_type"), col("p_pct"))
+        .agg(min(col("lb")).as("est_m"))
+      val wV = Window.partitionBy(col("event_type")).orderBy(col("m"))
+      val ex = ev.groupBy(col("event_type"), col("m"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wV))
+        .join(broadcast(tot), Seq("event_type"))
+        .crossJoin(broadcast(pdf))
+        .filter(col("cum") >= expr("(p_pct * n + 99) div 100"))
+        .groupBy(col("event_type"), col("p_pct"))
+        .agg(min(col("m")).as("exact_m"))
+      est.join(ex, Seq("event_type", "p_pct"))
+        .selectExpr("event_type", "p_pct",
+          "CAST(est_m AS DOUBLE) / 1000000.0 AS est",
+          "CAST(exact_m AS DOUBLE) / 1000000.0 AS exact",
+          """est_m <= exact_m AND (CASE WHEN est_m < 16 THEN exact_m = est_m
+            |  ELSE exact_m < est_m + (1 << (length(bin(est_m))-5)) END)
+            |  AS in_bucket""".stripMargin)
+        .orderBy(col("event_type"), col("p_pct"))
+    },
+
     // Gap fill (forward fill): dense per-series calendar, missing days
     // carry the last observed value. The window is partitioned by
     // series — per-series sequential fill parallelized across series;
