@@ -123,14 +123,28 @@ object ClusterOps {
   }
 
   /** Final assignment after KmeansIters Lloyd rounds:
-    * (vec_id, cid, dist2). */
+    * (vec_id, cid, dist2). The CONVERGED CENTROIDS are memoized per
+    * (session, dir) like [[DedupOps]]' cluster labels: the Lloyd
+    * fixpoint's materialized rounds defeat Spark's plan-equality
+    * cache, and two gates (cluster_kmeans, dedup_semantic) consume
+    * the same assignment — at warehouse scale the centroid table is
+    * the write-once model artifact both read. Only the centroids are
+    * memoized, not the assignment itself: the final assign step stays
+    * a lazy broadcast-join plan (K-row build side) each consumer
+    * composes into its own tree.
+    */
+  private val kmMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   def kmeansAssignments(s: SparkSession, dir: String): DataFrame = {
     val sig = SimilarityOps.signatures(s, dir)
-    var cent = Materialize.stable(initCentroids(sig))
-    for (_ <- 1 until KmeansIters) {
-      val a = assignStep(sig, cent)
-      cent = Materialize.stable(updateStep(sig, a))
-    }
+    val cent = kmMemo.getOrElseUpdate((s, dir), {
+      var c = Materialize.stable(initCentroids(sig))
+      for (_ <- 1 until KmeansIters) {
+        val a = assignStep(sig, c)
+        c = Materialize.stable(updateStep(sig, a))
+      }
+      c
+    })
     assignStep(sig, cent).orderBy(col("vec_id"))
   }
 

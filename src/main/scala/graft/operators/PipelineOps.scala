@@ -173,6 +173,92 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     },
 
+    // Bloom-accelerated decontamination: the SAME answer as
+    // `decontaminate` (the oracle is literally the same SQL — the
+    // probabilistic structure must be invisible in the result), but
+    // the corpus side is pre-filtered by Spark's own runtime-filter
+    // machinery (BloomFilterAggregate / BloomFilterMightContain, the
+    // codegen'd expressions behind spark.sql.optimizer.runtime
+    // .bloomFilter) applied EXPLICITLY: the eval set's distinct
+    // n-grams fold into one Bloom filter (a bounded driver-side
+    // object, like a centroid table — guarded, loud failure if the
+    // eval set outgrows the broadcast budget), and only might-contain
+    // survivors reach the exact join that removes the false
+    // positives. At 100 TB this turns the join's corpus-side shuffle
+    // from every n-gram into true-hits + fpp·corpus — the standard
+    // semi-join pushdown a decontamination pass needs when the eval
+    // set is small and the corpus is not. No UDF: both sides stay
+    // whole-stage-codegen'd Catalyst expressions over xxhash64 keys.
+    QuerySpec.sql(
+      "decontaminate_bloom", {
+        val g = (0 until ContamNgram)
+          .map(k => s"ts[i+$k]").mkString(" || ' ' || ")
+        s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts
+           |  FROM documents),
+           |grams AS (
+           |  SELECT DISTINCT doc_id, $g AS ng
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+           |    len(ts)-${ContamNgram - 1})) AS i) gi
+           |  WHERE len(ts) >= $ContamNgram),
+           |eval_grams AS (
+           |  SELECT DISTINCT ng FROM grams WHERE doc_id % $EvalModulus = 0),
+           |hits AS (
+           |  SELECT g.doc_id AS doc_id, COUNT(*) AS n_shared
+           |  FROM grams g JOIN eval_grams e ON g.ng = e.ng
+           |  WHERE g.doc_id % $EvalModulus != 0
+           |  GROUP BY 1)
+           |SELECT d.doc_id AS doc_id,
+           |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+           |  CAST(CASE WHEN COALESCE(n_shared, 0) > 0 THEN 1 ELSE 0 END
+           |    AS INT) AS contaminated
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % $EvalModulus != 0) d
+           |LEFT JOIN hits ON hits.doc_id = d.doc_id
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      val grams = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= ContamNgram)
+        .select(col("doc_id"), explode(expr(
+          s"""array_distinct(transform(sequence(1, size(ts)-${ContamNgram - 1}),
+             |  i -> concat_ws(' ', slice(ts, i, $ContamNgram))))""".stripMargin))
+          .as("ng"))
+      val evalGrams = grams
+        .filter(col("doc_id") % EvalModulus === 0)
+        .select(col("ng")).distinct()
+      // the filter itself: distributed partial filters OR-merged by the
+      // TypedImperativeAggregate; ONE bounded row reaches the driver
+      val nEval = math.max(evalGrams.count(), 1L)
+      val bf = evalGrams
+        .select(column(new BloomFilterAggregate(
+          expression(xxhash64(col("ng"))), nEval).toAggregateExpression)
+          .as("bf"))
+        .head.getAs[Array[Byte]](0)
+      require(bf.length < (64 << 20),
+        s"decontaminate_bloom: serialized filter ${bf.length}B exceeds the " +
+          "broadcast budget - eval set too large for the Bloom path, use " +
+          "the plain decontaminate join")
+      val candidates = grams
+        .filter(col("doc_id") % EvalModulus =!= 0)
+        .filter(column(BloomFilterMightContain(
+          expression(lit(bf)), expression(xxhash64(col("ng"))))))
+      val hits = candidates
+        .join(evalGrams, Seq("ng")) // exact: false positives die here
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      docs(s, dir)
+        .filter(col("doc_id") % EvalModulus =!= 0)
+        .select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          when(coalesce(col("n_shared"), lit(0L)) > 0, 1).otherwise(0)
+            .as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+
     // Weighted sampling by PRIORITY SAMPLING (Duffield-Lund-Thorup):
     // priority = uniform-hash / weight, keep the k smallest — inclusion
     // probability proportional to weight, deterministic (hash of the
