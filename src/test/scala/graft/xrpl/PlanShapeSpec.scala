@@ -48,7 +48,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("no unpartitioned window in any relational/time-series gate plan") {
     for (name <- Seq("skyline_orders", "ts_ewma", "ts_rolling_median",
         "w7_rank_distribution", "w8_value_windows", "a_mode_per_user",
-        "pivot_event_daily", "quantile_disc_grouped")) {
+        "pivot_event_daily", "quantile_disc_grouped", "ts_quantile_sketch")) {
       val bad = collectNodes(planOf(name)).collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }
@@ -97,6 +97,33 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!all.exists(_.isInstanceOf[WindowExec]),
         s"$name plans a WindowExec")
     }
+  }
+
+  test("semantic dedup blocks pairs - no cartesian, and no window anywhere") {
+    // the within-cluster pair surface must go through the hash-blocked
+    // equi-join (Pairs.blockedSelfPairs), never a shuffled cartesian of
+    // cluster members — the only cross joins allowed are the kmeans
+    // assign steps' corpus × K-row-broadcast centroid products (BNLJ
+    // with a bounded build side BY CONSTRUCTION) — and the whole tree
+    // (kmeans rounds included) is window-free
+    val all = collectNodes(planOf("dedup_semantic"))
+    val s = all.map(_.toString).mkString("\n")
+    assert(!s.contains("CartesianProduct"),
+      "dedup_semantic plans an unbroadcast cartesian pair join")
+    assert(!all.exists(_.isInstanceOf[WindowExec]),
+      "dedup_semantic plans a WindowExec")
+  }
+
+  test("bloom decontamination keeps might_contain ahead of the exact join") {
+    // the runtime-filter expression must survive optimization as a
+    // corpus-side filter (the semi-join pushdown is the operator's
+    // entire point), and the false-positive-killing join stays an
+    // equi-join
+    val s = planString("decontaminate_bloom")
+    assert(s.contains("might_contain"),
+      "decontaminate_bloom lost the Bloom pre-filter")
+    assert(!s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("CartesianProduct"))
   }
 
   test("cube expands in one aggregate pass (single Expand, no union)") {
