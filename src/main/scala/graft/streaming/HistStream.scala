@@ -37,10 +37,12 @@ object HistStream {
       .unscaledValue().longValueExact()
 
   /** Bucket id: 16 sub-buckets per power of two (top 4 mantissa bits),
-    * exact for m < 16. Mirrors the SQL `(bitlen-1)*16 + top4`.
+    * exact for m < 16 — including m = 0 (a value > 0 that rounds to
+    * zero micros lands in bucket 0, exactly as the batch SQL's
+    * `CASE WHEN m < 16 THEN m` does). Mirrors `(bitlen-1)*16 + top4`.
     */
   def bucket(m: Long): Long = {
-    require(m > 0, s"histogram domain is positive micros, got $m")
+    require(m >= 0, s"histogram domain is non-negative micros, got $m")
     val e = 63 - java.lang.Long.numberOfLeadingZeros(m)
     if (m < 16) m else e * 16 + ((m >>> (e - 4)) & 15)
   }
@@ -73,12 +75,12 @@ object HistStream {
       state: GroupState[HistState]): HistQuantiles = {
     val prev = state.getOption.getOrElse(HistState(0L, Map.empty))
     var counts = prev.counts
+    // the batch gate's predicate exactly: filter on the RAW value
+    // (values in (0, 5e-7) round to 0 micros and still count, in
+    // bucket 0 — dropping them here would silently diverge)
     for (e <- events if e.value > 0) {
-      val m = micros6(e.value)
-      if (m > 0) {
-        val b = bucket(m)
-        counts = counts.updated(b, counts.getOrElse(b, 0L) + 1L)
-      }
+      val b = bucket(micros6(e.value))
+      counts = counts.updated(b, counts.getOrElse(b, 0L) + 1L)
     }
     state.update(HistState(prev.seq + 1, counts))
     val n = counts.valuesIterator.sum

@@ -61,9 +61,29 @@ class HistStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sub-micro positive values count in bucket 0, like the batch SQL") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[HistEvent]
+    val q = HistStream.estimates(spark, stream.toDS())
+      .writeStream.format("memory").queryName("hist_zero")
+      .outputMode("update").start()
+    try {
+      // value in (0, 5e-7) rounds to 0 micros — the batch gate's
+      // `WHERE value > 0` keeps it (bucket 0, lb 0); so must the state
+      stream.addData(Seq(HistEvent("z", 4e-7), HistEvent("z", 4e-7),
+        HistEvent("z", 0.0), HistEvent("z", -1.0)))
+      q.processAllAvailable()
+      val r = spark.table("hist_zero").filter($"event_type" === "z")
+        .orderBy($"seq".desc).head
+      assert(r.getAs[Long]("n") === 2L)
+      assert(r.getAs[Double]("est50") === 0.0)
+    } finally q.stop()
+  }
+
   test("bucket/lowerBound mirror the SQL spelling on edge values") {
     // the same fixtures the SQL primitives were cross-checked on
-    val cases = Seq(1L -> 1L, 15L -> 15L, 16L -> 64L, 17L -> 65L,
+    val cases = Seq(0L -> 0L, 1L -> 1L, 15L -> 15L, 16L -> 64L, 17L -> 65L,
       31L -> 79L, 32L -> 80L, 1000000L -> 318L)
     for ((m, b) <- cases) assert(HistStream.bucket(m) === b, s"m=$m")
     assert(HistStream.lowerBound(318L) === 983040L)
