@@ -709,7 +709,8 @@ object TimeSeriesOps {
            |  CAST(est_m AS DOUBLE) / 1000000.0 AS est,
            |  CAST(exact_m AS DOUBLE) / 1000000.0 AS exact,
            |  est_m <= exact_m AND (CASE WHEN est_m < 16 THEN exact_m = est_m
-           |    ELSE exact_m < est_m + (1 << (length(bin(est_m))-5)) END)
+           |    ELSE exact_m < est_m + (CAST(1 AS BIGINT)
+           |      << (length(bin(est_m))-5)) END)
            |    AS in_bucket
            |FROM est e JOIN ex x ON x.event_type = e.event_type
            |  AND x.p_pct = e.p_pct
@@ -753,7 +754,8 @@ object TimeSeriesOps {
           "CAST(est_m AS DOUBLE) / 1000000.0 AS est",
           "CAST(exact_m AS DOUBLE) / 1000000.0 AS exact",
           """est_m <= exact_m AND (CASE WHEN est_m < 16 THEN exact_m = est_m
-            |  ELSE exact_m < est_m + (1 << (length(bin(est_m))-5)) END)
+            |  ELSE exact_m < est_m + (CAST(1 AS BIGINT)
+            |    << (length(bin(est_m))-5)) END)
             |  AS in_bucket""".stripMargin)
         .orderBy(col("event_type"), col("p_pct"))
     },
