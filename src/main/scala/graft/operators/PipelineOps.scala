@@ -225,9 +225,12 @@ object PipelineOps {
           s"""array_distinct(transform(sequence(1, size(ts)-${ContamNgram - 1}),
              |  i -> concat_ws(' ', slice(ts, i, $ContamNgram))))""".stripMargin))
           .as("ng"))
+      // cached: the distinct eval-gram set is read three times (count,
+      // filter build, exact join) — locally a Spark cache, at warehouse
+      // scale the write-once eval-ngrams table all three steps scan
       val evalGrams = grams
         .filter(col("doc_id") % EvalModulus === 0)
-        .select(col("ng")).distinct()
+        .select(col("ng")).distinct().cache()
       // the filter itself: distributed partial filters OR-merged by the
       // TypedImperativeAggregate; ONE bounded row reaches the driver
       val nEval = math.max(evalGrams.count(), 1L)
