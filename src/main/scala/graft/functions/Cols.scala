@@ -33,6 +33,15 @@ object Cols {
   private val PartM = 1000000L        // 10^6: one 6-digit limb
   private val PartB = PartM * PartM   // 10^12: two limbs
 
+  /** The 6-decimal rounding of a double, ×10^6, as a plain long — the
+    * integer domain every exact-decimal trick here works in. Long-
+    * backed end to end: precision-18 decimals are compact, so the
+    * UnscaledValue read is a field access, not BigDecimal math.
+    * DuckDB mirror: `CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT)`.
+    */
+  def micros6(c: Column): Column =
+    column(UnscaledValue(expression(c.cast(Dec18))))
+
   /** Exact decimal sum, computed entirely in long space.
     *
     * Semantics are identical to `sum(c.cast(DECIMAL(38,6)))`: each
@@ -42,10 +51,8 @@ object Cols {
     * oracle's `SUM(CAST(e AS DECIMAL(38,6)))` (integer arithmetic is
     * integer arithmetic in any engine).
     *
-    * The trick: `UnscaledValue(cast(c as DECIMAL(18,6)))` is the
-    * 6-decimal rounding ×10^6 as a plain long (precision ≤ 18 decimals
-    * are long-backed, so this is a field read, not a BigDecimal op).
-    * A single `SUM(long)` over micros would cap group totals at
+    * The trick: [[micros6]] is the 6-decimal rounding ×10^6 as a plain
+    * long. A single `SUM(long)` over micros would cap group totals at
     * ~9.2e12 in value units — real at 100 TB — so the unscaled value
     * is split into three 6-digit limbs (hi/mid/lo, each |part| < 10^6)
     * summed independently: exact for ~9.2e12 ROWS per group (vs ~7e11
@@ -65,15 +72,6 @@ object Cols {
     * XrplOps instead), and < ~9.2e12 rows per group (limb SUM(long)
     * overflow).
     */
-  /** The 6-decimal rounding of a double, ×10^6, as a plain long — the
-    * integer domain every exact-decimal trick here works in. Long-
-    * backed end to end: precision-18 decimals are compact, so the
-    * UnscaledValue read is a field access, not BigDecimal math.
-    * DuckDB mirror: `CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT)`.
-    */
-  def micros6(c: Column): Column =
-    column(UnscaledValue(expression(c.cast(Dec18))))
-
   def dsum(c: Column): Column = {
     val m  = micros6(c)
     val hi = sum(column(IntegralDivide(expression(m), expression(lit(PartB)))))

@@ -135,6 +135,17 @@ object ClusterOps {
     */
   private val kmMemo =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  /** Release memoized centroids — all entries of `session`, or every
+    * entry when called with None (the [[DedupOps.clearClusterLabels]]
+    * lifecycle hook, for services recycling sessions over many dirs;
+    * the gate harness runs one session and never needs it).
+    */
+  def clearKmeansCentroids(session: Option[SparkSession] = None): Unit =
+    kmMemo.keys
+      .filter(k => session.forall(_ eq k._1))
+      .foreach(kmMemo.remove)
+
   def kmeansAssignments(s: SparkSession, dir: String): DataFrame = {
     val sig = SimilarityOps.signatures(s, dir)
     val cent = kmMemo.getOrElseUpdate((s, dir), {

@@ -51,6 +51,63 @@ object PipelineOps {
   val TempSampleK = 200
   val TempSalts = 16
 
+  /** doc_id → its DISTINCT word-[[ContamNgram]]-grams, built map-side
+    * (array_distinct before the explode) — the shared candidate table
+    * of both decontamination gates.
+    */
+  private def contamGrams(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= ContamNgram)
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(ts)-${ContamNgram - 1}),
+           |  i -> concat_ws(' ', slice(ts, i, $ContamNgram))))""".stripMargin))
+        .as("ng"))
+
+  /** Per-corpus-doc verdict rows from a (doc_id, n_shared) hits table —
+    * the shared output shape of both decontamination gates.
+    */
+  private def contamVerdicts(s: SparkSession, dir: String,
+      hits: DataFrame): DataFrame =
+    docs(s, dir)
+      .filter(col("doc_id") % EvalModulus =!= 0)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_shared"), lit(0L)) > 0, 1).otherwise(0)
+          .as("contaminated"))
+      .orderBy(col("doc_id"))
+
+  /** The ONE oracle both decontamination gates compare against — the
+    * Bloom variant must be indistinguishable in the relation.
+    */
+  private def decontaminateOracle: String = {
+    val g = (0 until ContamNgram)
+      .map(k => s"ts[i+$k]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts
+       |  FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, $g AS ng
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+       |    len(ts)-${ContamNgram - 1})) AS i) gi
+       |  WHERE len(ts) >= $ContamNgram),
+       |eval_grams AS (
+       |  SELECT DISTINCT ng FROM grams WHERE doc_id % $EvalModulus = 0),
+       |hits AS (
+       |  SELECT g.doc_id AS doc_id, COUNT(*) AS n_shared
+       |  FROM grams g JOIN eval_grams e ON g.ng = e.ng
+       |  WHERE g.doc_id % $EvalModulus != 0
+       |  GROUP BY 1)
+       |SELECT d.doc_id AS doc_id,
+       |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+       |  CAST(CASE WHEN COALESCE(n_shared, 0) > 0 THEN 1 ELSE 0 END
+       |    AS INT) AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % $EvalModulus != 0) d
+       |LEFT JOIN hits ON hits.doc_id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     // Stratified downsampling: deterministic per-language quota via a
     // salted md5 of the stable doc id. The hash is uniform and
@@ -121,39 +178,8 @@ object PipelineOps {
     // rows against the corpus's trillions, so the join is left
     // un-hinted for AQE to broadcast when it fits — and the overlap
     // count is a hash-agg per doc. No windows, no driver loops.
-    QuerySpec.sql(
-      "decontaminate", {
-        val g = (0 until ContamNgram)
-          .map(k => s"ts[i+$k]").mkString(" || ' ' || ")
-        s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts
-           |  FROM documents),
-           |grams AS (
-           |  SELECT DISTINCT doc_id, $g AS ng
-           |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
-           |    len(ts)-${ContamNgram - 1})) AS i) gi
-           |  WHERE len(ts) >= $ContamNgram),
-           |eval_grams AS (
-           |  SELECT DISTINCT ng FROM grams WHERE doc_id % $EvalModulus = 0),
-           |hits AS (
-           |  SELECT g.doc_id AS doc_id, COUNT(*) AS n_shared
-           |  FROM grams g JOIN eval_grams e ON g.ng = e.ng
-           |  WHERE g.doc_id % $EvalModulus != 0
-           |  GROUP BY 1)
-           |SELECT d.doc_id AS doc_id,
-           |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
-           |  CAST(CASE WHEN COALESCE(n_shared, 0) > 0 THEN 1 ELSE 0 END
-           |    AS INT) AS contaminated
-           |FROM (SELECT doc_id FROM documents WHERE doc_id % $EvalModulus != 0) d
-           |LEFT JOIN hits ON hits.doc_id = d.doc_id
-           |ORDER BY doc_id""".stripMargin
-      }) { (s, dir) =>
-      val grams = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("ts"))
-        .filter(size(col("ts")) >= ContamNgram)
-        .select(col("doc_id"), explode(expr(
-          s"""array_distinct(transform(sequence(1, size(ts)-${ContamNgram - 1}),
-             |  i -> concat_ws(' ', slice(ts, i, $ContamNgram))))""".stripMargin))
-          .as("ng"))
+    QuerySpec.sql("decontaminate", decontaminateOracle) { (s, dir) =>
+      val grams = contamGrams(s, dir)
       val evalGrams = grams
         .filter(col("doc_id") % EvalModulus === 0)
         .select(col("ng")).distinct()
@@ -162,15 +188,7 @@ object PipelineOps {
         .join(evalGrams, Seq("ng"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared"))
-      docs(s, dir)
-        .filter(col("doc_id") % EvalModulus =!= 0)
-        .select(col("doc_id"))
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-          when(coalesce(col("n_shared"), lit(0L)) > 0, 1).otherwise(0)
-            .as("contaminated"))
-        .orderBy(col("doc_id"))
+      contamVerdicts(s, dir, hits)
     },
 
     // Bloom-accelerated decontamination: the SAME answer as
@@ -189,42 +207,11 @@ object PipelineOps {
     // semi-join pushdown a decontamination pass needs when the eval
     // set is small and the corpus is not. No UDF: both sides stay
     // whole-stage-codegen'd Catalyst expressions over xxhash64 keys.
-    QuerySpec.sql(
-      "decontaminate_bloom", {
-        val g = (0 until ContamNgram)
-          .map(k => s"ts[i+$k]").mkString(" || ' ' || ")
-        s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts
-           |  FROM documents),
-           |grams AS (
-           |  SELECT DISTINCT doc_id, $g AS ng
-           |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
-           |    len(ts)-${ContamNgram - 1})) AS i) gi
-           |  WHERE len(ts) >= $ContamNgram),
-           |eval_grams AS (
-           |  SELECT DISTINCT ng FROM grams WHERE doc_id % $EvalModulus = 0),
-           |hits AS (
-           |  SELECT g.doc_id AS doc_id, COUNT(*) AS n_shared
-           |  FROM grams g JOIN eval_grams e ON g.ng = e.ng
-           |  WHERE g.doc_id % $EvalModulus != 0
-           |  GROUP BY 1)
-           |SELECT d.doc_id AS doc_id,
-           |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
-           |  CAST(CASE WHEN COALESCE(n_shared, 0) > 0 THEN 1 ELSE 0 END
-           |    AS INT) AS contaminated
-           |FROM (SELECT doc_id FROM documents WHERE doc_id % $EvalModulus != 0) d
-           |LEFT JOIN hits ON hits.doc_id = d.doc_id
-           |ORDER BY doc_id""".stripMargin
-      }) { (s, dir) =>
+    QuerySpec.sql("decontaminate_bloom", decontaminateOracle) { (s, dir) =>
       import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
       import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
       import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
-      val grams = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("ts"))
-        .filter(size(col("ts")) >= ContamNgram)
-        .select(col("doc_id"), explode(expr(
-          s"""array_distinct(transform(sequence(1, size(ts)-${ContamNgram - 1}),
-             |  i -> concat_ws(' ', slice(ts, i, $ContamNgram))))""".stripMargin))
-          .as("ng"))
+      val grams = contamGrams(s, dir)
       // cached: the distinct eval-gram set is read three times (count,
       // filter build, exact join) — locally a Spark cache, at warehouse
       // scale the write-once eval-ngrams table all three steps scan
@@ -232,34 +219,32 @@ object PipelineOps {
         .filter(col("doc_id") % EvalModulus === 0)
         .select(col("ng")).distinct().cache()
       // the filter itself: distributed partial filters OR-merged by the
-      // TypedImperativeAggregate; ONE bounded row reaches the driver
+      // TypedImperativeAggregate; ONE bounded row reaches the driver.
+      // Over ZERO rows the aggregate evaluates to null — an empty eval
+      // set flags nothing, so skip the probe instead of NPE-ing on it
       val nEval = math.max(evalGrams.count(), 1L)
       val bf = evalGrams
         .select(column(new BloomFilterAggregate(
           expression(xxhash64(col("ng"))), nEval).toAggregateExpression)
           .as("bf"))
         .head.getAs[Array[Byte]](0)
-      require(bf.length < (64 << 20),
-        s"decontaminate_bloom: serialized filter ${bf.length}B exceeds the " +
-          "broadcast budget - eval set too large for the Bloom path, use " +
-          "the plain decontaminate join")
-      val candidates = grams
-        .filter(col("doc_id") % EvalModulus =!= 0)
-        .filter(column(BloomFilterMightContain(
-          expression(lit(bf)), expression(xxhash64(col("ng"))))))
+      val candidates =
+        if (bf == null) grams.filter(lit(false))
+        else {
+          require(bf.length < (64 << 20),
+            s"decontaminate_bloom: serialized filter ${bf.length}B exceeds " +
+              "the broadcast budget - eval set too large for the Bloom " +
+              "path, use the plain decontaminate join")
+          grams
+            .filter(col("doc_id") % EvalModulus =!= 0)
+            .filter(column(BloomFilterMightContain(
+              expression(lit(bf)), expression(xxhash64(col("ng"))))))
+        }
       val hits = candidates
         .join(evalGrams, Seq("ng")) // exact: false positives die here
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared"))
-      docs(s, dir)
-        .filter(col("doc_id") % EvalModulus =!= 0)
-        .select(col("doc_id"))
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-          when(coalesce(col("n_shared"), lit(0L)) > 0, 1).otherwise(0)
-            .as("contaminated"))
-        .orderBy(col("doc_id"))
+      contamVerdicts(s, dir, hits)
     },
 
     // Weighted sampling by PRIORITY SAMPLING (Duffield-Lund-Thorup):

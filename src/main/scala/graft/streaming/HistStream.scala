@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming log-histogram quantile sketch: the mergeable fixed-bucket
   * histogram behind the batch `ts_quantile_sketch` gate, maintained
@@ -29,12 +29,20 @@ object HistStream {
   /** The batch gate's integer domain: the 6-decimal rounding of the
     * double, ×10^6 — replicated exactly ([[graft.functions.Cols]]
     * micros6 goes through the same shortest-representation BigDecimal
-    * rounding Spark's double→DECIMAL(18,6) cast applies).
+    * rounding Spark's double→DECIMAL(18,6) cast applies), INCLUDING
+    * the domain bound: |value| ≥ 10^12 overflows DECIMAL(18,6) and
+    * errors loudly under ANSI in the batch path, so the stream rejects
+    * it identically rather than silently widening the contract.
     */
-  def micros6(v: Double): Long =
-    new java.math.BigDecimal(java.lang.Double.toString(v))
+  def micros6(v: Double): Long = {
+    val m = new java.math.BigDecimal(java.lang.Double.toString(v))
       .setScale(6, java.math.RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()
+    if (math.abs(m) > 999999999999999999L)
+      throw new ArithmeticException(
+        s"value $v overflows DECIMAL(18,6) - outside the batch gate's domain")
+    m
+  }
 
   /** Bucket id: 16 sub-buckets per power of two (top 4 mantissa bits),
     * exact for m < 16 — including m = 0 (a value > 0 that rounds to
@@ -72,7 +80,7 @@ object HistStream {
   }
 
   private def update(key: String, events: Iterator[HistEvent],
-      state: GroupState[HistState]): HistQuantiles = {
+      state: GroupState[HistState]): Iterator[HistQuantiles] = {
     val prev = state.getOption.getOrElse(HistState(0L, Map.empty))
     var counts = prev.counts
     // the batch gate's predicate exactly: filter on the RAW value
@@ -84,20 +92,25 @@ object HistStream {
     }
     state.update(HistState(prev.seq + 1, counts))
     val n = counts.valuesIterator.sum
-    HistQuantiles(key, prev.seq + 1, n,
+    // a key whose events were ALL filtered out has no batch row
+    // (`WHERE value > 0` drops the group) — emit none, not NaNs
+    if (n == 0) Iterator.empty
+    else Iterator(HistQuantiles(key, prev.seq + 1, n,
       quantile(counts, n, 50), quantile(counts, n, 90),
-      quantile(counts, n, 99))
+      quantile(counts, n, 99)))
   }
 
   /** Incrementally-maintained per-key quantile estimates over a
     * (possibly streaming) frame of (event_type, value). Update mode:
-    * the row with the greatest `seq` per key is current.
+    * the row with the greatest `seq` per key is current; a key with no
+    * in-domain values yet emits nothing (exactly the batch relation).
     */
   def estimates(spark: SparkSession, events: Dataset[HistEvent])
       : Dataset[HistQuantiles] = {
     import spark.implicits._
     events
       .groupByKey(_.event_type)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
   }
 }

@@ -70,14 +70,18 @@ class HistStreamSpec extends AnyFunSuite {
       .outputMode("update").start()
     try {
       // value in (0, 5e-7) rounds to 0 micros — the batch gate's
-      // `WHERE value > 0` keeps it (bucket 0, lb 0); so must the state
+      // `WHERE value > 0` keeps it (bucket 0, lb 0); so must the state.
+      // A key with ONLY out-of-domain values ("y") has no batch row —
+      // the stream must emit nothing for it, not NaNs.
       stream.addData(Seq(HistEvent("z", 4e-7), HistEvent("z", 4e-7),
-        HistEvent("z", 0.0), HistEvent("z", -1.0)))
+        HistEvent("z", 0.0), HistEvent("z", -1.0),
+        HistEvent("y", 0.0), HistEvent("y", -2.5)))
       q.processAllAvailable()
       val r = spark.table("hist_zero").filter($"event_type" === "z")
         .orderBy($"seq".desc).head
       assert(r.getAs[Long]("n") === 2L)
       assert(r.getAs[Double]("est50") === 0.0)
+      assert(spark.table("hist_zero").filter($"event_type" === "y").isEmpty)
     } finally q.stop()
   }
 
