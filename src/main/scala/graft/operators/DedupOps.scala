@@ -138,6 +138,107 @@ object DedupOps {
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** Full word-3-gram Jaccard oracle (pairs ≥ 0.02 within blocks,
+    * df-ceiling-consistent) — shared by the jaccard gate and the
+    * banded-recall gate, which embeds it as the truth set.
+    */
+  private[operators] val ngramJaccardSql: String =
+    s"""WITH toks AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |ngrams0 AS (
+        |  SELECT DISTINCT doc_id, lang, source,
+        |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS ng
+        |  FROM toks,
+        |    LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g
+        |  WHERE len(ts) >= 3),
+        |ngrams AS (
+        |  SELECT * FROM ngrams0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY lang, source, ng)
+        |    <= $MaxNgramDf),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ngrams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+        |  FROM ngrams a JOIN ngrams b
+        |    ON a.ng = b.ng AND a.lang = b.lang AND a.source = b.source
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, n_inter,
+        |  CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = a_id
+        |JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.02
+        |ORDER BY a_id, b_id""".stripMargin
+
+  /** (a_id, b_id, n_inter, jaccard) pairs — the Spark mirror of
+    * [[ngramJaccardSql]], unordered. Cached: consumed by the jaccard
+    * gate and the banded-recall gate.
+    */
+  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+
+      // distinct n-grams per doc via array_distinct BEFORE the explode:
+      // map-side, no dropDuplicates shuffle of the exploded table
+      val exploded = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(expr(
+            """array_distinct(transform(sequence(1, size(ts)-2),
+              |  i -> concat(element_at(ts, i), ' ', element_at(ts, i+1),
+              |              ' ', element_at(ts, i+2))))""".stripMargin)).as("ng"))
+      // Two-pass posting-list construction so the stop-phrase ceiling
+      // bounds every list BY CONSTRUCTION, not after the fact: pass 1
+      // is a pure hash-agg count per (block, n-gram) — constant-size
+      // aggregation buffers however hot the n-gram — whose over-ceiling
+      // survivors (the stop phrases, a tiny set: at most
+      // total-occurrences / MaxNgramDf entries) anti-join the exploded
+      // table; only then does pass 2 collect_list, every buffer now
+      // ≤ MaxNgramDf ids. A single-pass collect-then-filter would
+      // materialize a hot stop-phrase's ENTIRE doc list in one
+      // aggregation buffer first — the exact unbounded state this
+      // ceiling exists to prevent. The anti-join is left un-hinted so
+      // AQE broadcasts the stop-phrase set when it is small (the
+      // common case) without betting correctness on it.
+      val hot = exploded
+        .groupBy(col("lang"), col("source"), col("ng"))
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > MaxNgramDf)
+        .select(col("lang"), col("source"), col("ng"))
+      // posting lists are the bounded intermediate both downstream
+      // consumers (sizes, intersections) read — materialize them once
+      // (Materialize.stable) instead of re-exploding the corpus per
+      // consumer; at warehouse scale this is the transient posting
+      // table a dedup job writes between its two phases
+      val posting = graft.functions.Materialize.stable(exploded
+        .join(hot, Seq("lang", "source", "ng"), "left_anti")
+        .groupBy(col("lang"), col("source"), col("ng"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds")))
+      val sizes = posting
+        .select(explode(col("ds")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // every same-list pair, ids ascending: ≤ C(MaxNgramDf, 2) per
+      // n-gram by construction
+      val inter = posting
+        .filter(size(col("ds")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+            |  transform(slice(ds, i + 2, size(ds)),
+            |    y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
+        .filter(col("jaccard") >= 0.02)
+        .select(col("a_id"), col("b_id"), col("n_inter"), col("jaccard"))
+        
+      .cache()
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     // Exact dedup: hash-groupBy on content digest; every doc mapped to
     // the canonical (minimum) doc_id of its content group.
@@ -241,95 +342,56 @@ object DedupOps {
     // intersections — consistent Jaccard over non-stop n-grams), so no
     // posting list can explode the pair join. The ceiling never
     // triggers at test scale (max df there is 5).
-    QuerySpec.sql(
-      "dedup_ngram_jaccard",
-      s"""WITH toks AS (
-        |  SELECT doc_id, lang, source, string_split(text, ' ') AS ts
-        |  FROM documents),
-        |ngrams0 AS (
-        |  SELECT DISTINCT doc_id, lang, source,
-        |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS ng
-        |  FROM toks,
-        |    LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g
-        |  WHERE len(ts) >= 3),
-        |ngrams AS (
-        |  SELECT * FROM ngrams0
-        |  QUALIFY COUNT(*) OVER (PARTITION BY lang, source, ng)
-        |    <= $MaxNgramDf),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ngrams GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
-        |  FROM ngrams a JOIN ngrams b
-        |    ON a.ng = b.ng AND a.lang = b.lang AND a.source = b.source
-        |    AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT a_id, b_id, n_inter,
-        |  CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = a_id
-        |JOIN sizes sb ON sb.doc_id = b_id
-        |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.02
-        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      // distinct n-grams per doc via array_distinct BEFORE the explode:
-      // map-side, no dropDuplicates shuffle of the exploded table
-      val exploded = docs(s, dir)
-        .select(col("doc_id"), col("lang"), col("source"),
-          split(col("text"), " ").as("ts"))
-        .filter(size(col("ts")) >= 3)
-        .select(col("doc_id"), col("lang"), col("source"),
-          explode(expr(
-            """array_distinct(transform(sequence(1, size(ts)-2),
-              |  i -> concat(element_at(ts, i), ' ', element_at(ts, i+1),
-              |              ' ', element_at(ts, i+2))))""".stripMargin)).as("ng"))
-      // Two-pass posting-list construction so the stop-phrase ceiling
-      // bounds every list BY CONSTRUCTION, not after the fact: pass 1
-      // is a pure hash-agg count per (block, n-gram) — constant-size
-      // aggregation buffers however hot the n-gram — whose over-ceiling
-      // survivors (the stop phrases, a tiny set: at most
-      // total-occurrences / MaxNgramDf entries) anti-join the exploded
-      // table; only then does pass 2 collect_list, every buffer now
-      // ≤ MaxNgramDf ids. A single-pass collect-then-filter would
-      // materialize a hot stop-phrase's ENTIRE doc list in one
-      // aggregation buffer first — the exact unbounded state this
-      // ceiling exists to prevent. The anti-join is left un-hinted so
-      // AQE broadcasts the stop-phrase set when it is small (the
-      // common case) without betting correctness on it.
-      val hot = exploded
-        .groupBy(col("lang"), col("source"), col("ng"))
-        .agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > MaxNgramDf)
-        .select(col("lang"), col("source"), col("ng"))
-      // posting lists are the bounded intermediate both downstream
-      // consumers (sizes, intersections) read — materialize them once
-      // (Materialize.stable) instead of re-exploding the corpus per
-      // consumer; at warehouse scale this is the transient posting
-      // table a dedup job writes between its two phases
-      val posting = graft.functions.Materialize.stable(exploded
-        .join(hot, Seq("lang", "source", "ng"), "left_anti")
-        .groupBy(col("lang"), col("source"), col("ng"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds")))
-      val sizes = posting
-        .select(explode(col("ds")).as("doc_id"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      // every same-list pair, ids ascending: ≤ C(MaxNgramDf, 2) per
-      // n-gram by construction
-      val inter = posting
-        .filter(size(col("ds")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(ds, (x, i) ->
-            |  transform(slice(ds, i + 2, size(ds)),
-            |    y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("p"))
-        .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
-        .agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
-        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
-        .withColumn("jaccard",
-          col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
-        .filter(col("jaccard") >= 0.02)
-        .select(col("a_id"), col("b_id"), col("n_inter"), col("jaccard"))
-        .orderBy(col("a_id"), col("b_id"))
+    QuerySpec.sql("dedup_ngram_jaccard", ngramJaccardSql) { (s, dir) =>
+      ngramJaccardPairs(s, dir).orderBy(col("a_id"), col("b_id"))
     },
+
+    // Self-measuring candidate-generation quality for the DEDUP
+    // pipeline — the ANN-recall-gate discipline applied to banded
+    // MinHash: of the true lexical near-dup pairs (word-3-gram Jaccard,
+    // df-ceiling-consistent — the same truth dedup_lsh_verified
+    // verifies against), what fraction did the banded candidate set
+    // catch, per similarity band? The knobs this oracle-checks are
+    // NumHashes/NumBands (the S-curve); a mis-banding that silently
+    // dropped high-similarity pairs would flip `recall` here, not just
+    // degrade a downstream eyeball metric. Counts are exact longs and
+    // the recall is one division of exact operands, so both engines
+    // agree bit-for-bit. Cost: the truth set is already df-bounded, the
+    // candidate set LSH-bounded; the probe is a left join of two small
+    // pair tables (both cached, shared with their own gates).
+    QuerySpec.sql(
+      "dedup_band_recall",
+      s"""WITH ${bandedCandCtes},
+         |truth AS (SELECT * FROM ($ngramJaccardSql) tt)
+         |SELECT
+         |  CASE WHEN t.jaccard >= 0.5 THEN 'high'
+         |       WHEN t.jaccard >= 0.2 THEN 'mid'
+         |       ELSE 'low' END AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_true,
+         |  CAST(SUM(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_caught,
+         |  CAST(SUM(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*) AS recall
+         |FROM truth t
+         |LEFT JOIN cand c ON c.a_id = t.a_id AND c.b_id = t.b_id
+         |GROUP BY 1
+         |ORDER BY bin""".stripMargin) { (s, dir) =>
+      val truth = ngramJaccardPairs(s, dir)
+        .withColumn("bin",
+          when(col("jaccard") >= 0.5, "high")
+            .when(col("jaccard") >= 0.2, "mid")
+            .otherwise("low"))
+      val cand = bandedCandidates(s, dir).withColumn("hit", lit(1))
+      truth.join(cand, Seq("a_id", "b_id"), "left")
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_caught"))
+        .withColumn("recall",
+          col("n_caught").cast("double") / col("n_true"))
+        .select(col("bin"), col("n_true"), col("n_caught"), col("recall"))
+        .orderBy(col("bin"))
+    },
+
 
     // Cluster resolution: near-dup PAIRS (the banded-LSH candidates)
     // → connected components → one canonical keeper (minimum doc_id)
