@@ -172,10 +172,29 @@ object DedupOps {
         |ORDER BY a_id, b_id""".stripMargin
 
   /** (a_id, b_id, n_inter, jaccard) pairs — the Spark mirror of
-    * [[ngramJaccardSql]], unordered. Cached: consumed by the jaccard
-    * gate and the banded-recall gate.
+    * [[ngramJaccardSql]], unordered. Memoized per (session, dir), NOT
+    * just `.cache()`d: the posting-list stage checkpoints through
+    * `Materialize.stable`, so each invocation would build a fresh
+    * lineage the plan-equality cache cannot dedupe (the same reason
+    * the connected-components labels are memoized). Consumed by the
+    * jaccard gate and the banded-recall gate.
     */
-  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private val njMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    njMemo.getOrElseUpdate((s, dir), buildNgramJaccardPairs(s, dir))
+
+  /** Release memoized pairs — all entries of `session`, or every entry
+    * when called with None (same lifecycle hook as
+    * [[clearClusterLabels]]).
+    */
+  def clearNgramJaccardPairs(session: Option[SparkSession] = None): Unit =
+    njMemo.keys
+      .filter(k => session.forall(_ eq k._1))
+      .foreach(njMemo.remove)
+
+  private def buildNgramJaccardPairs(s: SparkSession, dir: String)
+      : DataFrame = {
 
       // distinct n-grams per doc via array_distinct BEFORE the explode:
       // map-side, no dropDuplicates shuffle of the exploded table
