@@ -279,13 +279,30 @@ object ClusterOps {
     */
   def triangleCounts(s: SparkSession, dir: String): DataFrame = {
     val nodes = SimilarityOps.signatures(s, dir).select(col("vec_id"))
-    val und = Materialize.stable(
+    triangleCountsOf(nodes, undirectedEdges(s, dir))
+  }
+
+  /** Deduplicated undirected k-NN edge list (u < v), memoized per
+    * (session, dir): triangle counting and link prediction both read
+    * it, and the Materialize.stable truncation defeats the
+    * plan-equality cache — at warehouse scale this is the write-once
+    * `und_edges` table beside the directed `knn_edges`.
+    */
+  private val undMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private def undirectedEdges(s: SparkSession, dir: String): DataFrame =
+    undMemo.getOrElseUpdate((s, dir), Materialize.stable(
       SimilarityOps.knnEdges(s, dir, 3)
         .select(least(col("vec_id"), col("nbr_id")).as("u"),
           greatest(col("vec_id"), col("nbr_id")).as("v"))
-        .distinct())
-    triangleCountsOf(nodes, und)
-  }
+        .distinct()))
+
+  /** Release memoized undirected edges (lifecycle hook, see
+    * [[clearKmeansCentroids]]). */
+  def clearUndirectedEdges(session: Option[SparkSession] = None): Unit =
+    undMemo.keys
+      .filter(k => session.forall(_ eq k._1))
+      .foreach(undMemo.remove)
 
   /** Core of [[triangleCounts]] over an explicit node set and a
     * deduplicated undirected edge list (u < v, u and v ∈ nodes).
@@ -438,10 +455,7 @@ object ClusterOps {
          |JOIN deg d ON d.z = a.u
          |GROUP BY 1, 2
          |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val und = SimilarityOps.knnEdges(s, dir, 3)
-        .select(least(col("vec_id"), col("nbr_id")).as("u"),
-          greatest(col("vec_id"), col("nbr_id")).as("v"))
-        .distinct()
+      val und = undirectedEdges(s, dir)
       val sym = und.unionByName(
         und.select(col("v").as("u"), col("u").as("v")))
       val deg = sym.groupBy(col("u").as("z")).agg(count(lit(1)).as("d"))
