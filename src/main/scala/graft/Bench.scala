@@ -51,6 +51,9 @@ object Bench {
         "sim_ivf_topk",          // quantized-embedding signature cache
         "text_winnow",           // winnow fingerprint cache
         "sim_knn_graph",         // k-NN edge-list cache
+        "cluster_kmeans",        // kmeans centroid memo
+        "dedup_ngram_jaccard",   // n-gram Jaccard pair memo
+        "graph_triangles",       // undirected-edge memo
         "q6_filtered_revenue",   // lineitem
         "s_topk_orders",         // orders
         "w4_avg_event_gap",      // events
