@@ -67,10 +67,10 @@ object Cols {
     *
     * Bounds, both ANSI-loud (error, never silent wrap): |value| < 10^12
     * (the DECIMAL(18,6) cast overflows otherwise — holds for every
-    * price/quantity/volume column this is applied to; XRPL amount
-    * columns with unbounded IOU magnitudes use the wide decimal sum in
-    * XrplOps instead), and < ~9.2e12 rows per group (limb SUM(long)
-    * overflow).
+    * price/quantity/volume column this is applied to; larger-magnitude
+    * columns use [[widedsum]], and XRPL amount columns with unbounded
+    * IOU magnitudes use the wide decimal sum in XrplOps), and
+    * < ~9.2e12 rows per group (limb SUM(long) overflow).
     */
   def dsum(c: Column): Column = {
     val m  = micros6(c)
@@ -80,6 +80,18 @@ object Cols {
     ((hi.cast(Dec) * lit(PartB) + mid.cast(Dec) * lit(PartM) + lo.cast(Dec)) / lit(PartM))
       .cast(Dec).cast("double")
   }
+  /** Exact decimal sum over the FULL DECIMAL(38,6) domain
+    * (|value| < ~1e32): the decimal-buffer aggregation [[dsum]]'s
+    * long-limb rewrite replaced for speed. Same semantics and the same
+    * DuckDB mirror ([[dsumSql]]), ~2.3× slower per q1-style profile —
+    * use this for columns whose magnitude can exceed [[dsum]]'s 1e12
+    * domain bound (XRPL IOU amounts already go through the dedicated
+    * decimal path in XrplOps). [[dsum]] stays ANSI-loud past its
+    * bound: the DECIMAL(18,6) cast errors rather than wrapping, and
+    * names this alias as the escape hatch.
+    */
+  def widedsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
   def davg(c: Column): Column = dsum(c) / count(c)
   def dsumOver(c: Column, w: WindowSpec): Column =
     sum(c.cast(Dec)).over(w).cast("double")

@@ -133,29 +133,28 @@ object ClusterOps {
     * a lazy broadcast-join plan (K-row build side) each consumer
     * composes into its own tree.
     */
-  private val kmMemo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private val kmMemo = new graft.functions.DataFrameMemo
 
   /** Release memoized centroids — all entries of `session`, or every
     * entry when called with None (the [[DedupOps.clearClusterLabels]]
     * lifecycle hook, for services recycling sessions over many dirs;
-    * the gate harness runs one session and never needs it).
+    * the gate harness runs one session and never needs it). Cached
+    * blocks are unpersisted; checkpoint files follow the
+    * [[graft.functions.Materialize]] retention contract.
     */
   def clearKmeansCentroids(session: Option[SparkSession] = None): Unit =
-    kmMemo.keys
-      .filter(k => session.forall(_ eq k._1))
-      .foreach(kmMemo.remove)
+    kmMemo.clear(session)
 
   def kmeansAssignments(s: SparkSession, dir: String): DataFrame = {
     val sig = SimilarityOps.signatures(s, dir)
-    val cent = kmMemo.getOrElseUpdate((s, dir), {
+    val cent = kmMemo.getOrBuild(s, dir) {
       var c = Materialize.stable(initCentroids(sig))
       for (_ <- 1 until KmeansIters) {
         val a = assignStep(sig, c)
         c = Materialize.stable(updateStep(sig, a))
       }
       c
-    })
+    }
     assignStep(sig, cent).orderBy(col("vec_id"))
   }
 
@@ -288,10 +287,9 @@ object ClusterOps {
     * plan-equality cache — at warehouse scale this is the write-once
     * `und_edges` table beside the directed `knn_edges`.
     */
-  private val undMemo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private val undMemo = new graft.functions.DataFrameMemo
   private def undirectedEdges(s: SparkSession, dir: String): DataFrame =
-    undMemo.getOrElseUpdate((s, dir), Materialize.stable(
+    undMemo.getOrBuild(s, dir)(Materialize.stable(
       SimilarityOps.knnEdges(s, dir, 3)
         .select(least(col("vec_id"), col("nbr_id")).as("u"),
           greatest(col("vec_id"), col("nbr_id")).as("v"))
@@ -300,9 +298,7 @@ object ClusterOps {
   /** Release memoized undirected edges (lifecycle hook, see
     * [[clearKmeansCentroids]]). */
   def clearUndirectedEdges(session: Option[SparkSession] = None): Unit =
-    undMemo.keys
-      .filter(k => session.forall(_ eq k._1))
-      .foreach(undMemo.remove)
+    undMemo.clear(session)
 
   /** Core of [[triangleCounts]] over an explicit node set and a
     * deduplicated undirected edge list (u < v, u and v ∈ nodes).

@@ -179,19 +179,18 @@ object DedupOps {
     * the connected-components labels are memoized). Consumed by the
     * jaccard gate and the banded-recall gate.
     */
-  private val njMemo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private val njMemo = new graft.functions.DataFrameMemo
   private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    njMemo.getOrElseUpdate((s, dir), buildNgramJaccardPairs(s, dir))
+    njMemo.getOrBuild(s, dir)(buildNgramJaccardPairs(s, dir))
 
   /** Release memoized pairs — all entries of `session`, or every entry
     * when called with None (same lifecycle hook as
-    * [[clearClusterLabels]]).
+    * [[clearClusterLabels]]); cached blocks are unpersisted, checkpoint
+    * files follow the [[graft.functions.Materialize]] retention
+    * contract.
     */
   def clearNgramJaccardPairs(session: Option[SparkSession] = None): Unit =
-    njMemo.keys
-      .filter(k => session.forall(_ eq k._1))
-      .foreach(njMemo.remove)
+    njMemo.clear(session)
 
   private def buildNgramJaccardPairs(s: SparkSession, dir: String)
       : DataFrame = {
@@ -629,10 +628,9 @@ object DedupOps {
     * sessions over many dirs should call [[clearClusterLabels]] when a
     * dir's labels are no longer needed.
     */
-  private val ccMemo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private val ccMemo = new graft.functions.DataFrameMemo
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    ccMemo.getOrElseUpdate((s, dir),
+    ccMemo.getOrBuild(s, dir)(
       graft.functions.ConnectedComponents.minLabels(
         docs(s, dir).select(col("doc_id")), "doc_id",
         bandedCandidates(s, dir), "a_id", "b_id"))
@@ -660,12 +658,10 @@ object DedupOps {
         count(lit(1)).as("sz"))
 
   /** Release memoized cluster labels — all entries of `session`, or
-    * every entry when called with None. Checkpoint/cache data backing
-    * the dropped DataFrames becomes collectable once callers release
-    * their references.
+    * every entry when called with None. Cached blocks are unpersisted
+    * on removal; checkpoint files follow the
+    * [[graft.functions.Materialize]] retention contract.
     */
   def clearClusterLabels(session: Option[SparkSession] = None): Unit =
-    ccMemo.keys
-      .filter(k => session.forall(_ eq k._1))
-      .foreach(ccMemo.remove)
+    ccMemo.clear(session)
 }

@@ -111,6 +111,14 @@ object TopKPerKey {
     import org.apache.spark.sql.functions.{col, expr, posexplode}
     val payload = df.columns.filterNot(keys.contains)
     require(payload.nonEmpty, "need at least one non-key column")
+    // An order column that is also a key would be excluded from the
+    // collected struct, and the comparator's reference to it would die
+    // at analysis as an opaque unresolved-field error — fail with the
+    // contract instead. (Ranking by a key is meaningless anyway: it is
+    // constant within the group.)
+    require(order.forall { case (c, _) => payload.contains(c) },
+      s"order columns must be non-key payload columns; offending: " +
+        order.collect { case (c, _) if !payload.contains(c) => c }.mkString(", "))
     require(!df.columns.contains(rankCol),
       s"rank column $rankCol collides with an input column")
     val cases = order.map { case (c, desc) =>

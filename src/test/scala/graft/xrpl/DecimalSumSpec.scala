@@ -57,6 +57,31 @@ class DecimalSumSpec extends AnyFunSuite {
     check(vals, groups = 7)
   }
 
+  test("dsum past its 1e12 domain bound fails loudly; widedsum covers it") {
+    // 2e12 overflows the DECIMAL(18,6) cast inside micros6 — the
+    // contract is an ANSI error naming the cast, never a silent wrap
+    val big = Seq((1, 2.0e12), (1, 1.0)).toDF("g", "v")
+    val err = intercept[Exception] {
+      big.groupBy($"g").agg(Cols.dsum($"v").as("s")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("cast") ||
+      err.getMessage.toLowerCase.contains("overflow"))
+    // widedsum is the documented escape hatch: exact over the full
+    // DECIMAL(38,6) domain
+    val got = big.groupBy($"g").agg(Cols.widedsum($"v").as("s"))
+      .collect().map(_.getDouble(1)).toSeq
+    assert(got == Seq(2.0e12 + 1.0))
+  }
+
+  test("widedsum equals wide decimal sum within dsum's domain too") {
+    val df = Seq((1, 1.0000005), (1, -2.675), (2, 1e11)).toDF("g", "v")
+    val got = df.groupBy($"g").agg(Cols.widedsum($"v").as("s"))
+      .orderBy($"g").collect().map(_.get(1)).toSeq
+    val want = df.groupBy($"g").agg(wide($"v").as("s"))
+      .orderBy($"g").collect().map(_.get(1)).toSeq
+    assert(got == want)
+  }
+
   test("davg equals wide-decimal average") {
     val df = Seq((1, 1.25), (1, 2.5), (1, 0.125), (2, -3.75)).toDF("g", "v")
     val got = df.groupBy($"g").agg(Cols.davg($"v").as("a"))

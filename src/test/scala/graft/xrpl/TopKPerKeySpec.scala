@@ -169,6 +169,18 @@ class TopKPerKeySpec extends AnyFunSuite {
     }
   }
 
+  test("topKRanked rejects an order column that is also a key") {
+    // Before the guard this died at analysis time as an opaque
+    // unresolved-struct-field error from the array_sort comparator.
+    import spark.implicits._
+    val df = Seq((1L, "a", 5L)).toDF("id", "k", "v")
+    val err = intercept[IllegalArgumentException] {
+      graft.plans.TopKPerKey.topKRanked(df, Seq("k"),
+        Seq("k" -> false, "v" -> true), 3, "rn")
+    }
+    assert(err.getMessage.contains("non-key payload"))
+  }
+
   test("keys with fewer than k rows keep all their rows") {
     import spark.implicits._
     val df = Seq((1L, "a", 5L), (2L, "a", 7L), (3L, "b", 1L))
