@@ -387,6 +387,133 @@ object SimilarityOps {
         "CAST(dot AS DOUBLE) / (sqrt(CAST(q_norm2 AS DOUBLE)) * sqrt(CAST(c_norm2 AS DOUBLE)))")))
   }
 
+  /** Output dimensionality of the JL random projection (64 → 16). */
+  val RpDims = 16
+
+  /** Coarse candidates kept per query by the projected scan. */
+  val RpCand = 40
+
+  /** ±1 JL-projection plane per output dim from md5("rp:k:d") parity —
+    * the same hash derivation as [[lshPlanes]] (no RNG state), so both
+    * engines hold the identical dense projection matrix. Achlioptas-
+    * style ±1 entries: the JL distance-preservation bound holds for
+    * sign matrices, and the projection stays exact integer arithmetic.
+    */
+  private def rpPlanes(dims: Int = 64): Array[Array[Long]] =
+    Array.tabulate(RpDims, dims) { (k, d) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$k:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if ("0123456789abcdef".indexOf(hex.charAt(0)) % 2 == 0) 1L else -1L
+    }
+
+  /** (vec_id, rv: array<long>, rnorm2): the RpDims-dim projection of
+    * each quantized vector plus its exact squared norm — a pure
+    * per-row map over the cached signatures (RpDims integer dots per
+    * vector, no shuffle). Component magnitudes stay ≤ 64·10^6, so
+    * every projected dot (≤ RpDims·(64·10^6)² < 2^63) is exact in
+    * long arithmetic in both engines.
+    */
+  private def rpVectors(sig: DataFrame): DataFrame = {
+    val comps = rpPlanes().map(pl => dot_long(col("qv"), typedLit(pl.toSeq)))
+    sig.select(col("vec_id"), array(comps.toIndexedSeq: _*).as("rv"))
+      .withColumn("rnorm2", dot_long(col("rv"), col("rv")))
+  }
+
+  /** DuckDB CTE fragments for the JL projection: `rp` = (vec_id, k,
+    * pv) long-format projected components, exact integers. Expects a
+    * `sig` CTE bound to [[quantizedSql]].
+    */
+  private val rpSqlCtes: String =
+    s"""rpplanes AS (
+       |  SELECT k, d,
+       |    CASE WHEN (strpos('0123456789abcdef',
+       |        substr(md5('rp:' || k || ':' || d), 1, 1)) - 1) % 2 = 0
+       |      THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT unnest(range(0, $RpDims)) AS k) kk,
+       |    (SELECT unnest(range(0, 64)) AS d) dd),
+       |rp AS (
+       |  SELECT sg.vec_id, pl.k,
+       |    CAST(SUM(pl.s * sg.qv[pl.d + 1]) AS BIGINT) AS pv
+       |  FROM sig sg JOIN rpplanes pl ON TRUE
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Full retrieve→rerank SQL over the projected store (see the
+    * sim_rp_rerank spec). The coarse dot is summed from the
+    * long-format `rp` table — exact BIGINT in both engines (DuckDB's
+    * `list_dot_product` computes in doubles, which could round
+    * differently from Spark's long dot above 2^53).
+    */
+  private def rpRerankSql: String =
+    s"""WITH sig AS ($quantizedSql),
+       |$rpSqlCtes,
+       |rnorm AS (
+       |  SELECT vec_id, CAST(SUM(pv * pv) AS BIGINT) AS rnorm2
+       |  FROM rp GROUP BY 1),
+       |cdot AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS vid,
+       |    CAST(SUM(a.pv * b.pv) AS BIGINT) AS rdot
+       |  FROM rp a JOIN rp b ON a.k = b.k
+       |    AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |coarse AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT d.qid, d.vid,
+       |      ROW_NUMBER() OVER (PARTITION BY d.qid ORDER BY
+       |        CASE WHEN n.rnorm2 = 0 THEN CAST(0 AS DOUBLE)
+       |          ELSE CAST(d.rdot AS DOUBLE) / sqrt(CAST(n.rnorm2 AS DOUBLE))
+       |        END DESC, d.vid) AS rnkc
+       |    FROM cdot d JOIN rnorm n ON n.vec_id = d.vid) t
+       |  WHERE rnkc <= $RpCand)
+       |SELECT qid, vid, cos, rnk FROM (
+       |  SELECT c.qid, c.vid,
+       |    list_dot_product(sa.qv, sb.qv)
+       |      / (sqrt(CAST(sa.norm2 AS DOUBLE))
+       |        * sqrt(CAST(sb.norm2 AS DOUBLE))) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY
+       |      list_dot_product(sa.qv, sb.qv)
+       |        / (sqrt(CAST(sa.norm2 AS DOUBLE))
+       |          * sqrt(CAST(sb.norm2 AS DOUBLE))) DESC, c.vid) AS rnk
+       |  FROM coarse c
+       |  JOIN sig sa ON sa.vec_id = c.qid
+       |  JOIN sig sb ON sb.vec_id = c.vid) r
+       |WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+
+  /** Retrieve→rerank over the JL projection: coarse scan on the
+    * 16-dim integer projections (4× less dot-product work and memory
+    * traffic than the 64-dim scan), top [[RpCand]] per query via the
+    * custom top-k operator, exact full-precision rerank of only those.
+    */
+  private def rpRerank(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir)
+    val rp = rpVectors(sig)
+    val q = rp.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("rv").as("qrv"))
+    val cand = rp.select(col("vec_id").as("vid"), col("rv").as("crv"),
+      col("rnorm2").as("c_rn"))
+    // query-side norm is constant per qid, so candidate-norm division
+    // alone preserves the per-query ranking; zero-norm projections
+    // score 0 (ANSI guard, both engines)
+    val coarse = TopKPerKey.topK(
+        broadcast(q).join(cand, col("qid") =!= col("vid"))
+          .withColumn("rdot", dot_long(col("qrv"), col("crv")))
+          .withColumn("score",
+            when(col("c_rn") === 0, lit(0.0))
+              .otherwise(col("rdot").cast("double") /
+                sqrt(col("c_rn").cast("double"))))
+          .select(col("qid"), col("vid"), col("score")),
+        Seq("qid"), Seq("score" -> true, "vid" -> false), RpCand)
+      .select(col("qid"), col("vid"))
+    rankTop5(coarse
+      .join(sig.select(col("vec_id").as("qid"), col("qv").as("qa"),
+        col("norm2").as("q_norm2")), Seq("qid"))
+      .join(sig.select(col("vec_id").as("vid"), col("qv").as("qb"),
+        col("norm2").as("c_norm2")), Seq("vid"))
+      .withColumn("dot", dot_long(col("qa"), col("qb")))
+      .withColumn("cos", expr(
+        "CAST(dot AS DOUBLE) / (sqrt(CAST(q_norm2 AS DOUBLE)) * sqrt(CAST(c_norm2 AS DOUBLE)))")))
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     // Brute-force exact top-k cosine — the ANN correctness baseline.
     QuerySpec.sql("sim_brute_topk", topkSql("")) { (s, dir) =>
@@ -644,5 +771,66 @@ object SimilarityOps {
         .filter(col("cos") >= 0.3)
         .select(col("a_id"), col("b_id"), col("cos"))
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Johnson–Lindenstrauss random projection: 64-dim quantized
+    // embeddings → 16-dim integer sketches via a hash-derived ±1 sign
+    // matrix (md5("rp:k:d") parity — both engines hold the identical
+    // matrix, no RNG state). The dimensionality-reduction primitive
+    // for cheaper coarse scans and storage; a pure per-row map (no
+    // shuffle), emitted long-format (vec_id, k, pv) so the whole
+    // payload is exact integers.
+    QuerySpec.sql(
+      "emb_rand_proj",
+      s"""WITH sig AS ($quantizedSql),
+         |$rpSqlCtes
+         |SELECT vec_id, k, pv FROM rp
+         |ORDER BY vec_id, k""".stripMargin) { (s, dir) =>
+      val planes = rpPlanes()
+      val comps = (0 until RpDims).map { k =>
+        struct(lit(k).cast("long").as("k"),
+          dot_long(col("qv"), typedLit(planes(k).toSeq)).as("pv"))
+      }
+      signatures(s, dir)
+        .select(col("vec_id"), explode(array(comps: _*)).as("c"))
+        .select(col("vec_id"), col("c.k").as("k"), col("c.pv").as("pv"))
+        .orderBy(col("vec_id"), col("k"))
+    },
+
+    // Retrieve→rerank over the JL projection (the FOURTH index family
+    // beside brute force, IVF, and LSH): the coarse pass scans 16-dim
+    // integer projections — 4× less dot-product work and memory
+    // traffic than the full 64-dim scan — keeps RpCand candidates per
+    // query through the custom top-k operator, and only those are
+    // re-ranked by exact full-precision cosine. All-integer coarse
+    // scores; candidate-norm-only division preserves per-query order.
+    QuerySpec.sql("sim_rp_rerank", rpRerankSql) { (s, dir) =>
+      rpRerank(s, dir)
+    },
+
+    // Self-measuring ANN quality for the projection family: recall@5
+    // of the JL retrieve→rerank against the exact brute-force
+    // baseline, per query, in one plan — the dimension/candidate knobs
+    // (RpDims, RpCand) are themselves oracle-checked, same discipline
+    // as sim_ivf_recall and sim_lsh_recall.
+    QuerySpec.sql(
+      "sim_rp_recall",
+      s"""WITH brute AS (${topkSql("")}),
+         |rpq AS ($rpRerankSql)
+         |SELECT b.qid,
+         |  CAST(SUM(CASE WHEN p.vid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / 5.0 AS recall
+         |FROM brute b
+         |LEFT JOIN rpq p ON b.qid = p.qid AND b.vid = p.vid
+         |GROUP BY b.qid
+         |ORDER BY b.qid""".stripMargin) { (s, dir) =>
+      val brute = topk(s, dir, sameCell = false).select(col("qid"), col("vid"))
+      val rpq = rpRerank(s, dir)
+        .select(col("qid"), col("vid"), lit(1).as("hit"))
+      brute.join(rpq, Seq("qid", "vid"), "left")
+        .groupBy(col("qid"))
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / lit(5.0))
+          .as("recall"))
+        .orderBy(col("qid"))
     })
 }
