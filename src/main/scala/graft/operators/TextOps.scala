@@ -456,5 +456,69 @@ object TextOps {
               col("n_big").cast("double"))).as("pmi_ratio"))
         .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
         .limit(50)
+    },
+
+    // Unigram language-model quality score (the CCNet-style perplexity
+    // filter): train an add-one-smoothed unigram LM on the corpus
+    // itself, score each document by its mean negative log-likelihood
+    // per token — low avg_nll ≈ fluent/common text, high ≈ noise. The
+    // log-prob of each vocabulary word is rounded to 6 decimals and
+    // carried as integer micros, so per-document sums are exact long
+    // arithmetic (order-independent, engine-independent); the single
+    // double division at the end runs on identical operands in both
+    // engines. Token→log-prob is a SALTED join ([[graft.functions
+    // .Skew]]): token frequency is zipfian, so the hot words ("the")
+    // would otherwise pile every occurrence row onto one reducer at
+    // 100 TB — the salt spreads each word over 8 sub-partitions while
+    // the one-row-per-word LM side replicates 8×. The (doc_id, tok)
+    // pre-aggregation both shrinks the probe side and makes the
+    // per-doc sum a weighted fold.
+    QuerySpec.sql(
+      "text_lm_score",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |pd AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tok GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT tok, CAST(SUM(cnt) AS BIGINT) AS c FROM pd GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+        |    CAST(COUNT(*) AS BIGINT) AS v_size
+        |  FROM vocab),
+        |lp AS (
+        |  SELECT tok,
+        |    CAST(CAST(ln(CAST(c + 1 AS DOUBLE)
+        |        / CAST(n_total + v_size AS DOUBLE)) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS lp_micros
+        |  FROM vocab CROSS JOIN tot)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(-SUM(cnt * lp_micros) AS DOUBLE)
+        |    / CAST(SUM(cnt) * 1000000 AS DOUBLE) AS avg_nll
+        |FROM pd JOIN lp USING (tok)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val perDoc = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val vocab = perDoc.groupBy(col("tok")).agg(sum(col("cnt")).as("c"))
+      val tot = vocab.agg(sum(col("c")).as("n_total"),
+        count(lit(1)).as("v_size"))
+      val lp = vocab.crossJoin(broadcast(tot))
+        .select(col("tok"),
+          graft.functions.Cols.micros6(
+            log((col("c") + 1).cast("double") /
+              (col("n_total") + col("v_size")).cast("double")))
+            .as("lp_micros"))
+      graft.functions.Skew.saltedJoin(perDoc, lp, Seq("tok"), factor = 8)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          sum(col("cnt") * col("lp_micros")).as("sm"))
+        .select(col("doc_id"), col("n_tokens"),
+          ((-col("sm")).cast("double") /
+            (col("n_tokens") * lit(1000000L)).cast("double")).as("avg_nll"))
+        .orderBy(col("doc_id"))
     })
 }

@@ -651,6 +651,101 @@ object TimeSeriesOps {
         .orderBy(col("event_type"))
     },
 
+    // HyperLogLog-style register sketch, m = 64 (p = 6): distinct
+    // users per event type estimated from 6-bit-bucketed leading-zero
+    // ranks of the same 52-bit md5 hash KMV uses. Unlike KMV the state
+    // is FIXED-SIZE (64 registers per group at ANY cardinality) and
+    // merges by register-max — one map-side-combinable hash aggregate,
+    // the mergeable shape partial/streaming aggregation needs at
+    // 100 TB. Deterministic end to end: registers are integer maxes;
+    // the harmonic-mean estimator's Σ2^-M_j is computed exactly in
+    // scaled integers (2^(47-M_j), total ≤ 64·2^47 < 2^53); the one
+    // double division runs on identical operands in both engines; the
+    // linear-counting small-range branch's ln is rounded to 6 decimals
+    // (the double→decimal rounding rule every double gate relies on).
+    // The exact distinct count rides along, so the gate self-measures:
+    // within_bound asserts 4·|err| ≤ nd, generous vs the 1.04/√64
+    // ≈ 13 % theoretical standard error.
+    QuerySpec.sql(
+      "sketch_hll_distinct",
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+        |      AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hv % 64 AS bucket,
+        |    MAX(CASE WHEN hv >> 6 = 0 THEN 47
+        |      ELSE 47 - length(bin(hv >> 6)) END) AS mj
+        |  FROM h GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS used,
+        |    CAST(SUM(CAST(POW(2, 47 - mj) AS BIGINT)) AS BIGINT) AS s_used
+        |  FROM r GROUP BY 1),
+        |fin AS (
+        |  SELECT event_type, used,
+        |    CASE WHEN CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+        |          * CAST(140737488355328 AS DOUBLE)
+        |          / CAST(s_used + (64 - used) * 140737488355328 AS DOUBLE)
+        |        <= CAST(160 AS DOUBLE) AND used < 64
+        |      THEN CAST(64 AS DOUBLE)
+        |        * ln(CAST(64 AS DOUBLE) / CAST(64 - used AS DOUBLE))
+        |      ELSE CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+        |          * CAST(140737488355328 AS DOUBLE)
+        |          / CAST(s_used + (64 - used) * 140737488355328 AS DOUBLE)
+        |      END AS est
+        |  FROM agg),
+        |nd AS (
+        |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |    AS n_distinct
+        |  FROM events GROUP BY 1)
+        |SELECT f.event_type, n.n_distinct, f.used AS n_regs_used,
+        |  CAST(CAST(f.est AS DECIMAL(18,6)) AS DOUBLE) AS hll_est,
+        |  abs(CAST(CAST(f.est AS DECIMAL(18,6)) AS DOUBLE)
+        |      - CAST(n.n_distinct AS DOUBLE)) * CAST(4 AS DOUBLE)
+        |    <= CAST(n.n_distinct AS DOUBLE) AS within_bound
+        |FROM fin f JOIN nd n ON n.event_type = f.event_type
+        |ORDER BY f.event_type""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val h = ev.select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").as("hv"))
+      // register build: NO distinct pre-pass — max is idempotent, so
+      // duplicate hashes fold map-side in the same hash aggregate
+      val regs = h
+        .select(col("event_type"), pmod(col("hv"), lit(64L)).as("bucket"),
+          when(shiftright(col("hv"), 6) === 0, lit(47))
+            .otherwise(lit(47) - length(bin(shiftright(col("hv"), 6))))
+            .as("rho"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("rho")).as("mj"))
+      val agg = regs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("used"),
+          sum(expr("CAST(POW(2, 47 - mj) AS BIGINT)")).as("s_used"))
+      val est = agg
+        .withColumn("raw",
+          lit(0.709) * lit(4096.0) * lit(140737488355328.0) /
+            (col("s_used") +
+              (lit(64L) - col("used")) * lit(140737488355328L)).cast("double"))
+        .withColumn("est",
+          when(col("raw") <= lit(160.0) && col("used") < 64,
+            lit(64.0) * log(lit(64.0) / (lit(64L) - col("used")).cast("double")))
+            .otherwise(col("raw")))
+        .withColumn("hll_est",
+          col("est").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+            .cast("double"))
+      // exact side of the self-measure (the expensive full distinct —
+      // the sketch above is the production path)
+      val nd = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_distinct"))
+      est.join(nd, Seq("event_type"))
+        .select(col("event_type"), col("n_distinct"),
+          col("used").as("n_regs_used"), col("hll_est"),
+          (abs(col("hll_est") - col("n_distinct").cast("double")) * lit(4.0) <=
+            col("n_distinct").cast("double")).as("within_bound"))
+        .orderBy(col("event_type"))
+    },
+
     // Mergeable log-histogram quantile sketch: per event type, values
     // collapse into at most ~1 000 fixed buckets (16 sub-buckets per
     // power of two over the 6-decimal integer domain), so quantile
