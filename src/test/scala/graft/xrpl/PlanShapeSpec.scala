@@ -78,7 +78,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // instead carry the partial/final TopKPerKeyExec pair (map-side
     // heap reduce, k·partitions shuffle cap) and no window at all.
     for (name <- Seq("sim_brute_topk", "sim_ivf_topk", "sim_lsh_topk",
-        "sim_ivf_probe", "sim_int8_rerank", "sim_knn_graph")) {
+        "sim_ivf_probe", "sim_int8_rerank", "sim_knn_graph",
+        "sim_rp_rerank")) {
       val all = collectNodes(planOf(name))
       assert(all.exists(_.isInstanceOf[graft.plans.TopKPerKeyExec]),
         s"$name lacks TopKPerKeyExec")
@@ -130,5 +131,27 @@ class PlanShapeSpec extends AnyFunSuite {
     val s = planString("agg_cube_orders")
     assert(s.contains("Expand"))
     assert(!s.contains("Union"), s.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("HLL sketch folds in hash aggregates - no window, no sort of raw rows") {
+    // the register build and the estimator are two map-side-combinable
+    // hash aggregates over fixed-size state; only the exact-distinct
+    // measurement side may add its own aggregate, and nothing sorts or
+    // windows the raw event rows
+    val all = collectNodes(planOf("sketch_hll_distinct"))
+    assert(!all.exists(_.isInstanceOf[WindowExec]),
+      "sketch_hll_distinct plans a WindowExec")
+    assert(all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.HashAggregateExec]),
+      "sketch_hll_distinct lost its hash aggregates")
+  }
+
+  test("LM scorer salts the zipfian token join and stays window-free") {
+    val s = planString("text_lm_score")
+    assert(s.contains("__salt"),
+      "text_lm_score lost the salted token→log-prob join")
+    assert(!collectNodes(planOf("text_lm_score"))
+      .exists(_.isInstanceOf[WindowExec]),
+      "text_lm_score plans a WindowExec")
   }
 }
