@@ -111,14 +111,17 @@ object Bench {
     val total = results.map { case (_, v, _) => math.abs(v) }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"errors":$errs,"sf":"$sfDir"}"""
-    // The full JSON goes to a repo file AND is printed FIRST: the
-    // driver captures only a bounded stdout tail, which in r5 truncated
-    // the head of this line ("parsed": null). The file is the durable
-    // artifact; the trailing summary line is small enough to always fit.
+    // The full JSON (with per-rep vectors) goes to a repo file; stdout
+    // gets a COMPACT line without the reps map. The driver captures
+    // only a bounded stdout tail, and in r6/r7 the reps-bearing line
+    // outgrew it — the head was cut and the artifact read
+    // "parsed": null. Halving the line keeps the driver's parse intact;
+    // per-rep evidence lives in target/bench.json.
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
-    println(json)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     println(s"bench: ${results.size} queries, total ${math.rint(total * 10) / 10} s, " +
       s"errors=${results.count(_._2 < 0)}, reps=$reps, full JSON at target/bench.json")
     spark.stop()
