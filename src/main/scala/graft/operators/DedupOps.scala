@@ -138,6 +138,23 @@ object DedupOps {
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** Per-doc DISTINCT word-3-gram arrays (doc_id, gs), cached: the
+    * exact-verification truth that both the symmetric (Jaccard) and
+    * the asymmetric (containment) LSH-verification gates read — at
+    * warehouse scale the write-once `doc_ngrams` table beside the
+    * candidate pair set. Docs under 3 tokens carry no row; callers
+    * left-join and null-guard, matching the oracles' join semantics.
+    */
+  private def gramSets(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(1, size(ts)-2),
+          |  i -> concat(element_at(ts, i), ' ', element_at(ts, i+1),
+          |              ' ', element_at(ts, i+2))))""".stripMargin).as("gs"))
+      .cache()
+
   /** Full word-3-gram Jaccard oracle (pairs ≥ 0.02 within blocks,
     * df-ceiling-consistent) — shared by the jaccard gate and the
     * banded-recall gate, which embeds it as the truth set.
@@ -547,13 +564,7 @@ object DedupOps {
          |  LEFT JOIN sizes sa ON sa.doc_id = c.a_id
          |  LEFT JOIN sizes sb ON sb.doc_id = c.b_id) v
          |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val g = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("ts"))
-        .filter(size(col("ts")) >= 3)
-        .select(col("doc_id"), expr(
-          """array_distinct(transform(sequence(1, size(ts)-2),
-            |  i -> concat(element_at(ts, i), ' ', element_at(ts, i+1),
-            |              ' ', element_at(ts, i+2))))""".stripMargin).as("gs"))
+      val g = gramSets(s, dir)
       val na = when(col("ga").isNull, 0L)
         .otherwise(size(col("ga")).cast("long"))
       val nb = when(col("gb").isNull, 0L)
@@ -572,6 +583,76 @@ object DedupOps {
               (na + nb - col("n_inter"))))
         .select(col("a_id"), col("b_id"), col("n_inter"), col("jaccard"),
           (col("jaccard") >= 0.05).as("is_dup"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Asymmetric CONTAINMENT verification over the same banded-LSH
+    // candidates: C(A→B) = |g(A) ∩ g(B)| / |g(A)| is near 1 when A is
+    // a quote/boilerplate/partial-crawl SUBSET of a larger B even
+    // though the symmetric Jaccard is small — the pair class a
+    // Jaccard-threshold verifier clears. The standard second verifier
+    // of a production near-dup stack. Same scale shape as
+    // dedup_lsh_verified: exact set work only on LSH-bounded pairs;
+    // the cached per-doc gram sets are shared with that gate (one
+    // build per corpus).
+    QuerySpec.sql(
+      "dedup_containment",
+      s"""WITH $bandedCandCtes,
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |ngrams AS (
+         |  SELECT DISTINCT doc_id,
+         |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS ng
+         |  FROM toks,
+         |    LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g
+         |  WHERE len(ts) >= 3),
+         |sizes AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM ngrams GROUP BY 1),
+         |inter AS (
+         |  SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS n_inter
+         |  FROM cand c
+         |  JOIN ngrams a ON a.doc_id = c.a_id
+         |  JOIN ngrams b ON b.doc_id = c.b_id AND b.ng = a.ng
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, n_inter, cont_ab, cont_ba,
+         |  GREATEST(cont_ab, cont_ba) >= 0.5 AS is_subdup
+         |FROM (
+         |  SELECT c.a_id, c.b_id,
+         |    CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+         |    CASE WHEN COALESCE(sa.n, 0) = 0 THEN CAST(0 AS DOUBLE)
+         |      ELSE CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / sa.n END
+         |      AS cont_ab,
+         |    CASE WHEN COALESCE(sb.n, 0) = 0 THEN CAST(0 AS DOUBLE)
+         |      ELSE CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / sb.n END
+         |      AS cont_ba
+         |  FROM cand c
+         |  LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+         |  LEFT JOIN sizes sa ON sa.doc_id = c.a_id
+         |  LEFT JOIN sizes sb ON sb.doc_id = c.b_id) v
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val g = gramSets(s, dir)
+      val na = when(col("ga").isNull, 0L)
+        .otherwise(size(col("ga")).cast("long"))
+      val nb = when(col("gb").isNull, 0L)
+        .otherwise(size(col("gb")).cast("long"))
+      val ni = when(col("ga").isNull || col("gb").isNull, 0L)
+        .otherwise(size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      bandedCandidates(s, dir)
+        .join(g.select(col("doc_id").as("a_id"), col("gs").as("ga")),
+          Seq("a_id"), "left")
+        .join(g.select(col("doc_id").as("b_id"), col("gs").as("gb")),
+          Seq("b_id"), "left")
+        .withColumn("n_inter", ni)
+        .withColumn("cont_ab",
+          when(na === 0, lit(0.0))
+            .otherwise(col("n_inter").cast("double") / na))
+        .withColumn("cont_ba",
+          when(nb === 0, lit(0.0))
+            .otherwise(col("n_inter").cast("double") / nb))
+        .select(col("a_id"), col("b_id"), col("n_inter"),
+          col("cont_ab"), col("cont_ba"),
+          (greatest(col("cont_ab"), col("cont_ba")) >= 0.5).as("is_subdup"))
         .orderBy(col("a_id"), col("b_id"))
     },
 
