@@ -19,6 +19,15 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** Count-min sketch geometry: d hash rows × w counters — 1 024 longs
+    * of total state regardless of vocabulary size. Row i's hash is the
+    * first 13 hex chars (52 bits) of md5(i ':' token) mod w, the same
+    * engine-portable digest family every sketch gate uses. The oracle
+    * SQL is generated from the same constants.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
   /** Stopword markers per language for the n-gram/stopword language-ID
     * heuristic. Deterministic, mirrored verbatim in the oracle SQL.
     */
@@ -300,6 +309,80 @@ object TextOps {
         .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
         .orderBy(col("tf").desc, col("tok"))
         .limit(20)
+    },
+
+    // Count-min sketch (d=4 rows × w=256 counters): the FIXED-size
+    // mergeable frequency sketch — counter state is 1 024 longs at ANY
+    // vocabulary size, merge = elementwise addition, so partial
+    // sketches combine map-side and across corpus shards/streams (the
+    // shape exact per-token counts cannot have: their state is the
+    // vocabulary itself). est(t) = min over rows of counter[i][h_i(t)]
+    // — never under the true count, over by at most ~N/w per row.
+    // Plan: token explode → 4 hash keys per token → ONE hash aggregate
+    // with 1 024 groups (map-side combine collapses each partition to
+    // the counter matrix before the shuffle — cheaper than the exact
+    // vocabulary shuffle the heavy-hitters pass pays); estimates for
+    // the exact top-20 via a broadcast join against the tiny counter
+    // table. Deterministic end to end (md5-derived rows, integer
+    // counts), so the ESTIMATE hash-compares; within_bound
+    // self-measures overcount·w ≤ 2N (generous vs the E[over] = N/w
+    // per-row expectation, min over 4 rows).
+    QuerySpec.sql(
+      "sketch_cms_topk",
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |rows_ AS (SELECT unnest(range(0, $CmsDepth)) AS i),
+         |keyed AS (
+         |  SELECT i,
+         |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok),
+         |      1, 13)) AS BIGINT) % $CmsWidth AS j
+         |  FROM toks CROSS JOIN rows_),
+         |counters AS (
+         |  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM keyed GROUP BY 1, 2),
+         |total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks),
+         |top AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY tok ORDER BY tf DESC, tok LIMIT 20),
+         |est AS (
+         |  SELECT t.tok, t.tf, MIN(c.cnt) AS cms_est
+         |  FROM top t CROSS JOIN rows_ r
+         |  JOIN counters c ON c.i = r.i AND c.j =
+         |    CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || t.tok),
+         |      1, 13)) AS BIGINT) % $CmsWidth
+         |  GROUP BY 1, 2)
+         |SELECT tok, tf, cms_est, cms_est - tf AS overcount,
+         |  cms_est >= tf AND (cms_est - tf) * $CmsWidth <= 2 * n_total
+         |    AS within_bound
+         |FROM est CROSS JOIN total
+         |ORDER BY tf DESC, tok""".stripMargin) { (s, dir) =>
+      def slot(i: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
+        pmod(conv(substring(md5(concat(i.cast("string"), lit(":"), tok)),
+          1, 13), 16, 10).cast("long"), lit(CmsWidth.toLong))
+      val toks = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val depth = sequence(lit(0), lit(CmsDepth - 1))
+      val counters = toks
+        .select(explode(depth).as("i"), col("tok"))
+        .select(col("i"), slot(col("i"), col("tok")).as("j"))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("tok")).limit(20)
+      top
+        .select(col("tok"), col("tf"), explode(depth).as("i"))
+        .withColumn("j", slot(col("i"), col("tok")))
+        .join(broadcast(counters), Seq("i", "j"))
+        .groupBy(col("tok"), col("tf"))
+        .agg(min(col("cnt")).as("cms_est"))
+        .crossJoin(broadcast(total))
+        .select(col("tok"), col("tf"), col("cms_est"),
+          (col("cms_est") - col("tf")).as("overcount"),
+          (col("cms_est") >= col("tf") &&
+            (col("cms_est") - col("tf")) * lit(CmsWidth.toLong) <=
+              lit(2L) * col("n_total")).as("within_bound"))
+        .orderBy(col("tf").desc, col("tok"))
     },
 
     // Per-document salient terms: top-3 tokens by tf/df — the
