@@ -651,6 +651,175 @@ object TimeSeriesOps {
         .orderBy(col("event_type"))
     },
 
+    // KMV sketch SET ALGEBRA (the theta-sketch operations): union,
+    // intersection, and Jaccard estimated for every event-type pair
+    // FROM THE 64-VALUE SKETCHES ALONE — the property that makes
+    // bottom-k the warehouse overlap sketch: audience-overlap /
+    // cross-corpus-contamination queries over N sources need only the
+    // N·k sketch values, never a re-scan of the raw sets. bottom-k of
+    // (S_A ∪ S_B) is itself a valid sketch of A∪B, and the fraction ρ
+    // of its values present in BOTH input sketches estimates Jaccard
+    // (Beyer et al. 2007); intersection ≈ ρ · union_est. Everything
+    // is deterministic given the md5 hash (integer ranks + one double
+    // division + one double multiply on identical operands), so the
+    // ESTIMATES hash-compare; the exact Jaccard rides along and
+    // within_bound self-measures |est − exact| ≤ 0.35 (vs the ~1/√k
+    // = 0.125 standard error). The sketched element is the
+    // (user, active-day) pair — every user touches every event type
+    // in the synthetic data, so plain user sets would make all ten
+    // Jaccards exactly 1; user-days overlap partially and exercise
+    // the estimator. Scale shape: per-type sketches via the
+    // salt-bucketed two-level bottom-k (no per-type sort of the full
+    // hash set); all pair work happens on ≤ 2k rows per pair.
+    QuerySpec.sql(
+      "sketch_kmv_setops",
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id * 1000
+        |      + CAST(EXTRACT(doy FROM ts) AS BIGINT) AS VARCHAR)), 1, 13))
+        |      AS BIGINT) AS hv
+        |  FROM events),
+        |sk AS (SELECT event_type, hv FROM (
+        |    SELECT event_type, hv,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |    FROM h) t WHERE rn <= 64),
+        |types AS (SELECT DISTINCT event_type FROM h),
+        |pairs AS (
+        |  SELECT a.event_type AS et_a, b.event_type AS et_b
+        |  FROM types a JOIN types b ON a.event_type < b.event_type),
+        |u AS (
+        |  SELECT p.et_a, p.et_b, s.hv
+        |  FROM pairs p JOIN sk s ON s.event_type = p.et_a
+        |  UNION
+        |  SELECT p.et_a, p.et_b, s.hv
+        |  FROM pairs p JOIN sk s ON s.event_type = p.et_b),
+        |m AS (SELECT et_a, et_b, hv FROM (
+        |    SELECT et_a, et_b, hv,
+        |      ROW_NUMBER() OVER (PARTITION BY et_a, et_b ORDER BY hv) AS rn
+        |    FROM u) t WHERE rn <= 64),
+        |flags AS (
+        |  SELECT m.et_a, m.et_b, m.hv,
+        |    CASE WHEN sa.hv IS NOT NULL AND sb.hv IS NOT NULL
+        |      THEN 1 ELSE 0 END AS in_both
+        |  FROM m
+        |  LEFT JOIN sk sa ON sa.event_type = m.et_a AND sa.hv = m.hv
+        |  LEFT JOIN sk sb ON sb.event_type = m.et_b AND sb.hv = m.hv),
+        |stats AS (
+        |  SELECT et_a, et_b, CAST(COUNT(*) AS BIGINT) AS n_merged,
+        |    MAX(hv) AS kth, CAST(SUM(in_both) AS BIGINT) AS n_both
+        |  FROM flags GROUP BY 1, 2),
+        |du AS (SELECT DISTINCT event_type, user_id * 1000
+        |    + CAST(EXTRACT(doy FROM ts) AS BIGINT) AS elem FROM events),
+        |cnt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM du GROUP BY 1),
+        |ix AS (
+        |  SELECT a.event_type AS et_a, b.event_type AS et_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM du a JOIN du b
+        |    ON a.elem = b.elem AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT s.et_a, s.et_b, s.n_merged, s.n_both,
+        |    CASE WHEN s.n_merged < 64 THEN CAST(s.n_merged AS DOUBLE)
+        |      ELSE (CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE))
+        |        / CAST(s.kth AS DOUBLE) END AS union_est,
+        |    CASE WHEN s.n_merged = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE CAST(s.n_both AS DOUBLE) / s.n_merged END AS jaccard_est,
+        |    CASE WHEN ca.n + cb.n - COALESCE(i.n_inter, 0) = 0
+        |        THEN CAST(0 AS DOUBLE)
+        |      ELSE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+        |        / (ca.n + cb.n - COALESCE(i.n_inter, 0)) END AS jaccard_exact
+        |  FROM stats s
+        |  JOIN cnt ca ON ca.event_type = s.et_a
+        |  JOIN cnt cb ON cb.event_type = s.et_b
+        |  LEFT JOIN ix i ON i.et_a = s.et_a AND i.et_b = s.et_b)
+        |SELECT et_a, et_b, n_merged, n_both, union_est, jaccard_est,
+        |  jaccard_est * union_est AS inter_est, jaccard_exact,
+        |  ABS(jaccard_est - jaccard_exact) <= 0.35 AS within_bound
+        |FROM est
+        |ORDER BY et_a, et_b""".stripMargin) { (s, dir) =>
+      val k = 64
+      val elem = col("user_id") * 1000 + dayofyear(col("ts")).cast("long")
+      val h = events(s, dir)
+        .select(col("event_type"),
+          conv(substring(md5(elem.cast("string")), 1, 13), 16, 10)
+            .cast("long").as("hv"))
+        .distinct()
+      // per-type bottom-k without a full per-type sort: local rank in
+      // 16 salt buckets (≤ 16k survivors), then the tiny global rank
+      val wLocal = Window
+        .partitionBy(col("event_type"), pmod(xxhash64(col("hv")), lit(16)))
+        .orderBy(col("hv"))
+      val wGlobal = Window.partitionBy(col("event_type")).orderBy(col("hv"))
+      val sk = h.withColumn("lrk", row_number().over(wLocal))
+        .filter(col("lrk") <= k)
+        .withColumn("rn", row_number().over(wGlobal))
+        .filter(col("rn") <= k)
+        .select(col("event_type"), col("hv"))
+        .cache()
+      val types = sk.select(col("event_type")).distinct()
+      val pairs = types.select(col("event_type").as("et_a"))
+        .join(types.select(col("event_type").as("et_b")),
+          col("et_a") < col("et_b"))
+      // union sketch: bottom-k of the two sketches' union (≤ 2k rows
+      // per pair — the window is bounded by construction)
+      val u = broadcast(pairs)
+        .join(sk.withColumnRenamed("event_type", "et_a"), Seq("et_a"))
+        .select(col("et_a"), col("et_b"), col("hv"))
+        .unionByName(broadcast(pairs)
+          .join(sk.withColumnRenamed("event_type", "et_b"), Seq("et_b"))
+          .select(col("et_a"), col("et_b"), col("hv")))
+        .distinct()
+      val wPair = Window.partitionBy(col("et_a"), col("et_b")).orderBy(col("hv"))
+      val m = u.withColumn("rn", row_number().over(wPair))
+        .filter(col("rn") <= k)
+        .select(col("et_a"), col("et_b"), col("hv"))
+      val flags = m
+        .join(sk.select(col("event_type").as("et_a"), col("hv"),
+          lit(1).as("fa")), Seq("et_a", "hv"), "left")
+        .join(sk.select(col("event_type").as("et_b"), col("hv"),
+          lit(1).as("fb")), Seq("et_b", "hv"), "left")
+        .withColumn("in_both",
+          when(col("fa").isNotNull && col("fb").isNotNull, 1).otherwise(0))
+      val stats = flags.groupBy(col("et_a"), col("et_b"))
+        .agg(count(lit(1)).as("n_merged"), max(col("hv")).as("kth"),
+          sum(col("in_both")).as("n_both"))
+      val du = events(s, dir)
+        .select(col("event_type"), elem.as("elem")).distinct()
+      val cnt = du.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val ix = du.select(col("event_type").as("et_a"), col("elem"))
+        .join(du.select(col("event_type").as("et_b"), col("elem")),
+          Seq("elem"))
+        .filter(col("et_a") < col("et_b"))
+        .groupBy(col("et_a"), col("et_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      stats
+        .join(broadcast(cnt.select(col("event_type").as("et_a"),
+          col("n").as("na"))), Seq("et_a"))
+        .join(broadcast(cnt.select(col("event_type").as("et_b"),
+          col("n").as("nb"))), Seq("et_b"))
+        .join(ix, Seq("et_a", "et_b"), "left")
+        .withColumn("union_est",
+          when(col("n_merged") < k, col("n_merged").cast("double"))
+            .otherwise(lit(63.0) * lit(4503599627370496.0) /
+              col("kth").cast("double")))
+        .withColumn("jaccard_est",
+          when(col("n_merged") === 0, lit(0.0))
+            .otherwise(col("n_both").cast("double") / col("n_merged")))
+        .withColumn("jaccard_exact",
+          when(col("na") + col("nb") - coalesce(col("n_inter"), lit(0L)) === 0,
+            lit(0.0))
+            .otherwise(coalesce(col("n_inter"), lit(0L)).cast("double") /
+              (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L)))))
+        .select(col("et_a"), col("et_b"), col("n_merged"), col("n_both"),
+          col("union_est"), col("jaccard_est"),
+          (col("jaccard_est") * col("union_est")).as("inter_est"),
+          col("jaccard_exact"),
+          (abs(col("jaccard_est") - col("jaccard_exact")) <= 0.35)
+            .as("within_bound"))
+        .orderBy(col("et_a"), col("et_b"))
+    },
+
     // HyperLogLog-style register sketch, m = 64 (p = 6): distinct
     // users per event type estimated from 6-bit-bucketed leading-zero
     // ranks of the same 52-bit md5 hash KMV uses. Unlike KMV the state
