@@ -54,6 +54,7 @@ object Bench {
         "cluster_kmeans",        // kmeans centroid memo
         "dedup_ngram_jaccard",   // n-gram Jaccard pair memo
         "graph_triangles",       // undirected-edge memo
+        "emb_pq_encode",         // PQ codebook + encoded-corpus memo
         "q6_filtered_revenue",   // lineitem
         "s_topk_orders",         // orders
         "w4_avg_event_gap",      // events

@@ -13,7 +13,8 @@ object SparkEntry {
 
   def allSpecs: Seq[QuerySpec] =
     Relational.specs ++ TimeSeriesOps.specs ++ TextOps.specs ++
-      DedupOps.specs ++ SimilarityOps.specs ++ ClusterOps.specs ++
+      DedupOps.specs ++ SimilarityOps.specs ++ PqOps.specs ++
+      ClusterOps.specs ++
       MultimodalOps.specs ++
       PipelineOps.specs ++ XrplOps.specs
 

