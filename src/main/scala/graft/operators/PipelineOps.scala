@@ -51,6 +51,18 @@ object PipelineOps {
   val TempSampleK = 200
   val TempSalts = 16
 
+  /** DSIR hashed-feature buckets (the n-gram feature space is hashed
+    * into a fixed-size table, so the importance model is a
+    * [[DsirBuckets]]-row broadcastable artifact at any corpus size). */
+  val DsirBuckets = 1024L
+
+  /** The target domain of the DSIR gate: documents from this source
+    * stand in for the high-quality target corpus. */
+  val DsirTarget = "src0"
+
+  /** Documents kept by the DSIR selection. */
+  val DsirSampleK = 100
+
   /** doc_id → its DISTINCT word-[[ContamNgram]]-grams, built map-side
     * (array_distinct before the explode) — the shared candidate table
     * of both decontamination gates.
@@ -272,6 +284,81 @@ object PipelineOps {
           (hv.cast("double") / col("n_chars").cast("double")).as("pri"))
         .orderBy(col("pri"), col("doc_id"))
         .limit(PrioritySampleK)
+    },
+
+    // Data Selection via Importance Resampling (Xie et al. 2023):
+    // score every document by how much more likely its hashed n-gram
+    // features are under a TARGET domain (here the [[DsirTarget]]
+    // source, standing in for the high-quality corpus) than under the
+    // raw proposal corpus, and keep the top [[DsirSampleK]]. Word
+    // features hash into [[DsirBuckets]] buckets; the per-bucket
+    // log-ratio λ_b = ln((tc_b+1)(qtot+B) / ((ttot+B)(qc_b+1)))
+    // (add-one smoothing on both distributions) is rounded to
+    // 6-decimal integer micros — the [[TextOps]] LM-gate trick — so a
+    // document's log importance weight Σ λ is exact long arithmetic
+    // and hash-compares across engines.
+    //
+    // Scale shape: feature hashing is map-side; both bucket-count
+    // aggregates are map-side-combinable over ≤ B uniform keys; the
+    // fitted model (λ table) is B rows — BROADCAST back to the token
+    // stream, one hash aggregate per doc, TakeOrderedAndProject for
+    // the selection. The corpus is scanned twice (fit + score), never
+    // shuffled by anything finer than the B-bucket id.
+    QuerySpec.sql(
+      "sample_dsir",
+      s"""WITH tb AS (
+         |  SELECT doc_id, source,
+         |    CAST(('0x' || substr(md5(tok || ':dsir'), 1, 8)) AS BIGINT)
+         |      % $DsirBuckets AS b
+         |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents) t0),
+         |cnt AS (
+         |  SELECT b, CAST(COUNT(*) AS BIGINT) AS qc,
+         |    CAST(SUM(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tc
+         |  FROM tb GROUP BY b),
+         |tot AS (
+         |  SELECT CAST(SUM(qc) AS BIGINT) AS qtot,
+         |    CAST(SUM(tc) AS BIGINT) AS ttot
+         |  FROM cnt),
+         |lam AS (
+         |  SELECT cnt.b,
+         |    CAST(CAST(ln(
+         |      CAST((cnt.tc + 1) * (tot.qtot + $DsirBuckets) AS DOUBLE)
+         |      / CAST((tot.ttot + $DsirBuckets) * (cnt.qc + 1) AS DOUBLE))
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS lam
+         |  FROM cnt CROSS JOIN tot),
+         |w AS (
+         |  SELECT tb.doc_id, CAST(SUM(l.lam) AS BIGINT) AS w_micros
+         |  FROM tb JOIN lam l ON l.b = tb.b
+         |  GROUP BY tb.doc_id)
+         |SELECT d.doc_id, d.lang, d.source, w.w_micros
+         |FROM w JOIN documents d ON d.doc_id = w.doc_id
+         |ORDER BY w.w_micros DESC, d.doc_id LIMIT $DsirSampleK""".stripMargin) {
+      (s, dir) =>
+      val tb = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), col("source"),
+          (conv(substring(md5(concat(col("tok"), lit(":dsir"))), 1, 8),
+            16, 10).cast("long") % DsirBuckets).as("b"))
+      // both distributions counted in ONE pass over the token stream
+      // (qc = proposal count, tc = target count per bucket)
+      val cnt = tb.groupBy(col("b")).agg(count(lit(1)).as("qc"),
+        sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("tc"))
+      val tot = cnt.agg(sum(col("qc")).as("qtot"), sum(col("tc")).as("ttot"))
+      val lam = cnt.crossJoin(broadcast(tot))
+        .select(col("b"), graft.functions.Cols.micros6(log(
+          ((col("tc") + 1) * (col("qtot") + DsirBuckets)).cast("double") /
+          ((col("ttot") + DsirBuckets) * (col("qc") + 1)).cast("double")))
+          .as("lam"))
+      val w = tb.join(broadcast(lam), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("lam")).cast("long").as("w_micros"))
+      docs(s, dir).join(w, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("w_micros"))
+        .orderBy(col("w_micros").desc, col("doc_id"))
+        .limit(DsirSampleK)
     },
 
     // End-to-end corpus curation in ONE declarative plan — the

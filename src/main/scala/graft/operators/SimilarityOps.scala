@@ -68,6 +68,17 @@ object SimilarityOps {
   /** Independent LSH hash tables (union of candidates). */
   val LshTables = 4
 
+  /** Reciprocal-rank-fusion smoothing constant (the k=60 of Cormack
+    * et al. 2009): rank 1 in one family scores 1/(60+1) — close
+    * enough to rank 5's 1/(60+5) that two mid-rank agreements beat
+    * one first-place. */
+  val RrfK = 60
+
+  /** Integer scale for RRF terms: floor(RrfScale/(RrfK+rank)) keeps
+    * the fused score exact long arithmetic (distinct at every rank
+    * for RrfScale = 1e6), so it hash-compares across engines. */
+  val RrfScale = 1000000
+
   // Same quantization, one spelling per engine: Spark higher-order
   // `transform`, DuckDB `list_transform`.
   private val quantizeSpark =
@@ -832,5 +843,50 @@ object SimilarityOps {
         .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / lit(5.0))
           .as("recall"))
         .orderBy(col("qid"))
+    },
+
+    // Hybrid retrieval: reciprocal-rank fusion (Cormack, Clarke &
+    // Buettcher 2009) of the three approximate families' ranked lists
+    // (IVF multi-probe, multi-table LSH, JL retrieve→rerank). Each
+    // family contributes floor(RrfScale / (RrfK + rank)) for a
+    // candidate it ranked — exact integer terms (16393, 16129, 15873,
+    // 15625, 15384 for ranks 1-5), so the fused score hash-compares.
+    // The production shape: index families with UNCORRELATED failure
+    // modes (cell boundaries vs hyperplane buckets vs projection
+    // distortion) vote by rank; a candidate surfaced by several
+    // families outranks any single family's near-miss. Pure
+    // composition over the three already-bounded searches: three
+    // 5-row-per-query lists union → one hash aggregate → the custom
+    // top-k plan. No new scan of the corpus at any scale.
+    QuerySpec.sql(
+      "sim_rrf_fusion",
+      s"""WITH ivf AS ($probeSql),
+         |lsh AS ($lshSql),
+         |rpq AS ($rpRerankSql),
+         |u AS (
+         |  SELECT qid, vid, $RrfScale // ($RrfK + rnk) AS term FROM ivf
+         |  UNION ALL
+         |  SELECT qid, vid, $RrfScale // ($RrfK + rnk) AS term FROM lsh
+         |  UNION ALL
+         |  SELECT qid, vid, $RrfScale // ($RrfK + rnk) AS term FROM rpq),
+         |sc AS (
+         |  SELECT qid, vid, CAST(SUM(term) AS BIGINT) AS rrf
+         |  FROM u GROUP BY 1, 2)
+         |SELECT qid, vid, rrf, rnk FROM (
+         |  SELECT qid, vid, rrf,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, vid) AS rnk
+         |  FROM sc) t
+         |WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val fams = Seq(probeTopk(s, dir), lshTopk(s, dir), rpRerank(s, dir))
+      val terms = fams.map(_.select(col("qid"), col("vid"),
+          expr(s"$RrfScale div ($RrfK + rnk)").as("term")))
+        .reduce(_ unionByName _)
+      val scored = terms.groupBy(col("qid"), col("vid"))
+        .agg(sum(col("term")).cast("long").as("rrf"))
+      TopKPerKey.topKRanked(scored, Seq("qid"),
+          Seq("rrf" -> true, "vid" -> false), 5, "rnk")
+        .select(col("qid"), col("vid"), col("rrf"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
     })
 }

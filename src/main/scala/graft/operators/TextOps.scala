@@ -125,6 +125,44 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // BPE vocabulary induction, step one: the corpus-wide adjacent
+    // symbol-pair statistics the first merge is chosen from (Sennrich
+    // et al. 2016). Symbols start as characters, so this counts every
+    // within-word character bigram occurrence over lowercase alpha
+    // words and keeps the top 50 merge candidates — the exact table a
+    // BPE trainer's first iteration maximizes over. The per-round
+    // re-count after each merge is this same query over re-segmented
+    // words (driver loop, one merge per round at any scale).
+    //
+    // Scale shape: pair extraction is a per-doc flatMap (HOF, no
+    // shuffle); the count is ONE map-side-combinable hash aggregate
+    // over ≤ 26² distinct keys; the global top-k is
+    // TakeOrderedAndProject over those ≤ 676 rows — no sort of
+    // row-scale data anywhere.
+    QuerySpec.sql(
+      "text_bpe_pairs",
+      """SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(flatten(list_transform(
+        |      list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        |        t -> length(t) >= 2),
+        |      t -> list_transform(generate_series(1, length(t) - 1),
+        |        i -> substr(t, i, 2))))) AS pair
+        |  FROM documents) u
+        |GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(explode(expr(
+          """flatten(transform(
+            |  filter(regexp_extract_all(lower(text), '[a-z]+', 0),
+            |    t -> length(t) >= 2),
+            |  t -> transform(sequence(1, length(t) - 1),
+            |    i -> substring(t, i, 2))))""".stripMargin)).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(50)
+    },
+
     // Quality scoring: stopword ratio + vocabulary-diversity ratio,
     // combined into a deterministic score. explode → per-doc aggregate.
     QuerySpec.sql(

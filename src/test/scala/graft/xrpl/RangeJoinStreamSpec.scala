@@ -1,0 +1,71 @@
+package graft.xrpl
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.RangeJoinStream
+import graft.streaming.RangeJoinStream.{ClickEvent, PurchaseEvent}
+
+/** The stream-stream range join must emit exactly the batch
+  * point-in-interval pair set on the same rows, with both sides
+  * arriving across interleaved micro-batches (pairs whose two halves
+  * land in different micro-batches exercise the state-store
+  * buffering).
+  */
+class RangeJoinStreamSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  private val dir = "/root/testdata/sf0.001"
+  private val daySec = 86400L
+  private val dayUs = daySec * 1000000L
+
+  test("stream-stream join equals the batch range join across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us").as("p_us"))
+      .as[PurchaseEvent].collect().toSeq
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("us").as("c_us"))
+      .as[ClickEvent].collect().toSeq
+
+    // batch truth: the same bucketed equi-join the gate runs
+    val pDf = purchases.toDF().withColumn("t1", col("p_us") + dayUs)
+    val cDf = clicks.toDF()
+    val expected = graft.functions.RangeJoin.pointInInterval(
+        pDf, "user_id", "p_us", "t1", cDf, "click_user", "c_us", dayUs)
+      .select(col("i_event_id"), col("i_user_id"), col("i_p_us"),
+        col("p_c_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val pStream = MemoryStream[PurchaseEvent]
+    val cStream = MemoryStream[ClickEvent]
+    val q = RangeJoinStream
+      .matchedPairs(spark, pStream.toDS(), cStream.toDS(), daySec, "30 days")
+      .writeStream.format("memory").queryName("rjstream").outputMode("append")
+      .start()
+    try {
+      // interleave: batch 1 = first half of purchases + SECOND half of
+      // clicks, batch 2 the converse — many pairs split across batches
+      val (p1, p2) = purchases.splitAt(purchases.size / 2)
+      val (c1, c2) = clicks.splitAt(clicks.size / 2)
+      pStream.addData(p1); cStream.addData(c2)
+      q.processAllAvailable()
+      pStream.addData(p2); cStream.addData(c1)
+      q.processAllAvailable()
+      val got = spark.table("rjstream")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === expected)
+      assert(got.nonEmpty, "fixture produced no in-window pairs")
+    } finally q.stop()
+  }
+}
