@@ -51,6 +51,12 @@ object DedupOps {
     */
   val MaxNgramDf = 1000
 
+  /** Edit-distance ceiling for the levenshtein verification gate: a
+    * candidate pair is a character-level near-dup when the distance
+    * over the normalized text is ≤ this. Also the band width of the
+    * bounded-DP levenshtein and the length-gap prefilter. */
+  val EditMax = 64
+
   private def mcols: Seq[String] = (0 until NumHashes).map(i => s"m$i")
 
   /** n-permutation MinHash over 8-char shingles. Permutation i is the
@@ -653,6 +659,59 @@ object DedupOps {
         .select(col("a_id"), col("b_id"), col("n_inter"),
           col("cont_ab"), col("cont_ba"),
           (greatest(col("cont_ab"), col("cont_ba")) >= 0.5).as("is_subdup"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Edit-distance verification over the LSH candidates: the
+    // character-level near-dup test (templated rewrites with small
+    // literal patches that keep token Jaccard high AND land within a
+    // few dozen edits). Distance runs on the lowercase-ASCII skeleton
+    // (case-fold, strip everything but [a-z ]) — normalization before
+    // edit distance is standard, and on ASCII DuckDB's byte-level
+    // levenshtein equals Spark's char-level one, so the distance
+    // itself hash-compares. Two bounds keep the O(len²) DP off the
+    // hot path: a length-gap prefilter (|la−lb| > EditMax proves
+    // dist > EditMax with NO DP — the sentinel −1), and Spark's
+    // bounded levenshtein(l, r, threshold) overload, which runs the
+    // banded O(EditMax·len) DP and bails to −1 early. Cost stays
+    // linear in the LSH candidate count — never corpus².
+    QuerySpec.sql(
+      "dedup_edit_verified",
+      s"""WITH $bandedCandCtes,
+         |dnorm AS (
+         |  SELECT doc_id,
+         |    regexp_replace(lower(text), '[^a-z ]', '', 'g') AS nt
+         |  FROM documents)
+         |SELECT a_id, b_id, len_gap, edit_dist,
+         |  edit_dist >= 0 AND edit_dist <= $EditMax AS is_dup
+         |FROM (
+         |  SELECT c.a_id, c.b_id,
+         |    CAST(abs(length(da.nt) - length(db.nt)) AS BIGINT) AS len_gap,
+         |    CAST(CASE
+         |      WHEN abs(length(da.nt) - length(db.nt)) > $EditMax THEN -1
+         |      WHEN levenshtein(da.nt, db.nt) <= $EditMax
+         |        THEN levenshtein(da.nt, db.nt)
+         |      ELSE -1 END AS BIGINT) AS edit_dist
+         |  FROM cand c
+         |  JOIN dnorm da ON da.doc_id = c.a_id
+         |  JOIN dnorm db ON db.doc_id = c.b_id) v
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z ]", "").as("nt"))
+      bandedCandidates(s, dir)
+        .join(d.select(col("doc_id").as("a_id"), col("nt").as("na")),
+          Seq("a_id"))
+        .join(d.select(col("doc_id").as("b_id"), col("nt").as("nb")),
+          Seq("b_id"))
+        .withColumn("len_gap",
+          abs(length(col("na")) - length(col("nb"))).cast("long"))
+        .withColumn("edit_dist",
+          when(col("len_gap") > EditMax, lit(-1L))
+            .otherwise(levenshtein(col("na"), col("nb"), EditMax)
+              .cast("long")))
+        .select(col("a_id"), col("b_id"), col("len_gap"), col("edit_dist"),
+          (col("edit_dist") >= 0 && col("edit_dist") <= EditMax)
+            .as("is_dup"))
         .orderBy(col("a_id"), col("b_id"))
     },
 

@@ -187,15 +187,23 @@ object PqOps {
     * each query's ranking; zero-norm candidates score 0 (ANSI guard,
     * both engines).
     */
-  private def adcScored(s: SparkSession, dir: String): DataFrame = {
+  private def adcScored(s: SparkSession, dir: String,
+      restrict: Option[DataFrame] = None): DataFrame = {
     val sig = SimilarityOps.signatures(s, dir)
     val lut = subVectors(sig).filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("m"), col("sv"))
       .join(broadcast(codebook(s, dir)), Seq("m"))
       .select(col("qid"), col("m"), col("code"),
         dot_long(col("sv"), col("cv")).as("d"))
-    pqCodes(s, dir)
-      .join(broadcast(lut), Seq("m", "code"))
+    val looked = restrict match {
+      // full scan: every (candidate, query) pair goes through the LUT
+      case None => pqCodes(s, dir).join(broadcast(lut), Seq("m", "code"))
+      // inverted-list scan: only (qid, vec_id) pairs the coarse index
+      // admits are looked up — the IVFADC shape
+      case Some(cand) => cand.join(pqCodes(s, dir), Seq("vec_id"))
+        .join(broadcast(lut), Seq("qid", "m", "code"))
+    }
+    looked
       .filter(col("qid") =!= col("vec_id"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("d")).as("adot"))
@@ -207,13 +215,13 @@ object PqOps {
       .select(col("qid"), col("vec_id").as("vid"), col("score"))
   }
 
-  /** Retrieve→rerank: ADC coarse top-[[PqCand]] per query (custom
-    * top-k plan, no window), exact full-precision cosine over only
-    * those.
+  /** ADC coarse top-[[PqCand]] per query (custom top-k plan, no
+    * window), exact full-precision cosine rerank over only those.
     */
-  private def pqRerank(s: SparkSession, dir: String): DataFrame = {
+  private def rerankExact(s: SparkSession, dir: String,
+      scored: DataFrame): DataFrame = {
     val sig = SimilarityOps.signatures(s, dir)
-    val coarse = TopKPerKey.topK(adcScored(s, dir),
+    val coarse = TopKPerKey.topK(scored,
         Seq("qid"), Seq("score" -> true, "vid" -> false), PqCand)
       .select(col("qid"), col("vid"))
     SimilarityOps.rankTop5(coarse
@@ -224,6 +232,25 @@ object PqOps {
       .withColumn("dot", dot_long(col("qa"), col("qb")))
       .withColumn("cos", expr(
         "CAST(dot AS DOUBLE) / (sqrt(CAST(q_norm2 AS DOUBLE)) * sqrt(CAST(c_norm2 AS DOUBLE)))")))
+  }
+
+  private def pqRerank(s: SparkSession, dir: String): DataFrame =
+    rerankExact(s, dir, adcScored(s, dir))
+
+  /** IVF-PQ (the IVFADC of Jégou et al. 2011): the coarse cell index
+    * picks the probed cells per query ([[SimilarityOps.cellProbes]] —
+    * the same probe selection the sim_ivf_probe gate runs), and only
+    * vectors in those cells are ADC-scored from their codes. The
+    * production composition: at 100 TB the cell id is the partition
+    * key, a query touches nprobe partitions, and each partition scan
+    * reads 4-byte codes instead of vectors.
+    */
+  private def ivfpqRerank(s: SparkSession, dir: String): DataFrame = {
+    val sig = SimilarityOps.signatures(s, dir)
+    val cand = SimilarityOps.cellProbes(s, dir)
+      .join(sig.select(col("vec_id"), col("label")), Seq("label"))
+      .select(col("qid"), col("vec_id"))
+    rerankExact(s, dir, adcScored(s, dir, Some(cand)))
   }
 
   // ---- oracle SQL (generated to mirror the fixed round count) ----
@@ -280,20 +307,18 @@ object PqOps {
        |  CAST(SUM(code * (CAST(1 AS BIGINT) << (4 * m))) AS BIGINT) AS code_word
        |FROM a$PqIters GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
-  /** Full ADC retrieve→rerank SQL (standalone WITH; shared by the
-    * sim_pq_rerank gate and the recall gate, which nests it). */
-  private def rerankSql: String =
+  /** Full ADC retrieve→rerank SQL (standalone WITH): `extraCtes`
+    * (each trailing-comma'd) and the `adot` body vary between the
+    * full-scan and the IVF-restricted searches; shared by the search
+    * gates and the recall gates, which nest the whole statement. */
+  private def searchSql(extraCtes: String, adotCte: String): String =
     s"""WITH $pqCtes,
-       |lut AS (
+       |${extraCtes}lut AS (
        |  SELECT s.vec_id AS qid, s.m, c.code,
        |    CAST(list_dot_product(s.sv, c.cv) AS BIGINT) AS d
        |  FROM sub2 s JOIN c${PqIters - 1} c ON c.m = s.m
        |  WHERE s.vec_id < 10),
-       |adot AS (
-       |  SELECT l.qid, a.vec_id AS vid, CAST(SUM(l.d) AS BIGINT) AS adot
-       |  FROM a$PqIters a
-       |  JOIN lut l ON l.m = a.m AND l.code = a.code AND l.qid <> a.vec_id
-       |  GROUP BY 1, 2),
+       |adot AS ($adotCte),
        |coarse AS (
        |  SELECT qid, vid FROM (
        |    SELECT d.qid, d.vid,
@@ -317,6 +342,28 @@ object PqOps {
        |  JOIN sig sb ON sb.vec_id = c.vid) r
        |WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
+
+  /** The full-scan ADC search (sim_pq_rerank). */
+  private def rerankSql: String = searchSql("",
+    s"""
+       |  SELECT l.qid, a.vec_id AS vid, CAST(SUM(l.d) AS BIGINT) AS adot
+       |  FROM a$PqIters a
+       |  JOIN lut l ON l.m = a.m AND l.code = a.code AND l.qid <> a.vec_id
+       |  GROUP BY 1, 2""".stripMargin)
+
+  /** The IVF-restricted ADC search (sim_ivfpq_rerank): the probe-cell
+    * CTE chain from [[SimilarityOps]] gates which (query, candidate)
+    * pairs reach the LUT. */
+  private def ivfpqRerankSql: String = searchSql(
+    SimilarityOps.probeCteChain + ",\n",
+    s"""
+       |  SELECT l.qid, a.vec_id AS vid, CAST(SUM(l.d) AS BIGINT) AS adot
+       |  FROM a$PqIters a
+       |  JOIN sig sv ON sv.vec_id = a.vec_id
+       |  JOIN probes p ON p.label = sv.label
+       |  JOIN lut l ON l.qid = p.qid AND l.m = a.m AND l.code = a.code
+       |    AND l.qid <> a.vec_id
+       |  GROUP BY 1, 2""".stripMargin)
 
   def specs: Seq[QuerySpec] = Seq(
     // The encoded corpus as one packed 32-bit word per vector (code m
@@ -356,6 +403,40 @@ object PqOps {
       val pq = pqRerank(s, dir)
         .select(col("qid"), col("vid"), lit(1).as("hit"))
       brute.join(pq, Seq("qid", "vid"), "left")
+        .groupBy(col("qid"))
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / lit(5.0))
+          .as("recall"))
+        .orderBy(col("qid"))
+    },
+
+    // IVF-PQ: the full IVFADC composition — coarse cells bound WHERE
+    // the search looks, PQ codes bound WHAT each look costs. At scale
+    // a query reads nprobe partitions of 4-byte codes; here both
+    // halves are the already-gated operators composed in one plan.
+    QuerySpec.sql("sim_ivfpq_rerank", ivfpqRerankSql) { (s, dir) =>
+      ivfpqRerank(s, dir)
+    },
+
+    // Recall@5 of the composed index vs brute force: measures the
+    // PRODUCT of the cell-selection miss rate (sim_ivf_recall) and
+    // the code-approximation miss rate (sim_pq_recall) — the number a
+    // capacity plan for the composed index actually needs.
+    QuerySpec.sql(
+      "sim_ivfpq_recall",
+      s"""WITH brute AS (${SimilarityOps.topkSql("")}),
+         |ivfpq AS ($ivfpqRerankSql)
+         |SELECT b.qid,
+         |  CAST(SUM(CASE WHEN p.vid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / 5.0 AS recall
+         |FROM brute b
+         |LEFT JOIN ivfpq p ON b.qid = p.qid AND b.vid = p.vid
+         |GROUP BY b.qid
+         |ORDER BY b.qid""".stripMargin) { (s, dir) =>
+      val brute = SimilarityOps.topk(s, dir, sameCell = false)
+        .select(col("qid"), col("vid"))
+      val ivfpq = ivfpqRerank(s, dir)
+        .select(col("qid"), col("vid"), lit(1).as("hit"))
+      brute.join(ivfpq, Seq("qid", "vid"), "left")
         .groupBy(col("qid"))
         .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / lit(5.0))
           .as("recall"))

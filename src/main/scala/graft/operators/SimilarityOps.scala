@@ -167,12 +167,13 @@ object SimilarityOps {
        |WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
 
-  /** The full multi-probe IVF search SQL (shared by the sim_ivf_probe
-    * gate and the recall gate, which embeds it as a derived table).
+  /** Shared probe-cell selection CTE chain (expects a bound `sig`):
+    * ends in `probes` = (qid, label), the [[Probes]] best cells per
+    * query by centroid cosine. Reused by the IVF probe search and the
+    * IVF-PQ composition in [[PqOps]].
     */
-  private val probeSql =
-    s"""WITH sig AS ($quantizedSql),
-       |dims AS (
+  private[operators] val probeCteChain: String =
+    s"""dims AS (
        |  SELECT label, pos, CAST(SUM(qv[pos]) AS BIGINT) AS sv,
        |    COUNT(*) AS n
        |  FROM sig, UNNEST(generate_series(1, len(qv))) AS t(pos)
@@ -184,24 +185,32 @@ object SimilarityOps {
        |cent2 AS (
        |  SELECT label, cvec, list_dot_product(cvec, cvec) AS cnorm2
        |  FROM cent),
-       |q AS (
+       |qprobe AS (
        |  SELECT vec_id AS qid, qv AS qa, norm2 AS qn
        |  FROM sig WHERE vec_id < 10),
-       |ranked AS (
+       |rankedcells AS (
        |  SELECT qid, label,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
        |      list_dot_product(qa, cvec)
        |        / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cnorm2 AS DOUBLE)))
        |      DESC, label) AS cell_rank
-       |  FROM q CROSS JOIN cent2),
+       |  FROM qprobe CROSS JOIN cent2),
+       |probes AS (
+       |  SELECT qid, label FROM rankedcells WHERE cell_rank <= $Probes)""".stripMargin
+
+  /** The full multi-probe IVF search SQL (shared by the sim_ivf_probe
+    * gate and the recall gate, which embeds it as a derived table).
+    */
+  private val probeSql =
+    s"""WITH sig AS ($quantizedSql),
+       |$probeCteChain,
        |cand AS (
        |  SELECT q.qid, s.vec_id AS vid,
        |    list_dot_product(q.qa, s.qv)
        |      / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(s.norm2 AS DOUBLE)))
        |      AS cos
-       |  FROM q
-       |  JOIN (SELECT qid, label FROM ranked WHERE cell_rank <= $Probes) p
-       |    ON p.qid = q.qid
+       |  FROM qprobe q
+       |  JOIN probes p ON p.qid = q.qid
        |  JOIN sig s ON s.label = p.label AND s.vec_id <> q.qid)
        |SELECT qid, vid, cos, rnk FROM (
        |  SELECT qid, vid, cos,
@@ -257,11 +266,15 @@ object SimilarityOps {
        |ORDER BY qid, rnk""".stripMargin
   }
 
-  /** IVF multi-probe search plan (see the sim_ivf_probe spec). */
-  private def probeTopk(s: SparkSession, dir: String): DataFrame = {
+  /** The [[Probes]] best cells per query by centroid cosine —
+    * (qid, label). The "train" half is one integer centroid per cell
+    * (64 tiny rows per cell after the posexplode aggregate); the
+    * "search" half ranks cells per query through the custom top-k
+    * operator (over #cells ≈ √n rows at scale) — no window. Shared by
+    * the IVF probe search and the IVF-PQ composition in [[PqOps]].
+    */
+  private[operators] def cellProbes(s: SparkSession, dir: String): DataFrame = {
       val base = signatures(s, dir)
-      // "train": one integer centroid per cell — 64 tiny rows per cell
-      // after the posexplode aggregate, output = one row per cell
       val dims = base
         .select(col("label"), posexplode(col("qv")).as(Seq("pos0", "v")))
         .groupBy(col("label"), (col("pos0") + 1).as("pos"))
@@ -275,11 +288,7 @@ object SimilarityOps {
       val q = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("qv").as("qa"),
           col("norm2").as("qn"))
-      // "search": rank cells by centroid cosine, probe the best cells.
-      // Cell selection is itself a per-query top-k (over #cells ≈ √n
-      // rows at scale) — same custom operator, no window; plain topK
-      // (not topKRanked) because the rank itself is discarded.
-      val probes = TopKPerKey.topK(
+      TopKPerKey.topK(
           q.crossJoin(broadcast(cent))
             .withColumn("cell_cos",
               dot_long(col("qa"), col("cvec")).cast("double") /
@@ -287,9 +296,17 @@ object SimilarityOps {
             .select(col("qid"), col("label"), col("cell_cos")),
           Seq("qid"), Seq("cell_cos" -> true, "label" -> false), Probes)
         .select(col("qid"), col("label"))
+  }
+
+  /** IVF multi-probe search plan (see the sim_ivf_probe spec). */
+  private def probeTopk(s: SparkSession, dir: String): DataFrame = {
+      val base = signatures(s, dir)
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("qa"),
+          col("norm2").as("qn"))
       val cand = base.select(col("vec_id").as("vid"), col("label"),
         col("qv").as("qb"), col("norm2").as("c_norm2"))
-      rankTop5(broadcast(q).join(broadcast(probes), Seq("qid"))
+      rankTop5(broadcast(q).join(broadcast(cellProbes(s, dir)), Seq("qid"))
         .join(cand, Seq("label"))
         .filter(col("qid") =!= col("vid"))
         .withColumn("cos",

@@ -79,7 +79,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // heap reduce, k·partitions shuffle cap) and no window at all.
     for (name <- Seq("sim_brute_topk", "sim_ivf_topk", "sim_lsh_topk",
         "sim_ivf_probe", "sim_int8_rerank", "sim_knn_graph",
-        "sim_rp_rerank", "sim_pq_rerank", "sim_rrf_fusion")) {
+        "sim_rp_rerank", "sim_pq_rerank", "sim_rrf_fusion",
+        "sim_ivfpq_rerank")) {
       val all = collectNodes(planOf(name))
       assert(all.exists(_.isInstanceOf[graft.plans.TopKPerKeyExec]),
         s"$name lacks TopKPerKeyExec")

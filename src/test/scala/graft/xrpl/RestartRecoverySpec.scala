@@ -171,4 +171,72 @@ class RestartRecoverySpec extends AnyFunSuite {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("RangeJoinStream restart from checkpoint: buffered join state survives") {
+    import spark.implicits._
+    import graft.streaming.RangeJoinStream
+    import graft.streaming.RangeJoinStream.{ClickEvent, PurchaseEvent}
+    val pDir = Files.createTempDirectory("graft-rr-pdrop").toString
+    val cDir = Files.createTempDirectory("graft-rr-cdrop").toString
+    val ckptDir = Files.createTempDirectory("graft-rr-jckpt").toString
+    val outDir = Files.createTempDirectory("graft-rr-jout").toString + "/sink"
+    val dayUs = 86400000000L
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us").as("p_us"))
+      .as[PurchaseEvent].collect().toSeq
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("us").as("c_us"))
+      .as[ClickEvent].collect().toSeq
+
+    val expected = graft.functions.RangeJoin.pointInInterval(
+        purchases.toDF().withColumn("t1", col("p_us") + dayUs),
+        "user_id", "p_us", "t1", clicks.toDF(), "click_user", "c_us", dayUs)
+      .select(col("i_event_id"), col("i_user_id"), col("i_p_us"),
+        col("p_c_us"))
+      .collect().map(_.toSeq).toSet
+
+    def startQuery() = {
+      val ps = spark.readStream
+        .schema("event_id BIGINT, user_id BIGINT, p_us BIGINT")
+        .parquet(pDir).as[PurchaseEvent]
+      val cs = spark.readStream
+        .schema("click_user BIGINT, c_us BIGINT")
+        .parquet(cDir).as[ClickEvent]
+      RangeJoinStream.matchedPairs(spark, ps, cs, 86400L, "30 days")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append")
+        .start()
+    }
+
+    // phase 1: first half of purchases + SECOND half of clicks — the
+    // pairs that straddle the split can only form if the buffered
+    // sides survive the restart
+    val (p1, p2) = purchases.splitAt(purchases.size / 2)
+    val (c1, c2) = clicks.splitAt(clicks.size / 2)
+    spark.createDataset(p1).repartition(1).write.mode("append").parquet(pDir)
+    spark.createDataset(c2).repartition(1).write.mode("append").parquet(cDir)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2: converse halves on a FRESH query from the same
+    // checkpoint — recovered state-store rows must match against the
+    // newly arriving opposite sides
+    spark.createDataset(p2).repartition(1).write.mode("append").parquet(pDir)
+    spark.createDataset(c1).repartition(1).write.mode("append").parquet(cDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select(col("event_id"), col("user_id"), col("p_us"), col("c_us"))
+      .collect().map(_.toSeq).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }
