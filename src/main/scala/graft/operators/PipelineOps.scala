@@ -63,6 +63,11 @@ object PipelineOps {
   /** Documents kept by the DSIR selection. */
   val DsirSampleK = 100
 
+  /** Epoch cap for the domain-mixture gate: no source is repeated
+    * more than this many times however small it is (the data-repeat
+    * ceiling every mixture recipe carries). */
+  val MixMaxEpochs = 4L
+
   /** doc_id → its DISTINCT word-[[ContamNgram]]-grams, built map-side
     * (array_distinct before the explode) — the shared candidate table
     * of both decontamination gates.
@@ -359,6 +364,149 @@ object PipelineOps {
         .select(col("doc_id"), col("lang"), col("source"), col("w_micros"))
         .orderBy(col("w_micros").desc, col("doc_id"))
         .limit(DsirSampleK)
+    },
+
+    // Per-domain distribution drift: smoothed KL divergence of each
+    // source's hashed word-bucket distribution from the whole corpus —
+    // the mixture diagnostic that flags which domain is most unlike
+    // the rest (and how much a mixture reweighting changes the blend).
+    // Exactness: each bucket's log-ratio is rounded to integer micros
+    // (the DSIR/LM trick); the KL numerator Σ (sc+1)·λ_b is then an
+    // exact long, and the reported KL divides two exact operands —
+    // hash-identical across engines.
+    //
+    // Scale shape: one token-hash pass → one (source, bucket) hash
+    // aggregate (≤ sources·B uniform keys, map-side combinable); the
+    // sources × buckets grid is ≤ sources·B rows of pure arithmetic
+    // (broadcast joins); nothing else touches the corpus.
+    QuerySpec.sql(
+      "corpus_kl_drift",
+      s"""WITH tb AS (
+         |  SELECT source,
+         |    CAST(('0x' || substr(md5(tok || ':dsir'), 1, 8)) AS BIGINT)
+         |      % $DsirBuckets AS b
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents) t0),
+         |qc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS qc FROM tb GROUP BY b),
+         |qt AS (SELECT CAST(COUNT(*) AS BIGINT) AS qtot FROM tb),
+         |sc AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS sc
+         |       FROM tb GROUP BY source, b),
+         |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS stot
+         |       FROM tb GROUP BY source),
+         |grid AS (
+         |  SELECT s.source, s.stot, q.b, q.qc, t.qtot,
+         |    COALESCE(c.sc, 0) AS sc
+         |  FROM st s
+         |  CROSS JOIN qc q
+         |  CROSS JOIN qt t
+         |  LEFT JOIN sc c ON c.source = s.source AND c.b = q.b),
+         |terms AS (
+         |  SELECT source, stot,
+         |    (sc + 1) * CAST(CAST(ln(
+         |      CAST((sc + 1) * (qtot + $DsirBuckets) AS DOUBLE)
+         |      / CAST((stot + $DsirBuckets) * (qc + 1) AS DOUBLE))
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS term
+         |  FROM grid)
+         |SELECT source,
+         |  CAST(SUM(term) AS BIGINT) AS kl_num_micros,
+         |  CAST(SUM(term) AS DOUBLE)
+         |    / (CAST(stot + $DsirBuckets AS DOUBLE) * 1000000) AS kl
+         |FROM terms
+         |GROUP BY source, stot
+         |ORDER BY kl DESC, source""".stripMargin) { (s, dir) =>
+      val tb = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("source"),
+          (conv(substring(md5(concat(col("tok"), lit(":dsir"))), 1, 8),
+            16, 10).cast("long") % DsirBuckets).as("b"))
+      val qc = tb.groupBy(col("b")).agg(count(lit(1)).as("qc"))
+      val qt = qc.agg(sum(col("qc")).as("qtot"))
+      val sc = tb.groupBy(col("source"), col("b"))
+        .agg(count(lit(1)).as("sc"))
+      val st = sc.groupBy(col("source")).agg(sum(col("sc")).as("stot"))
+      val grid = st
+        .crossJoin(broadcast(qc))
+        .crossJoin(broadcast(qt))
+        .join(sc, Seq("source", "b"), "left")
+        .withColumn("sc", coalesce(col("sc"), lit(0L)))
+      val terms = grid.select(col("source"), col("stot"),
+        ((col("sc") + 1) * graft.functions.Cols.micros6(log(
+          ((col("sc") + 1) * (col("qtot") + DsirBuckets)).cast("double") /
+          ((col("stot") + DsirBuckets) * (col("qc") + 1)).cast("double"))))
+          .as("term"))
+      terms.groupBy(col("source"), col("stot"))
+        .agg(sum(col("term")).cast("long").as("kl_num_micros"))
+        .select(col("source"), col("kl_num_micros"),
+          (col("kl_num_micros").cast("double") /
+            ((col("stot") + DsirBuckets).cast("double") * lit(1000000.0)))
+            .as("kl"))
+        .orderBy(col("kl").desc, col("source"))
+    },
+
+    // Deterministic epoch-weighted domain mixture: materialize the
+    // training blend where every source contributes an equal token
+    // share, by REPEATING small high-quality domains (integer epochs +
+    // a hash-selected fractional epoch) and never exceeding
+    // [[MixMaxEpochs]] — the data-repetition stage of corpus assembly
+    // (small domains epoch up, huge domains implicitly downsample at
+    // the fractional-epoch hash). All arithmetic is integer micros
+    // (repeat factor = floor(target·1e6 / source_tokens), capped);
+    // membership of the fractional copy is a salted-hash threshold —
+    // reproducible on any cluster, no RNG state.
+    //
+    // Scale shape: per-source token totals are one hash aggregate;
+    // the per-source repeat factor is a ≤|sources|-row broadcast; copy
+    // materialization is a pure per-doc flatMap (sequence + explode).
+    QuerySpec.sql(
+      "mix_domains",
+      s"""WITH st AS (
+         |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+         |    AS s_toks
+         |  FROM documents GROUP BY source),
+         |tgt AS (
+         |  SELECT CAST(SUM(s_toks) // COUNT(*) AS BIGINT) AS t_toks FROM st),
+         |rf AS (
+         |  SELECT source,
+         |    LEAST(CAST(${MixMaxEpochs}000000 AS BIGINT),
+         |      CAST(FLOOR(t_toks * 1000000.0 / s_toks) AS BIGINT))
+         |      AS r_micros
+         |  FROM st CROSS JOIN tgt),
+         |assign AS (
+         |  SELECT d.doc_id, d.source,
+         |    CAST(r.r_micros // 1000000 AS BIGINT)
+         |      + CASE WHEN CAST(('0x' || substr(
+         |          md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT)
+         |          % 1000000 < r.r_micros % 1000000
+         |        THEN 1 ELSE 0 END AS n_copies
+         |  FROM documents d JOIN rf r ON r.source = d.source)
+         |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+         |FROM assign,
+         |  UNNEST(list_slice(generate_series(1, GREATEST(n_copies, 1)),
+         |    1, n_copies)) AS u(epoch)
+         |ORDER BY doc_id, epoch""".stripMargin) { (s, dir) =>
+      val st = docs(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("s_toks"))
+      val tgt = st.agg(expr("sum(s_toks) div count(1)").as("t_toks"))
+      val rf = st.crossJoin(broadcast(tgt))
+        .select(col("source"),
+          least(lit(MixMaxEpochs * 1000000L),
+            floor(col("t_toks") * lit(1000000.0) / col("s_toks"))
+              .cast("long")).as("r_micros"))
+      val hv = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 8),
+        16, 10).cast("long")
+      docs(s, dir).select(col("doc_id"), col("source"))
+        .join(broadcast(rf), Seq("source"))
+        .withColumn("n_copies",
+          expr("r_micros div 1000000L") +
+            when(hv % 1000000L < col("r_micros") % 1000000L, 1L)
+              .otherwise(0L))
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            "slice(sequence(1L, greatest(n_copies, 1L)), 1, CAST(n_copies AS INT))"))
+            .as("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
     },
 
     // End-to-end corpus curation in ONE declarative plan — the

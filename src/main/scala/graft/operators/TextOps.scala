@@ -356,13 +356,17 @@ object TextOps {
     // shape exact per-token counts cannot have: their state is the
     // vocabulary itself). est(t) = min over rows of counter[i][h_i(t)]
     // — never under the true count, over by at most ~N/w per row.
-    // Plan: token explode → 4 hash keys per token → ONE hash aggregate
-    // with 1 024 groups (map-side combine collapses each partition to
-    // the counter matrix before the shuffle — cheaper than the exact
-    // vocabulary shuffle the heavy-hitters pass pays); estimates for
-    // the exact top-20 via a broadcast join against the tiny counter
-    // table. Deterministic end to end (md5-derived rows, integer
-    // counts), so the ESTIMATE hash-compares; within_bound
+    // Plan: token explode → ONE md5 digest per occurrence, the d=4
+    // row hashes read staggered 13-hex-char windows of that single
+    // digest (offset 4i — the derived-multi-hash trick of
+    // Kirsch–Mitzenmacher double hashing: one strong digest funds all
+    // rows, quartering the dominant map-side CPU) → ONE hash
+    // aggregate with 1 024 groups (map-side combine collapses each
+    // partition to the counter matrix before the shuffle — cheaper
+    // than the exact vocabulary shuffle the heavy-hitters pass pays);
+    // estimates for the exact top-20 via a broadcast join against the
+    // tiny counter table. Deterministic end to end (md5-derived rows,
+    // integer counts), so the ESTIMATE hash-compares; within_bound
     // self-measures overcount·w ≤ 2N (generous vs the E[over] = N/w
     // per-row expectation, min over 4 rows).
     QuerySpec.sql(
@@ -372,8 +376,8 @@ object TextOps {
          |rows_ AS (SELECT unnest(range(0, $CmsDepth)) AS i),
          |keyed AS (
          |  SELECT i,
-         |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok),
-         |      1, 13)) AS BIGINT) % $CmsWidth AS j
+         |    CAST(('0x' || substr(md5(tok), 1 + 4 * i, 13)) AS BIGINT)
+         |      % $CmsWidth AS j
          |  FROM toks CROSS JOIN rows_),
          |counters AS (
          |  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -386,31 +390,34 @@ object TextOps {
          |  SELECT t.tok, t.tf, MIN(c.cnt) AS cms_est
          |  FROM top t CROSS JOIN rows_ r
          |  JOIN counters c ON c.i = r.i AND c.j =
-         |    CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || t.tok),
-         |      1, 13)) AS BIGINT) % $CmsWidth
+         |    CAST(('0x' || substr(md5(t.tok), 1 + 4 * r.i, 13)) AS BIGINT)
+         |      % $CmsWidth
          |  GROUP BY 1, 2)
          |SELECT tok, tf, cms_est, cms_est - tf AS overcount,
          |  cms_est >= tf AND (cms_est - tf) * $CmsWidth <= 2 * n_total
          |    AS within_bound
          |FROM est CROSS JOIN total
          |ORDER BY tf DESC, tok""".stripMargin) { (s, dir) =>
-      def slot(i: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
-        pmod(conv(substring(md5(concat(i.cast("string"), lit(":"), tok)),
-          1, 13), 16, 10).cast("long"), lit(CmsWidth.toLong))
+      // row i's slot from the SHARED digest column (static offsets —
+      // stays in whole-stage codegen)
+      def slot(h: org.apache.spark.sql.Column, i: Int) =
+        pmod(conv(substring(h, 1 + 4 * i, 13), 16, 10).cast("long"),
+          lit(CmsWidth.toLong))
+      def slots(h: org.apache.spark.sql.Column) =
+        posexplode(array((0 until CmsDepth).map(i => slot(h, i)): _*))
       val toks = docs(s, dir)
         .select(explode(split(col("text"), " ")).as("tok"))
-      val depth = sequence(lit(0), lit(CmsDepth - 1))
       val counters = toks
-        .select(explode(depth).as("i"), col("tok"))
-        .select(col("i"), slot(col("i"), col("tok")).as("j"))
+        .withColumn("h", md5(col("tok")))
+        .select(slots(col("h")).as(Seq("i", "j")))
         .groupBy(col("i"), col("j"))
         .agg(count(lit(1)).as("cnt"))
       val total = toks.agg(count(lit(1)).as("n_total"))
       val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
         .orderBy(col("tf").desc, col("tok")).limit(20)
       top
-        .select(col("tok"), col("tf"), explode(depth).as("i"))
-        .withColumn("j", slot(col("i"), col("tok")))
+        .withColumn("h", md5(col("tok")))
+        .select(col("tok"), col("tf"), slots(col("h")).as(Seq("i", "j")))
         .join(broadcast(counters), Seq("i", "j"))
         .groupBy(col("tok"), col("tf"))
         .agg(min(col("cnt")).as("cms_est"))

@@ -34,14 +34,17 @@ object CmsStream {
 
   final case class CmsRowState(seq: Long, n_total: Long, counts: Seq[Long])
 
-  /** The batch gate's slot hash, replicated exactly: first 13 hex
-    * chars (52 bits) of md5(row ':' token) parsed base-16, mod w.
+  /** The batch gate's slot hash, replicated exactly: row i reads the
+    * 13 hex chars (52 bits) at offset 4i of ONE md5(token) digest,
+    * parsed base-16, mod w — the derived-multi-hash scheme (one
+    * digest funds all d rows; the batch plan pays one md5 per token
+    * occurrence instead of d).
     */
   def slot(row: Int, tok: String): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$row:$tok".getBytes("UTF-8"))
+    val hex = md.digest(tok.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    (java.lang.Long.parseLong(hex.substring(0, 13), 16) %
+    (java.lang.Long.parseLong(hex.substring(4 * row, 4 * row + 13), 16) %
       TextOps.CmsWidth).toInt
   }
 
