@@ -380,6 +380,9 @@ object SimilarityOps {
     * hash table (bit p = sign of the integer dot with plane p of
     * table t). The L sketches are computed in ONE pass over the cached
     * signatures (array of structs, exploded) — no per-table rescan.
+    * Cached (plan-equality sharing, like [[signatures]]): this IS the
+    * LSH index table — the search gate and the RRF fusion both read
+    * it, and at warehouse scale it is the write-once bucket artifact.
     */
   private def lshBuckets(sig: DataFrame): DataFrame = {
     val tables = (0 until LshTables).map { t =>
@@ -391,6 +394,7 @@ object SimilarityOps {
     }
     sig.select(col("vec_id"), explode(array(tables: _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+      .cache()
   }
 
   private def lshTopk(s: SparkSession, dir: String): DataFrame = {
@@ -439,12 +443,15 @@ object SimilarityOps {
     * per-row map over the cached signatures (RpDims integer dots per
     * vector, no shuffle). Component magnitudes stay ≤ 64·10^6, so
     * every projected dot (≤ RpDims·(64·10^6)² < 2^63) is exact in
-    * long arithmetic in both engines.
+    * long arithmetic in both engines. Cached like [[lshBuckets]]: the
+    * projected store is read by the RP search gates and the RRF
+    * fusion — the write-once reduced-dimension artifact at scale.
     */
   private def rpVectors(sig: DataFrame): DataFrame = {
     val comps = rpPlanes().map(pl => dot_long(col("qv"), typedLit(pl.toSeq)))
     sig.select(col("vec_id"), array(comps.toIndexedSeq: _*).as("rv"))
       .withColumn("rnorm2", dot_long(col("rv"), col("rv")))
+      .cache()
   }
 
   /** DuckDB CTE fragments for the JL projection: `rp` = (vec_id, k,

@@ -47,7 +47,25 @@ object RangeJoinStream {
     */
   def matchedPairs(spark: SparkSession,
       purchases: Dataset[PurchaseEvent], clicks: Dataset[ClickEvent],
-      windowSec: Long, lateness: String): DataFrame = {
+      windowSec: Long, lateness: String): DataFrame =
+    joined(purchases, clicks, windowSec, lateness, "inner")
+
+  /** LEFT-OUTER variant: every purchase row emits — matched pairs as
+    * they meet, and an unmatched purchase as (event_id, user_id,
+    * p_us, NULL c_us) once BOTH watermarks prove its window can no
+    * longer be joined (outer results are withheld until the state
+    * store can discard the row, so null emission is exactly-once by
+    * construction). The streaming twin of the batch gate's LEFT join
+    * + zero-count semantics.
+    */
+  def matchedPairsOuter(spark: SparkSession,
+      purchases: Dataset[PurchaseEvent], clicks: Dataset[ClickEvent],
+      windowSec: Long, lateness: String): DataFrame =
+    joined(purchases, clicks, windowSec, lateness, "left_outer")
+
+  private def joined(purchases: Dataset[PurchaseEvent],
+      clicks: Dataset[ClickEvent], windowSec: Long, lateness: String,
+      joinType: String): DataFrame = {
     val p = purchases.toDF()
       .withColumn("pts", timestamp_micros(col("p_us")))
       .withWatermark("pts", lateness)
@@ -57,7 +75,8 @@ object RangeJoinStream {
     p.join(c,
         col("user_id") === col("click_user") &&
           col("cts") >= col("pts") &&
-          col("cts") < col("pts") + expr(s"INTERVAL $windowSec SECOND"))
+          col("cts") < col("pts") + expr(s"INTERVAL $windowSec SECOND"),
+        joinType)
       .select(col("event_id"), col("user_id"), col("p_us"), col("c_us"))
   }
 }

@@ -68,4 +68,70 @@ class RangeJoinStreamSpec extends AnyFunSuite {
       assert(got.nonEmpty, "fixture produced no in-window pairs")
     } finally q.stop()
   }
+
+  test("left-outer stream-stream join emits unmatched purchases on watermark close") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us").as("p_us"))
+      .as[PurchaseEvent].collect().toSeq
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("us").as("c_us"))
+      .as[ClickEvent].collect().toSeq
+
+    // batch truth: inner pairs plus a NULL row per unmatched purchase
+    val inner = graft.functions.RangeJoin.pointInInterval(
+        purchases.toDF().withColumn("t1", col("p_us") + dayUs),
+        "user_id", "p_us", "t1", clicks.toDF(), "click_user", "c_us", dayUs)
+      .select(col("i_event_id"), col("i_user_id"), col("i_p_us"),
+        col("p_c_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getLong(3))))
+    val matchedIds = inner.map(_._1).toSet
+    val expected = (inner ++ purchases
+      .filterNot(p => matchedIds(p.event_id))
+      .map(p => (p.event_id, p.user_id, p.p_us, None))).toSet
+
+    val pStream = MemoryStream[PurchaseEvent]
+    val cStream = MemoryStream[ClickEvent]
+    // tight-ish lateness + a far-future sentinel on BOTH sides: the
+    // outer rows emit only when both watermarks pass a purchase's
+    // window end, so the sentinel must advance purchase AND click time
+    val q = RangeJoinStream
+      .matchedPairsOuter(spark, pStream.toDS(), cStream.toDS(), daySec,
+        "1 hour")
+      .writeStream.format("memory").queryName("rjouter")
+      .outputMode("append")
+      .start()
+    try {
+      val maxUs = (purchases.map(_.p_us) ++ clicks.map(_.c_us)).max
+      val farUs = maxUs + 200L * dayUs
+      pStream.addData(purchases)
+      cStream.addData(clicks)
+      q.processAllAvailable()
+      // watermark sentinel (filtered from the compare by user -1); a
+      // second micro-batch after it lets the state-cleanup pass emit
+      pStream.addData(Seq(PurchaseEvent(-1L, -1L, farUs)))
+      cStream.addData(Seq(ClickEvent(-1L, farUs)))
+      q.processAllAvailable()
+      pStream.addData(Seq(PurchaseEvent(-2L, -1L, farUs + 1L)))
+      cStream.addData(Seq(ClickEvent(-1L, farUs + 1L)))
+      q.processAllAvailable()
+      val got = spark.table("rjouter")
+        .filter(col("user_id") =!= -1L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toSet
+      assert(got === expected)
+      assert(got.exists(_._4.isEmpty),
+        "fixture produced no unmatched purchases — outer path untested")
+      assert(got.exists(_._4.nonEmpty))
+    } finally q.stop()
+  }
 }
