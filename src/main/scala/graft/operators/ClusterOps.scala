@@ -145,9 +145,12 @@ object ClusterOps {
   def clearKmeansCentroids(session: Option[SparkSession] = None): Unit =
     kmMemo.clear(session)
 
-  def kmeansAssignments(s: SparkSession, dir: String): DataFrame = {
+  /** The converged centroid table (cid, cv, cnorm2) — the memoized
+    * model artifact; see [[kmMemo]]. */
+  private[operators] def kmeansCentroids(s: SparkSession,
+      dir: String): DataFrame = {
     val sig = SimilarityOps.signatures(s, dir)
-    val cent = kmMemo.getOrBuild(s, dir) {
+    kmMemo.getOrBuild(s, dir) {
       var c = Materialize.stable(initCentroids(sig))
       for (_ <- 1 until KmeansIters) {
         val a = assignStep(sig, c)
@@ -155,7 +158,11 @@ object ClusterOps {
       }
       c
     }
-    assignStep(sig, cent).orderBy(col("vec_id"))
+  }
+
+  def kmeansAssignments(s: SparkSession, dir: String): DataFrame = {
+    val sig = SimilarityOps.signatures(s, dir)
+    assignStep(sig, kmeansCentroids(s, dir)).orderBy(col("vec_id"))
   }
 
   /** Squared cosine threshold for semantic dedup, as the exact
@@ -421,6 +428,74 @@ object ClusterOps {
     // integer arithmetic, keep = smallest vec_id per neighborhood.
     QuerySpec.sql("dedup_semantic", semanticDedupOracle) { (s, dir) =>
       semanticDedup(s, dir)
+    },
+
+    // Clustering-quality diagnostic: the simplified (centroid-based)
+    // silhouette of the k-means model, on SQUARED distances so every
+    // operand stays an exact long — a = the point's distance² to its
+    // own centroid (already in the assignment), b = min distance² to
+    // any other centroid; s = (b−a)/max(a,b) per point, rounded to
+    // integer micros (the LM-gate trick) so the per-cluster mean is a
+    // division of two exact integers and hash-compares. The number a
+    // curation pipeline reads before trusting cluster-blocked dedup
+    // (a cluster with mean s near 0 is bleeding near-dups across the
+    // block boundary).
+    //
+    // Scale shape: one broadcast join of the K-row centroid table
+    // against the corpus (the same shape as the assign step — the
+    // corpus never shuffles) + one K-group hash aggregate.
+    QuerySpec.sql(
+      "cluster_silhouette",
+      kmeansCtes.mkString("WITH ", ",\n", ",\n") +
+        s"""alldist AS (
+           |  SELECT s.vec_id, c.cid,
+           |    s.norm2 - 2 * CAST(list_dot_product(s.qv, c.cv) AS BIGINT)
+           |      + c.cnorm2 AS d2
+           |  FROM sig s CROSS JOIN c${KmeansIters - 1} c),
+           |pt AS (
+           |  SELECT a.vec_id, a.cid, a.dist2 AS a2, MIN(d.d2) AS b2
+           |  FROM a$KmeansIters a
+           |  JOIN alldist d ON d.vec_id = a.vec_id AND d.cid <> a.cid
+           |  GROUP BY 1, 2, 3),
+           |sm AS (
+           |  SELECT cid,
+           |    CAST(CAST(
+           |      CASE WHEN GREATEST(a2, b2) = 0 THEN CAST(0 AS DOUBLE)
+           |        ELSE CAST(b2 - a2 AS DOUBLE) / GREATEST(a2, b2) END
+           |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS s_micros
+           |  FROM pt)
+           |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(s_micros) AS BIGINT) AS s_sum_micros,
+           |  CAST(SUM(s_micros) AS DOUBLE) / (COUNT(*) * 1000000)
+           |    AS mean_silhouette
+           |FROM sm GROUP BY cid ORDER BY cid""".stripMargin) { (s, dir) =>
+      val sig = SimilarityOps.signatures(s, dir)
+      val cent = kmeansCentroids(s, dir)
+      val asg = assignStep(sig, cent)
+      val others = sig.select(col("vec_id"), col("qv"), col("norm2"))
+        .crossJoin(broadcast(cent))
+        .withColumn("d2",
+          col("norm2") - lit(2L) * dot_long(col("qv"), col("cv")) +
+            col("cnorm2"))
+        .select(col("vec_id"), col("cid").as("ocid"), col("d2"))
+      val pt = asg
+        .join(others,
+          asg("vec_id") === others("vec_id") && col("ocid") =!= col("cid"))
+        .groupBy(asg("vec_id"), col("cid"), col("dist2").as("a2"))
+        .agg(min(col("d2")).as("b2"))
+      val sm = pt.select(col("cid"), graft.functions.Cols.micros6(
+        when(greatest(col("a2"), col("b2")) === 0, lit(0.0))
+          .otherwise((col("b2") - col("a2")).cast("double") /
+            greatest(col("a2"), col("b2")).cast("double")))
+        .as("s_micros"))
+      sm.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), sum(col("s_micros")).cast("long")
+          .as("s_sum_micros"))
+        .select(col("cid"), col("n"), col("s_sum_micros"),
+          (col("s_sum_micros").cast("double") /
+            (col("n") * lit(1000000L)).cast("double"))
+            .as("mean_silhouette"))
+        .orderBy(col("cid"))
     },
 
     // PageRank centrality over the k-NN graph (integer mass, 5 damped

@@ -10,9 +10,9 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField
 import graft.plans.TopKPerKey
 
 /** Product quantization (Jégou, Douze, Schmid 2011, "Product
-  * Quantization for Nearest Neighbor Search") — the fourth index
-  * family of the similarity stack (after IVF coarse cells, multi-table
-  * LSH, and the JL random projection): each 64-dim vector is split
+  * Quantization for Nearest Neighbor Search") — the fifth index
+  * family of the similarity stack (after the brute-force baseline,
+  * IVF coarse cells, multi-table LSH, and the JL random projection): each 64-dim vector is split
   * into [[PqM]] = 8 subspaces of [[PqSubDim]] = 8 dims; a per-subspace
   * codebook of [[PqK]] = 16 centroids (trained by the same fixed-round
   * deterministic Lloyd machinery as [[ClusterOps]], but per subspace)

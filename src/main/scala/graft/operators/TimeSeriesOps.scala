@@ -1405,6 +1405,70 @@ object TimeSeriesOps {
         .orderBy(col("event_type"), col("day"))
     },
 
+    // Classical seasonal decomposition (the moving-average STL
+    // ancestor): value = trend + weekly seasonal + residual, per
+    // series. Trend = centered 7-calendar-day moving mean; seasonal =
+    // per-day-of-week mean deviation from trend; residual = the rest.
+    // Everything in integer micros — trend is an exact floored
+    // rational of two window sums, deviations/seasonals/residuals are
+    // exact longs (both engines truncate integer division toward
+    // zero, verified) — so the full decomposition hash-compares.
+    //
+    // Scale shape: one daily aggregate (hash, map-side combinable),
+    // one keyed calendar-RANGE window per series, one 7·|series|-group
+    // hash aggregate broadcast back. Nothing unpartitioned.
+    QuerySpec.sql(
+      "ts_seasonal_decompose",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS dnum,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2, 3),
+        |trended AS (
+        |  SELECT event_type, day, dnum, n_events,
+        |    CAST((1000000 * CAST(SUM(n_events) OVER w AS BIGINT))
+        |      // CAST(COUNT(*) OVER w AS BIGINT) AS BIGINT) AS trend_micros
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY dnum
+        |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dev AS (
+        |  SELECT *, 1000000 * n_events - trend_micros AS dev_micros,
+        |    dnum % 7 AS dow
+        |  FROM trended),
+        |seasonal AS (
+        |  SELECT event_type, dow,
+        |    CAST(CAST(SUM(dev_micros) AS BIGINT)
+        |      // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS seasonal_micros
+        |  FROM dev GROUP BY 1, 2)
+        |SELECT d.event_type, d.day, d.n_events, d.trend_micros,
+        |  s.seasonal_micros,
+        |  d.dev_micros - s.seasonal_micros AS resid_micros
+        |FROM dev d
+        |JOIN seasonal s ON s.event_type = d.event_type AND s.dow = d.dow
+        |ORDER BY d.event_type, d.day""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("dnum"))
+        .rangeBetween(-3, 3)
+      val trended = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("dnum",
+          datediff(col("day"), lit("1970-01-01")).cast("long"))
+        .withColumn("trend_micros", expr(
+          "(1000000L * sum(n_events) OVER (PARTITION BY event_type ORDER BY dnum RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)) div count(1) OVER (PARTITION BY event_type ORDER BY dnum RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)"))
+      val dev = trended
+        .withColumn("dev_micros",
+          lit(1000000L) * col("n_events") - col("trend_micros"))
+        .withColumn("dow", col("dnum") % 7)
+      val seasonal = dev.groupBy(col("event_type"), col("dow"))
+        .agg(expr("sum(dev_micros) div count(1)").as("seasonal_micros"))
+      dev.join(seasonal, Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("trend_micros"), col("seasonal_micros"),
+          (col("dev_micros") - col("seasonal_micros")).as("resid_micros"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
     // Robust outlier flags via rolling MAD (median absolute
     // deviation): |x − med| > 3·MAD over the trailing 7-day window —
     // the robust companion to the z-score gate (one spike day cannot
