@@ -137,9 +137,9 @@ object PqOps {
 
   /** Converged per-subspace codebooks, memoized per (session, dir)
     * like [[ClusterOps]]' centroids: the Lloyd rounds' materialized
-    * fixpoints defeat plan-equality caching, and four gates consume
-    * the same model — at warehouse scale this is the write-once
-    * codebook artifact every encoder and searcher loads.
+    * fixpoints defeat plan-equality caching, and all five PQ gates
+    * consume the same model — at warehouse scale this is the
+    * write-once codebook artifact every encoder and searcher loads.
     */
   private val cbMemo = new graft.functions.DataFrameMemo
 
@@ -160,22 +160,35 @@ object PqOps {
     cbMemo.clear(session)
   }
 
+  /** Train the codebook over an arbitrary signature frame (vec_id,
+    * qv) — [[PqIters]] Lloyd rounds from the deterministic seed set.
+    * Takes however many seeds exist when the corpus is smaller than
+    * [[PqK]] (codes stay a prefix of [0, n)). Exposed at sig level so
+    * tests can drive tiny/degenerate corpora.
+    */
+  private[graft] def buildCodebook(sig: DataFrame): DataFrame = {
+    val sub = subVectors(sig)
+    var c = Materialize.stable(initCodebook(sig))
+    for (_ <- 1 until PqIters) {
+      val a = assignStep(sub, c)
+      c = Materialize.stable(updateStep(sub, a))
+    }
+    c
+  }
+
+  /** Encode an arbitrary signature frame against a codebook —
+    * (vec_id, m, code). */
+  private[graft] def encode(sig: DataFrame, cb: DataFrame): DataFrame =
+    assignStep(subVectors(sig), cb)
+
   private[operators] def codebook(s: SparkSession, dir: String): DataFrame =
     cbMemo.getOrBuild(s, dir) {
-      val sig = SimilarityOps.signatures(s, dir)
-      val sub = subVectors(sig)
-      var c = Materialize.stable(initCodebook(sig))
-      for (_ <- 1 until PqIters) {
-        val a = assignStep(sub, c)
-        c = Materialize.stable(updateStep(sub, a))
-      }
-      c
+      buildCodebook(SimilarityOps.signatures(s, dir))
     }
 
   private[operators] def pqCodes(s: SparkSession, dir: String): DataFrame =
     codesMemo.getOrBuild(s, dir) {
-      assignStep(subVectors(SimilarityOps.signatures(s, dir)), codebook(s, dir))
-        .cache()
+      encode(SimilarityOps.signatures(s, dir), codebook(s, dir)).cache()
     }
 
   /** ADC scan: (qid, vid, score). The per-query LUT (q-subvector ·

@@ -39,4 +39,24 @@ class PqSpec extends AnyFunSuite {
       .groupBy(col("qid")).agg(count(lit(1)).as("n"), max(col("rnk")).as("mx"))
     assert(r.filter(col("n") =!= 5 || col("mx") =!= 5).count() === 0)
   }
+
+  test("train + encode degrade gracefully when the corpus is smaller than PqK") {
+    // a tenant with fewer vectors than codes must still train and
+    // encode: init takes however many seeds exist, codes stay a
+    // prefix of [0, n) — pinned here because fixture scale never
+    // hits the edge
+    import spark.implicits._
+    import graft.operators.PqOps
+    val n = 5L
+    val tiny = (0L until n).map { i =>
+      (i, (0 until 64).map(d => ((i * 64 + d) % 97) * 1000L).toArray)
+    }.toDF("vec_id", "qv")
+    val cb = PqOps.buildCodebook(tiny)
+    assert(cb.count() <= n * PqOps.PqM, "more codebook rows than seeds")
+    val codes = PqOps.encode(tiny, cb)
+    assert(codes.count() === n * PqOps.PqM,
+      "every (vector, subspace) must get a code")
+    val bad = codes.filter(col("code") < 0 || col("code") >= n).count()
+    assert(bad === 0, s"codes must stay a prefix of [0, $n)")
+  }
 }
