@@ -57,6 +57,19 @@ object DedupOps {
     * bounded-DP levenshtein and the length-gap prefilter. */
   val EditMax = 64
 
+  /** Minimum normalized length (chars) for a line to participate in
+    * line-level dedup — shorter lines ("Yes.", headers, boilerplate
+    * fragments) are always kept, the C4 discipline that stops the
+    * dedup from eating every short common sentence. */
+  val MinLineLen = 16
+
+  /** Words per grid line for line-level dedup: corpora without
+    * reliable newline/sentence boundaries (and this fixture) are cut
+    * into consecutive [[LineWords]]-word windows — the boundary-free
+    * equivalent of C4's line split; a repeated span is caught when it
+    * covers an aligned window in both documents. */
+  val LineWords = 8
+
   private def mcols: Seq[String] = (0 until NumHashes).map(i => s"m$i")
 
   /** n-permutation MinHash over 8-char shingles. Permutation i is the
@@ -713,6 +726,80 @@ object DedupOps {
           (col("edit_dist") >= 0 && col("edit_dist") <= EditMax)
             .as("is_dup"))
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // C4-style GLOBAL line-level dedup (Raffel et al. 2020: discard
+    // repeated spans corpus-wide, first occurrence wins), on
+    // boundary-free text: documents are cut into consecutive
+    // [[LineWords]]-word grid lines, keyed by their lowercase-trimmed
+    // form, and every occurrence except the (smallest doc_id,
+    // smallest position) keeper is dropped — lines shorter than
+    // [[MinLineLen]] chars are exempt (always kept). The sub-document
+    // dedup level the doc-level families can't express: boilerplate
+    // repeated INSIDE otherwise-unique documents (136 grid lines
+    // repeat across the sf0.01 fixture's near-dup docs).
+    //
+    // Scale shape: the shuffle key is the normalized line (uniform —
+    // no hot key beyond true boilerplate, and the keeper aggregate is
+    // map-side combinable even for those); one hash aggregate for the
+    // keeper table, one equi-join back, one per-doc aggregate to
+    // re-assemble. The keeper identity is the composite
+    // doc_id·2^20 + pos (positions are bounded by document length;
+    // at larger id domains widen the composite or use a struct min).
+    QuerySpec.sql(
+      "dedup_lines",
+      s"""WITH segs AS (
+         |  SELECT doc_id, u.g + 1 AS pos,
+         |    array_to_string(
+         |      ws[u.g * $LineWords + 1 : u.g * $LineWords + $LineWords],
+         |      ' ') AS sent
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |        FROM documents) t,
+         |    UNNEST(generate_series(0,
+         |      CAST(FLOOR((len(ws) - 1) / $LineWords) AS BIGINT))) AS u(g)),
+         |keyed AS (
+         |  SELECT doc_id, pos, sent, lower(trim(sent)) AS k,
+         |    length(lower(trim(sent))) >= $MinLineLen AS is_cand
+         |  FROM segs),
+         |keeper AS (
+         |  SELECT k, MIN(doc_id * 1048576 + pos) AS kp
+         |  FROM keyed WHERE is_cand GROUP BY k),
+         |kept AS (
+         |  SELECT s.doc_id, s.pos, s.sent,
+         |    (NOT s.is_cand) OR s.doc_id * 1048576 + s.pos = kr.kp AS keep
+         |  FROM keyed s LEFT JOIN keeper kr ON kr.k = s.k)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  md5(COALESCE(string_agg(CASE WHEN keep THEN sent END, '|'
+         |    ORDER BY pos), '')) AS kept_digest
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      val segs = docs(s, dir)
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(
+             |  sequence(0, (size(split(text, ' ')) - 1) div $LineWords),
+             |  g -> concat_ws(' ',
+             |    slice(split(text, ' '), g * $LineWords + 1, $LineWords)))"""
+            .stripMargin)).as(Seq("pos0", "sent")))
+        .withColumn("pos", (col("pos0") + 1).cast("long"))
+        .withColumn("k", lower(trim(col("sent"))))
+        .withColumn("is_cand", length(col("k")) >= MinLineLen)
+      val keeper = segs.filter(col("is_cand"))
+        .groupBy(col("k"))
+        .agg(min(col("doc_id") * lit(1048576L) + col("pos")).as("kp"))
+      val kept = segs.join(keeper, Seq("k"), "left")
+        .withColumn("keep",
+          !col("is_cand") ||
+            (col("doc_id") * lit(1048576L) + col("pos")) === col("kp"))
+      kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          expr("""md5(concat_ws('|', transform(
+            |  array_sort(collect_list(
+            |    CASE WHEN keep THEN struct(pos, sent) END)),
+            |  x -> x.sent)))""".stripMargin).as("kept_digest"))
+        .orderBy(col("doc_id"))
     },
 
     // Shared-span near-dup pairs via winnowing: two documents that
