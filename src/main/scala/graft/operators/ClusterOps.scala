@@ -433,17 +433,20 @@ object ClusterOps {
     // Clustering-quality diagnostic: the simplified (centroid-based)
     // silhouette of the k-means model, on SQUARED distances so every
     // operand stays an exact long — a = the point's distance² to its
-    // own centroid (already in the assignment), b = min distance² to
-    // any other centroid; s = (b−a)/max(a,b) per point, rounded to
-    // integer micros (the LM-gate trick) so the per-cluster mean is a
-    // division of two exact integers and hash-compares. The number a
-    // curation pipeline reads before trusting cluster-blocked dedup
-    // (a cluster with mean s near 0 is bleeding near-dups across the
-    // block boundary).
+    // own (nearest) centroid, b = distance² to the second-nearest;
+    // s = (b−a)/max(a,b) per point, rounded to integer micros (the
+    // LM-gate trick) so the per-cluster mean is a division of two
+    // exact integers and hash-compares. The number a curation
+    // pipeline reads before trusting cluster-blocked dedup (a cluster
+    // with mean s near 0 is bleeding near-dups across the block
+    // boundary).
     //
-    // Scale shape: one broadcast join of the K-row centroid table
-    // against the corpus (the same shape as the assign step — the
-    // corpus never shuffles) + one K-group hash aggregate.
+    // Scale shape: ONE broadcast join of the K-row centroid table
+    // against the corpus; a and b are the two smallest of each
+    // point's K distances, taken from a K-bounded sorted collect in
+    // the same aggregate that the assign step would run — no second
+    // pass, no corpus-sized shuffle join. Tie-breaking matches the
+    // assignment exactly (min (d2, cid) struct order).
     QuerySpec.sql(
       "cluster_silhouette",
       kmeansCtes.mkString("WITH ", ",\n", ",\n") +
@@ -453,10 +456,16 @@ object ClusterOps {
            |      + c.cnorm2 AS d2
            |  FROM sig s CROSS JOIN c${KmeansIters - 1} c),
            |pt AS (
-           |  SELECT a.vec_id, a.cid, a.dist2 AS a2, MIN(d.d2) AS b2
-           |  FROM a$KmeansIters a
-           |  JOIN alldist d ON d.vec_id = a.vec_id AND d.cid <> a.cid
-           |  GROUP BY 1, 2, 3),
+           |  SELECT vec_id,
+           |    MAX(CASE WHEN rn = 1 THEN cid END) AS cid,
+           |    MAX(CASE WHEN rn = 1 THEN d2 END) AS a2,
+           |    MAX(CASE WHEN rn = 2 THEN d2 END) AS b2
+           |  FROM (
+           |    SELECT vec_id, cid, d2,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id
+           |        ORDER BY d2, cid) AS rn
+           |    FROM alldist) t
+           |  WHERE rn <= 2 GROUP BY vec_id),
            |sm AS (
            |  SELECT cid,
            |    CAST(CAST(
@@ -471,18 +480,16 @@ object ClusterOps {
            |FROM sm GROUP BY cid ORDER BY cid""".stripMargin) { (s, dir) =>
       val sig = SimilarityOps.signatures(s, dir)
       val cent = kmeansCentroids(s, dir)
-      val asg = assignStep(sig, cent)
-      val others = sig.select(col("vec_id"), col("qv"), col("norm2"))
+      val pt = sig.select(col("vec_id"), col("qv"), col("norm2"))
         .crossJoin(broadcast(cent))
         .withColumn("d2",
           col("norm2") - lit(2L) * dot_long(col("qv"), col("cv")) +
             col("cnorm2"))
-        .select(col("vec_id"), col("cid").as("ocid"), col("d2"))
-      val pt = asg
-        .join(others,
-          asg("vec_id") === others("vec_id") && col("ocid") =!= col("cid"))
-        .groupBy(asg("vec_id"), col("cid"), col("dist2").as("a2"))
-        .agg(min(col("d2")).as("b2"))
+        .groupBy(col("vec_id"))
+        .agg(sort_array(collect_list(struct(col("d2"), col("cid"))))
+          .as("ds"))
+        .select(col("vec_id"), col("ds")(0)("cid").as("cid"),
+          col("ds")(0)("d2").as("a2"), col("ds")(1)("d2").as("b2"))
       val sm = pt.select(col("cid"), graft.functions.Cols.micros6(
         when(greatest(col("a2"), col("b2")) === 0, lit(0.0))
           .otherwise((col("b2") - col("a2")).cast("double") /
