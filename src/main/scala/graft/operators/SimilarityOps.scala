@@ -79,6 +79,10 @@ object SimilarityOps {
     * for RrfScale = 1e6), so it hash-compares across engines. */
   val RrfScale = 1000000
 
+  /** Candidates each modality contributes to the hybrid
+    * lexical+vector fusion. */
+  val HybridCand = 20
+
   // Same quantization, one spelling per engine: Spark higher-order
   // `transform`, DuckDB `list_transform`.
   private val quantizeSpark =
@@ -910,6 +914,118 @@ object SimilarityOps {
         .agg(sum(col("term")).cast("long").as("rrf"))
       TopKPerKey.topKRanked(scored, Seq("qid"),
           Seq("rrf" -> true, "vid" -> false), 5, "rnk")
+        .select(col("qid"), col("vid"), col("rrf"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
+    // Hybrid lexical + vector retrieval — the RAG search stack: a
+    // query retrieves by BOTH its text (tf/df lexical overlap, the
+    // text_tfidf_topk scoring family) and its embedding (exact
+    // cosine), and the two ranked lists fuse by reciprocal rank. The
+    // fixture aligns doc_id and vec_id domains, so query i pairs its
+    // document text with its embedding. Lexical terms are
+    // micros6(tf/df) — exact ints, order-independent sums; fusion
+    // terms are the integer RRF family — the whole hybrid score
+    // hash-compares.
+    //
+    // Scale shape: the query-token table (q·|query tokens| rows) and
+    // the query-relevant df table BROADCAST against the corpus tf
+    // table — no zipfian token shuffle (the corpus side is probed,
+    // never re-keyed); both per-query rankings run the custom top-k
+    // plan; fusion touches 2·[[HybridCand]] rows per query.
+    QuerySpec.sql(
+      "sim_hybrid_search",
+      s"""WITH sig AS ($quantizedSql),
+         |vecranked AS (
+         |  SELECT qid, vid, rnk FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS vid,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |        list_dot_product(a.qv, b.qv)
+         |          / (sqrt(CAST(a.norm2 AS DOUBLE))
+         |            * sqrt(CAST(b.norm2 AS DOUBLE))) DESC, b.vec_id) AS rnk
+         |    FROM sig a JOIN sig b
+         |      ON a.vec_id < 10 AND b.vec_id <> a.vec_id) t
+         |  WHERE rnk <= $HybridCand),
+         |tf AS (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents) t0
+         |  GROUP BY 1, 2),
+         |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |qtok AS (SELECT doc_id AS qid, tok FROM tf WHERE doc_id < 10),
+         |lexscore AS (
+         |  SELECT q.qid, c.doc_id AS vid,
+         |    CAST(SUM(CAST(CAST(CAST(c.tf AS DOUBLE) / d.df
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS score
+         |  FROM qtok q
+         |  JOIN tf c ON c.tok = q.tok AND c.doc_id <> q.qid
+         |  JOIN df d ON d.tok = q.tok
+         |  GROUP BY 1, 2),
+         |lexranked AS (
+         |  SELECT qid, vid, rnk FROM (
+         |    SELECT qid, vid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY score DESC, vid) AS rnk
+         |    FROM lexscore) t
+         |  WHERE rnk <= $HybridCand),
+         |u AS (
+         |  SELECT qid, vid, $RrfScale // ($RrfK + rnk) AS term FROM vecranked
+         |  UNION ALL
+         |  SELECT qid, vid, $RrfScale // ($RrfK + rnk) AS term FROM lexranked),
+         |sc AS (
+         |  SELECT qid, vid, CAST(SUM(term) AS BIGINT) AS rrf
+         |  FROM u GROUP BY 1, 2)
+         |SELECT qid, vid, rrf, rnk FROM (
+         |  SELECT qid, vid, rrf,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, vid) AS rnk
+         |  FROM sc) t
+         |WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val base = signatures(s, dir)
+      // vector side: exact cosine, top HybridCand per query
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("qa"),
+          col("norm2").as("q_norm2"))
+      val cand = base.select(col("vec_id").as("vid"), col("qv").as("qb"),
+        col("norm2").as("c_norm2"))
+      val vecranked = TopKPerKey.topKRanked(
+          broadcast(q).join(cand, col("qid") =!= col("vid"))
+            .withColumn("cos",
+              dot_long(col("qa"), col("qb")).cast("double") /
+                (sqrt(col("q_norm2").cast("double")) *
+                  sqrt(col("c_norm2").cast("double"))))
+            .select(col("qid"), col("vid"), col("cos")),
+          Seq("qid"), Seq("cos" -> true, "vid" -> false), HybridCand, "rnk")
+        .select(col("qid"), col("vid"), col("rnk"))
+      // lexical side: query tokens + their df broadcast, corpus probed
+      val tf = graft.Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val qtok = tf.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("tok"))
+      val qdf = dfreq.join(qtok.select(col("tok")).distinct(), Seq("tok"))
+      val lexranked = TopKPerKey.topKRanked(
+          tf.select(col("doc_id").as("vid"), col("tok"), col("tf"))
+            .join(broadcast(qtok), Seq("tok"))
+            .filter(col("vid") =!= col("qid"))
+            .join(broadcast(qdf), Seq("tok"))
+            .groupBy(col("qid"), col("vid"))
+            .agg(sum(graft.functions.Cols.micros6(
+              col("tf").cast("double") / col("df").cast("double")))
+              .cast("long").as("score"))
+            .select(col("qid"), col("vid"), col("score")),
+          Seq("qid"), Seq("score" -> true, "vid" -> false), HybridCand, "rnk")
+        .select(col("qid"), col("vid"), col("rnk"))
+      val terms = Seq(vecranked, lexranked)
+        .map(_.select(col("qid"), col("vid"),
+          expr(s"$RrfScale div ($RrfK + rnk)").as("term")))
+        .reduce(_ unionByName _)
+      TopKPerKey.topKRanked(
+          terms.groupBy(col("qid"), col("vid"))
+            .agg(sum(col("term")).cast("long").as("rrf")),
+          Seq("qid"), Seq("rrf" -> true, "vid" -> false), 10, "rnk")
         .select(col("qid"), col("vid"), col("rrf"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
     })

@@ -80,7 +80,7 @@ class PlanShapeSpec extends AnyFunSuite {
     for (name <- Seq("sim_brute_topk", "sim_ivf_topk", "sim_lsh_topk",
         "sim_ivf_probe", "sim_int8_rerank", "sim_knn_graph",
         "sim_rp_rerank", "sim_pq_rerank", "sim_rrf_fusion",
-        "sim_ivfpq_rerank")) {
+        "sim_ivfpq_rerank", "sim_hybrid_search")) {
       val all = collectNodes(planOf(name))
       assert(all.exists(_.isInstanceOf[graft.plans.TopKPerKeyExec]),
         s"$name lacks TopKPerKeyExec")
