@@ -186,7 +186,7 @@ object PqOps {
       buildCodebook(SimilarityOps.signatures(s, dir))
     }
 
-  private[operators] def pqCodes(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
     codesMemo.getOrBuild(s, dir) {
       encode(SimilarityOps.signatures(s, dir), codebook(s, dir)).cache()
     }

@@ -59,4 +59,16 @@ class PqSpec extends AnyFunSuite {
     val bad = codes.filter(col("code") < 0 || col("code") >= n).count()
     assert(bad === 0, s"codes must stay a prefix of [0, $n)")
   }
+
+  test("clearPqModel releases the cached code table and a rebuild works") {
+    import graft.operators.PqOps
+    val codes1 = PqOps.pqCodes(spark, dir)
+    val n1 = codes1.count()
+    assert(codes1.storageLevel.useMemory, "code table should be cached")
+    PqOps.clearPqModel(Some(spark))
+    assert(!codes1.storageLevel.useMemory,
+      "clear must unpersist the released code table")
+    val codes2 = PqOps.pqCodes(spark, dir)
+    assert(codes2.count() === n1, "rebuild after clear must reproduce the model")
+  }
 }
