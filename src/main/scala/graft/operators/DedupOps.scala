@@ -842,6 +842,73 @@ object DedupOps {
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 3)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Exact duplicated-substring spans (Lee et al. 2022 "Deduplicating
+    // Training Data Makes Language Models Better", the ExactSubstr
+    // operator, word-granular): every maximal run of 8-word grams that
+    // appears verbatim in ≥ 2 distinct documents, reported per document
+    // as (span_start, span_end, span_words, n_grams) — the byte ranges
+    // an ExactSubstr pass would cut before training. The suffix-array
+    // formulation doesn't distribute; the equivalent gram-join does:
+    // one flatMap emits (gram-hash, doc, pos), one hash aggregate finds
+    // hashes spanning ≥ 2 docs, one shuffle join marks the hit
+    // positions, and the maximal-run merge is the classic
+    // pos − row_number() island trick inside each document (the window
+    // partitions by doc_id — bounded per-doc state, uniform keys). At
+    // 100 TB the gram emit is ~L× the corpus in shuffle volume, so the
+    // gram is carried as a 16-byte md5 digest, never the text; the
+    // duplicated-hash side of the join is corpus-dup-rate-sized
+    // (typically ≪ 1% of grams), which AQE turns into a broadcast at
+    // runtime when it fits.
+    QuerySpec.sql(
+      "dedup_substring",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |p AS (
+        |  SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS pos FROM t),
+        |g AS (
+        |  SELECT doc_id, pos,
+        |    md5(array_to_string(ws[pos:pos+7], ' ')) AS h
+        |  FROM p),
+        |d AS (
+        |  SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (h)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS grp
+        |  FROM hit)
+        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+        |  MAX(pos) + 7 - MIN(pos) + 1 AS span_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+      val L = 8
+      val grams = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= L)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(ws) - ${L - 1}),
+             |  i -> struct(i AS pos,
+             |    md5(array_join(slice(ws, i, $L), ' ')) AS h))"""
+            .stripMargin)).as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+      val dup = grams.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("h"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      grams.join(dup, Seq("h"))
+        .select(col("doc_id"), col("pos"))
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + (L - 1)).as("span_end"),
+          (max(col("pos")) + (L - 1) - min(col("pos")) + 1).as("span_words"),
+          count(lit(1)).as("n_grams"))
+        .drop("grp")
+        .orderBy(col("doc_id"), col("span_start"))
     })
 
   /** Component labels memoized per (session, dir): the fixpoint

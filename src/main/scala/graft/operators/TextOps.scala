@@ -648,5 +648,226 @@ object TextOps {
           ((-col("sm")).cast("double") /
             (col("n_tokens") * lit(1000000L)).cast("double")).as("avg_nll"))
         .orderBy(col("doc_id"))
+    },
+
+    // Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1
+    // adapted to the synthetic corpus): four deterministic per-document
+    // rules — word-count bounds, mean-word-length bounds, vocabulary
+    // diversity (repetition proxy), minimum stopword evidence — each
+    // emitted as a 0/1 flag plus the combined keep decision and the
+    // FIRST failing rule as the reject reason (the audit trail a
+    // curation pipeline stores next to every dropped document). All
+    // four rules are per-document array folds over the split tokens:
+    // zero shuffle, one codegen stage, embarrassingly parallel at any
+    // corpus size.
+    QuerySpec.sql(
+      "text_gopher_rules", {
+        val stops = inList(langMarkers.head._2)
+        s"""WITH m AS (
+           |  SELECT doc_id,
+           |    len(ws) AS n_words,
+           |    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+           |      / len(ws) AS mean_word_len,
+           |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+           |      AS distinct_ratio,
+           |    CAST(len(list_filter(ws, w -> w IN $stops)) AS BIGINT)
+           |      AS n_stop
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+           |        FROM documents)),
+           |r AS (
+           |  SELECT *,
+           |    CASE WHEN n_words BETWEEN 20 AND 90 THEN 1 ELSE 0 END
+           |      AS r_word_count,
+           |    CASE WHEN mean_word_len >= 3.8 AND mean_word_len <= 5.2
+           |      THEN 1 ELSE 0 END AS r_word_len,
+           |    CASE WHEN distinct_ratio >= 0.4 THEN 1 ELSE 0 END
+           |      AS r_diversity,
+           |    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stopword
+           |  FROM m)
+           |SELECT doc_id, n_words, mean_word_len, distinct_ratio, n_stop,
+           |  r_word_count, r_word_len, r_diversity, r_stopword,
+           |  r_word_count * r_word_len * r_diversity * r_stopword AS keep,
+           |  CASE WHEN r_word_count = 0 THEN 'word_count'
+           |       WHEN r_word_len = 0 THEN 'word_len'
+           |       WHEN r_diversity = 0 THEN 'diversity'
+           |       WHEN r_stopword = 0 THEN 'stopword'
+           |       ELSE '' END AS reject_reason
+           |FROM r
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val stops = inList(langMarkers.head._2)
+      val m = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          expr("CAST(aggregate(ws, 0, (a, w) -> a + length(w)) AS DOUBLE)")
+            .as("sum_len"),
+          size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+          expr(s"CAST(size(filter(ws, w -> w IN $stops)) AS BIGINT)")
+            .as("n_stop"))
+        .select(col("doc_id"), col("n_words"),
+          (col("sum_len") / col("n_words")).as("mean_word_len"),
+          (col("n_distinct").cast("double") / col("n_words"))
+            .as("distinct_ratio"),
+          col("n_stop"))
+      val r = m
+        .withColumn("r_word_count",
+          when(col("n_words").between(20, 90), 1).otherwise(0))
+        .withColumn("r_word_len",
+          when(col("mean_word_len") >= 3.8 && col("mean_word_len") <= 5.2, 1)
+            .otherwise(0))
+        .withColumn("r_diversity",
+          when(col("distinct_ratio") >= 0.4, 1).otherwise(0))
+        .withColumn("r_stopword",
+          when(col("n_stop") >= 2, 1).otherwise(0))
+      r.withColumn("keep",
+          col("r_word_count") * col("r_word_len") *
+            col("r_diversity") * col("r_stopword"))
+        .withColumn("reject_reason",
+          when(col("r_word_count") === 0, "word_count")
+            .when(col("r_word_len") === 0, "word_len")
+            .when(col("r_diversity") === 0, "diversity")
+            .when(col("r_stopword") === 0, "stopword")
+            .otherwise(""))
+        .orderBy(col("doc_id"))
+    },
+
+    // Inverted-index build: per term, document frequency, collection
+    // frequency, and a BOUNDED posting list (the 20 lowest doc_ids).
+    // The bound is the point at scale — an unbounded
+    // collect_list(doc_id) for a stopword-grade term materializes one
+    // row holding millions of ids (the giant-row problem real posting
+    // lists solve by chunking); capping at k turns the list build into
+    // a top-k-per-key problem, served by the native [[graft.plans
+    // .TopKPerKey]] plan: per-partition k-bounded heaps, shuffle ≤ k
+    // rows per term per input partition, never a full per-term sort.
+    // df/cf come from the same (term, doc) pre-aggregate the heap
+    // consumes, so the corpus is tokenized exactly once.
+    QuerySpec.sql(
+      "text_postings",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |pd AS (
+        |  SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tok GROUP BY 1, 2),
+        |st AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+        |    CAST(SUM(cnt) AS BIGINT) AS coll_freq
+        |  FROM pd GROUP BY 1),
+        |top AS (
+        |  SELECT tok, doc_id FROM (
+        |    SELECT tok, doc_id,
+        |      row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+        |    FROM pd) WHERE rn <= 20),
+        |pl AS (
+        |  SELECT tok,
+        |    array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+        |  FROM top GROUP BY 1)
+        |SELECT st.tok, doc_freq, coll_freq, postings
+        |FROM st JOIN pl USING (tok)
+        |ORDER BY st.tok""".stripMargin) { (s, dir) =>
+      val pd = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok"), col("doc_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val st = pd.groupBy(col("tok"))
+        .agg(count(lit(1)).cast("long").as("doc_freq"),
+          sum(col("cnt")).cast("long").as("coll_freq"))
+      // the serialized chunk is a flat string (the driver's comparator
+      // is scalar-typed), carrying the same sorted id order either way
+      val pl = graft.plans.TopKPerKey
+        .topK(pd.select(col("tok"), col("doc_id")), Seq("tok"),
+          Seq(("doc_id", false)), 20)
+        .groupBy(col("tok"))
+        .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("postings"))
+      st.join(pl, Seq("tok")).orderBy(col("tok"))
+    },
+
+    // Interpolated bigram language model (Jelinek-Mercer smoothing):
+    // P(w2|w1) = 0.7·c(w1 w2)/c(w1) + 0.3·(c(w2)+1)/(N+V), scored as
+    // per-document mean NLL per bigram — the natural upgrade of
+    // text_lm_score's unigram filter and the same quality signal CCNet
+    // computes with a 5-gram KenLM. The same exactness discipline:
+    // per-bigram log-probs round once to integer micros, document
+    // scores are exact long sums of those micros (order-independent,
+    // engine-identical), and the only double division is the final
+    // mean. The doc-bigram → LM join is SALTED (factor 8): bigram
+    // frequency is zipfian like unigrams, and the hot ("of", "the")
+    // rows would otherwise converge on single reducers at 100 TB.
+    QuerySpec.sql(
+      "text_lm_bigram",
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM ws)),
+        |pd AS (
+        |  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM bg GROUP BY 1, 2, 3),
+        |bc AS (
+        |  SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c12
+        |  FROM pd GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+        |    CAST(COUNT(*) AS BIGINT) AS v_size FROM uni),
+        |lp AS (
+        |  SELECT bc.w1, bc.w2,
+        |    CAST(CAST(ln(
+        |        0.7 * CAST(c12 AS DOUBLE) / CAST(u1.c AS DOUBLE)
+        |      + 0.3 * CAST(u2.c + 1 AS DOUBLE)
+        |          / CAST(n_total + v_size AS DOUBLE)) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS lp_micros
+        |  FROM bc
+        |  JOIN uni u1 ON u1.tok = bc.w1
+        |  JOIN uni u2 ON u2.tok = bc.w2
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        |  CAST(-SUM(cnt * lp_micros) AS DOUBLE)
+        |    / CAST(SUM(cnt) * 1000000 AS DOUBLE) AS avg_nll
+        |FROM pd JOIN lp ON pd.w1 = lp.w1 AND pd.w2 = lp.w2
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ws = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val pd = ws
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+          .as("b"))
+        .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("cnt"))
+      val bc = pd.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("cnt")).as("c12"))
+      val uni = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum(col("c")).as("n_total"),
+        count(lit(1)).as("v_size"))
+      val lp = bc
+        .join(uni.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"),
+          graft.functions.Cols.micros6(
+            log(lit(0.7) * col("c12").cast("double") / col("c1").cast("double")
+              + lit(0.3) * (col("c2") + 1).cast("double") /
+                (col("n_total") + col("v_size")).cast("double")))
+            .as("lp_micros"))
+      graft.functions.Skew.saltedJoin(pd, lp, Seq("w1", "w2"), factor = 8)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_bigrams"),
+          sum(col("cnt") * col("lp_micros")).as("sm"))
+        .select(col("doc_id"), col("n_bigrams"),
+          ((-col("sm")).cast("double") /
+            (col("n_bigrams") * lit(1000000L)).cast("double")).as("avg_nll"))
+        .orderBy(col("doc_id"))
     })
 }
