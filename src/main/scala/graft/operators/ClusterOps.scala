@@ -345,7 +345,103 @@ object ClusterOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Number of greedy k-center rounds (= selected coreset size). */
+  val KCenterCount = 5
+
+  /** Greedy k-center coreset selection (Gonzalez 1985): seed with the
+    * smallest vec_id, then repeatedly select the point FARTHEST from
+    * the already-selected set (max over the corpus of the min squared
+    * L2 distance to any selected center, ties to the smallest vec_id).
+    * The classic 2-approximation to the k-center objective and the
+    * standard diversity-maximizing data-selection primitive: the
+    * selected rows cover the embedding space — every corpus point is
+    * within the final covering radius of some selected point.
+    *
+    * Output: one row per selected center, (sel_rank, vec_id,
+    * cover_dist2) where cover_dist2 is the min-distance that made the
+    * point the farthest at its selection round (0 for the seed) — a
+    * non-increasing sequence; the last value upper-bounds twice the
+    * optimal k-center radius.
+    *
+    * Scale shape: the greedy is inherently k sequential passes, but
+    * each pass is embarrassingly parallel — the selected set (≤ K
+    * rows) broadcasts, min-distance is a per-row fold, and the argmax
+    * is TakeOrdered(1), so per-pass driver traffic is ONE row. Same
+    * exact-integer distance discipline as k-means: micro-quantized
+    * long vectors, dist² = ‖x‖² − 2⟨x,c⟩ + ‖c‖² in pure long
+    * arithmetic, bit-identical on any engine and any partitioning.
+    * For K in the thousands, the sequential-pass count is the
+    * bottleneck and the over-sampling relaxation (k-means‖-style:
+    * sample Θ(k) farthest candidates per pass, then reduce) trades
+    * exactness for O(log n) passes — this operator is the exact
+    * small-K primitive those variants approximate.
+    */
+  def kcenterSelect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val sig = SimilarityOps.signatures(s, dir)
+      .select(col("vec_id"), col("qv"), col("norm2"))
+    val seed = sig.orderBy(col("vec_id")).limit(1).collect()(0)
+    val selected = scala.collection.mutable.ArrayBuffer(
+      (0, seed.getLong(0), seed.getSeq[Long](1), seed.getLong(2), 0L))
+    val centSchema = StructType(Seq(
+      StructField("cqv", ArrayType(LongType)),
+      StructField("cnorm2", LongType)))
+    for (r <- 1 until KCenterCount) {
+      val cent = s.createDataFrame(
+        s.sparkContext.parallelize(
+          selected.map(t => Row(t._3, t._4)).toSeq, 1), centSchema)
+      val top = sig.crossJoin(broadcast(cent))
+        .select(col("vec_id"),
+          (col("norm2") - lit(2L) * dot_long(col("qv"), col("cqv"))
+            + col("cnorm2")).as("d"))
+        .groupBy(col("vec_id")).agg(min(col("d")).as("md"))
+        .orderBy(col("md").desc, col("vec_id").asc)
+        .limit(1).collect()(0)
+      val next = sig.filter(col("vec_id") === top.getLong(0)).collect()(0)
+      selected += ((r, next.getLong(0), next.getSeq[Long](1),
+        next.getLong(2), top.getLong(1)))
+    }
+    val outSchema = StructType(Seq(
+      StructField("sel_rank", IntegerType),
+      StructField("vec_id", LongType),
+      StructField("cover_dist2", LongType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize(
+        selected.map(t => Row(t._1, t._2, t._5)).toSeq, 1), outSchema)
+      .orderBy(col("sel_rank"))
+  }
+
   // ---- oracle SQL (generated to mirror the fixed iteration count) ----
+
+  private def kcenterOracle: String = {
+    val dist = "s.norm2 - 2 * CAST(list_dot_product(s.qv, c.qv) AS BIGINT)" +
+      " + c.norm2"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"sig AS (SELECT vec_id, qv, CAST(norm2 AS BIGINT) AS norm2 " +
+        s"FROM (${SimilarityOps.quantizedSql}) q0)",
+      s"""sel1 AS (
+         |  SELECT vec_id, qv, norm2, 0 AS sel_rank,
+         |    CAST(0 AS BIGINT) AS cd
+         |  FROM (SELECT * FROM sig ORDER BY vec_id LIMIT 1) t)""".stripMargin)
+    for (i <- 2 to KCenterCount) {
+      ctes += s"""m${i - 1} AS (
+         |  SELECT s.vec_id, MIN($dist) AS md
+         |  FROM sig s CROSS JOIN sel${i - 1} c GROUP BY s.vec_id)""".stripMargin
+      ctes += s"""p$i AS (
+         |  SELECT vec_id, md FROM m${i - 1}
+         |  ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+      ctes += s"""sel$i AS (
+         |  SELECT * FROM sel${i - 1}
+         |  UNION ALL
+         |  SELECT s.vec_id, s.qv, s.norm2, ${i - 1} AS sel_rank, p.md AS cd
+         |  FROM sig s JOIN p$i p ON p.vec_id = s.vec_id)""".stripMargin
+    }
+    ctes.mkString("WITH ", ",\n", "") +
+      s"""
+         |SELECT sel_rank, vec_id, cd AS cover_dist2 FROM sel$KCenterCount
+         |ORDER BY sel_rank""".stripMargin
+  }
 
   /** CTE chain ending in `a$KmeansIters` = (vec_id, cid, dist2). */
   private def kmeansCtes: Seq[String] = {
@@ -416,6 +512,13 @@ object ClusterOps {
   }
 
   def specs: Seq[QuerySpec] = Seq(
+    // Greedy k-center coreset selection over the quantized embeddings
+    // (see [[kcenterSelect]]); the oracle unrolls the fixed selection
+    // rounds into a CTE chain, like the Lloyd/PageRank oracles.
+    QuerySpec.sql("select_kcenter", kcenterOracle) { (s, dir) =>
+      kcenterSelect(s, dir)
+    },
+
     // Deterministic Lloyd k-means over the quantized embeddings:
     // 3 fixed rounds, init = K smallest vec_ids, integer distances,
     // floor-mean centroids. Output: final assignment + distance.

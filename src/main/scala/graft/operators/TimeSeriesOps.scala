@@ -1224,6 +1224,86 @@ object TimeSeriesOps {
         .orderBy(col("event_type"), col("day"))
     },
 
+    // CUSUM changepoint detection (Page 1954): per event-type series,
+    // the two one-sided cumulative sums
+    //   s⁺_i = max(0, s⁺_{i-1} + dev_i − K),
+    //   s⁻_i = max(0, s⁻_{i-1} − dev_i − K)
+    // flag sustained drift of the daily count away from the series
+    // mean. Everything is scaled ×n (series length) so the mean never
+    // becomes a float: dev_i = n·x_i − Σx is an exact integer that
+    // sums to zero over the series, the slack K = Σx div 10 absorbs
+    // one-day noise, and the alarm fires when a side exceeds
+    // H = Σx div 10 (a tenth of a mean-day of scaled accumulated
+    // drift — tight enough to flag the largest sustained excursions
+    // of a stationary series, the regression surface this gate
+    // pins). Same
+    // per-series `aggregate` fold as ts_ewma/ts_holt_trend — one hash
+    // aggregate + one explode, no window — with the textbook
+    // recursive-CTE oracle.
+    QuerySpec.sql(
+      "ts_cusum",
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, day, n_events,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |      CAST(COUNT(*) AS BIGINT) AS n_events
+        |    FROM events GROUP BY 1, 2) d),
+        |st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_events) AS BIGINT) AS t,
+        |    CAST(SUM(n_events) AS BIGINT) // 10 AS slack
+        |  FROM daily GROUP BY 1),
+        |r AS (
+        |  SELECT d.event_type, d.rn, d.day, d.n_events,
+        |    GREATEST(0, (s.n * d.n_events - s.t) - s.slack) AS s_pos,
+        |    GREATEST(0, -(s.n * d.n_events - s.t) - s.slack) AS s_neg
+        |  FROM daily d JOIN st s USING (event_type) WHERE d.rn = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.rn, d.day, d.n_events,
+        |    GREATEST(0, r.s_pos + (s.n * d.n_events - s.t) - s.slack),
+        |    GREATEST(0, r.s_neg - (s.n * d.n_events - s.t) - s.slack)
+        |  FROM r JOIN daily d
+        |    ON d.event_type = r.event_type AND d.rn = r.rn + 1
+        |  JOIN st s ON s.event_type = d.event_type)
+        |SELECT r.event_type, day, n_events,
+        |  CAST(s_pos AS BIGINT) AS s_pos, CAST(s_neg AS BIGINT) AS s_neg,
+        |  CASE WHEN s_pos > s.t // 10 OR s_neg > s.t // 10
+        |    THEN 1 ELSE 0 END AS alarm
+        |FROM r JOIN st s USING (event_type)
+        |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("n_events"))))
+          .as("arr"))
+        .withColumn("n", size(col("arr")).cast("long"))
+        .withColumn("t", expr("aggregate(arr, 0L, (a, x) -> a + x.n_events)"))
+        .withColumn("slack", expr("t div 10"))
+        .select(col("event_type"), col("t"), explode(expr(
+          """aggregate(arr,
+            |  CAST(array() AS ARRAY<STRUCT<day: DATE, n_events: BIGINT,
+            |    s_pos: BIGINT, s_neg: BIGINT>>),
+            |  (acc, x) -> array_append(acc, named_struct(
+            |    'day', x.day, 'n_events', x.n_events,
+            |    's_pos', greatest(0L,
+            |      CASE WHEN size(acc) = 0 THEN 0L
+            |           ELSE element_at(acc, -1).s_pos END
+            |        + (n * x.n_events - t) - slack),
+            |    's_neg', greatest(0L,
+            |      CASE WHEN size(acc) = 0 THEN 0L
+            |           ELSE element_at(acc, -1).s_neg END
+            |        - (n * x.n_events - t) - slack))))""".stripMargin))
+          .as("e"))
+        .select(col("event_type"), col("e.day").as("day"),
+          col("e.n_events").as("n_events"), col("e.s_pos").as("s_pos"),
+          col("e.s_neg").as("s_neg"),
+          when(col("e.s_pos") > expr("t div 10") ||
+              col("e.s_neg") > expr("t div 10"), 1)
+            .otherwise(0).as("alarm"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
     // Bidirectional nearest-event join: each event picks whichever of
     // the user's latest order at-or-before / earliest order at-or-after
     // is temporally CLOSER (ties to the earlier one) — composing the
