@@ -1028,5 +1028,112 @@ object SimilarityOps {
           Seq("qid"), Seq("rrf" -> true, "vid" -> false), 10, "rnk")
         .select(col("qid"), col("vid"), col("rrf"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
+    },
+
+    // MMR diversified re-ranking (Carbonell & Goldstein 1998): retrieve
+    // a top-[[MmrPool]] relevance pool per query, then greedily pick
+    // [[MmrK]] results maximizing λ·relevance − μ·max-sim-to-selected —
+    // the standard redundancy-removal pass over retrieval output (and
+    // over training-batch selection). The selection loop is the custom
+    // [[graft.functions.MmrSelect]] Catalyst expression: one eval per
+    // QUERY over its bounded pool, so the operator stays a per-row map
+    // after the pool build (the oracle unrolls the same greedy into
+    // k − 1 join+window rounds — exactly the plan shape the expression
+    // avoids). Pool build reuses the native top-k heap plan; scores
+    // are deterministic IEEE chains over exact integer dots, like
+    // every cosine in this file.
+    QuerySpec.sql("sim_mmr_rerank", mmrOracle) { (s, dir) =>
+      val base = signatures(s, dir)
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("qa"),
+          col("norm2").as("q_norm2"))
+      val cand = base.select(col("vec_id").as("vid"), col("qv"),
+        col("norm2"))
+      val scored = broadcast(q).join(cand, col("qid") =!= col("vid"))
+        .withColumn("dot", dot_long(col("qa"), col("qv")))
+        .withColumn("rel",
+          col("dot").cast("double") /
+            (sqrt(col("q_norm2").cast("double")) *
+              sqrt(col("norm2").cast("double"))))
+        .select(col("qid"), col("vid"), col("rel"), col("qv"), col("norm2"))
+      TopKPerKey.topK(scored, Seq("qid"),
+          Seq("rel" -> true, "vid" -> false), MmrPool)
+        .groupBy(col("qid"))
+        .agg(expr("collect_list(struct(vid, rel, qv, norm2))").as("cands"))
+        .select(col("qid"),
+          explode(graft.functions.MmrSelect.mmr_select(
+            col("cands"), MmrK, MmrLam, MmrMu)).as("m"))
+        .select(col("qid"), col("m.mmr_rank").as("mmr_rank"),
+          col("m.vid").as("vid"), col("m.score").as("score"))
+        .orderBy(col("qid"), col("mmr_rank"))
     })
+
+  /** MMR candidate-pool size (top-N by relevance feeding the greedy). */
+  val MmrPool = 10
+
+  /** MMR picks per query. */
+  val MmrK = 5
+
+  /** Relevance weight λ and redundancy weight μ. Passed as SEPARATE
+    * literals — deriving μ as 1 − λ would produce a double one ulp off
+    * the 0.3 the oracle SQL spells.
+    */
+  val MmrLam = 0.7
+  val MmrMu = 0.3
+
+  /** Unrolled greedy-MMR oracle: pool CTE, then [[MmrK]] − 1 rounds of
+    * (score remaining vs selected) → (argmax) → (union into selected).
+    */
+  private def mmrOracle: String = {
+    def cos(a: String, b: String) =
+      s"list_dot_product($a.qv, $b.qv) / (sqrt(CAST($a.norm2 AS DOUBLE))" +
+        s" * sqrt(CAST($b.norm2 AS DOUBLE)))"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"sig AS ($quantizedSql)",
+      s"""cand0 AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vid, ${cos("a", "b")} AS rel,
+         |    b.qv AS qv, b.norm2 AS norm2
+         |  FROM sig a JOIN sig b
+         |    ON a.vec_id < 10 AND b.vec_id <> a.vec_id)""".stripMargin,
+      s"""cand AS (
+         |  SELECT qid, vid, rel, qv, norm2 FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, vid) AS rnk
+         |    FROM cand0) t
+         |  WHERE rnk <= $MmrPool)""".stripMargin,
+      s"""sel1 AS (
+         |  SELECT qid, vid, qv, norm2, 1 AS mmr_rank,
+         |    CAST($MmrLam AS DOUBLE) * rel AS score
+         |  FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, vid) AS rn
+         |    FROM cand) t
+         |  WHERE rn = 1)""".stripMargin)
+    for (i <- 2 to MmrK) {
+      ctes += s"""sc$i AS (
+         |  SELECT c.qid, c.vid,
+         |    CAST($MmrLam AS DOUBLE) * c.rel
+         |      - CAST($MmrMu AS DOUBLE) * MAX(${cos("c", "s")}) AS score
+         |  FROM cand c JOIN sel${i - 1} s ON s.qid = c.qid
+         |  WHERE c.vid NOT IN
+         |    (SELECT x.vid FROM sel${i - 1} x WHERE x.qid = c.qid)
+         |  GROUP BY c.qid, c.vid, c.rel)""".stripMargin
+      ctes += s"""p$i AS (
+         |  SELECT qid, vid, score FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, vid) AS rn
+         |    FROM sc$i) t
+         |  WHERE rn = 1)""".stripMargin
+      ctes += s"""sel$i AS (
+         |  SELECT * FROM sel${i - 1}
+         |  UNION ALL
+         |  SELECT c.qid, c.vid, c.qv, c.norm2, $i AS mmr_rank, p.score
+         |  FROM cand c JOIN p$i p ON p.qid = c.qid AND p.vid = c.vid)"""
+        .stripMargin
+    }
+    ctes.mkString("WITH ", ",\n", "") +
+      s"""
+         |SELECT qid, mmr_rank, vid, score FROM sel$MmrK
+         |ORDER BY qid, mmr_rank""".stripMargin
+  }
 }
