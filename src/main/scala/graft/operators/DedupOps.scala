@@ -885,16 +885,7 @@ object DedupOps {
         |  CAST(COUNT(*) AS BIGINT) AS n_grams
         |FROM isl GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
-      val L = 8
-      val grams = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= L)
-        .select(col("doc_id"), explode(expr(
-          s"""transform(sequence(1, size(ws) - ${L - 1}),
-             |  i -> struct(i AS pos,
-             |    md5(array_join(slice(ws, i, $L), ' ')) AS h))"""
-            .stripMargin)).as("g"))
-        .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+      val grams = substrGrams(s, dir)
       val dup = grams.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select(col("h"))
@@ -904,12 +895,115 @@ object DedupOps {
         .withColumn("grp", col("pos") - row_number().over(w))
         .groupBy(col("doc_id"), col("grp"))
         .agg(min(col("pos")).as("span_start"),
-          (max(col("pos")) + (L - 1)).as("span_end"),
-          (max(col("pos")) + (L - 1) - min(col("pos")) + 1).as("span_words"),
+          (max(col("pos")) + (SubstrL - 1)).as("span_end"),
+          (max(col("pos")) + (SubstrL - 1) - min(col("pos")) + 1)
+            .as("span_words"),
           count(lit(1)).as("n_grams"))
         .drop("grp")
         .orderBy(col("doc_id"), col("span_start"))
+    },
+
+    // The CUT the span report prescribes: rewrite the corpus with
+    // duplicated spans removed from every NON-OWNING document (the
+    // owner of a duplicated gram is the smallest doc_id containing it,
+    // so exactly one copy of every shared passage survives — Lee et
+    // al.'s keep-one policy made deterministic). Output per document:
+    // original word count, words cut, and the cleaned text. Scale
+    // shape: the rewrite necessarily shuffles every word once to
+    // reassemble documents — doc_id is the key (uniform); the
+    // covered-position set is dup-rate-sized. The gram table is built
+    // once and shared with dedup_substring via the cache.
+    QuerySpec.sql(
+      "dedup_substring_cut",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (
+        |  SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS pos
+        |  FROM t WHERE len(ws) >= 8),
+        |g AS (
+        |  SELECT doc_id, pos,
+        |    md5(array_to_string(ws[pos:pos+7], ' ')) AS h
+        |  FROM p),
+        |kp AS (
+        |  SELECT h, MIN(doc_id) AS keeper FROM g GROUP BY h
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cut AS (
+        |  SELECT DISTINCT doc_id, wpos FROM (
+        |    SELECT g.doc_id, unnest(range(g.pos, g.pos + 8)) AS wpos
+        |    FROM g JOIN kp ON kp.h = g.h AND g.doc_id <> kp.keeper) z),
+        |wp AS (
+        |  SELECT doc_id, ws[wpos] AS w, wpos FROM (
+        |    SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS wpos
+        |    FROM t) z),
+        |kept AS (
+        |  SELECT wp.doc_id, wp.wpos, wp.w FROM wp
+        |  WHERE NOT EXISTS (SELECT 1 FROM cut c
+        |    WHERE c.doc_id = wp.doc_id AND c.wpos = wp.wpos)),
+        |clean AS (
+        |  SELECT doc_id, array_to_string(list(w ORDER BY wpos), ' ')
+        |    AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |nc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut
+        |  FROM cut GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_words,
+        |  COALESCE(nc.n_cut, 0) AS n_cut,
+        |  COALESCE(clean.clean_text, '') AS clean_text
+        |FROM t
+        |LEFT JOIN nc ON nc.doc_id = t.doc_id
+        |LEFT JOIN clean ON clean.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val wsAll = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val grams = substrGrams(s, dir)
+      val kp = grams.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"),
+          min(col("doc_id")).as("keeper"))
+        .filter(col("nd") >= 2)
+        .select(col("h"), col("keeper"))
+      val cut = grams.join(kp, Seq("h"))
+        .filter(col("doc_id") =!= col("keeper"))
+        .select(col("doc_id"),
+          explode(expr(s"sequence(pos, pos + ${SubstrL - 1})")).as("wpos"))
+        .distinct()
+      val words = wsAll
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "w")))
+        .select(col("doc_id"), (col("p0") + 1).as("wpos"), col("w"))
+      val clean = words.join(cut, Seq("doc_id", "wpos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(wpos, w))), x -> x.w), ' ')").as("clean_text"))
+      val nc = cut.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_cut"))
+      wsAll.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+        .join(nc, Seq("doc_id"), "left")
+        .join(clean, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy(col("doc_id"))
     })
+
+  /** ExactSubstr gram width (words). */
+  private[operators] val SubstrL = 8
+
+  /** The (doc_id, pos, h) 8-word-gram digest table, cached so the span
+    * report and the cut rewrite share one tokenize+hash pass per (dir)
+    * — at warehouse scale this is the materialized gram index both
+    * consumers scan.
+    */
+  private[operators] def substrGrams(s: SparkSession, dir: String)
+      : DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= SubstrL)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(ws) - ${SubstrL - 1}),
+           |  i -> struct(i AS pos,
+           |    md5(array_join(slice(ws, i, $SubstrL), ' ')) AS h))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+      .cache()
 
   /** Component labels memoized per (session, dir): the fixpoint
     * iteration's checkpointed output can't be deduped by Spark's
