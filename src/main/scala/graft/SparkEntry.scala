@@ -11,12 +11,36 @@ import graft.operators._
   */
 object SparkEntry {
 
-  def allSpecs: Seq[QuerySpec] =
-    Relational.specs ++ TimeSeriesOps.specs ++ TextOps.specs ++
-      DedupOps.specs ++ SimilarityOps.specs ++ PqOps.specs ++
-      ClusterOps.specs ++
-      MultimodalOps.specs ++
-      PipelineOps.specs ++ XrplOps.specs
+  /** Declaration-ordered sections, each with a post-section
+    * cache-release hook Bench runs after the section's last timed
+    * query. A hook may only release caches whose LAST consumer is that
+    * section; the cross-section flows that pin releases later than
+    * their owner are: TextOps.winnowFps → dedup (winnow pairs),
+    * SimilarityOps signatures/knnEdges → pq + cluster gates, and the
+    * dedup signature/candidate caches → pipeline (curate_corpus_near).
+    * At warehouse scale each of these caches is a write-once table;
+    * the hooks model dropping it when the last pipeline stage is done.
+    */
+  def sections: Seq[(String, Seq[QuerySpec], (SparkSession, String) => Unit)] =
+    Seq(
+      ("relational", Relational.specs, (_, _) => ()),
+      ("timeseries", TimeSeriesOps.specs, (_, _) => ()),
+      ("text", TextOps.specs, (_, _) => ()),
+      ("dedup", DedupOps.specs,
+        (s, d) => TextOps.releaseCaches(s, d)),
+      ("similarity", SimilarityOps.specs, (_, _) => ()),
+      ("pq", PqOps.specs, (s, _) => PqOps.clearPqModel(Some(s))),
+      ("cluster", ClusterOps.specs, (s, d) => {
+        SimilarityOps.releaseCaches(s, d)
+        ClusterOps.clearKmeansCentroids(Some(s))
+        ClusterOps.clearUndirectedEdges(Some(s))
+      }),
+      ("multimodal", MultimodalOps.specs, (_, _) => ()),
+      ("pipeline", PipelineOps.specs,
+        (s, d) => DedupOps.releaseCaches(s, d)),
+      ("xrpl", XrplOps.specs, (_, _) => ()))
+
+  def allSpecs: Seq[QuerySpec] = sections.flatMap(_._2)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1052,4 +1052,19 @@ object DedupOps {
     */
   def clearClusterLabels(session: Option[SparkSession] = None): Unit =
     ccMemo.clear(session)
+
+  /** Unpersist every dedup cache for (s, dir): the plan-keyed
+    * signature/candidate/gram caches plus both memos. Last consumer is
+    * PipelineOps (curate_corpus_near reads [[clusterReps]], which reads
+    * the banded-candidate chain) — callers must not release before
+    * that section has run.
+    */
+  private[graft] def releaseCaches(s: SparkSession, dir: String): Unit = {
+    minhashSig(s, dir).unpersist(blocking = true)
+    bandedCandidates(s, dir).unpersist(blocking = true)
+    gramSets(s, dir).unpersist(blocking = true)
+    substrGrams(s, dir).unpersist(blocking = true)
+    clearNgramJaccardPairs(Some(s))
+    clearClusterLabels(Some(s))
+  }
 }

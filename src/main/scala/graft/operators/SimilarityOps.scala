@@ -553,6 +553,18 @@ object SimilarityOps {
         "CAST(dot AS DOUBLE) / (sqrt(CAST(q_norm2 AS DOUBLE)) * sqrt(CAST(c_norm2 AS DOUBLE)))")))
   }
 
+  /** Unpersist this object's plan-keyed caches for (s, dir). Last
+    * consumers are PqOps (signatures) and ClusterOps (knnEdges) —
+    * callers must not release before those sections have run.
+    */
+  private[graft] def releaseCaches(s: SparkSession, dir: String): Unit = {
+    val sig = signatures(s, dir)
+    lshBuckets(sig).unpersist(blocking = true)
+    rpVectors(sig).unpersist(blocking = true)
+    knnEdges(s, dir).unpersist(blocking = true)
+    sig.unpersist(blocking = true)
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     // Brute-force exact top-k cosine — the ANN correctness baseline.
     QuerySpec.sql("sim_brute_topk", topkSql("")) { (s, dir) =>

@@ -61,6 +61,13 @@ object TextOps {
           .as("fp"))
       .cache()
 
+  /** Unpersist this object's plan-keyed caches for (s, dir). Last
+    * consumer is DedupOps (dedup_winnow_pairs) — callers must not
+    * release before that section has run.
+    */
+  private[graft] def releaseCaches(s: SparkSession, dir: String): Unit =
+    winnowFps(s, dir).unpersist(blocking = true)
+
   def specs: Seq[QuerySpec] = Seq(
     // Token counting: whitespace tokenization + char stats per document.
     QuerySpec.sql(

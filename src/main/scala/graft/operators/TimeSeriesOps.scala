@@ -5,7 +5,6 @@ import graft.functions.Cols._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Time-series aggregations over the `events` stream table, modeling the
   * reference's incremental aggregation daemons
@@ -24,26 +23,15 @@ import org.apache.spark.sql.types.LongType
   */
 object TimeSeriesOps {
 
-  /** The events frame (JSON weight parsed, nanos-safe load) for
-    * sibling operator objects.
+  /** The events frame (JSON weight parsed, `ts` normalized by
+    * Tables.events) for sibling operator objects.
     */
   private[operators] def eventsFrame(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
 
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    // The testdata was written with parquet TIMESTAMP(NANOS), which the
-    // Spark 4 reader rejects by default; read it as epoch-nanos long and
-    // convert. Integer `div` (not `/`) — nanos ≈ 1.7e18 overflows the
-    // 53-bit double mantissa a float division would go through.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = Tables(s, dir, "events")
-    val ts = df.schema("ts").dataType match {
-      case LongType => timestamp_micros(expr("ts div 1000"))
-      case _        => col("ts")
-    }
-    df.withColumn("ts", ts)
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-  }
 
   private val oracleEvents =
     "(SELECT *, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)"

@@ -127,6 +127,16 @@ object XrplOps {
       // X14/S13: CSV export round-trip artifact (headered, flattened)
       graft.xrpl.store.CsvExport.write(t.feeSummaries.toDF(),
         s"$DumpDir/csv_fee_summaries")
+      // /v2/gateways registry (api/routes/gateways.js): the static
+      // config flattened per (gateway, account, currency) plus the raw
+      // asset-filename manifests, so the DuckDB oracle re-derives the
+      // endpoint responses (sort, rank, asset counts) independently
+      dump(graft.xrpl.topology.Gateways.currencyFlat(s),
+        "gateway_currencies")
+      dump(graft.xrpl.topology.Gateways.gatewayAssetFiles(s),
+        "gateway_asset_files")
+      dump(graft.xrpl.topology.Gateways.currencyAssetFiles(s),
+        "currency_asset_files")
       prepared = true
     }
   }
@@ -1258,6 +1268,65 @@ object XrplOps {
           Topology.resolveLinks(pq(s, "crawl_nodes"), pq(s, "crawl_links")))
         .select(coalesce(col("pubkey"), lit("")).as("pubkey"), col("degree"))
         .orderBy(col("degree").desc, col("pubkey"))
+    },
+
+    // /v2/gateways (api/routes/gateways.js:46-86, 158-179): the
+    // by-currency issuer listing with the reference's sort — issuers
+    // with assets first, then featured, then by name ('0'<'1' string
+    // key, gateways.js:50-53); account appended as a deterministic
+    // tiebreak. Asset counts come from the filename manifest, split at
+    // the first dot exactly like the boot-time scan (gateways.js:14-25).
+    QuerySpec.sql(
+      "xrpl_gateways_by_currency",
+      s"""WITH counts AS (
+         |  SELECT string_split(file, '.')[1] AS normalized,
+         |    CAST(COUNT(*) AS BIGINT) AS n_assets
+         |  FROM ${t("gateway_asset_files")} GROUP BY 1),
+         |ranked AS (
+         |  SELECT f.currency, f.name, f.account, f.featured, f.label,
+         |    COALESCE(c.n_assets, 0) AS n_assets, f.start_date,
+         |    row_number() OVER (PARTITION BY f.currency ORDER BY
+         |      (CASE WHEN COALESCE(c.n_assets, 0) > 0
+         |         THEN '0' ELSE '1' END ||
+         |       CASE WHEN f.featured THEN '0' ELSE '1' END || f.name),
+         |      f.account) AS pos
+         |  FROM ${t("gateway_currencies")} f
+         |  LEFT JOIN counts c ON f.normalized = c.normalized)
+         |SELECT currency, pos, name, account, featured, label,
+         |  n_assets, start_date
+         |FROM ranked
+         |ORDER BY currency, pos""".stripMargin) { (s, _) =>
+      graft.xrpl.topology.Gateways.byCurrency(
+        pq(s, "gateway_currencies"), pq(s, "gateway_asset_files"))
+    },
+
+    // /v2/gateways/{gateway} (gateways.js:101-133, 141-156): lookup by
+    // issuing address or normalized name over the same registry — both
+    // identifier forms exercised, one summary row each.
+    QuerySpec.sql(
+      "xrpl_gateway_lookup",
+      s"""SELECT DISTINCT name, normalized, domain, start_date,
+         |  n_accounts, n_hotwallets, n_currencies
+         |FROM ${t("gateway_currencies")}
+         |WHERE account = 'rvYAfWj5gh67oV6fW32ZzP3Aw4Eubs59B'
+         |   OR normalized = 'gatehub'
+         |ORDER BY name""".stripMargin) { (s, _) =>
+      val flat = pq(s, "gateway_currencies")
+      graft.xrpl.topology.Gateways
+        .lookup(flat, "rvYAfWj5gh67oV6fW32ZzP3Aw4Eubs59B")
+        .unionByName(graft.xrpl.topology.Gateways.lookup(flat, "GateHub"))
+        .orderBy(col("name"))
+    },
+
+    // /v2/currencies/{currency}.svg surface (gateways.js:182-220): the
+    // currency-code table the asset route serves from filenames.
+    QuerySpec.sql(
+      "xrpl_currency_assets",
+      s"""SELECT upper(string_split(file, '.')[1]) AS currency, file
+         |FROM ${t("currency_asset_files")}
+         |ORDER BY currency""".stripMargin) { (s, _) =>
+      graft.xrpl.topology.Gateways.currencies(
+        pq(s, "currency_asset_files"))
     },
 
     // getManifests scan (topology.js:592-620): manifests_by_validator

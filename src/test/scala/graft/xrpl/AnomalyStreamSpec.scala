@@ -23,9 +23,8 @@ class AnomalyStreamSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sq = spark.sqlContext
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_type"), expr("ts div 1000").as("us"))
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
 
     val expected = TimeSeriesOps.anomalyFlags(
       ev.groupBy(col("event_type"),

@@ -29,10 +29,9 @@ class AsOfStreamSpec extends AnyFunSuite {
     val index = spark.sparkContext.broadcast(
       AsOfStream.buildIndex(ords, "o_custkey", "t", "price"))
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("t_us"))
+        unix_micros(col("ts")).as("t_us"))
     val probes = ev.select(col("event_id").as("id"),
       col("user_id").as("key"), col("t_us").as("t")).as[Probe]
 

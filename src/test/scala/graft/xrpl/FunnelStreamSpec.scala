@@ -21,9 +21,8 @@ class FunnelStreamSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sq = spark.sqlContext
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
 
     // batch oracle: the funnel gate's relation
     val weekUs = FunnelStream.WindowUs

@@ -30,8 +30,7 @@ class HistStreamSpec extends AnyFunSuite {
         k -> rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
       }
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val all = spark.read.parquet(s"$dir/events.parquet")
+    val all = graft.Tables.events(spark, dir)
       .select(col("event_type"), col("value"))
       .as[HistEvent].collect()
     val (b1, b2) = all.splitAt(all.length / 3)

@@ -27,8 +27,7 @@ class HllStreamSpec extends AnyFunSuite {
       .collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val all = spark.read.parquet(s"$dir/events.parquet")
+    val all = graft.Tables.events(spark, dir)
       .select(col("event_type"), col("user_id"))
       .as[HllEvent].collect()
     val (b1, b2) = all.splitAt(all.length / 3)

@@ -25,8 +25,7 @@ class KmvStreamSpec extends AnyFunSuite {
       .select(col("event_type"), col("kmv_est"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val all = spark.read.parquet(s"$dir/events.parquet")
+    val all = graft.Tables.events(spark, dir)
       .select(col("event_type"), col("user_id"))
       .as[KmvEvent].collect()
     val (b1, b2) = all.splitAt(all.length / 3)

@@ -23,10 +23,9 @@ class RangeJoinStreamSpec extends AnyFunSuite {
   test("stream-stream join equals the batch range join across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("us"))
+        unix_micros(col("ts")).as("us"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("us").as("p_us"))
       .as[PurchaseEvent].collect().toSeq
@@ -72,10 +71,9 @@ class RangeJoinStreamSpec extends AnyFunSuite {
   test("left-outer stream-stream join emits unmatched purchases on watermark close") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("us"))
+        unix_micros(col("ts")).as("us"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("us").as("p_us"))
       .as[PurchaseEvent].collect().toSeq

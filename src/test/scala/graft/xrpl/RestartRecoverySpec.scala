@@ -112,9 +112,8 @@ class RestartRecoverySpec extends AnyFunSuite {
     val ckptDir = Files.createTempDirectory("graft-rr-fckpt").toString
     val outDir = Files.createTempDirectory("graft-rr-fout").toString + "/sink"
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
 
     // batch oracle — identical to FunnelStreamSpec's
     val weekUs = FunnelStream.WindowUs
@@ -182,10 +181,9 @@ class RestartRecoverySpec extends AnyFunSuite {
     val outDir = Files.createTempDirectory("graft-rr-jout").toString + "/sink"
     val dayUs = 86400000000L
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("us"))
+        unix_micros(col("ts")).as("us"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("us").as("p_us"))
       .as[PurchaseEvent].collect().toSeq

@@ -28,10 +28,9 @@ class SessionStreamSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sq = spark.sqlContext
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"),
-        expr("ts div 1000").as("us"))
+        unix_micros(col("ts")).as("us"))
 
     // batch expectation: gap-split sessions via lag/cumsum, reduced to
     // the streaming operator's (user, start, end, counts) shape

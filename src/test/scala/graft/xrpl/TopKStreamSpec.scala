@@ -23,8 +23,7 @@ class TopKStreamSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sq = spark.sqlContext
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.events(spark, dir)
       .select(col("event_type").as("key"), col("event_id").as("id"),
         col("value").as("v"))
 
