@@ -26,6 +26,7 @@ object SparkEntry {
       ("relational", Relational.specs, (_, _) => ()),
       ("timeseries", TimeSeriesOps.specs, (_, _) => ()),
       ("text", TextOps.specs, (_, _) => ()),
+      ("entity", EntityOps.specs, (_, _) => ()),
       ("dedup", DedupOps.specs,
         (s, d) => TextOps.releaseCaches(s, d)),
       ("similarity", SimilarityOps.specs, (_, _) => ()),

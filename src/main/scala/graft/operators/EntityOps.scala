@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.JaroSim
+import graft.plans.TopKPerKey
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Entity resolution / fuzzy record matching over the `part` name
+  * dictionary — the canonicalization pass a large-scale ingest
+  * pipeline runs to merge near-identical surface forms (vendor names,
+  * product titles, author strings) before joining facts on them.
+  *
+  * The scale discipline is dictionary-first: resolution runs over
+  * DISTINCT values (with row-support counts carried along), never over
+  * raw rows — the distinct-name table is orders of magnitude smaller
+  * than the fact table and bounded by the vocabulary, not the corpus
+  * (64 names for `part` at every SF; real catalogs are ~10^5-10^7,
+  * still broadcastable or block-joinable). Candidate generation is
+  * BLOCKED (same trailing token), so the pair surface is Σ block²
+  * over dictionary blocks — the same bounded-block shape as the
+  * MinHash/LSH dedup family, never dictionary².
+  *
+  * Scoring: Spark's codegen'd `levenshtein` for the integer-distance
+  * gate; the native [[JaroSim]] / [[JaroWinklerSim]] codegen
+  * expressions (bit-exact with the DuckDB oracle's
+  * jaro_winkler_similarity) for the similarity gates.
+  */
+object EntityOps {
+
+  /** Distinct-name dictionary with blocking key (trailing token) and
+    * row-support count. At scale this is the groupBy-compressed value
+    * dictionary — the only thing the pair join ever touches.
+    */
+  private def dict(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part")
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("blk", element_at(split(col("name"), " "), -1))
+
+  private val dictSql =
+    """SELECT p_name AS name, COUNT(*) AS n,
+      |  split_part(p_name, ' ', -1) AS blk
+      |FROM part GROUP BY 1""".stripMargin
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Blocked fuzzy pairs, integer edit distance: candidate pairs from
+    // the blocking join, kept when levenshtein ≤ 3 (same both engines,
+    // integer-safe — no float hash risk). Support counts quantify how
+    // many fact rows each merge decision touches.
+    QuerySpec.sql(
+      "er_blocked_pairs",
+      s"""WITH d AS ($dictSql)
+         |SELECT a.name AS a_name, b.name AS b_name,
+         |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+         |  a.n AS a_n, b.n AS b_n
+         |FROM d a JOIN d b ON a.blk = b.blk AND a.name < b.name
+         |WHERE levenshtein(a.name, b.name) <= 3
+         |ORDER BY a_name, b_name""".stripMargin) { (s, dir) =>
+      val d = dict(s, dir)
+      val a = d.select(col("name").as("a_name"), col("n").as("a_n"), col("blk"))
+      val b = d.select(col("name").as("b_name"), col("n").as("b_n"), col("blk"))
+      a.join(broadcast(b), Seq("blk"))
+        .filter(col("a_name") < col("b_name"))
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+        .filter(col("dist") <= 3)
+        .select(col("a_name"), col("b_name"), col("dist"),
+          col("a_n"), col("b_n"))
+        .orderBy(col("a_name"), col("b_name"))
+    },
+
+    // Blocked fuzzy pairs, Jaro-Winkler: the similarity spelling of
+    // the same blocked join through the native codegen expression.
+    // The jw column is a raw double — bit-exact with the oracle's
+    // jaro_winkler_similarity by construction (see JaroSim), so the
+    // threshold cut agrees too.
+    QuerySpec.sql(
+      "er_jw_match",
+      s"""WITH d AS ($dictSql)
+         |SELECT a.name AS a_name, b.name AS b_name,
+         |  jaro_winkler_similarity(a.name, b.name) AS jw,
+         |  a.n AS a_n, b.n AS b_n
+         |FROM d a JOIN d b ON a.blk = b.blk AND a.name < b.name
+         |WHERE jaro_winkler_similarity(a.name, b.name) >= 0.8
+         |ORDER BY a_name, b_name""".stripMargin) { (s, dir) =>
+      val d = dict(s, dir)
+      val a = d.select(col("name").as("a_name"), col("n").as("a_n"), col("blk"))
+      val b = d.select(col("name").as("b_name"), col("n").as("b_n"), col("blk"))
+      a.join(broadcast(b), Seq("blk"))
+        .filter(col("a_name") < col("b_name"))
+        .withColumn("jw", JaroSim.jaroWinkler(col("a_name"), col("b_name")))
+        .filter(col("jw") >= 0.8)
+        .select(col("a_name"), col("b_name"), col("jw"), col("a_n"), col("b_n"))
+        .orderBy(col("a_name"), col("b_name"))
+    },
+
+    // Best-match resolution: every dictionary entry's single closest
+    // other entry by Jaro-Winkler — the assignment step that picks a
+    // canonical form per cluster seed. Top-1 per name goes through the
+    // custom TopKPerKey plan (map-side heap reduce, no WindowExec);
+    // the oracle spells the same pick as ROW_NUMBER() = 1 with the
+    // identical (jw DESC, name) tie order.
+    QuerySpec.sql(
+      "er_best_match",
+      s"""WITH d AS ($dictSql),
+         |scored AS (
+         |  SELECT a.name AS a_name, b.name AS best_name,
+         |    jaro_winkler_similarity(a.name, b.name) AS jw
+         |  FROM d a JOIN d b ON a.name <> b.name)
+         |SELECT a_name, best_name, jw FROM (
+         |  SELECT a_name, best_name, jw,
+         |    ROW_NUMBER() OVER (PARTITION BY a_name
+         |      ORDER BY jw DESC, best_name) AS rn
+         |  FROM scored)
+         |WHERE rn = 1
+         |ORDER BY a_name""".stripMargin) { (s, dir) =>
+      val d = dict(s, dir).select(col("name"))
+      val scored = d.select(col("name").as("a_name"))
+        .crossJoin(broadcast(d.select(col("name").as("best_name"))))
+        .filter(col("a_name") =!= col("best_name"))
+        .withColumn("jw", JaroSim.jaroWinkler(col("a_name"), col("best_name")))
+      TopKPerKey.topKRanked(scored, Seq("a_name"),
+          Seq("jw" -> true, "best_name" -> false), 1, "rn")
+        .select(col("a_name"), col("best_name"), col("jw"))
+        .orderBy(col("a_name"))
+    })
+}
