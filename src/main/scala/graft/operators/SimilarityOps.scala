@@ -1078,7 +1078,100 @@ object SimilarityOps {
         .select(col("qid"), col("m.mmr_rank").as("mmr_rank"),
           col("m.vid").as("vid"), col("m.score").as("score"))
         .orderBy(col("qid"), col("mmr_rank"))
+    },
+
+    // Graph-expansion ANN — the FOURTH index family (graph-based, the
+    // DiskANN/HNSW discipline in its non-iterative form): LSH top-5
+    // seeds per query, expanded ONE hop over the cached k-NN edge
+    // table, then exact rerank of the widened candidate set. The
+    // expansion is a join of a bounded per-query seed set against the
+    // partitioned edge table keyed by source vector — never a graph
+    // traversal loop, so it shuffles O(queries · seeds · k) rows at
+    // any corpus size. Entry points + neighborhood expansion is
+    // exactly how graph indexes recover recall that hash buckets
+    // lose: a true neighbor missing from every LSH bucket is still
+    // reached if any of its graph neighbors seeds.
+    QuerySpec.sql("sim_graph_expand", graphExpandSql) { (s, dir) =>
+      graphExpandTopk(s, dir)
+    },
+
+    // Recall@5 of the graph-expanded search vs exact brute force —
+    // same self-measuring discipline as the other four families. The
+    // measured value dominates plain LSH recall (the one-hop closure
+    // strictly widens the LSH candidate set).
+    QuerySpec.sql(
+      "sim_graph_recall",
+      s"""WITH brute AS (${topkSql("")}),
+         |graphx AS ($graphExpandSql)
+         |SELECT b.qid,
+         |  CAST(SUM(CASE WHEN p.vid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / 5.0 AS recall
+         |FROM brute b
+         |LEFT JOIN graphx p ON b.qid = p.qid AND b.vid = p.vid
+         |GROUP BY b.qid
+         |ORDER BY b.qid""".stripMargin) { (s, dir) =>
+      val brute = topk(s, dir, sameCell = false).select(col("qid"), col("vid"))
+      val g = graphExpandTopk(s, dir)
+        .select(col("qid"), col("vid"), lit(1).as("hit"))
+      brute.join(g, Seq("qid", "vid"), "left")
+        .groupBy(col("qid"))
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / lit(5.0))
+          .as("recall"))
+        .orderBy(col("qid"))
     })
+
+  /** Graph-expanded top-5 per query (see the sim_graph_expand spec):
+    * union of the LSH seed hits and their one-hop k-NN neighbors,
+    * deduplicated, exact-reranked through the custom top-k plan.
+    */
+  private def graphExpandTopk(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir)
+    val seeds = lshTopk(s, dir).select(col("qid"), col("vid"))
+    val hop = seeds
+      .join(knnEdges(s, dir), seeds("vid") === col("vec_id"))
+      .filter(col("nbr_id") =!= col("qid"))
+      .select(col("qid"), col("nbr_id").as("vid"))
+    val cand = seeds.unionByName(hop).distinct()
+    rankTop5(cand
+      .join(sig.select(col("vec_id").as("qid"), col("qv").as("qa"),
+        col("norm2").as("q_norm2")), Seq("qid"))
+      .join(sig.select(col("vec_id").as("vid"), col("qv").as("qb"),
+        col("norm2").as("c_norm2")), Seq("vid"))
+      .withColumn("dot", dot_long(col("qa"), col("qb")))
+      .withColumn("cos", expr(
+        "CAST(dot AS DOUBLE) / (sqrt(CAST(q_norm2 AS DOUBLE)) * sqrt(CAST(c_norm2 AS DOUBLE)))")))
+  }
+
+  /** DuckDB mirror of [[graphExpandTopk]] — the embedded LSH search
+    * and k-NN edge derivations are the SAME SQL fragments the
+    * sim_lsh_topk / sim_knn_graph oracles run, so the three gates pin
+    * one shared definition of each artifact.
+    */
+  private def graphExpandSql: String =
+    s"""WITH seeds AS ($lshSql),
+       |sig AS ($quantizedSql),
+       |edges AS (${knnEdgesSql()}),
+       |cand AS (
+       |  SELECT qid, vid FROM seeds
+       |  UNION
+       |  SELECT s.qid, e.nbr_id AS vid
+       |  FROM seeds s JOIN edges e ON e.vec_id = s.vid
+       |  WHERE e.nbr_id <> s.qid),
+       |scored AS (
+       |  SELECT c.qid, c.vid,
+       |    list_dot_product(a.qv, b.qv)
+       |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))
+       |      AS cos
+       |  FROM cand c
+       |  JOIN sig a ON a.vec_id = c.qid
+       |  JOIN sig b ON b.vec_id = c.vid)
+       |SELECT qid, vid, cos, rnk FROM (
+       |  SELECT qid, vid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, vid) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
 
   /** MMR candidate-pool size (top-N by relevance feeding the greedy). */
   val MmrPool = 10

@@ -23,6 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeriesOps {
 
+  /** Shared OLS closed-form expression TEXT for ts_linreg_trend —
+    * compiled by BOTH engines over the identical sufficient-statistic
+    * columns (n, sx, sxx: exact integers; sy, sxy, syy: decimal-exact
+    * doubles), so every double op runs in the same IEEE order and the
+    * results agree bit-for-bit. Guards keep a degenerate series
+    * (single day / constant value) NULL instead of ±inf.
+    */
+  private object LinReg {
+    private val num =
+      "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    private val denx =
+      "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    private val deny = "(CAST(n AS DOUBLE) * syy - sy * sy)"
+    val slope = s"CASE WHEN $denx <> 0 THEN $num / $denx END"
+    val intercept =
+      s"CASE WHEN $denx <> 0 THEN (sy - $num / $denx * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END"
+    val r2 =
+      s"CASE WHEN $denx <> 0 AND $deny <> 0 THEN $num * $num / ($denx * $deny) END"
+  }
+
   /** The events frame (JSON weight parsed, `ts` normalized by
     * Tables.events) for sibling operator objects.
     */
@@ -1210,6 +1230,52 @@ object TimeSeriesOps {
           col("e.n_events").as("n_events"), col("e.lvl").as("lvl"),
           col("e.trend").as("trend"))
         .orderBy(col("event_type"), col("day"))
+    },
+
+    // Grouped least-squares trend: per event-type, the OLS line (and
+    // R²) of value against calendar day over the RAW event rows — the
+    // "is this series drifting" screen run per metric before alerting
+    // on it. Single hash aggregate: the five sufficient statistics
+    // (n, Σx, Σx², Σy, Σxy, Σy²) are one map-side-combinable pass,
+    // the integer sums exact in long and the value sums decimal-exact
+    // (the dsum discipline), and the closed form is evaluated once
+    // per GROUP in doubles via the SAME expression text both engines
+    // compile — IEEE ops over identical inputs, so the hash compare
+    // holds bit-exact. No window, no second pass; scales as a plain
+    // grouped aggregate.
+    QuerySpec.sql(
+      "ts_linreg_trend",
+      s"""WITH pts AS (
+         |  SELECT event_type,
+         |    date_diff('day', DATE '1970-01-01',
+         |      CAST(date_trunc('day', ts) AS DATE)) AS x,
+         |    value
+         |  FROM events),
+         |s AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    ${dsumSql("value")} AS sy,
+         |    ${dsumSql("value * x")} AS sxy,
+         |    ${dsumSql("value * value")} AS syy
+         |  FROM pts GROUP BY 1)
+         |SELECT event_type, n, ${LinReg.slope} AS slope,
+         |  ${LinReg.intercept} AS intercept, ${LinReg.r2} AS r2
+         |FROM s ORDER BY event_type""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .withColumn("x", datediff(to_date(col("ts")), lit("1970-01-01")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          widedsum(col("value")).as("sy"),
+          widedsum(col("value") * col("x")).as("sxy"),
+          widedsum(col("value") * col("value")).as("syy"))
+        .select(col("event_type"), col("n"),
+          expr(LinReg.slope).as("slope"),
+          expr(LinReg.intercept).as("intercept"),
+          expr(LinReg.r2).as("r2"))
+        .orderBy(col("event_type"))
     },
 
     // CUSUM changepoint detection (Page 1954): per event-type series,
