@@ -43,6 +43,33 @@ object TimeSeriesOps {
       s"CASE WHEN $denx <> 0 AND $deny <> 0 THEN $num * $num / ($denx * $deny) END"
   }
 
+  /** Day-index points for the OLS trend: (event_type, x, value). */
+  private[graft] def linregPoints(ev: DataFrame): DataFrame =
+    ev.withColumn("x", datediff(to_date(col("ts")), lit("1970-01-01")))
+
+  /** One-pass sufficient statistics for the OLS trend. Works unchanged
+    * over a STREAMING frame (plain keyed aggregation — each statistic
+    * is associative and the value sums decimal-exact, so the streaming
+    * state-store accumulation equals the batch fold bit-for-bit; see
+    * graft.streaming.LinRegStream).
+    */
+  private[graft] def linregStats(pts: DataFrame): DataFrame =
+    pts.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        widedsum(col("value")).as("sy"),
+        widedsum(col("value") * col("x")).as("sxy"),
+        widedsum(col("value") * col("value")).as("syy"))
+
+  /** Closed-form slope/intercept/R² over the sufficient statistics. */
+  private[graft] def linregClosedForm(stats: DataFrame): DataFrame =
+    stats.select(col("event_type"), col("n"),
+        expr(LinReg.slope).as("slope"),
+        expr(LinReg.intercept).as("intercept"),
+        expr(LinReg.r2).as("r2"))
+      .orderBy(col("event_type"))
+
   /** The events frame (JSON weight parsed, `ts` normalized by
     * Tables.events) for sibling operator objects.
     */
@@ -1262,20 +1289,7 @@ object TimeSeriesOps {
          |SELECT event_type, n, ${LinReg.slope} AS slope,
          |  ${LinReg.intercept} AS intercept, ${LinReg.r2} AS r2
          |FROM s ORDER BY event_type""".stripMargin) { (s, dir) =>
-      events(s, dir)
-        .withColumn("x", datediff(to_date(col("ts")), lit("1970-01-01")))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("x")).cast("long").as("sx"),
-          sum(col("x") * col("x")).cast("long").as("sxx"),
-          widedsum(col("value")).as("sy"),
-          widedsum(col("value") * col("x")).as("sxy"),
-          widedsum(col("value") * col("value")).as("syy"))
-        .select(col("event_type"), col("n"),
-          expr(LinReg.slope).as("slope"),
-          expr(LinReg.intercept).as("intercept"),
-          expr(LinReg.r2).as("r2"))
-        .orderBy(col("event_type"))
+      linregClosedForm(linregStats(linregPoints(events(s, dir))))
     },
 
     // CUSUM changepoint detection (Page 1954): per event-type series,
