@@ -124,5 +124,56 @@ object EntityOps {
           Seq("jw" -> true, "best_name" -> false), 1, "rn")
         .select(col("a_name"), col("best_name"), col("jw"))
         .orderBy(col("a_name"))
+    },
+
+    // Entity clustering: transitive closure of the blocked fuzzy
+    // matches — a↔b and b↔c merge into one entity even when a↔c
+    // exceeds the edit threshold (the reason record linkage needs
+    // components, not pairs). Reuses the ConnectedComponents
+    // machinery (edge-touched subgraph, O(diameter) rounds) over the
+    // dictionary: names get order-preserving dense ids (a
+    // vocabulary-bounded ROW_NUMBER — the one place a single-task
+    // window is fine, because the dictionary is the compressed value
+    // table, never the corpus), so the numeric min-label IS the
+    // alphabetically-least member, which the oracle spells directly
+    // as MIN(name) over the recursive closure.
+    QuerySpec.sql(
+      "er_entity_clusters",
+      s"""WITH RECURSIVE d AS ($dictSql),
+         |cand AS (
+         |  SELECT a.name AS a, b.name AS b
+         |  FROM d a JOIN d b ON a.blk = b.blk AND a.name < b.name
+         |  WHERE levenshtein(a.name, b.name) <= 3),
+         |edges AS (
+         |  SELECT a AS u, b AS v FROM cand
+         |  UNION ALL SELECT b, a FROM cand),
+         |reach AS (
+         |  SELECT name AS id, name AS r FROM d
+         |  UNION
+         |  SELECT re.id, e.v FROM reach re JOIN edges e ON e.u = re.r)
+         |SELECT id AS name, MIN(r) AS entity
+         |FROM reach GROUP BY id
+         |ORDER BY name""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = dict(s, dir)
+      val idx = d.select(col("name"), col("blk"))
+        .withColumn("idx",
+          row_number().over(Window.orderBy(col("name"))).cast("long"))
+      val a = idx.select(col("name").as("a_name"), col("idx").as("u"),
+        col("blk"))
+      val b = idx.select(col("name").as("b_name"), col("idx").as("v"),
+        col("blk"))
+      val edges = a.join(broadcast(b), Seq("blk"))
+        .filter(col("a_name") < col("b_name") &&
+          levenshtein(col("a_name"), col("b_name")) <= 3)
+        .select(col("u"), col("v"))
+      val labels = graft.functions.ConnectedComponents.minLabels(
+        idx.select(col("idx")), "idx", edges, "u", "v")
+      labels
+        .join(idx.select(col("idx"), col("name")), Seq("idx"))
+        .join(broadcast(idx.select(col("idx").as("label"),
+          col("name").as("entity"))), Seq("label"))
+        .select(col("name"), col("entity"))
+        .orderBy(col("name"))
     })
 }

@@ -205,6 +205,59 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // Per-source quality calibration: the raw quality score's
+    // percentile WITHIN its source — the normalization that makes a
+    // "keep the top X%" cut comparable across domains whose raw score
+    // distributions differ (a web crawl and a books corpus don't share
+    // a quality scale; per-domain rank does). percent_rank over
+    // (quality, doc_id) — the doc_id tie-break makes the rank
+    // row-unique, so (rank−1)/(n−1) is the same small rational in both
+    // engines and the double hash-compares. The window partitions by
+    // SOURCE (balanced domains, bounded partitions) — the acceptable
+    // window shape, unlike a global or per-hot-key sort; `keep` is the
+    // top-half cut a curation pass would apply.
+    QuerySpec.sql(
+      "text_quality_calibrated",
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    0.3 * (CAST(SUM(CASE WHEN tok IN ${inList(langMarkers.head._2)}
+         |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))
+         |    + 0.7 * (CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*))
+         |      AS quality
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, d.source, q.quality,
+         |  percent_rank() OVER (PARTITION BY d.source
+         |    ORDER BY q.quality, d.doc_id) AS pct,
+         |  CASE WHEN percent_rank() OVER (PARTITION BY d.source
+         |    ORDER BY q.quality, d.doc_id) >= 0.5
+         |    THEN 1 ELSE 0 END AS keep
+         |FROM q JOIN documents d ON d.doc_id = q.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          expr(s"CAST(size(filter(ts, t -> t IN ${inList(langMarkers.head._2)})) AS BIGINT)")
+            .as("n_stop"),
+          size(array_distinct(col("ts"))).cast("long").as("n_distinct"))
+        .select(col("doc_id"),
+          (lit(0.3) * (col("n_stop").cast("double") / col("n_tokens"))
+            + lit(0.7) * (col("n_distinct").cast("double") / col("n_tokens")))
+            .as("quality"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality"), col("doc_id"))
+      q.join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("pct", percent_rank().over(w))
+        .withColumn("keep",
+          when(col("pct") >= 0.5, lit(1)).otherwise(lit(0)))
+        .select(col("doc_id"), col("source"), col("quality"), col("pct"),
+          col("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // Language-ID heuristic: per-language stopword-hit ratio, argmax with
     // a fixed preference order (deterministic tie-break).
     QuerySpec.sql(
