@@ -256,6 +256,94 @@ object Relational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     },
 
+    // J+A: the double-anti-join shape (TPC-H q21 adapted to the
+    // columns this schema carries): suppliers who were the SOLE late
+    // supplier of a finished multi-supplier order. One fact↔fact
+    // LeftSemi (another supplier exists in the order) and one
+    // fact↔fact LeftAnti (no OTHER supplier was late) over the same
+    // join key — both plan as hash joins with the inequality residual
+    // evaluated in the probe, never a nested loop; the supplier
+    // dimension broadcasts. "Late" = shipped > 90 days after order
+    // date, the q4 lateness predicate.
+    QuerySpec.sql(
+      "q21_sole_late_supplier",
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin) { (s, dir) =>
+      val l1 = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = l1
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+      val l2 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("l2_orderkey"),
+          col("l_suppkey").as("l2_suppkey"))
+      val l3 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("l3_orderkey"),
+          col("l_suppkey").as("l3_suppkey"),
+          col("l_shipdate").as("l3_shipdate"))
+      late
+        .join(l2,
+          col("l2_orderkey") === col("l_orderkey") &&
+            col("l2_suppkey") =!= col("l_suppkey"), "leftsemi")
+        .join(l3,
+          col("l3_orderkey") === col("l_orderkey") &&
+            col("l3_suppkey") =!= col("l_suppkey") &&
+            col("l3_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
+          "leftanti")
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    },
+
+    // J+A+A: left-outer join then distribution-of-counts (TPC-H q13
+    // shape): orders per customer INCLUDING zero-order customers, then
+    // the histogram of that count. Two cascaded hash aggregates after
+    // one shuffle join — the zero bucket only exists because the join
+    // is left outer, the classic correctness trap a plain inner join
+    // silently drops.
+    QuerySpec.sql(
+      "q13_customer_distribution",
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderpriority") =!= "1-URGENT")
+            .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
     // A: grouping sets — one pass producing the full CUBE lattice
     // (cell, row totals, column totals, grand total) with the
     // grouping-id bitmask disambiguating NULL-as-rollup from
