@@ -43,6 +43,20 @@ object TimeSeriesOps {
       s"CASE WHEN $denx <> 0 AND $deny <> 0 THEN $num * $num / ($denx * $deny) END"
   }
 
+  /** Shared Pearson-r expression text for ts_autocorr1 (same
+    * bit-exactness contract as [[LinReg]]: exact long inputs,
+    * identical IEEE op order in both engines).
+    */
+  private object AutoCorr {
+    private val num =
+      "(CAST(np AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))"
+    private val va =
+      "(CAST(np AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+    private val vb =
+      "(CAST(np AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))"
+    val r = s"CASE WHEN $va > 0 AND $vb > 0 THEN $num / (sqrt($va) * sqrt($vb)) END"
+  }
+
   /** Day-index points for the OLS trend: (event_type, x, value). */
   private[graft] def linregPoints(ev: DataFrame): DataFrame =
     ev.withColumn("x", datediff(to_date(col("ts")), lit("1970-01-01")))
@@ -1290,6 +1304,57 @@ object TimeSeriesOps {
          |  ${LinReg.intercept} AS intercept, ${LinReg.r2} AS r2
          |FROM s ORDER BY event_type""".stripMargin) { (s, dir) =>
       linregClosedForm(linregStats(linregPoints(events(s, dir))))
+    },
+
+    // Lag-1 autocorrelation of each series' daily-count sequence — the
+    // "is today predictive of tomorrow" diagnostic behind seasonality
+    // and burst detection. Pearson r between the head and tail of the
+    // observed sequence: all five pair sums are EXACT LONG arithmetic
+    // over integer counts (the series is calendar-bounded), and the
+    // closed form is one shared expression text both engines compile —
+    // another classically-float statistic that hash-compares. Spark
+    // side: per-series sorted collect of the bounded daily frame (the
+    // ewma/holt discipline) + HOF folds — no window, no second
+    // shuffle; the oracle spells the pairs with LEAD.
+    QuerySpec.sql(
+      "ts_autocorr1",
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT event_type, y AS a,
+         |    LEAD(y) OVER (PARTITION BY event_type ORDER BY day) AS b
+         |  FROM daily),
+         |s AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS np,
+         |    CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+         |    CAST(SUM(a * b) AS BIGINT) AS sab,
+         |    CAST(SUM(a * a) AS BIGINT) AS saa,
+         |    CAST(SUM(b * b) AS BIGINT) AS sbb
+         |  FROM pairs WHERE b IS NOT NULL GROUP BY 1)
+         |SELECT event_type, np, ${AutoCorr.r} AS r1
+         |FROM s ORDER BY event_type""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .groupBy(col("event_type"))
+        .agg(expr("transform(array_sort(collect_list(struct(day, y))), p -> p.y)")
+          .as("ys"))
+        .select(col("event_type"),
+          expr("slice(ys, 1, size(ys) - 1)").as("a"),
+          expr("slice(ys, 2, size(ys) - 1)").as("b"))
+        .select(col("event_type"),
+          expr("CAST(size(a) AS BIGINT)").as("np"),
+          expr("aggregate(a, 0L, (acc, v) -> acc + v)").as("sa"),
+          expr("aggregate(b, 0L, (acc, v) -> acc + v)").as("sb"),
+          expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+            .as("sab"),
+          expr("aggregate(a, 0L, (acc, v) -> acc + v * v)").as("saa"),
+          expr("aggregate(b, 0L, (acc, v) -> acc + v * v)").as("sbb"))
+        .filter(col("np") > 0)
+        .select(col("event_type"), col("np"), expr(AutoCorr.r).as("r1"))
+        .orderBy(col("event_type"))
     },
 
     // CUSUM changepoint detection (Page 1954): per event-type series,

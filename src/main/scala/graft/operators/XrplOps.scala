@@ -127,6 +127,13 @@ object XrplOps {
       // X14/S13: CSV export round-trip artifact (headered, flattened)
       graft.xrpl.store.CsvExport.write(t.feeSummaries.toDF(),
         s"$DumpDir/csv_fee_summaries")
+      // S13 JSON-lines export round-trip artifact (structs kept nested)
+      graft.xrpl.store.JsonExport.write(
+        t.feeSummaries.toDF().select(col("ledger_index"), col("date"),
+          col("total"),
+          struct(col("avg"), col("max"), col("min")).as("fee_stats"),
+          col("tx_count")),
+        s"$DumpDir/json_fee_summaries")
       // /v2/gateways registry (api/routes/gateways.js): the static
       // config flattened per (gateway, account, currency) plus the raw
       // asset-filename manifests, so the DuckDB oracle re-derives the
@@ -1127,6 +1134,36 @@ object XrplOps {
       prepare(s)
       s.read.option("header", "true")
         .csv(s"$DumpDir/csv_fee_summaries")
+        .orderBy(col("ledger_index"))
+    },
+
+    // S13: the JSON-lines artifact read back by BOTH engines under an
+    // EXPLICIT schema (no inference in the contract — DuckDB would
+    // otherwise upgrade ISO date strings to timestamps): nested struct
+    // preserved on the wire, flattened with the same aliases in both
+    // reads.
+    QuerySpec.sql(
+      "xrpl_json_export",
+      s"""SELECT ledger_index, "date", total,
+         |  fee_stats.avg AS fee_avg, fee_stats.max AS fee_max,
+         |  fee_stats.min AS fee_min, tx_count
+         |FROM read_json('$DumpDir/json_fee_summaries/*.json',
+         |  format = 'newline_delimited',
+         |  columns = {ledger_index: 'BIGINT', "date": 'VARCHAR',
+         |    total: 'DOUBLE',
+         |    fee_stats: 'STRUCT(avg DOUBLE, max DOUBLE, min DOUBLE)',
+         |    tx_count: 'BIGINT'})
+         |ORDER BY ledger_index""".stripMargin) { (s, _) =>
+      prepare(s)
+      s.read
+        .schema("ledger_index LONG, date STRING, total DOUBLE, " +
+          "fee_stats STRUCT<avg: DOUBLE, max: DOUBLE, min: DOUBLE>, " +
+          "tx_count LONG")
+        .json(s"$DumpDir/json_fee_summaries")
+        .select(col("ledger_index"), col("date"), col("total"),
+          col("fee_stats.avg").as("fee_avg"),
+          col("fee_stats.max").as("fee_max"),
+          col("fee_stats.min").as("fee_min"), col("tx_count"))
         .orderBy(col("ledger_index"))
     },
 
