@@ -147,6 +147,51 @@ class PlanShapeSpec extends AnyFunSuite {
       "sketch_hll_distinct lost its hash aggregates")
   }
 
+  test("q21's EXISTS/NOT EXISTS plan as semi/anti hash joins, no nested loop") {
+    // both correlated subqueries share the fact join key; the
+    // inequality parts must ride as probe-side residuals of hash
+    // joins, never force a nested-loop plan
+    val s = planString("q21_sole_late_supplier")
+    assert(s.contains("LeftSemi"), "q21 lost the LeftSemi EXISTS join")
+    assert(s.contains("LeftAnti"), "q21 lost the LeftAnti NOT-EXISTS join")
+    assert(!s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("CartesianProduct"),
+      "q21 plans a nested-loop/cartesian join")
+  }
+
+  test("ER gates: blocked joins scored in-probe, best-match via TopKPerKey") {
+    // the blocked pair gates must stay hash joins on the blocking key
+    // (the similarity filter evaluates inside the probe); the
+    // dictionary cross-scoring is the ONE place a BNLJ is correct
+    // (vocabulary-bounded build side by construction), and its top-1
+    // must run the custom heap plan, not a window
+    for (name <- Seq("er_blocked_pairs", "er_jw_match")) {
+      val s = planString(name)
+      assert(!s.contains("BroadcastNestedLoopJoin") &&
+        !s.contains("CartesianProduct"),
+        s"$name plans a nested-loop/cartesian join")
+    }
+    val best = collectNodes(planOf("er_best_match"))
+    assert(best.exists(_.isInstanceOf[graft.plans.TopKPerKeyExec]),
+      "er_best_match lacks TopKPerKeyExec")
+    assert(!best.exists(_.isInstanceOf[WindowExec]),
+      "er_best_match plans a WindowExec")
+  }
+
+  test("OLS and autocorr gates fold in hash aggregates, window-free") {
+    // the sufficient-statistic passes must stay map-side-combinable
+    // aggregates; ts_autocorr1's pairing happens in per-series bounded
+    // arrays, not a LEAD window over raw rows
+    for (name <- Seq("ts_linreg_trend", "ts_autocorr1")) {
+      val all = collectNodes(planOf(name))
+      assert(!all.exists(_.isInstanceOf[WindowExec]),
+        s"$name plans a WindowExec")
+      assert(all.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.aggregate.HashAggregateExec]),
+        s"$name lost its hash aggregates")
+    }
+  }
+
   test("LM scorer salts the zipfian token join and stays window-free") {
     val s = planString("text_lm_score")
     assert(s.contains("__salt"),
