@@ -344,6 +344,88 @@ object Relational {
         .orderBy(col("custdist").desc, col("c_count").desc)
     },
 
+    // Data-quality audit (Deequ-style constraint report): referential
+    // integrity, key uniqueness, and domain checks as ONE relation of
+    // (check_name, checked, violations). Scale shape: every per-table
+    // constraint family folds into a single conditional-aggregate pass
+    // over its table (one scan covers all of a table's checks), and
+    // each FK check is one left join + conditional count — never a
+    // per-constraint rescan. The nonzero rows (late shipdates, negative
+    // balances) prove the checks actually fire on this data.
+    QuerySpec.sql(
+      "dq_audit",
+      """SELECT * FROM (
+        |  SELECT 'fk_orders_customer' AS check_name,
+        |    CAST(COUNT(*) AS BIGINT) AS checked,
+        |    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS violations
+        |  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  UNION ALL
+        |  SELECT c.check_name, c.checked, c.violations FROM (
+        |    SELECT CAST(COUNT(*) AS BIGINT) AS checked,
+        |      CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS dups,
+        |      CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+        |        AS BIGINT) AS negbal
+        |    FROM customer) t,
+        |    LATERAL (VALUES ('pk_customer_unique', t.checked, t.dups),
+        |      ('customer_acctbal_nonnegative', t.checked, t.negbal))
+        |      AS c(check_name, checked, violations)
+        |  UNION ALL
+        |  SELECT c.check_name, c.checked, c.violations FROM (
+        |    SELECT CAST(COUNT(*) AS BIGINT) AS checked,
+        |      CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+        |        AS BIGINT) AS badqty,
+        |      CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '2001-01-01'
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS latedate
+        |    FROM lineitem) t,
+        |    LATERAL (VALUES ('lineitem_quantity_positive', t.checked, t.badqty),
+        |      ('lineitem_shipdate_range', t.checked, t.latedate))
+        |      AS c(check_name, checked, violations))
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      def stacked(agg: DataFrame, rows: (String, String)*) =
+        agg.select(explode(array(rows.map { case (label, vcol) =>
+          struct(lit(label).as("check_name"), col("checked"),
+            col(vcol).as("violations"))
+        }: _*)).as("c")).select(col("c.*"))
+      val fkOrders = t(s, dir, "orders").select(col("o_custkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .agg(count(lit(1)).as("checked"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("v"))
+        .select(lit("fk_orders_customer").as("check_name"),
+          col("checked"), col("v").as("violations"))
+      val fkLineitem = t(s, dir, "lineitem").select(col("l_orderkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .agg(count(lit(1)).as("checked"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v"))
+        .select(lit("fk_lineitem_orders").as("check_name"),
+          col("checked"), col("v").as("violations"))
+      val cust = stacked(
+        t(s, dir, "customer")
+          .agg(count(lit(1)).as("checked"),
+            (count(lit(1)) - countDistinct(col("c_custkey"))).as("dups"),
+            sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("negbal")),
+        "pk_customer_unique" -> "dups",
+        "customer_acctbal_nonnegative" -> "negbal")
+      val li = stacked(
+        t(s, dir, "lineitem")
+          .agg(count(lit(1)).as("checked"),
+            sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("badqty"),
+            sum(when(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"),
+              1L).otherwise(0L)).as("latedate")),
+        "lineitem_quantity_positive" -> "badqty",
+        "lineitem_shipdate_range" -> "latedate")
+      fkOrders.unionByName(fkLineitem).unionByName(cust).unionByName(li)
+        .orderBy(col("check_name"))
+    },
+
     // A: grouping sets — one pass producing the full CUBE lattice
     // (cell, row totals, column totals, grand total) with the
     // grouping-id bitmask disambiguating NULL-as-rollup from

@@ -824,6 +824,47 @@ object SimilarityOps {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Near-dup threshold sweep: candidate-pair volume at each cosine
+    // cutoff — the tuning curve a dedup rollout reads before fixing τ
+    // (too low floods the verifier; too high misses dupes). ONE pass
+    // over the same-cell pair set computes every cutoff's count as a
+    // conditional sum (no per-threshold rescan); the oracle spells it
+    // as a thresholds×pairs grid. Counts are monotone non-increasing
+    // in the cutoff by construction.
+    QuerySpec.sql(
+      "dedup_threshold_sweep",
+      s"""WITH pairs AS (
+         |  SELECT list_dot_product(a.qv, b.qv)
+         |    / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))
+         |    AS cos
+         |  FROM ($quantizedSql) a JOIN ($quantizedSql) b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id),
+         |th AS (SELECT * FROM (VALUES (0.2), (0.3), (0.4), (0.5), (0.6))
+         |  AS t(threshold))
+         |SELECT threshold,
+         |  CAST(SUM(CASE WHEN cos >= threshold THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_pairs
+         |FROM th CROSS JOIN pairs
+         |GROUP BY threshold
+         |ORDER BY threshold""".stripMargin) { (s, dir) =>
+      val cuts = Seq(0.2, 0.3, 0.4, 0.5, 0.6)
+      cellPairs(signatures(s, dir), PairBlockSize)
+        .withColumn("dot", dot_long(col("qa"), col("qb")))
+        .withColumn("cos", expr(
+          "CAST(dot AS DOUBLE) / (sqrt(CAST(a_norm2 AS DOUBLE)) * sqrt(CAST(b_norm2 AS DOUBLE)))"))
+        .agg(
+          sum(when(col("cos") >= lit(cuts.head), 1L).otherwise(0L))
+            .as(s"c${(cuts.head * 10).toInt}"),
+          cuts.tail.map { c =>
+            sum(when(col("cos") >= lit(c), 1L).otherwise(0L)).as(s"c${(c * 10).toInt}")
+          }: _*)
+        .select(explode(array(cuts.map { c =>
+          struct(lit(c).as("threshold"), col(s"c${(c * 10).toInt}").as("n_pairs"))
+        }: _*)).as("r"))
+        .select(col("r.*"))
+        .orderBy(col("threshold"))
+    },
+
     // Johnson–Lindenstrauss random projection: 64-dim quantized
     // embeddings → 16-dim integer sketches via a hash-derived ±1 sign
     // matrix (md5("rp:k:d") parity — both engines hold the identical
