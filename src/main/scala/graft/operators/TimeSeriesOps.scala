@@ -789,9 +789,17 @@ object TimeSeriesOps {
         |ORDER BY et_a, et_b""".stripMargin) { (s, dir) =>
       val k = 64
       val elem = col("user_id") * 1000 + dayofyear(col("ts")).cast("long")
-      val h = events(s, dir)
+      // ONE distinct of (event_type, elem) feeds the sketch build, the
+      // exact counts AND the exact intersection: the three consumers
+      // are the identical subplan, so ReuseExchange materializes the
+      // corpus-side shuffle once (the oracle hashes raw rows then
+      // distincts — same relation, md5 is deterministic). The md5 also
+      // moves AFTER the distinct: |distinct| hashes, not |corpus|.
+      val du = events(s, dir)
+        .select(col("event_type"), elem.as("elem")).distinct()
+      val h = du
         .select(col("event_type"),
-          conv(substring(md5(elem.cast("string")), 1, 13), 16, 10)
+          conv(substring(md5(col("elem").cast("string")), 1, 13), 16, 10)
             .cast("long").as("hv"))
         .distinct()
       // per-type bottom-k without a full per-type sort: local rank in
@@ -833,8 +841,6 @@ object TimeSeriesOps {
       val stats = flags.groupBy(col("et_a"), col("et_b"))
         .agg(count(lit(1)).as("n_merged"), max(col("hv")).as("kth"),
           sum(col("in_both")).as("n_both"))
-      val du = events(s, dir)
-        .select(col("event_type"), elem.as("elem")).distinct()
       val cnt = du.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       val ix = du.select(col("event_type").as("et_a"), col("elem"))
         .join(du.select(col("event_type").as("et_b"), col("elem")),
