@@ -78,4 +78,58 @@ object ExpressionProps extends Properties("Expressions") {
       graft.functions.SimHash.fingerprint(UTF8String.fromString(text)) ==
         refSimhash(text)
     }
+
+  // ---------------------------------------------------------------
+  // JaroSim vs an independently-written reference (list-functional
+  // style, same pinned conventions: greedy window matching,
+  // t = mismatches/2, (m/l1 + m/l2 + (m-t)/m)/3, boost > 0.7 only)
+  // ---------------------------------------------------------------
+  private def refJaro(a: String, b: String): Double = {
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val window = math.max(0, math.max(a.length, b.length) / 2 - 1)
+    val taken = Array.fill(b.length)(false)
+    val matchedA = a.indices.flatMap { i =>
+      ((i - window).max(0) until ((i + window + 1).min(b.length)))
+        .find(j => !taken(j) && a(i) == b(j))
+        .map { j => taken(j) = true; i }
+    }
+    val m = matchedA.length
+    if (m == 0) return 0.0
+    val matchedB = b.indices.filter(taken)
+    val t = matchedA.zip(matchedB).count { case (i, j) => a(i) != b(j) } / 2
+    (m.toDouble / a.length + m.toDouble / b.length +
+      (m - t).toDouble / m) / 3.0
+  }
+
+  private def refJw(a: String, b: String): Double = {
+    val j = refJaro(a, b)
+    if (j <= 0.7) j
+    else {
+      val p = a.zip(b).take(4).takeWhile { case (x, y) => x == y }.length
+      j + 0.1 * p * (1.0 - j)
+    }
+  }
+
+  private val wordGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 14)
+    cs <- Gen.listOfN(n, Gen.oneOf("abcde XY".toSeq))
+  } yield cs.mkString
+
+  property("Jaro/Jaro-Winkler equal the independent reference") =
+    forAll(wordGen, wordGen) { (a, b) =>
+      val (ua, ub) = (UTF8String.fromString(a), UTF8String.fromString(b))
+      graft.functions.JaroSim.jaro(ua, ub) == refJaro(a, b) &&
+        graft.functions.JaroSim.jaroWinkler(ua, ub) == refJw(a, b)
+    }
+
+  property("Jaro-Winkler invariants: bounds, symmetry, boost direction") =
+    forAll(wordGen, wordGen) { (a, b) =>
+      val (ua, ub) = (UTF8String.fromString(a), UTF8String.fromString(b))
+      val j = graft.functions.JaroSim.jaro(ua, ub)
+      val w = graft.functions.JaroSim.jaroWinkler(ua, ub)
+      j >= 0.0 && w <= 1.0 && w >= j &&
+        w == graft.functions.JaroSim.jaroWinkler(ub, ua) &&
+        (j <= 0.7 || a.isEmpty || b.isEmpty || a(0) != b(0) || w > j ||
+          j == 1.0)
+    }
 }
