@@ -19,6 +19,76 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** Word-frequency dictionary for the BPE trainer: lowercase alpha
+    * words (length ≥ 2, the text_bpe_pairs tokenization) with corpus
+    * frequencies. DICTIONARY-FIRST like every trainer since Sennrich
+    * 2016: all merge rounds run over distinct words weighted by freq —
+    * vocabulary-bounded work however large the corpus.
+    */
+  private[graft] def bpeWordDict(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(explode(expr(
+        "filter(regexp_extract_all(lower(text), '[a-z]+', 0), t -> length(t) >= 2)"))
+        .as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** Distributed BPE training (Sennrich et al. 2016), `rounds` merges:
+    * each round counts adjacent-symbol pairs over the weighted word
+    * dictionary (one map-side-combinable hash aggregate), takes the
+    * deterministic argmax (count DESC, pair ASC — ONE driver row per
+    * round, the k-center discipline), and rewrites every word's symbol
+    * array with a greedy left-to-right non-overlapping merge fold (a
+    * per-row HOF — no shuffle). The per-round plan is re-materialized
+    * ([[graft.functions.Materialize.stable]]) so lineage never grows
+    * with the round count. Returns (merge table, final dictionary).
+    *
+    * Not SQL-expressible in one query (the merge chosen in round r
+    * rewrites the input of round r+1), so this is unit-proven against
+    * a sequential reference (BpeTrainSpec) and registered rows-only.
+    */
+  private[graft] def bpeTrain(s: SparkSession, dict0: DataFrame,
+      rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    // split(word, '') leaves a trailing '' under Spark's limit=-1
+    // regex-split semantics — filter it or every word ends in a
+    // phantom pair (c, '')
+    var dict = dict0
+      .withColumn("syms", expr("filter(split(word, ''), x -> x <> '')"))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val top = dict
+        .select(col("freq"), explode(expr(
+          "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1), (a, b) -> struct(a, b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("l"), col("p.b").as("rt"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("rt"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, rt, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, l, rt, cnt))
+        // greedy left-to-right non-overlap: the fold merges the pair
+        // iff the accumulator's LAST symbol is the (un-merged) left
+        // part — "aaaa" under (a,a) becomes [aa, aa], never [aa, a, a]
+        dict = graft.functions.Materialize.stable(
+          dict.withColumn("syms", expr(
+            s"""aggregate(syms, CAST(array() AS ARRAY<STRING>),
+               |  (acc, s) -> CASE
+               |    WHEN size(acc) > 0 AND element_at(acc, -1) = '$l'
+               |      AND s = '$rt'
+               |    THEN concat(slice(acc, 1, size(acc) - 1), array('$l$rt'))
+               |    ELSE concat(acc, array(s)) END)""".stripMargin)))
+        r += 1
+      }
+    }
+    (merges.toSeq, dict)
+  }
+
   /** Count-min sketch geometry: d hash rows × w counters — 1 024 longs
     * of total state regardless of vocabulary size. Row i's hash is the
     * first 13 hex chars (52 bits) of md5(i ':' token) mod w, the same
@@ -168,6 +238,22 @@ object TextOps {
         .agg(count(lit(1)).cast("long").as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(50)
+    },
+
+    // BPE TRAINING, five merge rounds over the weighted word
+    // dictionary (see [[bpeTrain]]) — the step text_bpe_pairs is the
+    // first iteration of, run to a learned merge list. Inherently
+    // iterative (round r's merge rewrites round r+1's input), so there
+    // is no single-query oracle: registered rows-only, with the
+    // correctness proof in BpeTrainSpec (equality with a sequential
+    // reference trainer on real and adversarial corpora).
+    QuerySpec.rowsOnly("text_bpe_train") { (s, dir) =>
+      val (merges, _) = bpeTrain(s, bpeWordDict(docs(s, dir)), 5)
+      import s.implicits._
+      merges.toDF("rank", "left", "right", "cnt")
+        .select(col("rank"), col("left"), col("right"),
+          concat(col("left"), col("right")).as("merged"), col("cnt"))
+        .orderBy(col("rank"))
     },
 
     // Quality scoring: stopword ratio + vocabulary-diversity ratio,
