@@ -98,11 +98,19 @@ object Bench {
                    else runs.min,
             runs)
         }
-        if (only.isEmpty)
+        if (only.isEmpty) {
           try release(spark, sfDir) catch {
             case e: Throwable => System.err.println(
               s"bench: WARN release hook '$section' failed: ${e.getMessage}")
           }
+          // untimed GC nudge: unpersisted blocks and dropped
+          // checkpoint RDDs are reclaimed by the ContextCleaner only
+          // after their references are collected — without this,
+          // section N's dead caches still occupy the old gen while
+          // section N+1 is being timed (the residual 2-3x inflation of
+          // heavy queries vs their isolated runs)
+          System.gc()
+        }
         timed
     }
     // 4-decimal (0.1 ms) resolution keeps the line compact; the raw
