@@ -1137,6 +1137,30 @@ object XrplOps {
         .orderBy(col("ledger_index"))
     },
 
+    // X12, oracle-gated: Spark RE-DERIVES every transaction's ID
+    // through the binary codec (canonical serialization → SHA512-half,
+    // graft/xrpl/codec/BinaryCodec.scala) from the JSON payload alone,
+    // while the oracle reads the REFERENCE-PROVIDED hashes from the
+    // dumped transactions table — the hash compare passes only if the
+    // codec reproduces all 933 network-computed IDs bit-for-bit. The
+    // per-row codec runs in a typed map (a genuine per-row byte
+    // encoder, the X16-style justified exception to functions-only).
+    QuerySpec.sql(
+      "xrpl_tx_hash_codec",
+      s"""SELECT tx_hash, ledger_index, tx_type
+         |FROM ${t("transactions")}
+         |ORDER BY tx_hash""".stripMargin) { (s, _) =>
+      prepare(s)
+      import s.implicits._
+      graft.xrpl.XrplTables.fromFiles(s, graft.xrpl.XrplTables.fixturesPath)
+        .transactions
+        .map(r => (graft.xrpl.codec.BinaryCodec.txHash(
+            graft.xrpl.Json.parse(r.tx_json)),
+          r.ledger_index, r.tx_type))
+        .toDF("tx_hash", "ledger_index", "tx_type")
+        .orderBy(col("tx_hash"))
+    },
+
     // S13: the JSON-lines artifact read back by BOTH engines under an
     // EXPLICIT schema (no inference in the contract — DuckDB would
     // otherwise upgrade ISO date strings to timestamps): nested struct

@@ -25,9 +25,11 @@ final case class LedgerRow(
     tx_count: Int,
     tx_hashes: Seq[String])
 
-/** One transaction with canonical JSON payloads (the binary codec has
-  * no in-scope JVM port — SURVEY.md §7 risks — so `tx_json`/`meta_json`
-  * carry the canonical JSON instead of `raw`/`meta` hex).
+/** One transaction with canonical JSON payloads. `tx_json`/`meta_json`
+  * carry canonical JSON instead of `raw`/`meta` hex by CHOICE (direct
+  * queryability); the binary codec itself is implemented and golden-
+  * proven (graft.xrpl.codec.BinaryCodec — gate `xrpl_tx_hash_codec`
+  * re-derives every `tx_hash` from `tx_json` through it).
   */
 final case class TransactionRow(
     tx_hash: String,
