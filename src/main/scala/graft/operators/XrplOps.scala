@@ -1161,6 +1161,42 @@ object XrplOps {
         .orderBy(col("tx_hash"))
     },
 
+    // X12, part two: each LEDGER's transaction-tree Merkle root
+    // re-derived through the metadata codec + 16-way SHAMap (leaf =
+    // SND-prefixed VL(tx)++VL(meta)++id; inner = MIN-prefixed child
+    // hashes; root always inner) — the oracle reads the header's
+    // network-computed transactions_hash from the dumped ledgers
+    // table. Passing requires the ENTIRE serialization surface
+    // (ledger-entry fields, nested node objects, UInt64/Hash160) to be
+    // bit-correct for every one of the 933 transactions.
+    QuerySpec.sql(
+      "xrpl_tx_tree_root",
+      s"""SELECT ledger_index, transactions_hash AS tree_root
+         |FROM ${t("ledgers")}
+         |WHERE transactions_hash IS NOT NULL
+         |ORDER BY ledger_index""".stripMargin) { (s, _) =>
+      prepare(s)
+      import s.implicits._
+      graft.xrpl.XrplTables
+        .fromFiles(s, graft.xrpl.XrplTables.fixturesPath)
+        .transactions
+        .groupByKey(_.ledger_index)
+        .mapGroups { (li, txs) =>
+          (li, graft.xrpl.codec.BinaryCodec.txTreeHash(
+            txs.toSeq.sortBy(_.tx_index).map { r =>
+              // tx_json carries the tx without metaData; the leaf needs
+              // both, so re-attach the meta_json payload
+              val n = graft.xrpl.Json.parse(r.tx_json)
+                .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              n.set[com.fasterxml.jackson.databind.JsonNode](
+                "metaData", graft.xrpl.Json.parse(r.meta_json))
+              n
+            }))
+        }
+        .toDF("ledger_index", "tree_root")
+        .orderBy(col("ledger_index"))
+    },
+
     // S13: the JSON-lines artifact read back by BOTH engines under an
     // EXPLICIT schema (no inference in the contract — DuckDB would
     // otherwise upgrade ISO date strings to timestamps): nested struct

@@ -39,6 +39,36 @@ class BinaryCodecSpec extends AnyFunSuite {
         failures.take(10).mkString("\n"))
   }
 
+  test("every ledger's transaction_hash round-trips through meta codec + SHAMap") {
+    // the strongest fixture oracle available: reproducing the ledger
+    // header's transaction tree root requires the METADATA codec
+    // (ledger-entry fields, nested Modified/Created/DeletedNode
+    // objects, UInt64/Hash160 types) and the 16-way SHAMap (leaf
+    // collapse, empty-subtree zero hashes) to all be exactly right
+    val dir = new java.io.File(XrplTables.fixturesPath)
+    val ledgers = dir.listFiles().toSeq.filter(_.getName.endsWith(".json"))
+      .map { f =>
+        Json.parse(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      }
+      .filter(l => Json.opt(l, "transaction_hash").isDefined)
+    assert(ledgers.size > 40)
+    val failures = ledgers.flatMap { l =>
+      val expected = l.get("transaction_hash").asText()
+      val txs = Json.opt(l, "transactions").toSeq
+        .flatMap(t => (0 until t.size()).map(t.get))
+      val got = try BinaryCodec.txTreeHash(txs) catch {
+        case e: Throwable => s"ERROR: ${e.getMessage}"
+      }
+      if (got == expected) None
+      else Some(s"ledger ${l.get("ledger_index")} (${txs.size} txs): " +
+        s"$expected -> $got")
+    }
+    assert(failures.isEmpty,
+      s"${failures.size}/${ledgers.size} roots mismatched:\n" +
+        failures.take(8).mkString("\n"))
+  }
+
   test("amount encoding edges: drops flag bit, IOU zero, sign, exponent") {
     import com.fasterxml.jackson.databind.node.JsonNodeFactory
     val f = JsonNodeFactory.instance
