@@ -1197,6 +1197,45 @@ object XrplOps {
         .orderBy(col("ledger_index"))
     },
 
+    // X12, part three: the LEDGER HASH itself, re-derived from header
+    // fields through the packed-header codec. The header needs the
+    // PARENT's close time, so the relation is a self-join on the
+    // ledger chain (child.index = parent.index + 1) — only ledgers
+    // whose parent is present in the fixture set re-derive, which the
+    // oracle mirrors with the same inner join. Oracle reads the
+    // network-computed ledger_hash; Spark recomputes it.
+    QuerySpec.sql(
+      "xrpl_ledger_hash_chain",
+      s"""SELECT c.ledger_index, c.ledger_hash
+         |FROM ${t("ledgers")} c JOIN ${t("ledgers")} p
+         |  ON p.ledger_index = c.ledger_index - 1
+         |ORDER BY c.ledger_index""".stripMargin) { (s, _) =>
+      prepare(s)
+      import s.implicits._
+      val l = graft.xrpl.XrplTables
+        .fromFiles(s, graft.xrpl.XrplTables.fixturesPath)
+        .ledgers.toDF()
+      val child = l.select(col("ledger_index"), col("parent_hash"),
+        col("total_coins"), col("close_time"),
+        col("close_time_resolution"), col("accounts_hash"),
+        col("transactions_hash"))
+      val parent = l.select((col("ledger_index") + 1).as("ledger_index"),
+        col("close_time").as("parent_close_time"))
+      val off = graft.xrpl.codec.BinaryCodec.RippleEpochOffset
+      child.join(parent, Seq("ledger_index"))
+        .select(col("ledger_index"), col("parent_hash"),
+          col("total_coins"), col("close_time"),
+          col("close_time_resolution"), col("accounts_hash"),
+          col("transactions_hash"), col("parent_close_time"))
+        .as[(Long, String, String, Long, Long, String, String, Long)]
+        .map { case (li, ph, coins, ct, res, ah, th, pct) =>
+          (li, graft.xrpl.codec.BinaryCodec.ledgerHash(
+            li, coins.toLong, ph, th, ah, pct - off, ct - off, res.toInt))
+        }
+        .toDF("ledger_index", "ledger_hash")
+        .orderBy(col("ledger_index"))
+    },
+
     // S13: the JSON-lines artifact read back by BOTH engines under an
     // EXPLICIT schema (no inference in the contract — DuckDB would
     // otherwise upgrade ISO date strings to timestamps): nested struct

@@ -78,6 +78,7 @@ object LedgerParser {
       total_coins = optText(root, "total_coins").orElse(optText(root, "totalCoins")),
       close_time = closeTime,
       close_time_human = optText(root, "close_time_human"),
+      close_time_resolution = optLong(root, "close_time_resolution"),
       accounts_hash = optText(root, "account_hash"),
       transactions_hash = optText(root, "transaction_hash"),
       tx_count = ctxs.size,

@@ -20,6 +20,7 @@ final case class LedgerRow(
     total_coins: Option[String],
     close_time: Long,
     close_time_human: Option[String],
+    close_time_resolution: Option[Long],
     accounts_hash: Option[String],
     transactions_hash: Option[String],
     tx_count: Int,

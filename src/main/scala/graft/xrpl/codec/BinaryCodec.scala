@@ -399,4 +399,20 @@ object BinaryCodec {
       }
     toHex(node(items, 0))
   }
+
+  /** Seconds between the unix and ripple epochs (2000-01-01T00:00Z). */
+  val RippleEpochOffset = 946684800L
+
+  /** The ledger hash: SHA512-half of the LWR-prefixed packed header
+    * (index, drops, parent/tx/account hashes, parent close, close,
+    * resolution, flags) — closeFlags defaults to 0 (sLCF_NoConsensusTime
+    * unset), matching every fixture header.
+    */
+  def ledgerHash(index: Long, totalDrops: Long, parentHash: String,
+      txHash: String, accountHash: String, parentCloseRipple: Long,
+      closeRipple: Long, closeTimeRes: Int, closeFlags: Int = 0): String =
+    toHex(sha512Half(0x4c575200,
+      be(index, 4), be(totalDrops, 8), hex(parentHash), hex(txHash),
+      hex(accountHash), be(parentCloseRipple, 4), be(closeRipple, 4),
+      Array(closeTimeRes.toByte), Array(closeFlags.toByte)))
 }
