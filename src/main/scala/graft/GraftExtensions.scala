@@ -56,5 +56,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // built with these extensions get the strategy installed lazily by
     // TopKPerKey.topK itself
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // optimizer rule: the stock `row_number().over(...) <= k` spelling
+    // heap-prunes through TopKPerKeyNode before the window executes
+    // (graft.plans.TopKWindowRewrite — row_number only, keep-head only)
+    ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
   }
 }
