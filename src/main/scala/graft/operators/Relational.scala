@@ -344,6 +344,31 @@ object Relational {
         .orderBy(col("custdist").desc, col("c_count").desc)
     },
 
+    // W: the TEXTBOOK top-k window spelling, run through the
+    // TopKWindowRewrite optimizer rule (installed in-session) — the
+    // rule's heap-pruned plan must still hash-match DuckDB's plain
+    // ROW_NUMBER evaluation, putting the rewrite itself on the
+    // correctness-gate path, not just under a unit spec.
+    QuerySpec.sql(
+      "w_rewrite_topk",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      graft.plans.TopKWindowRewrite.install(s)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+
     // Data-quality audit (Deequ-style constraint report): referential
     // integrity, key uniqueness, and domain checks as ONE relation of
     // (check_name, checked, violations). Scale shape: every per-table
