@@ -192,6 +192,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("w_rewrite_topk actually fires the optimizer rewrite") {
+    // the gate's value is the rule being ON the correctness path — if
+    // a Spark upgrade changes the Window/Filter pattern and the rule
+    // silently stops matching, the gate would still pass on the stock
+    // plan; this assertion fails instead
+    val all = collectNodes(planOf("w_rewrite_topk"))
+    assert(all.exists(_.isInstanceOf[graft.plans.TopKPerKeyExec]),
+      "TopKWindowRewrite no longer fires on the textbook spelling")
+  }
+
   test("LM scorer salts the zipfian token join and stays window-free") {
     val s = planString("text_lm_score")
     assert(s.contains("__salt"),
