@@ -348,7 +348,11 @@ object Relational {
     // TopKWindowRewrite optimizer rule (installed in-session) — the
     // rule's heap-pruned plan must still hash-match DuckDB's plain
     // ROW_NUMBER evaluation, putting the rewrite itself on the
-    // correctness-gate path, not just under a unit spec.
+    // correctness-gate path, not just under a unit spec. The install
+    // persists for the rest of the session by design and is inert for
+    // every other gate: the rule only matches the row_number+filter
+    // spelling, which no other gate uses (they call TopKPerKey
+    // directly).
     QuerySpec.sql(
       "w_rewrite_topk",
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
