@@ -172,6 +172,49 @@ object MultimodalOps {
         .orderBy(col("source"))
     },
 
+    // Tile-grid planning (vision preprocessing, fully SQL-checkable):
+    // each asset's (width, height) metadata expands to its 16x16 tile
+    // grid with edge tiles clipped — the 1→N flatMap a patch-based
+    // vision pipeline (ViT patches, SAM tiles) runs before any pixel
+    // is touched. Pure integer arithmetic over metadata, so unlike
+    // the decode stubs this op is END-TO-END oracle-checked; ~20 rows
+    // per asset, embarrassingly parallel, no shuffle before the
+    // output sort.
+    QuerySpec.sql(
+      "mm_tile_plan",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+        |    CAST(16 + octet_length(encode(text)) % 48 AS INT) AS height
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, width, height,
+        |    CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty
+        |  FROM m,
+        |    UNNEST(generate_series(0,
+        |      CAST(ceil(width / 16.0) AS INT) - 1)) t1(tx),
+        |    UNNEST(generate_series(0,
+        |      CAST(ceil(height / 16.0) AS INT) - 1)) t2(ty))
+        |SELECT doc_id, tx, ty,
+        |  tx * 16 AS x0, ty * 16 AS y0,
+        |  LEAST(16, width - tx * 16) AS tw,
+        |  LEAST(16, height - ty * 16) AS th
+        |FROM g ORDER BY doc_id, ty, tx""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), octet_length(col("text")).as("n"))
+        .withColumn("width", (lit(16) + col("n") % 64).cast("int"))
+        .withColumn("height", (lit(16) + col("n") % 48).cast("int"))
+        .withColumn("tx", explode(sequence(lit(0),
+          ceil(col("width") / 16.0).cast("int") - 1)))
+        .withColumn("ty", explode(sequence(lit(0),
+          ceil(col("height") / 16.0).cast("int") - 1)))
+        .select(col("doc_id"), col("tx"), col("ty"),
+          (col("tx") * 16).as("x0"), (col("ty") * 16).as("y0"),
+          least(lit(16), col("width") - col("tx") * 16).as("tw"),
+          least(lit(16), col("height") - col("ty") * 16).as("th"))
+        .orderBy(col("doc_id"), col("ty"), col("tx"))
+    },
+
     // Decode path: binary column → per-partition batched stub decode →
     // typed features. The feature vector is emitted as fixed scalar
     // columns f0..f7 (not array<double>) so downstream row
