@@ -215,6 +215,43 @@ object MultimodalOps {
         .orderBy(col("doc_id"), col("ty"), col("tx"))
     },
 
+    // Overlapping-frame planning (audio preprocessing): STFT-style
+    // framing over a payload's sample count (16-bit mono ⇒ bytes/2
+    // samples), window 100 / hop 40 — the 1→N expansion a speech
+    // pipeline runs before any DSP. Unlike the tile grid this is
+    // OVERLAPPED framing, and assets shorter than one window plan
+    // ZERO frames (the inner-join UNNEST drops them — the edge the
+    // gate pins; an asset row must not survive frameless).
+    QuerySpec.sql(
+      "mm_audio_frame_plan",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) // 2 AS INT) AS n_samples
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_samples, CAST(fi AS INT) AS frame_index
+        |  FROM m,
+        |    UNNEST(generate_series(0,
+        |      CAST(floor((n_samples - 100) / 40.0) AS INT))) t(fi)
+        |  WHERE n_samples >= 100)
+        |SELECT doc_id, frame_index,
+        |  frame_index * 40 AS start_sample,
+        |  frame_index * 40 + 100 AS end_sample,
+        |  n_samples
+        |FROM f ORDER BY doc_id, frame_index""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          floor(octet_length(col("text")) / 2).cast("int").as("n_samples"))
+        .filter(col("n_samples") >= 100)
+        .withColumn("frame_index", explode(sequence(lit(0),
+          floor((col("n_samples") - 100) / 40.0).cast("int"))))
+        .select(col("doc_id"), col("frame_index"),
+          (col("frame_index") * 40).as("start_sample"),
+          (col("frame_index") * 40 + 100).as("end_sample"),
+          col("n_samples"))
+        .orderBy(col("doc_id"), col("frame_index"))
+    },
+
     // Decode path: binary column → per-partition batched stub decode →
     // typed features. The feature vector is emitted as fixed scalar
     // columns f0..f7 (not array<double>) so downstream row
