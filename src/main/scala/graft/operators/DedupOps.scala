@@ -844,6 +844,93 @@ object DedupOps {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Lexical tf-idf cosine near-dup pairs — the sparse-vector
+    // counterpart of dedup_embedding_cosine, vectorizing each doc
+    // over the df-bounded word-3-gram space (df ∈ [2, 16]: singleton
+    // shingles can't pair, boilerplate shingles shared by half the
+    // corpus are excluded by design — and the posting-list ceiling
+    // dedup_winnow_pairs uses means no shingle joins more than
+    // C(16,2) pairs; unigrams won't do here — this corpus' word
+    // vocabulary is ~31 terms, all stopword-frequency). Weights stay
+    // EXACT integers — w = tf · (1e6 div df), the floor-division idf
+    // surrogate graph_link_predict uses — so dot products and norms
+    // are exact longs and the τ = 0.25 decision runs entirely in
+    // integer arithmetic (16·dot² ≥ ‖a‖²·‖b‖² in DECIMAL(38,0) /
+    // HUGEINT, the dedup_semantic discipline); the reported cos is
+    // one shared-text division over exact operands.
+    QuerySpec.sql(
+      "dedup_tfidf_cosine",
+      """WITH tf AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS tok
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents) t,
+        |      UNNEST(range(1, len(ws) - 1)) AS r(i)) g
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT f.doc_id, f.tok, f.tf * (1000000 // d.dfc) AS w
+        |  FROM tf f JOIN (SELECT tok, CAST(COUNT(*) AS BIGINT) AS dfc
+        |    FROM tf GROUP BY 1) d
+        |    ON d.tok = f.tok AND d.dfc BETWEEN 2 AND 16),
+        |n2 AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+        |  FROM w GROUP BY 1),
+        |dt AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+        |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d.a_id, d.b_id, d.dot,
+        |  CAST(d.dot AS DOUBLE) /
+        |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+        |    AS cos
+        |FROM dt d JOIN n2 na ON na.doc_id = d.a_id
+        |  JOIN n2 nb ON nb.doc_id = d.b_id
+        |WHERE d.dot > 0
+        |  AND 16 * CAST(d.dot AS HUGEINT) * CAST(d.dot AS HUGEINT)
+        |    >= CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT)
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val toks = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))"))
+            .as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
+        .filter(col("dfc").between(2, 16))
+      // df-filter BEFORE any posting list materializes (a stopword
+      // shingle never collects its million-row list), THEN fold each
+      // surviving shingle's ≤ 16 weighted postings into one array —
+      // pair generation and the norm pass both read these bounded
+      // arrays instead of re-joining row-scale tables.
+      val posts = tf.join(dfc, Seq("tok"))
+        .groupBy(col("tok"))
+        .agg(collect_list(struct(col("doc_id"),
+          expr("tf * (1000000 div dfc)").as("w"))).as("ps"))
+      val n2 = posts.select(explode(col("ps")).as("e"))
+        .groupBy(col("e.doc_id").as("doc_id"))
+        .agg(sum(col("e.w") * col("e.w")).cast("long").as("n2"))
+      val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      posts.select(explode(col("ps")).as("a"), col("ps"))
+        .select(col("a"), explode(col("ps")).as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(sum(col("a.w") * col("b.w")).cast("long").as("dot"))
+        .join(n2.select(col("doc_id").as("a_id"), col("n2").as("na")),
+          Seq("a_id"))
+        .join(n2.select(col("doc_id").as("b_id"), col("n2").as("nb")),
+          Seq("b_id"))
+        .filter(col("dot") > 0 &&
+          lit(16).cast(d19) * col("dot").cast(d19) * col("dot").cast(d19) >=
+            col("na").cast(d19) * col("nb").cast(d19))
+        .select(col("a_id"), col("b_id"), col("dot"),
+          (col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+            .as("cos"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Exact duplicated-substring spans (Lee et al. 2022 "Deduplicating
     // Training Data Makes Language Models Better", the ExactSubstr
     // operator, word-granular): every maximal run of 8-word grams that

@@ -131,10 +131,12 @@ object EntityOps {
     // exceeds the edit threshold (the reason record linkage needs
     // components, not pairs). Reuses the ConnectedComponents
     // machinery (edge-touched subgraph, O(diameter) rounds) over the
-    // dictionary: names get order-preserving dense ids (a
-    // vocabulary-bounded ROW_NUMBER — the one place a single-task
-    // window is fine, because the dictionary is the compressed value
-    // table, never the corpus), so the numeric min-label IS the
+    // dictionary. Names get ORDER-ISOMORPHIC dense ids without any
+    // single-task window: binary string order groups by first byte,
+    // so row_number inside the first-char partition plus a broadcast
+    // cumulative offset per prefix (≤ alphabet rows through the
+    // driver — the k-center/centroid discipline) reproduces the
+    // global name rank exactly; the numeric min-label is then the
     // alphabetically-least member, which the oracle spells directly
     // as MIN(name) over the recursive closure.
     QuerySpec.sql(
@@ -156,9 +158,21 @@ object EntityOps {
          |ORDER BY name""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val d = dict(s, dir)
-      val idx = d.select(col("name"), col("blk"))
-        .withColumn("idx",
-          row_number().over(Window.orderBy(col("name"))).cast("long"))
+      val base = d.select(col("name"), col("blk"))
+        .withColumn("pfx", substring(col("name"), 1, 1))
+      var acc = 0L
+      val offRows = base.groupBy(col("pfx")).agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1)
+        .map { case (p, c) => val o = (p, acc); acc += c; o }
+      val offs = broadcast(
+        s.createDataFrame(offRows.toSeq).toDF("pfx", "off"))
+      val idx = base
+        .withColumn("rn", row_number()
+          .over(Window.partitionBy(col("pfx")).orderBy(col("name"))))
+        .join(offs, Seq("pfx"))
+        .withColumn("idx", (col("off") + col("rn")).cast("long"))
+        .select(col("name"), col("blk"), col("idx"))
       val a = idx.select(col("name").as("a_name"), col("idx").as("u"),
         col("blk"))
       val b = idx.select(col("name").as("b_name"), col("idx").as("v"),

@@ -1859,5 +1859,201 @@ object TimeSeriesOps {
           (least(col("end_us"), col("w_end")) -
             greatest(col("start_us"), col("w_start"))).as("overlap_us"))
         .orderBy(col("user_id"), col("sess"), col("event_type"), col("day"))
+    },
+
+    // Per-user event-type transition matrix (first-order Markov): how
+    // often does type A immediately precede type B in a user's
+    // time-ordered stream, and with what conditional probability. One
+    // user_id shuffle (the same partitioning sessionize rides), a
+    // LEAD over the unique (ts, event_id) order, then a hash aggregate
+    // over ≤ |types|² keys; the per-from normalization runs as a
+    // window over that BOUNDED matrix, never over row-scale data.
+    // n_trans is an exact long; p_trans is one long/long division —
+    // identical IEEE result in both engines.
+    QuerySpec.sql(
+      "events_transitions",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |  FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS to_type
+        |  FROM e),
+        |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  CAST(n_trans AS DOUBLE) /
+        |    CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS DOUBLE)
+        |    AS p_trans
+        |FROM c ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val c = events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      c.withColumn("p_trans",
+          col("n_trans").cast("double") /
+            sum(col("n_trans")).over(Window.partitionBy(col("from_type")))
+              .cast("double"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // Trailing-7-day rolling distinct actives per calendar day — the
+    // DAU/WAU overlay. Exact rolling COUNT DISTINCT without a range
+    // self-join: the distinct (day, user) activity table (the ONLY
+    // row-scale pass) explodes each activity day to the ≤ 7 target
+    // days it covers, and a second distinct + count per target day
+    // finishes the job — the IntervalJoin bucket-replication
+    // discipline applied to a window query. Every shuffle key is a
+    // calendar day; the fan-out is 7× a per-day-bounded table.
+    QuerySpec.sql(
+      "ts_rolling_actives",
+      """WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+        |    AS day, user_id FROM events),
+        |b AS (SELECT MAX(day) AS d1 FROM du),
+        |r AS (SELECT c.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT)
+        |    AS actives_7d
+        |  FROM (SELECT DISTINCT day FROM
+        |      (SELECT day + CAST(g AS INT) AS day FROM du,
+        |        UNNEST(generate_series(0, 6)) AS t(g)) x, b
+        |      WHERE x.day <= b.d1) c
+        |    JOIN du u ON u.day BETWEEN c.day - 6 AND c.day
+        |  GROUP BY 1),
+        |o AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS actives_1d
+        |  FROM du GROUP BY 1)
+        |SELECT r.day, COALESCE(o.actives_1d, CAST(0 AS BIGINT))
+        |    AS actives_1d, r.actives_7d
+        |FROM r LEFT JOIN o ON o.day = r.day ORDER BY r.day""".stripMargin) {
+      (s, dir) =>
+      val du = events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val bounds = du.agg(max(col("day")).as("d1"))
+      val r7 = du
+        .select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+        .join(broadcast(bounds), col("day") <= col("d1"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("actives_7d"))
+      val o1 = du.groupBy(col("day")).agg(count(lit(1)).as("actives_1d"))
+      r7.join(o1, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("actives_1d"), lit(0L)).as("actives_1d"),
+          col("actives_7d"))
+        .orderBy(col("day"))
+    },
+
+    // Conversion-latency profile: for users whose first signup is
+    // later followed by a purchase, the time from that signup to the
+    // FIRST qualifying purchase, profiled per signup day. The funnel
+    // gate answers "did they convert"; this one answers "how fast".
+    // Two hash aggregates around one user_id equi-join (the time
+    // predicate is a residual, exactly the funnel plan); latencies
+    // stay exact long micros, and the mean is a single shared-text
+    // division over exact operands.
+    QuerySpec.sql(
+      "ts_time_to_convert",
+      """WITH s AS (SELECT user_id, MIN(ts) AS s_ts,
+        |    MIN(epoch_us(ts)) AS s_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT s.user_id, CAST(s.s_ts AS DATE) AS signup_day,
+        |    MIN(p.us) - s.s_us AS lat_us
+        |  FROM s JOIN (SELECT user_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'purchase') p
+        |    ON p.user_id = s.user_id AND p.us > s.s_us
+        |  GROUP BY 1, 2, s.s_us)
+        |SELECT signup_day, CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |  CAST(MIN(lat_us) AS BIGINT) AS min_lat_us,
+        |  CAST(MAX(lat_us) AS BIGINT) AS max_lat_us,
+        |  CAST(SUM(lat_us) AS DOUBLE) /
+        |    (CAST(COUNT(*) AS DOUBLE) * 3600000000.0) AS avg_lat_hours
+        |FROM c GROUP BY 1 ORDER BY signup_day""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val s0 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("s_ts"), min(unix_micros(col("ts"))).as("s_us"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("us"))
+      s0.join(pur, col("p_user") === col("user_id") && col("us") > col("s_us"))
+        .groupBy(col("user_id"), to_date(col("s_ts")).as("signup_day"),
+          col("s_us"))
+        .agg((min(col("us")) - col("s_us")).as("lat_us"))
+        .groupBy(col("signup_day"))
+        .agg(count(lit(1)).cast("long").as("n_converted"),
+          min(col("lat_us")).cast("long").as("min_lat_us"),
+          max(col("lat_us")).cast("long").as("max_lat_us"),
+          sum(col("lat_us")).cast("long").as("slat"))
+        .withColumn("avg_lat_hours",
+          col("slat").cast("double") /
+            (col("n_converted").cast("double") * lit(3600000000.0)))
+        .drop("slat")
+        .orderBy(col("signup_day"))
+    },
+
+    // Lead-lag cross-correlation: Pearson r between the click and
+    // purchase daily-count series at lags 0–3 days ("do clicks lead
+    // purchases, and by how much") — the attribution diagnostic next
+    // to ts_autocorr1. Both series densify over the shared global
+    // calendar (gap days count 0, so a lag never silently skips a
+    // hole), the 4 lag offsets explode from a literal array, and all
+    // five pair sums per lag are EXACT LONG arithmetic folded in one
+    // hash aggregate over ≤ 4 keys; the closed form is the shared
+    // AutoCorr expression text. Row-scale work: one daily-count
+    // aggregate; everything after is calendar-bounded metadata.
+    QuerySpec.sql(
+      "ts_xcorr_lag",
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS y
+         |  FROM events WHERE event_type IN ('click', 'purchase')
+         |  GROUP BY 1, 2),
+         |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+         |cal AS (SELECT CAST(g AS DATE) AS day
+         |  FROM b, UNNEST(generate_series(b.d0, b.d1, INTERVAL 1 DAY))
+         |    AS t(g)),
+         |a AS (SELECT c.day, COALESCE(d.y, 0) AS y FROM cal c
+         |  LEFT JOIN daily d ON d.day = c.day AND d.event_type = 'click'),
+         |p AS (SELECT c.day, COALESCE(d.y, 0) AS y FROM cal c
+         |  LEFT JOIN daily d ON d.day = c.day AND d.event_type = 'purchase'),
+         |pr AS (SELECT l.lag, a.y AS ya, p.y AS yp
+         |  FROM a JOIN (SELECT UNNEST([0, 1, 2, 3]) AS lag) l ON TRUE
+         |  JOIN p ON p.day = a.day + CAST(l.lag AS INT)),
+         |st AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS np,
+         |    CAST(SUM(ya) AS BIGINT) AS sa, CAST(SUM(yp) AS BIGINT) AS sb,
+         |    CAST(SUM(ya * yp) AS BIGINT) AS sab,
+         |    CAST(SUM(ya * ya) AS BIGINT) AS saa,
+         |    CAST(SUM(yp * yp) AS BIGINT) AS sbb
+         |  FROM pr GROUP BY 1)
+         |SELECT CAST(lag AS BIGINT) AS lag, np, ${AutoCorr.r} AS r
+         |FROM st ORDER BY lag""".stripMargin) { (s, dir) =>
+      val daily = events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val cal = bounds
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      def dense(t: String): DataFrame = cal
+        .join(daily.filter(col("event_type") === t), Seq("day"), "left")
+        .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+      val a = dense("click").select(col("day"), col("y").as("ya"))
+      val p = dense("purchase")
+        .select(col("day").as("p_day"), col("y").as("yp"))
+      a.select(col("day"), col("ya"),
+          explode(lit(Array(0, 1, 2, 3))).as("lag"))
+        .join(p, col("p_day") === date_add(col("day"), col("lag")))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("np"),
+          sum(col("ya")).cast("long").as("sa"),
+          sum(col("yp")).cast("long").as("sb"),
+          sum(col("ya") * col("yp")).cast("long").as("sab"),
+          sum(col("ya") * col("ya")).cast("long").as("saa"),
+          sum(col("yp") * col("yp")).cast("long").as("sbb"))
+        .select(col("lag").cast("long").as("lag"), col("np"),
+          expr(AutoCorr.r).as("r"))
+        .orderBy(col("lag"))
     })
 }
