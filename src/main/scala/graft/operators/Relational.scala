@@ -256,6 +256,43 @@ object Relational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     },
 
+    // Correlated per-key scalar subquery (TPC-H q17 shape): revenue
+    // from small-quantity line items, "small" = below a fifth of THAT
+    // PART's average order quantity. The correlated AVG decorrelates
+    // into one per-partkey aggregate of the fact table (one shuffle,
+    // map-side combine) joined back to the fact rows — never a
+    // per-row re-scan; the brand dimension filter broadcasts. The
+    // avg comparison is cross-multiplied into exact decimal terms
+    // (5·q·n < Σq ⇔ q < 0.2·avg) so no float division decides a
+    // boundary row differently across engines.
+    QuerySpec.sql(
+      "q17_small_quantity",
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+         |  CAST(${dsumSql("l_extendedprice")} AS DOUBLE) / 7.0
+         |    AS avg_yearly
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey
+         |JOIN (SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS n,
+         |    ${dsumSql("l_quantity")} AS sq
+         |  FROM lineitem GROUP BY 1) a ON a.pk = l_partkey
+         |WHERE p_brand = 'Brand#19'
+         |  AND 5 * CAST(l_quantity AS DECIMAL(18,6)) * n < sq""".stripMargin) {
+        (s, dir) =>
+      val per = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sq"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#19").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(per, col("pk") === col("l_partkey"))
+        .filter(lit(5) * col("l_quantity").cast("decimal(18,6)") * col("n") <
+          col("sq"))
+        .agg(count(lit(1)).cast("long").as("n_small"),
+          (dsum(col("l_extendedprice")).cast("double") / lit(7.0))
+            .as("avg_yearly"))
+    },
+
     // J+A: the double-anti-join shape (TPC-H q21 adapted to the
     // columns this schema carries): suppliers who were the SOLE late
     // supplier of a finished multi-supplier order. One fact↔fact

@@ -2055,5 +2055,58 @@ object TimeSeriesOps {
         .select(col("lag").cast("long").as("lag"), col("np"),
           expr(AutoCorr.r).as("r"))
         .orderBy(col("lag"))
+    },
+
+    // SCD-2 interval compression: collapse each user's consecutive
+    // same-type event runs into validity intervals
+    // [start_us, end_us) — the slowly-changing-dimension build every
+    // warehouse runs over a change log (end_us null on the open
+    // current segment). The classic islands construction: a lag marks
+    // type changes, a running sum numbers the segments, one hash
+    // aggregate per (user, segment), and a final lead closes each
+    // interval with its successor's start. All three windows share
+    // the SINGLE user_id shuffle partitioning (the sessionize
+    // argument), and the closing lead runs over the already-collapsed
+    // segment table.
+    QuerySpec.sql(
+      "events_scd2_intervals",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_type FROM events),
+        |m AS (SELECT user_id, us, event_id, event_type,
+        |    CASE WHEN LAG(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY us, event_id)
+        |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e),
+        |r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS seg
+        |  FROM m),
+        |g AS (SELECT user_id, seg, event_type, MIN(us) AS start_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT user_id, CAST(seg AS BIGINT) AS seg, event_type,
+        |  start_us,
+        |  LEAD(start_us) OVER (PARTITION BY user_id ORDER BY seg)
+        |    AS end_us,
+        |  n_events
+        |FROM g ORDER BY user_id, seg""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val g = events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("chg",
+          when(!(lag(col("event_type"), 1).over(w) <=> col("event_type")),
+            1).otherwise(0))
+        .withColumn("seg", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("seg"), col("event_type"))
+        .agg(min(col("us")).as("start_us"),
+          count(lit(1)).cast("long").as("n_events"))
+      g.withColumn("end_us", lead(col("start_us"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("seg"))))
+        .select(col("user_id"), col("seg").cast("long").as("seg"),
+          col("event_type"), col("start_us"), col("end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("seg"))
     })
 }
