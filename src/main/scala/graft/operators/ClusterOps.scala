@@ -608,6 +608,97 @@ object ClusterOps {
         .orderBy(col("cid"))
     },
 
+    // External clustering evaluation against the ground-truth labels
+    // the embeddings fixture carries: PURITY (Σ per-cluster majority
+    // count / N — an exact rational, one shared-text division) and
+    // NMI (mutual information between the k-means partition and the
+    // labels over sqrt(H(C)·H(L))). Every entropy/MI term is
+    // n·micros6(ln(ratio)) — the KL-drift integer-log discipline — so
+    // the sums are exact longs and even NMI hash-compares; the 1/N
+    // and 1e6 scale factors cancel in the final ratio. Scale shape:
+    // one row-scale equi-join (assignments ⋈ labels on vec_id, both
+    // uniform), one hash aggregate to the K×|labels| contingency
+    // table, and pure bounded-metadata arithmetic after — the
+    // assignment memo is shared with cluster_kmeans/dedup_semantic.
+    QuerySpec.sql(
+      "cluster_purity_nmi",
+      kmeansCtes.mkString("WITH ", ",\n", ",\n") +
+        s"""ct AS (
+           |  SELECT k.cid, e.label, CAST(COUNT(*) AS BIGINT) AS nij
+           |  FROM a$KmeansIters k JOIN embeddings e ON e.vec_id = k.vec_id
+           |  GROUP BY 1, 2),
+           |ni AS (SELECT cid, CAST(SUM(nij) AS BIGINT) AS ni
+           |  FROM ct GROUP BY 1),
+           |mj AS (SELECT label, CAST(SUM(nij) AS BIGINT) AS mj
+           |  FROM ct GROUP BY 1),
+           |nt AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM ct),
+           |mi AS (
+           |  SELECT CAST(SUM(c.nij * CAST(CAST(ln(
+           |      CAST(t.n * c.nij AS DOUBLE) / CAST(i.ni * j.mj AS DOUBLE))
+           |      AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+           |    AS mi_micros
+           |  FROM ct c JOIN ni i USING (cid) JOIN mj j USING (label)
+           |  CROSS JOIN nt t),
+           |hc AS (
+           |  SELECT CAST(SUM(ni * CAST(CAST(ln(
+           |      CAST(t.n AS DOUBLE) / CAST(ni AS DOUBLE))
+           |      AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+           |    AS hc_micros
+           |  FROM ni CROSS JOIN nt t),
+           |hl AS (
+           |  SELECT CAST(SUM(mj * CAST(CAST(ln(
+           |      CAST(t.n AS DOUBLE) / CAST(mj AS DOUBLE))
+           |      AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+           |    AS hl_micros
+           |  FROM mj CROSS JOIN nt t),
+           |pu AS (SELECT CAST(SUM(mx) AS BIGINT) AS purity_num
+           |  FROM (SELECT cid, MAX(nij) AS mx FROM ct GROUP BY 1) x)
+           |SELECT t.n, pu.purity_num,
+           |  CAST(pu.purity_num AS DOUBLE) / CAST(t.n AS DOUBLE) AS purity,
+           |  mi.mi_micros, hc.hc_micros, hl.hl_micros,
+           |  CASE WHEN hc.hc_micros > 0 AND hl.hl_micros > 0 THEN
+           |    CAST(mi.mi_micros AS DOUBLE) /
+           |      (sqrt(CAST(hc.hc_micros AS DOUBLE)) *
+           |       sqrt(CAST(hl.hl_micros AS DOUBLE))) END AS nmi
+           |FROM nt t CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl
+           |CROSS JOIN pu""".stripMargin) { (s, dir) =>
+      import graft.functions.Cols.micros6
+      val ct = kmeansAssignments(s, dir).select(col("vec_id"), col("cid"))
+        .join(graft.Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy(col("cid"), col("label"))
+        .agg(count(lit(1)).as("nij"))
+      val ni = ct.groupBy(col("cid")).agg(sum(col("nij")).cast("long").as("ni"))
+      val mj = ct.groupBy(col("label"))
+        .agg(sum(col("nij")).cast("long").as("mj"))
+      val nt = ct.agg(sum(col("nij")).cast("long").as("n"))
+      val mi = ct.join(ni, Seq("cid")).join(mj, Seq("label"))
+        .crossJoin(broadcast(nt))
+        .agg(sum(col("nij") * micros6(log(
+          (col("n") * col("nij")).cast("double") /
+            (col("ni") * col("mj")).cast("double"))))
+          .cast("long").as("mi_micros"))
+      val hc = ni.crossJoin(broadcast(nt))
+        .agg(sum(col("ni") * micros6(log(
+          col("n").cast("double") / col("ni").cast("double"))))
+          .cast("long").as("hc_micros"))
+      val hl = mj.crossJoin(broadcast(nt))
+        .agg(sum(col("mj") * micros6(log(
+          col("n").cast("double") / col("mj").cast("double"))))
+          .cast("long").as("hl_micros"))
+      val pu = ct.groupBy(col("cid")).agg(max(col("nij")).as("mx"))
+        .agg(sum(col("mx")).cast("long").as("purity_num"))
+      nt.crossJoin(mi).crossJoin(hc).crossJoin(hl).crossJoin(pu)
+        .select(col("n"), col("purity_num"),
+          (col("purity_num").cast("double") / col("n").cast("double"))
+            .as("purity"),
+          col("mi_micros"), col("hc_micros"), col("hl_micros"),
+          when(col("hc_micros") > 0 && col("hl_micros") > 0,
+            col("mi_micros").cast("double") /
+              (sqrt(col("hc_micros").cast("double")) *
+                sqrt(col("hl_micros").cast("double")))).as("nmi"))
+    },
+
     // PageRank centrality over the k-NN graph (integer mass, 5 damped
     // rounds) — graph-weighted representative scoring.
     QuerySpec.sql("graph_pagerank", pagerankOracle) { (s, dir) =>
