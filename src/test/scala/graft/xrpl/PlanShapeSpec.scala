@@ -210,4 +210,36 @@ class PlanShapeSpec extends AnyFunSuite {
       .exists(_.isInstanceOf[WindowExec]),
       "text_lm_score plans a WindowExec")
   }
+
+  test("round-9 event/sequence gates keep every window keyed") {
+    // transitions, SCD-2 and the dictionary id of er_entity_clusters
+    // all ride partitioned windows — a regression to a global window
+    // here re-introduces the single-task sort the two-level designs
+    // remove.
+    for (name <- Seq("events_transitions", "events_scd2_intervals",
+        "er_entity_clusters", "dedup_tfidf_cosine")) {
+      val bad = collectNodes(planOf(name)).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name plans an unpartitioned WindowExec")
+    }
+  }
+
+  test("q17's correlated AVG decorrelates - no nested loop, joins hash-based") {
+    val s = planString("q17_small_quantity")
+    assert(!s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("CartesianProduct"),
+      "q17 plans a nested-loop/cartesian join")
+    assert(s.contains("BroadcastHashJoin"),
+      "q17 lost the broadcast brand dimension")
+  }
+
+  test("tfidf cosine pairs come from bounded arrays, not a row-scale self-join") {
+    // the pair surface must be generated by exploding the df-bounded
+    // posting arrays (two Generates), never by sort-merge-joining the
+    // row-scale weight table with itself
+    val s = planString("dedup_tfidf_cosine")
+    assert(!s.contains("SortMergeJoin"),
+      "dedup_tfidf_cosine re-introduced a row-scale self-join")
+  }
 }
