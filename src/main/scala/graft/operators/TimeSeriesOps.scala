@@ -2057,6 +2057,59 @@ object TimeSeriesOps {
         .orderBy(col("lag"))
     },
 
+    // Ordered three-step funnel (signup → click → purchase, strictly
+    // in sequence): step N must happen AFTER the user's first step
+    // N−1 event — the multi-step generalization of
+    // funnel_signup_purchase, where a purchase before the first
+    // post-signup click does NOT count. Three chained per-user MIN
+    // aggregates around user_id equi-joins (time predicates as
+    // residuals — the funnel plan); every shuffle shares the one
+    // uniform user_id key, and all step times stay exact long micros.
+    QuerySpec.sql(
+      "funnel_three_step",
+      """WITH s AS (SELECT user_id, MIN(ts) AS s_ts,
+        |    MIN(epoch_us(ts)) AS s_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT s.user_id, MIN(e.us) AS c_us
+        |  FROM s JOIN (SELECT user_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'click') e
+        |    ON e.user_id = s.user_id AND e.us > s.s_us
+        |  GROUP BY 1),
+        |p AS (SELECT c.user_id, MIN(e.us) AS p_us
+        |  FROM c JOIN (SELECT user_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'purchase') e
+        |    ON e.user_id = c.user_id AND e.us > c.c_us
+        |  GROUP BY 1)
+        |SELECT CAST(s.s_ts AS DATE) AS signup_day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_signups,
+        |  CAST(COUNT(c.c_us) AS BIGINT) AS n_clicked,
+        |  CAST(COUNT(p.p_us) AS BIGINT) AS n_purchased
+        |FROM s LEFT JOIN c ON c.user_id = s.user_id
+        |LEFT JOIN p ON p.user_id = s.user_id
+        |GROUP BY 1 ORDER BY signup_day""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      def typed(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id").as("e_user"), unix_micros(col("ts")).as("us"))
+      val s0 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("s_ts"), min(unix_micros(col("ts"))).as("s_us"))
+      val c0 = s0
+        .join(typed("click"),
+          col("e_user") === col("user_id") && col("us") > col("s_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+      val p0 = c0
+        .join(typed("purchase"),
+          col("e_user") === col("user_id") && col("us") > col("c_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+      s0.join(c0, Seq("user_id"), "left")
+        .join(p0, Seq("user_id"), "left")
+        .groupBy(to_date(col("s_ts")).as("signup_day"))
+        .agg(count(lit(1)).cast("long").as("n_signups"),
+          count(col("c_us")).cast("long").as("n_clicked"),
+          count(col("p_us")).cast("long").as("n_purchased"))
+        .orderBy(col("signup_day"))
+    },
+
     // SCD-2 interval compression: collapse each user's consecutive
     // same-type event runs into validity intervals
     // [start_us, end_us) — the slowly-changing-dimension build every
