@@ -174,6 +174,33 @@ object DedupOps {
           |              ' ', element_at(ts, i+2))))""".stripMargin).as("gs"))
       .cache()
 
+  /** df-bounded tf-idf posting table for [[dedup_tfidf_cosine]]: one
+    * array of ≤ 16 weighted postings per surviving word-3-gram. The
+    * df-filter runs BEFORE any posting list materializes (a stopword
+    * shingle never collects its million-row list); weights are the
+    * exact-integer tf · (1e6 div df). Plan-keyed cache (norm pass +
+    * pair generation + bench reps share one build); released in
+    * [[releaseCaches]].
+    */
+  private def tfidfPosts(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))"))
+          .as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc").between(2, 16))
+    tf.join(dfc, Seq("tok"))
+      .groupBy(col("tok"))
+      .agg(collect_list(struct(col("doc_id"),
+        expr("tf * (1000000 div dfc)").as("w"))).as("ps"))
+      .cache()
+  }
+
   /** Full word-3-gram Jaccard oracle (pairs ≥ 0.02 within blocks,
     * df-ceiling-consistent) — shared by the jaccard gate and the
     * banded-recall gate, which embeds it as the truth set.
@@ -888,26 +915,7 @@ object DedupOps {
         |  AND 16 * CAST(d.dot AS HUGEINT) * CAST(d.dot AS HUGEINT)
         |    >= CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT)
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val toks = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"),
-          explode(expr(
-            "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))"))
-            .as("tok"))
-      val tf = toks.groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
-      val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
-        .filter(col("dfc").between(2, 16))
-      // df-filter BEFORE any posting list materializes (a stopword
-      // shingle never collects its million-row list), THEN fold each
-      // surviving shingle's ≤ 16 weighted postings into one array —
-      // pair generation and the norm pass both read these bounded
-      // arrays instead of re-joining row-scale tables.
-      val posts = tf.join(dfc, Seq("tok"))
-        .groupBy(col("tok"))
-        .agg(collect_list(struct(col("doc_id"),
-          expr("tf * (1000000 div dfc)").as("w"))).as("ps"))
+      val posts = tfidfPosts(s, dir)
       val n2 = posts.select(explode(col("ps")).as("e"))
         .groupBy(col("e.doc_id").as("doc_id"))
         .agg(sum(col("e.w") * col("e.w")).cast("long").as("n2"))
@@ -1151,6 +1159,7 @@ object DedupOps {
     bandedCandidates(s, dir).unpersist(blocking = true)
     gramSets(s, dir).unpersist(blocking = true)
     substrGrams(s, dir).unpersist(blocking = true)
+    tfidfPosts(s, dir).unpersist(blocking = true)
     clearNgramJaccardPairs(Some(s))
     clearClusterLabels(Some(s))
   }
