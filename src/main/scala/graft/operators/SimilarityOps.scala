@@ -426,6 +426,11 @@ object SimilarityOps {
   /** Output dimensionality of the JL random projection (64 → 16). */
   val RpDims = 16
 
+  /** Unrolled power-iteration rounds for [[emb_top_pc]] — enough for
+    * the ∞-normalized estimate to stabilize on this spectrum while
+    * keeping the oracle's CTE chain cheap. */
+  val PcRounds = 3
+
   /** Coarse candidates kept per query by the projected scan. */
   val RpCand = 40
 
@@ -887,6 +892,90 @@ object SimilarityOps {
         .select(col("vec_id"), explode(array(comps: _*)).as("c"))
         .select(col("vec_id"), col("c.k").as("k"), col("c.pv").as("pv"))
         .orderBy(col("vec_id"), col("k"))
+    },
+
+    // Distributed PCA, top principal component by power iteration —
+    // the linear-algebra member of the embedding-index family. The
+    // scale pattern is the textbook one: ONE O(n·d²) pass folds the
+    // exact integer scatter statistics (Σxᵢxⱼ, Σxᵢ, n — all
+    // map-side-combinable sums to a d² = 4096-key aggregate), the
+    // centered covariance ×n² forms as C = n·Sxx − Sx·Sxᵀ in exact
+    // DECIMAL(19,0)/HUGEINT products (never a float mean), and the
+    // iteration runs over that BOUNDED 4096-entry table — the corpus
+    // is touched exactly once. Each of the 3 unrolled rounds is
+    // u = C·v (exact decimal sums) followed by ∞-norm renormalization
+    // to integer micros, spelled sign·(|u|·1e6 div m) so Spark's
+    // truncating `div` and DuckDB's flooring `//` agree on every
+    // signed entry. Even the eigenvector estimate hash-compares.
+    QuerySpec.sql(
+      "emb_top_pc",
+      s"""WITH sig AS ($quantizedSql),
+         |x AS (SELECT vec_id, i, qv[i] AS xi
+         |  FROM sig, UNNEST(generate_series(1, len(qv))) u(i)),
+         |sxx AS (SELECT a.i AS i, b.i AS j,
+         |    CAST(SUM(a.xi * b.xi) AS BIGINT) AS sxx
+         |  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+         |sx AS (SELECT i, CAST(SUM(xi) AS BIGINT) AS sx FROM x GROUP BY 1),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sig),
+         |cm AS (SELECT s.i, s.j,
+         |    CAST(n AS HUGEINT) * s.sxx - CAST(xa.sx AS HUGEINT) * xb.sx
+         |      AS c
+         |  FROM sxx s JOIN sx xa ON xa.i = s.i JOIN sx xb ON xb.i = s.j
+         |  CROSS JOIN nn),
+         |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM sx),
+         |${(1 to PcRounds).map { r =>
+            s"""u$r AS (SELECT cm.i, SUM(cm.c * w.v) AS u
+               |  FROM cm JOIN v${r - 1} w ON w.i = cm.j GROUP BY 1),
+               |m$r AS (SELECT MAX(ABS(u)) AS m FROM u$r),
+               |v$r AS (SELECT i,
+               |    CASE WHEN m = 0 THEN CAST(0 AS HUGEINT)
+               |      WHEN u < 0 THEN -((-u * 1000000) // m)
+               |      ELSE (u * 1000000) // m END AS v
+               |  FROM u$r CROSS JOIN m$r)""".stripMargin
+          }.mkString(",\n")}
+         |SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_micros
+         |FROM v$PcRounds ORDER BY dim""".stripMargin) { (s, dir) =>
+      // ONE distributed pass folds the scatter statistics; the
+      // iteration then runs on the driver over the 4096-entry C in
+      // exact BigInt arithmetic (the MLlib-RowMatrix discipline —
+      // Gram matrix to the driver, local eigensolve; same bounded
+      // round-trip budget as k-center/BPE argmax). sign·(|u|·1e6/m)
+      // on nonnegative operands makes BigInt truncation ≡ HUGEINT
+      // floor, so the driver math mirrors the oracle bit-for-bit.
+      val xr = signatures(s, dir).select(col("qv"))
+        .select(posexplode(col("qv")).as(Seq("p", "xi")), col("qv"))
+        .select((col("p") + 1).cast("long").as("i"), col("xi"), col("qv"))
+      val sxxMap = xr
+        .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("q", "xj")))
+        .groupBy(col("i"), (col("q") + 1).cast("long").as("j"))
+        .agg(sum(col("xi") * col("xj")).cast("long").as("sxx"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        .toMap
+      val sxRows = xr.groupBy(col("i"))
+        .agg(sum(col("xi")).cast("long").as("sx"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val dims = sxRows.map(_._1).sorted
+      val sxMap = sxRows.map(r => r._1 -> r._2).toMap
+      val nRows = BigInt(sxRows.head._3)
+      val c: Map[(Long, Long), BigInt] = sxxMap.map { case ((i, j), sxx) =>
+        (i, j) -> (nRows * BigInt(sxx) - BigInt(sxMap(i)) * BigInt(sxMap(j)))
+      }
+      val scale = BigInt(1000000)
+      var v: Map[Long, BigInt] = dims.map(_ -> scale).toMap
+      for (_ <- 1 to PcRounds) {
+        val u = dims.map(i =>
+          i -> dims.map(j => c((i, j)) * v(j)).sum).toMap
+        val m = u.values.map(_.abs).max
+        v = u.map { case (i, ui) =>
+          i -> (if (m == 0) BigInt(0)
+                else if (ui < 0) -((-ui * scale) / m)
+                else (ui * scale) / m)
+        }
+      }
+      import s.implicits._
+      dims.map(i => (i, v(i).toLong)).toSeq
+        .toDF("dim", "v_micros")
+        .orderBy(col("dim"))
     },
 
     // Retrieve→rerank over the JL projection (the FOURTH index family
