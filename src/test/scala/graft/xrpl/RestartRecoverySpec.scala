@@ -237,4 +237,58 @@ class RestartRecoverySpec extends AnyFunSuite {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("Scd2Stream restart from checkpoint: open-segment state survives") {
+    import spark.implicits._
+    import graft.streaming.Scd2Stream
+    import graft.streaming.Scd2Stream.{Ev, Segment}
+    val dropDir = Files.createTempDirectory("graft-rr-sdrop").toString
+    val ckptDir = Files.createTempDirectory("graft-rr-sckpt").toString
+    val outDir = Files.createTempDirectory("graft-rr-sout").toString + "/sink"
+
+    // batch oracle: the gate's CLOSED subset (open tails have no end)
+    val expected = graft.SparkEntry
+      .queries("events_scd2_intervals")(spark, "/root/testdata/sf0.001")
+      .filter(col("end_us").isNotNull)
+      .select(col("user_id"), col("seg"), col("event_type"),
+        col("start_us"), col("end_us"), col("n_events"))
+      .as[Segment].collect().toSet
+
+    val all = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .as[Ev].collect().sortBy(e => (e.us, e.event_id))
+    // split mid-run: every user's open segment at the cut must carry
+    // across the restart, or straddling intervals close with the
+    // wrong seg number / count
+    val (b1, b2) = all.splitAt(all.length / 2)
+
+    def drop(events: Seq[Ev]): Unit =
+      spark.createDataset(events).repartition(1)
+        .write.mode("append").parquet(dropDir)
+
+    def startQuery() = {
+      val stream = spark.readStream
+        .schema("user_id BIGINT, us BIGINT, event_id BIGINT, event_type STRING")
+        .parquet(dropDir).as[Ev]
+      Scd2Stream.closedSegments(spark, stream)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append")
+        .start()
+    }
+
+    drop(b1.toSeq)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    drop(b2.toSeq)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(outDir).as[Segment].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }
