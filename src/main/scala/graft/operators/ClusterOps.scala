@@ -662,41 +662,43 @@ object ClusterOps {
            |       sqrt(CAST(hl.hl_micros AS DOUBLE))) END AS nmi
            |FROM nt t CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl
            |CROSS JOIN pu""".stripMargin) { (s, dir) =>
-      import graft.functions.Cols.micros6
+      // ONE row-scale pass to the K×|labels| contingency table, then
+      // the bounded table collects and the exact arithmetic runs on
+      // the driver (the emb_top_pc discipline): micros6's
+      // double→DECIMAL(18,6) HALF_UP rounding is mirrored with
+      // BigDecimal.decimal(x).setScale(6, HALF_UP), so the driver
+      // longs are bit-identical to the in-plan expression — and the
+      // contingency chain is no longer recomputed per derived
+      // statistic.
       val ct = kmeansAssignments(s, dir).select(col("vec_id"), col("cid"))
         .join(graft.Tables(s, dir, "embeddings")
           .select(col("vec_id"), col("label")), Seq("vec_id"))
         .groupBy(col("cid"), col("label"))
         .agg(count(lit(1)).as("nij"))
-      val ni = ct.groupBy(col("cid")).agg(sum(col("nij")).cast("long").as("ni"))
-      val mj = ct.groupBy(col("label"))
-        .agg(sum(col("nij")).cast("long").as("mj"))
-      val nt = ct.agg(sum(col("nij")).cast("long").as("n"))
-      val mi = ct.join(ni, Seq("cid")).join(mj, Seq("label"))
-        .crossJoin(broadcast(nt))
-        .agg(sum(col("nij") * micros6(log(
-          (col("n") * col("nij")).cast("double") /
-            (col("ni") * col("mj")).cast("double"))))
-          .cast("long").as("mi_micros"))
-      val hc = ni.crossJoin(broadcast(nt))
-        .agg(sum(col("ni") * micros6(log(
-          col("n").cast("double") / col("ni").cast("double"))))
-          .cast("long").as("hc_micros"))
-      val hl = mj.crossJoin(broadcast(nt))
-        .agg(sum(col("mj") * micros6(log(
-          col("n").cast("double") / col("mj").cast("double"))))
-          .cast("long").as("hl_micros"))
-      val pu = ct.groupBy(col("cid")).agg(max(col("nij")).as("mx"))
-        .agg(sum(col("mx")).cast("long").as("purity_num"))
-      nt.crossJoin(mi).crossJoin(hc).crossJoin(hl).crossJoin(pu)
-        .select(col("n"), col("purity_num"),
-          (col("purity_num").cast("double") / col("n").cast("double"))
-            .as("purity"),
-          col("mi_micros"), col("hc_micros"), col("hl_micros"),
-          when(col("hc_micros") > 0 && col("hl_micros") > 0,
-            col("mi_micros").cast("double") /
-              (sqrt(col("hc_micros").cast("double")) *
-                sqrt(col("hl_micros").cast("double")))).as("nmi"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      def lnMicros(x: Double): Long =
+        BigDecimal.decimal(math.log(x))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.unscaledValue.longValueExact
+      val ni = ct.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+      val mj = ct.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+      val n = ct.map(_._3).sum
+      val miM = ct.map { case (c, l, nij) =>
+        nij * lnMicros((n * nij).toDouble / (ni(c) * mj(l)).toDouble)
+      }.sum
+      val hcM = ni.values.map(v => v * lnMicros(n.toDouble / v.toDouble)).sum
+      val hlM = mj.values.map(v => v * lnMicros(n.toDouble / v.toDouble)).sum
+      val puN = ct.groupBy(_._1).values.map(_.map(_._3).max).sum
+      val nmi: java.lang.Double =
+        if (hcM > 0 && hlM > 0)
+          miM.toDouble / (math.sqrt(hcM.toDouble) * math.sqrt(hlM.toDouble))
+        else null
+      import s.implicits._
+      Seq((n, puN, puN.toDouble / n.toDouble, miM, hcM, hlM,
+          Option(nmi).map(_.doubleValue)))
+        .toDF("n", "purity_num", "purity", "mi_micros", "hc_micros",
+          "hl_micros", "nmi")
     },
 
     // PageRank centrality over the k-NN graph (integer mass, 5 damped
