@@ -562,11 +562,24 @@ object SimilarityOps {
     * consumers are PqOps (signatures) and ClusterOps (knnEdges) —
     * callers must not release before those sections have run.
     */
+  /** Corpus (doc, token) term frequencies for the hybrid-search
+    * lexical leg — plan-keyed cache (the df table, the query-token
+    * page, and the probe all derive from it; one tokenize pass per
+    * (session, dir) instead of four). At warehouse scale this is the
+    * materialized term index the retrieval stack reads. */
+  private[operators] def corpusTf(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+
   private[graft] def releaseCaches(s: SparkSession, dir: String): Unit = {
     val sig = signatures(s, dir)
     lshBuckets(sig).unpersist(blocking = true)
     rpVectors(sig).unpersist(blocking = true)
     knnEdges(s, dir).unpersist(blocking = true)
+    corpusTf(s, dir).unpersist(blocking = true)
     sig.unpersist(blocking = true)
   }
 
@@ -1140,10 +1153,8 @@ object SimilarityOps {
           Seq("qid"), Seq("cos" -> true, "vid" -> false), HybridCand, "rnk")
         .select(col("qid"), col("vid"), col("rnk"))
       // lexical side: query tokens + their df broadcast, corpus probed
-      val tf = graft.Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
+      // (term table cached — see corpusTf)
+      val tf = corpusTf(s, dir)
       val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val qtok = tf.filter(col("doc_id") < 10)
         .select(col("doc_id").as("qid"), col("tok"))
