@@ -2057,6 +2057,35 @@ object TimeSeriesOps {
         .orderBy(col("lag"))
     },
 
+    // Journey path mining: each (user, day)'s time-ordered event-type
+    // sequence folded into one path string, then the corpus-wide
+    // top-20 most common journeys — the sequence-mining read behind
+    // funnel design. One hash aggregate to (user, day) with a
+    // per-group bounded sorted fold (daily activity per user — never
+    // corpus-scale state), one count aggregate over the distinct
+    // paths, and a TakeOrderedAndProject top-20 (no global sort).
+    QuerySpec.sql(
+      "events_daily_paths",
+      """SELECT path, CAST(COUNT(*) AS BIGINT) AS n_user_days FROM (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id)
+        |      AS path
+        |  FROM events GROUP BY 1, 2) p
+        |GROUP BY 1 ORDER BY n_user_days DESC, path
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(expr(
+          """concat_ws('>', transform(
+            |  array_sort(collect_list(struct(
+            |    unix_micros(ts) AS us, event_id, event_type))),
+            |  x -> x.event_type))""".stripMargin).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_user_days"))
+        .orderBy(col("n_user_days").desc, col("path"))
+        .limit(20)
+    },
+
     // Ordered three-step funnel (signup → click → purchase, strictly
     // in sequence): step N must happen AFTER the user's first step
     // N−1 event — the multi-step generalization of
