@@ -847,6 +847,71 @@ object Relational {
         .orderBy(col("p_brand"), col("rnk"))
     },
 
+    // Gini concentration index of customer spend — the one-number
+    // inequality read behind issuer-capitalization / whale-dominance
+    // dashboards (reference data.js:980-1010 capitalization family).
+    // G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) over per-customer
+    // spend sorted ascending with rank i. The global rank comes from
+    // the two-pass range-partitioned PrefixSum (running count of 1),
+    // never an unpartitioned Window — at 100 TB the rank pass is one
+    // range shuffle + a 32-row offsets job. All sums are exact
+    // decimals; only the final Gini division happens in double, on
+    // operands both engines derive from identical decimal totals.
+    QuerySpec.sql(
+      "w_gini_spend",
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(18,6))
+        |      AS x
+        |  FROM orders GROUP BY 1
+        |), ranked AS (
+        |  SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i
+        |  FROM spend
+        |),
+        |aggd AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DECIMAL(24,6)) AS tot,
+        |    CAST(SUM(CAST(i AS DECIMAL(10,0)) * x) AS DECIMAL(33,6)) AS ws
+        |  FROM ranked)
+        |SELECT n AS n_customers,
+        |  CAST(tot AS DOUBLE) AS total_spend,
+        |  CAST(FLOOR(CAST(2 AS DECIMAL(1,0)) * ws
+        |        - (CAST(n AS DECIMAL(8,0)) + CAST(1 AS DECIMAL(1,0))) * tot)
+        |      AS DOUBLE)
+        |  / CAST(FLOOR(CAST(n AS DECIMAL(8,0)) * tot) AS DOUBLE) AS gini
+        |FROM aggd""".stripMargin) { (s, dir) =>
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(Dec)).as("xw"))
+        .select(col("o_custkey"),
+          col("xw").cast("decimal(18,6)").as("x"))
+      graft.functions.PrefixSum
+        .globalCumsum(spend, Seq(col("x"), col("o_custkey")), lit(1L), "i")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).cast("decimal(24,6)").as("tot"),
+          sum(col("i").cast("decimal(10,0)") * col("x"))
+            .cast("decimal(33,6)").as("ws"))
+        .select(
+          col("n").as("n_customers"),
+          col("tot").cast("double").as("total_spend"),
+          // numerator/denominator stay exact decimals, then FLOOR to
+          // an integer — floor of a positive decimal is tie-free
+          // (a .5 fraction ROUNDS differently across engines: Spark
+          // HALF_UP vs DuckDB HALF_EVEN, and n·tot genuinely lands on
+          // .500000 here), and the integer is < 2^53 so the
+          // decimal→double cast is EXACT in both engines (a >2^53
+          // unscaled value converts differently in DuckDB's
+          // int128→double path vs the JVM's BigDecimal.doubleValue).
+          // The ONE double op is the final division, on bit-identical
+          // operands. Domain: num, den < 9e15 (holds to ~sf100).
+          (floor(lit(2).cast("decimal(1,0)") * col("ws")
+            - (col("n").cast("decimal(8,0)") + lit(1).cast("decimal(1,0)"))
+              * col("tot")).cast("double")
+            / floor(col("n").cast("decimal(8,0)") * col("tot"))
+              .cast("double")).as("gini"))
+    },
+
     // S: global top-k (descending scan + limit idiom; reference §2.6,
     // TakeOrderedAndProject in Spark — no full sort at scale).
     QuerySpec.sql(
