@@ -912,6 +912,63 @@ object Relational {
               .cast("double")).as("gini"))
     },
 
+    // Lorenz decile curve — the distribution BEHIND the Gini number:
+    // cumulative spend share at each population decile ("the top 10%
+    // of customers hold X% of spend"). ONE PrefixSum pass carries
+    // both running columns (rank = cumsum of 1, cumulative spend =
+    // cumsum of x) over the shared range partitioning; the share is
+    // an exact integer ppm — (unscaled·10^6) div total-unscaled in
+    // DECIMAL(38,0) (Spark) ≡ HUGEINT (DuckDB) — so a classically
+    // float curve hash-compares. Decile totals come from MAX over the
+    // monotone cumsum, never a second row-scale pass.
+    QuerySpec.sql(
+      "w_lorenz_deciles",
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(18,6))
+        |      AS x
+        |  FROM orders GROUP BY 1
+        |), ranked AS (
+        |  SELECT x, o_custkey,
+        |    ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i,
+        |    CAST(SUM(x) OVER (ORDER BY x, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DECIMAL(18,6)) AS c,
+        |    COUNT(*) OVER () AS n
+        |  FROM spend
+        |), u AS (
+        |  SELECT ((i - 1) * 10 // n) + 1 AS decile,
+        |    CAST(CAST(c AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS uc
+        |  FROM ranked
+        |), tot AS (SELECT MAX(uc) AS utot FROM u)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(CAST(MAX(uc) AS HUGEINT) * 1000000 // CAST(utot AS HUGEINT)
+        |    AS BIGINT) AS cum_share_ppm
+        |FROM u, tot
+        |GROUP BY decile, utot
+        |ORDER BY decile""".stripMargin) { (s, dir) =>
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(Dec)).as("xw"))
+        .select(col("o_custkey"), col("xw").cast("decimal(18,6)").as("x"))
+      val ranked = graft.functions.PrefixSum.globalCumsumMulti(spend,
+        Seq(col("x"), col("o_custkey")),
+        Seq(lit(1L).as("one") -> "i", col("x") -> "c"))
+      val u = ranked.select(col("i"),
+        micros6(col("c").cast("decimal(18,6)")).as("uc"))
+      val tot = u.agg(max(col("i")).as("n"), max(col("uc")).as("utot"))
+      u.crossJoin(broadcast(tot))
+        .select(expr("((i - 1) * 10) div n + 1").as("decile"),
+          col("uc"), col("utot"))
+        .groupBy(col("decile"), col("utot"))
+        .agg(count(lit(1)).as("n_customers"), max(col("uc")).as("duc"))
+        .select(col("decile"), col("n_customers"),
+          expr("CAST((CAST(duc AS DECIMAL(38,0)) * 1000000) div utot AS BIGINT)")
+            .as("cum_share_ppm"))
+        .orderBy(col("decile"))
+    },
+
     // S: global top-k (descending scan + limit idiom; reference §2.6,
     // TakeOrderedAndProject in Spark — no full sort at scale).
     QuerySpec.sql(
