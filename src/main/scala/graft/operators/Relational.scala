@@ -969,6 +969,63 @@ object Relational {
         .orderBy(col("decile"))
     },
 
+    // Item-item collaborative filtering: co-purchase counts + cosine²
+    // affinity between parts appearing in the same order — the
+    // "customers also bought" similarity table. The pair surface is
+    // generated from per-ORDER sorted part arrays (baskets are
+    // small — ≤ 13 parts here, bounded by order size at any corpus
+    // scale), an ordered-pair HOF expansion, never the row-scale
+    // equi-self-join the oracle spells (which Σ-blows on a hot order
+    // only as basket², the LSH-block discipline). Affinity is exact
+    // integer ppm: cooc²·10^6 div (n_i·n_j) — the cosine² of the
+    // order-incidence vectors — and top-20 under the total
+    // (cooc desc, i, j) order is a TakeOrderedAndProject.
+    QuerySpec.sql(
+      "rec_copurchase_topk",
+      """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pr AS (SELECT a.l_partkey AS i, b.l_partkey AS j,
+        |    CAST(COUNT(*) AS BIGINT) AS cooc
+        |  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |n AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM po GROUP BY 1)
+        |SELECT pr.i, pr.j, pr.cooc, ni.n AS n_i, nj.n AS n_j,
+        |  CAST(pr.cooc * pr.cooc * 1000000 // (ni.n * nj.n) AS BIGINT)
+        |    AS cos2_ppm
+        |FROM pr
+        |JOIN n ni ON ni.l_partkey = pr.i
+        |JOIN n nj ON nj.l_partkey = pr.j
+        |ORDER BY cooc DESC, i, j LIMIT 20""".stripMargin) { (s, dir) =>
+      // ONE row-scale shuffle: the per-order basket build (collect_set
+      // dedups in-group, so no separate DISTINCT pass); materialized
+      // once and reused by both the pair expansion and the per-part
+      // order counts (which explode the basket-bounded arrays, never
+      // rescan lineitem).
+      val baskets = graft.functions.Materialize.stable(
+        t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("parts")))
+      val pairs = baskets
+        .select(explode(expr(
+          """flatten(transform(parts, (x, ix) ->
+            |  transform(slice(parts, ix + 2, size(parts)),
+            |    y -> struct(x AS i, y AS j))))""".stripMargin)).as("p"))
+        .select(col("p.i").as("i"), col("p.j").as("j"))
+      val cooc = pairs.groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("cooc"))
+      val n = baskets.select(explode(col("parts")).as("l_partkey"))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      cooc
+        .join(n.select(col("l_partkey").as("i"), col("n").as("n_i")), Seq("i"))
+        .join(n.select(col("l_partkey").as("j"), col("n").as("n_j")), Seq("j"))
+        .select(col("i"), col("j"), col("cooc"), col("n_i"), col("n_j"),
+          expr("CAST(cooc * cooc * 1000000 div (n_i * n_j) AS BIGINT)")
+            .as("cos2_ppm"))
+        .orderBy(col("cooc").desc, col("i"), col("j"))
+        .limit(20)
+    },
+
     // S: global top-k (descending scan + limit idiom; reference §2.6,
     // TakeOrderedAndProject in Spark — no full sort at scale).
     QuerySpec.sql(

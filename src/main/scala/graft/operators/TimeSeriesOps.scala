@@ -2139,6 +2139,75 @@ object TimeSeriesOps {
         .orderBy(col("signup_day"))
     },
 
+    // Two-proportion z-test — the A/B experiment read-out (arm =
+    // deterministic user_id parity, conversion = a heavy-purchaser
+    // cut that splits every fixture scale non-degenerately). The
+    // pooled z² statistic (≡ the 2×2 χ²) is computed as ONE exact
+    // integer rational: z² = (c1·n2 − c2·n1)²·n / (n1·n2·c·(n−c)),
+    // floored to micro-units in DECIMAL(38,0) ≡ HUGEINT — so a
+    // classically-float hypothesis test hash-compares, and the
+    // significance verdict (χ²₁ 95% = 3.841459) is decided on the
+    // same integer in both engines. Plan: one user_id hash aggregate
+    // (the only row-scale pass) + a 4-way conditional fold to a
+    // single row. Domain: exact through ~1e6 users/arm (num·10^6
+    // < 10^38).
+    QuerySpec.sql(
+      "stats_ab_ztest",
+      """WITH conv AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CASE WHEN COUNT(*) FILTER (WHERE event_type = 'purchase')
+        |      > 13 THEN 1 ELSE 0 END AS cv
+        |  FROM events GROUP BY user_id
+        |), agg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN cv ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN cv ELSE 0 END) AS BIGINT) AS c2
+        |  FROM conv
+        |), z AS (
+        |  SELECT n1, c1, n2, c2,
+        |    CASE WHEN n1 * n2 = 0 OR c1 + c2 = 0
+        |        OR n1 + n2 - c1 - c2 = 0 THEN NULL
+        |      ELSE CAST(
+        |        (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)
+        |        * (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)
+        |        * (n1 + n2) * 1000000
+        |        // (CAST(n1 AS HUGEINT) * n2 * (c1 + c2)
+        |           * (n1 + n2 - c1 - c2)) AS BIGINT) END AS z2_micro
+        |  FROM agg)
+        |SELECT n1, c1, n2, c2, z2_micro,
+        |  z2_micro IS NOT NULL AND z2_micro > 3841459 AS significant
+        |FROM z""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("p"))
+        .select((col("user_id") % 2).as("arm"),
+          when(col("p") > 13, 1L).otherwise(0L).as("cv"))
+        .agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("cv")).otherwise(0L)).as("c1"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("arm") === 1, col("cv")).otherwise(0L)).as("c2"))
+        .select(col("n1"), col("c1"), col("n2"), col("c2"),
+          expr(
+            """CASE WHEN n1 * n2 = 0 OR c1 + c2 = 0
+              |    OR n1 + n2 - c1 - c2 = 0 THEN NULL
+              |  ELSE CAST(
+              |    (CAST(c1 AS DECIMAL(19,0)) * n2
+              |      - CAST(c2 AS DECIMAL(19,0)) * n1)
+              |    * (CAST(c1 AS DECIMAL(19,0)) * n2
+              |      - CAST(c2 AS DECIMAL(19,0)) * n1)
+              |    * (n1 + n2) * 1000000
+              |    div (CAST(n1 AS DECIMAL(19,0)) * n2 * (c1 + c2)
+              |      * (n1 + n2 - c1 - c2)) AS BIGINT) END""".stripMargin)
+            .as("z2_micro"))
+        .select(col("n1"), col("c1"), col("n2"), col("c2"), col("z2_micro"),
+          (col("z2_micro").isNotNull && col("z2_micro") > 3841459L)
+            .as("significant"))
+    },
+
     // SCD-2 interval compression: collapse each user's consecutive
     // same-type event runs into validity intervals
     // [start_us, end_us) — the slowly-changing-dimension build every
