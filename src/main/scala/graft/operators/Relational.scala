@@ -1026,6 +1026,61 @@ object Relational {
         .limit(20)
     },
 
+    // Lakehouse MERGE (upsert): apply a CDC changeset to a snapshot
+    // in one statement — WHEN MATCHED AND hot DELETE / WHEN MATCHED
+    // UPDATE / WHEN NOT MATCHED INSERT / unmatched target kept. The
+    // changeset is derived deterministically from orders (1998+ open
+    // orders per customer; a third of the keys shifted out of the
+    // snapshot's key space to exercise the insert branch). Spark-
+    // first: MERGE is a FULL OUTER equi-join + one CASE per output
+    // column — ONE shuffle on the merge key, exactly the join a
+    // Delta/Iceberg MERGE plans; balance updates are exact decimal
+    // adds cast to double once.
+    QuerySpec.sql(
+      "store_merge_upsert",
+      """WITH ch AS (
+        |  SELECT o_custkey
+        |      + CASE WHEN o_custkey % 3 = 0 THEN 10000000 ELSE 0 END AS k,
+        |    SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS delta,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders
+        |  WHERE o_orderstatus = 'O'
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT COALESCE(c.c_custkey, ch.k) AS c_custkey,
+        |  CASE WHEN ch.k IS NULL THEN CAST(c.c_acctbal AS DOUBLE)
+        |    WHEN c.c_custkey IS NULL THEN CAST(ch.delta AS DOUBLE)
+        |    ELSE CAST(CAST(c.c_acctbal AS DECIMAL(38,6)) + ch.delta
+        |      AS DOUBLE) END AS balance,
+        |  CASE WHEN ch.k IS NULL THEN 'kept'
+        |    WHEN c.c_custkey IS NULL THEN 'inserted'
+        |    ELSE 'updated' END AS src
+        |FROM customer c FULL JOIN ch ON ch.k = c.c_custkey
+        |WHERE NOT (c.c_custkey IS NOT NULL AND ch.k IS NOT NULL
+        |  AND ch.n_orders >= 3)""".stripMargin) { (s, dir) =>
+      val ch = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O" &&
+          col("o_orderdate") >= expr("TIMESTAMP '1998-01-01 00:00:00'"))
+        .groupBy((col("o_custkey") +
+          when(col("o_custkey") % 3 === 0, 10000000L).otherwise(0L)).as("k"))
+        .agg(sum(col("o_totalprice").cast(Dec)).as("delta"),
+          count(lit(1)).as("n_orders"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .join(ch, col("k") === col("c_custkey"), "full_outer")
+        .filter(!(col("c_custkey").isNotNull && col("k").isNotNull &&
+          col("n_orders") >= 3))
+        .select(
+          coalesce(col("c_custkey"), col("k")).as("c_custkey"),
+          when(col("k").isNull, col("c_acctbal").cast("double"))
+            .when(col("c_custkey").isNull, col("delta").cast("double"))
+            .otherwise((col("c_acctbal").cast(Dec) + col("delta"))
+              .cast("double")).as("balance"),
+          when(col("k").isNull, lit("kept"))
+            .when(col("c_custkey").isNull, lit("inserted"))
+            .otherwise(lit("updated")).as("src"))
+    },
+
     // S: global top-k (descending scan + limit idiom; reference §2.6,
     // TakeOrderedAndProject in Spark — no full sort at scale).
     QuerySpec.sql(
