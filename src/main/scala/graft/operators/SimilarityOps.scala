@@ -796,6 +796,34 @@ object SimilarityOps {
         .orderBy(col("qid"))
     },
 
+    // Hard-negative mining — the contrastive-training data op built
+    // on the same two searches: per query, the highest-cosine LSH
+    // candidates that are NOT in the exact top-5 (high-scoring
+    // non-relevant = the negatives a retrieval trainer wants), top-3
+    // per query. One left-anti join between two k-row-per-query sets
+    // + the custom TopKPerKey rank — marginal cost beyond the
+    // searches is broadcast-sized at any corpus scale.
+    QuerySpec.sql(
+      "sim_hard_negatives",
+      s"""WITH brute AS (${topkSql("")}),
+         |lsh AS ($lshSql)
+         |SELECT qid, vid, cos, rnk FROM (
+         |  SELECT l.qid, l.vid, l.cos,
+         |    ROW_NUMBER() OVER (PARTITION BY l.qid
+         |      ORDER BY l.cos DESC, l.vid) AS rnk
+         |  FROM lsh l
+         |  WHERE NOT EXISTS (SELECT 1 FROM brute b
+         |    WHERE b.qid = l.qid AND b.vid = l.vid))
+         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val brute = topk(s, dir, sameCell = false).select(col("qid"), col("vid"))
+      val negs = lshTopk(s, dir).select(col("qid"), col("vid"), col("cos"))
+        .join(brute, Seq("qid", "vid"), "left_anti")
+      TopKPerKey.topKRanked(negs,
+          Seq("qid"), Seq("cos" -> true, "vid" -> false), 3, "rnk")
+        .select(col("qid"), col("vid"), col("cos"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
     // k-NN graph construction — see [[knnEdges]] for the plan
     // shape (triangle-blocked pairs scored once, symmetrized by
     // column swap, per-vector top-k window).
