@@ -1026,6 +1026,64 @@ object Relational {
         .limit(20)
     },
 
+    // RFM segmentation — the classic marketing cube: every customer
+    // scored into recency/frequency/monetary QUINTILES, then the
+    // 5×5×5 segment census. One orders aggregate builds the
+    // customer-dimension metric table (materialized once); each
+    // quintile is a ((rank−1)·5 div n)+1 over a two-pass PrefixSum
+    // global rank (three range shuffles of the CUSTOMER table, never
+    // a rescan of orders, and no unpartitioned Window anywhere);
+    // ranks join back on the uniform customer key. All integer
+    // arithmetic — monetary ranks on exact 6-decimal micros.
+    QuerySpec.sql(
+      "seg_rfm_counts",
+      """WITH m AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', DATE '1992-01-01',
+        |      CAST(MAX(o_orderdate) AS DATE)) AS rec,
+        |    CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+        |      AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS monm
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT o_custkey,
+        |    ROW_NUMBER() OVER (ORDER BY rec, o_custkey) AS rr,
+        |    ROW_NUMBER() OVER (ORDER BY freq, o_custkey) AS fr,
+        |    ROW_NUMBER() OVER (ORDER BY monm, o_custkey) AS mr,
+        |    COUNT(*) OVER () AS n
+        |  FROM m)
+        |SELECT CAST((rr - 1) * 5 // n + 1 AS BIGINT) AS rq,
+        |  CAST((fr - 1) * 5 // n + 1 AS BIGINT) AS fq,
+        |  CAST((mr - 1) * 5 // n + 1 AS BIGINT) AS mq,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val m = graft.functions.Materialize.stable(
+        t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate").cast("date")).as("last_day"),
+            count(lit(1)).as("freq"),
+            sum(col("o_totalprice").cast(Dec)).as("mon"))
+          .select(col("o_custkey"),
+            datediff(col("last_day"), lit("1992-01-01").cast("date"))
+              .as("rec"),
+            col("freq"),
+            micros6(col("mon")).as("monm")))
+      val nDf = m.agg(count(lit(1)).as("n"))
+      def quint(keys: Seq[org.apache.spark.sql.Column], out: String) =
+        graft.functions.PrefixSum.globalCumsum(m, keys, lit(1L), "rk")
+          .crossJoin(broadcast(nDf))
+          .select(col("o_custkey"),
+            expr(s"((rk - 1) * 5) div n + 1").as(out))
+      quint(Seq(col("rec"), col("o_custkey")), "rq")
+        .join(quint(Seq(col("freq"), col("o_custkey")), "fq"),
+          Seq("o_custkey"))
+        .join(quint(Seq(col("monm"), col("o_custkey")), "mq"),
+          Seq("o_custkey"))
+        .groupBy(col("rq"), col("fq"), col("mq"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("rq"), col("fq"), col("mq"))
+    },
+
     // Lakehouse MERGE (upsert): apply a CDC changeset to a snapshot
     // in one statement — WHEN MATCHED AND hot DELETE / WHEN MATCHED
     // UPDATE / WHEN NOT MATCHED INSERT / unmatched target kept. The

@@ -2208,6 +2208,58 @@ object TimeSeriesOps {
             .as("significant"))
     },
 
+    // Chi-square independence test — the general k×m contingency
+    // companion to stats_ab_ztest's 2×2: is event type independent of
+    // ISO weekday? ONE row-scale hash aggregate builds the bounded
+    // |types|×7 contingency table; marginals come from windows OVER
+    // THAT 35-row table, never a rescan. Every cell statistic is
+    // exact-integer: expected·10^6 = (r·c·10^6) div n and the cell's
+    // χ² contribution (n·O − r·c)²·10^6 div (n·r·c), both in
+    // DECIMAL(38,0) ≡ HUGEINT — so the classically-float test
+    // hash-compares cell by cell. Domain: exact while n·O < ~10^16
+    // (the squared term stays inside 38 digits).
+    QuerySpec.sql(
+      "stats_chi2_indep",
+      """WITH o AS (
+        |  SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, dow, obs,
+        |    SUM(obs) OVER (PARTITION BY event_type) AS r,
+        |    SUM(obs) OVER (PARTITION BY dow) AS c,
+        |    SUM(obs) OVER () AS n
+        |  FROM o)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow, obs,
+        |  CAST(CAST(r AS HUGEINT) * c * 1000000 // n AS BIGINT)
+        |    AS expected_micro,
+        |  CAST((CAST(n AS HUGEINT) * obs - CAST(r AS HUGEINT) * c)
+        |    * (CAST(n AS HUGEINT) * obs - CAST(r AS HUGEINT) * c)
+        |    * 1000000 // (CAST(n AS HUGEINT) * r * c) AS BIGINT)
+        |    AS chi2_micro
+        |FROM m ORDER BY event_type, dow""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = events(s, dir)
+        .groupBy(col("event_type"), expr("weekday(ts) + 1").as("dow"))
+        .agg(count(lit(1)).as("obs"))
+      o
+        .withColumn("r", sum(col("obs")).over(Window.partitionBy(col("event_type"))))
+        .withColumn("c", sum(col("obs")).over(Window.partitionBy(col("dow"))))
+        .withColumn("n", sum(col("obs")).over(Window.partitionBy()))
+        .select(col("event_type"), col("dow").cast("long").as("dow"),
+          col("obs"),
+          expr("CAST(CAST(r AS DECIMAL(38,0)) * c * 1000000 div n AS BIGINT)")
+            .as("expected_micro"),
+          expr(
+            """CAST((CAST(n AS DECIMAL(38,0)) * obs
+              |    - CAST(r AS DECIMAL(38,0)) * c)
+              |  * (CAST(n AS DECIMAL(38,0)) * obs
+              |    - CAST(r AS DECIMAL(38,0)) * c)
+              |  * 1000000 div (CAST(n AS DECIMAL(38,0)) * r * c)
+              |  AS BIGINT)""".stripMargin).as("chi2_micro"))
+        .orderBy(col("event_type"), col("dow"))
+    },
+
     // SCD-2 interval compression: collapse each user's consecutive
     // same-type event runs into validity intervals
     // [start_us, end_us) — the slowly-changing-dimension build every
