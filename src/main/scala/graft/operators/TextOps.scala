@@ -931,6 +931,50 @@ object TextOps {
       st.join(pl, Seq("tok")).orderBy(col("tok"))
     },
 
+    // Boolean AND retrieval — the conjunctive query the inverted
+    // index exists to serve: documents containing ALL query terms,
+    // with per-term tfs. The term filter lands BEFORE the (doc, term)
+    // aggregate (only matching tokens survive the tokenize), the AND
+    // is a distinct-term count over ≤ |query| rows per doc — postings
+    // intersection as one hash aggregate, no per-term join chain.
+    QuerySpec.sql(
+      "text_bool_retrieval",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok WHERE tok IN ('join', 'hash', 'scan')
+        |  GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN tok = 'join' THEN tf ELSE 0 END) AS BIGINT)
+        |    AS tf_join,
+        |  CAST(SUM(CASE WHEN tok = 'hash' THEN tf ELSE 0 END) AS BIGINT)
+        |    AS tf_hash,
+        |  CAST(SUM(CASE WHEN tok = 'scan' THEN tf ELSE 0 END) AS BIGINT)
+        |    AS tf_scan
+        |FROM m GROUP BY 1 HAVING COUNT(*) = 3
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok").isin("join", "hash", "scan"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(when(col("tok") === "join", col("tf")).otherwise(0L))
+            .as("tf_join"),
+          sum(when(col("tok") === "hash", col("tf")).otherwise(0L))
+            .as("tf_hash"),
+          sum(when(col("tok") === "scan", col("tf")).otherwise(0L))
+            .as("tf_scan"),
+          count(lit(1)).as("nterms"))
+        .filter(col("nterms") === 3)
+        .select(col("doc_id"), col("tf_join"), col("tf_hash"),
+          col("tf_scan"))
+        .orderBy(col("doc_id"))
+    },
+
     // Interpolated bigram language model (Jelinek-Mercer smoothing):
     // P(w2|w1) = 0.7·c(w1 w2)/c(w1) + 0.3·(c(w2)+1)/(N+V), scored as
     // per-document mean NLL per bigram — the natural upgrade of

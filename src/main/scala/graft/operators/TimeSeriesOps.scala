@@ -2208,6 +2208,99 @@ object TimeSeriesOps {
             .as("significant"))
     },
 
+    // Kaplan–Meier survival — time-to-conversion WITH censoring, the
+    // estimator product analytics reads when "time to convert" must
+    // not ignore users who haven't converted YET (ts_time_to_convert
+    // drops them; KM keeps them at risk until the corpus horizon).
+    // Duration = first signup → first post-signup purchase (event) or
+    // → corpus max time (censored). Plan: the funnel equi-join builds
+    // per-user durations (row-scale, uniform user key), ONE hash
+    // aggregate to the bounded duration-day grid, and every KM
+    // quantity — at-risk suffix sums, d/n hazard, the Π(1−d/n)
+    // product as a cumulative SUM of 6-decimal-rounded log terms (the
+    // purity/NMI integer-log discipline) — windows over THAT grid,
+    // never row-scale data. All outputs integer micros/ppm, so the
+    // classically-float survival curve hash-compares. The log term is
+    // NULL only when the last risk set dies entirely (S→0).
+    QuerySpec.sql(
+      "stats_km_survival",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |mx AS (SELECT MAX(us) AS m FROM e),
+        |s AS (SELECT user_id, MIN(us) AS s_us FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT s.user_id, MIN(e.us) AS p_us
+        |  FROM s JOIN e ON e.user_id = s.user_id
+        |    AND e.event_type = 'purchase' AND e.us > s.s_us
+        |  GROUP BY 1),
+        |u AS (SELECT s.user_id,
+        |    CASE WHEN p.p_us IS NOT NULL
+        |      THEN (p.p_us - s.s_us) // 86400000000
+        |      ELSE (mx.m - s.s_us) // 86400000000 END AS dur,
+        |    CASE WHEN p.p_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM s LEFT JOIN p ON p.user_id = s.user_id CROSS JOIN mx),
+        |g AS (SELECT dur, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(ev) AS BIGINT) AS d
+        |  FROM u GROUP BY 1),
+        |r AS (SELECT dur, d,
+        |    CAST(SUM(c) OVER (ORDER BY dur DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_risk
+        |  FROM g),
+        |k AS (SELECT dur, n_risk, d,
+        |    CAST(d * 1000000 // n_risk AS BIGINT) AS hazard_ppm,
+        |    CASE WHEN d < n_risk THEN
+        |      CAST(CAST(ln(CAST(n_risk - d AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE)) AS DECIMAL(18,6)) * 1000000
+        |        AS BIGINT) END AS term
+        |  FROM r WHERE d > 0)
+        |SELECT CAST(dur AS BIGINT) AS dur_days, n_risk, d AS n_events,
+        |  hazard_ppm,
+        |  CASE WHEN term IS NULL THEN NULL ELSE
+        |    CAST(SUM(term) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) END AS km_log_micro
+        |FROM k ORDER BY dur_days""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val mx = ev.agg(max(col("us")).as("m"))
+      val s0 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("s_us"))
+      val p0 = s0.join(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("e_user"), col("us")),
+          col("e_user") === col("user_id") && col("us") > col("s_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+      val g = s0.join(p0, Seq("user_id"), "left").crossJoin(broadcast(mx))
+        .select(
+          expr("""CASE WHEN p_us IS NOT NULL
+                 |  THEN (p_us - s_us) div 86400000000
+                 |  ELSE (m - s_us) div 86400000000 END""".stripMargin)
+            .as("dur"),
+          when(col("p_us").isNotNull, 1L).otherwise(0L).as("ev"))
+        .groupBy(col("dur"))
+        .agg(count(lit(1)).as("c"), sum(col("ev")).as("d"))
+      val wRisk = Window.orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wKm = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("n_risk", sum(col("c")).over(wRisk))
+        .filter(col("d") > 0)
+        .select(col("dur"), col("n_risk"), col("d"),
+          expr("CAST(d * 1000000 div n_risk AS BIGINT)").as("hazard_ppm"),
+          expr("""CASE WHEN d < n_risk THEN
+                 |  CAST(CAST(ln(CAST(n_risk - d AS DOUBLE)
+                 |    / CAST(n_risk AS DOUBLE)) AS DECIMAL(18,6)) * 1000000
+                 |    AS BIGINT) END""".stripMargin).as("term"))
+        .withColumn("km_log_micro",
+          when(col("term").isNotNull,
+            sum(col("term")).over(wKm).cast("long")))
+        .select(col("dur").cast("long").as("dur_days"), col("n_risk"),
+          col("d").as("n_events"), col("hazard_ppm"), col("km_log_micro"))
+        .orderBy(col("dur_days"))
+    },
+
     // Chi-square independence test — the general k×m contingency
     // companion to stats_ab_ztest's 2×2: is event type independent of
     // ISO weekday? ONE row-scale hash aggregate builds the bounded
