@@ -2404,5 +2404,63 @@ object TimeSeriesOps {
           col("event_type"), col("start_us"), col("end_us"),
           col("n_events"))
         .orderBy(col("user_id"), col("seg"))
+    },
+
+    // AS-OF snapshot reconstruction — the time-travel read the SCD-2
+    // table exists to serve: each user's state at the corpus midpoint
+    // T = (min+max)/2, i.e. the one validity interval containing T
+    // (start ≤ T < end, open tail = end NULL). One predicate over the
+    // interval table; T is a 1-row broadcast scalar. Together with
+    // `events_scd2_intervals` this closes the SCD-2 loop:
+    // build → query-at-time.
+    QuerySpec.sql(
+      "events_scd2_asof",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_type FROM events),
+        |mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS t FROM e),
+        |m AS (SELECT user_id, us, event_id, event_type,
+        |    CASE WHEN LAG(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY us, event_id)
+        |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e),
+        |r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS seg
+        |  FROM m),
+        |g AS (SELECT user_id, seg, event_type, MIN(us) AS start_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM r GROUP BY 1, 2, 3),
+        |iv AS (SELECT user_id, seg, event_type, start_us,
+        |    LEAD(start_us) OVER (PARTITION BY user_id ORDER BY seg)
+        |      AS end_us,
+        |    n_events
+        |  FROM g)
+        |SELECT user_id, event_type, start_us, end_us, n_events
+        |FROM iv CROSS JOIN mid
+        |WHERE start_us <= t AND (end_us IS NULL OR end_us > t)
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+      val mid = ev.agg(
+        expr("(MIN(us) + MAX(us)) div 2").as("t"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val iv = ev
+        .withColumn("chg",
+          when(!(lag(col("event_type"), 1).over(w) <=> col("event_type")),
+            1).otherwise(0))
+        .withColumn("seg", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("seg"), col("event_type"))
+        .agg(min(col("us")).as("start_us"),
+          count(lit(1)).cast("long").as("n_events"))
+        .withColumn("end_us", lead(col("start_us"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("seg"))))
+      iv.crossJoin(broadcast(mid))
+        .filter(col("start_us") <= col("t") &&
+          (col("end_us").isNull || col("end_us") > col("t")))
+        .select(col("user_id"), col("event_type"), col("start_us"),
+          col("end_us"), col("n_events"))
+        .orderBy(col("user_id"))
     })
 }

@@ -242,4 +242,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!s.contains("SortMergeJoin"),
       "dedup_tfidf_cosine re-introduced a row-scale self-join")
   }
+
+  test("round-9 additions: no cartesian joins, prefix-sum ranks stay partitioned") {
+    // MERGE must keep its full-outer join an equi-join; co-purchase
+    // pairs must come from basket arrays, not a cartesian; the
+    // Gini/Lorenz/RFM global ranks ride the PrefixSum pid-partitioned
+    // windows (the only permitted cross joins are 1-row broadcast
+    // scalar combines, BNLJ-with-bounded-build BY CONSTRUCTION).
+    for (name <- Seq("store_merge_upsert", "rec_copurchase_topk",
+        "stats_km_survival", "w_gini_spend", "w_lorenz_deciles",
+        "seg_rfm_counts", "stats_ab_ztest", "stats_chi2_indep",
+        "events_daily_paths", "text_bool_retrieval")) {
+      val s = planString(name)
+      assert(!s.contains("CartesianProduct"),
+        s"$name plans an unbroadcast cartesian join")
+    }
+    for (name <- Seq("w_gini_spend", "w_lorenz_deciles", "seg_rfm_counts")) {
+      val bad = collectNodes(planOf(name)).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name plans an unpartitioned WindowExec")
+    }
+    // path mining and co-purchase fold and TakeOrdered — window-free
+    for (name <- Seq("events_daily_paths", "rec_copurchase_topk")) {
+      val all = collectNodes(planOf(name))
+      assert(!all.exists(_.isInstanceOf[WindowExec]),
+        s"$name plans a WindowExec")
+      assert(all.map(_.toString).mkString.contains("TakeOrderedAndProject"),
+        s"$name lost its TakeOrderedAndProject top-k")
+    }
+    // hard negatives dogfood the custom top-k plan, window-free
+    val hn = collectNodes(planOf("sim_hard_negatives"))
+    assert(hn.exists(_.isInstanceOf[graft.plans.TopKPerKeyExec]),
+      "sim_hard_negatives lacks TopKPerKeyExec")
+    assert(!hn.exists(_.isInstanceOf[WindowExec]),
+      "sim_hard_negatives plans a WindowExec")
+  }
 }
