@@ -225,6 +225,62 @@ object Relational {
           .as("promo_share"))
     },
 
+    // J: nation-pair trade volume (TPC-H q7 shape) — the canonical
+    // MULTI-HOP join: two dimension chains hang off one fact scan
+    // (lineitem→orders→customer→nation and lineitem→supplier→nation).
+    // Cross-border pairs only (supp ≠ cust nation, a residual on the
+    // assembled row), the ship-date range pushes to the scan, every
+    // dimension broadcasts, and the one real shuffle is
+    // lineitem⋈orders on the uniform orderkey. Output is bounded by
+    // nations² · years.
+    QuerySpec.sql(
+      "q7_nation_trade",
+      s"""SELECT supp_nation, cust_nation, yr,
+         |  ${dsumSql("volume")} AS revenue
+         |FROM (
+         |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         |    year(l_shipdate) AS yr,
+         |    l_extendedprice * (1 - l_discount) AS volume
+         |  FROM lineitem
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation nc ON nc.n_nationkey = c_nationkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN nation ns ON ns.n_nationkey = s_nationkey
+         |  WHERE ns.n_name <> nc.n_name
+         |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(nat.select(col("n_nationkey"),
+          col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("volume"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("yr"))
+        .agg(dsum(col("volume")).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
+    },
+
     // A+J: large-volume orders (TPC-H q18 shape): aggregate the fact
     // table FIRST (sum of quantities per order, HAVING > 250), then
     // join the small surviving key set back to orders/customer. The
