@@ -931,6 +931,55 @@ object TextOps {
       st.join(pl, Seq("tok")).orderBy(col("tok"))
     },
 
+    // Source vocabulary overlap — the corpus-mixing diagnostic: word-
+    // vocabulary Jaccard between every SOURCE pair (which domains
+    // speak the same language, read before fixing mixture weights).
+    // One (source, token) distinct pass; pairs are generated from the
+    // per-TOKEN sorted source arrays (≤ |sources| long — the basket
+    // discipline, never a row-scale self-join); per-source vocabulary
+    // sizes broadcast back; Jaccard exact integer ppm.
+    QuerySpec.sql(
+      "text_source_vocab_overlap",
+      """WITH st AS (
+        |  SELECT DISTINCT source, tok FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)),
+        |v AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vs
+        |  FROM st GROUP BY 1),
+        |px AS (SELECT a.source AS sa, b.source AS sb,
+        |    CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa, sb, inter, va.vs AS v_a, vb.vs AS v_b,
+        |  CAST(inter * 1000000 // (va.vs + vb.vs - inter) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM px
+        |JOIN v va ON va.source = sa
+        |JOIN v vb ON vb.source = sb
+        |ORDER BY sa, sb""".stripMargin) { (s, dir) =>
+      val st = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+      val inter = st.groupBy(col("tok"))
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .select(explode(expr(
+          """flatten(transform(ss, (x, ix) ->
+            |  transform(slice(ss, ix + 2, size(ss)),
+            |    y -> struct(x AS sa, y AS sb))))""".stripMargin)).as("p"))
+        .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
+        .agg(count(lit(1)).as("inter"))
+      val v = st.groupBy(col("source")).agg(count(lit(1)).as("vs"))
+      inter
+        .join(broadcast(v.select(col("source").as("sa"),
+          col("vs").as("v_a"))), Seq("sa"))
+        .join(broadcast(v.select(col("source").as("sb"),
+          col("vs").as("v_b"))), Seq("sb"))
+        .select(col("sa"), col("sb"), col("inter"), col("v_a"), col("v_b"),
+          expr("CAST(inter * 1000000 div (v_a + v_b - inter) AS BIGINT)")
+            .as("jaccard_ppm"))
+        .orderBy(col("sa"), col("sb"))
+    },
+
     // Boolean AND retrieval — the conjunctive query the inverted
     // index exists to serve: documents containing ALL query terms,
     // with per-term tfs. The term filter lands BEFORE the (doc, term)

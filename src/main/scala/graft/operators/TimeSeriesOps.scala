@@ -1562,6 +1562,75 @@ object TimeSeriesOps {
         .orderBy(col("event_id"))
     },
 
+    // Data-skipping effectiveness — WHY the z-order layout exists,
+    // measured: rows are laid into fixed-size files under two sort
+    // orders (Morton z-key vs insertion order), per-file min/max
+    // user_id statistics are computed exactly as a parquet writer
+    // would, and a point-user query's prune fraction is read off the
+    // file stats — the skipping report a table-format OPTIMIZE job
+    // prints. Each layout is one PrefixSum global rank (range
+    // partition, no single-task sort) + a file-grain aggregate +
+    // a 2-row fold; the z-order layout should prune strictly more
+    // files than insertion order for the same predicate.
+    QuerySpec.sql(
+      "store_skipping_stats", {
+        val z = graft.functions.ZOrder.zValueSql(
+          "user_id % 65536", "(epoch_us(ts) // 3600000000) % 65536")
+        s"""WITH base AS (
+           |  SELECT event_id, user_id, CAST($z AS BIGINT) AS z_key
+           |  FROM events),
+           |rz AS (SELECT user_id,
+           |    (ROW_NUMBER() OVER (ORDER BY z_key, event_id) - 1) // 512
+           |      AS f
+           |  FROM base),
+           |ri AS (SELECT user_id,
+           |    (ROW_NUMBER() OVER (ORDER BY event_id) - 1) // 512 AS f
+           |  FROM base),
+           |fz AS (SELECT f, MIN(user_id) AS mn, MAX(user_id) AS mx
+           |  FROM rz GROUP BY 1),
+           |fi AS (SELECT f, MIN(user_id) AS mn, MAX(user_id) AS mx
+           |  FROM ri GROUP BY 1),
+           |sz AS (SELECT 'zorder' AS layout,
+           |    CAST(COUNT(*) AS BIGINT) AS n_files,
+           |    CAST(COALESCE(SUM(CASE WHEN mn <= 7 AND mx >= 7
+           |      THEN 1 END), 0) AS BIGINT) AS hit_files
+           |  FROM fz),
+           |si AS (SELECT 'insertion' AS layout,
+           |    CAST(COUNT(*) AS BIGINT) AS n_files,
+           |    CAST(COALESCE(SUM(CASE WHEN mn <= 7 AND mx >= 7
+           |      THEN 1 END), 0) AS BIGINT) AS hit_files
+           |  FROM fi)
+           |SELECT layout, n_files, hit_files,
+           |  CAST((n_files - hit_files) * 1000000 // n_files AS BIGINT)
+           |    AS prune_ppm
+           |FROM (SELECT * FROM sz UNION ALL SELECT * FROM si)
+           |ORDER BY layout""".stripMargin
+      }) { (s, dir) =>
+      val hourBucket = pmod(expr("unix_micros(ts) div 3600000000"),
+        lit(65536L))
+      val base = events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          graft.functions.ZOrder.zValue(
+            pmod(col("user_id"), lit(65536L)), hourBucket).as("z_key"))
+      def layoutStats(sortKeys: Seq[org.apache.spark.sql.Column],
+          layout: String) =
+        graft.functions.PrefixSum
+          .globalCumsum(base, sortKeys, lit(1L), "rk")
+          .select(col("user_id"), expr("(rk - 1) div 512").as("f"))
+          .groupBy(col("f"))
+          .agg(min(col("user_id")).as("mn"), max(col("user_id")).as("mx"))
+          .agg(count(lit(1)).as("n_files"),
+            coalesce(sum(when(col("mn") <= 7 && col("mx") >= 7, 1L)),
+              lit(0L)).as("hit_files"))
+          .select(lit(layout).as("layout"), col("n_files"),
+            col("hit_files"),
+            expr("CAST((n_files - hit_files) * 1000000 div n_files AS BIGINT)")
+              .as("prune_ppm"))
+      layoutStats(Seq(col("z_key"), col("event_id")), "zorder")
+        .unionAll(layoutStats(Seq(col("event_id")), "insertion"))
+        .orderBy(col("layout"))
+    },
+
     // Reshape: long → wide pivot of daily counts (one column per
     // series) — the dashboard/feature-matrix layout. The pivot value
     // list is EXPLICIT, so Spark skips the values-discovery job and
