@@ -707,6 +707,56 @@ object ClusterOps {
       pagerank(s, dir)
     },
 
+    // Semi-supervised label propagation over the k-NN graph — predict
+    // a masked node's label by the majority vote of its LABELED
+    // neighbors (vec_id % 5 = 0 masked, the transductive-learning
+    // smoke test every graph-based SSL method reduces to at one
+    // round). One join of the masked nodes' edges against the labeled
+    // side, a vote aggregate bounded by k rows per node, and a
+    // deterministic argmax (max count, ties to the smallest label) as
+    // a max_by fold — no window. Nodes whose k neighbors are all
+    // masked drop out (no votes). `correct` rides along, so the
+    // transductive accuracy is itself oracle-checked.
+    QuerySpec.sql(
+      "graph_label_prop",
+      s"""WITH sig AS (${SimilarityOps.quantizedSql}),
+         |knn AS (SELECT vec_id, nbr_id FROM (${SimilarityOps.knnEdgesSql(3)}) k),
+         |votes AS (
+         |  SELECT k.vec_id, l.label AS nbr_label,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM knn k
+         |  JOIN embeddings l ON l.vec_id = k.nbr_id AND l.vec_id % 5 <> 0
+         |  WHERE k.vec_id % 5 = 0
+         |  GROUP BY 1, 2),
+         |pick AS (SELECT vec_id, nbr_label AS predicted FROM (
+         |  SELECT vec_id, nbr_label,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY cnt DESC, nbr_label) AS rn
+         |  FROM votes) WHERE rn = 1)
+         |SELECT p.vec_id, p.predicted, t.label AS actual,
+         |  p.predicted = t.label AS correct
+         |FROM pick p JOIN embeddings t ON t.vec_id = p.vec_id
+         |ORDER BY p.vec_id""".stripMargin) { (s, dir) =>
+      val lab = graft.Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val votes = SimilarityOps.knnEdges(s, dir, 3)
+        .select(col("vec_id"), col("nbr_id"))
+        .filter(col("vec_id") % 5 === 0)
+        .join(lab.filter(col("vec_id") % 5 =!= 0)
+          .select(col("vec_id").as("nbr_id"), col("label").as("nbr_label")),
+          Seq("nbr_id"))
+        .groupBy(col("vec_id"), col("nbr_label"))
+        .agg(count(lit(1)).as("cnt"))
+      votes.groupBy(col("vec_id"))
+        .agg(max_by(col("nbr_label"),
+          struct(col("cnt"), (lit(0L) - col("nbr_label")))).as("predicted"))
+        .join(lab.select(col("vec_id"), col("label").as("actual")),
+          Seq("vec_id"))
+        .select(col("vec_id"), col("predicted"), col("actual"),
+          (col("predicted") === col("actual")).as("correct"))
+        .orderBy(col("vec_id"))
+    },
+
     // Link prediction over the k-NN graph: common-neighbor count and
     // Resource-Allocation index (Σ 1/deg(z) over shared neighbors z —
     // the Adamic-Adar family member with NO log, so it stays exact:
