@@ -2277,6 +2277,65 @@ object TimeSeriesOps {
             .as("significant"))
     },
 
+    // Periodogram — the spectral periodicity detector (does this
+    // series have a weekly cycle?): DFT power at harmonics k = 1..10
+    // of each event-type's daily-count series. Per-term cos/sin are
+    // rounded once to 6-decimal integer micros (the ln-gate
+    // discipline applied to trig), so Σ x·cos and Σ x·sin are exact
+    // long sums, and the power (sc² + ss²) is exact DECIMAL(38,0) ≡
+    // HUGEINT scaled back to count² units — a classically-float
+    // spectrum that hash-compares. Zero days contribute nothing, so
+    // the series needs NO densification; the term table is
+    // |days-with-data| × 10, one hash aggregate to |types| × 10 keys.
+    QuerySpec.sql(
+      "ts_periodogram",
+      """WITH d AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT MIN(day) AS d0,
+        |    date_diff('day', MIN(day), MAX(day)) + 1 AS n FROM d),
+        |tt AS (SELECT event_type, x,
+        |    date_diff('day', c.d0, day) AS t, c.n FROM d, c),
+        |kk AS (SELECT unnest(range(1, 11)) AS k),
+        |terms AS (SELECT event_type, kk.k,
+        |    x * CAST(CAST(cos(2 * pi() * kk.k * t / n) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS xc,
+        |    x * CAST(CAST(sin(2 * pi() * kk.k * t / n) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS xs
+        |  FROM tt, kk),
+        |s AS (SELECT event_type, k, CAST(SUM(xc) AS BIGINT) AS sc,
+        |    CAST(SUM(xs) AS BIGINT) AS ss
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT event_type, CAST(k AS BIGINT) AS k,
+        |  CAST((CAST(sc AS HUGEINT) * sc + CAST(ss AS HUGEINT) * ss)
+        |    // 1000000000000 AS BIGINT) AS power
+        |FROM s ORDER BY event_type, k""".stripMargin) { (s, dir) =>
+      val d = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val c = d.agg(min(col("day")).as("d0"),
+        (datediff(max(col("day")), min(col("day"))) + 1).as("n"))
+      d.crossJoin(broadcast(c))
+        .select(col("event_type"), col("x"),
+          datediff(col("day"), col("d0")).as("t"), col("n"))
+        .select(col("event_type"), col("x"), col("t"), col("n"),
+          explode(sequence(lit(1), lit(10))).as("k"))
+        .select(col("event_type"), col("k"),
+          expr("""x * CAST(CAST(cos(2 * pi() * k * t / n) AS DECIMAL(18,6))
+                 |  * 1000000 AS BIGINT)""".stripMargin).as("xc"),
+          expr("""x * CAST(CAST(sin(2 * pi() * k * t / n) AS DECIMAL(18,6))
+                 |  * 1000000 AS BIGINT)""".stripMargin).as("xs"))
+        .groupBy(col("event_type"), col("k"))
+        .agg(sum(col("xc")).as("sc"), sum(col("xs")).as("ss"))
+        .select(col("event_type"), col("k").cast("long").as("k"),
+          expr("""CAST((CAST(sc AS DECIMAL(38,0)) * sc
+                 |  + CAST(ss AS DECIMAL(38,0)) * ss)
+                 |  div 1000000000000 AS BIGINT)""".stripMargin)
+            .as("power"))
+        .orderBy(col("event_type"), col("k"))
+    },
+
     // Kaplan–Meier survival — time-to-conversion WITH censoring, the
     // estimator product analytics reads when "time to convert" must
     // not ignore users who haven't converted YET (ts_time_to_convert
