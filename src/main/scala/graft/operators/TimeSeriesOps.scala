@@ -2277,6 +2277,48 @@ object TimeSeriesOps {
             .as("significant"))
     },
 
+    // Eventually-follows relation — process mining's second matrix
+    // (events_transitions is the DIRECTLY-follows graph; conformance
+    // checking needs both): for each ordered type pair (A, B), how
+    // many users have SOME A before SOME B (min_A < max_B), among
+    // users exhibiting both types. One hash aggregate to the bounded
+    // user×type (min, max) table, a user-keyed self-join with ≤
+    // |types| rows per side per user, a |types|²-key aggregate —
+    // share exact integer ppm.
+    QuerySpec.sql(
+      "events_eventually_follows",
+      """WITH ut AS (SELECT user_id, event_type,
+        |    MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type AS a_type, b.event_type AS b_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_both,
+        |  CAST(SUM(CASE WHEN a.mn < b.mx THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_follows,
+        |  CAST(CAST(SUM(CASE WHEN a.mn < b.mx THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000 // COUNT(*) AS BIGINT) AS follows_ppm
+        |FROM ut a JOIN ut b ON b.user_id = a.user_id
+        |  AND b.event_type <> a.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val ut = events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(unix_micros(col("ts"))).as("mn"),
+          max(unix_micros(col("ts"))).as("mx"))
+      ut.select(col("user_id"), col("event_type").as("a_type"),
+          col("mn"))
+        .join(ut.select(col("user_id"), col("event_type").as("b_type"),
+          col("mx")), Seq("user_id"))
+        .filter(col("a_type") =!= col("b_type"))
+        .groupBy(col("a_type"), col("b_type"))
+        .agg(count(lit(1)).as("n_both"),
+          sum(when(col("mn") < col("mx"), 1L).otherwise(0L))
+            .as("n_follows"))
+        .select(col("a_type"), col("b_type"), col("n_both"),
+          col("n_follows"),
+          expr("CAST(n_follows * 1000000 div n_both AS BIGINT)")
+            .as("follows_ppm"))
+        .orderBy(col("a_type"), col("b_type"))
+    },
+
     // Periodogram — the spectral periodicity detector (does this
     // series have a weekly cycle?): DFT power at harmonics k = 1..10
     // of each event-type's daily-count series. Per-term cos/sin are
