@@ -796,6 +796,79 @@ object SimilarityOps {
         .orderBy(col("qid"))
     },
 
+    // Nearest-centroid classification — the class-separability eval
+    // (Rocchio classifier accuracy) beside cluster_silhouette and
+    // cluster_purity_nmi: every vector is assigned to its nearest
+    // LABEL centroid and per-class accuracy is read off. Everything
+    // stays exact-integer: centroids are kept as (component sums S,
+    // count n) — never divided — and the per-(vector, label) score is
+    // the n-scaled distance ( −2·⟨v,S⟩·n + |S|² ) div n², so the
+    // classically-float nearest-centroid argmin is decided on
+    // identical integers in both engines (score ties break to the
+    // smaller label). Plan: one posexplode centroid build to
+    // |labels|·64 keys, the 10-row centroid table broadcasts back,
+    // per-row 64-dim HOF folds (map-side, no shuffle), one min_by
+    // argmin fold, one accuracy aggregate.
+    QuerySpec.sql(
+      "emb_nearest_centroid",
+      s"""WITH sig AS ($quantizedSql),
+         |dims AS (SELECT unnest(range(0, 64)) AS d),
+         |cent AS (SELECT label AS l, d, CAST(SUM(qv[d + 1]) AS BIGINT) AS s
+         |  FROM sig, dims GROUP BY 1, 2),
+         |cn AS (SELECT label AS l, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM sig GROUP BY 1),
+         |cnorm AS (SELECT l, CAST(SUM(CAST(s AS HUGEINT) * s) AS HUGEINT)
+         |    AS s2 FROM cent GROUP BY 1),
+         |dots AS (SELECT v.vec_id, c.l,
+         |    CAST(SUM(CAST(v.qv[c.d + 1] AS HUGEINT) * c.s) AS HUGEINT)
+         |      AS dot
+         |  FROM sig v JOIN cent c ON TRUE GROUP BY 1, 2),
+         |scores AS (SELECT d.vec_id, d.l,
+         |    CAST((-2 * d.dot * cn.n + cnorm.s2) // (cn.n * cn.n)
+         |      AS BIGINT) AS score
+         |  FROM dots d JOIN cn ON cn.l = d.l JOIN cnorm ON cnorm.l = d.l),
+         |pick AS (SELECT vec_id, l AS predicted FROM (
+         |  SELECT vec_id, l, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY score, l) AS rn FROM scores) WHERE rn = 1)
+         |SELECT s.label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |  CAST(SUM(CASE WHEN p.predicted = s.label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  CAST(CAST(SUM(CASE WHEN p.predicted = s.label THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
+         |FROM sig s JOIN pick p ON p.vec_id = s.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val sig = signatures(s, dir)
+      val cent = sig
+        .select(col("label").as("l"), posexplode(col("qv")).as(Seq("d", "x")))
+        .groupBy(col("l"), col("d")).agg(sum(col("x")).as("s"))
+        .groupBy(col("l"))
+        .agg(
+          expr("transform(array_sort(collect_list(struct(d, s))), p -> p.s)")
+            .as("sarr"),
+          sum(col("s").cast("decimal(38,0)") * col("s")).as("s2"))
+        .join(sig.groupBy(col("label").as("l"))
+          .agg(count(lit(1)).as("n")), Seq("l"))
+      val scored = sig.select(col("vec_id"), col("label"), col("qv"))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("l"),
+          expr("aggregate(zip_with(qv, sarr, (x, y) -> x * y), 0L, (a, b) -> a + b)")
+            .as("dot"), col("s2"), col("n"))
+        .select(col("vec_id"), col("label"), col("l"),
+          expr("""CAST((CAST(dot AS DECIMAL(38,0)) * n * -2 + s2)
+                 |  div (n * n) AS BIGINT)""".stripMargin).as("score"))
+      scored.groupBy(col("vec_id"), col("label"))
+        .agg(min_by(col("l"), struct(col("score"), col("l")))
+          .as("predicted"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("predicted") === col("label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("label"), col("n_vectors"), col("n_correct"),
+          expr("CAST(n_correct * 1000000 div n_vectors AS BIGINT)")
+            .as("acc_ppm"))
+        .orderBy(col("label"))
+    },
+
     // Hard-negative mining — the contrastive-training data op built
     // on the same two searches: per query, the highest-cosine LSH
     // candidates that are NOT in the exact top-5 (high-scoring
