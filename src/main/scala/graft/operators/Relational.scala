@@ -1155,6 +1155,58 @@ object Relational {
         .limit(20)
     },
 
+    // Distributed bootstrap — sampling-with-replacement WITHOUT a
+    // shuffle or RNG state: each (row, replica) draws a Poisson(1)
+    // resampling weight by inverse-CDF over a hash-derived uniform
+    // (six-digit integer thresholds of the Poisson CDF — the whole
+    // draw is integer comparisons, reproducible on any cluster and
+    // identical in both engines). B = 20 replica means of the order
+    // totalprice in exact integer micros: Σw·x and Σw are exact
+    // sums, the mean one integer division — the classic "resample a
+    // 100 TB table" estimator (the Poisson approximation to the
+    // multinomial is standard: exact bootstrap needs a global
+    // dependent draw; Poisson decomposes per-row). The replica spread
+    // IS the sampling-error read-out.
+    QuerySpec.sql(
+      "stats_bootstrap_means",
+      """WITH r AS (SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      AS xm
+        |  FROM orders),
+        |bb AS (SELECT unnest(range(1, 21)) AS b),
+        |w AS (SELECT bb.b, r.xm,
+        |    CAST(('0x' || substr(md5(r.o_orderkey || ':' || bb.b), 1, 8))
+        |      AS BIGINT) % 1000000 AS u
+        |  FROM r, bb),
+        |wp AS (SELECT b, xm,
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |      WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+        |      WHEN u < 996340 THEN 4 ELSE 5 END AS w
+        |  FROM w)
+        |SELECT CAST(b AS BIGINT) AS b, CAST(SUM(w) AS BIGINT) AS n_eff,
+        |  CAST(SUM(w * xm) // SUM(w) AS BIGINT) AS mean_micro
+        |FROM wp GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          micros6(col("o_totalprice")).as("xm"))
+        .select(col("o_orderkey"), col("xm"),
+          explode(sequence(lit(1), lit(20))).as("b"))
+        .select(col("b"), col("xm"),
+          (conv(substring(md5(concat(col("o_orderkey").cast("string"),
+            lit(":"), col("b").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 1000000).as("u"))
+        .select(col("b"), col("xm"),
+          when(col("u") < 367879, 0L).when(col("u") < 735759, 1L)
+            .when(col("u") < 919699, 2L).when(col("u") < 981012, 3L)
+            .when(col("u") < 996340, 4L).otherwise(5L).as("w"))
+        .groupBy(col("b").cast("long").as("b"))
+        .agg(sum(col("w")).as("n_eff"),
+          sum(col("w") * col("xm")).as("swx"))
+        .select(col("b"), col("n_eff"),
+          expr("CAST(swx div n_eff AS BIGINT)").as("mean_micro"))
+        .orderBy(col("b"))
+    },
+
     // RFM segmentation — the classic marketing cube: every customer
     // scored into recency/frequency/monetary QUINTILES, then the
     // 5×5×5 segment census. One orders aggregate builds the
