@@ -23,8 +23,11 @@ object SparkEntry {
     */
   def sections: Seq[(String, Seq[QuerySpec], (SparkSession, String) => Unit)] =
     Seq(
-      ("relational", Relational.specs,
-        (s, d) => Relational.releaseCaches(s, d)),
+      ("relational", Relational.specs ++ TpchFull.specs,
+        (s, d) => {
+          Relational.releaseCaches(s, d)
+          TpchFull.releaseCaches(s, d)
+        }),
       ("timeseries", TimeSeriesOps.specs, (_, _) => ()),
       ("text", TextOps.specs, (_, _) => ()),
       ("entity", EntityOps.specs, (_, _) => ()),

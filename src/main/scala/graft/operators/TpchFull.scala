@@ -1,0 +1,453 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.Cols._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The remaining TPC-H query shapes (q2, q8–q11, q15, q16, q19, q20,
+  * q22), completing the relational inventory started in [[Relational]].
+  *
+  * The testdata ships no `partsupp` table, so the five queries that
+  * need one run over a DERIVED partsupp: the distinct (l_partkey,
+  * l_suppkey) pairs that actually trade, with `ps_supplycost` /
+  * `ps_availqty` drawn from an md5-based integer hash of the pair key.
+  * Both engines compute the identical table from the identical
+  * expression (the same engine-portable md5→hex→int trick as
+  * `stats_bootstrap_means`), so every oracle is still a strong
+  * hash-equality check. Deriving from the *trading* pairs (rather than
+  * part × random suppliers) keeps ps ⋈ lineitem joins non-degenerate.
+  *
+  * Scale notes (100 TB): the derived partsupp is ONE distinct shuffle
+  * per (session, dir), cached and released by the relational section
+  * hook; at warehouse scale it is the write-once dimension it stands in
+  * for. Scalar thresholds (q11's total, q15's max, q22's average) are
+  * 1-row aggregates broadcast into the filter, never a driver collect.
+  * Columns adapted to the available testdata schema are noted per
+  * query.
+  */
+object TpchFull {
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Derived partsupp (see object doc). Plan-keyed cache: one lineitem
+    * distinct per (session, dir) across the five consuming gates.
+    */
+  private[operators] def partsupp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .withColumn("u",
+        conv(substring(md5(concat(col("l_partkey").cast("string"), lit(":"),
+          col("l_suppkey").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .select(
+        col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"),
+        (lit(1L) + pmod(col("u"), lit(1000L))).as("ps_supplycost"),
+        (lit(1L) + pmod(expr("u div 1000"), lit(9999L))).as("ps_availqty"))
+      .cache()
+
+  private[graft] def releaseCaches(s: SparkSession, dir: String): Unit =
+    partsupp(s, dir).unpersist(blocking = true)
+
+  /** The oracle-side derivation of the same table, prefixed to every
+    * consuming oracle (each oracle must be standalone SQL).
+    */
+  private val PsCte =
+    """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    1 + u % 1000 AS ps_supplycost,
+      |    1 + (u // 1000) % 9999 AS ps_availqty
+      |  FROM (SELECT l_partkey, l_suppkey,
+      |      CAST(('0x' || substr(md5(l_partkey || ':' || l_suppkey), 1, 8))
+      |        AS BIGINT) AS u
+      |    FROM pairs))""".stripMargin
+
+  def specs: Seq[QuerySpec] = Seq(
+    // q2: min-cost supplier — correlated "cost = regional min cost for
+    // the part" subquery, decorrelated into a per-part min aggregate
+    // joined back on (part, cost). p_mfgr is absent; p_brand stands in.
+    QuerySpec.sql(
+      "q2_min_cost_supplier",
+      s"""$PsCte,
+         |eu AS (SELECT ps_partkey, ps_suppkey, ps_supplycost,
+         |    s_acctbal, s_name, n_name
+         |  FROM ps
+         |  JOIN supplier ON ps_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE'),
+         |mc AS (SELECT ps_partkey AS mk, MIN(ps_supplycost) AS min_cost
+         |  FROM eu GROUP BY 1)
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+         |  CAST(ps_supplycost AS BIGINT) AS supply_cost
+         |FROM part
+         |JOIN eu ON p_partkey = ps_partkey
+         |JOIN mc ON mk = p_partkey AND ps_supplycost = min_cost
+         |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         |LIMIT 100""".stripMargin) { (s, dir) =>
+      val eu = partsupp(s, dir)
+        .join(t(s, dir, "supplier"), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("ps_partkey"), col("ps_suppkey"), col("ps_supplycost"),
+          col("s_acctbal"), col("s_name"), col("n_name"))
+      val mc = eu.groupBy(col("ps_partkey").as("mk"))
+        .agg(min(col("ps_supplycost")).as("min_cost"))
+      val prt = t(s, dir, "part")
+        .filter(col("p_size").between(10, 20) && col("p_type") === "STANDARD")
+      eu.join(broadcast(prt), col("ps_partkey") === col("p_partkey"))
+        .join(mc, col("mk") === col("p_partkey") &&
+          col("ps_supplycost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"),
+          col("ps_supplycost").cast("long").as("supply_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+
+    // q8: national market share — numerator/denominator CASE split over
+    // one 7-way star join, per order year.
+    QuerySpec.sql(
+      "q8_market_share",
+      """WITH vol AS (
+        |  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS v,
+        |    n2.n_name AS supp_nation
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN v ELSE 0 END)
+        |    AS DOUBLE) / CAST(SUM(v) AS DOUBLE) AS mkt_share
+        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, dir) =>
+      val prt = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val reg = t(s, dir, "region").filter(col("r_name") === "AMERICA")
+      val v = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .join(broadcast(prt), col("p_partkey") === col("l_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((widedsum(when(col("supp_nation") === "NATION_1", v)
+          .otherwise(lit(0))) / widedsum(v)).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+
+    // q9: product-type profit — lineitem ⋈ derived partsupp on BOTH
+    // keys; profit nets supply cost out of discounted revenue, by
+    // supplier nation × order year.
+    QuerySpec.sql(
+      "q9_product_profit",
+      s"""$PsCte
+         |SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+         |      - ps_supplycost * l_quantity AS DECIMAL(38,6)))
+         |    AS DOUBLE) AS profit
+         |FROM lineitem
+         |JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |JOIN part ON p_partkey = l_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val prt = t(s, dir, "part").filter(col("p_name").like("%red%"))
+      t(s, dir, "lineitem")
+        .join(partsupp(s, dir), col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .join(broadcast(prt), col("p_partkey") === col("l_partkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("ps_supplycost") * col("l_quantity")).as("profit"))
+        .orderBy(col("nation"), col("o_year"))
+    },
+
+    // q10: returned-item reporting — top 20 customers by lost revenue
+    // in a quarter (address/phone/comment columns absent from testdata).
+    QuerySpec.sql(
+      "q10_returned_items",
+      s"""SELECT c_custkey, c_name,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  c_acctbal, n_name, c_mktsegment
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-10-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"), col("c_mktsegment"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"), col("c_mktsegment"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // q11: important stock — per-part inventory value for one nation's
+    // suppliers, kept when above a multiple of the 1-row broadcast
+    // MEAN part value (the reference query's fixed fraction scales
+    // with 1/SF for exactly this reason — a fixed share of the total
+    // goes degenerate as the part count grows; the mean-relative
+    // threshold is the SF-invariant spelling). Threshold compared in
+    // DOUBLE: both engines derive the same doubles from the same
+    // exact decimal sums.
+    QuerySpec.sql(
+      "q11_important_stock",
+      s"""$PsCte,
+         |g AS (SELECT ps_partkey,
+         |    SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,6))) AS val
+         |  FROM ps
+         |  JOIN supplier ON ps_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name IN ('NATION_7', 'NATION_13')
+         |  GROUP BY 1)
+         |SELECT ps_partkey, CAST(val AS DOUBLE) AS part_value
+         |FROM g, (SELECT SUM(val) AS tot, COUNT(*) AS cnt FROM g)
+         |WHERE CAST(val AS DOUBLE) > CAST(tot AS DOUBLE) / cnt * 3.0
+         |ORDER BY part_value DESC, ps_partkey""".stripMargin) { (s, dir) =>
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name").isin("NATION_7", "NATION_13"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val g = partsupp(s, dir)
+        .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+        .groupBy(col("ps_partkey"))
+        .agg(sum((col("ps_supplycost") * col("ps_availqty"))
+          .cast("decimal(38,6)")).as("val"))
+      val tot = g.agg(sum(col("val")).as("tot"), count(lit(1)).as("cnt"))
+      g.crossJoin(broadcast(tot))
+        .filter(col("val").cast("double") >
+          col("tot").cast("double") / col("cnt") * 3.0)
+        .select(col("ps_partkey"), col("val").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("ps_partkey"))
+    },
+
+    // q15: top supplier — quarter revenue per supplier, kept where it
+    // EQUALS the 1-row broadcast max (exact decimal equality, so the
+    // classic tie-inclusion semantics survive the hash compare).
+    QuerySpec.sql(
+      "q15_top_supplier",
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+        |      AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier
+        |JOIN rev ON s_suppkey = l_suppkey,
+        |  (SELECT MAX(total_rev) AS mx FROM rev)
+        |WHERE total_rev = mx
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1997-04-01 00:00:00'"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(38,6)")).as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev") === col("mx"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // q16: parts/supplier relationship count — COUNT(DISTINCT supplier)
+    // per (brand, type, size) bucket, with the reference's NOT-IN
+    // supplier exclusion kept as a broadcast anti-join (negative
+    // account balance stands in for the absent comment column).
+    QuerySpec.sql(
+      "q16_parts_suppliers",
+      s"""$PsCte
+         |SELECT p_brand, p_type, p_size,
+         |  COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM ps
+         |JOIN part ON p_partkey = ps_partkey
+         |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+         |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+         |  AND ps_suppkey NOT IN
+         |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) {
+      (s, dir) =>
+      val prt = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      val excl = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      partsupp(s, dir)
+        .join(broadcast(prt), col("p_partkey") === col("ps_partkey"))
+        .join(broadcast(excl), col("ps_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    // q19: disjunctive revenue — three OR'd (brand, size, quantity)
+    // conjunct groups across the part ⋈ lineitem equi-join; the join
+    // key stays an equi-key so the disjunction never degrades the join
+    // to a nested loop.
+    QuerySpec.sql(
+      "q19_disjunctive_revenue",
+      s"""SELECT ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |    AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |    AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, dir) =>
+      val disj =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("p_partkey") === col("l_partkey"))
+        .filter(disj)
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+    },
+
+    // q20: potential part promotion — suppliers (in one nation) whose
+    // derived stock of a 'small%' part exceeds half the quantity they
+    // actually shipped of it in a year: semi-join chain, no windows.
+    QuerySpec.sql(
+      "q20_potential_promotion",
+      s"""$PsCte,
+         |sh AS (SELECT l_partkey AS sh_partkey, l_suppkey AS sh_suppkey,
+         |    SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT ps_suppkey
+         |  FROM ps
+         |  JOIN part ON p_partkey = ps_partkey
+         |  JOIN sh ON sh_partkey = ps_partkey AND sh_suppkey = ps_suppkey
+         |  WHERE p_name LIKE 'small%'
+         |    AND CAST(ps_availqty AS DOUBLE) > 0.5 * CAST(qty AS DOUBLE))
+         |SELECT s_suppkey, s_name, n_name
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN cand ON ps_suppkey = s_suppkey
+         |WHERE n_name = 'NATION_3'
+         |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val sh = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+        .groupBy(col("l_partkey").as("sh_partkey"),
+          col("l_suppkey").as("sh_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(38,6)")).as("qty"))
+      val smallParts = t(s, dir, "part").filter(col("p_name").like("small%"))
+        .select(col("p_partkey"))
+      val cand = partsupp(s, dir)
+        .join(broadcast(smallParts), col("p_partkey") === col("ps_partkey"))
+        .join(sh, col("sh_partkey") === col("ps_partkey") &&
+          col("sh_suppkey") === col("ps_suppkey"))
+        .filter(col("ps_availqty").cast("double") >
+          col("qty").cast("double") * 0.5)
+        .select(col("ps_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(cand, col("ps_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), lit("NATION_3").as("n_name"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // q22: global sales opportunity — rich-but-inactive customers per
+    // nation: 1-row broadcast average threshold + anti-join against
+    // orders (c_phone is absent; the country-code IN-list becomes a
+    // nationkey IN-list, and "never ordered" becomes "no order since
+    // 2000" — the generated data gives every customer at least one
+    // order, which would make the literal anti-join degenerate).
+    QuerySpec.sql(
+      "q22_global_sales",
+      """WITH base AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal
+        |  FROM customer
+        |  WHERE c_nationkey IN (3, 7, 13, 17, 18, 21, 24)),
+        |avgbal AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+        |      / COUNT(*) AS a
+        |  FROM base WHERE c_acctbal > 0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+        |FROM base, avgbal
+        |WHERE c_acctbal > a
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "customer")
+        .filter(col("c_nationkey").isin(3, 7, 13, 17, 18, 21, 24))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val avgbal = base.filter(col("c_acctbal") > 0)
+        .agg((widedsum(col("c_acctbal")) / count(lit(1))).as("a"))
+      base.crossJoin(broadcast(avgbal))
+        .filter(col("c_acctbal") > col("a"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= expr("TIMESTAMP '2000-01-01 00:00:00'"))
+          .select(col("o_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          widedsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    })
+}

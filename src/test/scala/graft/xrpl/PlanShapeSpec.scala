@@ -278,4 +278,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!hn.exists(_.isInstanceOf[WindowExec]),
       "sim_hard_negatives plans a WindowExec")
   }
+
+  test("TPC-H completion gates: hash joins only, scalar thresholds broadcast") {
+    // The only cross joins these plans may contain are the 1-row
+    // broadcast scalar combines (q11 total, q15 max, q22 average) —
+    // bounded-build BNLJ by construction, never a CartesianProduct.
+    for (name <- Seq("q2_min_cost_supplier", "q8_market_share",
+        "q9_product_profit", "q10_returned_items", "q11_important_stock",
+        "q15_top_supplier", "q16_parts_suppliers", "q19_disjunctive_revenue",
+        "q20_potential_promotion", "q22_global_sales")) {
+      val all = collectNodes(planOf(name))
+      val s = all.map(_.toString).mkString("\n")
+      assert(!s.contains("CartesianProduct"),
+        s"$name plans an unbroadcast cartesian join")
+      assert(!all.exists(_.isInstanceOf[WindowExec]),
+        s"$name plans a WindowExec")
+    }
+    // q16's NOT-IN supplier exclusion and q22's inactivity check stay
+    // anti joins; q20's candidate membership stays a semi join; the
+    // two top-k reports TakeOrderedAndProject instead of global sorts.
+    assert(planString("q16_parts_suppliers").contains("LeftAnti"))
+    assert(planString("q22_global_sales").contains("LeftAnti"))
+    assert(planString("q20_potential_promotion").contains("LeftSemi"))
+    for (name <- Seq("q2_min_cost_supplier", "q10_returned_items"))
+      assert(planString(name).contains("TakeOrderedAndProject"),
+        s"$name lost its TakeOrderedAndProject top-k")
+  }
 }
