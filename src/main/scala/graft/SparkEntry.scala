@@ -43,6 +43,7 @@ object SparkEntry {
       ("multimodal", MultimodalOps.specs, (_, _) => ()),
       ("pipeline", PipelineOps.specs,
         (s, d) => DedupOps.releaseCaches(s, d)),
+      ("feature", FeatureOps.specs, (_, _) => ()),
       ("xrpl", XrplOps.specs, (_, _) => ()))
 
   def allSpecs: Seq[QuerySpec] = sections.flatMap(_._2)

@@ -1,0 +1,228 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.Cols._
+import graft.functions.{AsOfJoin, PrefixSum, RangeJoin}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering and experimentation operators a training-data
+  * pipeline layers on top of the event/document tables: marketing
+  * attribution (the canonical event-stream credit assignment),
+  * rank-based two-sample testing, target encoding, and the hashing
+  * trick.
+  *
+  * Scale notes (100 TB): attribution rides the existing temporal-join
+  * machinery — [[AsOfJoin]] for last-touch (merge-and-forward-fill, no
+  * per-key sort-in-window) and [[RangeJoin]] for the windowed
+  * multi-touch pair surface (bucketed equi-join, ≤ 2 replicas per
+  * 7-day window). Mann-Whitney folds the two samples to a per-distinct-
+  * value histogram and ranks it with the range-partitioned two-pass
+  * [[PrefixSum]] — no global sort, no unpartitioned window, and the
+  * ×2-scaled rank sums stay exact integers so the hash compare is
+  * strict. Credit splits use integer micro-credits (floor(1e6 / n))
+  * for the same reason: fractional credit would sum order-dependently
+  * in floating point.
+  */
+object FeatureOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+  private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  /** Touch events (click/view), deduped to one row per (user, ts) so
+    * the as-of tie-break is deterministic in both engines.
+    */
+  private def touches(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("touch_id"),
+        max_by(col("event_type"), col("event_id")).as("touch_type"))
+
+  /** Shared z-statistic expression text for the Mann-Whitney gate —
+    * compiled by BOTH engines over the identical exact-integer inputs
+    * (n1, n2, u1_x2), so every double op runs in the same IEEE order.
+    */
+  private val MwZ =
+    """CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |  (CAST(u1_x2 AS DOUBLE) / 2
+      |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
+      |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |      * CAST(n1 + n2 + 1 AS DOUBLE) / 12)
+      |END""".stripMargin.replace("\n", " ")
+
+  def specs: Seq[QuerySpec] = Seq(
+    // Last-touch attribution: each purchase is credited to the most
+    // recent prior click/view by the same user — the as-of backward
+    // join applied to the marketing credit-assignment problem.
+    QuerySpec.sql(
+      "attr_last_touch",
+      """WITH tch AS (
+        |  SELECT user_id, ts, CAST(MAX(event_id) AS BIGINT) AS touch_id,
+        |    max_by(event_type, event_id) AS touch_type
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  tch.touch_id, tch.touch_type
+        |FROM p ASOF LEFT JOIN tch
+        |  ON p.user_id = tch.user_id AND tch.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      val p = events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsOfJoin.asofBackward(p, "user_id", "ts",
+          touches(s, dir), "user_id", "ts",
+          Seq("touch_id", "touch_type"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("touch_id"), col("touch_type"))
+        .orderBy(col("event_id"))
+    },
+
+    // Linear (equal-credit) multi-touch attribution: every purchase
+    // splits 1e6 integer micro-credits evenly across its touches in
+    // the preceding 7 days, totalled per touch type. The pair surface
+    // is the bucketed range join; the per-purchase touch count joins
+    // back on the purchase key — no window, all-integer credit math.
+    QuerySpec.sql(
+      "attr_linear",
+      """WITH tch AS (SELECT user_id, ts, event_type AS touch_type
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT p.event_id, tch.touch_type
+        |  FROM p JOIN tch ON tch.user_id = p.user_id
+        |    AND tch.ts >= p.ts - INTERVAL 7 DAY AND tch.ts < p.ts),
+        |n AS (SELECT event_id, COUNT(*) AS n_touch FROM pairs GROUP BY 1)
+        |SELECT touch_type,
+        |  CAST(SUM(1000000 // n_touch) AS BIGINT) AS credit_micro,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM pairs JOIN n USING (event_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val dayUs = 86400000000L
+      val p = events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+        .withColumn("w_start", col("p_us") - lit(7L * dayUs))
+      val tch = events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type").as("touch_type"),
+          unix_micros(col("ts")).as("t_us"))
+      val pairs = RangeJoin.pointInInterval(
+          p, "user_id", "w_start", "p_us",
+          tch, "user_id", "t_us", bucketUs = 7L * dayUs)
+        .select(col("i_event_id").as("event_id"), col("p_touch_type"))
+      val n = pairs.groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_touch"))
+      pairs.join(n, "event_id")
+        .groupBy(col("p_touch_type").as("touch_type"))
+        .agg(sum(expr("1000000 div n_touch")).cast("long").as("credit_micro"),
+          count(lit(1)).as("n_pairs"))
+        .orderBy(col("touch_type"))
+    },
+
+    // Mann-Whitney U: are click values drawn from the same
+    // distribution as view values? Folded to the per-distinct-value
+    // histogram, ranked by the two-pass prefix sum (avg rank of a
+    // tied run = exclusive-cum + (n+1)/2, kept ×2 so it stays an
+    // exact integer), then the closed-form U and normal-approximation
+    // z over the exact sums.
+    QuerySpec.sql(
+      "stats_mannwhitney",
+      s"""WITH s AS (
+         |  SELECT value,
+         |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+         |    COUNT(*) AS c
+         |  FROM events WHERE event_type IN ('click', 'view')
+         |  GROUP BY 1),
+         |r AS (SELECT value, c1, c,
+         |    COALESCE(SUM(c) OVER (ORDER BY value
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+         |  FROM s),
+         |agg AS (SELECT
+         |    CAST(SUM(c1) AS BIGINT) AS n1,
+         |    CAST(SUM(c - c1) AS BIGINT) AS n2,
+         |    CAST(SUM(c1 * (2 * cumb + c + 1)) AS BIGINT) AS r1_x2
+         |  FROM r),
+         |u AS (SELECT n1, n2, r1_x2 - n1 * (n1 + 1) AS u1_x2 FROM agg)
+         |SELECT n1, n2, CAST(u1_x2 AS BIGINT) AS u1_x2, $MwZ AS z
+         |FROM u""".stripMargin) { (s, dir) =>
+      val hist = events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(col("value"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("c1"), count(lit(1)).as("c"))
+      val ranked = PrefixSum.globalCumsum(hist, Seq(col("value")),
+          col("c"), "cum")
+        .withColumn("cumb", col("cum") - col("c"))
+      ranked.agg(
+          sum(col("c1")).cast("long").as("n1"),
+          sum(col("c") - col("c1")).cast("long").as("n2"),
+          sum(col("c1") * (lit(2) * col("cumb") + col("c") + lit(1)))
+            .cast("long").as("r1_x2"))
+        .withColumn("u1_x2",
+          (col("r1_x2") - col("n1") * (col("n1") + lit(1))).cast("long"))
+        .withColumn("z", expr(MwZ))
+        .select(col("n1"), col("n2"), col("u1_x2"), col("z"))
+    },
+
+    // Smoothed target encoding (m-estimate, m = 10): the categorical
+    // feature p_brand encoded as a shrunk mean of the retail price —
+    // two hash aggregates and a 1-row broadcast global mean, the
+    // standard leakage-safe categorical encoder at corpus scale.
+    QuerySpec.sql(
+      "feat_target_encode",
+      """WITH g AS (SELECT
+        |    CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE)
+        |      / COUNT(*) AS gmean
+        |  FROM part),
+        |b AS (SELECT p_brand, COUNT(*) AS n,
+        |    CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS ssum
+        |  FROM part GROUP BY 1)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n,
+        |  (ssum + 10 * gmean) / (n + 10) AS target_enc
+        |FROM b, g ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      val part = t(s, dir, "part")
+      val g = part.agg(
+        (widedsum(col("p_retailprice")) / count(lit(1))).as("gmean"))
+      part.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), widedsum(col("p_retailprice")).as("ssum"))
+        .crossJoin(broadcast(g))
+        .select(col("p_brand"), col("n").cast("long").as("n"),
+          ((col("ssum") + lit(10) * col("gmean")) / (col("n") + lit(10)))
+            .as("target_enc"))
+        .orderBy(col("p_brand"))
+    },
+
+    // Hashing trick: document tokens folded into 64 hash buckets (the
+    // fixed-width feature space) with per-bucket token and document
+    // frequencies. The bucket id is the same engine-portable
+    // md5→hex→int hash, so the oracle builds the identical table; the
+    // whole feature map is two codegen'd hash aggregates.
+    QuerySpec.sql(
+      "feat_hashing_trick",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_extract_all(lower(text), '[a-z]+', 0),
+        |    t -> length(t) >= 2)) AS tk
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % 64 AS bucket
+        |  FROM tok)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(
+          "filter(regexp_extract_all(lower(text), '[a-z]+', 0)," +
+            " t -> length(t) >= 2)")).as("tk"))
+        .select(col("doc_id"),
+          pmod(conv(substring(md5(col("tk")), 1, 8), 16, 10).cast("long"),
+            lit(64L)).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("bucket"))
+    })
+}

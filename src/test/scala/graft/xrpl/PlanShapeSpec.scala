@@ -304,4 +304,21 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(planString(name).contains("TakeOrderedAndProject"),
         s"$name lost its TakeOrderedAndProject top-k")
   }
+
+  test("feature gates: attribution joins stay equi-hash, MW ranks partitioned") {
+    // attribution rides the as-of merge / bucketed range join — never
+    // a nested-loop time probe; Mann-Whitney's rank pass must be the
+    // pid-partitioned PrefixSum windows, not one global sort-window.
+    for (name <- Seq("attr_last_touch", "attr_linear", "stats_mannwhitney",
+        "feat_target_encode", "feat_hashing_trick")) {
+      val all = collectNodes(planOf(name))
+      val s = all.map(_.toString).mkString("\n")
+      assert(!s.contains("CartesianProduct"),
+        s"$name plans an unbroadcast cartesian join")
+      val bad = all.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name plans an unpartitioned WindowExec")
+    }
+  }
 }
