@@ -816,5 +816,66 @@ object ClusterOps {
          |FROM sig s LEFT JOIN tn t ON t.n = s.vec_id
          |ORDER BY s.vec_id""".stripMargin) { (s, dir) =>
       triangleCounts(s, dir)
+    },
+
+    // Degree assortativity of the undirected k-NN graph: Pearson r
+    // over edge-endpoint degree pairs, with each edge contributing
+    // both orientations (the standard symmetric formulation, which
+    // collapses the closed form to (n·sxy − sx²)/(n·sxx − sx²)). All
+    // sufficient statistics are exact integers from two hash
+    // aggregates and one edge ⋈ degree join — the r division is the
+    // only float op, identical in both engines.
+    QuerySpec.sql(
+      "graph_assortativity",
+      s"""WITH sig AS (${SimilarityOps.quantizedSql}),
+         |knn AS (SELECT vec_id, nbr_id FROM (${SimilarityOps.knnEdgesSql(3)}) k),
+         |und AS (SELECT DISTINCT LEAST(vec_id, nbr_id) AS u,
+         |    GREATEST(vec_id, nbr_id) AS v FROM knn),
+         |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+         |    SELECT u AS n FROM und UNION ALL SELECT v FROM und) m
+         |  GROUP BY n),
+         |ends AS (
+         |  SELECT du.d AS dx, dv.d AS dy
+         |  FROM und JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v
+         |  UNION ALL
+         |  SELECT dv.d, du.d
+         |  FROM und JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(dx) AS BIGINT) AS sx,
+         |    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         |    CAST(SUM(dx * dy) AS BIGINT) AS sxy
+         |  FROM ends)
+         |SELECT n AS n_endpoints,
+         |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0 THEN
+         |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |  END AS assortativity
+         |FROM agg""".stripMargin) { (s, dir) =>
+      val und = undirectedEdges(s, dir)
+      val deg = und.select(col("u").as("n"))
+        .unionByName(und.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val joined = und
+        .join(deg.select(col("n").as("un"), col("d").as("du")),
+          col("un") === col("u"))
+        .join(deg.select(col("n").as("vn"), col("d").as("dv")),
+          col("vn") === col("v"))
+        .select(col("du"), col("dv"))
+      val ends = joined.select(col("du").as("dx"), col("dv").as("dy"))
+        .unionByName(joined.select(col("dv").as("dx"), col("du").as("dy")))
+      ends.agg(count(lit(1)).as("n"), sum(col("dx")).as("sx"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dx") * col("dy")).as("sxy"))
+        .select(col("n").as("n_endpoints"), expr(
+          """CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0 THEN
+            |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |END""".stripMargin).as("assortativity"))
     })
 }

@@ -38,6 +38,34 @@ object FeatureOps {
       .agg(max(col("event_id")).as("touch_id"),
         max_by(col("event_type"), col("event_id")).as("touch_type"))
 
+  /** Shared Welch t / degrees-of-freedom expression text — compiled by
+    * BOTH engines over identical exact-moment inputs (n1, n2 integer;
+    * s1, s2, q1, q2 decimal-exact doubles), so every double op runs in
+    * the same IEEE order. Degenerate samples (n ≤ 1, zero variance)
+    * stay NULL instead of ±inf.
+    */
+  private object Welch {
+    private def v(n: String, sm: String, q: String) =
+      s"(($q - $sm * $sm / CAST($n AS DOUBLE)) / CAST($n - 1 AS DOUBLE))"
+    private val se2 =
+      s"(${v("n1", "s1", "q1")} / CAST(n1 AS DOUBLE)" +
+        s" + ${v("n2", "s2", "q2")} / CAST(n2 AS DOUBLE))"
+    val t: String =
+      s"""CASE WHEN n1 > 1 AND n2 > 1 AND $se2 > 0 THEN
+         |  (s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE))
+         |    / sqrt($se2) END""".stripMargin.replace("\n", " ")
+    val df: String =
+      s"""CASE WHEN n1 > 1 AND n2 > 1 AND $se2 > 0 THEN
+         |  $se2 * $se2 / (
+         |    ${v("n1", "s1", "q1")} * ${v("n1", "s1", "q1")}
+         |      / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+         |        * CAST(n1 - 1 AS DOUBLE))
+         |    + ${v("n2", "s2", "q2")} * ${v("n2", "s2", "q2")}
+         |      / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+         |        * CAST(n2 - 1 AS DOUBLE))) END""".stripMargin
+        .replace("\n", " ")
+  }
+
   /** Shared z-statistic expression text for the Mann-Whitney gate —
     * compiled by BOTH engines over the identical exact-integer inputs
     * (n1, n2, u1_x2), so every double op runs in the same IEEE order.
@@ -193,6 +221,138 @@ object FeatureOps {
           ((col("ssum") + lit(10) * col("gmean")) / (col("n") + lit(10)))
             .as("target_enc"))
         .orderBy(col("p_brand"))
+    },
+
+    // Two-sample Kolmogorov-Smirnov: D = max |ECDF₁ − ECDF₂| between
+    // click and view values. Same histogram-rank machinery as
+    // Mann-Whitney — ONE multi-column prefix-sum pass carries both
+    // samples' cumulative counts, and the sup statistic is maximized
+    // over the integer cross-product form |cum1·n2 − cum2·n1| so the
+    // argmax needs no float comparisons; only the final D divides.
+    QuerySpec.sql(
+      "stats_ks_twosample",
+      """WITH s AS (
+        |  SELECT value,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1),
+        |r AS (SELECT
+        |    SUM(c1) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    SUM(c2) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        |  FROM s),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2 FROM s)
+        |SELECT n1, n2,
+        |  CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+        |  CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_d
+        |FROM r, tot GROUP BY n1, n2""".stripMargin) { (s, dir) =>
+      val hist = events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(col("value"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("c1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("c2"))
+      val cums = PrefixSum.globalCumsumMulti(hist, Seq(col("value")),
+        Seq(col("c1") -> "cum1", col("c2") -> "cum2"))
+      val tot = hist.agg(sum(col("c1")).cast("long").as("n1"),
+        sum(col("c2")).cast("long").as("n2"))
+      cums.crossJoin(broadcast(tot))
+        .groupBy(col("n1"), col("n2"))
+        .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+          .cast("long").as("d_num"))
+        .withColumn("ks_d", col("d_num").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double")))
+        .select(col("n1"), col("n2"), col("d_num"), col("ks_d"))
+    },
+
+    // Welch's unequal-variance t-test between click and view values:
+    // one conditional-aggregate pass collects both samples' exact
+    // moment sums (decimal-exact, so the doubles the closed form sees
+    // are identical in both engines), then t and the Welch-
+    // Satterthwaite df evaluate per the shared expression text.
+    QuerySpec.sql(
+      "stats_welch_ttest",
+      s"""WITH m AS (SELECT
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n2,
+         |    CAST(SUM(CASE WHEN event_type = 'click'
+         |      THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS s1,
+         |    CAST(SUM(CASE WHEN event_type = 'view'
+         |      THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS s2,
+         |    CAST(SUM(CASE WHEN event_type = 'click'
+         |      THEN CAST(value * value AS DECIMAL(38,6)) END) AS DOUBLE)
+         |      AS q1,
+         |    CAST(SUM(CASE WHEN event_type = 'view'
+         |      THEN CAST(value * value AS DECIMAL(38,6)) END) AS DOUBLE)
+         |      AS q2
+         |  FROM events WHERE event_type IN ('click', 'view'))
+         |SELECT n1, n2, ${Welch.t} AS t_stat, ${Welch.df} AS df
+         |FROM m""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("long").as("n1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .cast("long").as("n2"),
+          widedsum(when(col("event_type") === "click", col("value")))
+            .as("s1"),
+          widedsum(when(col("event_type") === "view", col("value")))
+            .as("s2"),
+          widedsum(when(col("event_type") === "click",
+            col("value") * col("value"))).as("q1"),
+          widedsum(when(col("event_type") === "view",
+            col("value") * col("value"))).as("q2"))
+        .select(col("n1"), col("n2"),
+          expr(Welch.t).as("t_stat"), expr(Welch.df).as("df"))
+    },
+
+    // Cohort lifetime value: cumulative purchase revenue per signup
+    // cohort over week offsets. The running sum is a KEYED window
+    // (partitioned by cohort day — bounded rows per key, never a
+    // single-task global window), accumulated in exact decimal so
+    // the running doubles hash-compare.
+    QuerySpec.sql(
+      "cohort_ltv",
+      """WITH p AS (SELECT user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        |  FROM p GROUP BY 1),
+        |w AS (SELECT f.cohort_day,
+        |    CAST((CAST(p.ts AS DATE) - f.cohort_day) // 7 AS BIGINT)
+        |      AS week_offset,
+        |    SUM(CAST(p.value AS DECIMAL(38,6))) AS rev
+        |  FROM p JOIN f USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT cohort_day, week_offset,
+        |  CAST(SUM(rev) OVER (PARTITION BY cohort_day ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS cum_revenue
+        |FROM w ORDER BY cohort_day, week_offset""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val p = events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val f = p.groupBy(col("user_id"))
+        .agg(to_date(min(col("ts"))).as("cohort_day"))
+      val w = p.join(f, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          expr("datediff(CAST(ts AS DATE), cohort_day) div 7")
+            .cast("long").as("week_offset"))
+        .agg(sum(col("value").cast("decimal(38,6)")).as("rev"))
+      w.withColumn("cum_revenue",
+          sum(col("rev")).over(Window.partitionBy(col("cohort_day"))
+            .orderBy(col("week_offset"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .select(col("cohort_day"), col("week_offset"), col("cum_revenue"))
+        .orderBy(col("cohort_day"), col("week_offset"))
     },
 
     // Hashing trick: document tokens folded into 64 hash buckets (the

@@ -310,7 +310,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // a nested-loop time probe; Mann-Whitney's rank pass must be the
     // pid-partitioned PrefixSum windows, not one global sort-window.
     for (name <- Seq("attr_last_touch", "attr_linear", "stats_mannwhitney",
-        "feat_target_encode", "feat_hashing_trick")) {
+        "stats_ks_twosample", "stats_welch_ttest", "cohort_ltv",
+        "graph_assortativity", "feat_target_encode", "feat_hashing_trick")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
