@@ -141,9 +141,12 @@ object FeatureOps {
           p, "user_id", "w_start", "p_us",
           tch, "user_id", "t_us", bucketUs = 7L * dayUs)
         .select(col("i_event_id").as("event_id"), col("p_touch_type"))
-      val n = pairs.groupBy(col("event_id"))
-        .agg(count(lit(1)).as("n_touch"))
-      pairs.join(n, "event_id")
+      // per-purchase touch count as a KEYED window (bounded rows per
+      // purchase) — one pass over the pair surface instead of a
+      // groupBy + join-back that would evaluate the range join twice
+      pairs.withColumn("n_touch", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_id"))))
         .groupBy(col("p_touch_type").as("touch_type"))
         .agg(sum(expr("1000000 div n_touch")).cast("long").as("credit_micro"),
           count(lit(1)).as("n_pairs"))
@@ -259,8 +262,10 @@ object FeatureOps {
             .as("c2"))
       val cums = PrefixSum.globalCumsumMulti(hist, Seq(col("value")),
         Seq(col("c1") -> "cum1", col("c2") -> "cum2"))
-      val tot = hist.agg(sum(col("c1")).cast("long").as("n1"),
-        sum(col("c2")).cast("long").as("n2"))
+      // totals = final cumulative values — read off the prefix-sum's
+      // persisted range partitioning instead of rescanning events
+      val tot = cums.agg(max(col("cum1")).cast("long").as("n1"),
+        max(col("cum2")).cast("long").as("n2"))
       cums.crossJoin(broadcast(tot))
         .groupBy(col("n1"), col("n2"))
         .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
