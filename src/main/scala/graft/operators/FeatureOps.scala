@@ -360,6 +360,114 @@ object FeatureOps {
         .orderBy(col("cohort_day"), col("week_offset"))
     },
 
+    // Single changepoint detection on each event type's daily count
+    // series: the at-most-one-change CUSUM statistic G_k =
+    // |n·S_k − k·T| maximized over split points k, kept in exact
+    // integers (S_k from a keyed cumulative window, n/T from the
+    // 1-row-per-type totals) — the argmax filter-join needs no float
+    // comparison and ties break to the earliest day in both engines.
+    QuerySpec.sql(
+      "ts_changepoint",
+      """WITH d AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS k,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS sk
+        |  FROM d),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS t FROM d GROUP BY 1),
+        |g AS (SELECT r.event_type, r.day,
+        |    ABS(st.n * r.sk - r.k * st.t) AS g_num
+        |  FROM r JOIN st USING (event_type) WHERE r.k < st.n),
+        |mx AS (SELECT event_type, MAX(g_num) AS g_max FROM g GROUP BY 1)
+        |SELECT g.event_type, MIN(g.day) AS cp_day,
+        |  CAST(mx.g_max AS BIGINT) AS g_num
+        |FROM g JOIN mx ON mx.event_type = g.event_type
+        |  AND g.g_num = mx.g_max
+        |GROUP BY 1, 3 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val r = d
+        .withColumn("k", row_number().over(w).cast("long"))
+        .withColumn("sk", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      val st = d.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).cast("long").as("t"))
+      val g = r.join(st, "event_type").filter(col("k") < col("n"))
+        .select(col("event_type"), col("day"),
+          abs(col("n") * col("sk") - col("k") * col("t")).as("g_num"))
+      val mx = g.groupBy(col("event_type").as("m_type"))
+        .agg(max(col("g_num")).as("g_max"))
+      g.join(mx, col("m_type") === col("event_type") &&
+          col("g_num") === col("g_max"))
+        .groupBy(col("event_type"), col("g_max").cast("long").as("g_num"))
+        .agg(min(col("day")).as("cp_day"))
+        .select(col("event_type"), col("cp_day"), col("g_num"))
+        .orderBy(col("event_type"))
+    },
+
+    // Peak concurrency per day over the sessionized event stream: the
+    // classic interval-overlap maximum, computed WITHOUT interval
+    // explosion — per-instant net deltas (+1 session start, −1 after
+    // end) fold in a hash aggregate, one global prefix sum orders the
+    // instants, and a per-day max reads the running concurrency. At
+    // 100 TB the delta table is 2 rows per session and the only global
+    // structure is the range-partitioned prefix sum.
+    QuerySpec.sql(
+      "ts_concurrent_sessions",
+      s"""WITH ${graft.operators.TimeSeriesOps.sessionsSql},
+         |delta AS (
+         |  SELECT us, SUM(d) AS d FROM (
+         |    SELECT start_us AS us, 1 AS d FROM sess
+         |    UNION ALL SELECT end_us + 1, -1 FROM sess) x
+         |  GROUP BY 1),
+         |run AS (SELECT us,
+         |    CAST(SUM(d) OVER (ORDER BY us
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS conc
+         |  FROM delta)
+         |SELECT CAST(make_timestamp(us) AS DATE) AS day,
+         |  CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+         |FROM run GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val sess = TimeSeriesOps.sessions(s, dir)
+      val delta = sess.select(col("start_us").as("us"), lit(1L).as("d"))
+        .unionByName(sess.select((col("end_us") + 1L).as("us"),
+          lit(-1L).as("d")))
+        .groupBy(col("us")).agg(sum(col("d")).as("d"))
+      PrefixSum.globalCumsum(delta, Seq(col("us")), col("d"), "conc")
+        .groupBy(to_date(timestamp_micros(col("us"))).as("day"))
+        .agg(max(col("conc")).cast("long").as("peak_concurrency"))
+        .orderBy(col("day"))
+    },
+
+    // Deterministic k-fold assignment (k = 5) for cross-validation:
+    // the fold id is the engine-portable md5 hash of the document id,
+    // so folds are reproducible on any cluster, any partitioning —
+    // with per-fold size/char balance as the audit output.
+    QuerySpec.sql(
+      "sample_kfold",
+      """SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 5 AS fold,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long"), lit(5L)).as("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("fold"))
+    },
+
     // Hashing trick: document tokens folded into 64 hash buckets (the
     // fixed-width feature space) with per-bucket token and document
     // frequencies. The bucket id is the same engine-portable

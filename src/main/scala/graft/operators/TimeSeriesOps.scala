@@ -224,7 +224,7 @@ object TimeSeriesOps {
     * sessionize gate and the interval-overlap join. Both windows and
     * the aggregate share the single user_id shuffle partitioning.
     */
-  private def sessions(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def sessions(s: SparkSession, dir: String): DataFrame = {
     val gapUs = 14400000000L // 4 hours
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -244,7 +244,7 @@ object TimeSeriesOps {
 
   /** DuckDB CTE chain producing the same session table (expects to be
     * embedded in a WITH list; final CTE is named `sess`). */
-  private val sessionsSql =
+  private[operators] val sessionsSql =
     """e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
       |  FROM events),
       |f AS (SELECT *, CASE WHEN

@@ -311,7 +311,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // pid-partitioned PrefixSum windows, not one global sort-window.
     for (name <- Seq("attr_last_touch", "attr_linear", "stats_mannwhitney",
         "stats_ks_twosample", "stats_welch_ttest", "cohort_ltv",
-        "graph_assortativity", "feat_target_encode", "feat_hashing_trick")) {
+        "graph_assortativity", "feat_target_encode", "feat_hashing_trick",
+        "ts_changepoint", "ts_concurrent_sessions", "sample_kfold")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
