@@ -291,4 +291,74 @@ class RestartRecoverySpec extends AnyFunSuite {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("AttributionStream restart from checkpoint: touch buffer survives") {
+    import spark.implicits._
+    import graft.streaming.AttributionStream
+    import graft.streaming.AttributionStream.TouchEvent
+    val dropDir = Files.createTempDirectory("graft-rr-adrop").toString
+    val ckptDir = Files.createTempDirectory("graft-rr-ackpt").toString
+    val outDir = Files.createTempDirectory("graft-rr-aout").toString + "/sink"
+
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+
+    // batch oracle — identical to AttributionStreamSpec's
+    val tch = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("t_user"), col("us").as("t_us"),
+        col("event_id").as("t_id"), col("event_type").as("t_type"))
+    val expected = ev.filter(col("event_type") === "purchase")
+      .join(tch, col("t_user") === col("user_id") && col("t_us") <= col("us"),
+        "left")
+      .groupBy(col("event_id"), col("user_id"), col("us"))
+      .agg(max_by(struct(col("t_id"), col("t_type")),
+        struct(col("t_us"), col("t_id"))).as("w"))
+      .select(col("event_id"), col("user_id"), col("us").as("ts_us"),
+        col("w.t_id").as("touch_id"), col("w.t_type").as("touch_type"))
+      .collect().map(_.toSeq).toSet
+
+    val all = ev.as[TouchEvent].collect().sortBy(e => (e.us, e.event_id))
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val sentinel = TouchEvent(-1L, -1L, "noise",
+      all.last.us + 30L * 24 * 3600 * 1000000)
+
+    def drop(events: Seq[TouchEvent]): Unit =
+      spark.createDataset(events).repartition(1)
+        .write.mode("append").parquet(dropDir)
+
+    def startQuery() = {
+      val stream = spark.readStream
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, us BIGINT")
+        .parquet(dropDir).as[TouchEvent]
+      AttributionStream.attributions(spark, stream,
+          watermarkDelay = "0 seconds")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append")
+        .start()
+    }
+
+    // phase 1: first half — per-user compacted touch buffers and
+    // still-unripe purchases accumulate in the state store
+    drop(b1.toSeq)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2: rest + watermark-advancing sentinel on a FRESH query
+    // from the same checkpoint: the recovered winning-predecessor
+    // touch must still attribute phase-2 purchases, or every user
+    // whose last touch predates the restart reports null
+    drop(b2.toSeq :+ sentinel)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("touch_id"), col("touch_type"))
+      .collect().map(_.toSeq).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }
