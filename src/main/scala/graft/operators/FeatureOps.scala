@@ -468,6 +468,34 @@ object FeatureOps {
         .orderBy(col("fold"))
     },
 
+    // Class-balanced sampling: exactly k = 40 vectors per label, the
+    // per-class budget every classifier-training pipeline draws.
+    // Selection order is the portable md5 hash of the id (uniform,
+    // reproducible on any partitioning); the per-label top-k runs the
+    // custom TopKPerKey plan — map-side heap pruning, k·partitions
+    // shuffle rows — never a per-label sort of the whole class.
+    QuerySpec.sql(
+      "sample_class_balanced",
+      """WITH h AS (SELECT label, vec_id,
+        |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS hv
+        |  FROM embeddings),
+        |r AS (SELECT label, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY hv, vec_id)
+        |      AS rn
+        |  FROM h)
+        |SELECT label, vec_id FROM r WHERE rn <= 40
+        |ORDER BY label, vec_id""".stripMargin) { (s, dir) =>
+      val h = t(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"),
+          conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+            .cast("long").as("hv"))
+      graft.plans.TopKPerKey.topK(h, Seq("label"),
+          Seq("hv" -> false, "vec_id" -> false), 40)
+        .select(col("label"), col("vec_id"))
+        .orderBy(col("label"), col("vec_id"))
+    },
+
     // Hashing trick: document tokens folded into 64 hash buckets (the
     // fixed-width feature space) with per-bucket token and document
     // frequencies. The bucket id is the same engine-portable

@@ -1500,6 +1500,40 @@ object TimeSeriesOps {
         .orderBy(col("event_id"))
     },
 
+    // As-of with a staleness tolerance: the backward match only counts
+    // if it is at most 30 days old at probe time — the quote-expiry
+    // variant every trading/feature system needs. Same merge plan as
+    // j_asof_latest_order; the tolerance is a post-projection null-out,
+    // not a join-shape change.
+    QuerySpec.sql(
+      "j_asof_tolerance",
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    CAST(MAX(o_orderkey) AS BIGINT) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  CASE WHEN epoch_us(e.ts) - epoch_us(o.o_orderdate)
+        |      <= 2592000000000 THEN o.o_orderkey END AS o_orderkey
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val tolUs = 2592000000000L // 30 days
+      val ords = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .withColumn("o_us", unix_micros(col("o_orderdate").cast("timestamp")))
+      graft.functions.AsOfJoin.asofBackward(
+          events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+          "user_id", "ts",
+          ords, "o_custkey", "o_orderdate",
+          Seq("o_orderkey", "o_us"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          when(unix_micros(col("ts")) - col("o_us") <= tolUs,
+            col("o_orderkey")).as("o_orderkey"))
+        .orderBy(col("event_id"))
+    },
+
     // Trailing 7-day rolling MEDIAN of daily counts per series — the
     // robust-baseline companion to the z-score gate (a single spike
     // day cannot drag the median the way it drags the mean). Exact

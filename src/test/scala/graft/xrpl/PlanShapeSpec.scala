@@ -312,7 +312,8 @@ class PlanShapeSpec extends AnyFunSuite {
     for (name <- Seq("attr_last_touch", "attr_linear", "stats_mannwhitney",
         "stats_ks_twosample", "stats_welch_ttest", "cohort_ltv",
         "graph_assortativity", "feat_target_encode", "feat_hashing_trick",
-        "ts_changepoint", "ts_concurrent_sessions", "sample_kfold")) {
+        "ts_changepoint", "ts_concurrent_sessions", "sample_kfold",
+        "j_asof_tolerance")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
@@ -322,5 +323,11 @@ class PlanShapeSpec extends AnyFunSuite {
       }
       assert(bad.isEmpty, s"$name plans an unpartitioned WindowExec")
     }
+    // class-balanced sampling dogfoods the custom top-k plan
+    val cb = collectNodes(planOf("sample_class_balanced"))
+    assert(cb.exists(_.isInstanceOf[graft.plans.TopKPerKeyExec]),
+      "sample_class_balanced lacks TopKPerKeyExec")
+    assert(!cb.exists(_.isInstanceOf[WindowExec]),
+      "sample_class_balanced plans a WindowExec")
   }
 }
