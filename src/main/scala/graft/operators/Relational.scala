@@ -1173,11 +1173,13 @@ object Relational {
         |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)
         |      AS xm
         |  FROM orders),
-        |bb AS (SELECT unnest(range(1, 21)) AS b),
-        |w AS (SELECT bb.b, r.xm,
-        |    CAST(('0x' || substr(md5(r.o_orderkey || ':' || bb.b), 1, 8))
-        |      AS BIGINT) % 1000000 AS u
-        |  FROM r, bb),
+        |h AS (SELECT r.xm, gg.g,
+        |    md5(r.o_orderkey || ':' || gg.g) AS hx
+        |  FROM r, (SELECT unnest(range(0, 4)) AS g) gg),
+        |w AS (SELECT h.g * 5 + jj.j + 1 AS b, h.xm,
+        |    CAST(('0x' || substr(h.hx, 1 + 6 * jj.j, 6)) AS BIGINT)
+        |      % 1000000 AS u
+        |  FROM h, (SELECT unnest(range(0, 5)) AS j) jj),
         |wp AS (SELECT b, xm,
         |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
         |      WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
@@ -1189,19 +1191,28 @@ object Relational {
       t(s, dir, "orders")
         .select(col("o_orderkey"),
           micros6(col("o_totalprice")).as("xm"))
-        .select(col("o_orderkey"), col("xm"),
-          explode(sequence(lit(1), lit(20))).as("b"))
-        .select(col("b"), col("xm"),
-          (conv(substring(md5(concat(col("o_orderkey").cast("string"),
-            lit(":"), col("b").cast("string"))), 1, 8), 16, 10)
-            .cast("long") % 1000000).as("u"))
-        .select(col("b"), col("xm"),
-          when(col("u") < 367879, 0L).when(col("u") < 735759, 1L)
-            .when(col("u") < 919699, 2L).when(col("u") < 981012, 3L)
-            .when(col("u") < 996340, 4L).otherwise(5L).as("w"))
-        .groupBy(col("b").cast("long").as("b"))
-        .agg(sum(col("w")).as("n_eff"),
-          sum(col("w") * col("xm")).as("swx"))
+        // the 20 replicas ride as COLUMNS, not rows: one md5 per (row,
+        // group-of-5) feeds five 6-hex-digit draws, all 40 partial sums
+        // fold in a single map-side-combinable pass (no 20x Generate
+        // explosion of the fact table), and the 1-row result unpivots
+        .select(col("xm") +: (0 to 3).map(g =>
+          md5(concat(col("o_orderkey").cast("string"), lit(s":$g")))
+            .as(s"h$g")): _*)
+        .select(col("xm") +: (1 to 20).map { b =>
+          val (g, j) = ((b - 1) / 5, (b - 1) % 5)
+          val u = conv(substring(col(s"h$g"), 1 + 6 * j, 6), 16, 10)
+            .cast("long") % 1000000
+          (when(u < 367879, 0L).when(u < 735759, 1L)
+            .when(u < 919699, 2L).when(u < 981012, 3L)
+            .when(u < 996340, 4L).otherwise(5L)).as(s"w$b")
+        }: _*)
+        .agg(sum(col("w1")).as("n1"), (2 to 20).map(b =>
+            sum(col(s"w$b")).as(s"n$b")) ++
+          (1 to 20).map(b =>
+            sum(col(s"w$b") * col("xm")).as(s"s$b")): _*)
+        .select(expr("stack(20, " + (1 to 20).map(b =>
+          s"CAST($b AS BIGINT), n$b, s$b").mkString(", ") +
+          ") AS (b, n_eff, swx)"))
         .select(col("b"), col("n_eff"),
           expr("CAST(swx div n_eff AS BIGINT)").as("mean_micro"))
         .orderBy(col("b"))
