@@ -427,6 +427,62 @@ object DedupOps {
       ngramJaccardPairs(s, dir).orderBy(col("a_id"), col("b_id"))
     },
 
+    // EXACT set-similarity self-join via prefix filtering (the
+    // PPJoin-family candidate rule): unlike the LSH/banded gates
+    // (probabilistic recall) and dedup_ngram_jaccard (df-ceiling +
+    // language blocking), this finds EVERY word-3-gram-Jaccard ≥ 0.6
+    // pair with no blocking assumptions. Grams sort globally
+    // rarest-first (df, gram); two docs can reach τ only if their
+    // first n − ⌈τn⌉ + 1 grams share one, so candidates come from an
+    // equi-join of those prefixes — df-biased toward df-1 grams, so
+    // the candidate surface tracks true-pair density, not corpus².
+    // ⌈0.6n⌉ evaluates as the exact integer (3n+4) div 5 — the prefix
+    // bound never rides a float. The oracle joins on ALL shared grams
+    // (its completeness is definitional), so the hash compare proves
+    // the prefix filter lost nothing.
+    QuerySpec.sql(
+      "dedup_prefix_filter",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |      AS ng
+        |  FROM toks,
+        |    LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g
+        |  WHERE len(ts) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        |  FROM grams a JOIN grams b ON b.ng = a.ng AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(c AS BIGINT) AS n_inter,
+        |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val ordered = orderedGrams(s, dir)
+      val pref = ordered
+        .select(col("doc_id"), explode(expr("slice(toks, 1, p)")).as("tk"))
+      val cand = pref.select(col("tk"), col("doc_id").as("doc_a"))
+        .join(pref.select(col("tk"), col("doc_id").as("doc_b")), Seq("tk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      cand
+        .join(ordered.select(col("doc_id").as("doc_a"),
+          col("toks").as("ta"), col("n").as("na")), Seq("doc_a"))
+        .join(ordered.select(col("doc_id").as("doc_b"),
+          col("toks").as("tb"), col("n").as("nb")), Seq("doc_b"))
+        .withColumn("n_inter",
+          size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .withColumn("jaccard", col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // Self-measuring candidate-generation quality for the DEDUP
     // pipeline — the ANN-recall-gate discipline applied to banded
     // MinHash: of the true lexical near-dup pairs (word-3-gram Jaccard,
@@ -1154,7 +1210,26 @@ object DedupOps {
     * the banded-candidate chain) — callers must not release before
     * that section has run.
     */
+  /** Rarest-first-ordered gram arrays + prefix length for the exact
+    * prefix-filter join: one df pass + one collect per (session, dir)
+    * — the pref self-join and both verify joins all read this one
+    * build (plan-keyed cache; released with the section).
+    */
+  private def orderedGrams(s: SparkSession, dir: String): DataFrame = {
+    val tok = gramSets(s, dir)
+      .select(col("doc_id"), explode(col("gs")).as("tk"))
+    val dfreq = tok.groupBy(col("tk")).agg(count(lit(1)).as("dfc"))
+    tok.join(dfreq, Seq("tk"))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(dfc, tk)))," +
+        " x -> x.tk)").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("p", col("n") - expr("(3 * n + 4) div 5") + 1)
+      .cache()
+  }
+
   private[graft] def releaseCaches(s: SparkSession, dir: String): Unit = {
+    orderedGrams(s, dir).unpersist(blocking = true)
     minhashSig(s, dir).unpersist(blocking = true)
     bandedCandidates(s, dir).unpersist(blocking = true)
     gramSets(s, dir).unpersist(blocking = true)

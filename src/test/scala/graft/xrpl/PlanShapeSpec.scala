@@ -313,7 +313,7 @@ class PlanShapeSpec extends AnyFunSuite {
         "stats_ks_twosample", "stats_welch_ttest", "cohort_ltv",
         "graph_assortativity", "feat_target_encode", "feat_hashing_trick",
         "ts_changepoint", "ts_concurrent_sessions", "sample_kfold",
-        "j_asof_tolerance")) {
+        "j_asof_tolerance", "dedup_prefix_filter")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
