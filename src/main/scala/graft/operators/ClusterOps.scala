@@ -877,5 +877,81 @@ object ClusterOps {
             |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
             |END""".stripMargin).as("assortativity"))
+    },
+
+    // k-core peel trajectory of the k-NN graph (k = 4): per peel
+    // round, the surviving node/edge counts until the cascade
+    // stabilizes (on this graph the 4-core collapses — min degree is
+    // 3 — and the TRAJECTORY is the informative output: how many
+    // rounds the cascade takes and how fast mass drains is the
+    // degeneracy profile SNAP-style graph reports publish). Exactly
+    // KcoreRounds rounds in both engines — peeling is idempotent at
+    // the fixpoint, so trailing rounds just repeat the converged
+    // counts and the hash compare stays exact whatever round the
+    // cascade actually stops. Each round is one alive-filter join +
+    // one degree aggregate; the per-round counts are driver-bounded
+    // (one row per round), same budget discipline as k-means /
+    // connected components.
+    QuerySpec.sql(
+      "graph_kcore_peel",
+      s"""WITH sig AS (${SimilarityOps.quantizedSql}),
+         |knn AS (SELECT vec_id, nbr_id FROM (${SimilarityOps.knnEdgesSql(3)}) k),
+         |e0 AS MATERIALIZED (SELECT DISTINCT LEAST(vec_id, nbr_id) AS u,
+         |    GREATEST(vec_id, nbr_id) AS v FROM knn),
+         |${(1 to KcoreRounds).map { i =>
+            // MATERIALIZED: each round references its predecessor three
+            // times — inlined CTEs would re-expand the whole chain
+            // exponentially (and re-open the parquet at every leaf)
+            val pe = if (i == 1) "e0" else s"e${i - 1}"
+            s"""a$i AS MATERIALIZED (SELECT n FROM (SELECT u AS n FROM $pe
+               |    UNION ALL SELECT v FROM $pe) m
+               |  GROUP BY n HAVING COUNT(*) >= $KcoreK),
+               |e$i AS MATERIALIZED (SELECT u, v FROM $pe
+               |  JOIN a$i au ON au.n = u JOIN a$i av ON av.n = v)"""
+              .stripMargin
+          }.mkString(",\n")}
+         |${(0 to KcoreRounds).map { i =>
+            s"""SELECT CAST($i AS BIGINT) AS k_round,
+               |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               |    (SELECT DISTINCT n FROM (SELECT u AS n FROM e$i
+               |      UNION ALL SELECT v FROM e$i) m) d) AS n_nodes,
+               |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e$i) AS n_edges"""
+              .stripMargin
+          }.mkString("\nUNION ALL\n")}
+         |ORDER BY k_round""".stripMargin) { (s, dir) =>
+      var edges = undirectedEdges(s, dir)
+      val trace = Seq.newBuilder[(Long, Long, Long)]
+      // per-round snapshot: ONE aggregate job for (nodes, edges)
+      def counts(e: DataFrame): (Long, Long) = {
+        val r = e.select(col("u").as("n"))
+          .unionByName(e.select(col("v").as("n")))
+          .agg(countDistinct(col("n")).as("nodes"),
+            count(lit(1)).as("ends"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1) / 2)
+      }
+      val (n0, m0) = counts(edges)
+      trace += ((0L, n0, m0))
+      for (i <- 1 to KcoreRounds) {
+        val deg = edges.select(col("u").as("n"))
+          .unionByName(edges.select(col("v").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        val keep = Materialize.stable(
+          deg.filter(col("d") >= KcoreK).select(col("n")))
+        edges = Materialize.stable(edges
+          .join(keep.select(col("n").as("ku")), col("ku") === col("u"))
+          .join(keep.select(col("n").as("kv")), col("kv") === col("v"))
+          .select(col("u"), col("v")))
+        val (n, m) = counts(edges)
+        trace += ((i.toLong, n, m))
+      }
+      import s.implicits._
+      trace.result().toDF("k_round", "n_nodes", "n_edges")
+        .orderBy(col("k_round"))
     })
+
+  /** Peel threshold and round cap for [[graph_kcore_peel]]'s oracle
+    * unrolling. */
+  val KcoreK = 4
+  val KcoreRounds = 6
 }
