@@ -461,8 +461,8 @@ object FeatureOps {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       t(s, dir, "documents")
-        .groupBy(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
-          16, 10).cast("long"), lit(5L)).as("fold"))
+        .groupBy(pmod(graft.functions.Md5Prefix.md5_prefix_long(
+          col("doc_id").cast("string")), lit(5L)).as("fold"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("sum_chars"))
         .orderBy(col("fold"))
@@ -488,8 +488,8 @@ object FeatureOps {
         |ORDER BY label, vec_id""".stripMargin) { (s, dir) =>
       val h = t(s, dir, "embeddings")
         .select(col("label"), col("vec_id"),
-          conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
-            .cast("long").as("hv"))
+          graft.functions.Md5Prefix.md5_prefix_long(
+            col("vec_id").cast("string")).as("hv"))
       graft.plans.TopKPerKey.topK(h, Seq("label"),
           Seq("hv" -> false, "vec_id" -> false), 40)
         .select(col("label"), col("vec_id"))
@@ -519,7 +519,7 @@ object FeatureOps {
           "filter(regexp_extract_all(lower(text), '[a-z]+', 0)," +
             " t -> length(t) >= 2)")).as("tk"))
         .select(col("doc_id"),
-          pmod(conv(substring(md5(col("tk")), 1, 8), 16, 10).cast("long"),
+          pmod(graft.functions.Md5Prefix.md5_prefix_long(col("tk")),
             lit(64L)).as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_tokens"),

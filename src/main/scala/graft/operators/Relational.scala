@@ -1191,17 +1191,18 @@ object Relational {
       t(s, dir, "orders")
         .select(col("o_orderkey"),
           micros6(col("o_totalprice")).as("xm"))
-        // the 20 replicas ride as COLUMNS, not rows: one md5 per (row,
-        // group-of-5) feeds five 6-hex-digit draws, all 40 partial sums
-        // fold in a single map-side-combinable pass (no 20x Generate
-        // explosion of the fact table), and the 1-row result unpivots
+        // the 20 replicas ride as COLUMNS, not rows: one codegen'd
+        // Md5Draws per (row, group-of-5) yields five 6-hex-digit draws
+        // with no intermediate hex strings, all 40 partial sums fold in
+        // a single map-side-combinable pass (no 20x Generate explosion
+        // of the fact table), and the 1-row result unpivots
         .select(col("xm") +: (0 to 3).map(g =>
-          md5(concat(col("o_orderkey").cast("string"), lit(s":$g")))
+          graft.functions.Md5Draws.md5_draws(
+            concat(col("o_orderkey").cast("string"), lit(s":$g")))
             .as(s"h$g")): _*)
         .select(col("xm") +: (1 to 20).map { b =>
           val (g, j) = ((b - 1) / 5, (b - 1) % 5)
-          val u = conv(substring(col(s"h$g"), 1 + 6 * j, 6), 16, 10)
-            .cast("long") % 1000000
+          val u = element_at(col(s"h$g"), j + 1) % 1000000
           (when(u < 367879, 0L).when(u < 735759, 1L)
             .when(u < 919699, 2L).when(u < 981012, 3L)
             .when(u < 996340, 4L).otherwise(5L)).as(s"w$b")

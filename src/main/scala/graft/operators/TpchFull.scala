@@ -36,8 +36,9 @@ object TpchFull {
     t(s, dir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey")).distinct()
       .withColumn("u",
-        conv(substring(md5(concat(col("l_partkey").cast("string"), lit(":"),
-          col("l_suppkey").cast("string"))), 1, 8), 16, 10).cast("long"))
+        graft.functions.Md5Prefix.md5_prefix_long(
+          concat(col("l_partkey").cast("string"), lit(":"),
+            col("l_suppkey").cast("string"))))
       .select(
         col("l_partkey").as("ps_partkey"),
         col("l_suppkey").as("ps_suppkey"),
