@@ -10,32 +10,35 @@ import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the engine-portable md5-prefix hash:
-  * the first 8 hex chars of md5(s) as an unsigned 32-bit value in a
+  * the first `hexLen` hex chars of md5(s) as a base-16 value in a
   * LONG — bit-identical to the declarative
-  * `conv(substring(md5(s), 1, 8), 16, 10)` spelling and to DuckDB's
-  * `CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)`, so every oracle
-  * that uses the portable hash is unchanged.
+  * `conv(substring(md5(s), 1, hexLen), 16, 10)` spelling and to
+  * DuckDB's `CAST(('0x' || substr(md5(s), 1, hexLen)) AS BIGINT)`, so
+  * every oracle that uses the portable hash is unchanged (hexLen 8 =
+  * the 32-bit draws; hexLen 13 = the 52-bit sketch hashes).
   *
   * The declarative chain allocates three intermediate strings per call
-  * (32-char hex digest, 8-char substring, conv's base conversion);
-  * this expression digests the UTF8 bytes and assembles the value from
-  * the first four digest bytes directly — one codegen'd static call,
-  * zero intermediate allocations. Used by the hash-derived gates
-  * (bootstrap replicas, derived partsupp, k-folds, hashing trick,
-  * class-balanced sampling).
+  * (32-char hex digest, substring, conv's base conversion); this
+  * expression digests the UTF8 bytes and assembles the value from the
+  * leading digest bytes directly — one codegen'd static call, zero
+  * intermediate allocations. Used by the hash-derived gates (bootstrap
+  * replicas, derived partsupp, k-folds, hashing trick, class-balanced
+  * sampling, KMV/HLL sketch hashes).
   */
-case class Md5Prefix(child: Expression) extends UnaryExpression {
+case class Md5Prefix(child: Expression, hexLen: Int = 8)
+    extends UnaryExpression {
+  require(hexLen >= 1 && hexLen <= 15, "hexLen must fit a signed long")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 
   override def nullSafeEval(s: Any): Any =
-    Md5Prefix.prefix(s.asInstanceOf[UTF8String])
+    Md5Prefix.prefix(s.asInstanceOf[UTF8String], hexLen)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t => {
       val cls = Md5Prefix.getClass.getName.stripSuffix("$") + "$.MODULE$"
-      s"${ev.value} = $cls.prefix($t);"
+      s"${ev.value} = $cls.prefix($t, $hexLen);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -55,16 +58,28 @@ object Md5Prefix {
     md.digest(s.getBytes)
   }
 
-  /** First 4 md5 bytes big-endian as an unsigned int in a long —
-    * exactly the value of parsing the first 8 hex chars base-16. */
-  def prefix(s: UTF8String): Long = {
+  /** First `hexLen` hex chars of the digest as a base-16 long —
+    * assembled from the leading ceil(hexLen/2) bytes, dropping the
+    * trailing low nibble when hexLen is odd. */
+  def prefix(s: UTF8String, hexLen: Int): Long = {
     val d = digest(s)
-    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    var acc = 0L
+    var i = 0
+    val full = hexLen / 2
+    while (i < full) {
+      acc = (acc << 8) | (d(i) & 0xffL)
+      i += 1
+    }
+    if ((hexLen & 1) == 1) acc = (acc << 4) | ((d(full) & 0xf0L) >> 4)
+    acc
   }
 
-  /** Column-API form. */
+  /** Column-API form (first 8 hex chars — the 32-bit draw). */
   def md5_prefix_long(s: Column): Column = column(Md5Prefix(expression(s)))
+
+  /** Column-API form with explicit prefix width in hex chars. */
+  def md5_prefix_long(s: Column, hexLen: Int): Column =
+    column(Md5Prefix(expression(s), hexLen))
 }
 
 /** Five 24-bit draws from one md5: draw j = hex chars [6j, 6j+6) of

@@ -345,8 +345,8 @@ object PipelineOps {
         .select(col("doc_id"), col("source"),
           explode(split(col("text"), " ")).as("tok"))
         .select(col("doc_id"), col("source"),
-          (conv(substring(md5(concat(col("tok"), lit(":dsir"))), 1, 8),
-            16, 10).cast("long") % DsirBuckets).as("b"))
+          (graft.functions.Md5Prefix.md5_prefix_long(
+            concat(col("tok"), lit(":dsir"))) % DsirBuckets).as("b"))
       // both distributions counted in ONE pass over the token stream
       // (qc = proposal count, tc = target count per bucket)
       val cnt = tb.groupBy(col("b")).agg(count(lit(1)).as("qc"),
@@ -417,8 +417,8 @@ object PipelineOps {
       val tb = docs(s, dir)
         .select(col("source"), explode(split(col("text"), " ")).as("tok"))
         .select(col("source"),
-          (conv(substring(md5(concat(col("tok"), lit(":dsir"))), 1, 8),
-            16, 10).cast("long") % DsirBuckets).as("b"))
+          (graft.functions.Md5Prefix.md5_prefix_long(
+            concat(col("tok"), lit(":dsir"))) % DsirBuckets).as("b"))
       val qc = tb.groupBy(col("b")).agg(count(lit(1)).as("qc"))
       val qt = qc.agg(sum(col("qc")).as("qtot"))
       val sc = tb.groupBy(col("source"), col("b"))

@@ -679,8 +679,8 @@ object TimeSeriesOps {
       val k = 64
       val h = events(s, dir)
         .select(col("event_type"),
-          conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
-            .cast("long").as("hv"))
+          graft.functions.Md5Prefix.md5_prefix_long(
+            col("user_id").cast("string"), 13).as("hv"))
         .distinct()
       val wLocal = Window
         .partitionBy(col("event_type"), pmod(xxhash64(col("hv")), lit(16)))
@@ -799,8 +799,8 @@ object TimeSeriesOps {
         .select(col("event_type"), elem.as("elem")).distinct()
       val h = du
         .select(col("event_type"),
-          conv(substring(md5(col("elem").cast("string")), 1, 13), 16, 10)
-            .cast("long").as("hv"))
+          graft.functions.Md5Prefix.md5_prefix_long(
+            col("elem").cast("string"), 13).as("hv"))
         .distinct()
       // per-type bottom-k without a full per-type sort: local rank in
       // 16 salt buckets (≤ 16k survivors), then the tiny global rank
@@ -932,8 +932,8 @@ object TimeSeriesOps {
         |ORDER BY f.event_type""".stripMargin) { (s, dir) =>
       val ev = events(s, dir)
       val h = ev.select(col("event_type"),
-        conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
-          .cast("long").as("hv"))
+        graft.functions.Md5Prefix.md5_prefix_long(
+          col("user_id").cast("string"), 13).as("hv"))
       // register build: NO distinct pre-pass — max is idempotent, so
       // duplicate hashes fold map-side in the same hash aggregate
       val regs = h

@@ -29,6 +29,15 @@ class Md5PrefixSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.collect().mkString(", "))
   }
 
+  test("md5_prefix_long(_, 13) equals conv(substring(md5, 1, 13), 16, 10)") {
+    val bad = inputs
+      .withColumn("fast", Md5Prefix.md5_prefix_long(col("s"), 13))
+      .withColumn("slow",
+        conv(substring(md5(col("s")), 1, 13), 16, 10).cast("long"))
+      .filter(col("fast") =!= col("slow"))
+    assert(bad.isEmpty, bad.collect().mkString(", "))
+  }
+
   test("md5_draws equals the five conv(substring(md5, 1+6j, 6)) draws") {
     var df = inputs.withColumn("d", Md5Draws.md5_draws(col("s")))
     for (j <- 0 until Md5Draws.NumDraws)
@@ -47,8 +56,10 @@ class Md5PrefixSpec extends AnyFunSuite {
       val u = UTF8String.fromString(s)
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      assert(Md5Prefix.prefix(u) === java.lang.Long.parseLong(
+      assert(Md5Prefix.prefix(u, 8) === java.lang.Long.parseLong(
         hex.substring(0, 8), 16))
+      assert(Md5Prefix.prefix(u, 13) === java.lang.Long.parseLong(
+        hex.substring(0, 13), 16))
       val d = Md5Draws.draws(u)
       for (j <- 0 until Md5Draws.NumDraws)
         assert(d.getLong(j) === java.lang.Long.parseLong(
