@@ -156,6 +156,73 @@ object EntityOps {
          |SELECT id AS name, MIN(r) AS entity
          |FROM reach GROUP BY id
          |ORDER BY name""".stripMargin) { (s, dir) =>
+      entityClusters(s, dir).orderBy(col("name"))
+    },
+
+    // Golden-record survivorship: one canonical record per resolved
+    // entity — the post-clustering merge step every MDM/ER pipeline
+    // ends with. Canonical surface form = the most-supported variant
+    // (ties to the lexicographically smallest, via min_by over a
+    // (−support, name) struct — deterministic in both engines);
+    // attribute spread (price min/max) aggregates across all cluster
+    // members. Two hash aggregates over the fact ⋈ broadcast(label)
+    // join; the dictionary-first discipline keeps every ER stage
+    // vocabulary-bounded.
+    QuerySpec.sql(
+      "er_golden_record",
+      s"""WITH RECURSIVE d AS ($dictSql),
+         |cand AS (
+         |  SELECT a.name AS a, b.name AS b
+         |  FROM d a JOIN d b ON a.blk = b.blk AND a.name < b.name
+         |  WHERE levenshtein(a.name, b.name) <= 3),
+         |edges AS (
+         |  SELECT a AS u, b AS v FROM cand
+         |  UNION ALL SELECT b, a FROM cand),
+         |reach AS (
+         |  SELECT name AS id, name AS r FROM d
+         |  UNION
+         |  SELECT re.id, e.v FROM reach re JOIN edges e ON e.u = re.r),
+         |cl AS (SELECT id AS name, MIN(r) AS entity FROM reach GROUP BY id),
+         |j AS (SELECT cl.entity, p.p_name, p.p_retailprice
+         |  FROM part p JOIN cl ON cl.name = p.p_name),
+         |sup AS (SELECT entity, p_name, COUNT(*) AS n
+         |  FROM j GROUP BY 1, 2),
+         |canon AS (SELECT entity, p_name AS canonical FROM (
+         |  SELECT entity, p_name,
+         |    ROW_NUMBER() OVER (PARTITION BY entity
+         |      ORDER BY n DESC, p_name) AS rn
+         |  FROM sup) r WHERE rn = 1)
+         |SELECT j.entity, canon.canonical,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(DISTINCT j.p_name) AS BIGINT) AS n_variants,
+         |  MIN(j.p_retailprice) AS price_min,
+         |  MAX(j.p_retailprice) AS price_max
+         |FROM j JOIN canon ON canon.entity = j.entity
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val cl = entityClusters(s, dir)
+      val j = Tables(s, dir, "part")
+        .join(broadcast(cl), col("p_name") === col("name"))
+        .select(col("entity"), col("p_name"), col("p_retailprice"))
+      val sup = j.groupBy(col("entity"), col("p_name"))
+        .agg(count(lit(1)).as("n"))
+      val canon = sup.groupBy(col("entity"))
+        .agg(min_by(col("p_name"),
+          struct((col("n") * -1).as("nn"), col("p_name"))).as("canonical"))
+      j.join(broadcast(canon), Seq("entity"))
+        .groupBy(col("entity"), col("canonical"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("p_name")).as("n_variants"),
+          min(col("p_retailprice")).as("price_min"),
+          max(col("p_retailprice")).as("price_max"))
+        .orderBy(col("entity"))
+    })
+
+  /** The resolved (name, entity) label table — the shared body of
+    * `er_entity_clusters` and `er_golden_record`: blocked candidate
+    * edges under the levenshtein gate, min-label connected components
+    * over the dictionary (dictionary-sized: no cache needed).
+    */
+  private def entityClusters(s: SparkSession, dir: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val d = dict(s, dir)
       val base = d.select(col("name"), col("blk"))
@@ -188,6 +255,5 @@ object EntityOps {
         .join(broadcast(idx.select(col("idx").as("label"),
           col("name").as("entity"))), Seq("label"))
         .select(col("name"), col("entity"))
-        .orderBy(col("name"))
-    })
+  }
 }

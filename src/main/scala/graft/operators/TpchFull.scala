@@ -412,6 +412,52 @@ object TpchFull {
         .orderBy(col("s_suppkey"))
     },
 
+    // Ratio-to-report: each nation's revenue share within its region —
+    // the standard reporting window, spelled as a keyed aggregate +
+    // region-level re-aggregate + broadcast join (never an
+    // unpartitioned window; the share division is one IEEE op over
+    // two exact decimal-derived doubles).
+    QuerySpec.sql(
+      "w_share_of_region",
+      """WITH nr AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+        |      AS rev_dec
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT r_name, SUM(rev_dec) AS r_total
+        |  FROM nr GROUP BY 1)
+        |SELECT nr.r_name, nr.n_name, CAST(nr.rev_dec AS DOUBLE) AS revenue,
+        |  CAST(nr.rev_dec AS DOUBLE) / CAST(rt.r_total AS DOUBLE)
+        |    AS region_share
+        |FROM nr JOIN rt ON rt.r_name = nr.r_name
+        |ORDER BY nr.r_name, nr.n_name""".stripMargin) { (s, dir) =>
+      // the re-aggregate stays DECIMAL (a double re-sum would be
+      // order-dependent across partitions); only the final projection
+      // casts, so the share is one IEEE division of identical operands
+      val nr = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(38,6)")).as("rev_dec"))
+      val rt = nr.groupBy(col("r_name").as("rt_name"))
+        .agg(sum(col("rev_dec")).as("r_total"))
+      nr.join(broadcast(rt), col("rt_name") === col("r_name"))
+        .select(col("r_name"), col("n_name"),
+          col("rev_dec").cast("double").as("revenue"),
+          (col("rev_dec").cast("double") / col("r_total").cast("double"))
+            .as("region_share"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
     // q22: global sales opportunity — rich-but-inactive customers per
     // nation: 1-row broadcast average threshold + anti-join against
     // orders (c_phone is absent; the country-code IN-list becomes a
