@@ -286,8 +286,7 @@ class PlanShapeSpec extends AnyFunSuite {
     for (name <- Seq("q2_min_cost_supplier", "q8_market_share",
         "q9_product_profit", "q10_returned_items", "q11_important_stock",
         "q15_top_supplier", "q16_parts_suppliers", "q19_disjunctive_revenue",
-        "q20_potential_promotion", "q22_global_sales", "w_share_of_region",
-        "er_golden_record")) {
+        "q20_potential_promotion", "q22_global_sales", "w_share_of_region")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
@@ -298,6 +297,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // q16's NOT-IN supplier exclusion and q22's inactivity check stay
     // anti joins; q20's candidate membership stays a semi join; the
     // two top-k reports TakeOrderedAndProject instead of global sorts.
+    // golden record: the cluster body's index window is KEYED
+    // (partitionBy prefix) — assert no cartesian and no global window
+    val gr = collectNodes(planOf("er_golden_record"))
+    assert(!gr.map(_.toString).mkString.contains("CartesianProduct"),
+      "er_golden_record plans an unbroadcast cartesian join")
+    assert(!gr.exists {
+      case w: WindowExec => w.partitionSpec.isEmpty
+      case _ => false
+    }, "er_golden_record plans an unpartitioned WindowExec")
     assert(planString("q16_parts_suppliers").contains("LeftAnti"))
     assert(planString("q22_global_sales").contains("LeftAnti"))
     assert(planString("q20_potential_promotion").contains("LeftSemi"))
