@@ -796,6 +796,77 @@ object SimilarityOps {
         .orderBy(col("qid"))
     },
 
+    // Filtered vector search — ANN under a metadata predicate, the
+    // production shape every vector store struggles with. Strategy
+    // measured: OVER-FETCH-THEN-FILTER (top-20 unfiltered, keep
+    // predicate survivors, re-rank to top-5) against the true top-5
+    // over the pre-filtered candidate set. The recall number IS the
+    // capacity answer for the 4× over-fetch factor at this predicate
+    // selectivity (labels {1,3,5} ≈ 30%) — the same measured-tradeoff
+    // discipline as the per-family recall gates. Both sides reuse the
+    // cached signatures; ranking runs the TopKPerKey heap plan.
+    QuerySpec.sql(
+      "sim_filtered_recall",
+      s"""WITH sig AS ($quantizedSql),
+         |scored AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vid, b.label,
+         |    list_dot_product(a.qv, b.qv)
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))
+         |      AS cos
+         |  FROM sig a JOIN sig b
+         |    ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+         |truth AS (SELECT qid, vid FROM (
+         |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vid) AS rnk
+         |    FROM scored WHERE label IN (1, 3, 5)) t
+         |  WHERE rnk <= 5),
+         |over20 AS (SELECT qid, vid, label, cos FROM (
+         |    SELECT qid, vid, label, cos, ROW_NUMBER() OVER (
+         |      PARTITION BY qid ORDER BY cos DESC, vid) AS rnk
+         |    FROM scored) o
+         |  WHERE rnk <= 20),
+         |surv AS (SELECT qid, vid FROM (
+         |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vid) AS rn
+         |    FROM over20 WHERE label IN (1, 3, 5)) v
+         |  WHERE rn <= 5)
+         |SELECT t.qid,
+         |  CAST(SUM(CASE WHEN s.vid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / 5.0 AS recall
+         |FROM truth t
+         |LEFT JOIN surv s ON s.qid = t.qid AND s.vid = t.vid
+         |GROUP BY t.qid ORDER BY t.qid""".stripMargin) { (s, dir) =>
+      val base = signatures(s, dir)
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("qa"),
+          col("norm2").as("q_norm2"))
+      val cand = base.select(col("vec_id").as("vid"),
+        col("label").as("c_label"), col("qv").as("qb"),
+        col("norm2").as("c_norm2"))
+      val scored = broadcast(q).join(cand, col("qid") =!= col("vid"))
+        .withColumn("dot", dot_long(col("qa"), col("qb")))
+        .withColumn("cos", expr("CAST(dot AS DOUBLE) / " +
+          "(sqrt(CAST(q_norm2 AS DOUBLE)) * sqrt(CAST(c_norm2 AS DOUBLE)))"))
+        .select(col("qid"), col("vid"), col("c_label"), col("cos"))
+      val truth = TopKPerKey.topKRanked(
+          scored.filter(col("c_label").isin(1, 3, 5))
+            .select(col("qid"), col("vid"), col("cos")),
+          Seq("qid"), Seq("cos" -> true, "vid" -> false), 5, "rnk")
+        .select(col("qid"), col("vid"))
+      val over20 = TopKPerKey.topKRanked(scored,
+          Seq("qid"), Seq("cos" -> true, "vid" -> false), 20, "rnk")
+      val surv = TopKPerKey.topKRanked(
+          over20.filter(col("c_label").isin(1, 3, 5))
+            .select(col("qid"), col("vid"), col("cos")),
+          Seq("qid"), Seq("cos" -> true, "vid" -> false), 5, "rn")
+        .select(col("qid"), col("vid"), lit(1).as("hit"))
+      truth.join(surv, Seq("qid", "vid"), "left")
+        .groupBy(col("qid"))
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / lit(5.0))
+          .as("recall"))
+        .orderBy(col("qid"))
+    },
+
     // Nearest-centroid classification — the class-separability eval
     // (Rocchio classifier accuracy) beside cluster_silhouette and
     // cluster_purity_nmi: every vector is assigned to its nearest
