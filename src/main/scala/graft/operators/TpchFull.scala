@@ -458,6 +458,42 @@ object TpchFull {
         .orderBy(col("r_name"), col("n_name"))
     },
 
+    // Rapid repeat orders: pairs of orders by the same customer within
+    // ±3 days — the duplicate-invoice / velocity-fraud screen, i.e. a
+    // SYMMETRIC self range-join on a non-event fact. Rides the same
+    // bucketed RangeJoin as the temporal gates (each ±3-day window
+    // covers ≤ 2 one-week buckets; the orderkey ordering makes each
+    // unordered pair meet exactly once), never a nested-loop
+    // |date-date| probe.
+    QuerySpec.sql(
+      "orders_rapid_repeat",
+      """SELECT a.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(MIN(abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+        |    CAST(b.o_orderdate AS DATE)))) AS BIGINT) AS min_gap_days
+        |FROM orders a JOIN orders b
+        |  ON b.o_custkey = a.o_custkey AND b.o_orderkey > a.o_orderkey
+        |  AND b.o_orderdate >= a.o_orderdate - INTERVAL 3 DAY
+        |  AND b.o_orderdate <= a.o_orderdate + INTERVAL 3 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val dayUs = 86400000000L
+      val base = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("od"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+      val ival = base
+        .withColumn("w_start", col("us") - lit(3L * dayUs))
+        .withColumn("w_end", col("us") + lit(3L * dayUs) + lit(1L))
+      graft.functions.RangeJoin.pointInInterval(
+          ival, "o_custkey", "w_start", "w_end",
+          base, "o_custkey", "us", bucketUs = 7L * dayUs)
+        .filter(col("p_o_orderkey") > col("i_o_orderkey"))
+        .groupBy(col("i_o_custkey").as("o_custkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(abs(datediff(col("p_od"), col("i_od")))).cast("long")
+            .as("min_gap_days"))
+        .orderBy(col("o_custkey"))
+    },
+
     // q22: global sales opportunity — rich-but-inactive customers per
     // nation: 1-row broadcast average threshold + anti-join against
     // orders (c_phone is absent; the country-code IN-list becomes a

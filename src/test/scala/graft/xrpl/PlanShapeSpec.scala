@@ -286,7 +286,8 @@ class PlanShapeSpec extends AnyFunSuite {
     for (name <- Seq("q2_min_cost_supplier", "q8_market_share",
         "q9_product_profit", "q10_returned_items", "q11_important_stock",
         "q15_top_supplier", "q16_parts_suppliers", "q19_disjunctive_revenue",
-        "q20_potential_promotion", "q22_global_sales", "w_share_of_region")) {
+        "q20_potential_promotion", "q22_global_sales", "w_share_of_region",
+        "orders_rapid_repeat")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
