@@ -51,6 +51,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "xrpl_quality_decode(book_directory, pays_currency, gets_currency) - offer quality from a BookDirectory"),
       (exprs: Seq[Expression]) =>
         graft.xrpl.catalyst.QualityDecode(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5_prefix"),
+      info("graft_md5_prefix",
+        "graft_md5_prefix(s[, hexLen]) - first hexLen (default 8) hex chars of md5(s) as BIGINT; portable across engines"),
+      (exprs: Seq[Expression]) =>
+        if (exprs.length > 1)
+          graft.functions.Md5Prefix(exprs.head,
+            exprs(1).eval().asInstanceOf[Int])
+        else graft.functions.Md5Prefix(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5_draws"),
+      info("graft_md5_draws",
+        "graft_md5_draws(s) - five 24-bit integer draws from md5(s) as array<bigint>"),
+      (exprs: Seq[Expression]) => graft.functions.Md5Draws(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro"),
+      info("graft_jaro",
+        "graft_jaro(a, b) - Jaro similarity, bit-exact with DuckDB's jaro_similarity"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.JaroSim(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity, bit-exact with DuckDB's jaro_winkler_similarity"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.JaroWinklerSim(exprs.head, exprs(1))))
     // whole-operator custom plan: top-k per key via bounded heaps
     // (partial/final pair — see graft.plans.TopKPerKey); sessions not
     // built with these extensions get the strategy installed lazily by

@@ -34,6 +34,20 @@ class ExtensionsSpec extends AnyFunSuite {
         graft.functions.SimHash.fingerprint(
           org.apache.spark.unsafe.types.UTF8String
             .fromString("the quick brown fox")))
+      val row2 = spark.sql(
+        """SELECT graft_md5_prefix('abc') AS p8,
+          |  graft_md5_prefix('abc', 13) AS p13,
+          |  element_at(graft_md5_draws('abc'), 1) AS d1,
+          |  graft_jaro('martha', 'marhta') AS j,
+          |  graft_jaro_winkler('martha', 'marhta') AS jw
+          |""".stripMargin).head()
+      // md5('abc') = 900150983cd24fb0d6963f7d28e17f72
+      assert(row2.getAs[Long]("p8") === java.lang.Long.parseLong("90015098", 16))
+      assert(row2.getAs[Long]("p13") ===
+        java.lang.Long.parseLong("900150983cd24", 16))
+      assert(row2.getAs[Long]("d1") === java.lang.Long.parseLong("900150", 16))
+      assert(math.abs(row2.getAs[Double]("j") - 0.9444444444444445) < 1e-12)
+      assert(math.abs(row2.getAs[Double]("jw") - 0.9611111111111111) < 1e-12)
     } finally {
       // restore the shared session for other suites
       SparkSession.setDefaultSession(base)
