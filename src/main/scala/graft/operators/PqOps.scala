@@ -391,6 +391,43 @@ object PqOps {
         .orderBy(col("vec_id"))
     },
 
+    // Quantization DISTORTION — the other axis of the ANN quality
+    // plane beside recall: per subspace, the exact-integer squared
+    // reconstruction error of the trained codebook over the whole
+    // corpus (err² = ‖sv‖² − 2⟨sv, cv⟩ + ‖cv‖², all longs). A capacity
+    // plan reads recall (sim_pq_recall) against THIS number to decide
+    // PqK/PqM; a training regression that collapsed a codebook would
+    // flip the sse here before it shows up as recall noise. One
+    // broadcast join (128 codebook rows) + one map-side-combinable
+    // aggregate per subspace.
+    QuerySpec.sql(
+      "emb_pq_distortion",
+      s"""WITH $pqCtes
+         |SELECT a.m, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(s.sn2
+         |      - 2 * CAST(list_dot_product(s.sv, c.cv) AS BIGINT)
+         |      + c.cn2) AS BIGINT) AS sse,
+         |  CAST(SUM(s.sn2
+         |      - 2 * CAST(list_dot_product(s.sv, c.cv) AS BIGINT)
+         |      + c.cn2) // COUNT(*) AS BIGINT) AS mse_floor
+         |FROM a$PqIters a
+         |JOIN sub2 s ON s.vec_id = a.vec_id AND s.m = a.m
+         |JOIN c${PqIters - 1} c ON c.m = a.m AND c.code = a.code
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val sub = subVectors(SimilarityOps.signatures(s, dir))
+      val cb = codebook(s, dir)
+        .select(col("m"), col("code"), col("cv"), col("cn2"))
+      pqCodes(s, dir)
+        .join(sub, Seq("vec_id", "m"))
+        .join(broadcast(cb), Seq("m", "code"))
+        .withColumn("err2", col("sn2") -
+          lit(2L) * dot_long(col("sv"), col("cv")) + col("cn2"))
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n"), sum(col("err2")).cast("long").as("sse"),
+          expr("CAST(SUM(err2) div COUNT(*) AS BIGINT)").as("mse_floor"))
+        .orderBy(col("m"))
+    },
+
     // ADC retrieve→rerank: table-lookup scan over the 32-bit codes,
     // exact cosine over the surviving PqCand only.
     QuerySpec.sql("sim_pq_rerank", rerankSql) { (s, dir) =>
