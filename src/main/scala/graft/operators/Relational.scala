@@ -1674,5 +1674,71 @@ object Relational {
           .groupBy(col("g").as("o_orderpriority"), col("p_pct"))
           .agg(min(col("v")).as("q"))
           .orderBy(col("o_orderpriority"), col("p_pct"))
+    },
+
+    // Interpolated (PERCENTILE_CONT-style) grouped quantiles — the
+    // continuous sibling of quantile_disc_grouped over the SAME
+    // distinct-value histogram + one prefix-sum pass. Rank arithmetic
+    // stays integer ((n−1)·p div/mod 100) and the interpolation is
+    // the shared closed form vlo + fr/100·(vhi − vlo), written out in
+    // the oracle too (a built-in percentile_cont could legally
+    // evaluate lo·(1−f)+hi·f and differ in the last bit).
+    QuerySpec.sql(
+      "quantile_cont_grouped",
+      """WITH counts AS (
+        |  SELECT o_orderpriority AS g, o_totalprice AS v, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |cum AS (SELECT g, v, cnt,
+        |    SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS gc
+        |  FROM counts),
+        |ng AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n
+        |  FROM counts GROUP BY 1),
+        |pp AS (SELECT CAST(unnest([25, 50, 75, 90, 99]) AS BIGINT) AS p),
+        |rk AS (SELECT g, n, p,
+        |    (n - 1) * p // 100 + 1 AS rlo,
+        |    (n - 1) * p // 100 + 1
+        |      + CASE WHEN (n - 1) * p % 100 > 0 THEN 1 ELSE 0 END AS rhi,
+        |    (n - 1) * p % 100 AS fr100
+        |  FROM ng, pp),
+        |lo AS (SELECT rk.g, rk.p, MIN(c.v) AS vlo
+        |  FROM rk JOIN cum c ON c.g = rk.g AND c.gc >= rk.rlo
+        |  GROUP BY 1, 2),
+        |hi AS (SELECT rk.g, rk.p, MIN(c.v) AS vhi
+        |  FROM rk JOIN cum c ON c.g = rk.g AND c.gc >= rk.rhi
+        |  GROUP BY 1, 2)
+        |SELECT rk.g AS o_orderpriority, rk.p AS p_pct,
+        |  lo.vlo + CAST(rk.fr100 AS DOUBLE) / 100 * (hi.vhi - lo.vlo) AS q
+        |FROM rk
+        |JOIN lo ON lo.g = rk.g AND lo.p = rk.p
+        |JOIN hi ON hi.g = rk.g AND hi.p = rk.p
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val counts = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = graft.functions.PrefixSum.globalCumsum(
+        counts, Seq(col("g"), col("v")), col("cnt"), "gcum")
+      val offs = cum.groupBy(col("g")).agg(
+        sum(col("cnt")).as("ng"),
+        min(col("gcum") - col("cnt")).as("off"))
+      val pdf = s.range(1).select(
+        explode(array(Seq(25L, 50L, 75L, 90L, 99L).map(lit): _*)).as("p"))
+      val rk = offs.crossJoin(broadcast(pdf))
+        .withColumn("rlo", expr("(ng - 1) * p div 100 + 1"))
+        .withColumn("rhi", col("rlo") +
+          when(expr("(ng - 1) * p % 100") > 0, 1L).otherwise(0L))
+        .withColumn("fr100", expr("(ng - 1) * p % 100"))
+      val ranked = cum.join(broadcast(rk), Seq("g"))
+        .withColumn("gr", col("gcum") - col("off"))
+      val lo = ranked.filter(col("gr") >= col("rlo"))
+        .groupBy(col("g"), col("p")).agg(min(col("v")).as("vlo"))
+      val hi = ranked.filter(col("gr") >= col("rhi"))
+        .groupBy(col("g"), col("p")).agg(min(col("v")).as("vhi"))
+      lo.join(hi, Seq("g", "p"))
+        .join(broadcast(rk.select(col("g"), col("p"), col("fr100"))),
+          Seq("g", "p"))
+        .select(col("g").as("o_orderpriority"), col("p").as("p_pct"),
+          (col("vlo") + col("fr100").cast("double") / lit(100) *
+            (col("vhi") - col("vlo"))).as("q"))
+        .orderBy(col("o_orderpriority"), col("p_pct"))
     })
 }
