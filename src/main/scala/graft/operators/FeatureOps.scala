@@ -496,6 +496,67 @@ object FeatureOps {
         .orderBy(col("label"), col("vec_id"))
     },
 
+    // Neyman allocation: the variance-proportional stratified sampling
+    // design (quota_h ∝ N_h·σ_h) for a 1000-row budget over the event
+    // types — the survey-sampling step BEFORE drawing (pairs with the
+    // hash-threshold samplers). All double folds that would be
+    // order-dependent (the Σ N·σ normalizer) run as ordered LEFT FOLDS
+    // over a type-sorted list in BOTH engines; floor quotas are exact,
+    // and the largest-remainder top-up ranks by a window-free
+    // count-greater self-join over the 5-row stratum table.
+    QuerySpec.sql(
+      "sample_neyman",
+      """WITH m AS (SELECT event_type AS g,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS q
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT g, n,
+        |    CAST(n AS DOUBLE) * sqrt((q - s * s / CAST(n AS DOUBLE))
+        |      / CAST(n - 1 AS DOUBLE)) AS nw
+        |  FROM m WHERE n > 1),
+        |tot AS (SELECT list_sum(list(nw ORDER BY g)) AS wt FROM w),
+        |fl AS (SELECT g, n, nw, 1000 * nw / wt AS ideal,
+        |    CAST(FLOOR(1000 * nw / wt) AS BIGINT) AS fq
+        |  FROM w, tot),
+        |rem AS (SELECT CAST(1000 - SUM(fq) AS BIGINT) AS r FROM fl),
+        |rk AS (SELECT a.g, CAST(COUNT(b.g) AS BIGINT) AS ahead
+        |  FROM fl a LEFT JOIN fl b
+        |    ON (b.ideal - b.fq) > (a.ideal - a.fq)
+        |    OR ((b.ideal - b.fq) = (a.ideal - a.fq) AND b.g < a.g)
+        |  GROUP BY 1)
+        |SELECT fl.g AS event_type, fl.n, fl.nw AS n_sigma,
+        |  fl.fq + CASE WHEN rk.ahead < rem.r THEN 1 ELSE 0 END
+        |    AS quota
+        |FROM fl JOIN rk ON rk.g = fl.g, rem
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val m = events(s, dir).groupBy(col("event_type").as("g"))
+        .agg(count(lit(1)).as("n"), widedsum(col("value")).as("s"),
+          widedsum(col("value") * col("value")).as("q"))
+        .filter(col("n") > 1)
+      val w = m.select(col("g"), col("n"),
+        (col("n").cast("double") *
+          sqrt((col("q") - col("s") * col("s") / col("n").cast("double")) /
+            (col("n") - lit(1)).cast("double"))).as("nw"))
+      val tot = w.agg(expr(
+        "aggregate(array_sort(collect_list(struct(g, nw)))," +
+          " CAST(0 AS DOUBLE), (acc, x) -> acc + x.nw)").as("wt"))
+      val fl = w.crossJoin(broadcast(tot))
+        .withColumn("ideal", lit(1000) * col("nw") / col("wt"))
+        .withColumn("fq", floor(col("ideal")).cast("long"))
+      val rem = fl.agg((lit(1000) - sum(col("fq"))).cast("long").as("r"))
+      val b = fl.select(col("g").as("bg"), (col("ideal") - col("fq")).as("bf"))
+      val rk = fl.select(col("g"), (col("ideal") - col("fq")).as("af"))
+        .join(b, col("bf") > col("af") ||
+          (col("bf") === col("af") && col("bg") < col("g")), "left")
+        .groupBy(col("g")).agg(count(col("bg")).as("ahead"))
+      fl.join(rk, Seq("g")).crossJoin(broadcast(rem))
+        .select(col("g").as("event_type"), col("n"), col("nw").as("n_sigma"),
+          (col("fq") + when(col("ahead") < col("r"), 1L).otherwise(0L))
+            .as("quota"))
+        .orderBy(col("event_type"))
+    },
+
     // Hashing trick: document tokens folded into 64 hash buckets (the
     // fixed-width feature space) with per-bucket token and document
     // frequencies. The bucket id is the same engine-portable
