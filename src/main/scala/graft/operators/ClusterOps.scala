@@ -879,6 +879,66 @@ object ClusterOps {
             |END""".stripMargin).as("assortativity"))
     },
 
+    // Newman modularity of the label partition on the k-NN graph —
+    // "how community-like is the class structure": Q = Σ_c e_c/m −
+    // Σ_c (K_c/2m)², evaluated as the single exact rational
+    // (4m·Σe_c − ΣK_c²) / 4m² so every input to the one final
+    // division is an exact integer from three hash aggregates (intra-
+    // edge counts, degree mass per community, edge total).
+    QuerySpec.sql(
+      "graph_modularity",
+      s"""WITH sig AS (${SimilarityOps.quantizedSql}),
+         |knn AS (SELECT vec_id, nbr_id FROM (${SimilarityOps.knnEdgesSql(3)}) k),
+         |und AS (SELECT DISTINCT LEAST(vec_id, nbr_id) AS u,
+         |    GREATEST(vec_id, nbr_id) AS v FROM knn),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |e AS (SELECT la.label AS cl, CAST(COUNT(*) AS BIGINT) AS ec
+         |  FROM und
+         |  JOIN lab la ON la.vec_id = u
+         |  JOIN lab lb ON lb.vec_id = v AND lb.label = la.label
+         |  GROUP BY 1),
+         |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+         |    SELECT u AS n FROM und UNION ALL SELECT v FROM und) x
+         |  GROUP BY 1),
+         |kc AS (SELECT l.label, CAST(SUM(deg.d) AS BIGINT) AS kk
+         |  FROM deg JOIN lab l ON l.vec_id = deg.n GROUP BY 1),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+         |s1 AS (SELECT CAST(COALESCE(SUM(ec), 0) AS BIGINT) AS se FROM e),
+         |s2 AS (SELECT CAST(SUM(kk * kk) AS BIGINT) AS sk2,
+         |    CAST(COUNT(*) AS BIGINT) AS nc FROM kc)
+         |SELECT m, nc AS n_communities, se AS intra_edges,
+         |  4 * m * se - sk2 AS q_num,
+         |  CAST(4 * m * se - sk2 AS DOUBLE)
+         |    / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS modularity
+         |FROM mm, s1, s2""".stripMargin) { (s, dir) =>
+      val und = undirectedEdges(s, dir)
+      val lab = graft.Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val e = und
+        .join(lab.select(col("vec_id").as("u"), col("label").as("la")),
+          Seq("u"))
+        .join(lab.select(col("vec_id").as("v"), col("label").as("lb")),
+          Seq("v"))
+        .filter(col("la") === col("lb"))
+      val deg = und.select(col("u").as("n"))
+        .unionByName(und.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val kc = deg.join(lab.select(col("vec_id").as("n"), col("label")),
+          Seq("n"))
+        .groupBy(col("label")).agg(sum(col("d")).as("kk"))
+      val mm = und.agg(count(lit(1)).as("m"))
+      val s1 = e.agg(coalesce(count(lit(1)), lit(0L)).as("se"))
+      val s2 = kc.agg(sum(col("kk") * col("kk")).cast("long").as("sk2"),
+        count(lit(1)).as("nc"))
+      mm.crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
+        .select(col("m"), col("nc").as("n_communities"),
+          col("se").as("intra_edges"),
+          (lit(4L) * col("m") * col("se") - col("sk2")).as("q_num"),
+          ((lit(4L) * col("m") * col("se") - col("sk2")).cast("double") /
+            (lit(4.0) * col("m").cast("double") * col("m").cast("double")))
+            .as("modularity"))
+    },
+
     // k-core peel trajectory of the k-NN graph (k = 4): per peel
     // round, the surviving node/edge counts until the cascade
     // stabilizes (on this graph the 4-core collapses — min degree is
