@@ -323,7 +323,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "stats_ks_twosample", "stats_welch_ttest", "cohort_ltv",
         "graph_assortativity", "feat_target_encode", "feat_hashing_trick",
         "ts_changepoint", "ts_concurrent_sessions", "sample_kfold",
-        "j_asof_tolerance", "dedup_prefix_filter")) {
+        "j_asof_tolerance", "dedup_prefix_filter", "quantile_cont_grouped",
+        "sample_neyman", "graph_modularity", "emb_pq_distortion")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
@@ -333,7 +334,13 @@ class PlanShapeSpec extends AnyFunSuite {
       }
       assert(bad.isEmpty, s"$name plans an unpartitioned WindowExec")
     }
-    // class-balanced sampling dogfoods the custom top-k plan
+    // filtered search and class-balanced sampling dogfood the custom
+    // top-k plan
+    val fr = collectNodes(planOf("sim_filtered_recall"))
+    assert(fr.exists(_.isInstanceOf[graft.plans.TopKPerKeyExec]),
+      "sim_filtered_recall lacks TopKPerKeyExec")
+    assert(!fr.exists(_.isInstanceOf[WindowExec]),
+      "sim_filtered_recall plans a WindowExec")
     val cb = collectNodes(planOf("sample_class_balanced"))
     assert(cb.exists(_.isInstanceOf[graft.plans.TopKPerKeyExec]),
       "sample_class_balanced lacks TopKPerKeyExec")
