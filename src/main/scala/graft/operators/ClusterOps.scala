@@ -939,6 +939,65 @@ object ClusterOps {
             .as("modularity"))
     },
 
+    // 2-hop receptive field — the GNN statistic: per node, the
+    // distinct strictly-two-hop neighborhood size alongside its
+    // degree (a 2-layer message-passing model reads exactly
+    // degree + n_two_hop rows per node; the sum over nodes is the
+    // layer's gather volume). One wedge self-join on the pivot key +
+    // one anti-join against direct edges + one count — on a k-NN
+    // graph the pivot fan-out is bounded by the (k + in-degree) cap,
+    // so the wedge join stays task-balanced; on a power-law graph
+    // you'd salt the pivot like the triangle gate's degree-ordered
+    // orientation.
+    QuerySpec.sql(
+      "graph_two_hop",
+      s"""WITH sig AS (${SimilarityOps.quantizedSql}),
+         |knn AS (SELECT vec_id, nbr_id FROM (${SimilarityOps.knnEdgesSql(3)}) k),
+         |und AS (SELECT DISTINCT LEAST(vec_id, nbr_id) AS u,
+         |    GREATEST(vec_id, nbr_id) AS v FROM knn),
+         |sym AS (SELECT u, v FROM und
+         |  UNION ALL SELECT d.v AS u, d.u AS v FROM und d),
+         |two AS (SELECT DISTINCT a.u AS n, b.v AS w
+         |  FROM sym a JOIN sym b ON b.u = a.v WHERE b.v <> a.u),
+         |strict2 AS (SELECT n, w FROM two
+         |  EXCEPT SELECT u, v FROM sym),
+         |c2 AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM strict2 GROUP BY 1),
+         |deg AS (SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM sym GROUP BY 1)
+         |SELECT s.vec_id,
+         |  CAST(COALESCE(deg.d, 0) AS BIGINT) AS degree,
+         |  CAST(COALESCE(c2.c, 0) AS BIGINT) AS n_two_hop,
+         |  CAST(COALESCE(deg.d, 0) + COALESCE(c2.c, 0) AS BIGINT)
+         |    AS receptive_2
+         |FROM sig s
+         |LEFT JOIN deg ON deg.n = s.vec_id
+         |LEFT JOIN c2 ON c2.n = s.vec_id
+         |ORDER BY s.vec_id""".stripMargin) { (s, dir) =>
+      val und = undirectedEdges(s, dir)
+      val sym = und.unionByName(
+        und.select(col("v").as("u"), col("u").as("v")))
+      val two = sym.select(col("u").as("n"), col("v").as("m"))
+        .join(sym.select(col("u").as("m"), col("v").as("w")), Seq("m"))
+        .filter(col("w") =!= col("n"))
+        .select(col("n"), col("w")).distinct()
+      val strict2 = two.join(
+        sym.select(col("u").as("n"), col("v").as("w")),
+        Seq("n", "w"), "left_anti")
+      val c2 = strict2.groupBy(col("n")).agg(count(lit(1)).as("c"))
+      val deg = sym.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+      SimilarityOps.signatures(s, dir).select(col("vec_id"))
+        .join(deg, col("n") === col("vec_id"), "left").drop("n")
+        .withColumnRenamed("d", "degree0")
+        .join(c2, col("n") === col("vec_id"), "left").drop("n")
+        .select(col("vec_id"),
+          coalesce(col("degree0"), lit(0L)).as("degree"),
+          coalesce(col("c"), lit(0L)).as("n_two_hop"),
+          (coalesce(col("degree0"), lit(0L)) +
+            coalesce(col("c"), lit(0L))).as("receptive_2"))
+        .orderBy(col("vec_id"))
+    },
+
     // k-core peel trajectory of the k-NN graph (k = 4): per peel
     // round, the surviving node/edge counts until the cascade
     // stabilizes (on this graph the 4-core collapses — min degree is

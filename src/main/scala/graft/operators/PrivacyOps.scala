@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.Md5Prefix
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Privacy / governance operators — the checks a curation pipeline runs
+  * before a dataset leaves the boundary: k-anonymity auditing,
+  * l-diversity, the generalization/suppression ladder that ENFORCES
+  * k-anonymity over a location hierarchy, and differentially-private
+  * noisy counts.
+  *
+  * Scale notes (100 TB): every gate is one or two keyed aggregations —
+  * the quasi-identifier class is the shuffle key, so class statistics
+  * partition perfectly; the generalization ladder's second level
+  * re-aggregates the (already class-grain) residue, and the hierarchy
+  * lookup (nation → region) is a broadcast join. The DP noise draw is
+  * the engine-portable md5 hash ([[Md5Prefix]]): deterministic per
+  * group, no driver-side RNG state, and the identical inverse-CDF
+  * expression TEXT runs in both engines so the float math agrees
+  * bit-for-bit (same discipline as TimeSeriesOps.LinReg).
+  */
+object PrivacyOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Balance bucket: floor(acctbal / 1000) over the exact decimal —
+    * the coarsened numeric quasi-identifier. */
+  private val balBucketSql = "CAST(FLOOR(c_acctbal / 1000) AS BIGINT)"
+
+  /** Laplace(b = 1/eps, eps = 0.5) noise via the inverse CDF over a
+    * uniform u ∈ [0,1): -b * sgn(u - 1/2) * ln(1 - 2|u - 1/2|).
+    * Shared expression TEXT, compiled by both engines over (cnt, u).
+    */
+  private val dpNoisy =
+    "CAST(cnt AS DOUBLE) - CAST(2 AS DOUBLE)" +
+      " * (CASE WHEN u >= CAST(0.5 AS DOUBLE) THEN CAST(1 AS DOUBLE)" +
+      " ELSE CAST(-1 AS DOUBLE) END)" +
+      // greatest() floors the ln argument at machine epsilon: u = 0
+      // (a zero md5 prefix) would otherwise hit ln(0), where the
+      // engines disagree (NULL vs -inf)
+      " * ln(greatest(CAST(1 AS DOUBLE)" +
+      " - CAST(2 AS DOUBLE) * abs(u - CAST(0.5 AS DOUBLE))," +
+      " CAST(2.220446049250313e-16 AS DOUBLE)))"
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // k-anonymity audit: with QI = (nation, segment, balance bucket),
+    // how close is the customer table to 5-anonymous? Per nation:
+    // classes, the smallest class, and the rows/classes whose QI class
+    // has fewer than k=5 members (re-identifiable under linkage).
+    // One shuffle on the QI, one map-side-combinable rollup to nation.
+    QuerySpec.sql(
+      "privacy_k_anon",
+      s"""WITH q AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    $balBucketSql AS bal_bucket,
+         |    COUNT(*) AS sz
+         |  FROM customer GROUP BY 1, 2, 3)
+         |SELECT c_nationkey AS nation_key,
+         |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+         |  CAST(MIN(sz) AS BIGINT) AS min_class_size,
+         |  CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN sz END), 0)
+         |    AS BIGINT) AS rows_at_risk,
+         |  CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN 1 END), 0)
+         |    AS BIGINT) AS classes_at_risk
+         |FROM q GROUP BY 1
+         |ORDER BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("c_nationkey").as("nation_key"))
+        .agg(count(lit(1)).as("n_classes"),
+          min(col("sz")).as("min_class_size"),
+          coalesce(sum(when(col("sz") < 5, col("sz"))), lit(0L))
+            .as("rows_at_risk"),
+          coalesce(sum(when(col("sz") < 5, 1L)), lit(0L))
+            .as("classes_at_risk"))
+        .orderBy(col("nation_key"))
+    },
+
+    // l-diversity: a k-anonymous class is still unsafe if everyone in
+    // it shares the sensitive value (homogeneity attack). With QI =
+    // (nation, balance bucket) and segment as the sensitive attribute:
+    // per nation, the least-diverse class and the rows in classes
+    // below l = 2 distinct sensitive values.
+    QuerySpec.sql(
+      "privacy_l_diversity",
+      s"""WITH q AS (
+         |  SELECT c_nationkey,
+         |    $balBucketSql AS bal_bucket,
+         |    COUNT(*) AS sz,
+         |    COUNT(DISTINCT c_mktsegment) AS ldiv
+         |  FROM customer GROUP BY 1, 2)
+         |SELECT c_nationkey AS nation_key,
+         |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+         |  CAST(MIN(ldiv) AS BIGINT) AS min_l,
+         |  CAST(COALESCE(SUM(CASE WHEN ldiv < 2 THEN sz END), 0)
+         |    AS BIGINT) AS rows_below_l2
+         |FROM q GROUP BY 1
+         |ORDER BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+        .agg(count(lit(1)).as("sz"),
+          countDistinct(col("c_mktsegment")).as("ldiv"))
+        .groupBy(col("c_nationkey").as("nation_key"))
+        .agg(count(lit(1)).as("n_classes"),
+          min(col("ldiv")).as("min_l"),
+          coalesce(sum(when(col("ldiv") < 2, col("sz"))), lit(0L))
+            .as("rows_below_l2"))
+        .orderBy(col("nation_key"))
+    },
+
+    // Generalization ladder — ENFORCING 5-anonymity, not just auditing
+    // it: rows whose (nation, segment) class has ≥ 5 members publish
+    // at nation grain; smaller classes generalize up the hierarchy to
+    // (region, segment); a region-level class still under 5 is
+    // suppressed outright. Per region: rows at each disposition.
+    // Class grain first (one shuffle), then the residue re-aggregates
+    // at region grain — the second pass runs on ~|classes| rows, not
+    // ~|customers|; the nation→region lookup broadcasts.
+    QuerySpec.sql(
+      "privacy_suppression",
+      """WITH q AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+        |  FROM customer GROUP BY 1, 2),
+        |j AS (
+        |  SELECT n_regionkey, c_mktsegment, sz
+        |  FROM q JOIN nation ON n_nationkey = c_nationkey),
+        |lvl AS (
+        |  SELECT n_regionkey, c_mktsegment,
+        |    COALESCE(SUM(CASE WHEN sz >= 5 THEN sz END), 0) AS pub,
+        |    COALESCE(SUM(CASE WHEN sz < 5 THEN sz END), 0) AS gen
+        |  FROM j GROUP BY 1, 2)
+        |SELECT n_regionkey AS region_key,
+        |  CAST(SUM(pub) AS BIGINT) AS rows_nation_level,
+        |  CAST(COALESCE(SUM(CASE WHEN gen >= 5 THEN gen END), 0)
+        |    AS BIGINT) AS rows_region_level,
+        |  CAST(COALESCE(SUM(CASE WHEN gen > 0 AND gen < 5 THEN gen END),
+        |    0) AS BIGINT) AS rows_suppressed
+        |FROM lvl GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val q = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("sz"))
+      val lvl = q
+        .join(broadcast(t(s, dir, "nation")),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_regionkey"), col("c_mktsegment"))
+        .agg(
+          coalesce(sum(when(col("sz") >= 5, col("sz"))), lit(0L))
+            .as("pub"),
+          coalesce(sum(when(col("sz") < 5, col("sz"))), lit(0L))
+            .as("gen"))
+      lvl.groupBy(col("n_regionkey").as("region_key"))
+        .agg(sum(col("pub")).as("rows_nation_level"),
+          coalesce(sum(when(col("gen") >= 5, col("gen"))), lit(0L))
+            .as("rows_region_level"),
+          coalesce(
+            sum(when(col("gen") > 0 && col("gen") < 5, col("gen"))),
+            lit(0L)).as("rows_suppressed"))
+        .orderBy(col("region_key"))
+    },
+
+    // Differentially-private noisy counts (Laplace mechanism, eps =
+    // 0.5): per (nation, segment), the true count plus inverse-CDF
+    // Laplace noise drawn from the portable md5 hash of the group key
+    // — deterministic, coordination-free (each group's draw is a pure
+    // function of its key), and the identical expression text runs in
+    // both engines. Noise is rounded to 6 decimals (decimal cast) so
+    // the hash compare is exact.
+    QuerySpec.sql(
+      "privacy_dp_counts",
+      s"""WITH g AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(CAST(('0x' || substr(md5(
+         |        CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment),
+         |        1, 13)) AS BIGINT) AS DOUBLE)
+         |      / CAST(4503599627370496 AS DOUBLE) AS u
+         |  FROM customer GROUP BY 1, 2)
+         |SELECT c_nationkey AS nation_key, c_mktsegment AS segment,
+         |  cnt,
+         |  CAST(CAST($dpNoisy AS DECIMAL(18,6)) AS DOUBLE)
+         |    AS noisy_cnt
+         |FROM g
+         |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("u",
+          Md5Prefix.md5_prefix_long(
+            concat(col("c_nationkey").cast("string"), lit(":"),
+              col("c_mktsegment")), 13).cast("double") /
+            lit(4503599627370496L).cast("double"))
+        .select(col("c_nationkey").as("nation_key"),
+          col("c_mktsegment").as("segment"), col("cnt"),
+          expr(dpNoisy).cast("decimal(18,6)").cast("double")
+            .as("noisy_cnt"))
+        .orderBy(col("nation_key"), col("segment"))
+    })
+}

@@ -256,6 +256,58 @@ object TextOps {
         .orderBy(col("rank"))
     },
 
+    // Vocabulary growth (Heaps'-law curve): cumulative distinct terms
+    // vs cumulative tokens as the corpus grows doc-bucket by
+    // doc-bucket — the curve that says whether a corpus keeps paying
+    // vocabulary for more data or has gone repetitive. The trick that
+    // makes "cumulative distinct" one pass instead of ten rescans:
+    // each term counts toward the bucket where it FIRST appears
+    // (min(b) per term), and the prefix sum of those first-appearance
+    // counts IS the cumulative vocabulary. Two keyed aggregates
+    // (bucket grain, term grain) + a 10-row window.
+    QuerySpec.sql(
+      "text_vocab_growth",
+      """WITH mx AS (SELECT MAX(doc_id) AS mid FROM documents),
+        |tb AS (
+        |  SELECT (d.doc_id * 10) // (mx.mid + 1) AS b, d.doc_id, d.text
+        |  FROM documents d, mx),
+        |tok AS (SELECT b, doc_id,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM tb),
+        |per_b AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM tok GROUP BY 1),
+        |new_v AS (SELECT fb AS b, CAST(COUNT(*) AS BIGINT) AS nv
+        |  FROM (SELECT tok, MIN(b) AS fb FROM tok GROUP BY 1) f
+        |  GROUP BY 1)
+        |SELECT b AS bucket,
+        |  CAST(SUM(n_docs) OVER cum AS BIGINT) AS cum_docs,
+        |  CAST(SUM(n_tok) OVER cum AS BIGINT) AS cum_tokens,
+        |  CAST(SUM(COALESCE(nv, 0)) OVER cum AS BIGINT) AS cum_vocab
+        |FROM per_b LEFT JOIN new_v USING (b)
+        |WINDOW cum AS (ORDER BY b
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val mx = docs(s, dir).agg(max(col("doc_id")).as("mid"))
+      val tok = docs(s, dir).crossJoin(broadcast(mx))
+        .select(expr("(doc_id * 10) div (mid + 1)").as("b"),
+          col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val perB = tok.groupBy(col("b"))
+        .agg(count(lit(1)).as("n_tok"),
+          countDistinct(col("doc_id")).as("n_docs"))
+      val newV = tok.groupBy(col("tok")).agg(min(col("b")).as("fb"))
+        .groupBy(col("fb")).agg(count(lit(1)).as("nv"))
+      // 10-row frame: the window input is bucket-grain, never row-grain
+      val cum = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perB.join(newV, col("b") === col("fb"), "left").drop("fb")
+        .select(col("b").as("bucket"),
+          sum(col("n_docs")).over(cum).as("cum_docs"),
+          sum(col("n_tok")).over(cum).as("cum_tokens"),
+          sum(coalesce(col("nv"), lit(0L))).over(cum).as("cum_vocab"))
+        .orderBy(col("bucket"))
+    },
+
     // Quality scoring: stopword ratio + vocabulary-diversity ratio,
     // combined into a deterministic score. explode → per-doc aggregate.
     QuerySpec.sql(

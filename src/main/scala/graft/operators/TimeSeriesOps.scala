@@ -720,6 +720,52 @@ object TimeSeriesOps {
     // the estimator. Scale shape: per-type sketches via the
     // salt-bucketed two-level bottom-k (no per-type sort of the full
     // hash set); all pair work happens on ≤ 2k rows per pair.
+    // Join-size estimation from a correlated key sample — the
+    // optimizer statistic that decides shuffle vs broadcast vs skew
+    // handling before a single task runs. True self-join size on
+    // user_id is Σ c(u)² (quadratic in the per-key counts, so naive
+    // row sampling misses the skew that matters); hash-threshold
+    // sampling keeps EVERY row of a 1/16 subset of KEYS (hv < 2^48 of
+    // the 52-bit portable hash), so sampled keys carry their exact
+    // counts and est = 16·Σ_sampled c(u)² is unbiased. Deterministic
+    // given md5 — both engines agree exactly; err_ppm self-measures
+    // the estimator against the true size. One hash aggregate over
+    // the key-grain counts; the sketch is ~|keys|/16 rows.
+    QuerySpec.sql(
+      "sketch_join_card",
+      """WITH c AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |h AS (
+        |  SELECT c,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+        |      AS BIGINT) AS hv
+        |  FROM c),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys_sampled,
+        |    CAST(COALESCE(SUM(c * c), 0) * 16 AS BIGINT) AS est_size
+        |  FROM h WHERE hv < 281474976710656),
+        |t AS (SELECT CAST(SUM(c * c) AS BIGINT) AS true_size FROM c)
+        |SELECT n_keys_sampled, est_size, true_size,
+        |  CAST(abs(est_size - true_size) * 1000000 // true_size
+        |    AS BIGINT) AS err_ppm
+        |FROM s, t""".stripMargin) { (s, dir) =>
+      val counts = events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      val sampled = counts
+        .filter(graft.functions.Md5Prefix.md5_prefix_long(
+          col("user_id").cast("string"), 13) < lit(281474976710656L))
+        .agg(count(lit(1)).as("n_keys_sampled"),
+          (coalesce(sum(col("c") * col("c")), lit(0L)) * 16)
+            .as("est_size"))
+      val truth = counts
+        .agg(sum(col("c") * col("c")).as("true_size"))
+      sampled.crossJoin(truth)
+        .select(col("n_keys_sampled"), col("est_size"), col("true_size"),
+          expr("CAST(abs(est_size - true_size) * 1000000 div true_size AS BIGINT)")
+            .as("err_ppm"))
+    },
+
     QuerySpec.sql(
       "sketch_kmv_setops",
       """WITH h AS (
@@ -1229,6 +1275,54 @@ object TimeSeriesOps {
     //   b_i = (b_{i-1} + (l_i - l_{i-1})) div 2
     // Same per-series `aggregate` fold over the calendar-bounded daily
     // frame; same recursive-CTE oracle.
+    // Forecast backtest: MASE of the seasonal-naive (t−7) forecast
+    // against the one-step naive (t−1) baseline over each series'
+    // daily counts — the standard "is there exploitable weekly
+    // structure?" number, scale-free and exact: both error sums are
+    // integer, and the ratio ships ×1e6 as integer division. ppm < 1e6
+    // means the weekly lag beats yesterday's value. One keyed
+    // aggregate + one PARTITIONed window (lag 1 and 7 share it).
+    QuerySpec.sql(
+      "ts_backtest_mase",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, y,
+        |    LAG(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+        |    LAG(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7
+        |  FROM daily),
+        |agg AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(COALESCE(SUM(abs(y - y1)), 0) AS BIGINT) AS sae1,
+        |    CAST(COALESCE(SUM(abs(y - y7)), 0) AS BIGINT) AS sae7
+        |  FROM lagged GROUP BY 1)
+        |SELECT event_type, n_days, sae1, sae7,
+        |  CASE WHEN n_days > 7 AND sae1 > 0 THEN
+        |    CAST(sae7 * (n_days - 1) * 1000000
+        |      // (sae1 * (n_days - 7)) AS BIGINT) END AS mase_ppm
+        |FROM agg
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .select(col("event_type"), col("y"),
+          lag(col("y"), 1).over(w).as("y1"),
+          lag(col("y"), 7).over(w).as("y7"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          coalesce(sum(abs(col("y") - col("y1"))), lit(0L)).as("sae1"),
+          coalesce(sum(abs(col("y") - col("y7"))), lit(0L)).as("sae7"))
+        .select(col("event_type"), col("n_days"), col("sae1"),
+          col("sae7"),
+          when(col("n_days") > 7 && col("sae1") > 0,
+            expr("CAST(sae7 * (n_days - 1) * 1000000" +
+              " div (sae1 * (n_days - 7)) AS BIGINT)")).as("mase_ppm"))
+        .orderBy(col("event_type"))
+    },
+
     QuerySpec.sql(
       "ts_holt_trend",
       """WITH RECURSIVE daily AS (
@@ -1662,6 +1756,115 @@ object TimeSeriesOps {
               .as("prune_ppm"))
       layoutStats(Seq(col("z_key"), col("event_id")), "zorder")
         .unionAll(layoutStats(Seq(col("event_id")), "insertion"))
+        .orderBy(col("layout"))
+    },
+
+    // Hilbert layout key: the space-filling curve with NO seams — each
+    // key increment is one unit step in (user, hour) space (proved
+    // exhaustively in HilbertSpec), so contiguous key ranges are
+    // compact blobs and per-file min/max stats stay tight. Codegen'd
+    // native expression on the Spark side (the 8-round rotate/reflect
+    // recurrence would triple a Column tree per round); the identical
+    // integer recurrence runs as a CTE chain in the oracle.
+    QuerySpec.sql(
+      "store_hilbert_key", {
+        val (ctes, fin) = graft.functions.Hilbert.hilbertCtes(
+          "pre", Seq("event_id", "user_id", "hour_bucket"))
+        s"""WITH pre AS (
+           |  SELECT event_id, user_id,
+           |    CAST((epoch_us(ts) // 3600000000) % 256 AS BIGINT)
+           |      AS hour_bucket,
+           |    user_id % 256 AS hx,
+           |    (epoch_us(ts) // 3600000000) % 256 AS hy
+           |  FROM events),
+           |$ctes
+           |SELECT event_id, user_id, hour_bucket,
+           |  CAST(hd AS BIGINT) AS h_key
+           |FROM $fin
+           |ORDER BY event_id""".stripMargin
+      }) { (s, dir) =>
+      val hourBucket = pmod(expr("unix_micros(ts) div 3600000000"),
+        lit(256L))
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          hourBucket.as("hour_bucket"),
+          graft.functions.Hilbert.hilbertKey(
+            pmod(col("user_id"), lit(256L)), hourBucket).as("h_key"))
+        .orderBy(col("event_id"))
+    },
+
+    // Hilbert vs Morton, head-to-head on the metric that matters:
+    // same file size, same per-file min/max stats, same point-user
+    // predicate — which layout prunes more files? Morton's quadrant
+    // seams let a single file's user range span the grid; Hilbert's
+    // unit-step curve keeps it local, so its prune_ppm should win.
+    // Each layout is one range-partitioned PrefixSum rank (no
+    // single-task sort) + a file-grain aggregate.
+    QuerySpec.sql(
+      "store_hilbert_skipping", {
+        val z = graft.functions.ZOrder.zValueSql(
+          "user_id % 256", "(epoch_us(ts) // 3600000000) % 256", bits = 8)
+        val (ctes, fin) = graft.functions.Hilbert.hilbertCtes(
+          "pre", Seq("event_id", "ub", "zk"))
+        s"""WITH pre AS (
+           |  SELECT event_id, user_id % 256 AS ub,
+           |    CAST($z AS BIGINT) AS zk,
+           |    user_id % 256 AS hx,
+           |    (epoch_us(ts) // 3600000000) % 256 AS hy
+           |  FROM events),
+           |$ctes,
+           |rh AS (SELECT ub,
+           |    (ROW_NUMBER() OVER (ORDER BY hd, event_id) - 1) // 512
+           |      AS f
+           |  FROM $fin),
+           |rz AS (SELECT ub,
+           |    (ROW_NUMBER() OVER (ORDER BY zk, event_id) - 1) // 512
+           |      AS f
+           |  FROM $fin),
+           |fh AS (SELECT f, MIN(ub) AS mn, MAX(ub) AS mx
+           |  FROM rh GROUP BY 1),
+           |fz AS (SELECT f, MIN(ub) AS mn, MAX(ub) AS mx
+           |  FROM rz GROUP BY 1),
+           |sh AS (SELECT 'hilbert' AS layout,
+           |    CAST(COUNT(*) AS BIGINT) AS n_files,
+           |    CAST(COALESCE(SUM(CASE WHEN mn <= 7 AND mx >= 7
+           |      THEN 1 END), 0) AS BIGINT) AS hit_files
+           |  FROM fh),
+           |sz AS (SELECT 'morton' AS layout,
+           |    CAST(COUNT(*) AS BIGINT) AS n_files,
+           |    CAST(COALESCE(SUM(CASE WHEN mn <= 7 AND mx >= 7
+           |      THEN 1 END), 0) AS BIGINT) AS hit_files
+           |  FROM fz)
+           |SELECT layout, n_files, hit_files,
+           |  CAST((n_files - hit_files) * 1000000 // n_files AS BIGINT)
+           |    AS prune_ppm
+           |FROM (SELECT * FROM sh UNION ALL SELECT * FROM sz)
+           |ORDER BY layout""".stripMargin
+      }) { (s, dir) =>
+      val hourBucket = pmod(expr("unix_micros(ts) div 3600000000"),
+        lit(256L))
+      val ub = pmod(col("user_id"), lit(256L))
+      val base = events(s, dir)
+        .select(col("event_id"), ub.as("ub"),
+          graft.functions.Hilbert.hilbertKey(ub, hourBucket).as("hk"),
+          graft.functions.ZOrder.zValue(ub, hourBucket, bits = 8)
+            .as("zk"))
+      def layoutStats(key: String, layout: String) =
+        graft.functions.PrefixSum
+          .globalCumsum(base, Seq(col(key), col("event_id")), lit(1L),
+            "rk")
+          .select(col("ub"), expr("(rk - 1) div 512").as("f"))
+          .groupBy(col("f"))
+          .agg(min(col("ub")).as("mn"), max(col("ub")).as("mx"))
+          .agg(count(lit(1)).as("n_files"),
+            coalesce(sum(when(col("mn") <= 7 && col("mx") >= 7, 1L)),
+              lit(0L)).as("hit_files"))
+          .select(lit(layout).as("layout"), col("n_files"),
+            col("hit_files"),
+            expr("CAST((n_files - hit_files) * 1000000 div n_files AS BIGINT)")
+              .as("prune_ppm"))
+      layoutStats("hk", "hilbert")
+        .unionAll(layoutStats("zk", "morton"))
         .orderBy(col("layout"))
     },
 
