@@ -998,6 +998,76 @@ object ClusterOps {
         .orderBy(col("vec_id"))
     },
 
+    // Sampled-source closeness centrality: BFS frontier expansion
+    // from BfsSources hash-picked sources, BfsRounds rounds — the
+    // standard approximation for closeness on a graph too big for
+    // all-pairs (Eppstein–Wang: O(log n / ε²) sources suffice). Per
+    // round: one shuffle join (frontier ⋈ edges) + one min-distance
+    // aggregate, state bounded by sources × reached nodes; the same
+    // MATERIALIZED-CTE ladder as the k-core gate keeps the oracle
+    // from re-expanding the chain. Distances are exact integers, the
+    // ppm ratio is integer division — hash-exact.
+    QuerySpec.sql(
+      "graph_closeness_sample",
+      s"""WITH sig AS (${SimilarityOps.quantizedSql}),
+         |knn AS (SELECT vec_id, nbr_id FROM (${SimilarityOps.knnEdgesSql(3)}) k),
+         |und AS (SELECT DISTINCT LEAST(vec_id, nbr_id) AS u,
+         |    GREATEST(vec_id, nbr_id) AS v FROM knn),
+         |sym AS MATERIALIZED (SELECT u, v FROM und
+         |  UNION ALL SELECT d.v AS u, d.u AS v FROM und d),
+         |srcs AS MATERIALIZED (SELECT vec_id AS src FROM sig
+         |  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+         |    1, 13)) AS BIGINT), vec_id
+         |  LIMIT $BfsSources),
+         |d0 AS MATERIALIZED (
+         |  SELECT src, src AS node, CAST(0 AS BIGINT) AS d FROM srcs),
+         |${(1 to BfsRounds).map { i =>
+            s"""d$i AS MATERIALIZED (
+               |  SELECT src, node, MIN(d) AS d FROM (
+               |    SELECT src, node, d FROM d${i - 1}
+               |    UNION ALL
+               |    SELECT p.src, s.v AS node, p.d + 1
+               |    FROM d${i - 1} p JOIN sym s ON s.u = p.node) m
+               |  GROUP BY 1, 2)""".stripMargin
+          }.mkString(",\n")}
+         |SELECT src, CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+         |  CAST(SUM(d) AS BIGINT) AS sum_dist,
+         |  CASE WHEN SUM(d) > 0 THEN
+         |    CAST((COUNT(*) - 1) * 1000000 // SUM(d) AS BIGINT)
+         |  END AS closeness_ppm
+         |FROM d$BfsRounds GROUP BY 1
+         |ORDER BY src""".stripMargin) { (s, dir) =>
+      val und = undirectedEdges(s, dir)
+      val sym = Materialize.stable(und.unionByName(
+        und.select(col("v").as("u"), col("u").as("v"))))
+      var dist = SimilarityOps.signatures(s, dir).select(col("vec_id"))
+        .orderBy(graft.functions.Md5Prefix
+          .md5_prefix_long(col("vec_id").cast("string"), 13),
+          col("vec_id"))
+        .limit(BfsSources)
+        .select(col("vec_id").as("src"), col("vec_id").as("node"),
+          lit(0L).as("d"))
+      for (_ <- 1 to BfsRounds) {
+        val expanded = dist.select(col("src"), col("node").as("u"),
+            col("d"))
+          .join(sym, Seq("u"))
+          .select(col("src"), col("v").as("node"),
+            (col("d") + 1).as("d"))
+        dist = Materialize.stable(
+          dist.unionByName(expanded)
+            .groupBy(col("src"), col("node"))
+            .agg(min(col("d")).as("d")))
+      }
+      dist.groupBy(col("src"))
+        .agg((count(lit(1)) - 1).as("n_reached"),
+          sum(col("d")).as("sum_dist"))
+        .select(col("src"), col("n_reached"), col("sum_dist"),
+          when(col("sum_dist") > 0,
+            expr("CAST(n_reached * 1000000 div sum_dist AS BIGINT)"))
+            .as("closeness_ppm"))
+        .orderBy(col("src"))
+    },
+
     // k-core peel trajectory of the k-NN graph (k = 4): per peel
     // round, the surviving node/edge counts until the cascade
     // stabilizes (on this graph the 4-core collapses — min degree is
@@ -1073,4 +1143,8 @@ object ClusterOps {
     * unrolling. */
   val KcoreK = 4
   val KcoreRounds = 6
+
+  /** BFS closeness sampling: source count and hop budget. */
+  val BfsSources = 4
+  val BfsRounds = 4
 }

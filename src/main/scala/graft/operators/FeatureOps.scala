@@ -78,6 +78,43 @@ object FeatureOps {
       |      * CAST(n1 + n2 + 1 AS DOUBLE) / 12)
       |END""".stripMargin.replace("\n", " ")
 
+  /** Shared CUPED expression text (same bit-exactness contract as
+    * [[Welch]]): pooled θ = cov(x,y)/var(x) from global integer
+    * moments (n, sx, sy, sxx, sxy), per-variant adjusted mean and
+    * variance-reduction ratio from per-variant integer moments
+    * (nv, sxv, syv, sxxv, sxyv, syyv). Degenerate inputs (zero
+    * pre-period variance, single-user variant, zero y-variance) stay
+    * NULL/unadjusted instead of dividing by zero under ANSI.
+    */
+  private object Cuped {
+    private val num =
+      "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    private val den =
+      "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val theta: String =
+      s"(CASE WHEN $den <> 0 THEN $num / $den ELSE CAST(0 AS DOUBLE) END)"
+    val meanY: String = "(CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE))"
+    val meanYAdj: String =
+      s"($meanY - $theta * (CAST(sxv AS DOUBLE) / CAST(nv AS DOUBLE)" +
+        " - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
+    private val varY =
+      "((CAST(syyv AS DOUBLE) - CAST(syv AS DOUBLE) * CAST(syv AS DOUBLE)" +
+        " / CAST(nv AS DOUBLE)) / CAST(nv - 1 AS DOUBLE))"
+    private val varX =
+      "((CAST(sxxv AS DOUBLE) - CAST(sxv AS DOUBLE) * CAST(sxv AS DOUBLE)" +
+        " / CAST(nv AS DOUBLE)) / CAST(nv - 1 AS DOUBLE))"
+    private val covXY =
+      "((CAST(sxyv AS DOUBLE) - CAST(sxv AS DOUBLE) * CAST(syv AS DOUBLE)" +
+        " / CAST(nv AS DOUBLE)) / CAST(nv - 1 AS DOUBLE))"
+    private val varYAdj =
+      s"($varY - CAST(2 AS DOUBLE) * $theta * $covXY" +
+        s" + $theta * $theta * $varX)"
+    val varReduction: String =
+      s"(CASE WHEN nv > 1 AND $varY > 0 THEN $varYAdj / $varY END)"
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     // Last-touch attribution: each purchase is credited to the most
     // recent prior click/view by the same user — the as-of backward
@@ -280,6 +317,78 @@ object FeatureOps {
     // moment sums (decimal-exact, so the doubles the closed form sees
     // are identical in both engines), then t and the Welch-
     // Satterthwaite df evaluate per the shared expression text.
+    // CUPED variance reduction — the experimentation-platform
+    // workhorse: adjust each user's experiment-period metric by their
+    // pre-period covariate (y* = y − θ(x − x̄), θ = cov(x,y)/var(x)
+    // pooled) and report per-variant adjusted means + the achieved
+    // variance-reduction ratio. Everything flows through EXACT integer
+    // sufficient statistics (x and y are event counts; moments are
+    // long sums at user grain → variant grain → a 2-row global fold),
+    // and every float op compiles from the one shared expression text
+    // in both engines. Shape: two keyed aggregates + a broadcast of
+    // the 1-row global moments.
+    QuerySpec.sql(
+      "stats_cuped_adjust", {
+        s"""WITH u AS (
+           |  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+           |    CAST(SUM(CASE WHEN EXTRACT(day FROM ts) <= 15
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           |    CAST(SUM(CASE WHEN EXTRACT(day FROM ts) > 15
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS y
+           |  FROM events GROUP BY 1, 2),
+           |v AS (
+           |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS nv,
+           |    CAST(SUM(x) AS BIGINT) AS sxv,
+           |    CAST(SUM(y) AS BIGINT) AS syv,
+           |    CAST(SUM(x * x) AS BIGINT) AS sxxv,
+           |    CAST(SUM(x * y) AS BIGINT) AS sxyv,
+           |    CAST(SUM(y * y) AS BIGINT) AS syyv
+           |  FROM u GROUP BY 1),
+           |g AS (
+           |  SELECT CAST(SUM(nv) AS BIGINT) AS n,
+           |    CAST(SUM(sxv) AS BIGINT) AS sx,
+           |    CAST(SUM(syv) AS BIGINT) AS sy,
+           |    CAST(SUM(sxxv) AS BIGINT) AS sxx,
+           |    CAST(SUM(sxyv) AS BIGINT) AS sxy
+           |  FROM v)
+           |SELECT variant, nv AS n_users,
+           |  CAST(CAST(${Cuped.meanY} AS DECIMAL(18,6)) AS DOUBLE)
+           |    AS mean_y,
+           |  CAST(CAST(${Cuped.meanYAdj} AS DECIMAL(18,6)) AS DOUBLE)
+           |    AS mean_y_adj,
+           |  CAST(CAST(${Cuped.varReduction} AS DECIMAL(18,6)) AS DOUBLE)
+           |    AS var_reduction
+           |FROM v, g
+           |ORDER BY variant""".stripMargin
+      }) { (s, dir) =>
+      val u = events(s, dir)
+        .groupBy(col("user_id"),
+          pmod(col("user_id"), lit(2L)).as("variant"))
+        .agg(
+          sum(when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L))
+            .as("x"),
+          sum(when(dayofmonth(col("ts")) > 15, 1L).otherwise(0L))
+            .as("y"))
+      val v = u.groupBy(col("variant"))
+        .agg(count(lit(1)).as("nv"),
+          sum(col("x")).as("sxv"), sum(col("y")).as("syv"),
+          sum(col("x") * col("x")).as("sxxv"),
+          sum(col("x") * col("y")).as("sxyv"),
+          sum(col("y") * col("y")).as("syyv"))
+      val g = v.agg(sum(col("nv")).as("n"),
+        sum(col("sxv")).as("sx"), sum(col("syv")).as("sy"),
+        sum(col("sxxv")).as("sxx"), sum(col("sxyv")).as("sxy"))
+      v.crossJoin(broadcast(g))
+        .select(col("variant"), col("nv").as("n_users"),
+          expr(Cuped.meanY).cast("decimal(18,6)").cast("double")
+            .as("mean_y"),
+          expr(Cuped.meanYAdj).cast("decimal(18,6)").cast("double")
+            .as("mean_y_adj"),
+          expr(Cuped.varReduction).cast("decimal(18,6)").cast("double")
+            .as("var_reduction"))
+        .orderBy(col("variant"))
+    },
+
     QuerySpec.sql(
       "stats_welch_ttest",
       s"""WITH m AS (SELECT

@@ -150,6 +150,30 @@ object MultimodalOps {
   }
 
   def specs: Seq[QuerySpec] = Seq(
+    // Exact-payload dedup on the sampled FIRST FRAME: assets sharing
+    // identical leading bytes (same splash frame / template header)
+    // collapse to one keeper. Content-hash groupBy — the shuffle key
+    // is the digest, so identical payloads co-locate no matter where
+    // they sit; survivorship = min asset id, same rule as the
+    // document dedup family. At 100 TB this is the first, cheapest
+    // dedup pass (hash 40 bytes per asset, not the payload).
+    QuerySpec.sql(
+      "mm_frame_dedup",
+      """SELECT md5(substr(text, 1, 40)) AS frame_md5,
+        |  CAST(COUNT(*) AS BIGINT) AS n_assets,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+        |FROM documents
+        |GROUP BY 1 HAVING COUNT(*) > 1
+        |ORDER BY frame_md5""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(md5(substring(col("text"), 1, 40).cast("binary"))
+          .as("frame_md5"))
+        .agg(count(lit(1)).as("n_assets"),
+          min(col("doc_id")).as("keeper_id"))
+        .filter(col("n_assets") > 1)
+        .orderBy(col("frame_md5"))
+    },
+
     // Metadata path (SQL-expressible): byte length + content digest of
     // the binary payload, grouped per source container.
     QuerySpec.sql(

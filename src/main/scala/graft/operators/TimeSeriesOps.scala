@@ -1868,6 +1868,46 @@ object TimeSeriesOps {
         .orderBy(col("layout"))
     },
 
+    // Compaction planning — the OPTIMIZE bin-packer: daily ingest
+    // leaves one small fragment per (series, day); pack consecutive
+    // fragments into ~5000-row output files by assigning each
+    // fragment the bin of its EXCLUSIVE running size (a fragment that
+    // crosses the boundary starts a new bin — no fragment is ever
+    // split, like parquet rewrites). Per-series keyed window (ordered
+    // by day, so compaction preserves time-locality for pruning) +
+    // one bin-grain aggregate; the plan report is what the OPTIMIZE
+    // job prints before rewriting.
+    QuerySpec.sql(
+      "store_compaction_bins",
+      """WITH f AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS bytes
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bytes,
+        |    SUM(bytes) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - bytes AS cb
+        |  FROM f)
+        |SELECT event_type, CAST(cb // 5000 AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_input_files,
+        |  CAST(SUM(bytes) AS BIGINT) AS bin_bytes
+        |FROM c GROUP BY 1, 2
+        |ORDER BY event_type, bin""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("bytes"))
+        .select(col("event_type"), col("bytes"),
+          (sum(col("bytes")).over(w) - col("bytes")).as("cb"))
+        .groupBy(col("event_type"),
+          expr("cb div 5000").as("bin"))
+        .agg(count(lit(1)).as("n_input_files"),
+          sum(col("bytes")).as("bin_bytes"))
+        .orderBy(col("event_type"), col("bin"))
+    },
+
     // Reshape: long → wide pivot of daily counts (one column per
     // series) — the dashboard/feature-matrix layout. The pivot value
     // list is EXPLICIT, so Spark skips the values-discovery job and
