@@ -77,6 +77,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_jaro_winkler(a, b) - Jaro-Winkler similarity, bit-exact with DuckDB's jaro_winkler_similarity"),
       (exprs: Seq[Expression]) =>
         graft.functions.JaroWinklerSim(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hilbert_key"),
+      info("graft_hilbert_key",
+        "graft_hilbert_key(x, y[, bits]) - Hilbert-curve position of the (x, y) cell in a 2^bits grid (default 8); the no-seams layout key"),
+      (exprs: Seq[Expression]) =>
+        if (exprs.length > 2)
+          graft.functions.HilbertKey(exprs.head, exprs(1),
+            exprs(2).eval().asInstanceOf[Int])
+        else graft.functions.HilbertKey(exprs.head, exprs(1))))
     // whole-operator custom plan: top-k per key via bounded heaps
     // (partial/final pair — see graft.plans.TopKPerKey); sessions not
     // built with these extensions get the strategy installed lazily by

@@ -1068,6 +1068,117 @@ object ClusterOps {
         .orderBy(col("src"))
     },
 
+    // HyperANF — the neighborhood function N(t) (how many nodes are
+    // within t hops, averaged over ALL sources) estimated with one
+    // 64-register HLL PER NODE instead of 2000 BFS frontiers
+    // (Boldi-Rosa-Vigna 2011, the canonical web-graph diameter
+    // machinery). Registers merge by MAX, and max is exactly what a
+    // BFS union needs: after round t each node's sketch holds the HLL
+    // of its ≤t-hop ball. Per round: one shuffle join (registers ⋈
+    // edges) + one max-aggregate on (node, bucket) — state is
+    // nodes × 64 rows whatever the graph, which is the entire point
+    // at 100 TB. All register math is integer; the per-node estimate
+    // reuses the sketch_hll_distinct closed form, rounds to 6
+    // decimals, and the per-round DECIMAL sums compare hash-exact.
+    QuerySpec.sql(
+      "graph_hyperanf", {
+        def estSql(src: String): String =
+          s"""SELECT node,
+             |    CASE WHEN CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+             |          * CAST(140737488355328 AS DOUBLE)
+             |          / CAST(s_used + (64 - used) * 140737488355328
+             |            AS DOUBLE)
+             |        <= CAST(160 AS DOUBLE) AND used < 64
+             |      THEN CAST(64 AS DOUBLE)
+             |        * ln(CAST(64 AS DOUBLE) / CAST(64 - used AS DOUBLE))
+             |      ELSE CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+             |          * CAST(140737488355328 AS DOUBLE)
+             |          / CAST(s_used + (64 - used) * 140737488355328
+             |            AS DOUBLE)
+             |      END AS est
+             |  FROM (SELECT node, CAST(COUNT(*) AS BIGINT) AS used,
+             |      CAST(SUM(CAST(POW(2, 47 - mj) AS BIGINT)) AS BIGINT)
+             |        AS s_used
+             |    FROM $src GROUP BY 1) a""".stripMargin
+        s"""WITH sig AS (${SimilarityOps.quantizedSql}),
+           |knn AS (SELECT vec_id, nbr_id FROM (${SimilarityOps.knnEdgesSql(3)}) k),
+           |und AS (SELECT DISTINCT LEAST(vec_id, nbr_id) AS u,
+           |    GREATEST(vec_id, nbr_id) AS v FROM knn),
+           |sym AS MATERIALIZED (SELECT u, v FROM und
+           |  UNION ALL SELECT d.v AS u, d.u AS v FROM und d),
+           |h AS (SELECT vec_id AS node,
+           |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 13))
+           |      AS BIGINT) AS hv
+           |  FROM sig),
+           |r0 AS MATERIALIZED (SELECT node, hv % 64 AS bucket,
+           |    CASE WHEN hv >> 6 = 0 THEN 47
+           |      ELSE 47 - length(bin(hv >> 6)) END AS mj
+           |  FROM h),
+           |${(1 to HyperAnfRounds).map { i =>
+              s"""r$i AS MATERIALIZED (
+                 |  SELECT node, bucket, MAX(mj) AS mj FROM (
+                 |    SELECT node, bucket, mj FROM r${i - 1}
+                 |    UNION ALL
+                 |    SELECT s.v AS node, p.bucket, p.mj
+                 |    FROM r${i - 1} p JOIN sym s ON s.u = p.node) m
+                 |  GROUP BY 1, 2)""".stripMargin
+            }.mkString(",\n")}
+           |${(0 to HyperAnfRounds).map { i =>
+              s"""SELECT CAST($i AS BIGINT) AS t,
+                 |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 |  CAST(CAST(SUM(CAST(est AS DECIMAL(18,6)))
+                 |    AS DECIMAL(38,6)) AS DOUBLE) AS sum_est
+                 |FROM (${estSql(s"r$i")}) e$i""".stripMargin
+            }.mkString("\nUNION ALL\n")}
+           |ORDER BY t""".stripMargin
+      }) { (s, dir) =>
+      val und = undirectedEdges(s, dir)
+      val sym = Materialize.stable(und.unionByName(
+        und.select(col("v").as("u"), col("u").as("v"))))
+      val h = SimilarityOps.signatures(s, dir)
+        .select(col("vec_id").as("node"),
+          graft.functions.Md5Prefix.md5_prefix_long(
+            col("vec_id").cast("string"), 13).as("hv"))
+      var regs: DataFrame = h.select(col("node"),
+        pmod(col("hv"), lit(64L)).as("bucket"),
+        when(shiftright(col("hv"), 6) === 0, lit(47))
+          .otherwise(lit(47) - length(bin(shiftright(col("hv"), 6))))
+          .as("mj"))
+      def roundSum(t: Int, r: DataFrame): DataFrame = {
+        val agg = r.groupBy(col("node"))
+          .agg(count(lit(1)).as("used"),
+            sum(expr("CAST(POW(2, 47 - mj) AS BIGINT)")).as("s_used"))
+        val raw = lit(0.709) * lit(4096.0) * lit(140737488355328.0) /
+          (col("s_used") +
+            (lit(64L) - col("used")) * lit(140737488355328L))
+            .cast("double")
+        agg.select(col("node"),
+            when(raw <= lit(160.0) && col("used") < 64,
+              lit(64.0) *
+                log(lit(64.0) / (lit(64L) - col("used")).cast("double")))
+              .otherwise(raw).as("est"))
+          .agg(count(lit(1)).as("n_nodes"),
+            sum(col("est")
+                .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 6))
+              .cast("double").as("sum_est"))
+          .select(lit(t.toLong).as("t"), col("n_nodes"), col("sum_est"))
+      }
+      var out = roundSum(0, regs)
+      for (i <- 1 to HyperAnfRounds) {
+        val pushed = regs.select(col("node").as("u"), col("bucket"),
+            col("mj"))
+          .join(sym, Seq("u"))
+          .select(col("v").as("node"), col("bucket"), col("mj"))
+        regs = Materialize.stable(
+          regs.unionByName(pushed)
+            .groupBy(col("node"), col("bucket"))
+            .agg(max(col("mj")).as("mj")))
+        out = out.unionByName(roundSum(i, regs))
+      }
+      out.orderBy(col("t"))
+    },
+
     // k-core peel trajectory of the k-NN graph (k = 4): per peel
     // round, the surviving node/edge counts until the cascade
     // stabilizes (on this graph the 4-core collapses — min degree is
@@ -1147,4 +1258,7 @@ object ClusterOps {
   /** BFS closeness sampling: source count and hop budget. */
   val BfsSources = 4
   val BfsRounds = 4
+
+  /** HyperANF register-merge rounds (neighborhood function N(1..t)). */
+  val HyperAnfRounds = 4
 }

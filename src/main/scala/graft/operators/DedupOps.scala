@@ -115,14 +115,23 @@ object DedupOps {
     * ANY band signature. Shared by the banded-scoring gate and the
     * cluster-resolution (connected components) gate.
     */
-  private def bandedCandidates(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc band rows (doc_id, band, key) from the cached MinHash
+    * signatures — the LSH bucketing relation both the full-corpus
+    * candidate generation and the delta-vs-base incremental probe
+    * read.
+    */
+  private def bandFrame(s: SparkSession, dir: String): DataFrame = {
     val r = NumHashes / NumBands
     val sig = minhashSig(s, dir)
-    val bands = (0 until NumBands).map { bi =>
+    (0 until NumBands).map { bi =>
       val keyCols = (bi * r until (bi + 1) * r).map(i => col(s"m$i"))
       sig.select(col("doc_id"), lit(bi + 1).as("band"),
         concat_ws("|", keyCols: _*).as("key"))
     }.reduce(_ unionByName _)
+  }
+
+  private def bandedCandidates(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandFrame(s, dir)
     // triangle block decomposition of each band bucket: complete
     // candidate set, one hot bucket's pairs spread across block-pair
     // tasks (graft.functions.Pairs)
@@ -138,10 +147,10 @@ object DedupOps {
       .cache()
   }
 
-  /** The `sig`/`bands`/`cand` CTE chain mirroring [[bandedCandidates]]
-    * for the DuckDB oracles (no leading WITH — callers splice it).
+  /** The `sig`/`bands` CTE prefix mirroring [[bandFrame]] for the
+    * DuckDB oracles (no leading WITH — callers splice it).
     */
-  private[operators] def bandedCandCtes: String = {
+  private[operators] def sigBandsCtes: String = {
     val r = NumHashes / NumBands
     val bandSelects = (0 until NumBands).map { bi =>
       val key = (bi * r until (bi + 1) * r).map(i => s"m$i")
@@ -150,12 +159,18 @@ object DedupOps {
     }.mkString("\n  UNION ALL\n  ")
     s"""sig AS ($minhashSigSql),
        |bands AS (
-       |  $bandSelects),
+       |  $bandSelects)""".stripMargin
+  }
+
+  /** The `sig`/`bands`/`cand` CTE chain mirroring [[bandedCandidates]]
+    * for the DuckDB oracles (no leading WITH — callers splice it).
+    */
+  private[operators] def bandedCandCtes: String =
+    s"""$sigBandsCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   /** Per-doc DISTINCT word-3-gram arrays (doc_id, gs), cached: the
     * exact-verification truth that both the symmetric (Jaccard) and
@@ -631,6 +646,94 @@ object DedupOps {
     // the quadratic space), as one per-pair array_intersect over the
     // per-doc distinct-3-gram arrays — no posting-list re-join, no
     // df-ceiling needed because the pair set is already bounded.
+    // INCREMENTAL near-dup — the pattern production corpora actually
+    // run: yesterday's corpus is already deduped; today's delta batch
+    // (doc_id % 5 = 0, ~20%) probes the base (the other 80%) through
+    // the SAME banded-LSH index, and only delta×base candidates get
+    // exact verification — never base×base again. Per delta doc:
+    // candidate count, verified-dup count, and the min-id base keeper
+    // it collapses into. At 100 TB the band index is the persisted
+    // byproduct of the original dedup; each nightly batch costs
+    // |delta| signature builds + one bucket join against it.
+    QuerySpec.sql(
+      "dedup_incremental",
+      s"""WITH $sigBandsCtes,
+         |cand AS (
+         |  SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
+         |  FROM bands d JOIN bands b
+         |    ON d.band = b.band AND d.key = b.key
+         |  WHERE d.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |ngrams AS (
+         |  SELECT DISTINCT doc_id,
+         |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS ng
+         |  FROM toks,
+         |    LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g
+         |  WHERE len(ts) >= 3),
+         |sizes AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM ngrams GROUP BY 1),
+         |inter AS (
+         |  SELECT c.delta_id, c.base_id, CAST(COUNT(*) AS BIGINT)
+         |      AS n_inter
+         |  FROM cand c
+         |  JOIN ngrams a ON a.doc_id = c.delta_id
+         |  JOIN ngrams b ON b.doc_id = c.base_id AND b.ng = a.ng
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT c.delta_id, c.base_id,
+         |    CASE WHEN COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+         |        - COALESCE(i.n_inter, 0) = 0 THEN CAST(0 AS DOUBLE)
+         |      ELSE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         |        / (COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+         |          - COALESCE(i.n_inter, 0)) END AS jaccard
+         |  FROM cand c
+         |  LEFT JOIN inter i
+         |    ON i.delta_id = c.delta_id AND i.base_id = c.base_id
+         |  LEFT JOIN sizes sa ON sa.doc_id = c.delta_id
+         |  LEFT JOIN sizes sb ON sb.doc_id = c.base_id)
+         |SELECT delta_id, CAST(COUNT(*) AS BIGINT) AS n_cands,
+         |  CAST(COALESCE(SUM(CASE WHEN jaccard >= 0.05 THEN 1 END), 0)
+         |    AS BIGINT) AS n_dups,
+         |  MIN(CASE WHEN jaccard >= 0.05 THEN base_id END)
+         |    AS base_keeper
+         |FROM scored GROUP BY 1
+         |ORDER BY delta_id""".stripMargin) { (s, dir) =>
+      val bands = bandFrame(s, dir)
+      val cand = bands.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id").as("delta_id"), col("band"), col("key"))
+        .join(bands.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+          .select(col("doc_id").as("base_id"), col("band"), col("key")),
+          Seq("band", "key"))
+        .select(col("delta_id"), col("base_id"))
+        .dropDuplicates()
+      val g = gramSets(s, dir)
+      val na = when(col("ga").isNull, 0L)
+        .otherwise(size(col("ga")).cast("long"))
+      val nb = when(col("gb").isNull, 0L)
+        .otherwise(size(col("gb")).cast("long"))
+      val ni = when(col("ga").isNull || col("gb").isNull, 0L)
+        .otherwise(size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      cand
+        .join(g.select(col("doc_id").as("delta_id"), col("gs").as("ga")),
+          Seq("delta_id"), "left")
+        .join(g.select(col("doc_id").as("base_id"), col("gs").as("gb")),
+          Seq("base_id"), "left")
+        .withColumn("n_inter", ni)
+        .withColumn("jaccard",
+          when(na + nb - col("n_inter") === 0, lit(0.0))
+            .otherwise(col("n_inter").cast("double") /
+              (na + nb - col("n_inter"))))
+        .groupBy(col("delta_id"))
+        .agg(count(lit(1)).as("n_cands"),
+          coalesce(sum(when(col("jaccard") >= 0.05, 1L)), lit(0L))
+            .as("n_dups"),
+          min(when(col("jaccard") >= 0.05, col("base_id")))
+            .as("base_keeper"))
+        .orderBy(col("delta_id"))
+    },
+
     QuerySpec.sql(
       "dedup_lsh_verified",
       s"""WITH $bandedCandCtes,

@@ -1868,6 +1868,72 @@ object TimeSeriesOps {
         .orderBy(col("layout"))
     },
 
+    // Bloom-filter file index — the skipping tier min/max CANNOT
+    // provide: files are laid in INGEST (time) order, the normal
+    // streaming-append reality, so every file's user_id range spans
+    // nearly the whole key domain and min/max prunes nothing for a
+    // point-user probe. A 1008-bit per-file bloom (16 x 63-bit words,
+    // one hash bit per key; 63 not 64 — bit 63 would overflow a
+    // signed shift under checked arithmetic) answers membership
+    // directly: bloom_hits collapses toward true_files while
+    // minmax_hits stays ~n_files. The gate materializes only the
+    // probe's word — the stored index would hold all 16 words; the
+    // per-file result is identical. One PrefixSum rank + one integer
+    // file-grain fold, hash-exact in both engines.
+    QuerySpec.sql(
+      "store_bloom_skipping",
+      """WITH r AS (
+        |  SELECT user_id,
+        |    (ROW_NUMBER() OVER (ORDER BY event_id) - 1) // 512 AS f,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 1008 AS p
+        |  FROM events),
+        |q AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(7 AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 1008 AS qp),
+        |fstat AS (
+        |  SELECT f, MIN(user_id) AS mn, MAX(user_id) AS mx,
+        |    COALESCE(bit_or(CASE WHEN r.p // 63 = q.qp // 63
+        |      THEN CAST(1 AS BIGINT) << CAST(r.p % 63 AS INTEGER)
+        |      END), 0) AS bloom_qw,
+        |    CAST(MAX(CASE WHEN user_id = 7 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS has_probe
+        |  FROM r, q GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(has_probe) AS BIGINT) AS true_files,
+        |  CAST(COALESCE(SUM(CASE WHEN mn <= 7 AND mx >= 7
+        |    THEN 1 END), 0) AS BIGINT) AS minmax_hits,
+        |  CAST(COALESCE(SUM(CASE WHEN (bloom_qw
+        |      & (CAST(1 AS BIGINT) << CAST(q.qp % 63 AS INTEGER)))
+        |      <> 0 THEN 1 END), 0) AS BIGINT) AS bloom_hits
+        |FROM fstat, q GROUP BY q.qp""".stripMargin) { (s, dir) =>
+      val p = pmod(graft.functions.Md5Prefix
+        .md5_prefix_long(col("user_id").cast("string")), lit(1008L))
+      val qp = pmod(graft.functions.Md5Prefix
+        .md5_prefix_long(lit("7")), lit(1008L))
+      val qbit = call_function("shiftleft", lit(1L),
+        pmod(qp, lit(63L)).cast("int"))
+      val base = events(s, dir)
+        .select(col("event_id"), col("user_id"), p.as("p"), qp.as("qp"))
+      graft.functions.PrefixSum
+        .globalCumsum(base, Seq(col("event_id")), lit(1L), "rk")
+        .select(col("user_id"), expr("(rk - 1) div 512").as("f"),
+          when(expr("p div 63") === expr("qp div 63"),
+            call_function("shiftleft", lit(1L),
+              pmod(col("p"), lit(63L)).cast("int"))).as("bit"))
+        .groupBy(col("f"))
+        .agg(min(col("user_id")).as("mn"), max(col("user_id")).as("mx"),
+          coalesce(expr("bit_or(bit)"), lit(0L)).as("bloom_qw"),
+          max(when(col("user_id") === 7, 1L).otherwise(0L))
+            .as("has_probe"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("has_probe")).as("true_files"),
+          coalesce(sum(when(col("mn") <= 7 && col("mx") >= 7, 1L)),
+            lit(0L)).as("minmax_hits"),
+          coalesce(sum(when(col("bloom_qw").bitwiseAND(qbit) =!= 0, 1L)),
+            lit(0L)).as("bloom_hits"))
+    },
+
     // Compaction planning — the OPTIMIZE bin-packer: daily ingest
     // leaves one small fragment per (series, day); pack consecutive
     // fragments into ~5000-row output files by assigning each
