@@ -613,6 +613,154 @@ object PipelineOps {
     },
 
     // The NEAR-dup curation pipeline: curate_corpus with stage 2
+    // The DATA CARD: the stage-by-stage funnel report (docs + tokens
+    // surviving raw → exact dedup → quality → eval holdout →
+    // decontamination → train split) that every corpus release
+    // publishes beside the data. Same predicates as curate_corpus,
+    // but folded to cumulative-flag sums in ONE pass over the flags
+    // relation — one row per stage, never a per-stage rescan of the
+    // corpus. The funnel is the audit trail: any stage dropping "too
+    // much" is visible before a token is trained on.
+    QuerySpec.sql(
+      "curate_report", {
+        val g = (0 until ContamNgram)
+          .map(k => s"ts[i+$k]").mkString(" || ' ' || ")
+        val t1 = (0.90 * (1L << 32)).toLong
+        s"""WITH q AS (
+           |  SELECT doc_id,
+           |    0.3 * (CAST(SUM(CASE WHEN tok IN
+           |      ('the','a','of','and','is','to','in')
+           |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))
+           |    + 0.7 * (CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*))
+           |      AS quality
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |        FROM documents)
+           |  GROUP BY doc_id),
+           |toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+           |  FROM documents),
+           |grams AS (
+           |  SELECT DISTINCT doc_id, $g AS ng
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+           |    len(ts)-${ContamNgram - 1})) AS i) gi
+           |  WHERE len(ts) >= $ContamNgram),
+           |eval_grams AS (
+           |  SELECT DISTINCT ng FROM grams WHERE doc_id % $EvalModulus = 0),
+           |contaminated AS (
+           |  SELECT DISTINCT g.doc_id AS doc_id
+           |  FROM grams g JOIN eval_grams e ON g.ng = e.ng),
+           |flags AS (
+           |  SELECT d.doc_id,
+           |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS ntok,
+           |    d.doc_id = MIN(d.doc_id)
+           |      OVER (PARTITION BY md5(lower(d.text))) AS ok_dedup,
+           |    q.quality >= 0.25 AS ok_q,
+           |    d.doc_id % $EvalModulus <> 0 AS ok_eval,
+           |    c.doc_id IS NULL AS ok_contam,
+           |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+           |      || ':split'), 1, 8)) AS BIGINT) < $t1 AS ok_train
+           |  FROM documents d
+           |  JOIN q ON q.doc_id = d.doc_id
+           |  LEFT JOIN contaminated c ON c.doc_id = d.doc_id),
+           |agg AS (SELECT
+           |  CAST(COUNT(*) AS BIGINT) AS d0,
+           |  CAST(SUM(ntok) AS BIGINT) AS t0,
+           |  CAST(COALESCE(SUM(CASE WHEN ok_dedup THEN 1 END), 0)
+           |    AS BIGINT) AS d1,
+           |  CAST(COALESCE(SUM(CASE WHEN ok_dedup THEN ntok END), 0)
+           |    AS BIGINT) AS t1,
+           |  CAST(COALESCE(SUM(CASE WHEN ok_dedup AND ok_q
+           |    THEN 1 END), 0) AS BIGINT) AS d2,
+           |  CAST(COALESCE(SUM(CASE WHEN ok_dedup AND ok_q
+           |    THEN ntok END), 0) AS BIGINT) AS t2,
+           |  CAST(COALESCE(SUM(CASE WHEN ok_dedup AND ok_q AND ok_eval
+           |    THEN 1 END), 0) AS BIGINT) AS d3,
+           |  CAST(COALESCE(SUM(CASE WHEN ok_dedup AND ok_q AND ok_eval
+           |    THEN ntok END), 0) AS BIGINT) AS t3,
+           |  CAST(COALESCE(SUM(CASE WHEN ok_dedup AND ok_q AND ok_eval
+           |    AND ok_contam THEN 1 END), 0) AS BIGINT) AS d4,
+           |  CAST(COALESCE(SUM(CASE WHEN ok_dedup AND ok_q AND ok_eval
+           |    AND ok_contam THEN ntok END), 0) AS BIGINT) AS t4,
+           |  CAST(COALESCE(SUM(CASE WHEN ok_dedup AND ok_q AND ok_eval
+           |    AND ok_contam AND ok_train THEN 1 END), 0) AS BIGINT)
+           |    AS d5,
+           |  CAST(COALESCE(SUM(CASE WHEN ok_dedup AND ok_q AND ok_eval
+           |    AND ok_contam AND ok_train THEN ntok END), 0) AS BIGINT)
+           |    AS t5
+           |  FROM flags)
+           |SELECT * FROM (
+           |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+           |    d0 AS n_docs, t0 AS n_tokens FROM agg
+           |  UNION ALL SELECT 1, 'exact_dedup', d1, t1 FROM agg
+           |  UNION ALL SELECT 2, 'quality', d2, t2 FROM agg
+           |  UNION ALL SELECT 3, 'eval_holdout', d3, t3 FROM agg
+           |  UNION ALL SELECT 4, 'decontaminated', d4, t4 FROM agg
+           |  UNION ALL SELECT 5, 'train_split', d5, t5 FROM agg) u
+           |ORDER BY stage""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val t1 = (0.90 * (1L << 32)).toLong
+      val stop = "('the','a','of','and','is','to','in')"
+      val evalGrams = contamGrams(s, dir)
+        .filter(col("doc_id") % EvalModulus === 0)
+        .select(col("ng")).distinct()
+      val contam = contamGrams(s, dir)
+        .join(evalGrams, Seq("ng"))
+        .select(col("doc_id")).distinct()
+        .withColumn("is_contam", lit(true))
+      val flags = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"),
+          md5(lower(col("text"))).as("fp"))
+        .withColumn("ntok", size(col("ts")).cast("long"))
+        .withColumn("quality",
+          lit(0.3) * (expr(s"CAST(size(filter(ts, t -> t IN $stop)) AS BIGINT)")
+            .cast("double") / size(col("ts"))) +
+            lit(0.7) * (size(array_distinct(col("ts"))).cast("double") /
+              size(col("ts"))))
+        .withColumn("ok_dedup",
+          col("doc_id") === min(col("doc_id")).over(W.partitionBy(col("fp"))))
+        .withColumn("ok_q", col("quality") >= 0.25)
+        .withColumn("ok_eval", col("doc_id") % EvalModulus =!= 0)
+        .withColumn("ok_train",
+          graft.functions.Md5Prefix.md5_prefix_long(
+            concat(col("doc_id").cast("string"), lit(":split"))) < t1)
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("ok_contam", col("is_contam").isNull)
+      val agg = flags.agg(
+        count(lit(1)).as("d0"), sum(col("ntok")).as("t0"),
+        coalesce(sum(when(col("ok_dedup"), 1L)), lit(0L)).as("d1"),
+        coalesce(sum(when(col("ok_dedup"), col("ntok"))), lit(0L))
+          .as("t1"),
+        coalesce(sum(when(col("ok_dedup") && col("ok_q"), 1L)),
+          lit(0L)).as("d2"),
+        coalesce(sum(when(col("ok_dedup") && col("ok_q"), col("ntok"))),
+          lit(0L)).as("t2"),
+        coalesce(sum(when(col("ok_dedup") && col("ok_q") &&
+          col("ok_eval"), 1L)), lit(0L)).as("d3"),
+        coalesce(sum(when(col("ok_dedup") && col("ok_q") &&
+          col("ok_eval"), col("ntok"))), lit(0L)).as("t3"),
+        coalesce(sum(when(col("ok_dedup") && col("ok_q") &&
+          col("ok_eval") && col("ok_contam"), 1L)), lit(0L)).as("d4"),
+        coalesce(sum(when(col("ok_dedup") && col("ok_q") &&
+          col("ok_eval") && col("ok_contam"), col("ntok"))), lit(0L))
+          .as("t4"),
+        coalesce(sum(when(col("ok_dedup") && col("ok_q") &&
+          col("ok_eval") && col("ok_contam") && col("ok_train"), 1L)),
+          lit(0L)).as("d5"),
+        coalesce(sum(when(col("ok_dedup") && col("ok_q") &&
+          col("ok_eval") && col("ok_contam") && col("ok_train"),
+          col("ntok"))), lit(0L)).as("t5"))
+      agg.selectExpr(
+        """stack(6,
+          |  CAST(0 AS BIGINT), 'raw', d0, t0,
+          |  CAST(1 AS BIGINT), 'exact_dedup', d1, t1,
+          |  CAST(2 AS BIGINT), 'quality', d2, t2,
+          |  CAST(3 AS BIGINT), 'eval_holdout', d3, t3,
+          |  CAST(4 AS BIGINT), 'decontaminated', d4, t4,
+          |  CAST(5 AS BIGINT), 'train_split', d5, t5)
+          |  AS (stage, stage_name, n_docs, n_tokens)""".stripMargin)
+        .orderBy(col("stage"))
+    },
+
     // upgraded from exact-digest keepers to cluster representatives —
     // banded-MinHash candidates → connected components → keep the
     // longest doc per near-dup cluster — then the same quality gate,

@@ -483,6 +483,58 @@ object Relational {
         .orderBy(col("o_custkey"), col("rn"))
     },
 
+    // Benford first-digit audit — the classic anomaly screen for
+    // amount columns: observed first-significant-digit counts of
+    // o_totalprice against the Benford expectation log10(1 + 1/d),
+    // with the per-digit χ² contribution. The digit comes from the
+    // EXACT integer cents value rendered as a string (×100 shifts the
+    // decimal point, never the leading digit), so no float touches
+    // the classification; the expectation and χ² compile from shared
+    // expression text. One conditional-aggregate scan, 9 rows out.
+    QuerySpec.sql(
+      "orders_benford", {
+        val expected =
+          "ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE)" +
+            " / CAST(digit AS DOUBLE)) / ln(CAST(10 AS DOUBLE))"
+        val chi2 =
+          s"((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * $expected)" +
+            s" * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * $expected)" +
+            s" / (CAST(n AS DOUBLE) * $expected))"
+        s"""WITH d AS (
+           |  SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT)
+           |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           |  FROM orders),
+           |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+           |  FROM d GROUP BY 1),
+           |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c)
+           |SELECT digit, n_obs,
+           |  CAST(CAST($expected AS DECIMAL(18,6)) AS DOUBLE)
+           |    AS benford_p,
+           |  CAST(CAST($chi2 AS DECIMAL(18,6)) AS DOUBLE) AS chi2_part
+           |FROM c, t
+           |ORDER BY digit""".stripMargin
+      }) { (s, dir) =>
+      val expected =
+        "ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE)" +
+          " / CAST(digit AS DOUBLE)) / ln(CAST(10 AS DOUBLE))"
+      val chi2 =
+        s"((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * $expected)" +
+          s" * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * $expected)" +
+          s" / (CAST(n AS DOUBLE) * $expected))"
+      val c = t(s, dir, "orders")
+        .select(substring((col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val tot = c.agg(sum(col("n_obs")).as("n"))
+      c.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_obs"),
+          expr(expected).cast("decimal(18,6)").cast("double")
+            .as("benford_p"),
+          expr(chi2).cast("decimal(18,6)").cast("double")
+            .as("chi2_part"))
+        .orderBy(col("digit"))
+    },
+
     // Data-quality audit (Deequ-style constraint report): referential
     // integrity, key uniqueness, and domain checks as ONE relation of
     // (check_name, checked, violations). Scale shape: every per-table

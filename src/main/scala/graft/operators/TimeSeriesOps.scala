@@ -576,6 +576,49 @@ object TimeSeriesOps {
       sessions(s, dir).orderBy(col("user_id"), col("sess"))
     },
 
+    // Sessionization via Spark's NATIVE session_window — the built-in
+    // the custom island-trick plan should be measured against (same
+    // data, one groupBy, no lag/cumsum windows; Spark merges sessions
+    // in a dedicated aggregate). Semantics differ from the custom
+    // gate at one boundary: session_window is half-open [start,
+    // last+gap), so an event landing EXACTLY gap after its
+    // predecessor starts a NEW session (the custom plan's `> gap`
+    // keeps it) — the oracle spells `>= gap` to match. window.end =
+    // last event + gap rides along as end_pad_us to pin that contract.
+    QuerySpec.sql(
+      "sessionize_native",
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN
+        |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      IS NULL
+        |    OR us - lag(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) >= 14400000000
+        |    THEN 1 ELSE 0 END AS new_s FROM e),
+        |g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS BIGINT) AS sess FROM f)
+        |SELECT user_id, CAST(MIN(us) AS BIGINT) AS start_us,
+        |  CAST(MAX(us) + 14400000000 AS BIGINT) AS end_pad_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchase
+        |FROM g GROUP BY user_id, sess
+        |ORDER BY user_id, start_us""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "4 hours").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchase"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_pad_us"),
+          col("n_events"), col("n_purchase"))
+        .orderBy(col("user_id"), col("start_us"))
+    },
+
     // Weekly cohort retention over purchase events: cohort = a user's
     // first purchase day; each later purchase lands in a week-offset
     // bucket relative to that cohort day. Two hash aggregates plus one
