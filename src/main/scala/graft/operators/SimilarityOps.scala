@@ -649,6 +649,103 @@ object SimilarityOps {
         .orderBy(col("vec_id"))
     },
 
+    // Embedding-distribution drift monitor — did the encoder (or the
+    // corpus) move? Split the store into "yesterday" / "today" halves
+    // (vec_id parity), fold each half's EXACT per-dimension component
+    // sums (one 2×64-row aggregate — the centroid never materializes
+    // as floats), then compare the mean vectors: cosine of the means
+    // and the L2 shift in original units. The cross terms are the
+    // only wide math: products held in DECIMAL, the mean-difference
+    // term folded through an exact BIGINT (s1·n2 − s2·n1 fits a long
+    // by construction) so nothing rounds before the one shared-text
+    // float finish. At 100 TB this is two shuffles of 64 rows each —
+    // the cheapest possible alarm on a re-embedding run.
+    QuerySpec.sql(
+      "emb_centroid_drift", {
+        val cos =
+          "CASE WHEN CAST(q1 AS DOUBLE) > 0 AND CAST(q2 AS DOUBLE) > 0" +
+            " THEN CAST(dot12 AS DOUBLE)" +
+            " / (sqrt(CAST(q1 AS DOUBLE)) * sqrt(CAST(q2 AS DOUBLE)))" +
+            " END"
+        val l2 =
+          "CASE WHEN n1 > 0 AND n2 > 0 THEN" +
+            " sqrt(CAST(shiftnum AS DOUBLE))" +
+            " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)" +
+            " * CAST(1000000 AS DOUBLE)) END"
+        s"""WITH sig AS ($quantizedSql),
+           |parts AS (
+           |  SELECT vec_id % 2 AS half, i AS pos, qv[i] AS x
+           |  FROM sig,
+           |    LATERAL (SELECT unnest(generate_series(1, len(qv))) AS i) g),
+           |ps AS (SELECT half, pos, CAST(SUM(x) AS BIGINT) AS s
+           |  FROM parts GROUP BY 1, 2),
+           |ns AS (SELECT
+           |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n1,
+           |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n2
+           |  FROM sig),
+           |j AS (SELECT a.pos, a.s AS s1, b.s AS s2
+           |  FROM ps a JOIN ps b ON b.pos = a.pos
+           |  WHERE a.half = 0 AND b.half = 1),
+           |agg AS (SELECT
+           |    SUM(CAST(s1 AS DECIMAL(19,0)) * CAST(s2 AS DECIMAL(19,0)))
+           |      AS dot12,
+           |    SUM(CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0)))
+           |      AS q1,
+           |    SUM(CAST(s2 AS DECIMAL(19,0)) * CAST(s2 AS DECIMAL(19,0)))
+           |      AS q2,
+           |    SUM(CAST(s1 * n2 - s2 * n1 AS DECIMAL(19,0))
+           |      * CAST(s1 * n2 - s2 * n1 AS DECIMAL(19,0))) AS shiftnum
+           |  FROM j, ns)
+           |SELECT n1, n2,
+           |  CAST(CAST($cos AS DECIMAL(18,6)) AS DOUBLE) AS cos_means,
+           |  CAST(CAST($l2 AS DECIMAL(18,6)) AS DOUBLE) AS l2_shift
+           |FROM agg, ns""".stripMargin
+      }) { (s, dir) =>
+      val cos =
+        "CASE WHEN CAST(q1 AS DOUBLE) > 0 AND CAST(q2 AS DOUBLE) > 0" +
+          " THEN CAST(dot12 AS DOUBLE)" +
+          " / (sqrt(CAST(q1 AS DOUBLE)) * sqrt(CAST(q2 AS DOUBLE)))" +
+          " END"
+      val l2 =
+        "CASE WHEN n1 > 0 AND n2 > 0 THEN" +
+          " sqrt(CAST(shiftnum AS DOUBLE))" +
+          " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)" +
+          " * CAST(1000000 AS DOUBLE)) END"
+      val sig = signatures(s, dir)
+      val ps = sig
+        .select(pmod(col("vec_id"), lit(2L)).as("half"),
+          posexplode(col("qv")).as(Seq("pos0", "x")))
+        .groupBy(col("half"), col("pos0"))
+        .agg(sum(col("x")).as("s"))
+      val ns = sig.agg(
+        sum(when(pmod(col("vec_id"), lit(2L)) === 0, 1L).otherwise(0L))
+          .as("n1"),
+        sum(when(pmod(col("vec_id"), lit(2L)) === 1, 1L).otherwise(0L))
+          .as("n2"))
+      val j = ps.filter(col("half") === 0)
+        .select(col("pos0"), col("s").as("s1"))
+        .join(ps.filter(col("half") === 1)
+          .select(col("pos0"), col("s").as("s2")), Seq("pos0"))
+        .crossJoin(broadcast(ns))
+      j.agg(
+          sum(col("s1").cast("decimal(19,0)") *
+            col("s2").cast("decimal(19,0)")).as("dot12"),
+          sum(col("s1").cast("decimal(19,0)") *
+            col("s1").cast("decimal(19,0)")).as("q1"),
+          sum(col("s2").cast("decimal(19,0)") *
+            col("s2").cast("decimal(19,0)")).as("q2"),
+          sum((col("s1") * col("n2") - col("s2") * col("n1"))
+            .cast("decimal(19,0)") *
+            (col("s1") * col("n2") - col("s2") * col("n1"))
+              .cast("decimal(19,0)")).as("shiftnum"))
+        .crossJoin(broadcast(ns))
+        .select(col("n1"), col("n2"),
+          expr(cos).cast("decimal(18,6)").cast("double").as("cos_means"),
+          expr(l2).cast("decimal(18,6)").cast("double").as("l2_shift"))
+    },
+
     // Two-stage retrieval over the quantized store: a cheap int8
     // coarse scan (exact integer dot of the absmax-quantized vectors,
     // rescaled by the per-vector amax — the memory-bandwidth-bound
