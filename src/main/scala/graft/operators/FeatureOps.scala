@@ -239,6 +239,58 @@ object FeatureOps {
     // feature p_brand encoded as a shrunk mean of the retail price —
     // two hash aggregates and a 1-row broadcast global mean, the
     // standard leakage-safe categorical encoder at corpus scale.
+    // Weight-of-evidence encoding + information value — the credit-
+    // scoring categorical encoder: per category, ln of the class-share
+    // ratio, and the IV contribution that ranks features by
+    // separating power. Exact integer class counts (one conditional-
+    // aggregate scan), zero-class categories NULL-guarded, the two
+    // float formulas compiled from one shared expression text.
+    QuerySpec.sql(
+      "feat_woe_encode", {
+        val woe =
+          "CASE WHEN np > 0 AND nn > 0 AND tp > 0 AND tn > 0 THEN" +
+            " ln((CAST(np AS DOUBLE) / CAST(tp AS DOUBLE))" +
+            " / (CAST(nn AS DOUBLE) / CAST(tn AS DOUBLE))) END"
+        val iv =
+          s"(CAST(np AS DOUBLE) / CAST(tp AS DOUBLE)" +
+            s" - CAST(nn AS DOUBLE) / CAST(tn AS DOUBLE)) * ($woe)"
+        s"""WITH c AS (
+           |  SELECT o_orderpriority,
+           |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS np,
+           |    CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS nn
+           |  FROM orders GROUP BY 1),
+           |t AS (SELECT CAST(SUM(np) AS BIGINT) AS tp,
+           |    CAST(SUM(nn) AS BIGINT) AS tn FROM c)
+           |SELECT o_orderpriority, np, nn,
+           |  CAST(CAST($woe AS DECIMAL(18,6)) AS DOUBLE) AS woe,
+           |  CAST(CAST($iv AS DECIMAL(18,6)) AS DOUBLE) AS iv_part
+           |FROM c, t
+           |ORDER BY o_orderpriority""".stripMargin
+      }) { (s, dir) =>
+      val woe =
+        "CASE WHEN np > 0 AND nn > 0 AND tp > 0 AND tn > 0 THEN" +
+          " ln((CAST(np AS DOUBLE) / CAST(tp AS DOUBLE))" +
+          " / (CAST(nn AS DOUBLE) / CAST(tn AS DOUBLE))) END"
+      val iv =
+        s"(CAST(np AS DOUBLE) / CAST(tp AS DOUBLE)" +
+          s" - CAST(nn AS DOUBLE) / CAST(tn AS DOUBLE)) * ($woe)"
+      val c = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("np"),
+          sum(when(col("o_orderstatus") =!= "F", 1L).otherwise(0L))
+            .as("nn"))
+      val tot = c.agg(sum(col("np")).as("tp"), sum(col("nn")).as("tn"))
+      c.crossJoin(broadcast(tot))
+        .select(col("o_orderpriority"), col("np"), col("nn"),
+          expr(woe).cast("decimal(18,6)").cast("double").as("woe"),
+          expr(iv).cast("decimal(18,6)").cast("double").as("iv_part"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     QuerySpec.sql(
       "feat_target_encode",
       """WITH g AS (SELECT

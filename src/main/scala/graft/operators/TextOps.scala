@@ -443,6 +443,73 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // Language-ID CONFUSION MATRIX — the classifier eval: the n-gram
+    // heuristic's predictions against the corpus's labeled `lang`,
+    // with per-(actual, predicted) counts and row-normalized recall
+    // in exact ppm. The matrix is how a curation run decides whether
+    // the cheap heuristic is good enough to gate on — the same
+    // shuffle-free per-doc scoring as text_lang_id, then one
+    // class-grain aggregate pair.
+    QuerySpec.sql(
+      "text_lang_confusion", {
+        val scoreCols = langMarkers.map { case (l, ws) =>
+          s"""  CAST(SUM(CASE WHEN tok IN ${inList(ws)} THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / COUNT(*) AS score_$l""".stripMargin
+        }.mkString(",\n")
+        val langs = langMarkers.map(_._1)
+        val pred = langs.init.zipWithIndex.map { case (l, i) =>
+          val rest = langs.drop(i + 1)
+          s"WHEN score_$l > 0 AND ${rest.map(r => s"score_$l >= score_$r").mkString(" AND ")} THEN '$l'"
+        }.mkString(" ") + s" WHEN score_${langs.last} > 0 THEN '${langs.last}'"
+        s"""WITH sc AS (
+           |  SELECT doc_id, lang,
+           |$scoreCols
+           |  FROM (SELECT doc_id, lang,
+           |      unnest(string_split(text, ' ')) AS tok
+           |    FROM documents)
+           |  GROUP BY doc_id, lang),
+           |p AS (SELECT lang,
+           |    CASE $pred ELSE 'unknown' END AS pred_lang
+           |  FROM sc),
+           |c AS (SELECT lang, pred_lang,
+           |    CAST(COUNT(*) AS BIGINT) AS n_docs
+           |  FROM p GROUP BY 1, 2),
+           |t AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS tot
+           |  FROM c GROUP BY 1)
+           |SELECT c.lang AS actual_lang, c.pred_lang, c.n_docs,
+           |  CAST(c.n_docs * 1000000 // t.tot AS BIGINT) AS recall_ppm
+           |FROM c JOIN t USING (lang)
+           |ORDER BY actual_lang, pred_lang""".stripMargin
+      }) { (s, dir) =>
+      val scored = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          split(col("text"), " ").as("ts"))
+        .select(col("doc_id") +: col("lang") +: size(col("ts")).as("n") +:
+          langMarkers.map { case (l, ws) =>
+            expr(s"size(filter(ts, t -> t IN ${inList(ws)}))").as(s"hits_$l")
+          }: _*)
+      val withScores = langMarkers.foldLeft(scored) { case (df, (l, _)) =>
+        df.withColumn(s"score_$l",
+          col(s"hits_$l").cast("double") / col("n"))
+      }
+      val langs = langMarkers.map(_._1)
+      val pred = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1)
+        s"WHEN score_$l > 0 AND ${rest.map(r => s"score_$l >= score_$r").mkString(" AND ")} THEN '$l'"
+      }.mkString(" ") + s" WHEN score_${langs.last} > 0 THEN '${langs.last}'"
+      val c = withScores
+        .withColumn("pred_lang", expr(s"CASE $pred ELSE 'unknown' END"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val t = c.groupBy(col("lang")).agg(sum(col("n_docs")).as("tot"))
+      c.join(t, Seq("lang"))
+        .select(col("lang").as("actual_lang"), col("pred_lang"),
+          col("n_docs"),
+          expr("CAST(n_docs * 1000000 div tot AS BIGINT)")
+            .as("recall_ppm"))
+        .orderBy(col("actual_lang"), col("pred_lang"))
+    },
+
     // Document fingerprinting: full-content hash + short prefix (the
     // reference's rowkey-prefix idiom, topology.js:99-109) + length.
     QuerySpec.sql(
