@@ -30,7 +30,8 @@ object SparkEntry {
         }),
       ("timeseries", TimeSeriesOps.specs, (_, _) => ()),
       ("text", TextOps.specs, (_, _) => ()),
-      ("entity", EntityOps.specs, (_, _) => ()),
+      ("entity", EntityOps.specs,
+        (s, d) => EntityOps.releaseCaches(s, d)),
       ("dedup", DedupOps.specs,
         (s, d) => TextOps.releaseCaches(s, d)),
       ("similarity", SimilarityOps.specs, (_, _) => ()),

@@ -222,7 +222,24 @@ object EntityOps {
     * edges under the levenshtein gate, min-label connected components
     * over the dictionary (dictionary-sized: no cache needed).
     */
-  private def entityClusters(s: SparkSession, dir: String): DataFrame = {
+  /** Memoized (session, dir) cluster-label table: the blocked-match +
+    * min-label-CC body is consumed by three plan branches of
+    * er_golden_record AND by er_entity_clusters — without the memo the
+    * optimizer re-expands the dict scan + index window + CC fixpoint
+    * once per reference (measured 3× in the physical plan). At
+    * warehouse scale this is the write-once `entity_labels` table.
+    * Released by [[releaseCaches]] after the entity section.
+    */
+  private val clusterMemo = new graft.functions.DataFrameMemo
+
+  private[graft] def releaseCaches(s: SparkSession, dir: String): Unit =
+    clusterMemo.clear(Some(s))
+
+  private def entityClusters(s: SparkSession, dir: String): DataFrame =
+    clusterMemo.getOrBuild(s, dir)(
+      graft.functions.Materialize.stable(entityClustersBody(s, dir)))
+
+  private def entityClustersBody(s: SparkSession, dir: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val d = dict(s, dir)
       val base = d.select(col("name"), col("blk"))
