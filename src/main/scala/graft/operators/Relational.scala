@@ -1728,6 +1728,64 @@ object Relational {
           .orderBy(col("o_orderpriority"), col("p_pct"))
     },
 
+    // Winsorized mean per group — the robust-stats companion of the
+    // quantile gates: clamp each value into its group's [p05, p95]
+    // band, then average. The thresholds come from the SAME
+    // histogram + range-partitioned prefix-sum machinery as
+    // quantile_disc_grouped (working set = |distinct values|, no
+    // single-task sort); the clamp is LEAST/GREATEST on exact
+    // decimals and the mean divides a DECIMAL(38,6) sum — the oracle
+    // runs DuckDB's native percentile_disc to derive the identical
+    // thresholds by a different algorithm.
+    QuerySpec.sql(
+      "stats_winsorized_mean",
+      """WITH th AS (
+        |  SELECT o_orderpriority AS g,
+        |    percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)
+        |      AS lo,
+        |    percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)
+        |      AS hi
+        |  FROM orders GROUP BY 1)
+        |SELECT g AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(th.lo AS DOUBLE) AS lo, CAST(th.hi AS DOUBLE) AS hi,
+        |  CAST(SUM(CAST(LEAST(GREATEST(o_totalprice, th.lo), th.hi)
+        |    AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS winsor_mean
+        |FROM orders JOIN th ON th.g = o_orderpriority
+        |GROUP BY g, th.lo, th.hi
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val counts = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("g"),
+          col("o_totalprice").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = graft.functions.PrefixSum.globalCumsum(
+        counts, Seq(col("g"), col("v")), col("cnt"), "gcum")
+      val offs = cum.groupBy(col("g")).agg(
+        sum(col("cnt")).as("ng"),
+        min(col("gcum") - col("cnt")).as("off"))
+      val pdf = s.range(1).select(
+        explode(array(Seq(5, 95).map(lit): _*)).as("p_pct"))
+      val th = cum.join(broadcast(offs), Seq("g"))
+        .crossJoin(broadcast(pdf))
+        .filter(col("gcum") - col("off") >=
+          expr("(p_pct * ng + 99) div 100"))
+        .groupBy(col("g"), col("p_pct"))
+        .agg(min(col("v")).as("q"))
+        .groupBy(col("g"))
+        .agg(min(when(col("p_pct") === 5, col("q"))).as("lo"),
+          min(when(col("p_pct") === 95, col("q"))).as("hi"))
+      t(s, dir, "orders")
+        .join(broadcast(th), col("g") === col("o_orderpriority"))
+        .groupBy(col("o_orderpriority"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"),
+          sum(least(greatest(col("o_totalprice"), col("lo")), col("hi"))
+            .cast("decimal(38,6)")).as("wsum"))
+        .select(col("o_orderpriority"), col("n"),
+          col("lo").cast("double").as("lo"),
+          col("hi").cast("double").as("hi"),
+          (col("wsum").cast("double") / col("n")).as("winsor_mean"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Interpolated (PERCENTILE_CONT-style) grouped quantiles — the
     // continuous sibling of quantile_disc_grouped over the SAME
     // distinct-value histogram + one prefix-sum pass. Rank arithmetic

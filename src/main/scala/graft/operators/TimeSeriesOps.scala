@@ -1318,6 +1318,133 @@ object TimeSeriesOps {
     //   b_i = (b_{i-1} + (l_i - l_{i-1})) div 2
     // Same per-series `aggregate` fold over the calendar-bounded daily
     // frame; same recursive-CTE oracle.
+    // LTTB downsampling (largest-triangle-three-buckets, Steinarsson
+    // 2013) — THE dashboard downsampler: reduce each daily series to
+    // 10 points that preserve visual shape (peaks survive, plateaus
+    // collapse). Selection is inherently sequential — bucket k's pick
+    // depends on bucket k−1's — so the 8 middle buckets unroll as a
+    // chained ladder (like the Hilbert/k-core CTE ladders): per step
+    // one keyed join to the carried anchor + one argmax. The triangle
+    // area is kept EXACT by multiplying through by the next-bucket
+    // size (|（m·xa − Σx)(yb − ya) − (xa − xb)(Σy − m·ya)|, all
+    // integers — x is an epoch day, y a count), ties to the earliest
+    // point — so both engines select identical points with zero float
+    // ops. Requires ≥ 10 points per series (30-day series here).
+    QuerySpec.sql(
+      "ts_downsample_lttb", {
+        val nb = 8
+        val xs = (0 until nb).map { k =>
+          if (k < nb - 1)
+            s"""x$k AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS sx,
+               |    CAST(SUM(y) AS BIGINT) AS sy,
+               |    CAST(COUNT(*) AS BIGINT) AS m
+               |  FROM p WHERE i >= 1 + (${k + 1} * (np - 2)) // $nb
+               |    AND i < 1 + (${k + 2} * (np - 2)) // $nb
+               |  GROUP BY 1)""".stripMargin
+          else
+            s"""x$k AS (SELECT event_type, x AS sx, y AS sy,
+               |    CAST(1 AS BIGINT) AS m
+               |  FROM p WHERE i = np - 1)""".stripMargin
+        }
+        val steps = (0 until nb).map { k =>
+          s"""s$k AS (
+             |  SELECT event_type, x, y FROM (
+             |    SELECT c.event_type, c.x, c.y,
+             |      ROW_NUMBER() OVER (PARTITION BY c.event_type
+             |        ORDER BY abs((nx.m * a.xa - nx.sx) * (c.y - a.ya)
+             |          - (a.xa - c.x) * (nx.sy - nx.m * a.ya)) DESC,
+             |          c.x) AS rn
+             |    FROM p c
+             |    JOIN a$k a USING (event_type)
+             |    JOIN x$k nx USING (event_type)
+             |    WHERE c.i >= 1 + ($k * (c.np - 2)) // $nb
+             |      AND c.i < 1 + (${k + 1} * (c.np - 2)) // $nb) q
+             |  WHERE rn = 1),
+             |a${k + 1} AS (SELECT event_type, x AS xa, y AS ya
+             |  FROM s$k)""".stripMargin
+        }
+        val sels = (0 until nb).map { k =>
+          s"SELECT event_type, CAST(${k + 1} AS BIGINT) AS sel, x, y FROM s$k"
+        }
+        s"""WITH d AS (
+           |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE)
+           |      AS day,
+           |    CAST(COUNT(*) AS BIGINT) AS y
+           |  FROM events GROUP BY 1, 2),
+           |pts AS (
+           |  SELECT event_type,
+           |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+           |      - 1 AS i,
+           |    CAST(day - DATE '1970-01-01' AS BIGINT) AS x, y
+           |  FROM d),
+           |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS np
+           |  FROM pts GROUP BY 1),
+           |p AS (SELECT * FROM pts JOIN n USING (event_type)),
+           |a0 AS (SELECT event_type, x AS xa, y AS ya FROM p
+           |  WHERE i = 0),
+           |${xs.mkString(",\n")},
+           |${steps.mkString(",\n")}
+           |SELECT * FROM (
+           |  SELECT event_type, CAST(0 AS BIGINT) AS sel, x, y FROM p
+           |  WHERE i = 0
+           |  UNION ALL ${sels.mkString("\n  UNION ALL ")}
+           |  UNION ALL SELECT event_type, CAST(9 AS BIGINT), x, y
+           |  FROM p WHERE i = np - 1) u
+           |ORDER BY event_type, sel""".stripMargin
+      }) { (s, dir) =>
+      val nb = 8
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val pts = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .select(col("event_type"),
+          (row_number().over(w) - 1).cast("long").as("i"),
+          datediff(col("day"), lit("1970-01-01")).cast("long").as("x"),
+          col("y"))
+      val n = pts.groupBy(col("event_type")).agg(count(lit(1)).as("np"))
+      val p = pts.join(broadcast(n), Seq("event_type")).cache()
+      def anchorOf(df: DataFrame) =
+        df.select(col("event_type"), col("x").as("xa"), col("y").as("ya"))
+      var anchor = anchorOf(p.filter(col("i") === 0))
+      var out = p.filter(col("i") === 0)
+        .select(col("event_type"), lit(0L).as("sel"), col("x"), col("y"))
+      for (k <- 0 until nb) {
+        val nxt =
+          if (k < nb - 1)
+            p.filter(col("i") >= expr(s"1 + (${k + 1} * (np - 2)) div $nb") &&
+              col("i") < expr(s"1 + (${k + 2} * (np - 2)) div $nb"))
+              .groupBy(col("event_type"))
+              .agg(sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+                count(lit(1)).as("m"))
+          else
+            p.filter(col("i") === col("np") - 1)
+              .select(col("event_type"), col("x").as("sx"),
+                col("y").as("sy"), lit(1L).as("m"))
+        val selK = p
+          .filter(col("i") >= expr(s"1 + ($k * (np - 2)) div $nb") &&
+            col("i") < expr(s"1 + (${k + 1} * (np - 2)) div $nb"))
+          .join(anchor, Seq("event_type"))
+          .join(nxt, Seq("event_type"))
+          .withColumn("area",
+            abs((col("m") * col("xa") - col("sx")) *
+              (col("y") - col("ya")) -
+              (col("xa") - col("x")) *
+                (col("sy") - col("m") * col("ya"))))
+          .groupBy(col("event_type"))
+          .agg(min_by(struct(col("x"), col("y")),
+            struct((col("area") * -1).as("na"), col("x"))).as("pt"))
+          .select(col("event_type"), col("pt.x").as("x"),
+            col("pt.y").as("y"))
+        anchor = anchorOf(selK)
+        out = out.unionByName(selK.select(col("event_type"),
+          lit((k + 1).toLong).as("sel"), col("x"), col("y")))
+      }
+      out.unionByName(p.filter(col("i") === col("np") - 1)
+          .select(col("event_type"), lit(9L).as("sel"), col("x"),
+            col("y")))
+        .orderBy(col("event_type"), col("sel"))
+    },
+
     // Forecast backtest: MASE of the seasonal-naive (t−7) forecast
     // against the one-step naive (t−1) baseline over each series'
     // daily counts — the standard "is there exploitable weekly
