@@ -1068,6 +1068,46 @@ object ClusterOps {
         .orderBy(col("src"))
     },
 
+    // 4-cycle census — the bipartite-structure signal beside the
+    // triangle count (a 4-cycle is two nodes sharing TWO neighbors:
+    // co-citation / co-purchase squares). Exact identity: every
+    // 4-cycle is counted by its two opposite pairs, so
+    // C4 = Σ_{u<v} C(codeg(u,v), 2) / 2 — one wedge self-join on the
+    // pivot (the same shape as link prediction's common-neighbor
+    // table) + one integer fold. No cycle enumeration anywhere.
+    QuerySpec.sql(
+      "graph_four_cycles",
+      s"""WITH sig AS (${SimilarityOps.quantizedSql}),
+         |knn AS (SELECT vec_id, nbr_id FROM (${SimilarityOps.knnEdgesSql(3)}) k),
+         |und AS (SELECT DISTINCT LEAST(vec_id, nbr_id) AS u,
+         |    GREATEST(vec_id, nbr_id) AS v FROM knn),
+         |sym AS (SELECT u, v FROM und
+         |  UNION ALL SELECT d.v AS u, d.u AS v FROM und d),
+         |cod AS (
+         |  SELECT a.v AS a_id, b.v AS b_id,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM sym a JOIN sym b ON a.u = b.u AND a.v < b.v
+         |  GROUP BY 1, 2)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_codeg_pairs,
+         |  CAST(MAX(c) AS BIGINT) AS max_codeg,
+         |  CAST(COALESCE(SUM(c * (c - 1)), 0) // 4 AS BIGINT)
+         |    AS n_four_cycles
+         |FROM cod""".stripMargin) { (s, dir) =>
+      val und = undirectedEdges(s, dir)
+      val sym = und.unionByName(
+        und.select(col("v").as("u"), col("u").as("v")))
+      sym.select(col("u").as("z"), col("v").as("a_id"))
+        .join(sym.select(col("u").as("z"), col("v").as("b_id")),
+          Seq("z"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_codeg_pairs"),
+          max(col("c")).as("max_codeg"),
+          expr("CAST(COALESCE(SUM(c * (c - 1)), 0) div 4 AS BIGINT)")
+            .as("n_four_cycles"))
+    },
+
     // HyperANF — the neighborhood function N(t) (how many nodes are
     // within t hops, averaged over ALL sources) estimated with one
     // 64-register HLL PER NODE instead of 2000 BFS frontiers

@@ -763,6 +763,122 @@ object TimeSeriesOps {
     // the estimator. Scale shape: per-type sketches via the
     // salt-bucketed two-level bottom-k (no per-type sort of the full
     // hash set); all pair work happens on ≤ 2k rows per pair.
+    // Sliding-window distinct users from MERGED HLL sketches — the
+    // mergeability demonstration that is the entire reason sketches
+    // win at 100 TB: registers are built ONCE per (series, day) (the
+    // pre-aggregated sketch table a warehouse persists), and any
+    // window is answered by max-merging register rows — the raw
+    // events are never rescanned. Each day's registers serve the 7
+    // windows they belong to via an explode (equi-join, shuffle-
+    // friendly — no inequality join, no nested loop). The exact
+    // 7-day distinct rides along and within_bound self-measures the
+    // estimate, like sketch_hll_distinct.
+    QuerySpec.sql(
+      "sketch_hll_window",
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d, user_id,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+        |      AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, d, hv % 64 AS bucket,
+        |    MAX(CASE WHEN hv >> 6 = 0 THEN 47
+        |      ELSE 47 - length(bin(hv >> 6)) END) AS mj
+        |  FROM h GROUP BY 1, 2, 3),
+        |days AS (SELECT DISTINCT event_type, d FROM h),
+        |srv AS (
+        |  SELECT r.event_type, r.d + o AS wd, r.bucket, r.mj
+        |  FROM r, LATERAL (SELECT unnest(generate_series(0, 6)) AS o) g),
+        |wreg AS (
+        |  SELECT s.event_type, s.wd, s.bucket, MAX(s.mj) AS mj
+        |  FROM srv s JOIN days dy
+        |    ON dy.event_type = s.event_type AND dy.d = s.wd
+        |  GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT event_type, wd, CAST(COUNT(*) AS BIGINT) AS used,
+        |    CAST(SUM(CAST(POW(2, 47 - mj) AS BIGINT)) AS BIGINT)
+        |      AS s_used
+        |  FROM wreg GROUP BY 1, 2),
+        |fin AS (
+        |  SELECT event_type, wd, used,
+        |    CASE WHEN CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+        |          * CAST(140737488355328 AS DOUBLE)
+        |          / CAST(s_used + (64 - used) * 140737488355328
+        |            AS DOUBLE)
+        |        <= CAST(160 AS DOUBLE) AND used < 64
+        |      THEN CAST(64 AS DOUBLE)
+        |        * ln(CAST(64 AS DOUBLE) / CAST(64 - used AS DOUBLE))
+        |      ELSE CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+        |          * CAST(140737488355328 AS DOUBLE)
+        |          / CAST(s_used + (64 - used) * 140737488355328
+        |            AS DOUBLE)
+        |      END AS est
+        |  FROM agg),
+        |exd AS (
+        |  SELECT x.event_type, x.wd,
+        |    CAST(COUNT(DISTINCT x.user_id) AS BIGINT) AS n_exact
+        |  FROM (SELECT h.event_type, h.d + o AS wd, h.user_id
+        |    FROM h, LATERAL (SELECT unnest(generate_series(0, 6)) AS o)
+        |      g2) x
+        |  JOIN days dy ON dy.event_type = x.event_type AND dy.d = x.wd
+        |  GROUP BY 1, 2)
+        |SELECT f.event_type, f.wd AS window_day, f.used AS n_regs_used,
+        |  CAST(CAST(f.est AS DECIMAL(18,6)) AS DOUBLE) AS hll_est,
+        |  e.n_exact,
+        |  abs(CAST(CAST(f.est AS DECIMAL(18,6)) AS DOUBLE)
+        |      - CAST(e.n_exact AS DOUBLE)) * CAST(4 AS DOUBLE)
+        |    <= CAST(e.n_exact AS DOUBLE) AS within_bound
+        |FROM fin f JOIN exd e
+        |  ON e.event_type = f.event_type AND e.wd = f.wd
+        |ORDER BY f.event_type, window_day""".stripMargin) { (s, dir) =>
+      val h = events(s, dir).select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("d"), col("user_id"),
+        graft.functions.Md5Prefix.md5_prefix_long(
+          col("user_id").cast("string"), 13).as("hv"))
+      val r = h
+        .select(col("event_type"), col("d"),
+          pmod(col("hv"), lit(64L)).as("bucket"),
+          when(shiftright(col("hv"), 6) === 0, lit(47))
+            .otherwise(lit(47) - length(bin(shiftright(col("hv"), 6))))
+            .as("rho"))
+        .groupBy(col("event_type"), col("d"), col("bucket"))
+        .agg(max(col("rho")).as("mj"))
+      val days = h.select(col("event_type"), col("d")).distinct()
+      val wreg = r
+        .select(col("event_type"), col("bucket"), col("mj"),
+          explode(expr("sequence(d, d + 6)")).as("wd"))
+        .join(days.withColumnRenamed("d", "wd"), Seq("event_type", "wd"))
+        .groupBy(col("event_type"), col("wd"), col("bucket"))
+        .agg(max(col("mj")).as("mj"))
+      val agg = wreg.groupBy(col("event_type"), col("wd"))
+        .agg(count(lit(1)).as("used"),
+          sum(expr("CAST(POW(2, 47 - mj) AS BIGINT)")).as("s_used"))
+      val raw = lit(0.709) * lit(4096.0) * lit(140737488355328.0) /
+        (col("s_used") +
+          (lit(64L) - col("used")) * lit(140737488355328L))
+          .cast("double")
+      val fin = agg.select(col("event_type"), col("wd"), col("used"),
+        when(raw <= lit(160.0) && col("used") < 64,
+          lit(64.0) *
+            log(lit(64.0) / (lit(64L) - col("used")).cast("double")))
+          .otherwise(raw)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+          .cast("double").as("hll_est"))
+      val exd = h
+        .select(col("event_type"), col("user_id"),
+          explode(expr("sequence(d, d + 6)")).as("wd"))
+        .join(days.withColumnRenamed("d", "wd"), Seq("event_type", "wd"))
+        .groupBy(col("event_type"), col("wd"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      fin.join(exd, Seq("event_type", "wd"))
+        .select(col("event_type"), col("wd").as("window_day"),
+          col("used").as("n_regs_used"), col("hll_est"), col("n_exact"),
+          (abs(col("hll_est") - col("n_exact").cast("double")) * 4.0 <=
+            col("n_exact").cast("double")).as("within_bound"))
+        .orderBy(col("event_type"), col("window_day"))
+    },
+
     // Join-size estimation from a correlated key sample — the
     // optimizer statistic that decides shuffle vs broadcast vs skew
     // handling before a single task runs. True self-join size on
