@@ -347,4 +347,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!cb.exists(_.isInstanceOf[WindowExec]),
       "sample_class_balanced plans a WindowExec")
   }
+
+  test("round-9 late additions: no cartesian, every window keyed or bounded") {
+    // privacy/layout/graph/sketch gates: pure keyed aggregates and
+    // equi-joins — a cartesian or an unpartitioned row-scale window
+    // here would be a scale regression. The two allowed unpartitioned
+    // windows operate on BOUNDED inputs by construction: the
+    // PrefixSum global rank (pid-partitioned two-pass, asserted
+    // elsewhere) and text_vocab_growth's 10-row bucket fold.
+    for (name <- Seq("privacy_k_anon", "privacy_l_diversity",
+        "privacy_suppression", "privacy_dp_counts", "dedup_incremental",
+        "graph_two_hop", "graph_closeness_sample", "graph_hyperanf",
+        "graph_four_cycles", "sketch_join_card", "sketch_hll_window",
+        "ts_backtest_mase", "store_compaction_bins", "stats_cuped_adjust",
+        "stats_winsorized_mean", "emb_centroid_drift", "mm_frame_dedup",
+        "feat_woe_encode", "text_lang_confusion", "orders_benford",
+        "ts_downsample_lttb", "sessionize_native", "curate_report")) {
+      val all = collectNodes(planOf(name))
+      val s = all.map(_.toString).mkString("\n")
+      assert(!s.contains("CartesianProduct"),
+        s"$name plans an unbroadcast cartesian join")
+      val bad = all.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name plans an unpartitioned WindowExec")
+    }
+    // the Hilbert/bloom layout gates rank via the range-partitioned
+    // PrefixSum — their windows are pid-keyed, never global
+    for (name <- Seq("store_hilbert_key", "store_hilbert_skipping",
+        "store_bloom_skipping")) {
+      val bad = collectNodes(planOf(name)).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name plans an unpartitioned WindowExec")
+    }
+  }
 }
