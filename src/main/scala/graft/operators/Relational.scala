@@ -483,6 +483,129 @@ object Relational {
         .orderBy(col("o_custkey"), col("rn"))
     },
 
+    // CDC apply — the Debezium-consumer core: a change log of
+    // upserts and deletes collapses to final table state by
+    // last-writer-wins per key ((ts, event_id) total order; a
+    // trailing delete removes the key entirely). One keyed window —
+    // the shuffle key is the primary key, so state collapse
+    // partitions perfectly; the value column passes through
+    // untouched (no float op to diverge on).
+    QuerySpec.sql(
+      "store_cdc_apply",
+      """WITH log AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'delete'
+        |      ELSE 'upsert' END AS op,
+        |    value
+        |  FROM events WHERE event_type IN ('click', 'view', 'error')),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY us DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM log)
+        |SELECT user_id, CAST(us AS BIGINT) AS last_us, value,
+        |  CAST(n_ops AS BIGINT) AS n_ops
+        |FROM ranked WHERE rn = 1 AND op = 'upsert'
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").desc, col("event_id").desc)
+      val wc = Window.partitionBy(col("user_id"))
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view", "error"))
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"),
+          when(col("event_type") === "error", "delete")
+            .otherwise("upsert").as("op"),
+          col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_ops", count(lit(1)).over(wc))
+        .filter(col("rn") === 1 && col("op") === "upsert")
+        .select(col("user_id"), col("us").as("last_us"), col("value"),
+          col("n_ops"))
+        .orderBy(col("user_id"))
+    },
+
+    // Schema/profile drift between ingest halves — the ML-ops data
+    // monitor: for each profiled column, null rate, distinct count
+    // and value-sum drift between the first and second half of the
+    // event timeline. One conditional-aggregate scan per column
+    // family (never a per-metric rescan), everything exact integers /
+    // decimal sums with ppm ratios — the table a data-quality
+    // dashboard renders red cells from.
+    QuerySpec.sql(
+      "dq_schema_drift",
+      """WITH s AS (
+        |  SELECT CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 0 ELSE 1
+        |    END AS half, event_type, user_id, value
+        |  FROM events),
+        |m AS (
+        |  SELECT half,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS null_event_type,
+        |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS null_value,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nd_event_type,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_user,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6))
+        |      AS sum_value
+        |  FROM s GROUP BY 1)
+        |SELECT a.n_rows AS rows_h1, b.n_rows AS rows_h2,
+        |  a.null_value AS nulls_h1, b.null_value AS nulls_h2,
+        |  a.nd_user AS users_h1, b.nd_user AS users_h2,
+        |  a.nd_event_type AS types_h1, b.nd_event_type AS types_h2,
+        |  CAST(abs(b.n_rows - a.n_rows) * 1000000 // a.n_rows
+        |    AS BIGINT) AS row_drift_ppm,
+        |  CAST(abs(b.nd_user - a.nd_user) * 1000000 // a.nd_user
+        |    AS BIGINT) AS user_drift_ppm,
+        |  CAST(CAST(CASE WHEN CAST(a.sum_value AS DOUBLE) <> 0 THEN
+        |    abs(CAST(b.sum_value AS DOUBLE) / CAST(b.n_rows AS DOUBLE)
+        |      - CAST(a.sum_value AS DOUBLE) / CAST(a.n_rows AS DOUBLE))
+        |    / abs(CAST(a.sum_value AS DOUBLE) / CAST(a.n_rows AS DOUBLE))
+        |    END AS DECIMAL(18,6)) AS DOUBLE) AS mean_value_drift
+        |FROM m a, m b WHERE a.half = 0 AND b.half = 1""".stripMargin) {
+      (s, dir) =>
+      val drift =
+        "CASE WHEN CAST(sum_value_1 AS DOUBLE) <> 0 THEN" +
+          " abs(CAST(sum_value_2 AS DOUBLE) / CAST(rows_h2 AS DOUBLE)" +
+          " - CAST(sum_value_1 AS DOUBLE) / CAST(rows_h1 AS DOUBLE))" +
+          " / abs(CAST(sum_value_1 AS DOUBLE) / CAST(rows_h1 AS DOUBLE))" +
+          " END"
+      val m = Tables.events(s, dir)
+        .select(when(dayofmonth(col("ts")) <= 15, 0).otherwise(1)
+          .as("half"), col("event_type"), col("user_id"), col("value"))
+        .groupBy(col("half"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("event_type").isNull, 1L).otherwise(0L))
+            .as("null_event_type"),
+          sum(when(col("value").isNull, 1L).otherwise(0L))
+            .as("null_value"),
+          countDistinct(col("event_type")).as("nd_event_type"),
+          countDistinct(col("user_id")).as("nd_user"),
+          sum(col("value").cast("decimal(38,6)"))
+            .cast("decimal(38,6)").as("sum_value"))
+      val a = m.filter(col("half") === 0)
+        .select(col("n_rows").as("rows_h1"),
+          col("null_value").as("nulls_h1"), col("nd_user").as("users_h1"),
+          col("nd_event_type").as("types_h1"),
+          col("sum_value").as("sum_value_1"))
+      val b = m.filter(col("half") === 1)
+        .select(col("n_rows").as("rows_h2"),
+          col("null_value").as("nulls_h2"), col("nd_user").as("users_h2"),
+          col("nd_event_type").as("types_h2"),
+          col("sum_value").as("sum_value_2"))
+      a.crossJoin(b)
+        .select(col("rows_h1"), col("rows_h2"), col("nulls_h1"),
+          col("nulls_h2"), col("users_h1"), col("users_h2"),
+          col("types_h1"), col("types_h2"),
+          expr("CAST(abs(rows_h2 - rows_h1) * 1000000 div rows_h1 AS BIGINT)")
+            .as("row_drift_ppm"),
+          expr("CAST(abs(users_h2 - users_h1) * 1000000 div users_h1 AS BIGINT)")
+            .as("user_drift_ppm"),
+          expr(drift).cast("decimal(18,6)").cast("double")
+            .as("mean_value_drift"))
+    },
+
     // Benford first-digit audit — the classic anomaly screen for
     // amount columns: observed first-significant-digit counts of
     // o_totalprice against the Benford expectation log10(1 + 1/d),
