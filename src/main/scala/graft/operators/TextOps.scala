@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
+import graft.functions.Materialize
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -441,6 +442,109 @@ object TextOps {
         .select(col("doc_id"), col("score_en"), col("score_fr"), col("score_de"),
           col("score_es"), col("score_zh"), col("pred_lang"))
         .orderBy(col("doc_id"))
+    },
+
+    // TextRank keyword extraction — PageRank on the word
+    // co-occurrence graph (Mihalcea & Tarau 2004): content words
+    // (≥ 4 chars, corpus frequency ≥ 5) are nodes, adjacent-token
+    // pairs are undirected edges, 5 damped power-iteration rounds in
+    // the same integer mass as graph_pagerank (teleport +
+    // floor(0.85·Σ floor(rank/deg)) — no float accumulation, so
+    // partitioning cannot change a single rank). Top 20 by rank are
+    // the corpus keywords. Per round: one shuffle join on the word
+    // key + one hash aggregate; the oracle unrolls the same ladder.
+    QuerySpec.sql(
+      "text_textrank_keywords", {
+        val iters = 5
+        def step(prev: String) =
+          s"""SELECT n.w,
+             |  CAST(150000000000 AS BIGINT)
+             |    + CAST(FLOOR(CAST(0.85 AS DOUBLE)
+             |      * CAST(COALESCE(SUM(
+             |          CAST(FLOOR(CAST(r.rank AS DOUBLE) / dg.d)
+             |            AS BIGINT)), 0) AS DOUBLE)) AS BIGINT) AS rank
+             |FROM vocab n
+             |LEFT JOIN sym e ON e.v = n.w
+             |LEFT JOIN $prev r ON r.w = e.u
+             |LEFT JOIN deg dg ON dg.w = e.u
+             |GROUP BY n.w""".stripMargin
+        val ladder = (1 to iters)
+          .map(i => s"r$i AS (${step(s"r${i - 1}")})").mkString(",\n")
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+           |  FROM documents),
+           |adj AS (
+           |  SELECT ts[i] AS a, ts[i+1] AS b
+           |  FROM toks,
+           |    LATERAL (SELECT unnest(generate_series(1, len(ts)-1)) AS i) g
+           |  WHERE len(ts) >= 2),
+           |vocab AS (
+           |  SELECT tok AS w FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS tok
+           |    FROM documents) t
+           |  WHERE length(tok) >= 4
+           |  GROUP BY 1 HAVING COUNT(*) >= 5),
+           |eg AS (
+           |  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+           |  FROM adj
+           |  WHERE a <> b
+           |    AND a IN (SELECT w FROM vocab)
+           |    AND b IN (SELECT w FROM vocab)),
+           |sym AS (SELECT u, v FROM eg
+           |  UNION ALL SELECT d2.v AS u, d2.u AS v FROM eg d2),
+           |deg AS (SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS d
+           |  FROM sym GROUP BY 1),
+           |r0 AS (SELECT w, CAST(1000000000000 AS BIGINT) AS rank
+           |  FROM vocab),
+           |$ladder
+           |SELECT w AS keyword, rank FROM r$iters
+           |ORDER BY rank DESC, keyword LIMIT 20""".stripMargin
+      }) { (s, dir) =>
+      val iters = 5
+      val toks = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val adj = toks.filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(ts) - 1),
+            |  i -> struct(element_at(ts, i) AS a,
+            |              element_at(ts, i + 1) AS b))""".stripMargin))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val vocab = toks
+        .select(explode(col("ts")).as("tok"))
+        .filter(length(col("tok")) >= 4)
+        .groupBy(col("tok").as("w"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 5)
+        .select(col("w"))
+      val eg = adj.filter(col("a") =!= col("b"))
+        .join(vocab.withColumnRenamed("w", "a"), Seq("a"))
+        .join(vocab.withColumnRenamed("w", "b"), Seq("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+      val sym = Materialize.stable(eg.unionByName(
+        eg.select(col("v").as("u"), col("u").as("v"))))
+      val deg = sym.groupBy(col("u").as("w")).agg(count(lit(1)).as("d"))
+      val nodes = Materialize.stable(vocab)
+      var ranks = nodes.withColumn("rank", lit(1000000000000L))
+      for (_ <- 1 to iters) {
+        val contrib = sym.select(col("u").as("w"), col("v"))
+          .join(ranks, Seq("w")).join(deg, Seq("w"))
+          .select(col("v").as("w"),
+            floor(col("rank").cast("double") / col("d")).cast("long")
+              .as("c"))
+          .groupBy(col("w")).agg(sum(col("c")).as("sc"))
+        ranks = Materialize.stable(
+          nodes.join(contrib, Seq("w"), "left")
+            .select(col("w"),
+              (lit(150000000000L) +
+                floor(lit(0.85) *
+                  coalesce(col("sc"), lit(0L)).cast("double"))
+                  .cast("long")).as("rank")))
+      }
+      ranks.orderBy(col("rank").desc, col("w"))
+        .limit(20)
+        .select(col("w").as("keyword"), col("rank"))
     },
 
     // Language-ID CONFUSION MATRIX — the classifier eval: the n-gram
