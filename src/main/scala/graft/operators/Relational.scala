@@ -483,6 +483,54 @@ object Relational {
         .orderBy(col("o_custkey"), col("rn"))
     },
 
+    // ABC (Pareto) classification — the inventory-analytics classic:
+    // rank parts by revenue, class A = the head covering 80% of
+    // cumulative revenue, B to 95%, C the tail. The global
+    // revenue-ordered cumsum runs through the range-partitioned
+    // two-pass PrefixSum (descending revenue, id tiebreak — no
+    // single-task sort); class thresholds compare exact DECIMAL
+    // cumulative sums against the integer-scaled grand total, so the
+    // class boundary is bit-deterministic. One class-grain fold out.
+    QuerySpec.sql(
+      "parts_abc_analysis",
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS r
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT l_partkey, r,
+        |    SUM(r) OVER (ORDER BY r DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rev),
+        |t AS (SELECT CAST(SUM(r) AS DECIMAL(38,6)) AS tot FROM rev),
+        |cls AS (
+        |  SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+        |    WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS abc,
+        |    r
+        |  FROM c, t)
+        |SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(r) AS DECIMAL(38,6)) AS class_revenue
+        |FROM cls GROUP BY 1
+        |ORDER BY abc""".stripMargin) { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(38,6)")).cast("decimal(38,6)").as("r"))
+      val c = graft.functions.PrefixSum.globalCumsum(
+        rev, Seq(col("r").desc, col("l_partkey")), col("r"), "cum")
+      val tot = rev.agg(sum(col("r")).cast("decimal(38,6)").as("tot"))
+      c.crossJoin(broadcast(tot))
+        .select(col("r"),
+          when(col("cum") * 100 <= col("tot") * 80, "A")
+            .when(col("cum") * 100 <= col("tot") * 95, "B")
+            .otherwise("C").as("abc"))
+        .groupBy(col("abc"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("r")).cast("decimal(38,6)").as("class_revenue"))
+        .orderBy(col("abc"))
+    },
+
     // CDC apply — the Debezium-consumer core: a change log of
     // upserts and deletes collapses to final table state by
     // last-writer-wins per key ((ts, event_id) total order; a

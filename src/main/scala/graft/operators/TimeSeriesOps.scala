@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QuerySpec, Tables}
 import graft.functions.Cols._
+import graft.functions.Materialize
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1434,6 +1435,76 @@ object TimeSeriesOps {
     //   b_i = (b_{i-1} + (l_i - l_{i-1})) div 2
     // Same per-series `aggregate` fold over the calendar-bounded daily
     // frame; same recursive-CTE oracle.
+    // Stationary distribution of the event-transition Markov chain —
+    // where the process-mining family's transition matrix converges:
+    // 5 power-iteration rounds in integer mass (each contribution is
+    // floor(mass·count/row_total) — no float accumulation, so the
+    // fixpoint is bit-deterministic at any parallelism). The state
+    // space is the event-type set, so every round is a join against
+    // the |states|² transition-count table — trivially broadcastable
+    // at any event volume; only the ONE pass building the counts
+    // touches the raw events.
+    QuerySpec.sql(
+      "events_markov_stationary", {
+        val iters = 5
+        def step(prev: String) =
+          s"""SELECT s.st,
+             |  CAST(COALESCE(SUM(p.mass * tc.c // rt.n), 0) AS BIGINT)
+             |    AS mass
+             |FROM states s
+             |LEFT JOIN tc ON tc.t = s.st
+             |LEFT JOIN rt ON rt.f = tc.f
+             |LEFT JOIN $prev p ON p.st = tc.f
+             |GROUP BY 1""".stripMargin
+        val ladder = (1 to iters)
+          .map(i => s"p$i AS (${step(s"p${i - 1}")})").mkString(",\n")
+        s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+           |    event_id
+           |  FROM events),
+           |sq AS (SELECT event_type AS f,
+           |    LEAD(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY us, event_id) AS t
+           |  FROM e),
+           |tc AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM sq WHERE t IS NOT NULL GROUP BY 1, 2),
+           |rt AS (SELECT f, CAST(SUM(c) AS BIGINT) AS n
+           |  FROM tc GROUP BY 1),
+           |states AS (SELECT DISTINCT event_type AS st FROM e),
+           |p0 AS (SELECT st, CAST(1000000000000 AS BIGINT) AS mass
+           |  FROM states),
+           |$ladder
+           |SELECT st AS state, mass FROM p$iters
+           |ORDER BY state""".stripMargin
+      }) { (s, dir) =>
+      val iters = 5
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val sq = events(s, dir)
+        .select(col("user_id"), col("event_type").as("f"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("t", lead(col("f"), 1).over(w))
+        .filter(col("t").isNotNull)
+      val tc = sq.groupBy(col("f"), col("t"))
+        .agg(count(lit(1)).as("c")).cache()
+      val rt = tc.groupBy(col("f")).agg(sum(col("c")).as("n"))
+      val states = events(s, dir)
+        .select(col("event_type").as("st")).distinct()
+      var p = states.withColumn("mass", lit(1000000000000L))
+      for (_ <- 1 to iters) {
+        val contrib = tc.join(rt, Seq("f"))
+          .join(p.select(col("st").as("f"), col("mass")), Seq("f"))
+          .select(col("t").as("st"),
+            expr("mass * c div n").as("m"))
+          .groupBy(col("st")).agg(sum(col("m")).as("sm"))
+        p = Materialize.stable(
+          states.join(contrib, Seq("st"), "left")
+            .select(col("st"),
+              coalesce(col("sm"), lit(0L)).as("mass")))
+      }
+      p.select(col("st").as("state"), col("mass"))
+        .orderBy(col("state"))
+    },
+
     // LTTB downsampling (largest-triangle-three-buckets, Steinarsson
     // 2013) — THE dashboard downsampler: reduce each daily series to
     // 10 points that preserve visual shape (peaks survive, plateaus
