@@ -362,7 +362,9 @@ class PlanShapeSpec extends AnyFunSuite {
         "ts_backtest_mase", "store_compaction_bins", "stats_cuped_adjust",
         "stats_winsorized_mean", "emb_centroid_drift", "mm_frame_dedup",
         "feat_woe_encode", "text_lang_confusion", "orders_benford",
-        "ts_downsample_lttb", "sessionize_native", "curate_report")) {
+        "ts_downsample_lttb", "sessionize_native", "curate_report",
+        "dq_schema_drift", "store_cdc_apply", "parts_abc_analysis",
+        "events_markov_stationary", "text_textrank_keywords")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
