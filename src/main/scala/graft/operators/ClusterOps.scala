@@ -1068,6 +1068,36 @@ object ClusterOps {
         .orderBy(col("src"))
     },
 
+    // Degree distribution of the k-NN graph — the first plot of any
+    // graph report (and the skew evidence the salting decisions in
+    // this file rest on). Isolated nodes ride along via the left
+    // join. Two hash aggregates.
+    QuerySpec.sql(
+      "graph_degree_dist",
+      s"""WITH sig AS (${SimilarityOps.quantizedSql}),
+         |knn AS (SELECT vec_id, nbr_id FROM (${SimilarityOps.knnEdgesSql(3)}) k),
+         |und AS (SELECT DISTINCT LEAST(vec_id, nbr_id) AS u,
+         |    GREATEST(vec_id, nbr_id) AS v FROM knn),
+         |sym AS (SELECT u, v FROM und
+         |  UNION ALL SELECT d2.v AS u, d2.u AS v FROM und d2),
+         |deg AS (SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM sym GROUP BY 1)
+         |SELECT CAST(COALESCE(deg.d, 0) AS BIGINT) AS degree,
+         |  CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM sig s LEFT JOIN deg ON deg.n = s.vec_id
+         |GROUP BY 1
+         |ORDER BY degree""".stripMargin) { (s, dir) =>
+      val und = undirectedEdges(s, dir)
+      val deg = und.select(col("u").as("n"))
+        .unionByName(und.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      SimilarityOps.signatures(s, dir).select(col("vec_id"))
+        .join(deg, col("n") === col("vec_id"), "left")
+        .groupBy(coalesce(col("d"), lit(0L)).as("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    },
+
     // 4-cycle census — the bipartite-structure signal beside the
     // triangle count (a 4-cycle is two nodes sharing TWO neighbors:
     // co-citation / co-purchase squares). Exact identity: every

@@ -483,6 +483,46 @@ object Relational {
         .orderBy(col("o_custkey"), col("rn"))
     },
 
+    // Supplier concentration (Herfindahl–Hirschman index) per brand —
+    // the supply-chain risk metric: Σ (supplier share)², in exact ppm
+    // (numerator and denominator are integer cent sums; the squares
+    // go through DECIMAL because tot² overflows a long). One fact
+    // scan + broadcast part dim + two keyed aggregates — the fold is
+    // |brands × suppliers| rows, never lineitem again.
+    QuerySpec.sql(
+      "supplier_hhi",
+      """WITH q AS (
+        |  SELECT p.p_brand, l.l_suppkey,
+        |    CAST(SUM(CAST(l.l_quantity * 100 AS BIGINT)) AS BIGINT)
+        |      AS qc
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT p_brand,
+        |  CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |  -- SUM(BIGINT) is HUGEINT in DuckDB: int128 division is
+        |  -- exact, where DECIMAL // would detour through DOUBLE and
+        |  -- drift by one ulp at the 1e24 magnitudes here
+        |  CAST(SUM(qc * qc) * 1000000
+        |    // (SUM(qc) * SUM(qc)) AS BIGINT) AS hhi_ppm
+        |FROM q GROUP BY 1
+        |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("l_suppkey"))
+        .agg(sum((col("l_quantity") * 100).cast("long")).as("qc"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          (sum(col("qc").cast(d38) * col("qc").cast(d38)) * 1000000)
+            .as("num"),
+          (sum(col("qc")).cast(d38) * sum(col("qc")).cast(d38))
+            .as("den"))
+        .select(col("p_brand"), col("n_suppliers"),
+          expr("CAST(num div den AS BIGINT)").as("hhi_ppm"))
+        .orderBy(col("p_brand"))
+    },
+
     // ABC (Pareto) classification — the inventory-analytics classic:
     // rank parts by revenue, class A = the head covering 80% of
     // cumulative revenue, B to 95%, C the tail. The global

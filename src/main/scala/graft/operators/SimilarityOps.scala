@@ -649,6 +649,57 @@ object SimilarityOps {
         .orderBy(col("vec_id"))
     },
 
+    // RANGE (radius) search — the other vector-query type beside
+    // top-k: everything with cosine ≥ 0.3 of each query. The
+    // threshold decision is EXACT integer arithmetic (dot > 0 ∧
+    // 100·dot² ≥ 9·‖a‖²·‖b‖² in DECIMAL — the semantic-dedup
+    // pattern), so membership is bit-deterministic; the result set is
+    // reported as count + id bounds + id checksum (the set itself,
+    // order-free). Queries broadcast against the cached signature
+    // scan; zero-match queries survive via the left join.
+    QuerySpec.sql(
+      "sim_range_search",
+      s"""WITH sig AS ($quantizedSql)
+         |SELECT a.vec_id AS qid,
+         |  CAST(COUNT(b.vec_id) AS BIGINT) AS n_in_range,
+         |  CAST(MIN(b.vec_id) AS BIGINT) AS min_vid,
+         |  CAST(MAX(b.vec_id) AS BIGINT) AS max_vid,
+         |  CAST(COALESCE(SUM(b.vec_id), 0) AS BIGINT) AS vid_checksum
+         |FROM sig a LEFT JOIN sig b
+         |  ON b.vec_id <> a.vec_id
+         |  AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT) > 0
+         |  AND CAST(100 AS DECIMAL(19,0))
+         |      * CAST(list_dot_product(a.qv, b.qv) AS DECIMAL(19,0))
+         |      * CAST(list_dot_product(a.qv, b.qv) AS DECIMAL(19,0))
+         |    >= CAST(9 AS DECIMAL(19,0)) * CAST(a.norm2 AS DECIMAL(19,0))
+         |      * CAST(b.norm2 AS DECIMAL(19,0))
+         |WHERE a.vec_id < 10
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val sig = signatures(s, dir)
+      val q = sig.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("qqv"),
+          col("norm2").as("qn"))
+      val m = broadcast(q).join(sig,
+          col("vec_id") =!= col("qid"))
+        .withColumn("dot", dot_long(col("qqv"), col("qv")))
+        .filter(col("dot") > 0 &&
+          lit(100).cast(d19) * col("dot").cast(d19) * col("dot").cast(d19) >=
+            lit(9).cast(d19) * col("qn").cast(d19) *
+              col("norm2").cast(d19))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("cnt"), min(col("vec_id")).as("min_vid"),
+          max(col("vec_id")).as("max_vid"),
+          sum(col("vec_id")).as("cks"))
+      q.select(col("qid")).join(m, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("cnt"), lit(0L)).as("n_in_range"),
+          col("min_vid"), col("max_vid"),
+          coalesce(col("cks"), lit(0L)).as("vid_checksum"))
+        .orderBy(col("qid"))
+    },
+
     // Embedding-distribution drift monitor — did the encoder (or the
     // corpus) move? Split the store into "yesterday" / "today" halves
     // (vec_id parity), fold each half's EXACT per-dimension component
