@@ -239,6 +239,81 @@ object FeatureOps {
     // feature p_brand encoded as a shrunk mean of the retail price —
     // two hash aggregates and a 1-row broadcast global mean, the
     // standard leakage-safe categorical encoder at corpus scale.
+    // Decision-stump split search — the inner loop of every tree
+    // learner: for each candidate threshold on the balance-bucket
+    // feature, the weighted Gini impurity of the (left, right)
+    // partition predicting the segment label. All integer: per-class
+    // counts cumulate per label (keyed window over the tiny
+    // bucket×label grid), n²−Σc² forms the impurity numerators, and
+    // the weighted sum is one exact rational scaled to ppm (HUGEINT
+    // in DuckDB / DECIMAL div in Spark — the supplier_hhi
+    // discipline). The best split is simply the min gini_ppm row.
+    QuerySpec.sql(
+      "feat_gini_split",
+      """WITH cb AS (
+        |  SELECT CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bucket,
+        |    c_mktsegment AS label, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM customer GROUP BY 1, 2),
+        |bks AS (SELECT DISTINCT bucket FROM cb),
+        |lbs AS (SELECT label, CAST(SUM(c) AS BIGINT) AS ct
+        |  FROM cb GROUP BY 1),
+        |n AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM lbs),
+        |grid AS (
+        |  SELECT b.bucket, l.label, l.ct, COALESCE(cb.c, 0) AS c
+        |  FROM bks b CROSS JOIN lbs l
+        |  LEFT JOIN cb ON cb.bucket = b.bucket AND cb.label = l.label),
+        |cum AS (
+        |  SELECT bucket, label, ct,
+        |    SUM(c) OVER (PARTITION BY label ORDER BY bucket) AS cl
+        |  FROM grid),
+        |cand AS (
+        |  SELECT bucket AS threshold,
+        |    CAST(SUM(cl) AS BIGINT) AS n_left,
+        |    CAST(SUM(cl * cl) AS BIGINT) AS s_left,
+        |    CAST(SUM(ct - cl) AS BIGINT) AS n_right,
+        |    CAST(SUM((ct - cl) * (ct - cl)) AS BIGINT) AS s_right
+        |  FROM cum GROUP BY 1)
+        |SELECT threshold, n_left, n_right,
+        |  CAST(((n_left * n_left - s_left) * n_right
+        |      + (n_right * n_right - s_right) * n_left)
+        |      * CAST(1000000 AS HUGEINT)
+        |    // (CAST(n.n AS HUGEINT) * n_left * n_right) AS BIGINT)
+        |    AS gini_ppm
+        |FROM cand, n
+        |WHERE n_left > 0 AND n_right > 0
+        |ORDER BY threshold""".stripMargin) { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cb = t(s, dir, "customer")
+        .groupBy(floor(col("c_acctbal") / 1000).cast("long").as("bucket"),
+          col("c_mktsegment").as("label"))
+        .agg(count(lit(1)).as("c"))
+      val bks = cb.select(col("bucket")).distinct()
+      val lbs = cb.groupBy(col("label")).agg(sum(col("c")).as("ct"))
+      val nTot = lbs.agg(sum(col("ct")).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label")).orderBy(col("bucket"))
+      val cum = bks.crossJoin(broadcast(lbs))
+        .join(cb, Seq("bucket", "label"), "left")
+        .select(col("bucket"), col("label"), col("ct"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .withColumn("cl", sum(col("c")).over(w))
+      cum.groupBy(col("bucket").as("threshold"))
+        .agg(sum(col("cl")).as("n_left"),
+          sum(col("cl") * col("cl")).as("s_left"),
+          sum(col("ct") - col("cl")).as("n_right"),
+          sum((col("ct") - col("cl")) * (col("ct") - col("cl")))
+            .as("s_right"))
+        .filter(col("n_left") > 0 && col("n_right") > 0)
+        .crossJoin(broadcast(nTot))
+        .select(col("threshold"), col("n_left"), col("n_right"),
+          expr("CAST((CAST((n_left * n_left - s_left) AS DECIMAL(38,0))" +
+            " * n_right + CAST((n_right * n_right - s_right) AS DECIMAL(38,0))" +
+            " * n_left) * 1000000" +
+            " div (CAST(n AS DECIMAL(38,0)) * n_left * n_right)" +
+            " AS BIGINT)").as("gini_ppm"))
+        .orderBy(col("threshold"))
+    },
+
     // Weight-of-evidence encoding + information value — the credit-
     // scoring categorical encoder: per category, ln of the class-share
     // ratio, and the IV contribution that ranks features by

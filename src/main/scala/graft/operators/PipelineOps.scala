@@ -450,6 +450,93 @@ object PipelineOps {
     // [[MixMaxEpochs]] — the data-repetition stage of corpus assembly
     // (small domains epoch up, huge domains implicitly downsample at
     // the fractional-epoch hash). All arithmetic is integer micros
+    // Jensen–Shannon divergence of each source against the REST of
+    // the corpus — the symmetric, bounded companion of the KL drift
+    // gate (KL explodes when a bucket is one-sided; JS caps at ln 2,
+    // which is what a mixture-rebalancing loop wants to rank on).
+    // Same hashed-vocabulary buckets and Laplace smoothing as
+    // corpus_kl_drift; every ln argument is a ratio of exact integer
+    // products (2·p/(p+q) cross-multiplied), each term rounds to
+    // integer micros before the sum, so the divergence hash-compares.
+    QuerySpec.sql(
+      "corpus_js_divergence",
+      s"""WITH tb AS (
+         |  SELECT source,
+         |    CAST(('0x' || substr(md5(tok || ':dsir'), 1, 8)) AS BIGINT)
+         |      % $DsirBuckets AS b
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents) t0),
+         |qc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS qc FROM tb GROUP BY b),
+         |qt AS (SELECT CAST(COUNT(*) AS BIGINT) AS qtot FROM tb),
+         |sc AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS sc
+         |       FROM tb GROUP BY source, b),
+         |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS stot
+         |       FROM tb GROUP BY source),
+         |grid AS (
+         |  SELECT s.source, s.stot, q.b, t.qtot,
+         |    COALESCE(c.sc, 0) + 1 AS p,
+         |    q.qc - COALESCE(c.sc, 0) + 1 AS r,
+         |    s.stot + $DsirBuckets AS pn,
+         |    t.qtot - s.stot + $DsirBuckets AS rn
+         |  FROM st s
+         |  CROSS JOIN qc q
+         |  CROSS JOIN qt t
+         |  LEFT JOIN sc c ON c.source = s.source AND c.b = q.b),
+         |terms AS (
+         |  SELECT source, pn, rn,
+         |    p * CAST(CAST(ln(CAST(2 * p * rn AS DOUBLE)
+         |        / CAST(p * rn + r * pn AS DOUBLE))
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS tp,
+         |    r * CAST(CAST(ln(CAST(2 * r * pn AS DOUBLE)
+         |        / CAST(p * rn + r * pn AS DOUBLE))
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS tq
+         |  FROM grid)
+         |SELECT source,
+         |  CAST(SUM(tp) AS BIGINT) AS js_p_micros,
+         |  CAST(SUM(tq) AS BIGINT) AS js_q_micros,
+         |  (CAST(SUM(tp) AS DOUBLE) / CAST(pn AS DOUBLE)
+         |    + CAST(SUM(tq) AS DOUBLE) / CAST(rn AS DOUBLE))
+         |    / CAST(2000000 AS DOUBLE) AS js
+         |FROM terms
+         |GROUP BY source, pn, rn
+         |ORDER BY js DESC, source""".stripMargin) { (s, dir) =>
+      val tb = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("source"),
+          (graft.functions.Md5Prefix.md5_prefix_long(
+            concat(col("tok"), lit(":dsir"))) % DsirBuckets).as("b"))
+      val qc = tb.groupBy(col("b")).agg(count(lit(1)).as("qc"))
+      val qt = qc.agg(sum(col("qc")).as("qtot"))
+      val sc = tb.groupBy(col("source"), col("b"))
+        .agg(count(lit(1)).as("sc"))
+      val st = sc.groupBy(col("source")).agg(sum(col("sc")).as("stot"))
+      val grid = st
+        .crossJoin(broadcast(qc))
+        .crossJoin(broadcast(qt))
+        .join(sc, Seq("source", "b"), "left")
+        .select(col("source"),
+          (coalesce(col("sc"), lit(0L)) + 1).as("p"),
+          (col("qc") - coalesce(col("sc"), lit(0L)) + 1).as("r"),
+          (col("stot") + DsirBuckets).as("pn"),
+          (col("qtot") - col("stot") + DsirBuckets).as("rn"))
+      grid
+        .select(col("source"), col("pn"), col("rn"),
+          (col("p") * expr("CAST(CAST(ln(CAST(2 * p * rn AS DOUBLE)" +
+            " / CAST(p * rn + r * pn AS DOUBLE))" +
+            " AS DECIMAL(18,6)) * 1000000 AS BIGINT)")).as("tp"),
+          (col("r") * expr("CAST(CAST(ln(CAST(2 * r * pn AS DOUBLE)" +
+            " / CAST(p * rn + r * pn AS DOUBLE))" +
+            " AS DECIMAL(18,6)) * 1000000 AS BIGINT)")).as("tq"))
+        .groupBy(col("source"), col("pn"), col("rn"))
+        .agg(sum(col("tp")).as("js_p_micros"),
+          sum(col("tq")).as("js_q_micros"))
+        .select(col("source"), col("js_p_micros"), col("js_q_micros"),
+          ((col("js_p_micros").cast("double") / col("pn").cast("double") +
+            col("js_q_micros").cast("double") / col("rn").cast("double"))
+            / lit(2000000.0)).as("js"))
+        .orderBy(col("js").desc, col("source"))
+    },
+
     // (repeat factor = floor(target·1e6 / source_tokens), capped);
     // membership of the fractional copy is a salted-hash threshold —
     // reproducible on any cluster, no RNG state.
