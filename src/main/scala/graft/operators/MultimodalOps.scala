@@ -394,6 +394,57 @@ object MultimodalOps {
         .orderBy(col("doc_id"), col("frame_index"))
     },
 
+    // Scene-cut detection over the sampled frame sequence — the
+    // temporal-structure pass a video pipeline runs right after
+    // frame sampling: consecutive sampled frames with different
+    // content digests mark a cut; per asset, the sampled-frame count,
+    // cut count, and first cut position. The digest is the frame's
+    // content md5 (same portable choice as mm_frame_dedup — the
+    // imperative rolling checksum stays in the typed decode path),
+    // and the sequence scan is one keyed LAG per asset.
+    QuerySpec.sql(
+      "mm_scene_cuts",
+      """WITH f AS (
+        |  SELECT doc_id, frame_index,
+        |    md5(substr(text, CAST(frame_index * 64 + 1 AS INT), 64))
+        |      AS fh
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(range(0,
+        |      GREATEST(1, octet_length(encode(text)) // 64), 2))
+        |      AS frame_index) g),
+        |l AS (
+        |  SELECT doc_id, frame_index, fh,
+        |    LAG(fh) OVER (PARTITION BY doc_id ORDER BY frame_index)
+        |      AS ph
+        |  FROM f)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |  CAST(COALESCE(SUM(CASE WHEN ph IS NOT NULL AND fh <> ph
+        |    THEN 1 END), 0) AS BIGINT) AS n_cuts,
+        |  CAST(MIN(CASE WHEN ph IS NOT NULL AND fh <> ph
+        |    THEN frame_index END) AS BIGINT) AS first_cut_frame
+        |FROM l GROUP BY 1
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val w = W.partitionBy(col("doc_id")).orderBy(col("frame_index"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          greatest(lit(1), expr("length(text) div 64")).as("nf"))
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0, CAST(nf - 1 AS INT), 2)"))
+            .as("frame_index"))
+        .select(col("doc_id"), col("frame_index"),
+          md5(expr("substring(text, CAST(frame_index * 64 + 1 AS INT), 64)")
+            .cast("binary")).as("fh"))
+        .withColumn("ph", lag(col("fh"), 1).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          coalesce(sum(when(col("ph").isNotNull &&
+            col("fh") =!= col("ph"), 1L)), lit(0L)).as("n_cuts"),
+          min(when(col("ph").isNotNull && col("fh") =!= col("ph"),
+            col("frame_index").cast("long"))).as("first_cut_frame"))
+        .orderBy(col("doc_id"))
+    },
+
     // Perceptual-hash near-dup: media payloads fingerprinted with the
     // 64-bit blockhash stub, then paired by Hamming-LSH — candidates
     // share at least one of four 16-bit bands (any pair within
