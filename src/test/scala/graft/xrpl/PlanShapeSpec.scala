@@ -364,7 +364,9 @@ class PlanShapeSpec extends AnyFunSuite {
         "feat_woe_encode", "text_lang_confusion", "orders_benford",
         "ts_downsample_lttb", "sessionize_native", "curate_report",
         "dq_schema_drift", "store_cdc_apply", "parts_abc_analysis",
-        "events_markov_stationary", "text_textrank_keywords")) {
+        "events_markov_stationary", "text_textrank_keywords",
+        "sim_range_search", "graph_degree_dist", "supplier_hhi",
+        "corpus_js_divergence", "feat_gini_split", "mm_scene_cuts")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
