@@ -1285,6 +1285,103 @@ object TimeSeriesOps {
         .orderBy(col("event_type"), col("p_pct"))
     },
 
+    // Sliding-window quantiles from MERGED per-day log-histograms —
+    // the quantile counterpart of sketch_hll_window, and the second
+    // half of the mergeability story: the per-day histogram is the
+    // persisted sketch table (bounded buckets per series-day), and
+    // any 7-day window's p50/p90/p99 comes from SUMMING bucket counts
+    // across the window's days — the raw events are scanned once,
+    // ever. Windows served by explode → equi-join; the per-window
+    // cumulative walk runs over ≤ |buckets| rows. Bucket-lower-bound
+    // estimates, deterministic integer math throughout (the base
+    // gate pins the bucket-bound accuracy contract).
+    QuerySpec.sql(
+      "sketch_quantile_window", {
+        val m = "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+        s"""WITH ev AS (
+           |  SELECT event_type,
+           |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+           |    $m AS m
+           |  FROM events WHERE value > 0),
+           |b AS (
+           |  SELECT event_type, d,
+           |    CASE WHEN m < 16 THEN m
+           |      ELSE (length(bin(m))-1)*16 + ((m >> (length(bin(m))-5)) & 15)
+           |    END AS bucket,
+           |    CASE WHEN m < 16 THEN m
+           |      ELSE (16 + ((m >> (length(bin(m))-5)) & 15))
+           |        << (length(bin(m))-5)
+           |    END AS lb
+           |  FROM ev),
+           |hist AS (
+           |  SELECT event_type, d, bucket, lb, CAST(COUNT(*) AS BIGINT)
+           |      AS cnt
+           |  FROM b GROUP BY 1, 2, 3, 4),
+           |days AS (SELECT DISTINCT event_type, d FROM ev),
+           |srv AS (
+           |  SELECT h.event_type, h.d + o AS wd, h.bucket, h.lb, h.cnt
+           |  FROM hist h,
+           |    LATERAL (SELECT unnest(generate_series(0, 6)) AS o) g),
+           |wh AS (
+           |  SELECT s.event_type, s.wd, s.bucket, s.lb,
+           |    CAST(SUM(s.cnt) AS BIGINT) AS cnt
+           |  FROM srv s JOIN days dy
+           |    ON dy.event_type = s.event_type AND dy.d = s.wd
+           |  GROUP BY 1, 2, 3, 4),
+           |tot AS (SELECT event_type, wd, CAST(SUM(cnt) AS BIGINT) AS n
+           |  FROM wh GROUP BY 1, 2),
+           |cum AS (
+           |  SELECT event_type, wd, bucket, lb,
+           |    SUM(cnt) OVER (PARTITION BY event_type, wd
+           |      ORDER BY bucket) AS cum
+           |  FROM wh),
+           |pq AS (SELECT unnest([50, 90, 99]) AS p_pct)
+           |SELECT c.event_type, c.wd AS window_day, p.p_pct,
+           |  CAST(MIN(c.lb) AS DOUBLE) / 1000000.0 AS est
+           |FROM cum c JOIN tot t
+           |  ON t.event_type = c.event_type AND t.wd = c.wd
+           |CROSS JOIN pq p
+           |WHERE c.cum >= (p.p_pct * t.n + 99) // 100
+           |GROUP BY 1, 2, 3
+           |ORDER BY 1, 2, 3""".stripMargin
+      }) { (s, dir) =>
+      val ev = events(s, dir).filter(col("value") > 0)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("d"),
+          graft.functions.Cols.micros6(col("value")).as("m"))
+      val hist = ev.selectExpr("event_type", "d",
+          """CASE WHEN m < 16 THEN m
+            |  ELSE (length(bin(m))-1)*16 + ((m >> (length(bin(m))-5)) & 15)
+            |END AS bucket""".stripMargin,
+          """CASE WHEN m < 16 THEN m
+            |  ELSE (16 + ((m >> (length(bin(m))-5)) & 15))
+            |    << (length(bin(m))-5)
+            |END AS lb""".stripMargin)
+        .groupBy(col("event_type"), col("d"), col("bucket"), col("lb"))
+        .agg(count(lit(1)).as("cnt"))
+      val days = ev.select(col("event_type"), col("d")).distinct()
+      val wh = hist
+        .select(col("event_type"), col("bucket"), col("lb"), col("cnt"),
+          explode(expr("sequence(d, d + 6)")).as("wd"))
+        .join(days.withColumnRenamed("d", "wd"), Seq("event_type", "wd"))
+        .groupBy(col("event_type"), col("wd"), col("bucket"), col("lb"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val tot = wh.groupBy(col("event_type"), col("wd"))
+        .agg(sum(col("cnt")).as("n"))
+      val wB = Window.partitionBy(col("event_type"), col("wd"))
+        .orderBy(col("bucket"))
+      val pdf = s.range(1)
+        .select(explode(array(Seq(50, 90, 99).map(lit): _*)).as("p_pct"))
+      wh.withColumn("cum", sum(col("cnt")).over(wB))
+        .join(tot, Seq("event_type", "wd"))
+        .crossJoin(broadcast(pdf))
+        .filter(col("cum") >= expr("(p_pct * n + 99) div 100"))
+        .groupBy(col("event_type"), col("wd").as("window_day"),
+          col("p_pct"))
+        .agg((min(col("lb")).cast("double") / 1000000.0).as("est"))
+        .orderBy(col("event_type"), col("window_day"), col("p_pct"))
+    },
+
     // Gap fill (forward fill): dense per-series calendar, missing days
     // carry the last observed value. The window is partitioned by
     // series — per-series sequential fill parallelized across series;
