@@ -45,6 +45,47 @@ object EntityOps {
 
   def specs: Seq[QuerySpec] = Seq(
 
+    // Blocking-RECALL evaluation — the ER discipline the recall gates
+    // give the ANN indexes: of the true fuzzy matches (lev ≤ 3), what
+    // fraction does the trailing-token blocking key actually let
+    // meet? Ground truth is ALL pairs of the name DICTIONARY — the
+    // groupBy-compressed value domain (~64 names here), so the
+    // quadratic truth is over the compressed domain, never the fact
+    // rows; a domain too large for that gets the deterministic
+    // hash-sample treatment instead. Broken out by edit distance: a
+    // blocker that loses distance-3 matches but keeps distance-1s
+    // shows exactly that here.
+    QuerySpec.sql(
+      "er_blocking_recall",
+      s"""WITH d AS ($dictSql),
+         |truth AS (
+         |  SELECT CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+         |    a.blk = b.blk AS caught
+         |  FROM d a JOIN d b ON a.name < b.name
+         |  WHERE levenshtein(a.name, b.name) <= 3)
+         |SELECT dist,
+         |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(COALESCE(SUM(CASE WHEN caught THEN 1 END), 0) AS BIGINT)
+         |    AS n_caught,
+         |  CAST(COALESCE(SUM(CASE WHEN caught THEN 1 END), 0) * 1000000
+         |    // COUNT(*) AS BIGINT) AS recall_ppm
+         |FROM truth GROUP BY 1
+         |ORDER BY dist""".stripMargin) { (s, dir) =>
+      val d = dict(s, dir)
+      val a = d.select(col("name").as("a"), col("blk").as("ba"))
+      val b = d.select(col("name").as("b"), col("blk").as("bb"))
+      a.join(broadcast(b), col("a") < col("b"))
+        .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
+        .filter(col("dist") <= 3)
+        .withColumn("caught", col("ba") === col("bb"))
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_truth"),
+          coalesce(sum(when(col("caught"), 1L)), lit(0L)).as("n_caught"),
+          expr("CAST(COALESCE(SUM(CASE WHEN caught THEN 1L END), 0)" +
+            " * 1000000 div COUNT(*) AS BIGINT)").as("recall_ppm"))
+        .orderBy(col("dist"))
+    },
+
     // Blocked fuzzy pairs, integer edit distance: candidate pairs from
     // the blocking join, kept when levenshtein ≤ 3 (same both engines,
     // integer-safe — no float hash risk). Support counts quantify how
