@@ -366,7 +366,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "dq_schema_drift", "store_cdc_apply", "parts_abc_analysis",
         "events_markov_stationary", "text_textrank_keywords",
         "sim_range_search", "graph_degree_dist", "supplier_hhi",
-        "corpus_js_divergence", "feat_gini_split", "mm_scene_cuts")) {
+        "corpus_js_divergence", "feat_gini_split", "mm_scene_cuts",
+        "sketch_quantile_window", "er_blocking_recall")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
