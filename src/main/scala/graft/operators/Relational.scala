@@ -528,46 +528,55 @@ object Relational {
     // cumulative revenue, B to 95%, C the tail. The global
     // revenue-ordered cumsum runs through the range-partitioned
     // two-pass PrefixSum (descending revenue, id tiebreak — no
-    // single-task sort); class thresholds compare exact DECIMAL
-    // cumulative sums against the integer-scaled grand total, so the
-    // class boundary is bit-deterministic. One class-grain fold out.
+    // single-task sort). EXACT INTEGER arithmetic end-to-end: prices
+    // and discounts are on a 0.01 grid, so round(×100) recovers the
+    // exact integer cents / percent both engines agree on, revenue per
+    // row is (cents × (100 − disc_pct)) — a BIGINT in 10⁻⁴-dollar
+    // units — and the class boundary compares cum*5 ≤ tot*4 (80%) and
+    // cum*20 ≤ tot*19 (95%) in DECIMAL(38,0): no floating point, no
+    // DECIMAL rendering, bit-deterministic at any scale.
     QuerySpec.sql(
       "parts_abc_analysis",
       """WITH rev AS (
         |  SELECT l_partkey,
-        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-        |      AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS r
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |      AS BIGINT) AS r
         |  FROM lineitem GROUP BY 1),
         |c AS (
         |  SELECT l_partkey, r,
-        |    SUM(r) OVER (ORDER BY r DESC, l_partkey
+        |    SUM(CAST(r AS DECIMAL(38,0))) OVER (ORDER BY r DESC, l_partkey
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM rev),
-        |t AS (SELECT CAST(SUM(r) AS DECIMAL(38,6)) AS tot FROM rev),
+        |t AS (SELECT CAST(SUM(CAST(r AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |      AS tot FROM rev),
         |cls AS (
-        |  SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
-        |    WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS abc,
+        |  SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+        |    WHEN cum * 20 <= tot * 19 THEN 'B' ELSE 'C' END AS abc,
         |    r
         |  FROM c, t)
         |SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
-        |  CAST(SUM(r) AS DECIMAL(38,6)) AS class_revenue
+        |  CAST(SUM(r) AS BIGINT) AS class_revenue_e4
         |FROM cls GROUP BY 1
         |ORDER BY abc""".stripMargin) { (s, dir) =>
       val rev = t(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(38,6)")).cast("decimal(38,6)").as("r"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .cast("long").as("r"))
       val c = graft.functions.PrefixSum.globalCumsum(
-        rev, Seq(col("r").desc, col("l_partkey")), col("r"), "cum")
-      val tot = rev.agg(sum(col("r")).cast("decimal(38,6)").as("tot"))
+        rev, Seq(col("r").desc, col("l_partkey")),
+        col("r").cast("decimal(38,0)"), "cum")
+      val tot = rev.agg(sum(col("r").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("tot"))
       c.crossJoin(broadcast(tot))
         .select(col("r"),
-          when(col("cum") * 100 <= col("tot") * 80, "A")
-            .when(col("cum") * 100 <= col("tot") * 95, "B")
+          when(col("cum") * 5 <= col("tot") * 4, "A")
+            .when(col("cum") * 20 <= col("tot") * 19, "B")
             .otherwise("C").as("abc"))
         .groupBy(col("abc"))
         .agg(count(lit(1)).as("n_parts"),
-          sum(col("r")).cast("decimal(38,6)").as("class_revenue"))
+          sum(col("r")).cast("long").as("class_revenue_e4"))
         .orderBy(col("abc"))
     },
 

@@ -90,6 +90,53 @@ object TextOps {
     (merges.toSeq, dict)
   }
 
+  /** DuckDB oracle for [[bpeTrain]], `rounds` merge rounds unrolled as
+    * chained MATERIALIZED CTEs. Each round r: `p{r}` is the argmax
+    * pair over dict `d{r-1}` (count DESC, pair ASC — the trainer's
+    * tiebreak), `d{r}` rewrites every word with the boundary-wrapped
+    * replace (see the gate comment for why replace ≡ the greedy fold).
+    * Symbols are [a-z]+ substrings so '|' can never occur inside one.
+    */
+  private[graft] def bpeOracleSql(rounds: Int): String = {
+    val pairs = (s: String) =>
+      s"""SELECT p[1] AS l, p[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+         |    FROM (SELECT freq, unnest(list_transform(
+         |        generate_series(1, len(syms) - 1),
+         |        i -> [syms[i], syms[i + 1]])) AS p
+         |      FROM (SELECT freq, string_split(trim(enc, '|'), '||') AS syms
+         |            FROM $s))
+         |    GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1""".stripMargin
+    val roundsSql = (1 to rounds).map { r =>
+      val rewrite =
+        s"""d$r AS MATERIALIZED (
+           |  SELECT freq, replace(enc, '|' || p$r.l || '||' || p$r.r || '|',
+           |    '|' || p$r.l || p$r.r || '|') AS enc
+           |  FROM d${r - 1}, p$r)""".stripMargin
+      val pick = s"""p$r AS MATERIALIZED (
+           |  ${pairs(s"d${r - 1}")})""".stripMargin
+      if (r < rounds) s"$pick,\n$rewrite" else pick
+    }.mkString(",\n")
+    val union = (1 to rounds).map { r =>
+      s"""SELECT $r AS "rank", l AS "left", r AS "right",
+         |    l || r AS merged, cnt FROM p$r""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(list_filter(
+       |      regexp_extract_all(lower(text), '[a-z]+'),
+       |      t -> length(t) >= 2)) AS w FROM documents)
+       |  GROUP BY 1),
+       |d0 AS MATERIALIZED (
+       |  SELECT freq, '|' || array_to_string(
+       |    list_transform(generate_series(1, length(word)),
+       |      i -> substr(word, i, 1)), '||') || '|' AS enc
+       |  FROM words),
+       |$roundsSql
+       |SELECT * FROM (
+       |  $union)
+       |ORDER BY "rank"""".stripMargin
+  }
+
   /** Count-min sketch geometry: d hash rows × w counters — 1 024 longs
     * of total state regardless of vocabulary size. Row i's hash is the
     * first 13 hex chars (52 bits) of md5(i ':' token) mod w, the same
@@ -243,12 +290,19 @@ object TextOps {
 
     // BPE TRAINING, five merge rounds over the weighted word
     // dictionary (see [[bpeTrain]]) — the step text_bpe_pairs is the
-    // first iteration of, run to a learned merge list. Inherently
-    // iterative (round r's merge rewrites round r+1's input), so there
-    // is no single-query oracle: registered rows-only, with the
-    // correctness proof in BpeTrainSpec (equality with a sequential
-    // reference trainer on real and adversarial corpora).
-    QuerySpec.rowsOnly("text_bpe_train") { (s, dir) =>
+    // first iteration of, run to a learned merge list. Iterative
+    // (round r's merge rewrites round r+1's input), so the oracle
+    // UNROLLS the five rounds as chained MATERIALIZED CTEs, the same
+    // discipline as the LTTB / pagerank / Hilbert oracles. The fold's
+    // greedy left-to-right non-overlapping merge is expressed in SQL
+    // via a boundary-wrapped encoding: a word's symbol list [s1..sn]
+    // is the string '|s1||s2||…||sn|', under which merging pair (l,r)
+    // is EXACTLY replace(enc, '|l||r|', '|lr|') — SQL replace scans
+    // left-to-right and never rescans a replacement, the fold's
+    // semantics (BpeTrainSpec pins the Spark side against a
+    // sequential reference trainer; this equivalence is property-
+    // tested there too).
+    QuerySpec.sql("text_bpe_train", bpeOracleSql(5)) { (s, dir) =>
       val (merges, _) = bpeTrain(s, bpeWordDict(docs(s, dir)), 5)
       import s.implicits._
       merges.toDF("rank", "left", "right", "cnt")
