@@ -57,6 +57,8 @@ object Bench {
         "dedup_ngram_jaccard",   // n-gram Jaccard pair memo
         "graph_triangles",       // undirected-edge memo
         "emb_pq_encode",         // PQ codebook + encoded-corpus memo
+        "dedup_prefix_filter",   // rarest-first ordered-gram cache
+        "decontaminate",         // eval-ngram memo (shared with bloom/curate)
         "q6_filtered_revenue",   // lineitem
         "s_topk_orders",         // orders
         "w4_avg_event_gap",      // events
@@ -69,10 +71,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // SPARK_GRAFT_REPS=n times each query n times and reports the MIN.
-    // Default is 2 so a single contended run can't masquerade as a plan
-    // regression (r5: the driver's one-shot capture showed phantom 3-4x
-    // slowdowns that a clean run disproved).
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
+    // Default is 3 so one contended rep can't set the min (r9: the
+    // driver's capture read dedup_prefix_filter at [8.8s, 28.3s] where
+    // a clean rerun measured 1.2s — with two reps a single contended
+    // one is half the evidence; with three it's outvoted).
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
     // a failing query must NOT read as a fast success: its elapsed
     // time is negated (sentinel) and its name listed under "errors".
     // Queries run section by section in declaration order; after each

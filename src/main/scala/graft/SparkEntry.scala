@@ -43,7 +43,10 @@ object SparkEntry {
       }),
       ("multimodal", MultimodalOps.specs, (_, _) => ()),
       ("pipeline", PipelineOps.specs,
-        (s, d) => DedupOps.releaseCaches(s, d)),
+        (s, d) => {
+          DedupOps.releaseCaches(s, d)
+          PipelineOps.releaseCaches(s, d)
+        }),
       ("privacy", PrivacyOps.specs, (_, _) => ()),
       ("feature", FeatureOps.specs, (_, _) => ()),
       ("xrpl", XrplOps.specs, (_, _) => ()))

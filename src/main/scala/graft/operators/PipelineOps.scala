@@ -81,6 +81,28 @@ object PipelineOps {
            |  i -> concat_ws(' ', slice(ts, i, $ContamNgram))))""".stripMargin))
         .as("ng"))
 
+  /** Distinct eval-set n-grams, memoized + materialized per
+    * (session, dir): the small build side THREE gates probe against
+    * (decontaminate, decontaminate_bloom, curate_report). Locally a
+    * localCheckpoint; at warehouse scale the write-once eval-ngrams
+    * table every decontamination pass scans. Released with the
+    * pipeline section ([[releaseCaches]]).
+    */
+  private val evalGramsMemo = new graft.functions.DataFrameMemo
+
+  private def evalGramsOf(s: SparkSession, dir: String): DataFrame =
+    evalGramsMemo.getOrBuild(s, dir)(
+      graft.functions.Materialize.stable(
+        contamGrams(s, dir)
+          .filter(col("doc_id") % EvalModulus === 0)
+          .select(col("ng")).distinct()))
+
+  /** Release the memoized eval-gram table — Bench's pipeline-section
+    * hook; last consumer is curate_report in this same section.
+    */
+  private[graft] def releaseCaches(s: SparkSession, dir: String): Unit =
+    evalGramsMemo.clear(Some(s))
+
   /** Per-corpus-doc verdict rows from a (doc_id, n_shared) hits table —
     * the shared output shape of both decontamination gates.
     */
@@ -197,9 +219,7 @@ object PipelineOps {
     // count is a hash-agg per doc. No windows, no driver loops.
     QuerySpec.sql("decontaminate", decontaminateOracle) { (s, dir) =>
       val grams = contamGrams(s, dir)
-      val evalGrams = grams
-        .filter(col("doc_id") % EvalModulus === 0)
-        .select(col("ng")).distinct()
+      val evalGrams = evalGramsOf(s, dir)
       val hits = grams
         .filter(col("doc_id") % EvalModulus =!= 0)
         .join(evalGrams, Seq("ng"))
@@ -229,12 +249,9 @@ object PipelineOps {
       import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
       import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
       val grams = contamGrams(s, dir)
-      // cached: the distinct eval-gram set is read three times (count,
-      // filter build, exact join) — locally a Spark cache, at warehouse
-      // scale the write-once eval-ngrams table all three steps scan
-      val evalGrams = grams
-        .filter(col("doc_id") % EvalModulus === 0)
-        .select(col("ng")).distinct().cache()
+      // the distinct eval-gram set is read three times (count, filter
+      // build, exact join) — the shared (session, dir) memo
+      val evalGrams = evalGramsOf(s, dir)
       // the filter itself: distributed partial filters OR-merged by the
       // TypedImperativeAggregate; ONE bounded row reaches the driver.
       // Over ZERO rows the aggregate evaluates to null — an empty eval
@@ -787,9 +804,7 @@ object PipelineOps {
       import org.apache.spark.sql.expressions.{Window => W}
       val t1 = (0.90 * (1L << 32)).toLong
       val stop = "('the','a','of','and','is','to','in')"
-      val evalGrams = contamGrams(s, dir)
-        .filter(col("doc_id") % EvalModulus === 0)
-        .select(col("ng")).distinct()
+      val evalGrams = evalGramsOf(s, dir)
       val contam = contamGrams(s, dir)
         .join(evalGrams, Seq("ng"))
         .select(col("doc_id")).distinct()
