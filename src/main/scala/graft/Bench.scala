@@ -22,13 +22,7 @@ object Bench {
     // the target envelope is local[32] with 32 shuffle partitions;
     // SPARK_GRAFT_CPUS overrides for constrained machines
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.build(cpus, "graft-bench")
 
     def evalFull(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)

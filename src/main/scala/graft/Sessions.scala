@@ -1,0 +1,36 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** The ONE SparkSession builder every entrypoint (Bench, Verify, the
+  * test harness) goes through, so the scale-critical execution
+  * posture is pinned in one place and asserted by PlanShapeSpec — a
+  * config drift in a future entrypoint can't silently change the
+  * execution model the plan audits were graded under.
+  *
+  * The posture, stated explicitly rather than inherited from
+  * defaults:
+  *  - AQE ON: runtime re-planning (coalesce, join-strategy switch) is
+  *    part of every 100x scale claim in PLANS.md;
+  *  - skew-join splitting ON: the skewed-key paths (j_asof_skewed
+  *    family, band joins, blocking keys) rely on AQE splitting a hot
+  *    partition — with it off, one hot key serializes into one task;
+  *  - shuffle.partitions = cores (local envelope; a cluster deploy
+  *    raises it with the executor count — AQE coalesces the excess);
+  *  - UTC session zone: the events-loader contract (Tables.events
+  *    asserts it loudly).
+  */
+object Sessions {
+  def build(cpus: String, appName: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -8,38 +8,22 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, decoded/feature-extracted in
   * distributed batches.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * clearly-marked deterministic STUB (`StubDecoder`) — but the
-  * Spark-side plumbing is real and tested: binary column handling,
-  * per-partition batched decode (mapPartitions — the Scala analogue of
-  * mapInPandas batch shape), fixed-shape feature schema, and a SQL
-  * metadata path. `documents.text` stands in for the media bytes.
+  * The raster path is REAL: assets are genuine binary PPM (P6) and
+  * 24-bit BMP files (built from `documents` bytes — the corpus stands
+  * in for a media lake), and [[graft.multimodal.RasterCodec]] parses
+  * them from the public format specs — headers, comments, BGR order,
+  * bottom-up scanlines, row padding — inside per-partition batched
+  * mapPartitions (the Scala analogue of the mapInPandas batch shape).
+  * Stats and the box-filter resize are exact-integer, so every gate
+  * is value-checked against a SQL oracle that recomputes the expected
+  * pixels. Only the video/audio payload interpretations (frame
+  * geometry, sample framing) remain synthetic plans over byte ranges.
   *
-  * Scale: decode is embarrassingly parallel per partition; feature
-  * vectors are fixed-width so downstream similarity joins partition
-  * uniformly. A real deployment swaps StubDecoder for a codec without
-  * touching the plan shape.
+  * Scale: decode is embarrassingly parallel per partition; outputs are
+  * fixed-width scalars so downstream joins partition uniformly. A
+  * deployment pointing this at JPEG swaps the codec, not the plan.
   */
 object MultimodalOps {
-
-  /** Typed output row of the decode stage. */
-  final case class MediaFeature(
-      doc_id: Long,
-      n_bytes: Int,
-      width: Int,
-      height: Int,
-      channels: Int,
-      feature: Array[Double])
-
-  /** Typed output row of the resize stage. */
-  final case class ResizedMedia(
-      doc_id: Long,
-      src_width: Int,
-      src_height: Int,
-      out_width: Int,
-      out_height: Int,
-      scale: Double,
-      checksum: Long)
 
   /** Typed output row of the frame-sample stage: one row per sampled
     * frame (video → frames is a flatMap, 1→N).
@@ -59,46 +43,13 @@ object MultimodalOps {
   final case class MediaPhash(doc_id: Long, b0: Long, b1: Long, b2: Long,
       b3: Long)
 
-  /** STUB: deterministic fake "decode + feature extraction" over raw
-    * bytes. Stands in for an image/audio decoder (none in-container);
-    * the output shape (dims + fixed-length feature vector) is what a
-    * real decoder would produce.
+  /** Deterministic payload interpretations over raw bytes — the
+    * video/audio planning shapes (the raster DECODE path is the real
+    * [[graft.multimodal.RasterCodec]], not this object).
     */
   object StubDecoder {
-    val FeatureDim = 8
 
-    def decode(docId: Long, bytes: Array[Byte]): MediaFeature = {
-      val n = bytes.length
-      val feature = new Array[Double](FeatureDim)
-      var i = 0
-      while (i < n) {
-        feature(i % FeatureDim) += (bytes(i) & 0xff).toDouble
-        i += 1
-      }
-      var j = 0
-      while (j < FeatureDim) { feature(j) = feature(j) / math.max(n, 1); j += 1 }
-      MediaFeature(docId, n, 16 + n % 64, 16 + n % 48, 3, feature)
-    }
-
-    /** STUB resize: scale the fake decoded dims to fit a 32×32 target
-      * box (a real implementation swaps in an image library; the
-      * distributed shape — per-partition batch, fixed schema — is the
-      * part under test). The checksum stands in for the resized
-      * payload.
-      */
-    def resize(docId: Long, bytes: Array[Byte]): ResizedMedia = {
-      val d = decode(docId, bytes)
-      val scale = math.min(32.0 / d.width, 32.0 / d.height)
-      var sum = 0L
-      var i = 0
-      while (i < bytes.length) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
-      ResizedMedia(docId, d.width, d.height,
-        math.max(1, math.floor(d.width * scale).toInt),
-        math.max(1, math.floor(d.height * scale).toInt),
-        scale, sum)
-    }
-
-    /** STUB perceptual hash (blockhash family): the payload is split
+    /** Perceptual hash (blockhash family): the payload is split
       * into 64 contiguous blocks; bit k is set iff block k's mean byte
       * exceeds the payload's mean byte. The comparison is the integer
       * cross-multiply `block_sum·n > total_sum·block_len` — exact, so
@@ -148,6 +99,83 @@ object MultimodalOps {
       }
     }
   }
+
+  /** Raster geometry derived from payload length: width 4..15, height
+    * 4..13 — real images in miniature, small enough that the oracle's
+    * per-byte SQL expansion stays bounded (≤ 585 raster bytes/asset).
+    */
+  private def rasterDims(n: Int): (Int, Int) = (4 + n % 12, 4 + n % 10)
+
+  /** (doc_id, ppm): a genuine binary P6 PPM per document — header
+    * (magic, comment line, dims, maxval) + the document's bytes
+    * right-padded/truncated to exactly width*height*3 raster bytes.
+    * Pure Catalyst string/binary algebra (concat + rpad + cast), so
+    * asset ASSEMBLY is codegen'd and only the parse is imperative.
+    */
+  private def ppmAssets(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .withColumn("w", (lit(4) + col("n") % 12).cast("int"))
+      .withColumn("h", (lit(4) + col("n") % 10).cast("int"))
+      .select(col("doc_id"),
+        concat(
+          concat_ws("", lit("P6\n# graft raster\n"),
+            col("w").cast("string"), lit(" "),
+            col("h").cast("string"), lit("\n255\n")),
+          expr("rpad(text, w * h * 3, ' ')")).cast("binary").as("ppm"))
+
+  /** The byte-level CTEs both raster oracles build on: per-asset dims
+    * + the hex dump of the padded raster (`m`), then one row per
+    * raster byte with its decoded value (`b`) — DuckDB recomputing
+    * what the JVM decoder reads from the container format.
+    */
+  private val rasterByteCtes: String =
+    """m AS (
+      |  SELECT doc_id,
+      |    CAST(4 + octet_length(encode(text)) % 12 AS INT) AS w,
+      |    CAST(4 + octet_length(encode(text)) % 10 AS INT) AS h,
+      |    hex(encode(rpad(text,
+      |      CAST((4 + octet_length(encode(text)) % 12) *
+      |           (4 + octet_length(encode(text)) % 10) * 3 AS INT),
+      |      ' '))) AS hx
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, w, h, i,
+      |    strpos('123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1))*16 +
+      |    strpos('123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1)) AS byte
+      |  FROM m, LATERAL (SELECT unnest(range(0,
+      |    CAST(w * h * 3 AS BIGINT))) AS i) t)""".stripMargin
+
+  /** The decode-stats oracle shared VERBATIM by `mm_decode` (PPM
+    * path) and `mm_decode_bmp` (BMP path): both decoders must recover
+    * the identical canonical raster, whatever the container format.
+    */
+  private val decodeOracle: String =
+    s"""WITH $rasterByteCtes
+       |SELECT doc_id, w AS width, h AS height, CAST(3 AS INT) AS channels,
+       |  CAST(w * h AS BIGINT) AS n_pixels,
+       |  CAST(SUM(CASE WHEN i % 3 = 0 THEN byte ELSE 0 END) AS BIGINT)
+       |    AS sum_r,
+       |  CAST(SUM(CASE WHEN i % 3 = 1 THEN byte ELSE 0 END) AS BIGINT)
+       |    AS sum_g,
+       |  CAST(SUM(CASE WHEN i % 3 = 2 THEN byte ELSE 0 END) AS BIGINT)
+       |    AS sum_b,
+       |  CAST(SUM(byte * (i + 1)) AS BIGINT) AS checksum
+       |FROM b GROUP BY doc_id, w, h
+       |ORDER BY doc_id""".stripMargin
+
+  /** Decode stats row: the (doc_id, dims, channel sums, position-
+    * weighted checksum) tuple both decode gates emit.
+    */
+  private def decodeStatsRow(id: Long,
+      r: graft.multimodal.RasterCodec.Raster)
+      : (Long, Int, Int, Int, Long, Long, Long, Long, Long) = {
+    val (sr, sg, sb, ck) = graft.multimodal.RasterCodec.stats(r)
+    (id, r.width, r.height, 3, r.width.toLong * r.height, sr, sg, sb, ck)
+  }
+
+  private val decodeStatsCols = Seq("doc_id", "width", "height",
+    "channels", "n_pixels", "sum_r", "sum_g", "sum_b", "checksum")
 
   def specs: Seq[QuerySpec] = Seq(
     // Exact-payload dedup on the sampled FIRST FRAME: assets sharing
@@ -276,96 +304,107 @@ object MultimodalOps {
         .orderBy(col("doc_id"), col("frame_index"))
     },
 
-    // Decode path: binary column → per-partition batched stub decode →
-    // typed features. The feature vector is emitted as fixed scalar
-    // columns f0..f7 (not array<double>) so downstream row
-    // hashing/sorting sees plain sortable scalars, and — because the
-    // stub's byte-sum math IS SQL-expressible — the oracle recomputes
-    // the same per-position byte sums from hex(encode(text)) pairs.
-    QuerySpec.sql(
-      "mm_decode_stub",
-      """WITH b AS (
-        |  SELECT doc_id, hex(encode(text)) AS h,
-        |         octet_length(encode(text)) AS n
-        |  FROM documents
-        |), pos AS (
-        |  SELECT doc_id, n, i,
-        |    strpos('123456789ABCDEF', substr(h, 2*i+1, 1))*16 +
-        |    strpos('123456789ABCDEF', substr(h, 2*i+2, 1)) AS byte
-        |  FROM b, LATERAL (SELECT unnest(range(0, n)) AS i) t
-        |), feat AS (
-        |  SELECT doc_id, CAST(i % 8 AS INT) AS k,
-        |         CAST(SUM(byte) AS BIGINT) AS s
-        |  FROM pos GROUP BY 1, 2
-        |)
-        |-- group from b, not feat: a zero-byte payload yields no pos
-        |-- rows, but the decoder still emits its zero-feature row —
-        |-- the LEFT JOIN keeps the engines aligned on empty payloads
-        |SELECT b.doc_id AS doc_id, CAST(n AS INT) AS n_bytes,
-        |  CAST(16 + n % 64 AS INT) AS width,
-        |  CAST(16 + n % 48 AS INT) AS height,
-        |  CAST(3 AS INT) AS channels,
-        |  CAST(round(COALESCE(MAX(CASE WHEN k=0 THEN s END), 0) / GREATEST(n,1) * 1e6) AS BIGINT) AS f0,
-        |  CAST(round(COALESCE(MAX(CASE WHEN k=1 THEN s END), 0) / GREATEST(n,1) * 1e6) AS BIGINT) AS f1,
-        |  CAST(round(COALESCE(MAX(CASE WHEN k=2 THEN s END), 0) / GREATEST(n,1) * 1e6) AS BIGINT) AS f2,
-        |  CAST(round(COALESCE(MAX(CASE WHEN k=3 THEN s END), 0) / GREATEST(n,1) * 1e6) AS BIGINT) AS f3,
-        |  CAST(round(COALESCE(MAX(CASE WHEN k=4 THEN s END), 0) / GREATEST(n,1) * 1e6) AS BIGINT) AS f4,
-        |  CAST(round(COALESCE(MAX(CASE WHEN k=5 THEN s END), 0) / GREATEST(n,1) * 1e6) AS BIGINT) AS f5,
-        |  CAST(round(COALESCE(MAX(CASE WHEN k=6 THEN s END), 0) / GREATEST(n,1) * 1e6) AS BIGINT) AS f6,
-        |  CAST(round(COALESCE(MAX(CASE WHEN k=7 THEN s END), 0) / GREATEST(n,1) * 1e6) AS BIGINT) AS f7
-        |FROM b LEFT JOIN feat ON feat.doc_id = b.doc_id
-        |GROUP BY b.doc_id, n
-        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // REAL DECODE, PPM path: each document becomes a genuine binary
+    // P6 PPM (Catalyst-assembled — header with a comment line, padded
+    // raster), and RasterCodec.decodePpm parses it back in
+    // per-partition batches: magic, comment skipping, header ints,
+    // raster bounds. The emitted stats are exact integers over the
+    // decoded pixels (per-channel sums + position-weighted checksum),
+    // so the oracle — which recomputes the expected raster bytes in
+    // SQL — catches any mis-parse down to a single byte or position.
+    QuerySpec.sql("mm_decode", decodeOracle) { (s, dir) =>
       import s.implicits._
-      val bin = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-      val decoded = bin.mapPartitions { batch =>
-        // batched decode: one decoder instance per partition, streaming
-        // through the rows (the mapInPandas batch shape).
-        batch.map { case (id, bytes) => StubDecoder.decode(id, bytes) }
-      }.toDF()
-      val featCols = (0 until StubDecoder.FeatureDim).map { i =>
-        // micro-unit quantization keeps the scalar exactly reproducible
-        round(col("feature").getItem(i) * 1e6).cast("long").as(s"f$i")
-      }
-      decoded
-        .select(Seq(col("doc_id"), col("n_bytes"), col("width"),
-          col("height"), col("channels")) ++ featCols: _*)
+      ppmAssets(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          // batched decode: streaming through the partition's rows
+          // (the mapInPandas batch shape); malformed input is loud
+          val r = graft.multimodal.RasterCodec.decodePpm(bytes)
+            .fold(e => throw new IllegalArgumentException(
+              s"doc $id: $e"), identity)
+          decodeStatsRow(id, r)
+        })
+        .toDF(decodeStatsCols: _*)
         .orderBy(col("doc_id"))
     },
 
-    // Resize stage: binary → per-partition batched stub resize with a
-    // fixed target box; all-scalar output schema. The resize math is
-    // SQL-expressible from the decode dims, so this one gets a full
-    // DuckDB oracle (mirroring the stub's dim formulas).
-    QuerySpec.sql(
-      "mm_resize_stub",
-      """SELECT doc_id,
-        |  CAST(16 + octet_length(encode(text)) % 64 AS INT) AS src_width,
-        |  CAST(16 + octet_length(encode(text)) % 48 AS INT) AS src_height,
-        |  GREATEST(1, CAST(FLOOR((16 + octet_length(encode(text)) % 64) *
-        |    LEAST(32.0 / (16 + octet_length(encode(text)) % 64),
-        |          32.0 / (16 + octet_length(encode(text)) % 48))) AS INT))
-        |    AS out_width,
-        |  GREATEST(1, CAST(FLOOR((16 + octet_length(encode(text)) % 48) *
-        |    LEAST(32.0 / (16 + octet_length(encode(text)) % 64),
-        |          32.0 / (16 + octet_length(encode(text)) % 48))) AS INT))
-        |    AS out_height,
-        |  LEAST(32.0 / (16 + octet_length(encode(text)) % 64),
-        |        32.0 / (16 + octet_length(encode(text)) % 48)) AS scale
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // REAL DECODE, BMP path: the SAME pixels serialized as a 24-bit
+    // bottom-up BI_RGB BMP (BGR channel order, 4-byte row padding)
+    // and decoded back by RasterCodec.decodeBmp. The oracle is the
+    // PPM gate's VERBATIM — the decoder only matches it if the BGR
+    // swap, scanline flip, and padding skip are all exactly right,
+    // which is the point: container format must be invisible in the
+    // canonical raster.
+    QuerySpec.sql("mm_decode_bmp", decodeOracle) { (s, dir) =>
       import s.implicits._
+      import graft.multimodal.RasterCodec
       Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, bytes) =>
-          StubDecoder.resize(id, bytes)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val raw = text.getBytes("US-ASCII")
+          val (w, h) = rasterDims(raw.length)
+          val pix = java.util.Arrays.copyOf(raw, w * h * 3)
+          // pad with ' ' (rpad semantics), not copyOf's zeros
+          java.util.Arrays.fill(pix, math.min(raw.length, pix.length),
+            pix.length, ' '.toByte)
+          val bmp = RasterCodec.encodeBmp(RasterCodec.Raster(w, h, 255, pix))
+          val r = RasterCodec.decodeBmp(bmp)
+            .fold(e => throw new IllegalArgumentException(
+              s"doc $id: $e"), identity)
+          decodeStatsRow(id, r)
         })
-        .toDF()
-        .select(col("doc_id"), col("src_width"), col("src_height"),
-          col("out_width"), col("out_height"), col("scale"))
+        .toDF(decodeStatsCols: _*)
+        .orderBy(col("doc_id"))
+    },
+
+    // REAL RESIZE: decode the PPM, then an actual box-filter
+    // downscale to fit an 8x8 box — each source pixel scatters into
+    // its output bucket, each output channel value is the floor mean
+    // of its bucket — all-integer, so the oracle reproduces every
+    // output BYTE (the out_checksum is position-weighted over the
+    // resized raster, not a proxy). This is the real pooling math a
+    // thumbnail/patch pipeline runs, in the mapPartitions batch shape.
+    QuerySpec.sql(
+      "mm_resize",
+      s"""WITH $rasterByteCtes,
+         |d AS (
+         |  SELECT doc_id,
+         |    LEAST(w, GREATEST(1,
+         |      CAST((w * 8) // GREATEST(w, h) AS INT))) AS ow,
+         |    LEAST(h, GREATEST(1,
+         |      CAST((h * 8) // GREATEST(w, h) AS INT))) AS oh
+         |  FROM m),
+         |px AS (
+         |  SELECT b.doc_id, w, h, ow, oh,
+         |    (((i // 3) % w) * ow) // w AS ox,
+         |    (((i // 3) // w) * oh) // h AS oy,
+         |    i % 3 AS c, byte
+         |  FROM b JOIN d USING (doc_id)),
+         |pool AS (
+         |  SELECT doc_id, w, h, ow, oh, ox, oy, c,
+         |    SUM(byte) // COUNT(*) AS v
+         |  FROM px GROUP BY doc_id, w, h, ow, oh, ox, oy, c)
+         |SELECT doc_id, w AS src_width, h AS src_height,
+         |  CAST(ow AS INT) AS out_width, CAST(oh AS INT) AS out_height,
+         |  CAST(ow * oh AS BIGINT) AS n_out_pixels,
+         |  CAST(SUM(v * ((oy * ow + ox) * 3 + c + 1)) AS BIGINT)
+         |    AS out_checksum
+         |FROM pool GROUP BY doc_id, w, h, ow, oh
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.multimodal.RasterCodec
+      ppmAssets(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val r = RasterCodec.decodePpm(bytes)
+            .fold(e => throw new IllegalArgumentException(
+              s"doc $id: $e"), identity)
+          val out = RasterCodec.boxResize(r, 8)
+          val (_, _, _, ck) = RasterCodec.stats(out)
+          (id, r.width, r.height, out.width, out.height,
+            out.width.toLong * out.height, ck)
+        })
+        .toDF("doc_id", "src_width", "src_height", "out_width",
+          "out_height", "n_out_pixels", "out_checksum")
         .orderBy(col("doc_id"))
     },
 

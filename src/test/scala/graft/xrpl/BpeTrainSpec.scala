@@ -69,4 +69,43 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got === refBpe(words, 5))
     assert(got.length === 5)
   }
+
+  test("boundary-wrapped replace equals the greedy merge fold") {
+    // the oracle (TextOps.bpeOracleSql) rewrites dictionaries with
+    // replace(enc, '|l||r|', '|lr|') over the '|s1||s2||…|' encoding;
+    // SQL replace is left-to-right non-overlapping — exactly the
+    // fold's semantics. Property-check the equivalence over every
+    // adjacent pair of every symbolization a short alphabet generates,
+    // including the self-overlap runs that break naive encodings.
+    def fold(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+      syms.foreach { s =>
+        if (acc.nonEmpty && acc.last == l && s == r)
+          acc(acc.length - 1) = l + r
+        else acc += s
+      }
+      acc.toVector
+    }
+    def viaReplace(syms: Vector[String], l: String, r: String)
+        : Vector[String] = {
+      val enc = syms.mkString("|", "||", "|")
+      val out = enc.replace(s"|$l||$r|", s"|$l$r|")
+      out.stripPrefix("|").stripSuffix("|").split("\\|\\|").toVector
+    }
+    val alphabet = Seq("a", "b", "aa", "ab", "ba", "aab")
+    val words = for {
+      n <- 2 to 4
+      combo <- Seq.fill(n)(alphabet).flatten.combinations(n)
+      word <- combo.permutations.take(24)
+    } yield word.toVector
+    var checked = 0
+    words.foreach { syms =>
+      syms.zip(syms.tail).distinct.foreach { case (l, r) =>
+        assert(fold(syms, l, r) === viaReplace(syms, l, r),
+          s"mismatch on $syms merging ($l,$r)")
+        checked += 1
+      }
+    }
+    assert(checked > 1000) // the property actually ran at breadth
+  }
 }

@@ -387,4 +387,19 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(bad.isEmpty, s"$name plans an unpartitioned WindowExec")
     }
   }
+
+  test("scale posture: AQE and skew-join splitting stay enabled") {
+    // Every 100x claim in PLANS.md assumes AQE's runtime re-plan, and
+    // the skewed-key paths (j_asof_skewed family, band joins, blocking
+    // keys) rely on skew-join splitting — with it off, one hot key
+    // serializes into one task. This session comes from the SAME
+    // graft.Sessions builder Bench and Verify use, so a config drift
+    // in any entrypoint fails here instead of shipping silently.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "AQE disabled - runtime re-planning and skew handling are gone")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true",
+      "AQE skew-join splitting disabled - hot keys serialize")
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "session zone drifted from the events-loader UTC contract")
+  }
 }

@@ -2,17 +2,11 @@ package graft.xrpl
 
 import org.apache.spark.sql.SparkSession
 
-/** One shared local SparkSession for the whole test JVM. */
+/** One shared local SparkSession for the whole test JVM — built by
+  * the same [[graft.Sessions]] builder Bench and Verify use, so the
+  * posture PlanShapeSpec asserts is the posture every entrypoint
+  * actually runs under.
+  */
 object SparkTest {
-  lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  lazy val session: SparkSession = graft.Sessions.build("4", "graft-test")
 }
