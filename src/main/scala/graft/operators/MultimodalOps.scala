@@ -304,6 +304,86 @@ object MultimodalOps {
         .orderBy(col("doc_id"), col("frame_index"))
     },
 
+    // REAL DECODE, audio path: each document becomes a genuine
+    // RIFF/WAVE file (16-bit PCM mono; a junk LIST chunk sits between
+    // fmt and data so the parse exercises RIFF chunk-walking, not a
+    // fixed offset) and WaveCodec.decode parses it back in
+    // per-partition batches. Sample bytes are the document's padded
+    // bytes XOR 0xA5 — the XOR pushes high bytes past 0x80 so SIGNED
+    // 16-bit decoding is actually exercised (ASCII alone never goes
+    // negative). Stats are exact integers: total |amplitude|,
+    // zero-crossing count, position-weighted signed checksum; the
+    // oracle recomputes every sample from the bytes in SQL.
+    QuerySpec.sql(
+      "mm_audio_decode",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(50 + octet_length(encode(text)) % 100 AS INT) AS ns,
+        |    CAST(8000 + (octet_length(encode(text)) % 4) * 4000 AS INT)
+        |      AS rate,
+        |    hex(encode(rpad(text,
+        |      CAST((50 + octet_length(encode(text)) % 100) * 2 AS INT),
+        |      ' '))) AS hx
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, ns, rate, i,
+        |    xor(strpos('123456789ABCDEF', substr(hx, CAST(4*i+1 AS INT), 1))*16
+        |      + strpos('123456789ABCDEF', substr(hx, CAST(4*i+2 AS INT), 1)),
+        |      165) AS lo,
+        |    xor(strpos('123456789ABCDEF', substr(hx, CAST(4*i+3 AS INT), 1))*16
+        |      + strpos('123456789ABCDEF', substr(hx, CAST(4*i+4 AS INT), 1)),
+        |      165) AS hi
+        |  FROM m, LATERAL (SELECT unnest(range(0,
+        |    CAST(ns AS BIGINT))) AS i) t),
+        |s AS (
+        |  SELECT doc_id, ns, rate, i,
+        |    CASE WHEN lo + 256 * hi >= 32768 THEN lo + 256 * hi - 65536
+        |         ELSE lo + 256 * hi END AS v
+        |  FROM b),
+        |l AS (
+        |  SELECT doc_id, ns, rate, i, v,
+        |    LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT doc_id, ns AS n_samples, rate AS sample_rate,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+        |  CAST(COALESCE(SUM(CASE WHEN pv IS NOT NULL
+        |    AND (v < 0) <> (pv < 0) THEN 1 END), 0) AS BIGINT)
+        |    AS zero_cross,
+        |  CAST(SUM(v * (i + 1)) AS BIGINT) AS checksum
+        |FROM l GROUP BY doc_id, ns, rate
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.multimodal.WaveCodec
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val raw = text.getBytes("US-ASCII")
+          val n = raw.length
+          val ns = 50 + n % 100
+          val rate = 8000 + (n % 4) * 4000
+          val samples = new Array[Short](ns)
+          var i = 0
+          while (i < ns) {
+            def b(j: Int): Int =
+              ((if (j < n) raw(j) else ' '.toByte) ^ 0xA5) & 0xff
+            samples(i) = (b(2 * i) | (b(2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          val wav = WaveCodec.encode(WaveCodec.Pcm(rate, 1, samples))
+          val pcm = WaveCodec.decode(wav)
+            .fold(e => throw new IllegalArgumentException(
+              s"doc $id: $e"), identity)
+          val (sa, zc, ck) = WaveCodec.stats(pcm)
+          (id, pcm.samples.length, pcm.sampleRate, pcm.channels,
+            sa, zc, ck)
+        })
+        .toDF("doc_id", "n_samples", "sample_rate", "channels",
+          "sum_abs", "zero_cross", "checksum")
+        .orderBy(col("doc_id"))
+    },
+
     // REAL DECODE, PPM path: each document becomes a genuine binary
     // P6 PPM (Catalyst-assembled — header with a comment line, padded
     // raster), and RasterCodec.decodePpm parses it back in
