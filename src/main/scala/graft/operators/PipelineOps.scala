@@ -613,6 +613,52 @@ object PipelineOps {
         .orderBy(col("doc_id"), col("epoch"))
     },
 
+    // Per-domain quality caps — the anti-domination rule every web
+    // corpus recipe carries (no source may contribute more than K
+    // documents, and the K kept are its BEST): rank each source's
+    // docs by an exact-integer quality score (vocabulary diversity in
+    // ppm — one integer division, no float), keep the top 20, report
+    // the per-source keep stats. The ranking runs through the native
+    // TopKPerKey heap plan, so a giant domain costs a bounded heap,
+    // never a full per-source sort — the property that matters when
+    // one domain is half the crawl.
+    QuerySpec.sql(
+      "curate_domain_caps",
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |    (CAST(COUNT(DISTINCT tok) AS BIGINT) * 1000000)
+        |      // CAST(COUNT(*) AS BIGINT) AS score
+        |  FROM (SELECT doc_id, source,
+        |          unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, source),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY score DESC, doc_id) AS rnk
+        |  FROM q)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(MIN(score) AS BIGINT) AS min_kept_score,
+        |  CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+        |FROM r WHERE rnk <= 20
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val q = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_tok"),
+          countDistinct(col("tok")).as("n_distinct"))
+        .withColumn("score", expr("(n_distinct * 1000000) div n_tok"))
+        .drop("n_distinct")
+      graft.plans.TopKPerKey.topKRanked(q, Seq("source"),
+          Seq("score" -> true, "doc_id" -> false), 20, "rnk")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("score")).cast("long").as("min_kept_score"),
+          sum(col("n_tok")).cast("long").as("kept_tokens"))
+        .orderBy(col("source"))
+    },
+
     // End-to-end corpus curation in ONE declarative plan — the
     // composition a real training-data job ships: quality filter
     // (stopword + vocabulary-diversity score) → exact-dedup keepers

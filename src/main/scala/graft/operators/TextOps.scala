@@ -264,6 +264,71 @@ object TextOps {
     // over ≤ 26² distinct keys; the global top-k is
     // TakeOrderedAndProject over those ≤ 676 rows — no sort of
     // row-scale data anywhere.
+    // BM25 retrieval ranking (Robertson/Lucene BM25, k1=1.2 b=0.75) —
+    // the scoring a RAG-training pipeline runs against its corpus
+    // index. EXACT ARITHMETIC: with k1=6/5 and b=3/4 the term score
+    // algebraically reduces to one integer division,
+    //   (idf_micros * 22 * tf * total_tokens)
+    //     div (10*tf*total + 3*total + 9*dl*n_docs),
+    // so only the idf's ln() is floating point — and it is micro-
+    // rounded through the IDENTICAL expression text in both engines
+    // (the text_lm_score discipline). Non-negative Lucene idf
+    // ln(1 + (N-df+0.5)/(df+0.5)). Scale shape: query-term filter
+    // BEFORE any aggregation (the postings a real index would seek),
+    // two keyed aggregates, one broadcast scalar, TakeOrdered top-10.
+    // At warehouse scale the integer cross-products ride DECIMAL(38,0);
+    // at gate scale BIGINT holds them with 3 digits to spare.
+    QuerySpec.sql(
+      "text_bm25_topk",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+        |  FROM toks GROUP BY 1),
+        |scal AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+        |  CAST(SUM(dl) AS BIGINT) AS tt FROM dl),
+        |tfq AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks WHERE tok IN ('hash', 'join', 'spark')
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM tfq GROUP BY 1),
+        |sc AS (
+        |  SELECT tfq.doc_id,
+        |    (CAST(round(ln(1 + (nd - df + 0.5) / (df + 0.5)) * 1e6)
+        |        AS BIGINT) * 22 * tf * tt)
+        |      // (10 * tf * tt + 3 * tt + 9 * dl * nd) AS s
+        |  FROM tfq JOIN dfq USING (tok) JOIN dl USING (doc_id)
+        |  CROSS JOIN scal)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+        |  CAST(SUM(s) AS BIGINT) AS score_micros
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score_micros DESC, doc_id LIMIT 10""".stripMargin) {
+      (s, dir) =>
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val dl = toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("dl"))
+      val scal = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+      val tfq = toks.filter(col("tok").isin("hash", "join", "spark"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfq = tfq.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      tfq.join(broadcast(dfq), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(scal))
+        .select(col("doc_id"),
+          expr("""(CAST(round(ln(1 + (nd - df + 0.5) / (df + 0.5)) * 1e6)
+                 |    AS BIGINT) * 22 * tf * tt)
+                 |  div (10 * tf * tt + 3 * tt + 9 * dl * nd)""".stripMargin)
+            .as("s"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hit_terms"),
+          sum(col("s")).cast("long").as("score_micros"))
+        .orderBy(col("score_micros").desc, col("doc_id"))
+        .limit(10)
+    },
+
     QuerySpec.sql(
       "text_bpe_pairs",
       """SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM (

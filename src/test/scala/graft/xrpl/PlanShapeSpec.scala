@@ -388,6 +388,24 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("round-10 additions: no cartesian, every window keyed") {
+    // real-decode gates (mapPartitions over per-doc assets — no
+    // shuffle before the output sort), BM25 (query-term filter before
+    // aggregation, broadcast scalars, TakeOrdered), domain caps
+    // (native TopKPerKey heap, never a full per-source sort)
+    for (name <- Seq("mm_decode", "mm_decode_bmp", "mm_resize",
+        "mm_audio_decode", "text_bm25_topk", "curate_domain_caps")) {
+      val all = collectNodes(planOf(name))
+      val s = all.map(_.toString).mkString("\n")
+      assert(!s.contains("CartesianProduct"),
+        s"$name plans an unbroadcast cartesian join")
+      val bad = all.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name plans an unpartitioned WindowExec")
+    }
+  }
+
   test("scale posture: AQE and skew-join splitting stay enabled") {
     // Every 100x claim in PLANS.md assumes AQE's runtime re-plan, and
     // the skewed-key paths (j_asof_skewed family, band joins, blocking
