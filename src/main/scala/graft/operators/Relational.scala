@@ -622,6 +622,60 @@ object Relational {
         .orderBy(col("user_id"))
     },
 
+    // SCD TYPE-2 dimension build from the same change log
+    // store_cdc_apply collapses — the warehouse-history counterpart:
+    // every upsert opens a version valid from its timestamp until the
+    // NEXT operation on that key (a later upsert supersedes it, a
+    // delete closes it); the last operation, if an upsert, is the open
+    // current row (valid_to NULL). Two keyed windows on the primary
+    // key (LEAD for the closing edge, ROW_NUMBER for the version
+    // ordinal over upserts only) — the shuffle key is the dimension
+    // key, so history assembly partitions perfectly at any scale; the
+    // value column passes through untouched.
+    QuerySpec.sql(
+      "store_scd2",
+      """WITH log AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'delete'
+        |      ELSE 'upsert' END AS op,
+        |    value
+        |  FROM events WHERE event_type IN ('click', 'view', 'error')),
+        |edges AS (
+        |  SELECT *, LEAD(us) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS next_us
+        |  FROM log),
+        |vers AS (
+        |  SELECT user_id, us, value, next_us,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS version_n
+        |  FROM edges WHERE op = 'upsert')
+        |SELECT user_id, CAST(version_n AS BIGINT) AS version_n,
+        |  CAST(us AS BIGINT) AS valid_from_us,
+        |  CAST(next_us AS BIGINT) AS valid_to_us,
+        |  CAST(next_us IS NULL AS BOOLEAN) AS is_current,
+        |  value
+        |FROM vers
+        |ORDER BY user_id, version_n""".stripMargin) { (s, dir) =>
+      val wSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view", "error"))
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"),
+          when(col("event_type") === "error", "delete")
+            .otherwise("upsert").as("op"),
+          col("value"))
+        .withColumn("next_us", lead(col("us"), 1).over(wSeq))
+        .filter(col("op") === "upsert")
+        .withColumn("version_n", row_number().over(wSeq).cast("long"))
+        .select(col("user_id"), col("version_n"),
+          col("us").as("valid_from_us"),
+          col("next_us").as("valid_to_us"),
+          col("next_us").isNull.as("is_current"),
+          col("value"))
+        .orderBy(col("user_id"), col("version_n"))
+    },
+
     // Schema/profile drift between ingest halves — the ML-ops data
     // monitor: for each profiled column, null rate, distinct count
     // and value-sum drift between the first and second half of the

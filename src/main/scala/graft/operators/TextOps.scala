@@ -97,7 +97,23 @@ object TextOps {
     * replace (see the gate comment for why replace ≡ the greedy fold).
     * Symbols are [a-z]+ substrings so '|' can never occur inside one.
     */
-  private[graft] def bpeOracleSql(rounds: Int): String = {
+  private[graft] def bpeOracleSql(rounds: Int): String =
+    s"""WITH ${bpeChainCtes(rounds, finalDict = false)}
+       |SELECT * FROM (
+       |  ${(1 to rounds).map { r =>
+            s"""SELECT $r AS "rank", l AS "left", r AS "right",
+               |    l || r AS merged, cnt FROM p$r""".stripMargin
+          }.mkString("\n  UNION ALL ")})
+       |ORDER BY "rank"""".stripMargin
+
+  /** The unrolled training chain as CTE text: `words` (weighted word
+    * dictionary), `d0` (char symbolization), then per round `p{r}`
+    * (argmax pair) and — when a later round or `finalDict` needs it —
+    * `d{r}` (the rewrite). `word` is carried through every dict so a
+    * consumer (the APPLY oracle) can join the trained segmentation
+    * back to the corpus.
+    */
+  private def bpeChainCtes(rounds: Int, finalDict: Boolean): String = {
     val pairs = (s: String) =>
       s"""SELECT p[1] AS l, p[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
          |    FROM (SELECT freq, unnest(list_transform(
@@ -109,33 +125,55 @@ object TextOps {
     val roundsSql = (1 to rounds).map { r =>
       val rewrite =
         s"""d$r AS MATERIALIZED (
-           |  SELECT freq, replace(enc, '|' || p$r.l || '||' || p$r.r || '|',
-           |    '|' || p$r.l || p$r.r || '|') AS enc
+           |  SELECT word, freq,
+           |    replace(enc, '|' || p$r.l || '||' || p$r.r || '|',
+           |      '|' || p$r.l || p$r.r || '|') AS enc
            |  FROM d${r - 1}, p$r)""".stripMargin
       val pick = s"""p$r AS MATERIALIZED (
            |  ${pairs(s"d${r - 1}")})""".stripMargin
-      if (r < rounds) s"$pick,\n$rewrite" else pick
+      if (r < rounds || finalDict) s"$pick,\n$rewrite" else pick
     }.mkString(",\n")
-    val union = (1 to rounds).map { r =>
-      s"""SELECT $r AS "rank", l AS "left", r AS "right",
-         |    l || r AS merged, cnt FROM p$r""".stripMargin
-    }.mkString("\n  UNION ALL ")
-    s"""WITH words AS MATERIALIZED (
+    s"""words AS MATERIALIZED (
        |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(list_filter(
        |      regexp_extract_all(lower(text), '[a-z]+'),
        |      t -> length(t) >= 2)) AS w FROM documents)
        |  GROUP BY 1),
        |d0 AS MATERIALIZED (
-       |  SELECT freq, '|' || array_to_string(
+       |  SELECT word, freq, '|' || array_to_string(
        |    list_transform(generate_series(1, length(word)),
        |      i -> substr(word, i, 1)), '||') || '|' AS enc
        |  FROM words),
-       |$roundsSql
-       |SELECT * FROM (
-       |  $union)
-       |ORDER BY "rank"""".stripMargin
+       |$roundsSql""".stripMargin
   }
+
+  /** Oracle for the APPLY gate: run the same unrolled training chain
+    * to the final dictionary `d{rounds}`, derive each word's trained
+    * token count, and join it back to every word occurrence in the
+    * corpus — per-document token statistics under the trained
+    * tokenizer, all exact integers.
+    */
+  private[graft] def bpeApplyOracleSql(rounds: Int): String =
+    s"""WITH ${bpeChainCtes(rounds, finalDict = true)},
+       |wsym AS (
+       |  SELECT word,
+       |    CAST(len(string_split(trim(enc, '|'), '||')) AS BIGINT)
+       |      AS n_syms,
+       |    CAST(length(word) AS BIGINT) AS n_chars
+       |  FROM d$rounds),
+       |tok AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |      regexp_extract_all(lower(text), '[a-z]+'),
+       |      t -> length(t) >= 2)) AS word
+       |  FROM documents)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(n_syms) AS BIGINT) AS n_tokens,
+       |  CAST((SUM(n_syms) * 1000000) // SUM(n_chars) AS BIGINT)
+       |    AS tokens_per_char_ppm
+       |FROM tok JOIN wsym USING (word)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** Count-min sketch geometry: d hash rows × w counters — 1 024 longs
     * of total state regardless of vocabulary size. Row i's hash is the
@@ -183,8 +221,31 @@ object TextOps {
     * consumer is DedupOps (dedup_winnow_pairs) — callers must not
     * release before that section has run.
     */
-  private[graft] def releaseCaches(s: SparkSession, dir: String): Unit =
+  /** One trained BPE model per (session, dir), shared by the train
+    * and apply gates — the trainer's 5 driver-coordinated rounds run
+    * once; the dict's per-round localCheckpoints already bound its
+    * lineage. At warehouse scale this is the published tokenizer
+    * artifact every apply job reads.
+    */
+  private val bpeModelMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (Seq[(Int, String, String, Long)], DataFrame)]
+
+  private def bpeModel(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeModelMemo.synchronized {
+      bpeModelMemo.getOrElseUpdate((s, dir),
+        bpeTrain(s, bpeWordDict(docs(s, dir)), 5))
+    }
+
+  private[graft] def releaseCaches(s: SparkSession, dir: String): Unit = {
     winnowFps(s, dir).unpersist(blocking = true)
+    bpeModelMemo.synchronized {
+      bpeModelMemo.keys.filter(_._1 eq s)
+        .foreach(k => bpeModelMemo.remove(k)
+          .foreach(_._2.unpersist(blocking = false)))
+    }
+  }
 
   def specs: Seq[QuerySpec] = Seq(
     // Token counting: whitespace tokenization + char stats per document.
@@ -368,12 +429,40 @@ object TextOps {
     // sequential reference trainer; this equivalence is property-
     // tested there too).
     QuerySpec.sql("text_bpe_train", bpeOracleSql(5)) { (s, dir) =>
-      val (merges, _) = bpeTrain(s, bpeWordDict(docs(s, dir)), 5)
+      val (merges, _) = bpeModel(s, dir)
       import s.implicits._
       merges.toDF("rank", "left", "right", "cnt")
         .select(col("rank"), col("left"), col("right"),
           concat(col("left"), col("right")).as("merged"), col("cnt"))
         .orderBy(col("rank"))
+    },
+
+    // BPE APPLY — tokenize the corpus with the TRAINED tokenizer (the
+    // single most-run op in a training-data pipeline): the trained
+    // dictionary maps each word to its merged symbol count, and every
+    // word occurrence joins against it — per-document token counts,
+    // char counts, and the tokens-per-char compression ratio in exact
+    // ppm. Scale shape: the dictionary is the vocabulary (not the
+    // corpus), the join key is the word (uniform-ish after the
+    // freq-weighted head, and AQE broadcasts the dict when it fits),
+    // and everything else is per-doc flatMap + one keyed aggregate.
+    QuerySpec.sql("text_bpe_apply", bpeApplyOracleSql(5)) { (s, dir) =>
+      val (_, dict) = bpeModel(s, dir)
+      val wsym = dict.select(col("word"),
+        size(col("syms")).cast("long").as("n_syms"),
+        length(col("word")).cast("long").as("n_chars"))
+      docs(s, dir)
+        .select(col("doc_id"), explode(expr(
+          """filter(regexp_extract_all(lower(text), '[a-z]+', 0),
+            |  t -> length(t) >= 2)""".stripMargin)).as("word"))
+        .join(wsym, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_chars")).cast("long").as("n_chars"),
+          sum(col("n_syms")).cast("long").as("n_tokens"))
+        .withColumn("tokens_per_char_ppm",
+          expr("(n_tokens * 1000000) div n_chars"))
+        .orderBy(col("doc_id"))
     },
 
     // Vocabulary growth (Heaps'-law curve): cumulative distinct terms
