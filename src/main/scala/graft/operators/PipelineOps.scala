@@ -308,6 +308,42 @@ object PipelineOps {
         .limit(PrioritySampleK)
     },
 
+    // Per-key weighted sampling: Duffield-Lund-Thorup priority
+    // sampling STRATIFIED by source — every domain contributes its
+    // own weighted sample (the per-domain eval-slice builder), not
+    // just the global head. Same exactness discipline as
+    // sample_priority (engine-portable md5 hash, ONE IEEE division),
+    // but the selection runs through the native TopKPerKey heap: a
+    // domain with a billion docs costs a bounded heap per partition,
+    // never a per-domain sort.
+    QuerySpec.sql(
+      "sample_priority_per_key",
+      """SELECT source, doc_id, w, pri, rnk FROM (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':prio'),
+        |      1, 8)) AS BIGINT) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS pri,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY
+        |        CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':prio'),
+        |          1, 8)) AS BIGINT) AS DOUBLE) / CAST(n_chars AS DOUBLE),
+        |        doc_id) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 10
+        |ORDER BY source, rnk""".stripMargin) { (s, dir) =>
+      val hv = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit(":prio"))), 1, 8),
+        16, 10).cast("long")
+      val scored = docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast("long").as("w"),
+          (hv.cast("double") / col("n_chars").cast("double")).as("pri"))
+      graft.plans.TopKPerKey.topKRanked(scored, Seq("source"),
+          Seq("pri" -> false, "doc_id" -> false), 10, "rnk")
+        .select(col("source"), col("doc_id"), col("w"), col("pri"),
+          col("rnk"))
+        .orderBy(col("source"), col("rnk"))
+    },
+
     // Data Selection via Importance Resampling (Xie et al. 2023):
     // score every document by how much more likely its hashed n-gram
     // features are under a TARGET domain (here the [[DsirTarget]]

@@ -3326,6 +3326,86 @@ object TimeSeriesOps {
         .orderBy(col("event_type"), col("dow"))
     },
 
+    // Robust outlier detection per user: EXACT median + MAD (median
+    // absolute deviation) with the 3-MAD rule — the robust-statistics
+    // anomaly flagger that, unlike z-scores, one wild value cannot
+    // poison. Exactness without any quantile sketch: the median IS an
+    // element (or the half-sum of the two middle elements — IEEE +
+    // and /2 are exactly rounded, so both engines agree bit-for-bit),
+    // picked by rank from a keyed row_number; the deviations rank the
+    // same way for the MAD. Three windows and two joins, ALL on the
+    // user_id partitioning — nothing global, no sketch error bar.
+    QuerySpec.sql(
+      "events_mad_outliers",
+      """WITH e AS (
+        |  SELECT user_id, event_id, value AS v FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+        |r AS (
+        |  SELECT user_id, v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY v, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e),
+        |med AS (
+        |  SELECT user_id, MAX(n) AS n,
+        |    (SUM(CASE WHEN rn = (n + 1) // 2 THEN v ELSE 0 END)
+        |     + SUM(CASE WHEN rn = (n + 2) // 2 THEN v ELSE 0 END)) / 2
+        |      AS med
+        |  FROM r GROUP BY user_id),
+        |dr AS (
+        |  SELECT user_id, ad, med, n,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ad) AS rn
+        |  FROM (SELECT e.user_id, ABS(e.v - med.med) AS ad, med.med,
+        |          med.n
+        |        FROM e JOIN med USING (user_id)) d0),
+        |mad AS (
+        |  SELECT user_id, MAX(med) AS med, MAX(n) AS n,
+        |    (SUM(CASE WHEN rn = (n + 1) // 2 THEN ad ELSE 0 END)
+        |     + SUM(CASE WHEN rn = (n + 2) // 2 THEN ad ELSE 0 END)) / 2
+        |      AS mad
+        |  FROM dr GROUP BY user_id)
+        |SELECT e.user_id, CAST(MAX(m.n) AS BIGINT) AS n,
+        |  MAX(m.med) AS med, MAX(m.mad) AS mad,
+        |  CAST(SUM(CASE WHEN ABS(e.v - m.med) > 3 * m.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM e JOIN mad m USING (user_id)
+        |GROUP BY e.user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .filter(col("value").isNotNull &&
+          col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id"), col("value").as("v"))
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("v"), col("event_id"))
+      val wAll = Window.partitionBy(col("user_id"))
+      def rankMedian(df: DataFrame, vCol: String) = df
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n"),
+          ((sum(when(expr("rn = (n + 1) div 2"), col(vCol))
+              .otherwise(lit(0.0)))
+            + sum(when(expr("rn = (n + 2) div 2"), col(vCol))
+              .otherwise(lit(0.0)))) / 2).as(s"med_$vCol"))
+      val med = rankMedian(
+        e.withColumn("rn", row_number().over(wOrd))
+          .withColumn("n", count(lit(1)).over(wAll)), "v")
+        .withColumnRenamed("med_v", "med")
+      val wAd = Window.partitionBy(col("user_id")).orderBy(col("ad"))
+      val mad = rankMedian(
+        e.join(med, Seq("user_id"))
+          .select(col("user_id"), abs(col("v") - col("med")).as("ad"),
+            col("n"))
+          .withColumn("rn", row_number().over(wAd)), "ad")
+        .withColumnRenamed("med_ad", "mad")
+      e.join(mad, Seq("user_id"))
+        .join(med.select(col("user_id"), col("med")), Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).cast("long").as("n"),
+          max(col("med")).as("med"), max(col("mad")).as("mad"),
+          sum(when(abs(col("v") - col("med")) > lit(3.0) * col("mad"),
+            1L).otherwise(0L)).cast("long").as("n_outliers"))
+        .orderBy(col("user_id"))
+    },
+
     // SCD-2 interval compression: collapse each user's consecutive
     // same-type event runs into validity intervals
     // [start_us, end_us) — the slowly-changing-dimension build every

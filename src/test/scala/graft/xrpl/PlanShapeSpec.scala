@@ -395,7 +395,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // (native TopKPerKey heap, never a full per-source sort)
     for (name <- Seq("mm_decode", "mm_decode_bmp", "mm_resize",
         "mm_audio_decode", "text_bm25_topk", "curate_domain_caps",
-        "text_bpe_apply", "store_scd2")) {
+        "text_bpe_apply", "store_scd2", "sample_priority_per_key",
+        "events_mad_outliers")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
