@@ -622,6 +622,61 @@ object Relational {
         .orderBy(col("user_id"))
     },
 
+    // Join-key skew diagnosis — the profile a planner (or an engineer
+    // sizing a salting factor) reads before shuffling 100 TB on a
+    // key: per keyspace, row count, key cardinality, the hottest
+    // key's row count, and the skew factor in ppm
+    // (max_key_rows · n_keys / n_rows — 1e6 means perfectly uniform,
+    // 10e6 means the hot key is 10x its fair share). Exact integers;
+    // the per-keyspace work is one keyed count plus aggregates OVER
+    // THE COUNTS table (key-cardinality-sized, never row-scale twice).
+    QuerySpec.sql(
+      "dq_key_skew", {
+        def one(table: String, key: String): String =
+          s"""SELECT '$table.$key' AS keyspace, n_rows, n_keys,
+             |  max_c AS max_key_rows,
+             |  (max_c * n_keys * 1000000) // n_rows AS skew_ppm,
+             |  top_key
+             |FROM
+             |  (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+             |     CAST(COUNT(*) AS BIGINT) AS n_keys,
+             |     CAST(MAX(c) AS BIGINT) AS max_c
+             |   FROM (SELECT CAST($key AS VARCHAR) AS k,
+             |           COUNT(*) AS c FROM $table GROUP BY 1) c0) a,
+             |  (SELECT MIN(k) AS top_key
+             |   FROM (SELECT CAST($key AS VARCHAR) AS k,
+             |           COUNT(*) AS c FROM $table GROUP BY 1) c1
+             |   WHERE c = (SELECT MAX(c) FROM
+             |     (SELECT COUNT(*) AS c FROM $table
+             |      GROUP BY CAST($key AS VARCHAR)) c2)) t""".stripMargin
+        s"""SELECT * FROM (
+           |${one("events", "user_id")}
+           |UNION ALL
+           |${one("lineitem", "l_partkey")}
+           |UNION ALL
+           |${one("documents", "source")})
+           |ORDER BY keyspace""".stripMargin
+      }) { (s, dir) =>
+      def profile(df: DataFrame, key: String, label: String): DataFrame = {
+        val cnts = df.groupBy(col(key).cast("string").as("k"))
+          .agg(count(lit(1)).as("c"))
+        val agg = cnts.agg(sum(col("c")).cast("long").as("n_rows"),
+          count(lit(1)).as("n_keys"), max(col("c")).as("max_c"))
+        val top = cnts.join(broadcast(agg.select(col("max_c"))),
+            col("c") === col("max_c"))
+          .agg(min(col("k")).as("top_key"))
+        agg.crossJoin(broadcast(top))
+          .select(lit(s"$label.$key").as("keyspace"), col("n_rows"),
+            col("n_keys"), col("max_c").as("max_key_rows"),
+            expr("(max_c * n_keys * 1000000) div n_rows").as("skew_ppm"),
+            col("top_key"))
+      }
+      profile(Tables.events(s, dir), "user_id", "events")
+        .unionAll(profile(t(s, dir, "lineitem"), "l_partkey", "lineitem"))
+        .unionAll(profile(t(s, dir, "documents"), "source", "documents"))
+        .orderBy(col("keyspace"))
+    },
+
     // SCD TYPE-2 dimension build from the same change log
     // store_cdc_apply collapses — the warehouse-history counterpart:
     // every upsert opens a version valid from its timestamp until the
