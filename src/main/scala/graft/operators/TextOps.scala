@@ -325,6 +325,72 @@ object TextOps {
     // over ≤ 26² distinct keys; the global top-k is
     // TakeOrderedAndProject over those ≤ 676 rows — no sort of
     // row-scale data anywhere.
+    // HTML main-content extraction — the FIRST pass of every web
+    // corpus pipeline (the trafilatura/jusText job): each document is
+    // wrapped in a deterministic page template (head/title/script,
+    // nav, footer) and the extractor must get the article text back
+    // out — structural elements dropped whole (non-greedy element
+    // kills for head/nav/footer), residual tags stripped, title captured
+    // from its element. The patterns stay in the Java-regex ∩ RE2
+    // common subset (no lookaround), so both engines run the same
+    // chain; `extract_exact` self-checks that the recovered text is
+    // byte-identical to the original — the extraction really is the
+    // inverse of the templating. Pure per-row regex work: no shuffle
+    // before the output sort, codegen'd end to end.
+    QuerySpec.sql(
+      "text_html_extract",
+      """WITH raw AS (
+        |  SELECT doc_id, text,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        |      || '</title><script>var a=1;</script></head><body>'
+        |      || '<nav>home | about | contact</nav><p>' || text
+        |      || '</p><footer>(c) corp</footer></body></html>' AS page
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, text, page,
+        |    regexp_extract(page, '<title>([^<]*)</title>', 1) AS title,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      page,
+        |      '<head>.*?</head>', '', 'g'),
+        |      '<nav>.*?</nav>', '', 'g'),
+        |      '<footer>.*?</footer>', '', 'g'),
+        |      '<[^>]*>', '', 'g') AS clean
+        |  FROM raw)
+        |SELECT doc_id, title,
+        |  CAST(length(page) AS BIGINT) AS n_raw_chars,
+        |  CAST(length(clean) AS BIGINT) AS n_clean_chars,
+        |  CAST((length(page) - length(clean)) * 1000000
+        |    // length(page) AS BIGINT) AS boilerplate_ppm,
+        |  md5(clean) AS clean_md5,
+        |  CAST(md5(clean) = md5(text) AS BOOLEAN) AS extract_exact
+        |FROM x
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><script>var a=1;</script></head><body>"),
+        lit("<nav>home | about | contact</nav><p>"), col("text"),
+        lit("</p><footer>(c) corp</footer></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"), col("text"), page.as("page"))
+        .withColumn("title",
+          regexp_extract(col("page"), "<title>([^<]*)</title>", 1))
+        .withColumn("clean",
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            col("page"),
+            "<head>.*?</head>", ""),
+            "<nav>.*?</nav>", ""),
+            "<footer>.*?</footer>", ""),
+            "<[^>]*>", ""))
+        .select(col("doc_id"), col("title"),
+          length(col("page")).cast("long").as("n_raw_chars"),
+          length(col("clean")).cast("long").as("n_clean_chars"),
+          expr("((length(page) - length(clean)) * 1000000) div length(page)")
+            .as("boilerplate_ppm"),
+          md5(col("clean")).as("clean_md5"),
+          (md5(col("clean")) === md5(col("text"))).as("extract_exact"))
+        .orderBy(col("doc_id"))
+    },
+
     // BM25 retrieval ranking (Robertson/Lucene BM25, k1=1.2 b=0.75) —
     // the scoring a RAG-training pipeline runs against its corpus
     // index. EXACT ARITHMETIC: with k1=6/5 and b=3/4 the term score
