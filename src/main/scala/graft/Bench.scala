@@ -53,6 +53,7 @@ object Bench {
         "emb_pq_encode",         // PQ codebook + encoded-corpus memo
         "dedup_prefix_filter",   // rarest-first ordered-gram cache
         "decontaminate",         // eval-ngram memo (shared with bloom/curate)
+        "text_bpe_train",        // trained-BPE-model memo (shared with apply)
         "q6_filtered_revenue",   // lineitem
         "s_topk_orders",         // orders
         "w4_avg_event_gap",      // events
