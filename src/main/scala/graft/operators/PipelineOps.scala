@@ -783,8 +783,9 @@ object PipelineOps {
           s"""array_distinct(transform(sequence(1, size(ts)-${ContamNgram - 1}),
              |  i -> concat_ws(' ', slice(ts, i, $ContamNgram))))""".stripMargin))
           .as("ng"))
-      val evalGrams = grams.filter(col("doc_id") % EvalModulus === 0)
-        .select(col("ng")).distinct()
+      // the memoized eval-gram table (shared with the decontaminate
+      // gates) — one build per (session, dir), not one per stage plan
+      val evalGrams = evalGramsOf(s, dir)
       val contaminated = grams.join(evalGrams, Seq("ng"))
         .select(col("doc_id")).distinct()
       // stage 4: deterministic split assignment (map-side)
@@ -1038,8 +1039,9 @@ object PipelineOps {
           s"""array_distinct(transform(sequence(1, size(ts)-${ContamNgram - 1}),
              |  i -> concat_ws(' ', slice(ts, i, $ContamNgram))))""".stripMargin))
           .as("ng"))
-      val evalGrams = grams.filter(col("doc_id") % EvalModulus === 0)
-        .select(col("ng")).distinct()
+      // the memoized eval-gram table (shared with the decontaminate
+      // gates) — one build per (session, dir), not one per stage plan
+      val evalGrams = evalGramsOf(s, dir)
       val contaminated = grams.join(evalGrams, Seq("ng"))
         .select(col("doc_id")).distinct()
       val hv = conv(substring(

@@ -1129,6 +1129,27 @@ object SimilarityOps {
         .orderBy(col("vec_id"), col("rnk"))
     },
 
+    // Embedding-space outlier detection off the SAME cached k-NN edge
+    // table: a vector whose 3rd-nearest neighbor is far away sits in
+    // no dense region — the kNN-distance outlier rule every embedding
+    // curation pass runs to drop mislabeled/garbage vectors before
+    // they poison clustering. Zero new shuffles: the edge table is
+    // already materialized for the graph family; this is a rank
+    // filter + global bottom-20 heap over vectors-with-3-neighbors.
+    QuerySpec.sql(
+      "emb_knn_outliers",
+      s"""WITH sig AS ($quantizedSql)
+         |SELECT vec_id, cos AS knn3_cos
+         |FROM (${knnEdgesSql(3)}) e
+         |WHERE rnk = 3
+         |ORDER BY knn3_cos, vec_id LIMIT 20""".stripMargin) { (s, dir) =>
+      knnEdges(s, dir, 3)
+        .filter(col("rnk") === 3)
+        .select(col("vec_id"), col("cos").as("knn3_cos"))
+        .orderBy(col("knn3_cos"), col("vec_id"))
+        .limit(20)
+    },
+
     // Embedding near-dup candidates: same-cell pairs above a cosine
     // threshold (the embedding-cosine dedup path).
     //

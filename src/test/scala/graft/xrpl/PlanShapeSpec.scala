@@ -396,7 +396,8 @@ class PlanShapeSpec extends AnyFunSuite {
     for (name <- Seq("mm_decode", "mm_decode_bmp", "mm_resize",
         "mm_audio_decode", "text_bm25_topk", "curate_domain_caps",
         "text_bpe_apply", "store_scd2", "sample_priority_per_key",
-        "events_mad_outliers", "dq_key_skew", "text_html_extract")) {
+        "events_mad_outliers", "dq_key_skew", "text_html_extract",
+        "emb_knn_outliers")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
