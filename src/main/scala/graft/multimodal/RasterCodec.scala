@@ -76,6 +76,9 @@ object RasterCodec {
       h <- readInt()
       mv <- readInt()
       _ <- if (w <= 0 || h <= 0) Left(s"bad dims ${w}x$h")
+           // cap before any size arithmetic: w*h*3 must not overflow
+           // Int, or the raster copy below would throw instead of Left
+           else if (w.toLong * h > (1L << 26)) Left(s"raster too large ${w}x$h")
            else if (mv <= 0 || mv > 255) Left(s"unsupported maxval $mv")
            // exactly ONE whitespace byte separates maxval from raster
            else if (pos >= bytes.length || !isWs(bytes(pos)))
@@ -160,6 +163,8 @@ object RasterCodec {
     val topDown = hRaw < 0
     val h = math.abs(hRaw)
     if (w <= 0 || h == 0) return Left(s"bad dims ${w}x$hRaw")
+    // same overflow cap as the PPM path: allocation sizes stay in Int
+    if (w.toLong * h > (1L << 26)) return Left(s"raster too large ${w}x$h")
     if (le16(28) != 24) return Left(s"unsupported bit depth ${le16(28)}")
     if (le32(30) != 0) return Left(s"unsupported compression ${le32(30)}")
     val rowSize = bmpRowSize(w)

@@ -48,6 +48,18 @@ class RasterCodecSpec extends AnyFunSuite {
     assert(RasterCodec.decodePpm("P6\n3\n".getBytes("US-ASCII")).isLeft)
   }
 
+  test("hostile headers fail cleanly, never with an allocation error") {
+    // dims whose product overflows Int: must be Left, not a thrown
+    // NegativeArraySizeException from w*h*3
+    assert(RasterCodec.decodePpm("P6\n40000 40000\n255\n "
+      .getBytes("US-ASCII")).left.exists(_.contains("too large")))
+    val bmp = RasterCodec.encodeBmp(raster(3, 3))
+    val huge = bmp.clone()
+    for (k <- 0 until 4) huge(18 + k) = ((40000 >> (8 * k)) & 0xff).toByte
+    for (k <- 0 until 4) huge(22 + k) = ((40000 >> (8 * k)) & 0xff).toByte
+    assert(RasterCodec.decodeBmp(huge).left.exists(_.contains("too large")))
+  }
+
   test("BMP round-trip recovers the canonical raster through BGR + flip") {
     // width 5: rowSize = ((15+3)/4)*4 = 16, so padding is exercised
     val r = raster(5, 3)
