@@ -308,6 +308,57 @@ object PipelineOps {
         .limit(PrioritySampleK)
     },
 
+    // Deterministic global shuffle + balanced shard plan — the FINAL
+    // step of dataset prep (the WebDataset/TFRecord shard writer):
+    // examples are permuted by an engine-portable hash (no RNG
+    // state), globally ranked through the range-partitioned two-pass
+    // PrefixSum (no single-task sort), and dealt round-robin into 16
+    // shards — per-shard doc counts are ±1 BY CONSTRUCTION, unlike
+    // hash-mod sharding which only balances in expectation. Emitted
+    // per shard: size, token mass, and the token-balance factor in
+    // ppm (the number that says whether token-budget training steps
+    // stay uniform across shards).
+    QuerySpec.sql(
+      "curate_shuffle_shards",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':shuffle'), 1, 8)) AS BIGINT) AS hv,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tok,
+        |    ROW_NUMBER() OVER (ORDER BY hv, doc_id) AS rk
+        |  FROM h),
+        |s AS (
+        |  SELECT CAST((rk - 1) % 16 AS BIGINT) AS shard_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |  FROM r GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM s)
+        |SELECT shard_id, n_docs, n_tokens,
+        |  (n_tokens * 16 * 1000000) // tt AS token_balance_ppm
+        |FROM s, t
+        |ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      val hv = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit(":shuffle"))), 1, 8),
+        16, 10).cast("long")
+      val h = docs(s, dir)
+        .select(col("doc_id"), hv.as("hv"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val ranked = graft.functions.PrefixSum.globalCumsum(
+        h, Seq(col("hv"), col("doc_id")), lit(1L), "rk")
+      val shards = ranked
+        .groupBy(((col("rk") - 1) % 16).as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"))
+      val tot = shards.agg(sum(col("n_tokens")).cast("long").as("tt"))
+      shards.crossJoin(broadcast(tot))
+        .select(col("shard_id"), col("n_docs"), col("n_tokens"),
+          expr("(n_tokens * 16 * 1000000) div tt").as("token_balance_ppm"))
+        .orderBy(col("shard_id"))
+    },
+
     // Per-key weighted sampling: Duffield-Lund-Thorup priority
     // sampling STRATIFIED by source — every domain contributes its
     // own weighted sample (the per-domain eval-slice builder), not
