@@ -390,6 +390,85 @@ object FeatureOps {
         .orderBy(col("p_brand"))
     },
 
+    // Mutual information I(feature; label) for three categorical
+    // candidates against l_returnflag — the model-free feature-
+    // selection ranking. ONE fact scan fans each row into the three
+    // (feature, value, label) cells via stack() and collapses map-side
+    // to the value-domain-sized contingency table; marginals, ln
+    // ratios, and the MI sum are all arithmetic over that tiny table.
+    // Each cell's ln(N·c_xy/(c_x·c_y)) is micro-quantized (the
+    // text_lm_score discipline) so Σ c_xy·lpm is an exact long and
+    // the float appears only in the final per-feature division.
+    QuerySpec.sql(
+      "feat_mutual_info", {
+        val lnRatio = "ln(CAST(n AS DOUBLE) * CAST(cxy AS DOUBLE)" +
+          " / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))"
+        s"""WITH cells AS (
+           |  SELECT 'linestatus' AS feat, l_linestatus AS fv,
+           |    l_returnflag AS y, CAST(COUNT(*) AS BIGINT) AS cxy
+           |  FROM lineitem GROUP BY 1, 2, 3
+           |  UNION ALL
+           |  SELECT 'qty', CAST(CAST(l_quantity AS BIGINT) AS VARCHAR),
+           |    l_returnflag, CAST(COUNT(*) AS BIGINT)
+           |  FROM lineitem GROUP BY 1, 2, 3
+           |  UNION ALL
+           |  SELECT 'ship_month', CAST(month(l_shipdate) AS VARCHAR),
+           |    l_returnflag, CAST(COUNT(*) AS BIGINT)
+           |  FROM lineitem GROUP BY 1, 2, 3),
+           |fm AS (SELECT feat, fv, CAST(SUM(cxy) AS BIGINT) AS cx
+           |  FROM cells GROUP BY 1, 2),
+           |ym AS (SELECT feat, y, CAST(SUM(cxy) AS BIGINT) AS cy
+           |  FROM cells GROUP BY 1, 2),
+           |nn AS (SELECT feat, CAST(SUM(cxy) AS BIGINT) AS n
+           |  FROM cells GROUP BY 1),
+           |lp AS (
+           |  SELECT c.feat, c.cxy, n,
+           |    CAST(CAST($lnRatio AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+           |      AS lpm
+           |  FROM cells c JOIN fm USING (feat, fv)
+           |    JOIN ym USING (feat, y) JOIN nn USING (feat)),
+           |agg AS (
+           |  SELECT feat AS feature, CAST(COUNT(*) AS BIGINT) AS n_cells,
+           |    CAST(SUM(cxy * lpm) AS BIGINT) AS sm,
+           |    CAST(MAX(n) AS BIGINT) AS n
+           |  FROM lp GROUP BY 1)
+           |SELECT feature, n_cells,
+           |  CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000) AS mi_nats
+           |FROM agg ORDER BY feature""".stripMargin
+      }) { (s, dir) =>
+      val lnRatio = "ln(CAST(n AS DOUBLE) * CAST(cxy AS DOUBLE)" +
+        " / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))"
+      val cells = t(s, dir, "lineitem")
+        .selectExpr(
+          "stack(3, 'linestatus', l_linestatus," +
+            " 'qty', CAST(CAST(l_quantity AS BIGINT) AS STRING)," +
+            " 'ship_month', CAST(month(l_shipdate) AS STRING))" +
+            " AS (feat, fv)",
+          "l_returnflag AS y")
+        .groupBy(col("feat"), col("fv"), col("y"))
+        .agg(count(lit(1)).as("cxy"))
+      val fm = cells.groupBy(col("feat"), col("fv"))
+        .agg(sum(col("cxy")).cast("long").as("cx"))
+      val ym = cells.groupBy(col("feat"), col("y"))
+        .agg(sum(col("cxy")).cast("long").as("cy"))
+      val nn = cells.groupBy(col("feat"))
+        .agg(sum(col("cxy")).cast("long").as("n"))
+      cells
+        .join(broadcast(fm), Seq("feat", "fv"))
+        .join(broadcast(ym), Seq("feat", "y"))
+        .join(broadcast(nn), Seq("feat"))
+        .select(col("feat"), col("cxy"), col("n"),
+          micros6(expr(lnRatio)).as("lpm"))
+        .groupBy(col("feat").as("feature"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("cxy") * col("lpm")).cast("long").as("sm"),
+          max(col("n")).as("n"))
+        .select(col("feature"), col("n_cells"),
+          expr("CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000)")
+            .as("mi_nats"))
+        .orderBy(col("feature"))
+    },
+
     // Two-sample Kolmogorov-Smirnov: D = max |ECDF₁ − ECDF₂| between
     // click and view values. Same histogram-rank machinery as
     // Mann-Whitney — ONE multi-column prefix-sum pass carries both

@@ -359,6 +359,75 @@ object PipelineOps {
         .orderBy(col("shard_id"))
     },
 
+    // Quality-threshold sweep — the yield curve a curation pass reads
+    // BEFORE committing to a cut: for each candidate threshold, how
+    // many documents and tokens survive, and the token yield in ppm of
+    // the corpus. The per-doc score is the text_quality_score blend
+    // quantized to exact integer permille ((300·n_stop + 700·n_distinct)
+    // div n_tokens), so every threshold comparison is integer-exact in
+    // both engines. One map-side pass over documents → a ≤1001-row
+    // score histogram; the 11-threshold grid multiplies the HISTOGRAM,
+    // never the corpus — the sweep costs one scan at any scale.
+    QuerySpec.sql(
+      "curate_quality_sweep",
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    (300 * CAST(SUM(CASE WHEN tok IN
+        |        ('the','a','of','and','is','to','in')
+        |        THEN 1 ELSE 0 END) AS BIGINT)
+        |     + 700 * CAST(COUNT(DISTINCT tok) AS BIGINT))
+        |      // CAST(COUNT(*) AS BIGINT) AS q_pm,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tok
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id),
+        |b AS (
+        |  SELECT q_pm, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |  FROM q GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM b),
+        |g AS (SELECT UNNEST(range(0, 1001, 100)) AS threshold_pm),
+        |k AS (
+        |  SELECT threshold_pm,
+        |    CAST(COALESCE(SUM(CASE WHEN q_pm >= threshold_pm
+        |      THEN n_docs END), 0) AS BIGINT) AS kept_docs,
+        |    CAST(COALESCE(SUM(CASE WHEN q_pm >= threshold_pm
+        |      THEN n_tokens END), 0) AS BIGINT) AS kept_tokens
+        |  FROM g CROSS JOIN b GROUP BY 1)
+        |SELECT CAST(threshold_pm AS BIGINT) AS threshold_pm, kept_docs,
+        |  kept_tokens,
+        |  CAST(kept_tokens * 1000000 // tt AS BIGINT) AS token_yield_ppm
+        |FROM k CROSS JOIN tot
+        |ORDER BY threshold_pm""".stripMargin) { (s, dir) =>
+      val perDoc = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(
+          expr("CAST(size(filter(ts, t -> t IN " +
+            "('the','a','of','and','is','to','in'))) AS BIGINT)")
+            .as("n_stop"),
+          size(array_distinct(col("ts"))).cast("long").as("n_distinct"),
+          size(col("ts")).cast("long").as("n_tokens"))
+        .select(expr("(300 * n_stop + 700 * n_distinct) div n_tokens")
+            .as("q_pm"),
+          col("n_tokens").as("n_tok"))
+      val hist = perDoc.groupBy(col("q_pm"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"))
+      val tot = hist.agg(sum(col("n_tokens")).cast("long").as("tt"))
+      val grid = s.range(0, 11)
+        .select((col("id") * 100).cast("long").as("threshold_pm"))
+      grid.crossJoin(broadcast(hist))
+        .groupBy(col("threshold_pm"))
+        .agg(coalesce(sum(when(col("q_pm") >= col("threshold_pm"),
+            col("n_docs"))), lit(0L)).as("kept_docs"),
+          coalesce(sum(when(col("q_pm") >= col("threshold_pm"),
+            col("n_tokens"))), lit(0L)).as("kept_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("threshold_pm"), col("kept_docs"), col("kept_tokens"),
+          expr("kept_tokens * 1000000 div tt").as("token_yield_ppm"))
+        .orderBy(col("threshold_pm"))
+    },
+
     // Per-key weighted sampling: Duffield-Lund-Thorup priority
     // sampling STRATIFIED by source — every domain contributes its
     // own weighted sample (the per-domain eval-slice builder), not

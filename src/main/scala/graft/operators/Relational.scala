@@ -677,6 +677,62 @@ object Relational {
         .orderBy(col("keyspace"))
     },
 
+    // Referential-integrity audit over the warehouse star — the
+    // orphan-FK report a pipeline runs before trusting a join: for
+    // every FK edge, child rows, distinct child keys, and rows whose
+    // key has no parent (left-anti). At 100 TB the small dimension
+    // sides (region/nation/supplier/part/customer) broadcast and the
+    // one fact-to-fact edge (lineitem->orders) is a key-partitioned
+    // anti-join AQE can skew-split — per edge exactly one scan of the
+    // child plus one of the parent's key column (pruned to the key).
+    QuerySpec.sql(
+      "dq_referential_integrity", {
+        def one(child: String, ck: String, parent: String, pk: String) =
+          s"""SELECT '$child.$ck->$parent.$pk' AS fk_edge,
+             |  CAST((SELECT COUNT(*) FROM $child) AS BIGINT) AS child_rows,
+             |  CAST((SELECT COUNT(DISTINCT $ck) FROM $child) AS BIGINT)
+             |    AS child_keys,
+             |  CAST((SELECT COUNT(*) FROM $child c WHERE NOT EXISTS
+             |    (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck))
+             |    AS BIGINT) AS orphan_rows""".stripMargin
+        s"""SELECT * FROM (
+           |${one("lineitem", "l_orderkey", "orders", "o_orderkey")}
+           |UNION ALL
+           |${one("lineitem", "l_partkey", "part", "p_partkey")}
+           |UNION ALL
+           |${one("lineitem", "l_suppkey", "supplier", "s_suppkey")}
+           |UNION ALL
+           |${one("orders", "o_custkey", "customer", "c_custkey")}
+           |UNION ALL
+           |${one("customer", "c_nationkey", "nation", "n_nationkey")}
+           |UNION ALL
+           |${one("supplier", "s_nationkey", "nation", "n_nationkey")}
+           |UNION ALL
+           |${one("nation", "n_regionkey", "region", "r_regionkey")})
+           |ORDER BY fk_edge""".stripMargin
+      }) { (s, dir) =>
+      def edge(child: String, ck: String, parent: String, pk: String) = {
+        val c = t(s, dir, child)
+        val base = c.agg(count(lit(1)).as("child_rows"),
+          countDistinct(col(ck)).as("child_keys"))
+        val orph = c.select(col(ck))
+          .join(t(s, dir, parent).select(col(pk)),
+            col(ck) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("orphan_rows"))
+        base.crossJoin(orph)
+          .select(lit(s"$child.$ck->$parent.$pk").as("fk_edge"),
+            col("child_rows"), col("child_keys"), col("orphan_rows"))
+      }
+      edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+        .unionAll(edge("lineitem", "l_partkey", "part", "p_partkey"))
+        .unionAll(edge("lineitem", "l_suppkey", "supplier", "s_suppkey"))
+        .unionAll(edge("orders", "o_custkey", "customer", "c_custkey"))
+        .unionAll(edge("customer", "c_nationkey", "nation", "n_nationkey"))
+        .unionAll(edge("supplier", "s_nationkey", "nation", "n_nationkey"))
+        .unionAll(edge("nation", "n_regionkey", "region", "r_regionkey"))
+        .orderBy(col("fk_edge"))
+    },
+
     // SCD TYPE-2 dimension build from the same change log
     // store_cdc_apply collapses — the warehouse-history counterpart:
     // every upsert opens a version valid from its timestamp until the

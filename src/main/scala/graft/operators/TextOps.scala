@@ -583,6 +583,87 @@ object TextOps {
         .orderBy(col("bucket"))
     },
 
+    // Zipf-law fit per source: regress ln(freq) on ln(rank) over each
+    // domain's top-100 terms — the corpus-health diagnostic (natural
+    // text sits near slope −1; template/boilerplate shows up as a
+    // flat or cliff-shaped curve). Term counts collapse map-side to
+    // the per-source vocab; the rank window partitions by SOURCE over
+    // that aggregated table (never the token stream). Both ln's are
+    // micro-quantized so the regression's sufficient statistics are
+    // exact longs; slope and r² compile from one shared expression
+    // text over those longs (the LinReg discipline).
+    QuerySpec.sql(
+      "text_zipf_fit", {
+        val num = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        val denx = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        val deny = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)" +
+          " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+        val slope = s"CASE WHEN $denx <> 0 THEN $num / $denx END"
+        val r2 = s"CASE WHEN $denx <> 0 AND $deny <> 0" +
+          s" THEN $num * $num / ($denx * $deny) END"
+        s"""WITH v AS (
+           |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+           |        FROM documents)
+           |  GROUP BY 1, 2),
+           |r AS (
+           |  SELECT source, c, ROW_NUMBER() OVER (PARTITION BY source
+           |    ORDER BY c DESC, tok) AS rk
+           |  FROM v),
+           |p AS (
+           |  SELECT source,
+           |    CAST(CAST(ln(CAST(rk AS DOUBLE)) AS DECIMAL(18,6))
+           |      * 1000000 AS BIGINT) AS xm,
+           |    CAST(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,6))
+           |      * 1000000 AS BIGINT) AS ym
+           |  FROM r WHERE rk <= 100),
+           |st AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(xm) AS BIGINT) AS sx,
+           |    CAST(SUM(ym) AS BIGINT) AS sy,
+           |    CAST(SUM(xm * xm) AS BIGINT) AS sxx,
+           |    CAST(SUM(xm * ym) AS BIGINT) AS sxy,
+           |    CAST(SUM(ym * ym) AS BIGINT) AS syy
+           |  FROM p GROUP BY 1)
+           |SELECT source, n AS n_terms, $slope AS zipf_slope, $r2 AS r2
+           |FROM st ORDER BY source""".stripMargin
+      }) { (s, dir) =>
+      val num = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+      val denx = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+      val deny = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)" +
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+      val slope = s"CASE WHEN $denx <> 0 THEN $num / $denx END"
+      val r2 = s"CASE WHEN $denx <> 0 AND $deny <> 0" +
+        s" THEN $num * $num / ($denx * $deny) END"
+      val v = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("tok"))
+      v.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 100)
+        .select(col("source"),
+          graft.functions.Cols.micros6(log(col("rk").cast("double")))
+            .as("xm"),
+          graft.functions.Cols.micros6(log(col("c").cast("double")))
+            .as("ym"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xm")).cast("long").as("sx"),
+          sum(col("ym")).cast("long").as("sy"),
+          sum(col("xm") * col("xm")).cast("long").as("sxx"),
+          sum(col("xm") * col("ym")).cast("long").as("sxy"),
+          sum(col("ym") * col("ym")).cast("long").as("syy"))
+        .select(col("source"), col("n").as("n_terms"),
+          expr(slope).as("zipf_slope"), expr(r2).as("r2"))
+        .orderBy(col("source"))
+    },
+
     // Quality scoring: stopword ratio + vocabulary-diversity ratio,
     // combined into a deterministic score. explode → per-doc aggregate.
     QuerySpec.sql(

@@ -397,7 +397,9 @@ class PlanShapeSpec extends AnyFunSuite {
         "mm_audio_decode", "text_bm25_topk", "curate_domain_caps",
         "text_bpe_apply", "store_scd2", "sample_priority_per_key",
         "events_mad_outliers", "dq_key_skew", "text_html_extract",
-        "emb_knn_outliers", "curate_shuffle_shards")) {
+        "emb_knn_outliers", "curate_shuffle_shards",
+        "dq_referential_integrity", "curate_quality_sweep",
+        "feat_mutual_info", "text_zipf_fit")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
