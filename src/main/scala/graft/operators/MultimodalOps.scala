@@ -384,6 +384,101 @@ object MultimodalOps {
         .orderBy(col("doc_id"))
     },
 
+    // REAL DSP, downsample path: decode the same RIFF/WAVE assets and
+    // 2:1-decimate with midpoint averaging — out[k] = ⌊(s[2k] +
+    // s[2k+1]) / 2⌋ (FLOOR division, Math.floorDiv on the JVM ≡ `//`
+    // in the oracle — truncate-toward-zero would disagree on negative
+    // sums, the edge the XOR-signed samples exercise); an odd trailing
+    // sample drops. Stats over the HALVED signal are the decode gate's
+    // exact integers, so the oracle — which recomputes every output
+    // sample from the document bytes — pins the resample arithmetic,
+    // not just the plumbing. Per-asset work in mapPartitions batches,
+    // no shuffle before the output sort.
+    QuerySpec.sql(
+      "mm_audio_downsample",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(50 + octet_length(encode(text)) % 100 AS INT) AS ns,
+        |    CAST(8000 + (octet_length(encode(text)) % 4) * 4000 AS INT)
+        |      AS rate,
+        |    hex(encode(rpad(text,
+        |      CAST((50 + octet_length(encode(text)) % 100) * 2 AS INT),
+        |      ' '))) AS hx
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, ns, rate, i,
+        |    xor(strpos('123456789ABCDEF', substr(hx, CAST(4*i+1 AS INT), 1))*16
+        |      + strpos('123456789ABCDEF', substr(hx, CAST(4*i+2 AS INT), 1)),
+        |      165) AS lo,
+        |    xor(strpos('123456789ABCDEF', substr(hx, CAST(4*i+3 AS INT), 1))*16
+        |      + strpos('123456789ABCDEF', substr(hx, CAST(4*i+4 AS INT), 1)),
+        |      165) AS hi
+        |  FROM m, LATERAL (SELECT unnest(range(0,
+        |    CAST(ns AS BIGINT))) AS i) t),
+        |s AS (
+        |  SELECT doc_id, ns, rate, i,
+        |    CASE WHEN lo + 256 * hi >= 32768 THEN lo + 256 * hi - 65536
+        |         ELSE lo + 256 * hi END AS v
+        |  FROM b),
+        |p AS (
+        |  -- FLOOR division (DuckDB // truncates toward zero; the JVM
+        |  -- side floorDivs) — exact via double, |pair sum| < 2^17
+        |  SELECT doc_id, ns, rate, CAST(i // 2 AS BIGINT) AS k,
+        |    CAST(floor(CAST(SUM(v) AS DOUBLE) / 2) AS BIGINT) AS v2
+        |  FROM s WHERE i < ns - (ns % 2)
+        |  GROUP BY doc_id, ns, rate, CAST(i // 2 AS BIGINT)),
+        |l AS (
+        |  SELECT doc_id, ns, rate, k, v2,
+        |    LAG(v2) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+        |  FROM p)
+        |SELECT doc_id, CAST(ns // 2 AS INT) AS n_out,
+        |  CAST(rate // 2 AS INT) AS out_rate,
+        |  CAST(SUM(ABS(v2)) AS BIGINT) AS sum_abs,
+        |  CAST(COALESCE(SUM(CASE WHEN pv IS NOT NULL
+        |    AND (v2 < 0) <> (pv < 0) THEN 1 END), 0) AS BIGINT)
+        |    AS zero_cross,
+        |  CAST(SUM(v2 * (k + 1)) AS BIGINT) AS checksum
+        |FROM l GROUP BY doc_id, ns, rate
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.multimodal.WaveCodec
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val raw = text.getBytes("US-ASCII")
+          val n = raw.length
+          val ns = 50 + n % 100
+          val rate = 8000 + (n % 4) * 4000
+          val samples = new Array[Short](ns)
+          var i = 0
+          while (i < ns) {
+            def b(j: Int): Int =
+              ((if (j < n) raw(j) else ' '.toByte) ^ 0xA5) & 0xff
+            samples(i) = (b(2 * i) | (b(2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          val wav = WaveCodec.encode(WaveCodec.Pcm(rate, 1, samples))
+          val pcm = WaveCodec.decode(wav)
+            .fold(e => throw new IllegalArgumentException(
+              s"doc $id: $e"), identity)
+          val m = pcm.samples.length / 2
+          val out = new Array[Short](m)
+          var k = 0
+          while (k < m) {
+            out(k) = Math.floorDiv(
+              pcm.samples(2 * k) + pcm.samples(2 * k + 1), 2).toShort
+            k += 1
+          }
+          val half = WaveCodec.Pcm(pcm.sampleRate / 2, 1, out)
+          val (sa, zc, ck) = WaveCodec.stats(half)
+          (id, m, half.sampleRate, sa, zc, ck)
+        })
+        .toDF("doc_id", "n_out", "out_rate",
+          "sum_abs", "zero_cross", "checksum")
+        .orderBy(col("doc_id"))
+    },
+
     // REAL DECODE, PPM path: each document becomes a genuine binary
     // P6 PPM (Catalyst-assembled — header with a comment line, padded
     // raster), and RasterCodec.decodePpm parses it back in

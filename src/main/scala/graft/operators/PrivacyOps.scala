@@ -164,6 +164,92 @@ object PrivacyOps {
         .orderBy(col("region_key"))
     },
 
+    // t-closeness: a diverse class can STILL leak if its sensitive-
+    // value distribution diverges from the table's (skewness attack —
+    // "everyone in this class is in the top balance bracket"). With
+    // QI = (nation, segment) and the ordered balance bucket as the
+    // sensitive attribute, per-class t = ordered-EMD(class dist,
+    // global dist) = Σᵢ|cum_pᵢ − cum_qᵢ|/(m−1). Computed entirely in
+    // the exact cross-product form cum(cc·N − gc·nc): the class×bucket
+    // grid is value-domain-sized (classes × ~12 buckets), the window
+    // partitions by class, and only the final ppm division leaves
+    // integer space (DECIMAL(38,0), the supplier_hhi discipline).
+    QuerySpec.sql(
+      "privacy_t_closeness",
+      s"""WITH r AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    $balBucketSql AS b
+         |  FROM customer),
+         |g AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS gc
+         |  FROM r GROUP BY 1),
+         |t AS (SELECT CAST(SUM(gc) AS BIGINT) AS nn,
+         |    CAST(COUNT(*) AS BIGINT) AS m FROM g),
+         |c AS (SELECT c_nationkey, c_mktsegment, b,
+         |    CAST(COUNT(*) AS BIGINT) AS cc
+         |  FROM r GROUP BY 1, 2, 3),
+         |cl AS (SELECT c_nationkey, c_mktsegment,
+         |    CAST(SUM(cc) AS BIGINT) AS nc
+         |  FROM c GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT cl.c_nationkey, cl.c_mktsegment, cl.nc, g.b, g.gc,
+         |    COALESCE(c.cc, 0) AS cc
+         |  FROM cl CROSS JOIN g
+         |  LEFT JOIN c ON c.c_nationkey = cl.c_nationkey
+         |    AND c.c_mktsegment = cl.c_mktsegment AND c.b = g.b),
+         |cum AS (
+         |  SELECT c_nationkey, c_mktsegment, nc,
+         |    SUM(cc * nn - gc * nc) OVER (
+         |      PARTITION BY c_nationkey, c_mktsegment ORDER BY b) AS d
+         |  FROM grid CROSS JOIN t),
+         |tc AS (
+         |  SELECT c_nationkey, c_mktsegment, nc,
+         |    CAST(CAST(SUM(ABS(d)) AS HUGEINT) * 1000000
+         |      // (CAST(m - 1 AS HUGEINT) * nc * nn) AS BIGINT)
+         |      AS t_ppm
+         |  FROM cum CROSS JOIN t
+         |  GROUP BY 1, 2, 3, m, nn)
+         |SELECT c_nationkey AS nation_key,
+         |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+         |  CAST(MAX(t_ppm) AS BIGINT) AS max_t_ppm,
+         |  CAST(COALESCE(SUM(CASE WHEN t_ppm > 200000 THEN nc END), 0)
+         |    AS BIGINT) AS rows_above_t
+         |FROM tc GROUP BY 1
+         |ORDER BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val r = t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("b"))
+      val g = r.groupBy(col("b")).agg(count(lit(1)).as("gc"))
+      val tot = g.agg(sum(col("gc")).cast("long").as("nn"),
+        count(lit(1)).as("m"))
+      val c = r.groupBy(col("c_nationkey"), col("c_mktsegment"), col("b"))
+        .agg(count(lit(1)).as("cc"))
+      val cl = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(sum(col("cc")).cast("long").as("nc"))
+      val grid = cl.crossJoin(broadcast(g))
+        .join(c, Seq("c_nationkey", "c_mktsegment", "b"), "left")
+        .withColumn("cc", coalesce(col("cc"), lit(0L)))
+        .crossJoin(broadcast(tot))
+      val w = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+        .orderBy(col("b"))
+      grid
+        .withColumn("d",
+          sum(col("cc") * col("nn") - col("gc") * col("nc")).over(w))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("nc"),
+          col("m"), col("nn"))
+        .agg(sum(abs(col("d"))).as("sad"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("nc"),
+          expr("CAST(CAST(sad AS DECIMAL(38,0)) * 1000000" +
+            " div (CAST(m - 1 AS DECIMAL(38,0)) * nc * nn) AS BIGINT)")
+            .as("t_ppm"))
+        .groupBy(col("c_nationkey").as("nation_key"))
+        .agg(count(lit(1)).as("n_classes"),
+          max(col("t_ppm")).as("max_t_ppm"),
+          coalesce(sum(when(col("t_ppm") > 200000, col("nc"))), lit(0L))
+            .as("rows_above_t"))
+        .orderBy(col("nation_key"))
+    },
+
     // Differentially-private noisy counts (Laplace mechanism, eps =
     // 0.5): per (nation, segment), the true count plus inverse-CDF
     // Laplace noise drawn from the portable md5 hash of the group key

@@ -880,6 +880,45 @@ object SimilarityOps {
           "CAST(dot AS DOUBLE) / (sqrt(CAST(q_norm2 AS DOUBLE)) * sqrt(CAST(c_norm2 AS DOUBLE)))")))
     },
 
+    // IVF index-health profile — the cell-balance report an ANN
+    // service reads before trusting its latency SLO: cell count,
+    // min/max cell size, the hot cell's share vs fair (skew_ppm, the
+    // dq_key_skew number for the coarse quantizer), and imbalance_ppm
+    // = Σsz²·cells/N² — the expected per-probe candidate blowup vs a
+    // perfectly uniform index (1e6 = uniform; 2e6 = probes scan 2× the
+    // fair surface). One keyed count over the cell id, then arithmetic
+    // on the cells-sized table; wide products ride HUGEINT/DECIMAL(38).
+    QuerySpec.sql(
+      "sim_ivf_balance",
+      """WITH c AS (
+        |  SELECT label, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM embeddings GROUP BY 1)
+        |SELECT CAST(SUM(sz) AS BIGINT) AS n_vecs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(MIN(sz) AS BIGINT) AS min_cell,
+        |  CAST(MAX(sz) AS BIGINT) AS max_cell,
+        |  CAST(CAST(MAX(sz) AS HUGEINT) * COUNT(*) * 1000000
+        |    // SUM(sz) AS BIGINT) AS skew_ppm,
+        |  CAST(CAST(SUM(sz * sz) AS HUGEINT) * COUNT(*) * 1000000
+        |    // (CAST(SUM(sz) AS HUGEINT) * SUM(sz)) AS BIGINT)
+        |    AS imbalance_ppm
+        |FROM c""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .groupBy(col("label")).agg(count(lit(1)).as("sz"))
+        .agg(sum(col("sz")).cast("long").as("n_vecs"),
+          count(lit(1)).as("n_cells"),
+          min(col("sz")).as("min_cell"),
+          max(col("sz")).as("max_cell"),
+          sum(col("sz") * col("sz")).cast("long").as("ssq"))
+        .select(col("n_vecs"), col("n_cells"), col("min_cell"),
+          col("max_cell"),
+          expr("CAST(CAST(max_cell AS DECIMAL(38,0)) * n_cells" +
+            " * 1000000 div n_vecs AS BIGINT)").as("skew_ppm"),
+          expr("CAST(CAST(ssq AS DECIMAL(38,0)) * n_cells * 1000000" +
+            " div (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs) AS BIGINT)")
+            .as("imbalance_ppm"))
+    },
+
     // IVF multi-probe: rank cells by query↔centroid cosine, probe the
     // top `Probes` cells, exact top-k within them — the full inverted-
     // file search (train: centroid per cell; search: nprobe cells).

@@ -3011,6 +3011,58 @@ object TimeSeriesOps {
         .orderBy(col("signup_day"))
     },
 
+    // Sample-ratio-mismatch check — the experiment-health gate that
+    // runs BEFORE any read-out: for each experiment, users are
+    // assigned by the engine-portable md5 hash (salted per experiment,
+    // so the three assignments are independent) and the observed 50/50
+    // split is χ²-tested. χ² for two equal-expectation bins collapses
+    // to (n_a − n_b)²/N, carried as one exact integer micro-rational
+    // (the ab_ztest discipline) so the verdict is decided on the same
+    // integer in both engines. One distinct-user aggregate (the only
+    // row-scale pass) → 3 experiments × parity fold.
+    QuerySpec.sql(
+      "stats_srm_check",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |e AS (SELECT UNNEST(['exp_a', 'exp_b', 'exp_c']) AS exp),
+        |a AS (
+        |  SELECT exp,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+        |      || ':' || exp), 1, 8)) AS BIGINT) % 2 AS arm
+        |  FROM u CROSS JOIN e),
+        |g AS (
+        |  SELECT exp,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM a GROUP BY 1)
+        |SELECT exp, n_a, n_b,
+        |  CAST(CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000
+        |    // (n_a + n_b) AS BIGINT) AS chi2_micro,
+        |  CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000
+        |    // (n_a + n_b) > 3841459 AS srm
+        |FROM g ORDER BY exp""".stripMargin) { (s, dir) =>
+      import graft.functions.Md5Prefix
+      events(s, dir)
+        .select(col("user_id")).distinct()
+        .select(col("user_id"),
+          explode(array(lit("exp_a"), lit("exp_b"), lit("exp_c")))
+            .as("exp"))
+        .select(col("exp"),
+          (Md5Prefix.md5_prefix_long(
+            concat(col("user_id").cast("string"), lit(":"), col("exp")),
+            8) % 2).as("arm"))
+        .groupBy(col("exp"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+        .select(col("exp"), col("n_a"), col("n_b"),
+          expr("CAST(CAST(n_a - n_b AS DECIMAL(38,0)) * (n_a - n_b)" +
+            " * 1000000 div (n_a + n_b) AS BIGINT)").as("chi2_micro"),
+          expr("CAST(n_a - n_b AS DECIMAL(38,0)) * (n_a - n_b)" +
+            " * 1000000 div (n_a + n_b) > 3841459").as("srm"))
+        .orderBy(col("exp"))
+    },
+
     // Two-proportion z-test — the A/B experiment read-out (arm =
     // deterministic user_id parity, conversion = a heavy-purchaser
     // cut that splits every fixture scale non-degenerately). The

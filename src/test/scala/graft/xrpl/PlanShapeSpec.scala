@@ -399,7 +399,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "events_mad_outliers", "dq_key_skew", "text_html_extract",
         "emb_knn_outliers", "curate_shuffle_shards",
         "dq_referential_integrity", "curate_quality_sweep",
-        "feat_mutual_info", "text_zipf_fit")) {
+        "feat_mutual_info", "text_zipf_fit", "mm_audio_downsample",
+        "privacy_t_closeness", "stats_srm_check", "sim_ivf_balance")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
