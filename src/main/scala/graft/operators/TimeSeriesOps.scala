@@ -433,6 +433,66 @@ object TimeSeriesOps {
         .orderBy(col("user_id"))
     },
 
+    // Bot/automation screen — the training-data cleaning rule that
+    // drops machine traffic before it pollutes a corpus: a scripted
+    // client fires on a timer, so its inter-event gaps have an
+    // abnormally LOW coefficient of variation, while organic behavior
+    // is bursty (cv ≳ 1). Per user with ≥ 5 gaps: mean gap and cv² in
+    // exact ppm via the integer moment identity (n·Σg² − (Σg)²)·10⁶ /
+    // (Σg)² — wide products ride HUGEINT ≡ DECIMAL(38,0), floats never
+    // appear, so the bot verdict (cv² < 0.05, n ≥ 20) is decided on
+    // the same integer in both engines. One keyed lag window + one
+    // aggregate, both partitioned by user.
+    QuerySpec.sql(
+      "events_bot_regularity",
+      """WITH g AS (
+        |  SELECT user_id,
+        |    sec - LAG(sec) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS gap
+        |  FROM (SELECT user_id, ts, event_id,
+        |          CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events)),
+        |a AS (
+        |  SELECT user_id, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+        |    CAST(SUM(gap) AS BIGINT) AS sg,
+        |    CAST(SUM(gap * gap) AS BIGINT) AS sgg
+        |  FROM g GROUP BY user_id
+        |  HAVING COUNT(gap) >= 5)
+        |SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_s,
+        |  CASE WHEN sg > 0 THEN
+        |    CAST((CAST(n_gaps AS HUGEINT) * sgg - CAST(sg AS HUGEINT) * sg)
+        |      * 1000000 // (CAST(sg AS HUGEINT) * sg) AS BIGINT) END
+        |    AS cv2_ppm,
+        |  sg > 0 AND n_gaps >= 20
+        |    AND (CAST(n_gaps AS HUGEINT) * sgg - CAST(sg AS HUGEINT) * sg)
+        |      * 1000000 // (CAST(sg AS HUGEINT) * sg) < 50000 AS is_bot
+        |FROM a
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(col("gap")).as("n_gaps"),
+          sum(col("gap")).cast("long").as("sg"),
+          sum(col("gap") * col("gap")).cast("long").as("sgg"))
+        .filter(col("n_gaps") >= 5)
+        .select(col("user_id"), col("n_gaps"),
+          expr("sg div n_gaps").as("mean_gap_s"),
+          expr("CASE WHEN sg > 0 THEN CAST(" +
+            "(CAST(n_gaps AS DECIMAL(38,0)) * sgg" +
+            " - CAST(sg AS DECIMAL(38,0)) * sg) * 1000000" +
+            " div (CAST(sg AS DECIMAL(38,0)) * sg) AS BIGINT) END")
+            .as("cv2_ppm"),
+          expr("sg > 0 AND n_gaps >= 20 AND" +
+            " (CAST(n_gaps AS DECIMAL(38,0)) * sgg" +
+            " - CAST(sg AS DECIMAL(38,0)) * sg) * 1000000" +
+            " div (CAST(sg AS DECIMAL(38,0)) * sg) < 50000")
+            .as("is_bot"))
+        .orderBy(col("user_id"))
+    },
+
     // S: latest event per key (descending scan limit 1 per account;
     // data.js:1120-1139). Timestamp exported as epoch micros for exact
     // cross-engine comparison. Top-1 per key as a max_by FOLD (map-side
@@ -1864,6 +1924,69 @@ object TimeSeriesOps {
          |  ${LinReg.intercept} AS intercept, ${LinReg.r2} AS r2
          |FROM s ORDER BY event_type""".stripMargin) { (s, dir) =>
       linregClosedForm(linregStats(linregPoints(events(s, dir))))
+    },
+
+    // Theil-Sen robust trend — the outlier-immune alternative to the
+    // least-squares slope (one corrupt day can move ts_linreg_trend
+    // arbitrarily; the pairwise-median slope has a 29% breakdown
+    // point). The pair surface is the daily series self-joined with
+    // itself — CALENDAR-BOUNDED (days²/2 per series, never row-scale),
+    // the same value-domain-quadratic contract as the blocking-recall
+    // gate. Each pair slope is one integer division (Δy·10⁶ div Δx —
+    // Spark `div` and DuckDB `//` both truncate toward zero, so
+    // negative slopes agree), and the median is the ⌈n/2⌉-th smallest
+    // via a per-series rank — all integers end to end.
+    QuerySpec.sql(
+      "ts_theil_sen",
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01',
+        |      CAST(date_trunc('day', ts) AS DATE)) AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type AS event_type,
+        |    (b.y - a.y) * 1000000 // (b.x - a.x) AS sp
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.x < b.x),
+        |r AS (
+        |  SELECT event_type, sp,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY sp)
+        |      AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS np
+        |  FROM p),
+        |d AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_points, CAST(np AS BIGINT) AS n_pairs,
+        |  CAST(sp AS BIGINT) AS theil_slope_ppm
+        |FROM r JOIN d USING (event_type)
+        |WHERE rk = (np + 1) // 2
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          datediff(to_date(date_trunc("day", col("ts"))),
+            lit("1970-01-01").cast("date")).as("x"))
+        .agg(count(lit(1)).as("y"))
+      val a = daily.select(col("event_type"), col("x").as("xa"),
+        col("y").as("ya"))
+      val b = daily.select(col("event_type").as("et_b"),
+        col("x").as("xb"), col("y").as("yb"))
+      val pairs = a.join(b,
+          col("event_type") === col("et_b") && col("xa") < col("xb"))
+        .select(col("event_type"),
+          expr("(yb - ya) * 1000000 div (xb - xa)").as("sp"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("sp"))
+      val wc = Window.partitionBy(col("event_type"))
+      val d = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_points"))
+      pairs
+        .withColumn("rk", row_number().over(w))
+        .withColumn("np", count(lit(1)).over(wc))
+        .filter(expr("rk = (np + 1) div 2"))
+        .join(broadcast(d), Seq("event_type"))
+        .select(col("event_type"), col("n_points"),
+          col("np").as("n_pairs"), col("sp").as("theil_slope_ppm"))
+        .orderBy(col("event_type"))
     },
 
     // Lag-1 autocorrelation of each series' daily-count sequence — the
