@@ -281,6 +281,65 @@ object PipelineOps {
       contamVerdicts(s, dir, hits)
     },
 
+    // Contamination severity from the EVAL side — decontaminate
+    // answers "which train docs must go"; a benchmark owner asks the
+    // reverse: per eval document, how much of it leaked (n-grams found
+    // in ANY train doc) and how widely (distinct train docs sharing an
+    // n-gram). An eval item with leak_ppm ≈ 1e6 is memorized verbatim
+    // somewhere and its benchmark score is meaningless. Same distinct-
+    // gram surface as the decontamination gates (map-side per-doc
+    // grams, the n-gram is the one shuffle key); severity is two
+    // COUNT(DISTINCT) folds over the match surface.
+    QuerySpec.sql(
+      "curate_contamination_report", {
+        val g = (0 until ContamNgram)
+          .map(k => s"ts[i+$k]").mkString(" || ' ' || ")
+        s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts
+           |  FROM documents),
+           |grams AS (
+           |  SELECT DISTINCT doc_id, $g AS ng
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+           |    len(ts)-${ContamNgram - 1})) AS i) gi
+           |  WHERE len(ts) >= $ContamNgram),
+           |ev AS (SELECT doc_id, ng FROM grams
+           |  WHERE doc_id % $EvalModulus = 0),
+           |tr AS (SELECT doc_id AS train_id, ng FROM grams
+           |  WHERE doc_id % $EvalModulus != 0),
+           |base AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+           |  FROM ev GROUP BY 1),
+           |leak AS (
+           |  SELECT ev.doc_id,
+           |    CAST(COUNT(DISTINCT ev.ng) AS BIGINT) AS n_leaked,
+           |    CAST(COUNT(DISTINCT train_id) AS BIGINT) AS n_train_docs
+           |  FROM ev JOIN tr ON ev.ng = tr.ng
+           |  GROUP BY 1)
+           |SELECT base.doc_id AS doc_id, n_grams,
+           |  CAST(COALESCE(n_leaked, 0) AS BIGINT) AS n_leaked,
+           |  CAST(COALESCE(n_train_docs, 0) AS BIGINT) AS n_train_docs,
+           |  COALESCE(n_leaked, 0) * 1000000 // n_grams AS leak_ppm
+           |FROM base LEFT JOIN leak ON leak.doc_id = base.doc_id
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val ev = contamGrams(s, dir)
+        .filter(col("doc_id") % EvalModulus === 0)
+      val tr = contamGrams(s, dir)
+        .filter(col("doc_id") % EvalModulus =!= 0)
+        .select(col("doc_id").as("train_id"), col("ng"))
+      val base = ev.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"))
+      val leak = ev.join(tr, Seq("ng"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("ng")).as("n_leaked"),
+          countDistinct(col("train_id")).as("n_train_docs"))
+      base.join(leak, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+          coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+          expr("COALESCE(n_leaked, 0) * 1000000 div n_grams")
+            .as("leak_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
     // Weighted sampling by PRIORITY SAMPLING (Duffield-Lund-Thorup):
     // priority = uniform-hash / weight, keep the k smallest — inclusion
     // probability proportional to weight, deterministic (hash of the

@@ -1614,6 +1614,96 @@ object TextOps {
     // frequency is zipfian like unigrams, and the hot ("of", "the")
     // rows would otherwise converge on single reducers at 100 TB.
     QuerySpec.sql(
+      "text_lm_kn", {
+        // Interpolated Kneser-Ney, the production LM-quality filter
+        // (Heafield's KenLM default): absolute discount D = 3/4 off
+        // every seen bigram, mass recycled through the CONTINUATION
+        // probability (how many distinct contexts w2 completes — the
+        // "San Francisco" fix: frequent-but-predictable words score
+        // low as continuations). With train = corpus every scored
+        // bigram has c12 ≥ 1 > D, so the discounted term stays
+        // positive. P is a rational with denominator 4·c1·tt; the ONE
+        // shared ln text below is the only float, micro-quantized so
+        // per-doc sums are exact longs (the lm_score discipline).
+        val lnP = "ln(CAST(4 * c12 - 3 AS DOUBLE)" +
+          " / CAST(4 * c1 AS DOUBLE)" +
+          " + CAST(3 AS DOUBLE) * CAST(n1p AS DOUBLE)" +
+          " * CAST(nctx AS DOUBLE)" +
+          " / (CAST(4 AS DOUBLE) * CAST(c1 AS DOUBLE)" +
+          " * CAST(tt AS DOUBLE)))"
+        s"""WITH ws AS (
+           |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           |  WHERE len(string_split(text, ' ')) >= 2),
+           |bg AS (
+           |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+           |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+           |        FROM ws)),
+           |pd AS (
+           |  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM bg GROUP BY 1, 2, 3),
+           |bc AS (
+           |  SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c12
+           |  FROM pd GROUP BY 1, 2),
+           |ctx AS (
+           |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+           |    CAST(COUNT(*) AS BIGINT) AS n1p
+           |  FROM bc GROUP BY 1),
+           |cont AS (
+           |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS nctx
+           |  FROM bc GROUP BY 1),
+           |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM bc),
+           |lp AS (
+           |  SELECT bc.w1, bc.w2,
+           |    CAST(CAST($lnP AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+           |      AS lp_micros
+           |  FROM bc JOIN ctx USING (w1) JOIN cont USING (w2)
+           |  CROSS JOIN tot)
+           |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           |  CAST(-SUM(cnt * lp_micros) AS DOUBLE)
+           |    / CAST(SUM(cnt) * 1000000 AS DOUBLE) AS avg_nll
+           |FROM pd JOIN lp ON pd.w1 = lp.w1 AND pd.w2 = lp.w2
+           |GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val lnP = "ln(CAST(4 * c12 - 3 AS DOUBLE)" +
+        " / CAST(4 * c1 AS DOUBLE)" +
+        " + CAST(3 AS DOUBLE) * CAST(n1p AS DOUBLE)" +
+        " * CAST(nctx AS DOUBLE)" +
+        " / (CAST(4 AS DOUBLE) * CAST(c1 AS DOUBLE)" +
+        " * CAST(tt AS DOUBLE)))"
+      val ws = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val pd = ws
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+          .as("b"))
+        .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("cnt"))
+      val bc = pd.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("cnt")).cast("long").as("c12"))
+      val ctx = bc.groupBy(col("w1"))
+        .agg(sum(col("c12")).cast("long").as("c1"),
+          count(lit(1)).as("n1p"))
+      val cont = bc.groupBy(col("w2"))
+        .agg(count(lit(1)).as("nctx"))
+      val tot = bc.agg(count(lit(1)).as("tt"))
+      val lp = bc.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"),
+          graft.functions.Cols.micros6(expr(lnP)).as("lp_micros"))
+      graft.functions.Skew.saltedJoin(pd, lp, Seq("w1", "w2"), factor = 8)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_bigrams"),
+          sum(col("cnt") * col("lp_micros")).as("sm"))
+        .select(col("doc_id"), col("n_bigrams"),
+          ((-col("sm")).cast("double") /
+            (col("n_bigrams") * lit(1000000L)).cast("double")).as("avg_nll"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec.sql(
       "text_lm_bigram",
       """WITH ws AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

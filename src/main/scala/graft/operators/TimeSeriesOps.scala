@@ -2517,6 +2517,110 @@ object TimeSeriesOps {
             lit(0L)).as("bloom_hits"))
     },
 
+    // Self-measuring Bloom false-positive rate — the calibration gate
+    // for every bloom-backed decision in this engine (file skipping,
+    // decontamination prefilter): per source, a 1008-bit / 2-hash
+    // bloom over the source's document ids is probed with every OTHER
+    // source's doc ids (true non-members by construction — the exact
+    // set difference is the ground truth), and the MEASURED collision
+    // rate sits beside the load-factor prediction (bits_set/m)² — both
+    // exact integer ppm, so the sketch's error bar is itself oracle-
+    // checked (the dedup_band_recall discipline). Member and probe
+    // surfaces are value-domain-sized (sources × corpus ids); the
+    // filter itself is 16 OR-folded 63-bit words (bit 63 would
+    // overflow a signed shift).
+    QuerySpec.sql(
+      "sketch_bloom_fpr", {
+        def h(salt: String) =
+          s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$salt'), 1, 8)) AS BIGINT) % 1008"
+        s"""WITH hh AS (
+           |  SELECT doc_id, source, ${h("f1")} AS p1, ${h("f2")} AS p2
+           |  FROM documents),
+           |mc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_members
+           |  FROM hh GROUP BY 1),
+           |bits AS (
+           |  SELECT source, p // 63 AS w,
+           |    bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER))
+           |      AS bw
+           |  FROM (
+           |    SELECT source, p1 AS p FROM hh
+           |    UNION ALL
+           |    SELECT source, p2 AS p FROM hh)
+           |  GROUP BY 1, 2),
+           |bs AS (
+           |  SELECT source, CAST(SUM(bit_count(bw)) AS BIGINT)
+           |    AS bits_set
+           |  FROM bits GROUP BY 1),
+           |probes AS (
+           |  SELECT s.source, hh.doc_id, hh.p1, hh.p2
+           |  FROM (SELECT DISTINCT source FROM documents) s
+           |  JOIN hh ON hh.source <> s.source),
+           |fp AS (
+           |  SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_probes,
+           |    CAST(COALESCE(SUM(CASE WHEN
+           |      (b1.bw >> CAST(p.p1 % 63 AS INTEGER)) & 1 = 1 AND
+           |      (b2.bw >> CAST(p.p2 % 63 AS INTEGER)) & 1 = 1
+           |      THEN 1 END), 0) AS BIGINT) AS false_pos
+           |  FROM probes p
+           |  LEFT JOIN bits b1 ON b1.source = p.source
+           |    AND b1.w = p.p1 // 63
+           |  LEFT JOIN bits b2 ON b2.source = p.source
+           |    AND b2.w = p.p2 // 63
+           |  GROUP BY 1)
+           |SELECT fp.source AS source, n_members, n_probes, false_pos,
+           |  false_pos * 1000000 // n_probes AS fpr_ppm,
+           |  bits_set,
+           |  bits_set * bits_set * 1000000 // (1008 * 1008)
+           |    AS predicted_fpr_ppm
+           |FROM fp JOIN bs ON bs.source = fp.source
+           |JOIN mc ON mc.source = fp.source
+           |ORDER BY source""".stripMargin
+      }) { (s, dir) =>
+      import graft.functions.Md5Prefix
+      def h(salt: String) = pmod(Md5Prefix.md5_prefix_long(
+        concat(col("doc_id").cast("string"), lit(s":$salt"))), lit(1008L))
+      val hh = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          h("f1").as("p1"), h("f2").as("p2"))
+      val mc = hh.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_members"))
+      val bits = hh.select(col("source"), col("p1").as("p"))
+        .unionAll(hh.select(col("source"), col("p2").as("p")))
+        .groupBy(col("source"), expr("p div 63").as("w"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT)," +
+          " CAST(p % 63 AS INT)))").as("bw"))
+      val bs = bits.groupBy(col("source"))
+        .agg(sum(expr("bit_count(bw)")).cast("long").as("bits_set"))
+      val probes = hh.select(col("source")).distinct()
+        .join(hh.select(col("source").as("src_m"), col("doc_id"),
+          col("p1"), col("p2")), col("src_m") =!= col("source"))
+      val b1 = bits.select(col("source").as("source1"),
+        col("w").as("w1"), col("bw").as("bw1"))
+      val b2 = bits.select(col("source").as("source2"),
+        col("w").as("w2"), col("bw").as("bw2"))
+      val fp = probes
+        .join(broadcast(b1),
+          col("source") === col("source1") &&
+            expr("p1 div 63") === col("w1"), "left")
+        .join(broadcast(b2),
+          col("source") === col("source2") &&
+            expr("p2 div 63") === col("w2"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_probes"),
+          coalesce(sum(when(
+            expr("shiftright(bw1, CAST(p1 % 63 AS INT)) & 1 = 1 AND" +
+              " shiftright(bw2, CAST(p2 % 63 AS INT)) & 1 = 1"), 1L)),
+            lit(0L)).as("false_pos"))
+      fp.join(bs, Seq("source")).join(broadcast(mc), Seq("source"))
+        .select(col("source"), col("n_members"), col("n_probes"),
+          col("false_pos"),
+          expr("false_pos * 1000000 div n_probes").as("fpr_ppm"),
+          col("bits_set"),
+          expr("bits_set * bits_set * 1000000 div (1008 * 1008)")
+            .as("predicted_fpr_ppm"))
+        .orderBy(col("source"))
+    },
+
     // Compaction planning — the OPTIMIZE bin-packer: daily ingest
     // leaves one small fragment per (series, day); pack consecutive
     // fragments into ~5000-row output files by assigning each

@@ -401,7 +401,9 @@ class PlanShapeSpec extends AnyFunSuite {
         "dq_referential_integrity", "curate_quality_sweep",
         "feat_mutual_info", "text_zipf_fit", "mm_audio_downsample",
         "privacy_t_closeness", "stats_srm_check", "sim_ivf_balance",
-        "events_bot_regularity", "dq_column_profile", "ts_theil_sen")) {
+        "events_bot_regularity", "dq_column_profile", "ts_theil_sen",
+        "text_lm_kn", "curate_contamination_report",
+        "sketch_bloom_fpr")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
