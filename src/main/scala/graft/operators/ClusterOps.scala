@@ -879,6 +879,43 @@ object ClusterOps {
             |END""".stripMargin).as("assortativity"))
     },
 
+    // Reciprocity of the DIRECTED k-NN graph — the fraction of "a's
+    // neighbor b" edges where a is also b's neighbor. In an ANN index
+    // this is the symmetry health check: low reciprocity means hub
+    // vectors absorb everyone's edges while their own point elsewhere
+    // (the hubness pathology that degrades graph-based search), and it
+    // decides whether an undirected-graph algorithm may treat the kNN
+    // edge list as symmetric. One self-join of the bounded edge table
+    // on the reversed pair — k·n rows joined to itself on its key,
+    // never the vector data.
+    QuerySpec.sql(
+      "graph_reciprocity",
+      s"""WITH sig AS (${SimilarityOps.quantizedSql}),
+         |knn AS (SELECT vec_id, nbr_id FROM (${SimilarityOps.knnEdgesSql(3)}) k),
+         |rec AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         |    CAST(COALESCE(SUM(CASE WHEN b.vec_id IS NOT NULL
+         |      THEN 1 END), 0) AS BIGINT) AS n_reciprocal
+         |  FROM knn a LEFT JOIN knn b
+         |    ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id)
+         |SELECT n_edges, n_reciprocal,
+         |  n_reciprocal * 1000000 // n_edges AS reciprocity_ppm
+         |FROM rec""".stripMargin) { (s, dir) =>
+      val e = SimilarityOps.knnEdges(s, dir, 3)
+        .select(col("vec_id"), col("nbr_id"))
+      val rev = e.select(col("vec_id").as("r_nbr"),
+        col("nbr_id").as("r_vec"))
+      e.join(rev,
+          col("r_vec") === col("vec_id") && col("r_nbr") === col("nbr_id"),
+          "left")
+        .agg(count(lit(1)).as("n_edges"),
+          coalesce(sum(when(col("r_vec").isNotNull, 1L)), lit(0L))
+            .as("n_reciprocal"))
+        .select(col("n_edges"), col("n_reciprocal"),
+          expr("n_reciprocal * 1000000 div n_edges")
+            .as("reciprocity_ppm"))
+    },
+
     // Newman modularity of the label partition on the k-NN graph —
     // "how community-like is the class structure": Q = Σ_c e_c/m −
     // Σ_c (K_c/2m)², evaluated as the single exact rational

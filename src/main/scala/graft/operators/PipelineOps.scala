@@ -281,6 +281,79 @@ object PipelineOps {
       contamVerdicts(s, dir, hits)
     },
 
+    // Two-phase anneal mixing plan — the "decay phase" recipe modern
+    // pretraining runs use: 90% of the token budget follows the
+    // natural source masses; the final 10% TILTS toward quality
+    // (allocation ∝ mass·quality², so a source twice as clean gets 4×
+    // its fair share of the anneal). Per-doc quality is the exact
+    // integer permille of curate_quality_sweep, mass-weighted to a
+    // per-source score; every budget line is integer arithmetic over
+    // the source-grain table (wide products in DECIMAL(38,0) ≡
+    // HUGEINT), so the whole schedule hash-compares. One token scan,
+    // then a |sources|-row plan.
+    QuerySpec.sql(
+      "curate_mix_anneal",
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    (300 * CAST(SUM(CASE WHEN tok IN
+        |        ('the','a','of','and','is','to','in')
+        |        THEN 1 ELSE 0 END) AS BIGINT)
+        |     + 700 * CAST(COUNT(DISTINCT tok) AS BIGINT))
+        |      // CAST(COUNT(*) AS BIGINT) AS q_pm,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tok
+        |  FROM (SELECT doc_id, source,
+        |          unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS m,
+        |    CAST(SUM(q_pm * n_tok) // SUM(n_tok) AS BIGINT) AS q_pm
+        |  FROM q GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(m) AS BIGINT) AS mt,
+        |    CAST(SUM(CAST(m AS HUGEINT) * q_pm * q_pm) AS HUGEINT) AS w
+        |  FROM s)
+        |SELECT source, m AS n_tokens, q_pm,
+        |  CAST(CAST(mt * 9 // 10 AS HUGEINT) * m // mt AS BIGINT)
+        |    AS phase1_tokens,
+        |  CAST(CAST(mt // 10 AS HUGEINT)
+        |    * (CAST(m AS HUGEINT) * q_pm * q_pm) // w AS BIGINT)
+        |    AS phase2_tokens,
+        |  CAST(CAST(m AS HUGEINT) * q_pm * q_pm * mt * 1000000
+        |    // (w * m) AS BIGINT) AS boost_ppm
+        |FROM s CROSS JOIN t
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      val q = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("ts"))
+        .select(col("source"),
+          expr("CAST(size(filter(ts, t -> t IN " +
+            "('the','a','of','and','is','to','in'))) AS BIGINT)")
+            .as("n_stop"),
+          size(array_distinct(col("ts"))).cast("long").as("n_distinct"),
+          size(col("ts")).cast("long").as("n_tokens"))
+        .select(col("source"),
+          expr("(300 * n_stop + 700 * n_distinct) div n_tokens")
+            .as("q_pm"),
+          col("n_tokens").as("n_tok"))
+      val src = q.groupBy(col("source"))
+        .agg(sum(col("n_tok")).cast("long").as("m"),
+          expr("CAST(SUM(q_pm * n_tok) div SUM(n_tok) AS BIGINT)")
+            .as("q_pm"))
+      val tot = src.agg(sum(col("m")).cast("long").as("mt"),
+        sum(expr("CAST(m AS DECIMAL(38,0)) * q_pm * q_pm")).as("w"))
+      src.crossJoin(broadcast(tot))
+        .select(col("source"), col("m").as("n_tokens"), col("q_pm"),
+          expr("CAST(CAST(mt * 9 div 10 AS DECIMAL(38,0)) * m div mt" +
+            " AS BIGINT)").as("phase1_tokens"),
+          expr("CAST(CAST(mt div 10 AS DECIMAL(38,0))" +
+            " * (CAST(m AS DECIMAL(38,0)) * q_pm * q_pm) div w" +
+            " AS BIGINT)").as("phase2_tokens"),
+          expr("CAST(CAST(m AS DECIMAL(38,0)) * q_pm * q_pm * mt" +
+            " * 1000000 div (w * m) AS BIGINT)").as("boost_ppm"))
+        .orderBy(col("source"))
+    },
+
     // Contamination severity from the EVAL side — decontaminate
     // answers "which train docs must go"; a benchmark owner asks the
     // reverse: per eval document, how much of it leaked (n-grams found

@@ -3238,6 +3238,44 @@ object TimeSeriesOps {
         .orderBy(col("signup_day"))
     },
 
+    // Power analysis / minimum-detectable-effect — the question asked
+    // BEFORE an experiment ships: splitting this metric's n
+    // observations into two arms, what lift could a two-sample test
+    // even see at α=0.05, power=0.8? MDE = (z₀.₉₇₅+z₀.₈)·σ·√(2/n_arm)
+    // with the z-sum folded to the constant 2.801585. Variance comes
+    // from EXACT decimal power sums (the a_moments_stats discipline:
+    // Σx, Σx² order-independent, the only floats are single correctly-
+    // rounded ops on identical operands), so the classically-float
+    // power calculation hash-compares.
+    QuerySpec.sql(
+      "stats_power_mde",
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(*) // 2 AS BIGINT) AS n_arm,
+         |  ${dsumSql("value")} / COUNT(*) AS mean_value,
+         |  (${dsumSql("value * value")}
+         |    - ${dsumSql("value")} * ${dsumSql("value")} / COUNT(*))
+         |    / (COUNT(*) - 1) AS var_value,
+         |  2.801585 * sqrt(2 * ((${dsumSql("value * value")}
+         |    - ${dsumSql("value")} * ${dsumSql("value")} / COUNT(*))
+         |    / (COUNT(*) - 1)) / (COUNT(*) // 2)) AS mde
+         |FROM events
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("__s"),
+          dsum(col("value") * col("value")).as("__q"))
+        .select(col("event_type"), col("n"),
+          expr("CAST(n div 2 AS BIGINT)").as("n_arm"),
+          (col("__s") / col("n")).as("mean_value"),
+          ((col("__q") - col("__s") * col("__s") / col("n")) /
+            (col("n") - 1)).as("var_value"),
+          (lit(2.801585) * sqrt(lit(2) *
+            ((col("__q") - col("__s") * col("__s") / col("n")) /
+              (col("n") - 1)) / expr("n div 2"))).as("mde"))
+        .orderBy(col("event_type"))
+    },
+
     // Sample-ratio-mismatch check — the experiment-health gate that
     // runs BEFORE any read-out: for each experiment, users are
     // assigned by the engine-portable md5 hash (salted per experiment,

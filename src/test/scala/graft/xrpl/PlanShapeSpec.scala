@@ -403,7 +403,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "privacy_t_closeness", "stats_srm_check", "sim_ivf_balance",
         "events_bot_regularity", "dq_column_profile", "ts_theil_sen",
         "text_lm_kn", "curate_contamination_report",
-        "sketch_bloom_fpr")) {
+        "sketch_bloom_fpr", "graph_reciprocity", "stats_power_mde",
+        "curate_mix_anneal")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
