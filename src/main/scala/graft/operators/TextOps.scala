@@ -531,6 +531,113 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // Moving-average type-token ratio (MATTR, window 20) — the
+    // length-robust lexical-diversity score (plain TTR collapses as
+    // docs grow; MATTR compares a tweet and a book on one scale).
+    // Naively O(n·w) distinct-counts per doc; here ONE pass via the
+    // first-occurrence identity: position i counts as distinct in
+    // exactly the windows starting after its previous occurrence —
+    // max(0, min(i, n−w) − max(0, i−w+1, prev+1) + 1) of them — so
+    // Σwindows distinct(w) is a plain integer sum over positions. The
+    // only shuffle keys are (doc, token) for the prev-position lag;
+    // everything else is per-doc arithmetic, exact to the ppm.
+    QuerySpec.sql(
+      "text_mattr",
+      """WITH tok AS (
+        |  SELECT doc_id, i - 1 AS i, ws[i] AS tok,
+        |    CAST(len(ws) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents) d,
+        |    LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) t
+        |  WHERE len(ws) >= 20),
+        |pr AS (
+        |  SELECT doc_id, i, n,
+        |    LAG(i) OVER (PARTITION BY doc_id, tok ORDER BY i) AS prev
+        |  FROM tok),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    GREATEST(0, LEAST(i, n - 20)
+        |      - GREATEST(0, i - 19, COALESCE(prev + 1, 0)) + 1)
+        |      AS contrib
+        |  FROM pr)
+        |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+        |  CAST(MAX(n) - 19 AS BIGINT) AS n_windows,
+        |  CAST(SUM(contrib) * 1000000 // ((MAX(n) - 19) * 20)
+        |    AS BIGINT) AS mattr_ppm
+        |FROM c GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tok = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 20)
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n"),
+          posexplode(col("ws")).as(Seq("i", "tok")))
+      val w = Window.partitionBy(col("doc_id"), col("tok"))
+        .orderBy(col("i"))
+      tok.withColumn("prev", lag(col("i"), 1).over(w))
+        .select(col("doc_id"), col("n"),
+          expr("GREATEST(0, LEAST(i, n - 20)" +
+            " - GREATEST(0, i - 19, COALESCE(prev + 1, 0)) + 1)")
+            .as("contrib"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("n_tokens"),
+          (max(col("n")) - 19).as("n_windows"),
+          expr("CAST(SUM(contrib) * 1000000" +
+            " div ((MAX(n) - 19) * 20) AS BIGINT)").as("mattr_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Tokenizer fertility per source — the multilingual tokenizer-
+    // health metric (tokens emitted per word): a domain whose
+    // fertility is far above the corpus norm is poorly served by the
+    // trained vocabulary (its text costs more sequence length per
+    // word), the signal that drives vocab-size and mix decisions.
+    // Same trained-dictionary join as text_bpe_apply (the bpeModel
+    // memo is shared — the tokenizer trains once), folded to source
+    // grain: exact integer fertility and compression ppm.
+    QuerySpec.sql(
+      "curate_tokenizer_fertility", {
+        val rounds = 5
+        s"""WITH ${bpeChainCtes(rounds, finalDict = true)},
+           |wsym AS (
+           |  SELECT word,
+           |    CAST(len(string_split(trim(enc, '|'), '||')) AS BIGINT)
+           |      AS n_syms,
+           |    CAST(length(word) AS BIGINT) AS n_chars
+           |  FROM d$rounds),
+           |tok AS (
+           |  SELECT source, unnest(list_filter(
+           |      regexp_extract_all(lower(text), '[a-z]+'),
+           |      t -> length(t) >= 2)) AS word
+           |  FROM documents)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+           |  CAST(SUM(n_syms) AS BIGINT) AS n_tokens,
+           |  CAST((SUM(n_syms) * 1000000) // COUNT(*) AS BIGINT)
+           |    AS fertility_ppm,
+           |  CAST((SUM(n_syms) * 1000000) // SUM(n_chars) AS BIGINT)
+           |    AS tokens_per_char_ppm
+           |FROM tok JOIN wsym USING (word)
+           |GROUP BY source
+           |ORDER BY source""".stripMargin
+      }) { (s, dir) =>
+      val (_, dict) = bpeModel(s, dir)
+      val wsym = dict.select(col("word"),
+        size(col("syms")).cast("long").as("n_syms"),
+        length(col("word")).cast("long").as("n_chars"))
+      docs(s, dir)
+        .select(col("source"), explode(expr(
+          """filter(regexp_extract_all(lower(text), '[a-z]+', 0),
+            |  t -> length(t) >= 2)""".stripMargin)).as("word"))
+        .join(wsym, Seq("word"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_syms")).cast("long").as("n_tokens"),
+          expr("CAST(SUM(n_syms) * 1000000 div COUNT(*) AS BIGINT)")
+            .as("fertility_ppm"),
+          expr("CAST(SUM(n_syms) * 1000000 div SUM(n_chars) AS BIGINT)")
+            .as("tokens_per_char_ppm"))
+        .orderBy(col("source"))
+    },
+
     // Vocabulary growth (Heaps'-law curve): cumulative distinct terms
     // vs cumulative tokens as the corpus grows doc-bucket by
     // doc-bucket — the curve that says whether a corpus keeps paying

@@ -404,7 +404,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "events_bot_regularity", "dq_column_profile", "ts_theil_sen",
         "text_lm_kn", "curate_contamination_report",
         "sketch_bloom_fpr", "graph_reciprocity", "stats_power_mde",
-        "curate_mix_anneal")) {
+        "curate_mix_anneal", "text_mattr",
+        "curate_tokenizer_fertility")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
