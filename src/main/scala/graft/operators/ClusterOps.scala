@@ -818,6 +818,55 @@ object ClusterOps {
       triangleCounts(s, dir)
     },
 
+    // Global transitivity (the graph clustering coefficient):
+    // 3·triangles / wedges — how much of the kNN graph's "friend of a
+    // friend" structure closes into triangles, the one-number summary
+    // of local density that separates a clustered corpus from a
+    // hub-and-spoke one. Reuses the per-node triangle machinery
+    // (rational orientation join, never Σd² worst-case) — the node
+    // sum IS 3T — and wedges are Σ C(d,2) over the degree table; one
+    // exact ppm division at the end.
+    QuerySpec.sql(
+      "graph_transitivity",
+      s"""WITH sig AS (${SimilarityOps.quantizedSql}),
+         |knn AS (SELECT vec_id, nbr_id FROM (${SimilarityOps.knnEdgesSql(3)}) k),
+         |und AS (SELECT DISTINCT LEAST(vec_id, nbr_id) AS u,
+         |    GREATEST(vec_id, nbr_id) AS v FROM knn),
+         |tri AS (
+         |  SELECT x.u AS a, x.v AS b, y.v AS c
+         |  FROM und x JOIN und y ON y.u = x.v
+         |    JOIN und z ON z.u = x.u AND z.v = y.v),
+         |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+         |    SELECT u AS n FROM und UNION ALL SELECT v FROM und) m
+         |  GROUP BY n),
+         |agg AS (
+         |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tri)
+         |      AS n_triangles,
+         |    (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg)
+         |      AS n_wedges)
+         |SELECT n_triangles, n_wedges,
+         |  CASE WHEN n_wedges > 0 THEN
+         |    3 * n_triangles * 1000000 // n_wedges END
+         |    AS transitivity_ppm
+         |FROM agg""".stripMargin) { (s, dir) =>
+      val t3 = triangleCounts(s, dir)
+        .agg(expr("CAST(SUM(n_triangles) div 3 AS BIGINT)")
+          .as("n_triangles"))
+      val und = SimilarityOps.knnEdges(s, dir, 3)
+        .select(least(col("vec_id"), col("nbr_id")).as("u"),
+          greatest(col("vec_id"), col("nbr_id")).as("v"))
+        .distinct()
+      val wedges = und.select(col("u").as("n"))
+        .unionByName(und.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .agg(sum(expr("d * (d - 1) div 2")).cast("long").as("n_wedges"))
+      t3.crossJoin(broadcast(wedges))
+        .select(col("n_triangles"), col("n_wedges"),
+          expr("CASE WHEN n_wedges > 0 THEN" +
+            " 3 * n_triangles * 1000000 div n_wedges END")
+            .as("transitivity_ppm"))
+    },
+
     // Degree assortativity of the undirected k-NN graph: Pearson r
     // over edge-endpoint degree pairs, with each edge contributing
     // both orientations (the standard symmetric formulation, which

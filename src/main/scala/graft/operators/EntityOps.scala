@@ -136,6 +136,41 @@ object EntityOps {
         .orderBy(col("a_name"), col("b_name"))
     },
 
+    // Match-threshold sweep — the calibration curve an ER engineer
+    // reads before fixing the JW cutoff (the er counterpart of
+    // dedup_threshold_sweep): candidate-pair yield at every threshold
+    // from 0.750 to 1.000. The pair surface is the same blocked
+    // value-domain self-join as er_jw_match; the 11-threshold grid
+    // multiplies the SCORED PAIRS table, never the source rows, and
+    // the float compare jw ≥ t/1000 uses the identical literal in both
+    // engines over bit-identical JW scores.
+    QuerySpec.sql(
+      "er_match_threshold_sweep",
+      s"""WITH d AS ($dictSql),
+         |p AS (
+         |  SELECT jaro_winkler_similarity(a.name, b.name) AS jw
+         |  FROM d a JOIN d b ON a.blk = b.blk AND a.name < b.name),
+         |g AS (SELECT UNNEST(range(750, 1001, 25)) AS t_pm)
+         |SELECT CAST(t_pm AS BIGINT) AS t_pm,
+         |  CAST(COALESCE(SUM(CASE WHEN jw >= CAST(t_pm AS DOUBLE) / 1000
+         |    THEN 1 END), 0) AS BIGINT) AS n_pairs
+         |FROM g CROSS JOIN p
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val d = dict(s, dir)
+      val a = d.select(col("name").as("a_name"), col("blk"))
+      val b = d.select(col("name").as("b_name"), col("blk"))
+      val p = a.join(broadcast(b), Seq("blk"))
+        .filter(col("a_name") < col("b_name"))
+        .select(JaroSim.jaroWinkler(col("a_name"), col("b_name")).as("jw"))
+      s.range(750, 1001, 25).select(col("id").as("t_pm"))
+        .crossJoin(broadcast(p))
+        .groupBy(col("t_pm"))
+        .agg(coalesce(sum(when(
+            expr("jw >= CAST(t_pm AS DOUBLE) / 1000"), 1L)), lit(0L))
+          .as("n_pairs"))
+        .orderBy(col("t_pm"))
+    },
+
     // Best-match resolution: every dictionary entry's single closest
     // other entry by Jaro-Winkler — the assignment step that picks a
     // canonical form per cluster seed. Top-1 per name goes through the

@@ -2621,6 +2621,66 @@ object TimeSeriesOps {
         .orderBy(col("source"))
     },
 
+    // Key-range overlap depth — the LSM-style storage-health metric
+    // min/max skipping stats imply but never state: how many files'
+    // [min,max] user_id ranges stack over the worst key (a point
+    // lookup reads max_depth files; compaction exists to drive this
+    // toward 1). Classic endpoint sweep made distributed: ±1 deltas at
+    // interval ends, globally ordered by (position, delta) through the
+    // range-partitioned PrefixSum — no single-task sort — and
+    // max(cumsum) is the answer. avg_span_ppm (mean file span over the
+    // key domain) is the companion number: ingest-ordered files sit
+    // near 1e6 — every file spans everything — which is WHY the bloom
+    // tier exists.
+    QuerySpec.sql(
+      "store_overlap_depth",
+      """WITH r AS (
+        |  SELECT user_id,
+        |    (ROW_NUMBER() OVER (ORDER BY event_id) - 1) // 512 AS f
+        |  FROM events),
+        |fr AS (
+        |  SELECT f, CAST(MIN(user_id) AS BIGINT) AS mn,
+        |    CAST(MAX(user_id) AS BIGINT) AS mx
+        |  FROM r GROUP BY 1),
+        |dom AS (
+        |  SELECT CAST(MIN(mn) AS BIGINT) AS lo,
+        |    CAST(MAX(mx) AS BIGINT) AS hi FROM fr),
+        |ep AS (
+        |  SELECT mn AS pos, 1 AS delta, f FROM fr
+        |  UNION ALL
+        |  SELECT mx + 1, -1, f FROM fr),
+        |sw AS (
+        |  SELECT SUM(delta) OVER (ORDER BY pos, delta, f) AS depth
+        |  FROM ep)
+        |SELECT CAST((SELECT COUNT(*) FROM fr) AS BIGINT) AS n_files,
+        |  CAST((SELECT MAX(depth) FROM sw) AS BIGINT) AS max_depth,
+        |  CAST((SELECT SUM(mx - mn + 1) FROM fr) * 1000000
+        |    // ((SELECT COUNT(*) FROM fr)
+        |        * (SELECT hi - lo + 1 FROM dom)) AS BIGINT)
+        |    AS avg_span_ppm""".stripMargin) { (s, dir) =>
+      val fr = graft.functions.PrefixSum
+        .globalCumsum(events(s, dir).select(col("event_id"),
+          col("user_id")), Seq(col("event_id")), lit(1L), "rk")
+        .select(col("user_id"), expr("(rk - 1) div 512").as("f"))
+        .groupBy(col("f"))
+        .agg(min(col("user_id")).cast("long").as("mn"),
+          max(col("user_id")).cast("long").as("mx"))
+      val ep = fr.select(col("mn").as("pos"), lit(1L).as("delta"), col("f"))
+        .unionAll(fr.select((col("mx") + 1).as("pos"),
+          lit(-1L).as("delta"), col("f")))
+      val maxDepth = graft.functions.PrefixSum
+        .globalCumsum(ep, Seq(col("pos"), col("delta"), col("f")),
+          col("delta"), "depth")
+        .agg(max(col("depth")).as("max_depth"))
+      val stats = fr.agg(count(lit(1)).as("n_files"),
+        sum(col("mx") - col("mn") + 1).as("span"),
+        min(col("mn")).as("lo"), max(col("mx")).as("hi"))
+      stats.crossJoin(broadcast(maxDepth))
+        .select(col("n_files"), col("max_depth"),
+          expr("CAST(span * 1000000 div (n_files * (hi - lo + 1))" +
+            " AS BIGINT)").as("avg_span_ppm"))
+    },
+
     // Compaction planning — the OPTIMIZE bin-packer: daily ingest
     // leaves one small fragment per (series, day); pack consecutive
     // fragments into ~5000-row output files by assigning each

@@ -405,7 +405,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "text_lm_kn", "curate_contamination_report",
         "sketch_bloom_fpr", "graph_reciprocity", "stats_power_mde",
         "curate_mix_anneal", "text_mattr",
-        "curate_tokenizer_fertility")) {
+        "curate_tokenizer_fertility", "graph_transitivity",
+        "er_match_threshold_sweep", "store_overlap_depth")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
