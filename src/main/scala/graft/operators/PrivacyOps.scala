@@ -250,6 +250,65 @@ object PrivacyOps {
         .orderBy(col("nation_key"))
     },
 
+    // Differentially-private CLIPPED SUMS — the other half of a DP-SQL
+    // engine (counts bound sensitivity for free; a sum is unbounded
+    // until each row is clipped). Per (nation, segment): balances
+    // clipped to [0, 5000] (sensitivity Δ = 5000), summed EXACTLY via
+    // the decimal-sum discipline, plus Laplace(b = Δ/ε = 10000) noise
+    // from the same portable md5 inverse-CDF draw as privacy_dp_counts
+    // — deterministic per group, one shared float-expression text,
+    // 6-decimal rounded so the hash compare is exact.
+    QuerySpec.sql(
+      "privacy_dp_sum", {
+        val noisy =
+          "s - CAST(10000 AS DOUBLE)" +
+            " * (CASE WHEN u >= CAST(0.5 AS DOUBLE) THEN CAST(1 AS DOUBLE)" +
+            " ELSE CAST(-1 AS DOUBLE) END)" +
+            " * ln(greatest(CAST(1 AS DOUBLE)" +
+            " - CAST(2 AS DOUBLE) * abs(u - CAST(0.5 AS DOUBLE))," +
+            " CAST(2.220446049250313e-16 AS DOUBLE)))"
+        s"""WITH g AS (
+           |  SELECT c_nationkey, c_mktsegment,
+           |    ${graft.functions.Cols.dsumSql(
+               "LEAST(GREATEST(c_acctbal, 0), 5000)")} AS s,
+           |    CAST(CAST(('0x' || substr(md5(
+           |        CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment
+           |        || ':sum'),
+           |        1, 13)) AS BIGINT) AS DOUBLE)
+           |      / CAST(4503599627370496 AS DOUBLE) AS u
+           |  FROM customer GROUP BY 1, 2)
+           |SELECT c_nationkey AS nation_key, c_mktsegment AS segment,
+           |  CAST(CAST(s AS DECIMAL(18,6)) AS DOUBLE) AS clipped_sum,
+           |  CAST(CAST($noisy AS DECIMAL(18,6)) AS DOUBLE)
+           |    AS noisy_sum
+           |FROM g
+           |ORDER BY 1, 2""".stripMargin
+      }) { (s, dir) =>
+      val noisy =
+        "s - CAST(10000 AS DOUBLE)" +
+          " * (CASE WHEN u >= CAST(0.5 AS DOUBLE) THEN CAST(1 AS DOUBLE)" +
+          " ELSE CAST(-1 AS DOUBLE) END)" +
+          " * ln(greatest(CAST(1 AS DOUBLE)" +
+          " - CAST(2 AS DOUBLE) * abs(u - CAST(0.5 AS DOUBLE))," +
+          " CAST(2.220446049250313e-16 AS DOUBLE)))"
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(graft.functions.Cols.dsum(
+          expr("LEAST(GREATEST(c_acctbal, 0), 5000)")).as("s"))
+        .withColumn("u",
+          Md5Prefix.md5_prefix_long(
+            concat(col("c_nationkey").cast("string"), lit(":"),
+              col("c_mktsegment"), lit(":sum")), 13).cast("double") /
+            lit(4503599627370496L).cast("double"))
+        .select(col("c_nationkey").as("nation_key"),
+          col("c_mktsegment").as("segment"),
+          col("s").cast("decimal(18,6)").cast("double")
+            .as("clipped_sum"),
+          expr(noisy).cast("decimal(18,6)").cast("double")
+            .as("noisy_sum"))
+        .orderBy(col("nation_key"), col("segment"))
+    },
+
     // Differentially-private noisy counts (Laplace mechanism, eps =
     // 0.5): per (nation, segment), the true count plus inverse-CDF
     // Laplace noise drawn from the portable md5 hash of the group key

@@ -531,6 +531,81 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // RAKE keyphrase extraction (Rose et al. 2010) — the stopword-
+    // delimited complement to TextRank: candidate phrases are maximal
+    // stopword-free runs, a word scores deg/freq (degree = summed
+    // length of phrases containing it — co-occurrence favors words
+    // that live in long phrases), a phrase scores the sum of its word
+    // scores. Phrase segmentation is ONE keyed prefix-count window
+    // (stopwords seen so far = phrase id); scores are integer ppm
+    // (floor per word, then exact sums) so the classically-float
+    // ranking hash-compares; identical phrase strings dedup to one
+    // candidate with an occurrence count. Corpus-wide top-20.
+    QuerySpec.sql(
+      "text_keyphrase_rake",
+      """WITH toks AS (
+        |  SELECT doc_id, i, ws[i] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents) d,
+        |    LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) t),
+        |m AS (
+        |  SELECT doc_id, i, tok,
+        |    CASE WHEN tok IN ('the','a','of','and','is','to','in')
+        |      THEN 1 ELSE 0 END AS st
+        |  FROM toks),
+        |g AS (
+        |  SELECT doc_id, i, tok, st,
+        |    SUM(st) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM m),
+        |pt AS (SELECT doc_id, grp, i, tok FROM g WHERE st = 0),
+        |pl AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS plen
+        |  FROM pt GROUP BY 1, 2),
+        |wsc AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(plen) AS BIGINT) AS deg
+        |  FROM pt JOIN pl USING (doc_id, grp) GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, grp,
+        |    CAST(SUM((deg * 1000000) // freq) AS BIGINT) AS score_ppm,
+        |    string_agg(tok, ' ' ORDER BY i) AS phrase
+        |  FROM pt JOIN wsc USING (tok) GROUP BY 1, 2)
+        |SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |  CAST(MAX(score_ppm) AS BIGINT) AS score_ppm
+        |FROM sc GROUP BY 1
+        |ORDER BY score_ppm DESC, phrase LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      val toks = docs(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("i0", "tok")))
+        .select(col("doc_id"), (col("i0") + 1).as("i"), col("tok"))
+      val m = toks.withColumn("st",
+        when(col("tok").isin("the", "a", "of", "and", "is", "to", "in"),
+          1L).otherwise(0L))
+      val wGrp = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val pt = m.withColumn("grp", sum(col("st")).over(wGrp))
+        .filter(col("st") === 0)
+        .select(col("doc_id"), col("grp"), col("i"), col("tok"))
+      val pl = pt.groupBy(col("doc_id"), col("grp"))
+        .agg(count(lit(1)).as("plen"))
+      val wsc = pt.join(pl, Seq("doc_id", "grp"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"),
+          sum(col("plen")).cast("long").as("deg"))
+      val sc = pt.join(broadcast(wsc), Seq("tok"))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(expr("CAST(SUM((deg * 1000000) div freq) AS BIGINT)")
+            .as("score_ppm"),
+          expr("concat_ws(' ', transform(" +
+            "array_sort(collect_list(struct(i, tok))), x -> x.tok))")
+            .as("phrase"))
+      sc.groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          max(col("score_ppm")).as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("phrase"))
+        .limit(20)
+        .select(col("phrase"), col("n_occurrences"), col("score_ppm"))
+    },
+
     // Moving-average type-token ratio (MATTR, window 20) — the
     // length-robust lexical-diversity score (plain TTR collapses as
     // docs grow; MATTR compares a tweet and a book on one scale).

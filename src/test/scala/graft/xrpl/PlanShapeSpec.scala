@@ -406,7 +406,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "sketch_bloom_fpr", "graph_reciprocity", "stats_power_mde",
         "curate_mix_anneal", "text_mattr",
         "curate_tokenizer_fertility", "graph_transitivity",
-        "er_match_threshold_sweep", "store_overlap_depth")) {
+        "er_match_threshold_sweep", "store_overlap_depth",
+        "privacy_dp_sum", "text_keyphrase_rake")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
