@@ -1069,6 +1069,39 @@ object Relational {
           col("o_orderpriority"))
     },
 
+    // A: explicit GROUPING SETS — the irregular aggregation lattice
+    // CUBE/ROLLUP can't express (here: (flag,status) detail + per-flag
+    // subtotals + grand total, but NO per-status slice): Spark 4's
+    // native Dataset.groupingSets, one Expand pass, grouping-id
+    // disambiguation — completing the grouping-lattice SQL surface
+    // beside the CUBE and ROLLUP gates.
+    QuerySpec.sql(
+      "agg_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+        |    AS grouping_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())
+        |ORDER BY grouping_id, l_returnflag, l_linestatus""".stripMargin) {
+        (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("grouping_id"),
+          count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("grouping_id"), col("n_items"), col("sum_price"))
+        .orderBy(col("grouping_id"), col("l_returnflag"),
+          col("l_linestatus"))
+    },
+
     // A: ROLLUP over the time hierarchy (year → month → grand total):
     // the drill-down report lattice, one pass with grouping-id
     // disambiguation — the hierarchical complement of the CUBE gate.
