@@ -772,6 +772,67 @@ object Relational {
         .orderBy(col("fk_edge"))
     },
 
+    // VACUUM planning over the version history store_scd2 builds — the
+    // retention GC report a time-travel table needs before a rewrite:
+    // a version is RECLAIMABLE when it was superseded before the
+    // 30-day retention horizon (readers inside the horizon can still
+    // time-travel to anything newer; open versions are live by
+    // definition). Same keyed LEAD window as the SCD2 build, folded to
+    // 16 user buckets with the reclaim fraction in exact ppm — the
+    // number that decides whether the rewrite is worth the I/O.
+    QuerySpec.sql(
+      "store_vacuum_plan",
+      """WITH log AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'delete'
+        |      ELSE 'upsert' END AS op
+        |  FROM events WHERE event_type IN ('click', 'view', 'error')),
+        |edges AS (
+        |  SELECT user_id, us, op,
+        |    LEAD(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS next_us
+        |  FROM log),
+        |v AS (SELECT user_id, next_us FROM edges WHERE op = 'upsert'),
+        |c AS (SELECT CAST(MAX(us) - 2592000000000 AS BIGINT) AS cutoff
+        |  FROM log)
+        |SELECT CAST(user_id % 16 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_versions,
+        |  CAST(COALESCE(SUM(CASE WHEN next_us IS NOT NULL
+        |    AND next_us < cutoff THEN 1 END), 0) AS BIGINT)
+        |    AS n_expired,
+        |  CAST(COALESCE(SUM(CASE WHEN next_us IS NULL THEN 1 END), 0)
+        |    AS BIGINT) AS n_live,
+        |  COALESCE(SUM(CASE WHEN next_us IS NOT NULL
+        |    AND next_us < cutoff THEN 1 END), 0) * 1000000 // COUNT(*)
+        |    AS reclaim_ppm
+        |FROM v CROSS JOIN c GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val log = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view", "error"))
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"),
+          when(col("event_type") === "error", "delete")
+            .otherwise("upsert").as("op"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val v = log.withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter(col("op") === "upsert")
+        .select(col("user_id"), col("next_us"))
+      val cut = log.agg((max(col("us")) - 2592000000000L).as("cutoff"))
+      v.crossJoin(broadcast(cut))
+        .groupBy((col("user_id") % 16).as("bucket"))
+        .agg(count(lit(1)).as("n_versions"),
+          coalesce(sum(when(col("next_us").isNotNull &&
+            col("next_us") < col("cutoff"), 1L)), lit(0L))
+            .as("n_expired"),
+          coalesce(sum(when(col("next_us").isNull, 1L)), lit(0L))
+            .as("n_live"))
+        .select(col("bucket"), col("n_versions"), col("n_expired"),
+          col("n_live"),
+          expr("n_expired * 1000000 div n_versions").as("reclaim_ppm"))
+        .orderBy(col("bucket"))
+    },
+
     // SCD TYPE-2 dimension build from the same change log
     // store_cdc_apply collapses — the warehouse-history counterpart:
     // every upsert opens a version valid from its timestamp until the

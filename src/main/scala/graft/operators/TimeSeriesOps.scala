@@ -3298,6 +3298,54 @@ object TimeSeriesOps {
         .orderBy(col("signup_day"))
     },
 
+    // One-way ANOVA — the k-group generalization of the two-sample
+    // tests (Welch/z/U answer "do these TWO differ"; ANOVA answers
+    // "does the metric differ across ALL event types at once").
+    // Between/within sums of squares from exact decimal power sums per
+    // group (Σv, Σv² — the a_moments discipline), folded over the
+    // k-row group table; F and the α=0.05 verdict (F₄,∞ crit 2.3719)
+    // are single correctly-rounded float ops on identical operands.
+    QuerySpec.sql(
+      "stats_anova_f",
+      s"""WITH g AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    ${dsumSql("value")} AS s, ${dsumSql("value * value")} AS q
+         |  FROM events GROUP BY 1),
+         |a AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         |    CAST(SUM(n) AS BIGINT) AS nt,
+         |    SUM(s) AS st, SUM(q) AS qt,
+         |    SUM(s * s / n) AS sb
+         |  FROM g)
+         |SELECT k, nt AS n,
+         |  sb - st * st / nt AS ss_between,
+         |  qt - sb AS ss_within,
+         |  ((sb - st * st / nt) / (k - 1))
+         |    / ((qt - sb) / (nt - k)) AS f_stat,
+         |  ((sb - st * st / nt) / (k - 1))
+         |    / ((qt - sb) / (nt - k)) > 2.3719 AS significant
+         |FROM a""".stripMargin) { (s, dir) =>
+      val g = events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("s"),
+          dsum(col("value") * col("value")).as("q"))
+      g.agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
+          sum(col("s")).as("st"), sum(col("q")).as("qt"),
+          sum(col("s") * col("s") / col("n")).as("sb"))
+        .select(col("k"), col("nt").as("n"),
+          (col("sb") - col("st") * col("st") / col("nt"))
+            .as("ss_between"),
+          (col("qt") - col("sb")).as("ss_within"),
+          (((col("sb") - col("st") * col("st") / col("nt")) /
+            (col("k") - 1)) /
+            ((col("qt") - col("sb")) / (col("nt") - col("k"))))
+            .as("f_stat"),
+          ((((col("sb") - col("st") * col("st") / col("nt")) /
+            (col("k") - 1)) /
+            ((col("qt") - col("sb")) / (col("nt") - col("k"))))
+            > 2.3719).as("significant"))
+    },
+
     // Power analysis / minimum-detectable-effect — the question asked
     // BEFORE an experiment ships: splitting this metric's n
     // observations into two arms, what lift could a two-sample test

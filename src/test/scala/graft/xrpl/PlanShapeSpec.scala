@@ -407,7 +407,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "curate_mix_anneal", "text_mattr",
         "curate_tokenizer_fertility", "graph_transitivity",
         "er_match_threshold_sweep", "store_overlap_depth",
-        "privacy_dp_sum", "text_keyphrase_rake")) {
+        "privacy_dp_sum", "text_keyphrase_rake", "agg_grouping_sets",
+        "stats_anova_f", "store_vacuum_plan")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
