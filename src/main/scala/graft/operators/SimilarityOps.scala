@@ -157,6 +157,16 @@ object SimilarityOps {
         "CAST(dot AS DOUBLE) / (sqrt(CAST(q_norm2 AS DOUBLE)) * sqrt(CAST(c_norm2 AS DOUBLE)))")))
   }
 
+  /** Micro-quantized DCG gain term `rel / log2(pos + 1)` — ONE shared
+    * expression string compiled by both engines (the feat_mutual_info
+    * ln discipline) so the classically-float discounted gain is summed
+    * as identical BIGINT micro-units everywhere.
+    */
+  private def gainMicroSql(rel: String, pos: String): String =
+    s"CAST(CAST((CAST($rel AS DOUBLE)" +
+      s" / (ln(CAST($pos + 1 AS DOUBLE)) / ln(2.0)))" +
+      " AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+
   private[operators] def topkSql(cellFilter: String): String =
     s"""SELECT qid, vid, cos, rnk FROM (
        |  SELECT qid, vid, cos,
@@ -1051,6 +1061,64 @@ object SimilarityOps {
         .groupBy(col("qid"))
         .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / lit(5.0))
           .as("recall"))
+        .orderBy(col("qid"))
+    },
+
+    // Ranking-quality eval beyond set recall: nDCG@5 and MRR of the
+    // multi-probe IVF search against the exact brute-force ranking —
+    // the metrics an embedding-retrieval offline eval reports (recall
+    // treats all 5 truth neighbors alike; nDCG grades WHERE in the
+    // approximate list they land, MRR grades the first hit). Graded
+    // relevance is 6−true_rank (5..1); each hit's gain
+    // rel/log2(pos+1) is micro-quantized through one shared
+    // expression string (the feat_mutual_info ln discipline) so both
+    // engines sum identical integers; nDCG is an exact ppm ratio of
+    // the micro sums. The overlay join is two 5-rows-per-query sets —
+    // broadcast-sized at any corpus scale.
+    QuerySpec.sql(
+      "sim_eval_ndcg",
+      s"""WITH brute AS (${topkSql("")}),
+         |probe AS ($probeSql),
+         |hits AS (
+         |  SELECT p.qid, p.rnk, b.rnk AS trnk
+         |  FROM probe p
+         |  LEFT JOIN brute b ON b.qid = p.qid AND b.vid = p.vid),
+         |dcg AS (
+         |  SELECT qid,
+         |    CAST(COALESCE(SUM(CASE WHEN trnk IS NOT NULL THEN
+         |      ${gainMicroSql("6 - trnk", "rnk")} END), 0) AS BIGINT)
+         |      AS dcg_micro,
+         |    MIN(CASE WHEN trnk IS NOT NULL THEN rnk END) AS minr
+         |  FROM hits GROUP BY qid),
+         |idcg AS (
+         |  SELECT qid,
+         |    CAST(SUM(${gainMicroSql("6 - rnk", "rnk")}) AS BIGINT)
+         |      AS idcg_micro
+         |  FROM brute GROUP BY qid)
+         |SELECT d.qid, d.dcg_micro, i.idcg_micro,
+         |  d.dcg_micro * 1000000 // i.idcg_micro AS ndcg_ppm,
+         |  CAST(COALESCE(1000000 // d.minr, 0) AS BIGINT) AS rr_ppm
+         |FROM dcg d JOIN idcg i ON i.qid = d.qid
+         |ORDER BY d.qid""".stripMargin) { (s, dir) =>
+      val brute = topk(s, dir, sameCell = false)
+        .select(col("qid"), col("vid"), col("rnk").as("trnk"))
+      val approx = probeTopk(s, dir)
+        .select(col("qid"), col("vid"), col("rnk"))
+      val dcg = approx.join(brute, Seq("qid", "vid"), "left")
+        .groupBy(col("qid"))
+        .agg(coalesce(sum(when(col("trnk").isNotNull,
+            expr(gainMicroSql("6 - trnk", "rnk")))), lit(0L))
+            .cast("long").as("dcg_micro"),
+          min(when(col("trnk").isNotNull, col("rnk"))).as("minr"))
+      val idcg = brute
+        .groupBy(col("qid"))
+        .agg(sum(expr(gainMicroSql("6 - trnk", "trnk"))).cast("long")
+          .as("idcg_micro"))
+      dcg.join(idcg, Seq("qid"))
+        .select(col("qid"), col("dcg_micro"), col("idcg_micro"),
+          expr("dcg_micro * 1000000 div idcg_micro").as("ndcg_ppm"),
+          expr("CAST(COALESCE(1000000 div minr, 0) AS BIGINT)")
+            .as("rr_ppm"))
         .orderBy(col("qid"))
     },
 
