@@ -583,6 +583,52 @@ object MultimodalOps {
         .orderBy(col("doc_id"))
     },
 
+    // REAL HISTOGRAM: decode the PPM, then an 8-bin Rec.709 luminance
+    // histogram per image — the brightness/exposure profile an image
+    // QA pass computes before filtering (all-dark and blown-out assets
+    // show up as mass in bins 0 / 7). Luma is the exact integer
+    // (2126·R + 7152·G + 722·B) div 10000 ∈ [0,255], bin = luma div 32
+    // — both floors, so the oracle recomputing every pixel from the
+    // raster hex dump must land each pixel in the identical bin. The
+    // decode is per-asset mapPartitions (the batch shape); the
+    // histogram reduce never leaves the row.
+    QuerySpec.sql(
+      "mm_image_histogram",
+      s"""WITH $rasterByteCtes,
+         |px AS (
+         |  SELECT doc_id, i // 3 AS p,
+         |    CAST(SUM(CASE i % 3 WHEN 0 THEN 2126 * byte
+         |      WHEN 1 THEN 7152 * byte
+         |      ELSE 722 * byte END) // 10000 AS BIGINT) AS luma
+         |  FROM b GROUP BY 1, 2)
+         |SELECT doc_id, CAST(luma // 32 AS INT) AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_px
+         |FROM px GROUP BY 1, 2
+         |ORDER BY doc_id, bin""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.multimodal.RasterCodec
+      ppmAssets(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          val r = RasterCodec.decodePpm(bytes)
+            .fold(e => throw new IllegalArgumentException(
+              s"doc $id: $e"), identity)
+          val hist = new Array[Long](8)
+          var p = 0
+          val n = r.width * r.height
+          while (p < n) {
+            val lum = (2126 * (r.pixels(3 * p) & 0xff) +
+              7152 * (r.pixels(3 * p + 1) & 0xff) +
+              722 * (r.pixels(3 * p + 2) & 0xff)) / 10000
+            hist(lum / 32) += 1L
+            p += 1
+          }
+          (0 until 8).iterator.filter(hist(_) > 0L)
+            .map(bin => (id, bin, hist(bin)))
+        })
+        .toDF("doc_id", "bin", "n_px")
+        .orderBy(col("doc_id"), col("bin"))
+    },
+
     // Frame-sample stage: binary → 1→N flatMap of sampled frames (the
     // video keyframe batch shape); frame count/offsets SQL-expressible,
     // so oracle-checked.

@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
 object Relational {
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
+  /** Shared τ-b expression text for stats_kendall_tau (the AutoCorr
+    * bit-exactness contract: exact BIGINT pair counts in, one
+    * correctly-rounded sqrt/divide in identical IEEE op order).
+    */
+  private val kendallTauSql: String =
+    "CASE WHEN n_pairs > ties_x AND n_pairs > ties_y THEN " +
+      "CAST(concordant - discordant AS DOUBLE) / " +
+      "(sqrt(CAST(n_pairs - ties_x AS DOUBLE)) * " +
+      "sqrt(CAST(n_pairs - ties_y AS DOUBLE))) END"
+
   /** Per-order sorted part baskets — the shared input of the
     * market-basket family (`rec_copurchase_topk`, `rec_assoc_rules`).
     * Plan-keyed cache (CacheManager dedups by plan): ONE lineitem
@@ -521,6 +531,83 @@ object Relational {
         .select(col("p_brand"), col("n_suppliers"),
           expr("CAST(num div den AS BIGINT)").as("hhi_ppm"))
         .orderBy(col("p_brand"))
+    },
+
+    // Kendall τ-b rank concordance — the pair-counting companion to
+    // stats_spearman: across nations, does order revenue CO-RANK with
+    // customer count? Concordant/discordant/tied pairs are exact
+    // integer counts off a self-join of the 25-row per-nation
+    // aggregate (pair enumeration runs on the AGGREGATE domain, never
+    // fact rows — the er_blocking_recall discipline); revenue is exact
+    // integer cents so every comparison is integral, and τ-b's
+    // sqrt/divide is the one float op, correctly rounded on identical
+    // integer operands in both engines.
+    QuerySpec.sql(
+      "stats_kendall_tau",
+      s"""WITH cn AS (
+         |  SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS y
+         |  FROM customer GROUP BY 1),
+         |rv AS (
+         |  SELECT c.c_nationkey AS nk,
+         |    CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+         |      AS BIGINT) AS x
+         |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+         |  GROUP BY 1),
+         |m AS (SELECT cn.nk, x, y FROM cn JOIN rv ON rv.nk = cn.nk),
+         |p AS (
+         |  SELECT
+         |    CASE WHEN (a.x < b.x AND a.y < b.y)
+         |      OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END AS co,
+         |    CASE WHEN (a.x < b.x AND a.y > b.y)
+         |      OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END AS di,
+         |    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+         |    CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+         |  FROM m a JOIN m b ON a.nk < b.nk),
+         |g AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(COALESCE(SUM(co), 0) AS BIGINT) AS concordant,
+         |    CAST(COALESCE(SUM(di), 0) AS BIGINT) AS discordant,
+         |    CAST(COALESCE(SUM(tx), 0) AS BIGINT) AS ties_x,
+         |    CAST(COALESCE(SUM(ty), 0) AS BIGINT) AS ties_y
+         |  FROM p)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_keys,
+         |  n_pairs, concordant, discordant, ties_x, ties_y,
+         |  $kendallTauSql AS tau_b
+         |FROM g""".stripMargin) { (s, dir) =>
+      val cn = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("y"))
+      val rv = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .cast("long").as("x"))
+      val m = cn.join(rv, Seq("nk"))
+      val a = m.select(col("nk").as("ank"), col("x").as("ax"),
+        col("y").as("ay"))
+      val b = m.select(col("nk").as("bnk"), col("x").as("bx"),
+        col("y").as("by"))
+      val p = a.join(b, col("ank") < col("bnk"))
+        .select(
+          when((col("ax") < col("bx") && col("ay") < col("by")) ||
+            (col("ax") > col("bx") && col("ay") > col("by")), 1)
+            .otherwise(0).as("co"),
+          when((col("ax") < col("bx") && col("ay") > col("by")) ||
+            (col("ax") > col("bx") && col("ay") < col("by")), 1)
+            .otherwise(0).as("di"),
+          when(col("ax") === col("bx"), 1).otherwise(0).as("tx"),
+          when(col("ay") === col("by"), 1).otherwise(0).as("ty"))
+      val g = p.agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("co")), lit(0L)).cast("long").as("concordant"),
+        coalesce(sum(col("di")), lit(0L)).cast("long").as("discordant"),
+        coalesce(sum(col("tx")), lit(0L)).cast("long").as("ties_x"),
+        coalesce(sum(col("ty")), lit(0L)).cast("long").as("ties_y"))
+      val nk = m.agg(count(lit(1)).as("n_keys"))
+      g.crossJoin(broadcast(nk))
+        .select(col("n_keys"), col("n_pairs"), col("concordant"),
+          col("discordant"), col("ties_x"), col("ties_y"),
+          expr(kendallTauSql).as("tau_b"))
     },
 
     // ABC (Pareto) classification — the inventory-analytics classic:

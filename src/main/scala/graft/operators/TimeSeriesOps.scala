@@ -58,6 +58,24 @@ object TimeSeriesOps {
     val r = s"CASE WHEN $va > 0 AND $vb > 0 THEN $num / (sqrt($va) * sqrt($vb)) END"
   }
 
+  /** Shared Spearman-rho expression text for stats_spearman — Pearson
+    * over exact ×2-scaled tie-averaged ranks (same bit-exactness
+    * contract as [[AutoCorr]]: the rank sums are exact BIGINTs, the
+    * cross terms run in double in the identical IEEE op order, exact
+    * while the sums stay under 2^53 — n≈2·10⁵ per group; groups here
+    * are type-days, 739 max at sf0.1).
+    */
+  private object Spearman {
+    private val num =
+      "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    private val vx =
+      "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    private val vy =
+      "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val rho =
+      s"CASE WHEN $vx > 0 AND $vy > 0 THEN $num / (sqrt($vx) * sqrt($vy)) END"
+  }
+
   /** Day-index points for the OLS trend: (event_type, x, value). */
   private[graft] def linregPoints(ev: DataFrame): DataFrame =
     ev.withColumn("x", datediff(to_date(col("ts")), lit("1970-01-01")))
@@ -3344,6 +3362,68 @@ object TimeSeriesOps {
             (col("k") - 1)) /
             ((col("qt") - col("sb")) / (col("nt") - col("k"))))
             > 2.3719).as("significant"))
+    },
+
+    // Spearman rank correlation — the distribution-free companion to
+    // the parametric tests: per event-type-day, does `value` TREND
+    // with time within the day? (The monotone-trend question
+    // ts_theil_sen answers with a slope, answered here with a bounded
+    // correlation.) Tie-averaged ranks are carried as exact ×2
+    // integers via the rank identity 2·avgrank = rank_asc − rank_desc
+    // + n + 1 (scaling cancels in the correlation), so every sum is
+    // an exact BIGINT and the cross terms run in double in identical
+    // IEEE op order (the AutoCorr contract — exact to n≈2·10⁵/group;
+    // groups here are type-days, 739 max at sf0.1). One window
+    // shuffle keyed by (type, day), then a map-side-combinable agg.
+    QuerySpec.sql(
+      "stats_spearman",
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    epoch_us(ts) AS us, value
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, day,
+         |    CAST(RANK() OVER (PARTITION BY event_type, day ORDER BY us)
+         |      - RANK() OVER (PARTITION BY event_type, day ORDER BY us DESC)
+         |      + COUNT(*) OVER (PARTITION BY event_type, day) + 1
+         |      AS BIGINT) AS rx,
+         |    CAST(RANK() OVER (PARTITION BY event_type, day ORDER BY value)
+         |      - RANK() OVER (PARTITION BY event_type, day ORDER BY value DESC)
+         |      + COUNT(*) OVER (PARTITION BY event_type, day) + 1
+         |      AS BIGINT) AS ry
+         |  FROM e),
+         |a AS (
+         |  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+         |    CAST(SUM(rx) AS BIGINT) AS sx,
+         |    CAST(SUM(ry) AS BIGINT) AS sy,
+         |    CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+         |    CAST(SUM(ry * ry) AS BIGINT) AS syy
+         |  FROM r GROUP BY 1, 2)
+         |SELECT event_type, day, n, ${Spearman.rho} AS rho
+         |FROM a WHERE n >= 3
+         |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("event_type"), col("day"))
+      val r = events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .select(col("event_type"), col("day"),
+          (rank().over(w.orderBy(col("us")))
+            - rank().over(w.orderBy(col("us").desc))
+            + count(lit(1)).over(w) + 1).cast("long").as("rx"),
+          (rank().over(w.orderBy(col("value")))
+            - rank().over(w.orderBy(col("value").desc))
+            + count(lit(1)).over(w) + 1).cast("long").as("ry"))
+      r.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("rx") * col("ry")).as("sxy"),
+          sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+          sum(col("rx") * col("rx")).as("sxx"),
+          sum(col("ry") * col("ry")).as("syy"))
+        .filter(col("n") >= 3)
+        .select(col("event_type"), col("day"), col("n"),
+          expr(Spearman.rho).as("rho"))
+        .orderBy(col("event_type"), col("day"))
     },
 
     // Power analysis / minimum-detectable-effect — the question asked
