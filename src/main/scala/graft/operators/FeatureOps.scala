@@ -190,6 +190,163 @@ object FeatureOps {
         .orderBy(col("touch_type"))
     },
 
+    // Markov-chain (removal-effect) attribution — the model-based
+    // third member of the attribution family: journeys are per-user
+    // touch sequences split at purchases (absorbing CONV; an
+    // unconverted journey tail absorbs into NULL), and a channel's
+    // credit is how much the START→CONV absorption probability DROPS
+    // when that channel's node is knocked out (mass entering it
+    // rerouted to NULL). Absorption runs 12 power-iteration rounds in
+    // integer ppb mass (the events_markov_stationary discipline —
+    // floor(c·mass/rowtotal), bit-deterministic at any parallelism),
+    // and all knockout variants iterate TOGETHER as one
+    // (variant, state) keyed table — each round is a single join
+    // against the |states|²-bounded transition table, broadcastable
+    // at any event volume; only the ONE windowed pass building the
+    // transitions touches raw events.
+    QuerySpec.sql(
+      "attr_markov_removal", {
+        val iters = 12
+        def step(prev: String) =
+          s"""SELECT variant, st,
+             |  CASE WHEN st = 'CONV' THEN 1000000000
+             |    WHEN st = 'NULL' OR st = variant THEN 0
+             |    ELSE flow END AS mass
+             |FROM (
+             |  SELECT v.variant, s.st,
+             |    CAST(COALESCE(SUM(tc.c * p.mass // rt.n), 0)
+             |      AS BIGINT) AS flow
+             |  FROM variants v CROSS JOIN states s
+             |  LEFT JOIN tc ON tc.f = s.st
+             |  LEFT JOIN rt ON rt.f = s.st
+             |  LEFT JOIN $prev p ON p.variant = v.variant
+             |    AND p.st = tc.t
+             |  GROUP BY 1, 2) q""".stripMargin
+        val ladder = (1 to iters)
+          .map(i => s"p$i AS (${step(s"p${i - 1}")})").mkString(",\n")
+        s"""WITH e AS (
+           |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+           |  FROM events),
+           |j AS (
+           |  SELECT user_id, us, event_id, event_type,
+           |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+           |      ELSE 0 END) OVER (PARTITION BY user_id
+           |      ORDER BY us, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS jid
+           |  FROM e),
+           |tr AS (
+           |  SELECT COALESCE(LAG(event_type) OVER (
+           |      PARTITION BY user_id, jid ORDER BY us, event_id),
+           |      'START') AS f,
+           |    CASE WHEN event_type = 'purchase' THEN 'CONV'
+           |      ELSE event_type END AS t
+           |  FROM j),
+           |ends AS (
+           |  SELECT event_type AS f, 'NULL' AS t
+           |  FROM (SELECT event_type, ROW_NUMBER() OVER (
+           |      PARTITION BY user_id, jid
+           |      ORDER BY us DESC, event_id DESC) AS rn FROM j) z
+           |  WHERE rn = 1 AND event_type <> 'purchase'),
+           |tc AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM (SELECT f, t FROM tr
+           |    UNION ALL SELECT f, t FROM ends) u
+           |  GROUP BY 1, 2),
+           |rt AS (SELECT f, CAST(SUM(c) AS BIGINT) AS n
+           |  FROM tc GROUP BY 1),
+           |ch AS (SELECT DISTINCT event_type AS st FROM e
+           |  WHERE event_type <> 'purchase'),
+           |states AS (SELECT st FROM ch
+           |  UNION ALL SELECT UNNEST(['START', 'CONV', 'NULL'])),
+           |variants AS (SELECT 'full' AS variant
+           |  UNION ALL SELECT st FROM ch),
+           |p0 AS (SELECT variant, st,
+           |    CAST(CASE WHEN st = 'CONV' THEN 1000000000 ELSE 0 END
+           |      AS BIGINT) AS mass
+           |  FROM variants CROSS JOIN states),
+           |$ladder
+           |SELECT w.variant AS channel, f.mass AS p_conv_full_ppb,
+           |  w.mass AS p_conv_removed_ppb,
+           |  CAST(CASE WHEN f.mass > 0 THEN
+           |    (f.mass - w.mass) * 1000000 // f.mass END AS BIGINT)
+           |    AS removal_effect_ppm
+           |FROM p$iters w
+           |JOIN p$iters f ON f.variant = 'full' AND f.st = 'START'
+           |WHERE w.st = 'START' AND w.variant <> 'full'
+           |ORDER BY channel""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val iters = 12
+      val e = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"))
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val j = e.withColumn("jid",
+        coalesce(sum(when(col("event_type") === "purchase", 1)
+          .otherwise(0))
+          .over(wu.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      val wj = Window.partitionBy(col("user_id"), col("jid"))
+        .orderBy(col("us"), col("event_id"))
+      val tr = j.select(
+        coalesce(lag(col("event_type"), 1).over(wj), lit("START"))
+          .as("f"),
+        when(col("event_type") === "purchase", "CONV")
+          .otherwise(col("event_type")).as("t"))
+      val ends = j.withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("jid"))
+            .orderBy(col("us").desc, col("event_id").desc)))
+        .filter(col("rn") === 1 && col("event_type") =!= "purchase")
+        .select(col("event_type").as("f"), lit("NULL").as("t"))
+      // The transition matrix lives on the EVENT-TYPE domain — at
+      // most (k+2)² cells however many events fed it — so the 12
+      // absorption rounds run on the driver over the collected
+      // matrix (the bounded-collect pattern: centroids, codebooks,
+      // the 64-row ER dictionary), in the exact integer arithmetic
+      // the oracle unrolls. Distributing a ≤64-cell fixpoint would
+      // spend 12 scheduler rounds on zero data.
+      val tcRows = tr.union(ends).groupBy(col("f"), col("t"))
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      require(tcRows.length <= 256,
+        s"event-type domain unexpectedly large (${tcRows.length} " +
+          "transition cells): absorption matrix no longer bounded")
+      val rowTot = tcRows.groupBy(_._1).map { case (f, rs) =>
+        f -> rs.map(_._3).sum }
+      val channels = (tcRows.map(_._1) ++ tcRows.map(_._2)).distinct
+        .filterNot(Set("START", "CONV", "NULL")).sorted
+      val statesAll = (channels ++ Seq("START", "CONV", "NULL"))
+      def absorb(removed: Option[String]): Long = {
+        var mass = statesAll.map(st =>
+          st -> (if (st == "CONV") 1000000000L else 0L)).toMap
+        for (_ <- 1 to iters) {
+          val next = statesAll.map { st =>
+            val m =
+              if (st == "CONV") 1000000000L
+              else if (st == "NULL" || removed.contains(st)) 0L
+              else tcRows.iterator.filter(_._1 == st)
+                .map { case (f, t, c) =>
+                  Math.floorDiv(c * mass(t), rowTot(f)) }.sum
+            st -> m
+          }.toMap
+          mass = next
+        }
+        mass("START")
+      }
+      val pFull = absorb(None)
+      val out = channels.toSeq.map { c =>
+        val pRem = absorb(Some(c))
+        (c, pFull, pRem,
+          if (pFull > 0)
+            Some(Math.floorDiv((pFull - pRem) * 1000000L, pFull))
+          else Option.empty[Long])
+      }
+      out.toDF("channel", "p_conv_full_ppb", "p_conv_removed_ppb",
+          "removal_effect_ppm")
+        .orderBy(col("channel"))
+    },
+
     // Mann-Whitney U: are click values drawn from the same
     // distribution as view values? Folded to the per-distinct-value
     // histogram, ranked by the two-pass prefix sum (avg rank of a
