@@ -345,5 +345,76 @@ object PrivacyOps {
           expr(dpNoisy).cast("decimal(18,6)").cast("double")
             .as("noisy_cnt"))
         .orderBy(col("nation_key"), col("segment"))
+    },
+
+    // Generalization-lattice sweep — the anonymization DECISION the
+    // k-anon/suppression gates assume already made: walk five
+    // generalization levels of the QI (full → coarser balance →
+    // balance dropped → nation→region → region only) and report, per
+    // level, the k actually achieved, the residual at-risk mass, and
+    // the utility price (discernibility Σ size² — the standard
+    // information-loss metric, an exact BIGINT). Every level
+    // re-aggregates the ONE finest-grain class table (nested-floor
+    // identity: the /2000 bucket is derivable from the /1000 bucket,
+    // offset +1000 keeps the halving on nonnegative integers where
+    // both engines' integer division floors identically) — the
+    // customer facts are scanned exactly once at any scale.
+    QuerySpec.sql(
+      "privacy_generalization_sweep",
+      s"""WITH base AS (
+         |  SELECT c.c_nationkey AS nk, n.n_regionkey AS rk,
+         |    c.c_mktsegment AS seg, $balBucketSql AS b1,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+         |  GROUP BY 1, 2, 3, 4),
+         |c0 AS (SELECT nk, seg, b1, SUM(cnt) AS sz
+         |  FROM base GROUP BY 1, 2, 3),
+         |c1 AS (SELECT nk, seg, (b1 + 1000) // 2 AS b2, SUM(cnt) AS sz
+         |  FROM base GROUP BY 1, 2, 3),
+         |c2 AS (SELECT nk, seg, SUM(cnt) AS sz FROM base GROUP BY 1, 2),
+         |c3 AS (SELECT rk, seg, SUM(cnt) AS sz FROM base GROUP BY 1, 2),
+         |c4 AS (SELECT rk, SUM(cnt) AS sz FROM base GROUP BY 1),
+         |u AS (
+         |  SELECT 0 AS level, sz FROM c0
+         |  UNION ALL SELECT 1, sz FROM c1
+         |  UNION ALL SELECT 2, sz FROM c2
+         |  UNION ALL SELECT 3, sz FROM c3
+         |  UNION ALL SELECT 4, sz FROM c4)
+         |SELECT CAST(level AS INT) AS level,
+         |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+         |  CAST(MIN(sz) AS BIGINT) AS min_class_size,
+         |  CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN sz END), 0)
+         |    AS BIGINT) AS rows_at_risk,
+         |  CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN 1 END), 0)
+         |    AS BIGINT) AS classes_at_risk,
+         |  CAST(SUM(sz * sz) AS BIGINT) AS discernibility
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val base = graft.functions.Materialize.stable(
+        t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")),
+            col("n_nationkey") === col("c_nationkey"))
+          .groupBy(col("c_nationkey").as("nk"),
+            col("n_regionkey").as("rk"),
+            col("c_mktsegment").as("seg"),
+            floor(col("c_acctbal") / 1000).cast("long").as("b1"))
+          .agg(count(lit(1)).as("cnt")))
+      def classes(level: Int, keys: Seq[org.apache.spark.sql.Column]) =
+        base.groupBy(keys: _*).agg(sum(col("cnt")).as("sz"))
+          .select(lit(level).as("level"), col("sz"))
+      val u = classes(0, Seq(col("nk"), col("seg"), col("b1")))
+        .union(classes(1, Seq(col("nk"), col("seg"),
+          expr("(b1 + 1000) div 2"))))
+        .union(classes(2, Seq(col("nk"), col("seg"))))
+        .union(classes(3, Seq(col("rk"), col("seg"))))
+        .union(classes(4, Seq(col("rk"))))
+      u.groupBy(col("level"))
+        .agg(count(lit(1)).as("n_classes"),
+          min(col("sz")).as("min_class_size"),
+          coalesce(sum(when(col("sz") < 5, col("sz"))), lit(0L))
+            .as("rows_at_risk"),
+          coalesce(sum(when(col("sz") < 5, 1L)), lit(0L))
+            .as("classes_at_risk"),
+          sum(col("sz") * col("sz")).cast("long").as("discernibility"))
+        .orderBy(col("level"))
     })
 }

@@ -920,6 +920,80 @@ object Relational {
         .orderBy(col("bucket"))
     },
 
+    // Time-travel SNAPSHOT read over an add/remove file log — the
+    // lakehouse query the vacuum/SCD2 gates assume a reader can run:
+    // "the table AS OF version V" is the set of files added at ≤ V
+    // and not yet removed at V. The log is the event stream (adds =
+    // click/view, each carrying a file id and byte size; an add is
+    // removed by the FIRST subsequent error on the same stream — the
+    // as-of-forward edge, computed as ONE reverse running-min window,
+    // no join back). Four snapshot cut points (time-range quartiles)
+    // overlay as a broadcast grid; per (snapshot, partition bucket)
+    // the live file count and byte total. At scale the snapshot
+    // predicate is exactly what a manifest prune evaluates — files
+    // never rescanned per snapshot, one windowed pass total.
+    QuerySpec.sql(
+      "store_snapshot_read",
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+        |    CAST(round(value * 100) AS BIGINT) AS bytes
+        |  FROM events WHERE event_type IN ('click', 'view', 'error')),
+        |m AS (
+        |  SELECT user_id, us, event_id, is_err, bytes,
+        |    MIN(CASE WHEN is_err = 1 THEN us END) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS rm_us
+        |  FROM u),
+        |adds AS (SELECT user_id, us, bytes, rm_us FROM m
+        |  WHERE is_err = 0),
+        |c AS (SELECT CAST(MIN(us) AS BIGINT) AS mn,
+        |    CAST(MAX(us) AS BIGINT) AS mx FROM u),
+        |snaps AS (
+        |  SELECT k, mn + k * (mx - mn) // 4 AS t_us
+        |  FROM c, (SELECT UNNEST([1, 2, 3, 4]) AS k) g)
+        |SELECT CAST(k AS INT) AS snapshot,
+        |  CAST(t_us AS BIGINT) AS as_of_us,
+        |  CAST(user_id % 8 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_live_files,
+        |  CAST(SUM(bytes) AS BIGINT) AS live_bytes
+        |FROM adds JOIN snaps
+        |  ON adds.us <= snaps.t_us
+        |  AND (adds.rm_us IS NULL OR adds.rm_us > snaps.t_us)
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 3""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val u = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view", "error"))
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"),
+          when(col("event_type") === "error", 1).otherwise(0)
+            .as("is_err"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("bytes"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val adds = u
+        .withColumn("rm_us",
+          min(when(col("is_err") === 1, col("us"))).over(w))
+        .filter(col("is_err") === 0)
+        .select(col("user_id"), col("us"), col("bytes"), col("rm_us"))
+      val c = u.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      val snaps = c.crossJoin(Seq(1, 2, 3, 4).toDF("k"))
+        .select(col("k"),
+          expr("mn + k * (mx - mn) div 4").as("t_us"))
+      adds.join(broadcast(snaps),
+          col("us") <= col("t_us") &&
+            (col("rm_us").isNull || col("rm_us") > col("t_us")))
+        .groupBy(col("k").cast("int").as("snapshot"),
+          col("t_us").as("as_of_us"),
+          (col("user_id") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n_live_files"),
+          sum(col("bytes")).cast("long").as("live_bytes"))
+        .orderBy(col("snapshot"), col("bucket"))
+    },
+
     // SCD TYPE-2 dimension build from the same change log
     // store_cdc_apply collapses — the warehouse-history counterpart:
     // every upsert opens a version valid from its timestamp until the

@@ -1122,6 +1122,53 @@ object SimilarityOps {
         .orderBy(col("qid"))
     },
 
+    // Recall@k CURVE of the multi-probe IVF search — recall at a
+    // single k (sim_ivf_recall's 5) hides how fast quality decays as
+    // the retrieval budget shrinks; the offline eval reports the
+    // curve. Both rank lists already carry positions, so every
+    // k ≤ 5 point falls out of the SAME two 5-row-per-query sets
+    // (one overlay join total, then a 4-row k grid): a hit at k is a
+    // truth pair ranked ≤ k on BOTH sides. Macro recall is the exact
+    // integer ratio hits·10⁶ div (k·|queries|) — no floats anywhere.
+    QuerySpec.sql(
+      "sim_recall_curve",
+      s"""WITH brute AS (${topkSql("")}),
+         |probe AS ($probeSql),
+         |jj AS (
+         |  SELECT b.qid, b.rnk AS brnk, p.rnk AS prnk
+         |  FROM brute b
+         |  LEFT JOIN probe p ON p.qid = b.qid AND p.vid = b.vid),
+         |ks AS (SELECT UNNEST([1, 2, 3, 5]) AS k),
+         |nq AS (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n
+         |  FROM brute)
+         |SELECT k, n AS n_queries,
+         |  CAST(COALESCE(SUM(CASE WHEN brnk <= k AND prnk <= k
+         |    THEN 1 END), 0) AS BIGINT) AS hits,
+         |  CAST(COALESCE(SUM(CASE WHEN brnk <= k AND prnk <= k
+         |    THEN 1 END), 0) * 1000000 // (k * n) AS BIGINT)
+         |    AS recall_ppm
+         |FROM ks CROSS JOIN jj CROSS JOIN nq
+         |GROUP BY k, n ORDER BY k""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val jj = topk(s, dir, sameCell = false)
+        .select(col("qid"), col("vid"), col("rnk").as("brnk"))
+        .join(probeTopk(s, dir)
+          .select(col("qid"), col("vid"), col("rnk").as("prnk")),
+          Seq("qid", "vid"), "left")
+      val nq = topk(s, dir, sameCell = false)
+        .agg(countDistinct(col("qid")).as("n"))
+      jj.crossJoin(broadcast(Seq(1, 2, 3, 5).toDF("k")))
+        .crossJoin(broadcast(nq))
+        .groupBy(col("k"), col("n"))
+        .agg(coalesce(sum(when(
+            col("brnk") <= col("k") && col("prnk") <= col("k"), 1)),
+          lit(0L)).cast("long").as("hits"))
+        .select(col("k"), col("n").as("n_queries"), col("hits"),
+          expr("CAST(hits * 1000000 div (k * n) AS BIGINT)")
+            .as("recall_ppm"))
+        .orderBy(col("k"))
+    },
+
     // Nearest-centroid classification — the class-separability eval
     // (Rocchio classifier accuracy) beside cluster_silhouette and
     // cluster_purity_nmi: every vector is assigned to its nearest
