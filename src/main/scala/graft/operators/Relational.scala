@@ -588,7 +588,7 @@ object Relational {
         col("y").as("ay"))
       val b = m.select(col("nk").as("bnk"), col("x").as("bx"),
         col("y").as("by"))
-      val p = a.join(b, col("ank") < col("bnk"))
+      val p = a.join(broadcast(b), col("ank") < col("bnk"))
         .select(
           when((col("ax") < col("bx") && col("ay") < col("by")) ||
             (col("ax") > col("bx") && col("ay") > col("by")), 1)

@@ -420,6 +420,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("round-10 late additions: windows keyed, no cartesian joins") {
+    // Spearman's four ranks and the snapshot reader's removal edge
+    // ride (type, day)/(user)-partitioned windows; the Markov
+    // absorption collects only the domain-bounded transition matrix;
+    // the only cross joins in the eval/sweep gates are broadcast
+    // bounded grids (k values, snapshot cut points, nation pairs) —
+    // BNLJ-with-bounded-build BY CONSTRUCTION, never CartesianProduct.
+    for (name <- Seq("stats_spearman", "store_snapshot_read",
+        "attr_markov_removal", "privacy_generalization_sweep",
+        "mm_image_histogram", "stats_kendall_tau", "sim_recall_curve",
+        "sim_eval_ndcg")) {
+      val all = collectNodes(planOf(name))
+      val s = all.map(_.toString).mkString("\n")
+      assert(!s.contains("CartesianProduct"),
+        s"$name plans an unbroadcast cartesian join")
+      val bad = all.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name plans an unpartitioned WindowExec")
+    }
+  }
+
   test("scale posture: AQE and skew-join splitting stay enabled") {
     // Every 100x claim in PLANS.md assumes AQE's runtime re-plan, and
     // the skewed-key paths (j_asof_skewed family, band joins, blocking
