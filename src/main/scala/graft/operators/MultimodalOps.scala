@@ -479,6 +479,95 @@ object MultimodalOps {
         .orderBy(col("doc_id"))
     },
 
+    // REAL DSP, silence-trim path: decode the same RIFF/WAVE assets
+    // and find the leading/trailing run of quiet samples (|v| <
+    // 16384 — under the 0xA5 XOR every LETTER byte lands quiet and
+    // space/digit/punctuation land loud, so letter-initial documents
+    // really do trim, and a truncated all-letter tail trims from the
+    // right) — the VAD-ish prepass a
+    // speech pipeline runs before framing. Emits the first/last loud
+    // sample index, the loud count, and the resulting trimmed length;
+    // an all-quiet asset trims to zero with NULL edges (the edge the
+    // gate pins). The oracle recomputes every signed sample from the
+    // document bytes in SQL, so a one-sample-off trim point fails
+    // the hash. Per-asset work in mapPartitions batches.
+    QuerySpec.sql(
+      "mm_audio_silence_trim",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(50 + octet_length(encode(text)) % 100 AS INT) AS ns,
+        |    hex(encode(rpad(text,
+        |      CAST((50 + octet_length(encode(text)) % 100) * 2 AS INT),
+        |      ' '))) AS hx
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, ns, i,
+        |    xor(strpos('123456789ABCDEF', substr(hx, CAST(4*i+1 AS INT), 1))*16
+        |      + strpos('123456789ABCDEF', substr(hx, CAST(4*i+2 AS INT), 1)),
+        |      165) AS lo,
+        |    xor(strpos('123456789ABCDEF', substr(hx, CAST(4*i+3 AS INT), 1))*16
+        |      + strpos('123456789ABCDEF', substr(hx, CAST(4*i+4 AS INT), 1)),
+        |      165) AS hi
+        |  FROM m, LATERAL (SELECT unnest(range(0,
+        |    CAST(ns AS BIGINT))) AS i) t),
+        |s AS (
+        |  SELECT doc_id, ns, i,
+        |    CASE WHEN lo + 256 * hi >= 32768 THEN lo + 256 * hi - 65536
+        |         ELSE lo + 256 * hi END AS v
+        |  FROM b)
+        |SELECT doc_id, ns AS n_samples,
+        |  CAST(MIN(CASE WHEN ABS(v) >= 16384 THEN i END) AS BIGINT)
+        |    AS first_loud,
+        |  CAST(MAX(CASE WHEN ABS(v) >= 16384 THEN i END) AS BIGINT)
+        |    AS last_loud,
+        |  CAST(COALESCE(SUM(CASE WHEN ABS(v) >= 16384 THEN 1 END), 0)
+        |    AS BIGINT) AS n_loud,
+        |  CAST(COALESCE(MAX(CASE WHEN ABS(v) >= 16384 THEN i END)
+        |    - MIN(CASE WHEN ABS(v) >= 16384 THEN i END) + 1, 0)
+        |    AS BIGINT) AS trimmed_len
+        |FROM s GROUP BY doc_id, ns
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.multimodal.WaveCodec
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val raw = text.getBytes("US-ASCII")
+          val n = raw.length
+          val ns = 50 + n % 100
+          val rate = 8000 + (n % 4) * 4000
+          val samples = new Array[Short](ns)
+          var i = 0
+          while (i < ns) {
+            def b(j: Int): Int =
+              ((if (j < n) raw(j) else ' '.toByte) ^ 0xA5) & 0xff
+            samples(i) = (b(2 * i) | (b(2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          val wav = WaveCodec.encode(WaveCodec.Pcm(rate, 1, samples))
+          val pcm = WaveCodec.decode(wav)
+            .fold(e => throw new IllegalArgumentException(
+              s"doc $id: $e"), identity)
+          var first = -1L; var last = -1L; var loud = 0L
+          var j = 0
+          while (j < pcm.samples.length) {
+            if (Math.abs(pcm.samples(j).toInt) >= 16384) {
+              if (first < 0) first = j
+              last = j; loud += 1
+            }
+            j += 1
+          }
+          (id, pcm.samples.length,
+            if (first >= 0) Some(first) else Option.empty[Long],
+            if (last >= 0) Some(last) else Option.empty[Long],
+            loud, if (first >= 0) last - first + 1 else 0L)
+        })
+        .toDF("doc_id", "n_samples", "first_loud", "last_loud",
+          "n_loud", "trimmed_len")
+        .orderBy(col("doc_id"))
+    },
+
     // REAL DECODE, PPM path: each document becomes a genuine binary
     // P6 PPM (Catalyst-assembled — header with a comment line, padded
     // raster), and RasterCodec.decodePpm parses it back in

@@ -248,6 +248,102 @@ object TextOps {
   }
 
   def specs: Seq[QuerySpec] = Seq(
+    // Boilerplate-line detection — the CCNet-style per-SOURCE cleanup
+    // dedup_lines does NOT do: dedup keeps a line's first occurrence
+    // corpus-wide, while boilerplate removal drops every instance of
+    // a line that recurs across ≥ 20% of ITS source's documents
+    // (nav bars, footers, cookie banners — template text, not
+    // content). Same 8-word segmentation as the dedup family; line
+    // doc-frequency joins against per-source doc counts (both
+    // aggregate-grain), and the per-source report carries the exact
+    // ppm of line instances a cleanup pass would remove. Shuffle keys
+    // are (source, line-key) — bucket-friendly at any corpus size.
+    QuerySpec.sql(
+      "text_boilerplate_lines", {
+        val lw = DedupOps.LineWords
+        val ml = DedupOps.MinLineLen
+        s"""WITH segs AS (
+           |  SELECT doc_id, source, lower(trim(array_to_string(
+           |      ws[u.g * $lw + 1 : u.g * $lw + $lw], ' '))) AS k
+           |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+           |        FROM documents) d,
+           |    UNNEST(generate_series(0,
+           |      CAST(FLOOR((len(ws) - 1) / $lw) AS BIGINT))) AS u(g)),
+           |f AS (SELECT doc_id, source, k FROM segs
+           |  WHERE length(k) >= $ml),
+           |dl AS (SELECT DISTINCT doc_id, source, k FROM f),
+           |nd AS (SELECT source,
+           |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+           |  FROM documents GROUP BY 1),
+           |dfc AS (SELECT source, k, CAST(COUNT(*) AS BIGINT) AS df
+           |  FROM dl GROUP BY 1, 2),
+           |bp AS (SELECT dfc.source, dfc.k
+           |  FROM dfc JOIN nd USING (source)
+           |  WHERE dfc.df >= 2 AND dfc.df * 5 >= nd.n_docs),
+           |lstats AS (
+           |  SELECT dfc.source,
+           |    CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
+           |    CAST(COALESCE(SUM(CASE WHEN dfc.df >= 2
+           |      AND dfc.df * 5 >= nd.n_docs THEN 1 END), 0) AS BIGINT)
+           |      AS n_boilerplate_lines
+           |  FROM dfc JOIN nd USING (source) GROUP BY 1),
+           |inst AS (
+           |  SELECT f.source,
+           |    CAST(COUNT(*) AS BIGINT) AS n_line_instances,
+           |    CAST(COALESCE(SUM(CASE WHEN bp.k IS NOT NULL THEN 1 END),
+           |      0) AS BIGINT) AS boilerplate_instances,
+           |    CAST(COUNT(DISTINCT CASE WHEN bp.k IS NOT NULL
+           |      THEN f.doc_id END) AS BIGINT) AS docs_affected
+           |  FROM f LEFT JOIN bp ON bp.source = f.source AND bp.k = f.k
+           |  GROUP BY 1)
+           |SELECT l.source, n_distinct_lines, n_boilerplate_lines,
+           |  n_line_instances, boilerplate_instances, docs_affected,
+           |  CAST(boilerplate_instances * 1000000 // n_line_instances
+           |    AS BIGINT) AS boilerplate_ppm
+           |FROM lstats l JOIN inst USING (source)
+           |ORDER BY source""".stripMargin
+      }) { (s, dir) =>
+      val lw = DedupOps.LineWords
+      val ml = DedupOps.MinLineLen
+      val f = docs(s, dir).select(col("doc_id"), col("source"),
+          explode(expr(
+            s"""transform(
+               |  sequence(0, (size(split(text, ' ')) - 1) div $lw),
+               |  g -> lower(trim(concat_ws(' ',
+               |    slice(split(text, ' '), g * $lw + 1, $lw)))))"""
+              .stripMargin)).as("k"))
+        .filter(length(col("k")) >= ml)
+      val nd = docs(s, dir).groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      val dfc = f.select(col("doc_id"), col("source"), col("k"))
+        .distinct()
+        .groupBy(col("source"), col("k"))
+        .agg(count(lit(1)).as("df"))
+      val withNd = dfc.join(broadcast(nd), Seq("source"))
+      val bp = withNd
+        .filter(col("df") >= 2 && col("df") * 5 >= col("n_docs"))
+        .select(col("source"), col("k"), lit(1).as("is_bp"))
+      val lstats = withNd.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_distinct_lines"),
+          coalesce(sum(when(col("df") >= 2 &&
+            col("df") * 5 >= col("n_docs"), 1L)), lit(0L))
+            .as("n_boilerplate_lines"))
+      val inst = f.join(bp, Seq("source", "k"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_line_instances"),
+          coalesce(sum(when(col("is_bp") === 1, 1L)), lit(0L))
+            .as("boilerplate_instances"),
+          countDistinct(when(col("is_bp") === 1, col("doc_id")))
+            .as("docs_affected"))
+      lstats.join(inst, Seq("source"))
+        .select(col("source"), col("n_distinct_lines"),
+          col("n_boilerplate_lines"), col("n_line_instances"),
+          col("boilerplate_instances"), col("docs_affected"),
+          expr("CAST(boilerplate_instances * 1000000 div " +
+            "n_line_instances AS BIGINT)").as("boilerplate_ppm"))
+        .orderBy(col("source"))
+    },
+
     // Token counting: whitespace tokenization + char stats per document.
     QuerySpec.sql(
       "text_token_stats",

@@ -76,6 +76,18 @@ object TimeSeriesOps {
       s"CASE WHEN $vx > 0 AND $vy > 0 THEN $num / (sqrt($vx) * sqrt($vy)) END"
   }
 
+  /** Shared difference-in-differences expression text for
+    * stats_diff_in_diff — cell sums are decimal-exact doubles, counts
+    * BIGINT, so the divisions/subtractions run in the identical IEEE
+    * op order in both engines (the [[LinReg]] contract).
+    */
+  private object DiD {
+    def mean(c: String): String = s"(CASE WHEN n$c > 0 THEN s$c / n$c END)"
+    val effect: String =
+      "(CASE WHEN n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0 THEN " +
+        "(s11 / n11 - s10 / n10) - (s01 / n01 - s00 / n00) END)"
+  }
+
   /** Day-index points for the OLS trend: (event_type, x, value). */
   private[graft] def linregPoints(ev: DataFrame): DataFrame =
     ev.withColumn("x", datediff(to_date(col("ts")), lit("1970-01-01")))
@@ -3362,6 +3374,131 @@ object TimeSeriesOps {
             (col("k") - 1)) /
             ((col("qt") - col("sb")) / (col("nt") - col("k"))))
             > 2.3719).as("significant"))
+    },
+
+    // Difference-in-differences — the quasi-experimental estimator
+    // for a launch WITHOUT a randomized holdout: users split by the
+    // engine-portable md5 parity (the srm_check assignment), time
+    // splits at the range midpoint, and the effect is the interaction
+    // (m̄11 − m̄10) − (m̄01 − m̄00) of the four cell means. Cell sums
+    // are decimal-exact and counts integral, so the four divisions
+    // and two subtractions are the only floats — identical IEEE op
+    // order in both engines (the LinReg contract). One pass over
+    // events (the midpoint is a 1-row broadcast scalar), 8
+    // conditional aggregates, one output row.
+    QuerySpec.sql(
+      "stats_diff_in_diff",
+      s"""WITH c AS (
+         |  SELECT CAST(MIN(epoch_us(ts))
+         |    + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2 AS BIGINT)
+         |    AS mid
+         |  FROM events),
+         |e AS (
+         |  SELECT CASE WHEN CAST(('0x' || substr(md5(
+         |      CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) % 2 = 1
+         |      THEN 1 ELSE 0 END AS treat,
+         |    CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END AS post,
+         |    value
+         |  FROM events, c),
+         |g AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+         |    CAST(SUM(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |    CAST(SUM(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |    CAST(SUM(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |    ${dsumSql("CASE WHEN treat = 0 AND post = 0 THEN value ELSE 0 END")} AS s00,
+         |    ${dsumSql("CASE WHEN treat = 0 AND post = 1 THEN value ELSE 0 END")} AS s01,
+         |    ${dsumSql("CASE WHEN treat = 1 AND post = 0 THEN value ELSE 0 END")} AS s10,
+         |    ${dsumSql("CASE WHEN treat = 1 AND post = 1 THEN value ELSE 0 END")} AS s11
+         |  FROM e)
+         |SELECT n00, n01, n10, n11,
+         |  ${DiD.mean("00")} AS m00, ${DiD.mean("01")} AS m01,
+         |  ${DiD.mean("10")} AS m10, ${DiD.mean("11")} AS m11,
+         |  ${DiD.effect} AS did
+         |FROM g""".stripMargin) { (s, dir) =>
+      val mid = events(s, dir)
+        .agg(expr("CAST(MIN(unix_micros(ts)) + " +
+          "(MAX(unix_micros(ts)) - MIN(unix_micros(ts))) div 2 " +
+          "AS BIGINT)").as("mid"))
+      val e = events(s, dir).crossJoin(broadcast(mid))
+        .select(
+          (graft.functions.Md5Prefix.md5_prefix_long(
+            col("user_id").cast("string"), 13) % 2 === 1)
+            .cast("int").as("treat"),
+          (unix_micros(col("ts")) >= col("mid")).cast("int").as("post"),
+          col("value"))
+      val g = e.agg(
+        sum(when(col("treat") === 0 && col("post") === 0, 1)
+          .otherwise(0)).cast("long").as("n00"),
+        sum(when(col("treat") === 0 && col("post") === 1, 1)
+          .otherwise(0)).cast("long").as("n01"),
+        sum(when(col("treat") === 1 && col("post") === 0, 1)
+          .otherwise(0)).cast("long").as("n10"),
+        sum(when(col("treat") === 1 && col("post") === 1, 1)
+          .otherwise(0)).cast("long").as("n11"),
+        dsum(when(col("treat") === 0 && col("post") === 0,
+          col("value")).otherwise(0)).as("s00"),
+        dsum(when(col("treat") === 0 && col("post") === 1,
+          col("value")).otherwise(0)).as("s01"),
+        dsum(when(col("treat") === 1 && col("post") === 0,
+          col("value")).otherwise(0)).as("s10"),
+        dsum(when(col("treat") === 1 && col("post") === 1,
+          col("value")).otherwise(0)).as("s11"))
+      g.select(col("n00"), col("n01"), col("n10"), col("n11"),
+        expr(DiD.mean("00")).as("m00"), expr(DiD.mean("01")).as("m01"),
+        expr(DiD.mean("10")).as("m10"), expr(DiD.mean("11")).as("m11"),
+        expr(DiD.effect).as("did"))
+    },
+
+    // Bollinger-band breakout detection — the rolling-volatility
+    // screen beside ts_anomaly_zscore's global one: a day breaks out
+    // when its count leaves the trailing 7-day ±2σ band. The test
+    // |y − S/n| > 2σ is cleared of ALL division and square roots by
+    // cross-multiplying to (n·y − S)² > 4·(n·Q − S²) over the exact
+    // integer window sums S, Q (population σ over the window) — both
+    // engines decide each day on identical BIGINTs. One keyed
+    // 7-row rolling window over the daily rollup; raw events are
+    // touched once.
+    QuerySpec.sql(
+      "ts_bollinger_breakouts",
+      """WITH d AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, y,
+        |    CAST(COUNT(*) OVER win AS BIGINT) AS n,
+        |    CAST(SUM(y) OVER win AS BIGINT) AS s,
+        |    CAST(SUM(y * y) OVER win AS BIGINT) AS q
+        |  FROM d
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, y AS n_events, n AS win_days,
+        |  CAST(n * y - s AS BIGINT) AS dev_xn,
+        |  CAST(4 * (n * q - s * s) AS BIGINT) AS band_xn2
+        |FROM w
+        |WHERE n >= 4
+        |  AND (n * y - s) * (n * y - s) > 4 * (n * q - s * s)
+        |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      val win = Window.partitionBy(col("event_type"))
+        .orderBy(col("day")).rowsBetween(-6, 0)
+      events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .select(col("event_type"), col("day"), col("y"),
+          count(lit(1)).over(win).as("n"),
+          sum(col("y")).over(win).as("s"),
+          sum(col("y") * col("y")).over(win).as("q"))
+        .filter(col("n") >= 4 &&
+          (col("n") * col("y") - col("s")) *
+            (col("n") * col("y") - col("s")) >
+            lit(4) * (col("n") * col("q") - col("s") * col("s")))
+        .select(col("event_type"), col("day"), col("y").as("n_events"),
+          col("n").as("win_days"),
+          (col("n") * col("y") - col("s")).cast("long").as("dev_xn"),
+          (lit(4) * (col("n") * col("q") - col("s") * col("s")))
+            .cast("long").as("band_xn2"))
+        .orderBy(col("event_type"), col("day"))
     },
 
     // Spearman rank correlation — the distribution-free companion to
