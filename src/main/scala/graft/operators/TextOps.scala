@@ -251,17 +251,19 @@ object TextOps {
     // Boilerplate-line detection — the CCNet-style per-SOURCE cleanup
     // dedup_lines does NOT do: dedup keeps a line's first occurrence
     // corpus-wide, while boilerplate removal drops every instance of
-    // a line that recurs across ≥ 20% of ITS source's documents
+    // a line that recurs across ≥ 5% of ITS source's documents
     // (nav bars, footers, cookie banners — template text, not
-    // content). Same 8-word segmentation as the dedup family; line
+    // content). 2-word segments min 8 chars (the corpus vocabulary is
+    // compressed, so longer exact segments are near-unique — the
+    // segment width is the knob a real deployment retunes); line
     // doc-frequency joins against per-source doc counts (both
     // aggregate-grain), and the per-source report carries the exact
     // ppm of line instances a cleanup pass would remove. Shuffle keys
     // are (source, line-key) — bucket-friendly at any corpus size.
     QuerySpec.sql(
       "text_boilerplate_lines", {
-        val lw = DedupOps.LineWords
-        val ml = DedupOps.MinLineLen
+        val lw = 2
+        val ml = 8
         s"""WITH segs AS (
            |  SELECT doc_id, source, lower(trim(array_to_string(
            |      ws[u.g * $lw + 1 : u.g * $lw + $lw], ' '))) AS k
@@ -279,12 +281,12 @@ object TextOps {
            |  FROM dl GROUP BY 1, 2),
            |bp AS (SELECT dfc.source, dfc.k
            |  FROM dfc JOIN nd USING (source)
-           |  WHERE dfc.df >= 2 AND dfc.df * 5 >= nd.n_docs),
+           |  WHERE dfc.df >= 2 AND dfc.df * 20 >= nd.n_docs),
            |lstats AS (
            |  SELECT dfc.source,
            |    CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
            |    CAST(COALESCE(SUM(CASE WHEN dfc.df >= 2
-           |      AND dfc.df * 5 >= nd.n_docs THEN 1 END), 0) AS BIGINT)
+           |      AND dfc.df * 20 >= nd.n_docs THEN 1 END), 0) AS BIGINT)
            |      AS n_boilerplate_lines
            |  FROM dfc JOIN nd USING (source) GROUP BY 1),
            |inst AS (
@@ -303,8 +305,8 @@ object TextOps {
            |FROM lstats l JOIN inst USING (source)
            |ORDER BY source""".stripMargin
       }) { (s, dir) =>
-      val lw = DedupOps.LineWords
-      val ml = DedupOps.MinLineLen
+      val lw = 2
+      val ml = 8
       val f = docs(s, dir).select(col("doc_id"), col("source"),
           explode(expr(
             s"""transform(
@@ -321,12 +323,12 @@ object TextOps {
         .agg(count(lit(1)).as("df"))
       val withNd = dfc.join(broadcast(nd), Seq("source"))
       val bp = withNd
-        .filter(col("df") >= 2 && col("df") * 5 >= col("n_docs"))
+        .filter(col("df") >= 2 && col("df") * 20 >= col("n_docs"))
         .select(col("source"), col("k"), lit(1).as("is_bp"))
       val lstats = withNd.groupBy(col("source"))
         .agg(count(lit(1)).as("n_distinct_lines"),
           coalesce(sum(when(col("df") >= 2 &&
-            col("df") * 5 >= col("n_docs"), 1L)), lit(0L))
+            col("df") * 20 >= col("n_docs"), 1L)), lit(0L))
             .as("n_boilerplate_lines"))
       val inst = f.join(bp, Seq("source", "k"), "left")
         .groupBy(col("source"))
