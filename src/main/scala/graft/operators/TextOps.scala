@@ -317,9 +317,14 @@ object TextOps {
         .filter(length(col("k")) >= ml)
       val nd = docs(s, dir).groupBy(col("source"))
         .agg(countDistinct(col("doc_id")).as("n_docs"))
-      val dfc = f.select(col("doc_id"), col("source"), col("k"))
-        .distinct()
-        .groupBy(col("source"), col("k"))
+      // ONE pass over the exploded segment surface: fold to
+      // (doc, key) grain immediately (instance count rides along),
+      // materialize, and every later step runs on aggregate grain —
+      // the raw segments are never re-exploded.
+      val perDoc = graft.functions.Materialize.stable(
+        f.groupBy(col("doc_id"), col("source"), col("k"))
+          .agg(count(lit(1)).as("c")))
+      val dfc = perDoc.groupBy(col("source"), col("k"))
         .agg(count(lit(1)).as("df"))
       val withNd = dfc.join(broadcast(nd), Seq("source"))
       val bp = withNd
@@ -330,11 +335,11 @@ object TextOps {
           coalesce(sum(when(col("df") >= 2 &&
             col("df") * 20 >= col("n_docs"), 1L)), lit(0L))
             .as("n_boilerplate_lines"))
-      val inst = f.join(bp, Seq("source", "k"), "left")
+      val inst = perDoc.join(bp, Seq("source", "k"), "left")
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_line_instances"),
-          coalesce(sum(when(col("is_bp") === 1, 1L)), lit(0L))
-            .as("boilerplate_instances"),
+        .agg(sum(col("c")).cast("long").as("n_line_instances"),
+          coalesce(sum(when(col("is_bp") === 1, col("c"))), lit(0L))
+            .cast("long").as("boilerplate_instances"),
           countDistinct(when(col("is_bp") === 1, col("doc_id")))
             .as("docs_affected"))
       lstats.join(inst, Seq("source"))
