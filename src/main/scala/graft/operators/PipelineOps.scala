@@ -1549,5 +1549,64 @@ object PipelineOps {
             regexp_replace(col("text"), emailRe, "[EMAIL]"),
             entityRe, "[ENTITY]")).as("redacted_fp"))
         .orderBy(col("doc_id"))
+    },
+
+    // Inverse-propensity REWEIGHTING summary — the alternative to
+    // mix_domains' resampling: keep every document once, weight each
+    // by target-share/actual-share (exact micro-weights, capped ×32
+    // like the mix's repeat factor), and report the variance price as
+    // Kish's effective sample size ESS = (Σw)²/Σw². All sums run on
+    // the |sources|-row aggregate; the wide products go through
+    // HUGEINT/DECIMAL(38,0) (exact 128-bit in both engines, integer
+    // truncating division on positives), so the classically-float ESS
+    // is an exact integer. One fact pass for the per-source token
+    // sums; everything after is aggregate-grain.
+    QuerySpec.sql(
+      "curate_ipw_ess",
+      """WITH st AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS s_toks
+        |  FROM documents GROUP BY 1),
+        |tgt AS (
+        |  SELECT CAST(SUM(s_toks) // COUNT(*) AS BIGINT) AS t_toks,
+        |    CAST(SUM(n_docs) AS BIGINT) AS n_total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sources
+        |  FROM st),
+        |w AS (
+        |  SELECT source, n_docs,
+        |    LEAST(32000000, CAST(t_toks * 1000000 // s_toks AS BIGINT))
+        |      AS w_micro
+        |  FROM st CROSS JOIN tgt),
+        |a AS (
+        |  SELECT CAST(SUM(n_docs * w_micro) AS BIGINT) AS sw,
+        |    SUM(CAST(n_docs AS HUGEINT) * w_micro * w_micro) AS sw2
+        |  FROM w)
+        |SELECT t.n_sources, t.n_total AS n_docs, a.sw AS sum_w_micro,
+        |  CAST(CAST(a.sw AS HUGEINT) * a.sw // a.sw2 AS BIGINT)
+        |    AS ess_docs,
+        |  CAST(CAST(CAST(a.sw AS HUGEINT) * a.sw // a.sw2 AS BIGINT)
+        |    * 1000000 // t.n_total AS BIGINT) AS ess_ppm
+        |FROM a, tgt t""".stripMargin) { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val st = docs(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("s_toks"))
+      val tgt = st.agg(expr("sum(s_toks) div count(1)").as("t_toks"),
+        sum(col("n_docs")).as("n_total"),
+        count(lit(1)).as("n_sources"))
+      val w = st.crossJoin(broadcast(tgt))
+        .select(col("n_docs"), col("n_total"), col("n_sources"),
+          least(lit(32000000L),
+            expr("t_toks * 1000000 div s_toks")).as("w_micro"))
+      w.groupBy(col("n_total"), col("n_sources"))
+        .agg(sum(col("n_docs") * col("w_micro")).cast("long").as("sw"),
+          sum(col("n_docs").cast(d38) * col("w_micro").cast(d38) *
+            col("w_micro").cast(d38)).as("sw2"))
+        .select(col("n_sources"), col("n_total").as("n_docs"),
+          col("sw").as("sum_w_micro"),
+          expr("CAST(CAST(sw AS DECIMAL(38,0)) * sw div sw2 AS BIGINT)")
+            .as("ess_docs"),
+          expr("CAST(CAST(CAST(sw AS DECIMAL(38,0)) * sw div sw2 " +
+            "AS BIGINT) * 1000000 div n_total AS BIGINT)").as("ess_ppm"))
     })
 }

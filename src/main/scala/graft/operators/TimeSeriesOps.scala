@@ -88,6 +88,44 @@ object TimeSeriesOps {
         "(s11 / n11 - s10 / n10) - (s01 / n01 - s00 / n00) END)"
   }
 
+  /** Shared seasonal/trend-strength expression text for
+    * ts_seasonal_strength (Hyndman F = max(0, 1 − Var_r/Var_c)) — the
+    * [[AutoCorr]] contract: exact integer/decimal sums in, identical
+    * IEEE op order in both engines. `q`/`sv` name the component's
+    * power-sum columns; resid sums are fixed (q_r, s_r).
+    */
+  private object Strength {
+    private def v(q: String, sv: String) =
+      s"(CAST(n AS DOUBLE) * $q - CAST($sv AS DOUBLE) * CAST($sv AS DOUBLE))"
+    def expr(q: String, sv: String): String =
+      s"(CASE WHEN ${v(q, sv)} > 0 THEN GREATEST(CAST(0 AS DOUBLE), " +
+        s"1 - ${v("q_r", "s_r")} / ${v(q, sv)}) END)"
+  }
+
+  /** Classical decomposition shared by ts_seasonal_decompose and
+    * ts_seasonal_strength: 7-day centered moving-average trend (exact
+    * integer micros), day-of-week seasonal means over the detrended
+    * deviations, all floor-division arithmetic (bit-identical in both
+    * engines). Returns one row per (event_type, day) with n_events,
+    * trend_micros, dev_micros, dow, seasonal_micros.
+    */
+  private def decomposed(s: SparkSession, dir: String): DataFrame = {
+    val trended = events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dnum",
+        datediff(col("day"), lit("1970-01-01")).cast("long"))
+      .withColumn("trend_micros", expr(
+        "(1000000L * sum(n_events) OVER (PARTITION BY event_type ORDER BY dnum RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)) div count(1) OVER (PARTITION BY event_type ORDER BY dnum RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)"))
+    val dev = trended
+      .withColumn("dev_micros",
+        lit(1000000L) * col("n_events") - col("trend_micros"))
+      .withColumn("dow", col("dnum") % 7)
+    val seasonal = dev.groupBy(col("event_type"), col("dow"))
+      .agg(expr("sum(dev_micros) div count(1)").as("seasonal_micros"))
+    dev.join(seasonal, Seq("event_type", "dow"))
+  }
+
   /** Day-index points for the OLS trend: (event_type, x, value). */
   private[graft] def linregPoints(ev: DataFrame): DataFrame =
     ev.withColumn("x", datediff(to_date(col("ts")), lit("1970-01-01")))
@@ -2855,26 +2893,87 @@ object TimeSeriesOps {
         |FROM dev d
         |JOIN seasonal s ON s.event_type = d.event_type AND s.dow = d.dow
         |ORDER BY d.event_type, d.day""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("event_type")).orderBy(col("dnum"))
-        .rangeBetween(-3, 3)
-      val trended = events(s, dir)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n_events"))
-        .withColumn("dnum",
-          datediff(col("day"), lit("1970-01-01")).cast("long"))
-        .withColumn("trend_micros", expr(
-          "(1000000L * sum(n_events) OVER (PARTITION BY event_type ORDER BY dnum RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)) div count(1) OVER (PARTITION BY event_type ORDER BY dnum RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)"))
-      val dev = trended
-        .withColumn("dev_micros",
-          lit(1000000L) * col("n_events") - col("trend_micros"))
-        .withColumn("dow", col("dnum") % 7)
-      val seasonal = dev.groupBy(col("event_type"), col("dow"))
-        .agg(expr("sum(dev_micros) div count(1)").as("seasonal_micros"))
-      dev.join(seasonal, Seq("event_type", "dow"))
+      decomposed(s, dir)
         .select(col("event_type"), col("day"), col("n_events"),
           col("trend_micros"), col("seasonal_micros"),
           (col("dev_micros") - col("seasonal_micros")).as("resid_micros"))
         .orderBy(col("event_type"), col("day"))
+    },
+
+    // Seasonal/trend STRENGTH — the one-number-per-series readout of
+    // the decomposition above (Hyndman's F_s/F_t: 1 − Var(resid) over
+    // Var(seasonal+resid) / Var(trend+resid)): which series actually
+    // HAVE a weekly cycle worth modeling. All component columns are
+    // the decomposition's exact integer micros; the power sums run in
+    // HUGEINT/DECIMAL(38,0) (resid² sums pass 2⁶³), and the variance
+    // ratio is the AutoCorr float contract over those exact sums.
+    QuerySpec.sql(
+      "ts_seasonal_strength",
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    CAST(date_diff('day', DATE '1970-01-01',
+         |      CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS dnum,
+         |    CAST(COUNT(*) AS BIGINT) AS n_events
+         |  FROM events GROUP BY 1, 2, 3),
+         |trended AS (
+         |  SELECT event_type, day, dnum, n_events,
+         |    CAST((1000000 * CAST(SUM(n_events) OVER w AS BIGINT))
+         |      // CAST(COUNT(*) OVER w AS BIGINT) AS BIGINT) AS trend_micros
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY dnum
+         |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |dev AS (
+         |  SELECT *, 1000000 * n_events - trend_micros AS dev_micros,
+         |    dnum % 7 AS dow
+         |  FROM trended),
+         |seasonal AS (
+         |  SELECT event_type, dow,
+         |    CAST(CAST(SUM(dev_micros) AS BIGINT)
+         |      // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS seasonal_micros
+         |  FROM dev GROUP BY 1, 2),
+         |comp AS (
+         |  SELECT d.event_type,
+         |    d.dev_micros - s.seasonal_micros AS r,
+         |    d.dev_micros AS sr,
+         |    1000000 * d.n_events - s.seasonal_micros AS tr
+         |  FROM dev d
+         |  JOIN seasonal s ON s.event_type = d.event_type
+         |    AND s.dow = d.dow),
+         |a AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(r) AS BIGINT) AS s_r,
+         |    CAST(SUM(CAST(r AS HUGEINT) * r) AS DOUBLE) AS q_r,
+         |    CAST(SUM(sr) AS BIGINT) AS s_d,
+         |    CAST(SUM(CAST(sr AS HUGEINT) * sr) AS DOUBLE) AS q_d,
+         |    CAST(SUM(tr) AS BIGINT) AS s_t,
+         |    CAST(SUM(CAST(tr AS HUGEINT) * tr) AS DOUBLE) AS q_t
+         |  FROM comp GROUP BY 1)
+         |SELECT event_type, n,
+         |  ${Strength.expr("q_d", "s_d")} AS strength_seasonal,
+         |  ${Strength.expr("q_t", "s_t")} AS strength_trend
+         |FROM a ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val comp = decomposed(s, dir)
+        .select(col("event_type"),
+          (col("dev_micros") - col("seasonal_micros")).as("r"),
+          col("dev_micros").as("sr"),
+          (lit(1000000L) * col("n_events") - col("seasonal_micros"))
+            .as("tr"))
+      comp.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("r")).as("s_r"),
+          sum(col("r").cast(d38) * col("r").cast(d38)).cast("double")
+            .as("q_r"),
+          sum(col("sr")).as("s_d"),
+          sum(col("sr").cast(d38) * col("sr").cast(d38)).cast("double")
+            .as("q_d"),
+          sum(col("tr")).as("s_t"),
+          sum(col("tr").cast(d38) * col("tr").cast(d38)).cast("double")
+            .as("q_t"))
+        .select(col("event_type"), col("n"),
+          expr(Strength.expr("q_d", "s_d")).as("strength_seasonal"),
+          expr(Strength.expr("q_t", "s_t")).as("strength_trend"))
+        .orderBy(col("event_type"))
     },
 
     // Robust outlier flags via rolling MAD (median absolute
@@ -3374,6 +3473,48 @@ object TimeSeriesOps {
             (col("k") - 1)) /
             ((col("qt") - col("sb")) / (col("nt") - col("k"))))
             > 2.3719).as("significant"))
+    },
+
+    // Inter-event gap HISTOGRAM — the distribution behind
+    // w4_avg_event_gap's single mean: per-user consecutive gaps,
+    // log₁₀-bucketed by the gap's DECIMAL DIGIT COUNT (the string
+    // length of a nonnegative BIGINT — an exact, engine-portable
+    // floor(log₁₀)+1 with none of float log's boundary risk). The
+    // sessionization / bot-screen families read this curve to pick
+    // their thresholds. One keyed LAG, one 10-row aggregate.
+    QuerySpec.sql(
+      "events_gap_histogram",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+        |g AS (
+        |  SELECT (us - LAG(us) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id)) // 1000000 AS gap_s
+        |  FROM e),
+        |b AS (
+        |  SELECT CASE WHEN gap_s = 0 THEN 0
+        |    ELSE length(CAST(gap_s AS VARCHAR)) END AS digits, gap_s
+        |  FROM g WHERE gap_s IS NOT NULL)
+        |SELECT CAST(digits AS INT) AS digits,
+        |  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+        |  CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+        .select((col("us") - lag(col("us"), 1).over(w)).as("gap_us"))
+        .filter(col("gap_us").isNotNull)
+        .select(expr("gap_us div 1000000").as("gap_s"))
+        .select(when(col("gap_s") === 0, 0)
+          .otherwise(length(col("gap_s").cast("string")))
+          .cast("int").as("digits"), col("gap_s"))
+        .groupBy(col("digits"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_s")).as("min_gap_s"),
+          max(col("gap_s")).as("max_gap_s"))
+        .orderBy(col("digits"))
     },
 
     // Difference-in-differences — the quasi-experimental estimator
