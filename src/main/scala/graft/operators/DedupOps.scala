@@ -442,6 +442,62 @@ object DedupOps {
       ngramJaccardPairs(s, dir).orderBy(col("a_id"), col("b_id"))
     },
 
+    // Duplication hotspot report by SOURCE — where the near-dup mass
+    // actually lives (the number a curation run reads before deciding
+    // which feed to renegotiate). Rides the memoized jaccard pair
+    // table (pairs are same-source by blocking construction): per
+    // source, pair count, distinct docs involved, and the mean
+    // similarity as exact micro units — each pair's float jaccard is
+    // floor-quantized to an integer FIRST (identical per row in both
+    // engines), so the mean is an order-independent integer ratio,
+    // never a float accumulation. Aggregate-grain only; the corpus is
+    // not rescanned.
+    QuerySpec.sql(
+      "dedup_source_profile",
+      s"""WITH pj AS (SELECT * FROM ($ngramJaccardSql)),
+         |src AS (SELECT doc_id, source FROM documents),
+         |m AS (
+         |  SELECT s.source, p.a_id, p.b_id, p.jaccard
+         |  FROM pj p JOIN src s ON s.doc_id = p.a_id),
+         |dd AS (
+         |  SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+         |    AS docs_involved
+         |  FROM (SELECT source, a_id AS doc_id FROM m
+         |    UNION ALL SELECT source, b_id FROM m) u
+         |  GROUP BY 1),
+         |pp AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(CAST(FLOOR(jaccard * 1000000) AS BIGINT))
+         |      // COUNT(*) AS BIGINT) AS mean_jaccard_micro,
+         |    MAX(jaccard) AS max_jaccard
+         |  FROM m GROUP BY 1)
+         |SELECT pp.source, n_pairs, docs_involved, mean_jaccard_micro,
+         |  max_jaccard
+         |FROM pp JOIN dd USING (source)
+         |ORDER BY pp.source""".stripMargin) { (s, dir) =>
+      val m = ngramJaccardPairs(s, dir)
+        .join(docs(s, dir).select(col("doc_id").as("a_id"),
+          col("source")), Seq("a_id"))
+        .select(col("source"), col("a_id"), col("b_id"), col("jaccard"))
+      val dd = m.select(col("source"), col("a_id").as("doc_id"))
+        .union(m.select(col("source"), col("b_id").as("doc_id")))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("docs_involved"))
+      val pp = m.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("CAST(FLOOR(jaccard * 1000000) AS BIGINT)"))
+            .as("sj"),
+          max(col("jaccard")).as("max_jaccard"))
+        .select(col("source"), col("n_pairs"),
+          expr("CAST(sj div n_pairs AS BIGINT)")
+            .as("mean_jaccard_micro"),
+          col("max_jaccard"))
+      pp.join(dd, Seq("source"))
+        .select(col("source"), col("n_pairs"), col("docs_involved"),
+          col("mean_jaccard_micro"), col("max_jaccard"))
+        .orderBy(col("source"))
+    },
+
     // EXACT set-similarity self-join via prefix filtering (the
     // PPJoin-family candidate rule): unlike the LSH/banded gates
     // (probabilistic recall) and dedup_ngram_jaccard (df-ceiling +

@@ -994,6 +994,92 @@ object Relational {
         .orderBy(col("snapshot"), col("bucket"))
     },
 
+    // Snapshot DIFF — the incremental companion to the snapshot read:
+    // what changed between consecutive versions (the manifest delta a
+    // CDC consumer or cache invalidator reads instead of diffing two
+    // full snapshots). Same add/remove log; for each quartile
+    // transition (k−1 → k]: files ADDED in the window and still live
+    // at k, files REMOVED in the window that were live at k−1, and
+    // the net live-count drift — reconciling exactly with the
+    // snapshot reader's totals. The window grid is a broadcast
+    // overlay; the log is scanned once through the same single
+    // reverse-min window.
+    QuerySpec.sql(
+      "store_snapshot_diff",
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+        |  FROM events WHERE event_type IN ('click', 'view', 'error')),
+        |m AS (
+        |  SELECT user_id, us, event_id, is_err,
+        |    MIN(CASE WHEN is_err = 1 THEN us END) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS rm_us
+        |  FROM u),
+        |adds AS (SELECT user_id, us, rm_us FROM m WHERE is_err = 0),
+        |c AS (SELECT CAST(MIN(us) AS BIGINT) AS mn,
+        |    CAST(MAX(us) AS BIGINT) AS mx FROM u),
+        |wins AS (
+        |  SELECT k, mn + (k - 1) * (mx - mn) // 4 AS t0,
+        |    mn + k * (mx - mn) // 4 AS t1
+        |  FROM c, (SELECT UNNEST([1, 2, 3, 4]) AS k) g)
+        |SELECT CAST(k AS INT) AS transition,
+        |  CAST(t1 AS BIGINT) AS to_version_us,
+        |  CAST(COALESCE(SUM(CASE WHEN us > t0 AND us <= t1
+        |    AND (rm_us IS NULL OR rm_us > t1) THEN 1 END), 0)
+        |    AS BIGINT) AS n_added,
+        |  CAST(COALESCE(SUM(CASE WHEN us <= t0
+        |    AND rm_us > t0 AND rm_us <= t1 THEN 1 END), 0)
+        |    AS BIGINT) AS n_removed,
+        |  CAST(COALESCE(SUM(CASE WHEN us > t0 AND us <= t1
+        |    AND (rm_us IS NULL OR rm_us > t1) THEN 1 END), 0)
+        |    - COALESCE(SUM(CASE WHEN us <= t0
+        |    AND rm_us > t0 AND rm_us <= t1 THEN 1 END), 0) AS BIGINT)
+        |    AS net_drift
+        |FROM adds JOIN wins
+        |  ON adds.us <= wins.t1
+        |  AND (adds.rm_us IS NULL OR adds.rm_us > wins.t0)
+        |GROUP BY 1, 2
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val u = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view", "error"))
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"),
+          when(col("event_type") === "error", 1).otherwise(0)
+            .as("is_err"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val adds = u
+        .withColumn("rm_us",
+          min(when(col("is_err") === 1, col("us"))).over(w))
+        .filter(col("is_err") === 0)
+        .select(col("us"), col("rm_us"))
+      val c = u.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      val wins = c.crossJoin(Seq(1, 2, 3, 4).toDF("k"))
+        .select(col("k"),
+          expr("mn + (k - 1) * (mx - mn) div 4").as("t0"),
+          expr("mn + k * (mx - mn) div 4").as("t1"))
+      val addedCase = when(col("us") > col("t0") &&
+        col("us") <= col("t1") &&
+        (col("rm_us").isNull || col("rm_us") > col("t1")), 1L)
+      val removedCase = when(col("us") <= col("t0") &&
+        col("rm_us") > col("t0") && col("rm_us") <= col("t1"), 1L)
+      adds.join(broadcast(wins),
+          col("us") <= col("t1") &&
+            (col("rm_us").isNull || col("rm_us") > col("t0")))
+        .groupBy(col("k").cast("int").as("transition"),
+          col("t1").as("to_version_us"))
+        .agg(coalesce(sum(addedCase), lit(0L)).as("n_added"),
+          coalesce(sum(removedCase), lit(0L)).as("n_removed"))
+        .select(col("transition"), col("to_version_us"),
+          col("n_added"), col("n_removed"),
+          (col("n_added") - col("n_removed")).as("net_drift"))
+        .orderBy(col("transition"))
+    },
+
     // SCD TYPE-2 dimension build from the same change log
     // store_cdc_apply collapses — the warehouse-history counterpart:
     // every upsert opens a version valid from its timestamp until the

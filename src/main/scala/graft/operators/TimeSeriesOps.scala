@@ -1008,6 +1008,60 @@ object TimeSeriesOps {
         .orderBy(col("event_type"), col("window_day"))
     },
 
+    // Capture–recapture (Lincoln–Petersen/Chapman) population
+    // estimate — the ecology estimator a data platform uses when two
+    // INDEPENDENT partial observations of a population exist (two
+    // crawls, two telemetry taps) and neither is complete: N̂ =
+    // (n_A+1)(n_B+1)/(m+1) − 1 from the two sample sizes and their
+    // overlap. The samples are independent engine-portable md5 draws
+    // (distinct salts, 25% each = threshold 2⁵⁰ of the 52-bit
+    // prefix), the estimate is one exact integer expression, and
+    // err_ppm self-measures it against the true distinct count. One
+    // distinct pass + one fold.
+    QuerySpec.sql(
+      "sketch_capture_recapture",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |f AS (
+        |  SELECT
+        |    CASE WHEN CAST(('0x' || substr(md5(
+        |      CAST(user_id AS VARCHAR) || ':crA'), 1, 13)) AS BIGINT)
+        |      < 1125899906842624 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN CAST(('0x' || substr(md5(
+        |      CAST(user_id AS VARCHAR) || ':crB'), 1, 13)) AS BIGINT)
+        |      < 1125899906842624 THEN 1 ELSE 0 END AS b
+        |  FROM u),
+        |g AS (
+        |  SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+        |    CAST(SUM(b) AS BIGINT) AS n_b,
+        |    CAST(SUM(a * b) AS BIGINT) AS n_both,
+        |    CAST(COUNT(*) AS BIGINT) AS n_true
+        |  FROM f)
+        |SELECT n_a, n_b, n_both, n_true,
+        |  CAST((n_a + 1) * (n_b + 1) // (n_both + 1) - 1 AS BIGINT)
+        |    AS chapman_est,
+        |  CAST(ABS((n_a + 1) * (n_b + 1) // (n_both + 1) - 1 - n_true)
+        |    * 1000000 // n_true AS BIGINT) AS err_ppm
+        |FROM g""".stripMargin) { (s, dir) =>
+      import graft.functions.Md5Prefix
+      val thresh = 1125899906842624L
+      events(s, dir).select(col("user_id")).distinct()
+        .select(
+          (Md5Prefix.md5_prefix_long(
+            concat(col("user_id").cast("string"), lit(":crA")), 13)
+            < thresh).cast("long").as("a"),
+          (Md5Prefix.md5_prefix_long(
+            concat(col("user_id").cast("string"), lit(":crB")), 13)
+            < thresh).cast("long").as("b"))
+        .agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+          sum(col("a") * col("b")).as("n_both"),
+          count(lit(1)).as("n_true"))
+        .select(col("n_a"), col("n_b"), col("n_both"), col("n_true"),
+          expr("CAST((n_a + 1) * (n_b + 1) div (n_both + 1) - 1 " +
+            "AS BIGINT)").as("chapman_est"),
+          expr("CAST(ABS((n_a + 1) * (n_b + 1) div (n_both + 1) - 1 " +
+            "- n_true) * 1000000 div n_true AS BIGINT)").as("err_ppm"))
+    },
+
     // Join-size estimation from a correlated key sample — the
     // optimizer statistic that decides shuffle vs broadcast vs skew
     // handling before a single task runs. True self-join size on
@@ -3861,6 +3915,88 @@ object TimeSeriesOps {
         .select(col("n1"), col("c1"), col("n2"), col("c2"), col("z2_micro"),
           (col("z2_micro").isNotNull && col("z2_micro") > 3841459L)
             .as("significant"))
+    },
+
+    // TOST equivalence test — the question ab_ztest can NOT answer:
+    // absence of evidence of a difference is not evidence of
+    // equivalence; a no-regression launch gate needs BOTH one-sided
+    // tests (p₁−p₂ > −δ and < +δ, δ = 5pp, α = 0.05) to reject. Each
+    // one-sided z-test is cross-multiplied into one exact 128-bit
+    // integer comparison (the ab_ztest discipline; unpooled SE², z²
+    // = 2.705686 carried ×10⁶): D± = 20·(c₁n₂ − c₂n₁) ± n₁n₂, reject
+    // iff sign(D±) is right AND D±²·n₁n₂·10⁶ > 1082274400·V with V =
+    // c₁(n₁−c₁)n₂³ + c₂(n₂−c₂)n₁³ — exact to arm sizes ~3·10⁴ per
+    // the HUGEINT/DECIMAL(38,0) headroom (beyond that, arms this
+    // query would shard by stratum anyway). Same one keyed aggregate
+    // over users as ab_ztest.
+    QuerySpec.sql(
+      "stats_tost_equivalence",
+      """WITH conv AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CASE WHEN COUNT(*) FILTER (WHERE event_type = 'purchase')
+        |      > 13 THEN 1 ELSE 0 END AS cv
+        |  FROM events GROUP BY user_id
+        |), agg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN cv ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN cv ELSE 0 END) AS BIGINT) AS c2
+        |  FROM conv
+        |), t AS (
+        |  SELECT n1, c1, n2, c2,
+        |    20 * (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)
+        |      + CAST(n1 AS HUGEINT) * n2 AS dlo,
+        |    20 * (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)
+        |      - CAST(n1 AS HUGEINT) * n2 AS dhi,
+        |    CAST(c1 AS HUGEINT) * (n1 - c1) * n2 * n2 * n2
+        |      + CAST(c2 AS HUGEINT) * (n2 - c2) * n1 * n1 * n1 AS v
+        |  FROM agg)
+        |SELECT n1, c1, n2, c2,
+        |  CAST(dlo AS BIGINT) AS d_lo_x20n, CAST(dhi AS BIGINT) AS d_hi_x20n,
+        |  n1 > 0 AND n2 > 0 AND v > 0 AND dlo > 0
+        |    AND dlo * dlo * n1 * n2 * 1000000 > 1082274400 * v
+        |    AS reject_lo,
+        |  n1 > 0 AND n2 > 0 AND v > 0 AND dhi < 0
+        |    AND dhi * dhi * n1 * n2 * 1000000 > 1082274400 * v
+        |    AS reject_hi,
+        |  n1 > 0 AND n2 > 0 AND v > 0 AND dlo > 0 AND dhi < 0
+        |    AND dlo * dlo * n1 * n2 * 1000000 > 1082274400 * v
+        |    AND dhi * dhi * n1 * n2 * 1000000 > 1082274400 * v
+        |    AS equivalent
+        |FROM t""".stripMargin) { (s, dir) =>
+      val d38 = "DECIMAL(38,0)"
+      val agg = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("p"))
+        .select((col("user_id") % 2).as("arm"),
+          when(col("p") > 13, 1L).otherwise(0L).as("cv"))
+        .agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("cv")).otherwise(0L)).as("c1"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("arm") === 1, col("cv")).otherwise(0L)).as("c2"))
+      agg.select(col("n1"), col("c1"), col("n2"), col("c2"),
+          expr(s"20 * (CAST(c1 AS $d38) * n2 - CAST(c2 AS $d38) * n1)" +
+            s" + CAST(n1 AS $d38) * n2").as("dlo"),
+          expr(s"20 * (CAST(c1 AS $d38) * n2 - CAST(c2 AS $d38) * n1)" +
+            s" - CAST(n1 AS $d38) * n2").as("dhi"),
+          expr(s"CAST(c1 AS $d38) * (n1 - c1) * n2 * n2 * n2" +
+            s" + CAST(c2 AS $d38) * (n2 - c2) * n1 * n1 * n1").as("v"))
+        .select(col("n1"), col("c1"), col("n2"), col("c2"),
+          col("dlo").cast("long").as("d_lo_x20n"),
+          col("dhi").cast("long").as("d_hi_x20n"),
+          expr("n1 > 0 AND n2 > 0 AND v > 0 AND dlo > 0" +
+            " AND dlo * dlo * n1 * n2 * 1000000 > 1082274400 * v")
+            .as("reject_lo"),
+          expr("n1 > 0 AND n2 > 0 AND v > 0 AND dhi < 0" +
+            " AND dhi * dhi * n1 * n2 * 1000000 > 1082274400 * v")
+            .as("reject_hi"),
+          expr("n1 > 0 AND n2 > 0 AND v > 0 AND dlo > 0 AND dhi < 0" +
+            " AND dlo * dlo * n1 * n2 * 1000000 > 1082274400 * v" +
+            " AND dhi * dhi * n1 * n2 * 1000000 > 1082274400 * v")
+            .as("equivalent"))
     },
 
     // Eventually-follows relation — process mining's second matrix
