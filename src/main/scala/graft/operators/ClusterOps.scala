@@ -867,6 +867,64 @@ object ClusterOps {
             .as("transitivity_ppm"))
     },
 
+    // Conductance of the LABEL partition over the k-NN graph — the
+    // cut-quality eval beside modularity (modularity rewards
+    // within-community density; conductance charges each class its
+    // boundary: cut(S)/min(vol(S), vol(V−S))). Measures how well the
+    // ANN graph respects the embedding classes — the graph-side twin
+    // of cluster_purity_nmi. Everything is exact integer edge
+    // counting off the symmetrized bounded k·n edge table (one join
+    // to the label map, one keyed fold, one 1-row broadcast total);
+    // the ppm division is integral.
+    QuerySpec.sql(
+      "graph_conductance",
+      s"""WITH sig AS (${SimilarityOps.quantizedSql}),
+         |knn AS (SELECT vec_id, nbr_id FROM (${SimilarityOps.knnEdgesSql(3)}) k),
+         |und AS (SELECT DISTINCT LEAST(vec_id, nbr_id) AS u,
+         |    GREATEST(vec_id, nbr_id) AS v FROM knn),
+         |sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         |lab AS (SELECT vec_id, label FROM sig),
+         |es AS (
+         |  SELECT la.label AS l, lb.label AS lo
+         |  FROM sym JOIN lab la ON la.vec_id = sym.u
+         |    JOIN lab lb ON lb.vec_id = sym.v),
+         |g AS (
+         |  SELECT l, CAST(COUNT(*) AS BIGINT) AS vol,
+         |    CAST(COALESCE(SUM(CASE WHEN lo <> l THEN 1 END), 0)
+         |      AS BIGINT) AS cut
+         |  FROM es GROUP BY 1),
+         |m AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS vol_total
+         |  FROM und)
+         |SELECT l AS label, vol, cut,
+         |  CAST(CASE WHEN LEAST(vol, vol_total - vol) > 0 THEN
+         |    cut * 1000000 // LEAST(vol, vol_total - vol) END
+         |    AS BIGINT) AS conductance_ppm
+         |FROM g, m
+         |ORDER BY label""".stripMargin) { (s, dir) =>
+      val und = undirectedEdges(s, dir)
+      val sym = und.unionByName(
+        und.select(col("v").as("u"), col("u").as("v")))
+      val lab = SimilarityOps.signatures(s, dir)
+        .select(col("vec_id"), col("label"))
+      val es = sym
+        .join(lab.select(col("vec_id").as("u"), col("label").as("l")),
+          Seq("u"))
+        .join(lab.select(col("vec_id").as("v"), col("label").as("lo")),
+          Seq("v"))
+      val g = es.groupBy(col("l"))
+        .agg(count(lit(1)).as("vol"),
+          coalesce(sum(when(col("lo") =!= col("l"), 1L)), lit(0L))
+            .as("cut"))
+      val m = und.agg((lit(2) * count(lit(1))).cast("long")
+        .as("vol_total"))
+      g.crossJoin(broadcast(m))
+        .select(col("l").as("label"), col("vol"), col("cut"),
+          expr("CAST(CASE WHEN LEAST(vol, vol_total - vol) > 0 THEN " +
+            "cut * 1000000 div LEAST(vol, vol_total - vol) END " +
+            "AS BIGINT)").as("conductance_ppm"))
+        .orderBy(col("label"))
+    },
+
     // Degree assortativity of the undirected k-NN graph: Pearson r
     // over edge-endpoint degree pairs, with each edge contributing
     // both orientations (the standard symmetric formulation, which

@@ -1267,6 +1267,108 @@ object Relational {
         .orderBy(col("digit"))
     },
 
+    // Population-stability-index drift monitor — the ML-monitoring
+    // number (PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref)) between the
+    // first and second half of each event type's value distribution,
+    // on a fixed 20-bucket grid (exact integer cents div 2500,
+    // clamped) with Laplace(+1) smoothing so empty buckets stay
+    // finite. Each bucket's ln ratio is micro-quantized through ONE
+    // shared expression (the feat_mutual_info discipline) and the
+    // (p_cur − p_ref) factor is cross-multiplied to an exact integer,
+    // so PSI is Σ(integer·integer) divided once — both engines sum
+    // identical BIGINTs. One fact pass to bucket counts; the grid
+    // overlay is |types|×20.
+    QuerySpec.sql(
+      "dq_psi_drift", {
+        val lnm = "CAST(CAST(ln(CAST(ccur + 1 AS DOUBLE)" +
+          " * CAST(nref + 20 AS DOUBLE)" +
+          " / (CAST(cref + 1 AS DOUBLE) * CAST(ncur + 20 AS DOUBLE)))" +
+          " AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+        s"""WITH c0 AS (
+           |  SELECT CAST(MIN(epoch_us(ts)) + (MAX(epoch_us(ts))
+           |    - MIN(epoch_us(ts))) // 2 AS BIGINT) AS mid
+           |  FROM events),
+           |e AS (
+           |  SELECT event_type,
+           |    CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END AS cur,
+           |    LEAST(19, GREATEST(0,
+           |      CAST(CAST(round(value * 100) AS BIGINT) // 2500
+           |        AS INT))) AS b
+           |  FROM events, c0),
+           |cnt AS (
+           |  SELECT event_type, b,
+           |    CAST(SUM(1 - cur) AS BIGINT) AS cref0,
+           |    CAST(SUM(cur) AS BIGINT) AS ccur0
+           |  FROM e GROUP BY 1, 2),
+           |tot AS (
+           |  SELECT event_type, CAST(SUM(cref0) AS BIGINT) AS nref,
+           |    CAST(SUM(ccur0) AS BIGINT) AS ncur
+           |  FROM cnt GROUP BY 1),
+           |grid AS (
+           |  SELECT event_type, CAST(gb AS INT) AS b FROM tot,
+           |    (SELECT UNNEST(range(0, 20)) AS gb) g),
+           |full0 AS (
+           |  SELECT g.event_type, g.b,
+           |    COALESCE(c.cref0, 0) AS cref, COALESCE(c.ccur0, 0) AS ccur
+           |  FROM grid g LEFT JOIN cnt c
+           |    ON c.event_type = g.event_type AND c.b = g.b),
+           |terms AS (
+           |  SELECT f.event_type,
+           |    ((f.ccur + 1) * (t.nref + 20)
+           |      - (f.cref + 1) * (t.ncur + 20)) * $lnm AS term,
+           |    t.nref, t.ncur
+           |  FROM full0 f JOIN tot t ON t.event_type = f.event_type)
+           |SELECT event_type, CAST(MAX(nref) AS BIGINT) AS n_ref,
+           |  CAST(MAX(ncur) AS BIGINT) AS n_cur,
+           |  CAST(SUM(term) // ((MAX(nref) + 20) * (MAX(ncur) + 20))
+           |    AS BIGINT) AS psi_micro,
+           |  CAST(SUM(term) // ((MAX(nref) + 20) * (MAX(ncur) + 20))
+           |    AS BIGINT) > 200000 AS drifted
+           |FROM terms GROUP BY 1
+           |ORDER BY 1""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val lnm = "CAST(CAST(ln(CAST(ccur + 1 AS DOUBLE)" +
+        " * CAST(nref + 20 AS DOUBLE)" +
+        " / (CAST(cref + 1 AS DOUBLE) * CAST(ncur + 20 AS DOUBLE)))" +
+        " AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+      val ev = Tables.events(s, dir)
+      val mid = ev.agg(expr("CAST(MIN(unix_micros(ts)) + " +
+        "(MAX(unix_micros(ts)) - MIN(unix_micros(ts))) div 2 " +
+        "AS BIGINT)").as("mid"))
+      val e = ev.crossJoin(broadcast(mid))
+        .select(col("event_type"),
+          (unix_micros(col("ts")) >= col("mid")).cast("int").as("cur"),
+          expr("LEAST(19, GREATEST(0, CAST(CAST(round(value * 100) " +
+            "AS BIGINT) div 2500 AS INT)))").as("b"))
+      val cnt = e.groupBy(col("event_type"), col("b"))
+        .agg(sum(lit(1) - col("cur")).cast("long").as("cref0"),
+          sum(col("cur")).cast("long").as("ccur0"))
+      val tot = cnt.groupBy(col("event_type"))
+        .agg(sum(col("cref0")).cast("long").as("nref"),
+          sum(col("ccur0")).cast("long").as("ncur"))
+      val grid = tot.select(col("event_type"))
+        .crossJoin(broadcast(Seq.range(0, 20).toDF("b")))
+      val full0 = grid.join(cnt, Seq("event_type", "b"), "left")
+        .select(col("event_type"), col("b"),
+          coalesce(col("cref0"), lit(0L)).as("cref"),
+          coalesce(col("ccur0"), lit(0L)).as("ccur"))
+      full0.join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("nref"), col("ncur"),
+          (((col("ccur") + 1) * (col("nref") + 20)
+            - (col("cref") + 1) * (col("ncur") + 20)) * expr(lnm))
+            .as("term"))
+        .groupBy(col("event_type"))
+        .agg(max(col("nref")).as("n_ref"), max(col("ncur")).as("n_cur"),
+          sum(col("term")).as("st"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          expr("CAST(st div ((n_ref + 20) * (n_cur + 20)) AS BIGINT)")
+            .as("psi_micro"),
+          (expr("CAST(st div ((n_ref + 20) * (n_cur + 20)) AS BIGINT)")
+            > 200000L).as("drifted"))
+        .orderBy(col("event_type"))
+    },
+
     // Data-quality audit (Deequ-style constraint report): referential
     // integrity, key uniqueness, and domain checks as ONE relation of
     // (check_name, checked, violations). Scale shape: every per-table
