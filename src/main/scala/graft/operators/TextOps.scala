@@ -984,6 +984,156 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ROC-AUC of the quality score — the model-eval number a scoring
+    // pipeline reports before its threshold ships: does the composite
+    // quality score actually discriminate the `en` class? AUC is the
+    // Mann-Whitney statistic in disguise, so it computes EXACTLY: the
+    // score folds to an integer micro-score per doc (one rational,
+    // floor-quantized identically in both engines), ranks come from
+    // the per-distinct-score histogram through the range-partitioned
+    // two-pass PrefixSum (tie-averaged, ×2-scaled — no global-sort
+    // window), and AUC_micro = U₁ₓ₂·10⁶ div (2·n₊·n₋) is an exact
+    // integer. Headroom to ~3·10⁹ docs per class before the product
+    // needs HUGEINT.
+    QuerySpec.sql(
+      "eval_score_auc",
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+         |    CAST(SUM(CASE WHEN tok IN ${inList(langMarkers.head._2)}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         |    COUNT(DISTINCT tok) AS n_distinct
+         |  FROM (SELECT doc_id, lang,
+         |      unnest(string_split(text, ' ')) AS tok
+         |    FROM documents) t
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         |    CAST((3 * n_stop + 7 * n_distinct) * 1000000
+         |      // (10 * n_tokens) AS BIGINT) AS score
+         |  FROM q),
+         |s AS (
+         |  SELECT score, CAST(SUM(pos) AS BIGINT) AS c1,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM sc GROUP BY 1),
+         |r AS (SELECT score, c1, c,
+         |    COALESCE(SUM(c) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cumb
+         |  FROM s),
+         |agg AS (SELECT
+         |    CAST(SUM(c1) AS BIGINT) AS n1,
+         |    CAST(SUM(c - c1) AS BIGINT) AS n2,
+         |    CAST(SUM(c1 * (2 * cumb + c + 1)) AS BIGINT) AS r1_x2
+         |  FROM r)
+         |SELECT n1 AS n_pos, n2 AS n_neg,
+         |  CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+         |  CAST((r1_x2 - n1 * (n1 + 1)) * 1000000 // (2 * n1 * n2)
+         |    AS BIGINT) AS auc_micro
+         |FROM agg""".stripMargin) { (s, dir) =>
+      import graft.functions.PrefixSum
+      val hist = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          split(col("text"), " ").as("ts"))
+        .select(
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          expr(s"CAST(size(filter(ts, t -> t IN " +
+            s"${inList(langMarkers.head._2)})) AS BIGINT)").as("n_stop"),
+          size(array_distinct(col("ts"))).cast("long").as("n_distinct"))
+        .select(col("pos"),
+          expr("CAST((3 * n_stop + 7 * n_distinct) * 1000000 div " +
+            "(10 * n_tokens) AS BIGINT)").as("score"))
+        .groupBy(col("score"))
+        .agg(sum(col("pos")).as("c1"), count(lit(1)).as("c"))
+      PrefixSum.globalCumsum(hist, Seq(col("score")), col("c"), "cum")
+        .withColumn("cumb", col("cum") - col("c"))
+        .agg(sum(col("c1")).cast("long").as("n1"),
+          sum(col("c") - col("c1")).cast("long").as("n2"),
+          sum(col("c1") * (lit(2) * col("cumb") + col("c") + lit(1)))
+            .cast("long").as("r1_x2"))
+        .select(col("n1").as("n_pos"), col("n2").as("n_neg"),
+          expr("CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT)").as("u1_x2"),
+          expr("CAST((r1_x2 - n1 * (n1 + 1)) * 1000000 div " +
+            "(2 * n1 * n2) AS BIGINT)").as("auc_micro"))
+    },
+
+    // Precision/recall/F1 CURVE over the same integer quality score —
+    // the threshold-picking readout beside eval_score_auc's
+    // ranking-quality number. Nine fixed micro-score thresholds
+    // overlay the per-distinct-score histogram (never the docs) as a
+    // broadcast grid; each point's P/R/F1 is an exact integer ppm
+    // (F1 = 2TP/(pred+pos) — no float harmonic mean). The expensive
+    // pass (tokenize + score) happens once; the curve costs a
+    // |scores|×9 overlay.
+    QuerySpec.sql(
+      "eval_pr_curve",
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+         |    CAST(SUM(CASE WHEN tok IN ${inList(langMarkers.head._2)}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         |    COUNT(DISTINCT tok) AS n_distinct
+         |  FROM (SELECT doc_id, lang,
+         |      unnest(string_split(text, ' ')) AS tok
+         |    FROM documents) t
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         |    CAST((3 * n_stop + 7 * n_distinct) * 1000000
+         |      // (10 * n_tokens) AS BIGINT) AS score
+         |  FROM q),
+         |s AS (
+         |  SELECT score, CAST(SUM(pos) AS BIGINT) AS c1,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM sc GROUP BY 1),
+         |np AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_pos FROM s),
+         |g AS (SELECT CAST(k * 100000 AS BIGINT) AS thr
+         |  FROM (SELECT UNNEST(range(1, 10)) AS k) kk),
+         |p AS (
+         |  SELECT thr, CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS tp,
+         |    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS pred
+         |  FROM g LEFT JOIN s ON s.score >= g.thr GROUP BY 1)
+         |SELECT thr AS threshold_micro, tp, pred AS n_predicted, n_pos,
+         |  CAST(CASE WHEN pred > 0 THEN tp * 1000000 // pred END
+         |    AS BIGINT) AS precision_ppm,
+         |  CAST(CASE WHEN n_pos > 0 THEN tp * 1000000 // n_pos END
+         |    AS BIGINT) AS recall_ppm,
+         |  CAST(CASE WHEN pred + n_pos > 0 THEN
+         |    2 * tp * 1000000 // (pred + n_pos) END AS BIGINT) AS f1_ppm
+         |FROM p, np ORDER BY threshold_micro""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val hist = docs(s, dir)
+        .select(col("lang"), split(col("text"), " ").as("ts"))
+        .select(
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          expr(s"CAST(size(filter(ts, t -> t IN " +
+            s"${inList(langMarkers.head._2)})) AS BIGINT)").as("n_stop"),
+          size(array_distinct(col("ts"))).cast("long").as("n_distinct"))
+        .select(col("pos"),
+          expr("CAST((3 * n_stop + 7 * n_distinct) * 1000000 div " +
+            "(10 * n_tokens) AS BIGINT)").as("score"))
+        .groupBy(col("score"))
+        .agg(sum(col("pos")).as("c1"), count(lit(1)).as("c"))
+      val histM = Materialize.stable(hist)
+      val np = histM.agg(sum(col("c1")).cast("long").as("n_pos"))
+      val g = Seq.range(1, 10).map(_ * 100000L).toDF("thr")
+      histM.join(broadcast(g), col("score") >= col("thr"), "right")
+        .groupBy(col("thr").as("threshold_micro"))
+        .agg(coalesce(sum(col("c1")), lit(0L)).cast("long").as("tp"),
+          coalesce(sum(col("c")), lit(0L)).cast("long").as("pred"))
+        .crossJoin(broadcast(np))
+        .select(col("threshold_micro"), col("tp"),
+          col("pred").as("n_predicted"), col("n_pos"),
+          expr("CAST(CASE WHEN pred > 0 THEN tp * 1000000 div pred " +
+            "END AS BIGINT)").as("precision_ppm"),
+          expr("CAST(CASE WHEN n_pos > 0 THEN tp * 1000000 div n_pos " +
+            "END AS BIGINT)").as("recall_ppm"),
+          expr("CAST(CASE WHEN pred + n_pos > 0 THEN " +
+            "2 * tp * 1000000 div (pred + n_pos) END AS BIGINT)")
+            .as("f1_ppm"))
+        .orderBy(col("threshold_micro"))
+    },
+
     // Per-source quality calibration: the raw quality score's
     // percentile WITHIN its source — the normalization that makes a
     // "keep the top X%" cut comparable across domains whose raw score
