@@ -940,6 +940,38 @@ object FeatureOps {
         .orderBy(col("fold"))
     },
 
+    // GROUP k-fold (k = 3) — the leakage-safe split sample_kfold is
+    // not: when near-duplicate documents cluster inside a SOURCE,
+    // doc-level folds leak train data into validation; group k-fold
+    // assigns the whole source to one fold (fold = md5(source) — the
+    // standard sklearn GroupKFold contract, hash-deterministic here).
+    // The audit output is per fold: sources, docs, token mass, and
+    // the en-share (class balance) — the skew a grouped split trades
+    // for leak-freedom, made visible in exact ppm.
+    QuerySpec.sql(
+      "sample_group_kfold",
+      """SELECT CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 3
+        |    AS fold,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS en_ppm
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(pmod(graft.functions.Md5Prefix.md5_prefix_long(
+          col("source")), lit(3L)).as("fold"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long"))
+            .as("n_tokens"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ne"))
+        .select(col("fold"), col("n_sources"), col("n_docs"),
+          col("n_tokens"),
+          expr("CAST(ne * 1000000 div n_docs AS BIGINT)").as("en_ppm"))
+        .orderBy(col("fold"))
+    },
+
     // Class-balanced sampling: exactly k = 40 vectors per label, the
     // per-class budget every classifier-training pipeline draws.
     // Selection order is the portable md5 hash of the id (uniform,

@@ -3529,6 +3529,79 @@ object TimeSeriesOps {
             > 2.3719).as("significant"))
     },
 
+    // Growth accounting — the weekly user-lifecycle ledger (new /
+    // retained / resurrected / churned) every product-analytics
+    // review opens with, and the decomposition cohort_retention's
+    // single diagonal can't give: active(w) = new + retained +
+    // resurrected, and churned(w) counts last week's actives who went
+    // dark. One distinct to (user, week) grain, one keyed LAG/LEAD
+    // window per user, exact integer counts per week. Churned rows
+    // ride the NEXT week's label (the week they became churned), so
+    // the four series reconcile: active(w−1) = retained(w) +
+    // churned(w).
+    QuerySpec.sql(
+      "events_user_lifecycle",
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(date_trunc('week', ts) AS DATE)) // 7 AS BIGINT)
+        |      AS wk
+        |  FROM events),
+        |lw AS (
+        |  SELECT user_id, wk,
+        |    LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS pw,
+        |    LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nw
+        |  FROM uw),
+        |states AS (
+        |  SELECT wk,
+        |    CASE WHEN pw IS NULL THEN 'new'
+        |      WHEN pw = wk - 1 THEN 'retained'
+        |      ELSE 'resurrected' END AS state
+        |  FROM lw
+        |  UNION ALL
+        |  SELECT wk + 1, 'churned'
+        |  FROM lw WHERE nw IS NULL OR nw > wk + 1)
+        |SELECT wk AS week,
+        |  CAST(COALESCE(SUM(CASE WHEN state = 'new' THEN 1 END), 0)
+        |    AS BIGINT) AS n_new,
+        |  CAST(COALESCE(SUM(CASE WHEN state = 'retained' THEN 1 END), 0)
+        |    AS BIGINT) AS n_retained,
+        |  CAST(COALESCE(SUM(CASE WHEN state = 'resurrected' THEN 1 END),
+        |    0) AS BIGINT) AS n_resurrected,
+        |  CAST(COALESCE(SUM(CASE WHEN state = 'churned' THEN 1 END), 0)
+        |    AS BIGINT) AS n_churned
+        |FROM states GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val uw = events(s, dir)
+        .select(col("user_id"),
+          expr("CAST(datediff(date_trunc('week', ts), " +
+            "DATE '1970-01-01') div 7 AS BIGINT)").as("wk"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+      val lw = uw
+        .withColumn("pw", lag(col("wk"), 1).over(w))
+        .withColumn("nw", lead(col("wk"), 1).over(w))
+      val active = lw.select(col("wk"),
+        when(col("pw").isNull, "new")
+          .when(col("pw") === col("wk") - 1, "retained")
+          .otherwise("resurrected").as("state"))
+      val churned = lw
+        .filter(col("nw").isNull || col("nw") > col("wk") + 1)
+        .select((col("wk") + 1).as("wk"), lit("churned").as("state"))
+      active.union(churned)
+        .groupBy(col("wk").as("week"))
+        .agg(
+          coalesce(sum(when(col("state") === "new", 1L)), lit(0L))
+            .as("n_new"),
+          coalesce(sum(when(col("state") === "retained", 1L)), lit(0L))
+            .as("n_retained"),
+          coalesce(sum(when(col("state") === "resurrected", 1L)),
+            lit(0L)).as("n_resurrected"),
+          coalesce(sum(when(col("state") === "churned", 1L)), lit(0L))
+            .as("n_churned"))
+        .orderBy(col("week"))
+    },
+
     // Inter-event gap HISTOGRAM — the distribution behind
     // w4_avg_event_gap's single mean: per-user consecutive gaps,
     // log₁₀-bucketed by the gap's DECIMAL DIGIT COUNT (the string
