@@ -287,7 +287,12 @@ object SimilarityOps {
     * operator (over #cells ≈ √n rows at scale) — no window. Shared by
     * the IVF probe search and the IVF-PQ composition in [[PqOps]].
     */
-  private[operators] def cellProbes(s: SparkSession, dir: String): DataFrame = {
+  /** Per-query cells ranked by centroid cosine: (qid, label,
+    * cell_rank ≤ k) — the probe-order table [[cellProbes]] truncates
+    * to [[Probes]] and sim_probe_sweep reads at every depth.
+    */
+  private def rankedCells(s: SparkSession, dir: String, k: Int)
+      : DataFrame = {
       val base = signatures(s, dir)
       val dims = base
         .select(col("label"), posexplode(col("qv")).as(Seq("pos0", "v")))
@@ -302,15 +307,18 @@ object SimilarityOps {
       val q = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("qv").as("qa"),
           col("norm2").as("qn"))
-      TopKPerKey.topK(
+      TopKPerKey.topKRanked(
           q.crossJoin(broadcast(cent))
             .withColumn("cell_cos",
               dot_long(col("qa"), col("cvec")).cast("double") /
                 (sqrt(col("qn").cast("double")) * sqrt(col("cnorm2").cast("double"))))
             .select(col("qid"), col("label"), col("cell_cos")),
-          Seq("qid"), Seq("cell_cos" -> true, "label" -> false), Probes)
-        .select(col("qid"), col("label"))
+          Seq("qid"), Seq("cell_cos" -> true, "label" -> false), k,
+          "cell_rank")
   }
+
+  private[operators] def cellProbes(s: SparkSession, dir: String): DataFrame =
+    rankedCells(s, dir, Probes).select(col("qid"), col("label"))
 
   /** IVF multi-probe search plan (see the sim_ivf_probe spec). */
   private def probeTopk(s: SparkSession, dir: String): DataFrame = {
@@ -1120,6 +1128,81 @@ object SimilarityOps {
           expr("CAST(COALESCE(1000000 div minr, 0) AS BIGINT)")
             .as("rr_ppm"))
         .orderBy(col("qid"))
+    },
+
+    // Probe-count SWEEP — the INDEX-side tuning curve beside
+    // sim_recall_curve's retrieval-side one: recall@5 as a function
+    // of how many cells the IVF search probes (the knob that trades
+    // scan cost for recall — the number an index operator reads
+    // before setting nprobe). Candidates materialize ONCE at the
+    // deepest probe depth carrying their cell_rank; each shallower
+    // depth is a filter + per-(depth, query) heap top-5 (the custom
+    // TopKPerKey plan keyed by (p, qid) — no re-search, no window),
+    // and macro recall is the exact integer ppm.
+    QuerySpec.sql(
+      "sim_probe_sweep",
+      s"""WITH sig AS ($quantizedSql),
+         |$probeCteChain,
+         |cand AS (
+         |  SELECT q.qid, r.cell_rank, s.vec_id AS vid,
+         |    list_dot_product(q.qa, s.qv)
+         |      / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(s.norm2 AS DOUBLE)))
+         |      AS cos
+         |  FROM qprobe q
+         |  JOIN rankedcells r ON r.qid = q.qid AND r.cell_rank <= 3
+         |  JOIN sig s ON s.label = r.label AND s.vec_id <> q.qid),
+         |ps AS (SELECT UNNEST([1, 2, 3]) AS p),
+         |sel AS (
+         |  SELECT p, qid, vid FROM (
+         |    SELECT ps.p, c.qid, c.vid,
+         |      ROW_NUMBER() OVER (PARTITION BY ps.p, c.qid
+         |        ORDER BY c.cos DESC, c.vid) AS rnk
+         |    FROM cand c JOIN ps ON c.cell_rank <= ps.p) z
+         |  WHERE rnk <= 5),
+         |brute AS (${topkSql("")}),
+         |nq AS (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n
+         |  FROM brute)
+         |SELECT p AS probes, n AS n_queries,
+         |  CAST(COALESCE(SUM(CASE WHEN b.vid IS NOT NULL THEN 1 END),
+         |    0) AS BIGINT) AS hits,
+         |  CAST(COALESCE(SUM(CASE WHEN b.vid IS NOT NULL THEN 1 END),
+         |    0) * 1000000 // (5 * n) AS BIGINT) AS recall_ppm
+         |FROM sel
+         |LEFT JOIN brute b ON b.qid = sel.qid AND b.vid = sel.vid
+         |CROSS JOIN nq
+         |GROUP BY p, n ORDER BY p""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val base = signatures(s, dir)
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("qa"),
+          col("norm2").as("qn"))
+      val cand = broadcast(q)
+        .join(broadcast(rankedCells(s, dir, 3)), Seq("qid"))
+        .join(base.select(col("vec_id").as("vid"), col("label"),
+          col("qv").as("qb"), col("norm2").as("c_norm2")), Seq("label"))
+        .filter(col("qid") =!= col("vid"))
+        .withColumn("cos",
+          dot_long(col("qa"), col("qb")).cast("double") /
+            (sqrt(col("qn").cast("double")) *
+              sqrt(col("c_norm2").cast("double"))))
+        .select(col("qid"), col("cell_rank"), col("vid"), col("cos"))
+      val sel = TopKPerKey.topK(
+        cand.join(broadcast(Seq(1, 2, 3).toDF("p")),
+          col("cell_rank") <= col("p"))
+          .select(col("p"), col("qid"), col("vid"), col("cos")),
+        Seq("p", "qid"), Seq("cos" -> true, "vid" -> false), 5)
+      val brute = topk(s, dir, sameCell = false)
+        .select(col("qid"), col("vid"), lit(1).as("hit"))
+      val nq = topk(s, dir, sameCell = false)
+        .agg(countDistinct(col("qid")).as("n"))
+      sel.join(brute, Seq("qid", "vid"), "left")
+        .crossJoin(broadcast(nq))
+        .groupBy(col("p").as("probes"), col("n"))
+        .agg(coalesce(sum(col("hit")), lit(0L)).cast("long").as("hits"))
+        .select(col("probes"), col("n").as("n_queries"), col("hits"),
+          expr("CAST(hits * 1000000 div (5 * n) AS BIGINT)")
+            .as("recall_ppm"))
+        .orderBy(col("probes"))
     },
 
     // Recall@k CURVE of the multi-probe IVF search — recall at a
