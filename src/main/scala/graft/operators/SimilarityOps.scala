@@ -287,6 +287,51 @@ object SimilarityOps {
     * operator (over #cells ≈ √n rows at scale) — no window. Shared by
     * the IVF probe search and the IVF-PQ composition in [[PqOps]].
     */
+  /** Shared top-PC state for emb_top_pc and emb_pc_variance_ratio:
+    * ONE distributed pass folds the exact integer scatter statistics;
+    * the power iteration then runs on the driver over the 4096-entry
+    * C in exact BigInt arithmetic (the MLlib-RowMatrix discipline —
+    * Gram matrix to the driver, local eigensolve; same bounded
+    * round-trip budget as k-center/BPE argmax). sign·(|u|·1e6/m) on
+    * nonnegative operands makes BigInt truncation ≡ HUGEINT floor, so
+    * the driver math mirrors the oracle bit-for-bit. Returns (dims,
+    * converged integer-micro vector, centered covariance ×n²).
+    */
+  private def topPcState(s: SparkSession, dir: String)
+      : (Seq[Long], Map[Long, BigInt], Map[(Long, Long), BigInt]) = {
+    val xr = signatures(s, dir).select(col("qv"))
+      .select(posexplode(col("qv")).as(Seq("p", "xi")), col("qv"))
+      .select((col("p") + 1).cast("long").as("i"), col("xi"), col("qv"))
+    val sxxMap = xr
+      .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("q", "xj")))
+      .groupBy(col("i"), (col("q") + 1).cast("long").as("j"))
+      .agg(sum(col("xi") * col("xj")).cast("long").as("sxx"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    val sxRows = xr.groupBy(col("i"))
+      .agg(sum(col("xi")).cast("long").as("sx"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dims = sxRows.map(_._1).sorted.toSeq
+    val sxMap = sxRows.map(r => r._1 -> r._2).toMap
+    val nRows = BigInt(sxRows.head._3)
+    val c: Map[(Long, Long), BigInt] = sxxMap.map { case ((i, j), sxx) =>
+      (i, j) -> (nRows * BigInt(sxx) - BigInt(sxMap(i)) * BigInt(sxMap(j)))
+    }
+    val scale = BigInt(1000000)
+    var v: Map[Long, BigInt] = dims.map(_ -> scale).toMap
+    for (_ <- 1 to PcRounds) {
+      val u = dims.map(i =>
+        i -> dims.map(j => c((i, j)) * v(j)).sum).toMap
+      val m = u.values.map(_.abs).max
+      v = u.map { case (i, ui) =>
+        i -> (if (m == 0) BigInt(0)
+              else if (ui < 0) -((-ui * scale) / m)
+              else (ui * scale) / m)
+      }
+    }
+    (dims, v, c)
+  }
+
   /** Per-query cells ranked by centroid cosine: (qid, label,
     * cell_rank ≤ k) — the probe-order table [[cellProbes]] truncates
     * to [[Probes]] and sim_probe_sweep reads at every depth.
@@ -1526,47 +1571,68 @@ object SimilarityOps {
           }.mkString(",\n")}
          |SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_micros
          |FROM v$PcRounds ORDER BY dim""".stripMargin) { (s, dir) =>
-      // ONE distributed pass folds the scatter statistics; the
-      // iteration then runs on the driver over the 4096-entry C in
-      // exact BigInt arithmetic (the MLlib-RowMatrix discipline —
-      // Gram matrix to the driver, local eigensolve; same bounded
-      // round-trip budget as k-center/BPE argmax). sign·(|u|·1e6/m)
-      // on nonnegative operands makes BigInt truncation ≡ HUGEINT
-      // floor, so the driver math mirrors the oracle bit-for-bit.
-      val xr = signatures(s, dir).select(col("qv"))
-        .select(posexplode(col("qv")).as(Seq("p", "xi")), col("qv"))
-        .select((col("p") + 1).cast("long").as("i"), col("xi"), col("qv"))
-      val sxxMap = xr
-        .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("q", "xj")))
-        .groupBy(col("i"), (col("q") + 1).cast("long").as("j"))
-        .agg(sum(col("xi") * col("xj")).cast("long").as("sxx"))
-        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
-        .toMap
-      val sxRows = xr.groupBy(col("i"))
-        .agg(sum(col("xi")).cast("long").as("sx"), count(lit(1)).as("n"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      val dims = sxRows.map(_._1).sorted
-      val sxMap = sxRows.map(r => r._1 -> r._2).toMap
-      val nRows = BigInt(sxRows.head._3)
-      val c: Map[(Long, Long), BigInt] = sxxMap.map { case ((i, j), sxx) =>
-        (i, j) -> (nRows * BigInt(sxx) - BigInt(sxMap(i)) * BigInt(sxMap(j)))
-      }
-      val scale = BigInt(1000000)
-      var v: Map[Long, BigInt] = dims.map(_ -> scale).toMap
-      for (_ <- 1 to PcRounds) {
-        val u = dims.map(i =>
-          i -> dims.map(j => c((i, j)) * v(j)).sum).toMap
-        val m = u.values.map(_.abs).max
-        v = u.map { case (i, ui) =>
-          i -> (if (m == 0) BigInt(0)
-                else if (ui < 0) -((-ui * scale) / m)
-                else (ui * scale) / m)
-        }
-      }
+      val (dims, v, _) = topPcState(s, dir)
       import s.implicits._
       dims.map(i => (i, v(i).toLong)).toSeq
         .toDF("dim", "v_micros")
         .orderBy(col("dim"))
+    },
+
+    // Explained-variance share of that top component — the number
+    // that says whether ONE direction captures the embedding cloud
+    // (anisotropy: a known pathology of LM embeddings) or the
+    // variance is spread: Rayleigh quotient over trace,
+    // (vᵀCv / vᵀv) / tr(C), computed entirely in exact BigInt/HUGEINT
+    // over the SAME scatter matrix and converged integer-micro vector
+    // as emb_top_pc (shared one-pass fold; no new corpus scan), one
+    // integral ppm division at the end.
+    QuerySpec.sql(
+      "emb_pc_variance_ratio",
+      s"""WITH sig AS ($quantizedSql),
+         |x AS (SELECT vec_id, i, qv[i] AS xi
+         |  FROM sig, UNNEST(generate_series(1, len(qv))) u(i)),
+         |sxx AS (SELECT a.i AS i, b.i AS j,
+         |    CAST(SUM(a.xi * b.xi) AS BIGINT) AS sxx
+         |  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+         |sx AS (SELECT i, CAST(SUM(xi) AS BIGINT) AS sx FROM x GROUP BY 1),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sig),
+         |cm AS (SELECT s.i, s.j,
+         |    CAST(n AS HUGEINT) * s.sxx - CAST(xa.sx AS HUGEINT) * xb.sx
+         |      AS c
+         |  FROM sxx s JOIN sx xa ON xa.i = s.i JOIN sx xb ON xb.i = s.j
+         |  CROSS JOIN nn),
+         |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM sx),
+         |${(1 to PcRounds).map { r =>
+            s"""u$r AS (SELECT cm.i, SUM(cm.c * w.v) AS u
+               |  FROM cm JOIN v${r - 1} w ON w.i = cm.j GROUP BY 1),
+               |m$r AS (SELECT MAX(ABS(u)) AS m FROM u$r),
+               |v$r AS (SELECT i,
+               |    CASE WHEN m = 0 THEN CAST(0 AS HUGEINT)
+               |      WHEN u < 0 THEN -((-u * 1000000) // m)
+               |      ELSE (u * 1000000) // m END AS v
+               |  FROM u$r CROSS JOIN m$r)""".stripMargin
+          }.mkString(",\n")},
+         |rq AS (SELECT SUM(cm.c * va.v * vb.v) AS rq
+         |  FROM cm JOIN v$PcRounds va ON va.i = cm.i
+         |  JOIN v$PcRounds vb ON vb.i = cm.j),
+         |vv AS (SELECT SUM(v * v) AS vv FROM v$PcRounds),
+         |tr AS (SELECT SUM(c) AS tr FROM cm WHERE i = j)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sx) AS n_dims,
+         |  CAST(CASE WHEN vv > 0 AND tr > 0 THEN
+         |    rq * 1000000 // (vv * tr) END AS BIGINT) AS explained_ppm
+         |FROM rq, vv, tr""".stripMargin) { (s, dir) =>
+      val (dims, v, c) = topPcState(s, dir)
+      val rq = (for (i <- dims; j <- dims) yield c((i, j)) * v(i) * v(j))
+        .sum
+      val vv = dims.map(i => v(i) * v(i)).sum
+      val tr = dims.map(i => c((i, i))).sum
+      val explained =
+        if (vv > 0 && tr > 0)
+          Some((rq * BigInt(1000000) / (vv * tr)).toLong)
+        else Option.empty[Long]
+      import s.implicits._
+      Seq((dims.length.toLong, explained))
+        .toDF("n_dims", "explained_ppm")
     },
 
     // Retrieve→rerank over the JL projection (the FOURTH index family
