@@ -667,6 +667,97 @@ object Relational {
         .orderBy(col("abc"))
     },
 
+    // ABC × XYZ matrix — the full inventory-policy grid (ABC ranks
+    // revenue share; XYZ grades demand VARIABILITY: X steady, Y
+    // swinging, Z erratic). One lineitem scan folds to (part, month)
+    // grain; revenue classes reuse the PrefixSum cumsum discipline of
+    // parts_abc_analysis, and the coefficient-of-variation classes
+    // clear all division/sqrt by cross-multiplying CV² = (M·Q − S²)/S²
+    // against ¼ and 1 over the part's ACTIVE months (TPC-H demand is
+    // sparse — a global month denominator would grade everything
+    // erratic; periods-since-first-sale is the standard practice, and
+    // a single-month history is graded Z by policy). Every
+    // boundary decided on exact integers; output is the 9-cell matrix
+    // with per-cell part counts and revenue mass.
+    QuerySpec.sql(
+      "parts_abc_xyz_matrix",
+      """WITH pm AS (
+        |  SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |      AS BIGINT) AS r_pm,
+        |    CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT))
+        |      AS BIGINT) AS q_pm
+        |  FROM lineitem GROUP BY 1, 2),
+        |rev AS (SELECT l_partkey, CAST(SUM(r_pm) AS BIGINT) AS r
+        |  FROM pm GROUP BY 1),
+        |c AS (
+        |  SELECT l_partkey, r,
+        |    SUM(CAST(r AS DECIMAL(38,0))) OVER (ORDER BY r DESC,
+        |      l_partkey ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum
+        |  FROM rev),
+        |t AS (SELECT CAST(SUM(CAST(r AS DECIMAL(38,0)))
+        |    AS DECIMAL(38,0)) AS tot FROM rev),
+        |abc AS (
+        |  SELECT l_partkey, r,
+        |    CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+        |      WHEN cum * 20 <= tot * 19 THEN 'B' ELSE 'C' END AS abc
+        |  FROM c, t),
+        |st AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS nm,
+        |    CAST(SUM(q_pm) AS BIGINT) AS sq,
+        |    CAST(SUM(q_pm * q_pm) AS BIGINT) AS qq
+        |  FROM pm GROUP BY 1),
+        |xyz AS (
+        |  SELECT l_partkey,
+        |    CASE WHEN nm < 2 THEN 'Z'
+        |      WHEN 4 * (nm * qq - sq * sq) <= sq * sq THEN 'X'
+        |      WHEN nm * qq - sq * sq <= sq * sq THEN 'Y'
+        |      ELSE 'Z' END AS xyz
+        |  FROM st)
+        |SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(r) AS BIGINT) AS class_revenue_e4
+        |FROM abc JOIN xyz USING (l_partkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val pm = graft.functions.Materialize.stable(
+        t(s, dir, "lineitem")
+          .groupBy(col("l_partkey"),
+            date_trunc("month", col("l_shipdate")).as("m"))
+          .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+            .cast("long").as("r_pm"),
+            sum(expr("CAST(round(l_quantity * 100) AS BIGINT)"))
+              .cast("long").as("q_pm")))
+      val rev = pm.groupBy(col("l_partkey"))
+        .agg(sum(col("r_pm")).cast("long").as("r"))
+      val c = graft.functions.PrefixSum.globalCumsum(
+        rev, Seq(col("r").desc, col("l_partkey")),
+        col("r").cast("decimal(38,0)"), "cum")
+      val tot = rev.agg(sum(col("r").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("tot"))
+      val abc = c.crossJoin(broadcast(tot))
+        .select(col("l_partkey"), col("r"),
+          when(col("cum") * 5 <= col("tot") * 4, "A")
+            .when(col("cum") * 20 <= col("tot") * 19, "B")
+            .otherwise("C").as("abc"))
+      val xyz = pm.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("nm"),
+          sum(col("q_pm")).cast("long").as("sq"),
+          sum(col("q_pm") * col("q_pm")).cast("long").as("qq"))
+        .select(col("l_partkey"),
+          when(col("nm") < 2, "Z")
+            .when(lit(4) * (col("nm") * col("qq") - col("sq") * col("sq"))
+              <= col("sq") * col("sq"), "X")
+            .when(col("nm") * col("qq") - col("sq") * col("sq")
+              <= col("sq") * col("sq"), "Y")
+            .otherwise("Z").as("xyz"))
+      abc.join(xyz, Seq("l_partkey"))
+        .groupBy(col("abc"), col("xyz"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("r")).cast("long").as("class_revenue_e4"))
+        .orderBy(col("abc"), col("xyz"))
+    },
+
     // CDC apply — the Debezium-consumer core: a change log of
     // upserts and deletes collapses to final table state by
     // last-writer-wins per key ((ts, event_id) total order; a
