@@ -667,6 +667,53 @@ object Relational {
         .orderBy(col("abc"))
     },
 
+    // Discount elasticity — per-brand OLS of quantity on the discount
+    // percent: does discounting this brand actually move volume, and
+    // how much per point? Reuses the [[TimeSeriesOps.LinReg]]
+    // bit-exact contract verbatim (exact integer x-sums, decimal-exact
+    // y-sums, identical IEEE op order for the closed form); the
+    // regressor domain is the 11-value discount grid, so sxx never
+    // strains. One fact scan + broadcast part dim + one keyed
+    // aggregate per brand.
+    QuerySpec.sql(
+      "orders_discount_elasticity",
+      s"""WITH pts AS (
+         |  SELECT p.p_brand, CAST(round(l.l_discount * 100) AS BIGINT)
+         |      AS x,
+         |    l.l_quantity AS value
+         |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+         |s AS (
+         |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    ${dsumSql("value")} AS sy,
+         |    ${dsumSql("value * x")} AS sxy,
+         |    ${dsumSql("value * value")} AS syy
+         |  FROM pts GROUP BY 1)
+         |SELECT p_brand, n, ${TimeSeriesOps.LinReg.slope} AS qty_per_pt,
+         |  ${TimeSeriesOps.LinReg.intercept} AS base_qty,
+         |  ${TimeSeriesOps.LinReg.r2} AS r2
+         |FROM s ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("p_brand"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("x"),
+          col("l_quantity").as("value"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          dsum(col("value")).as("sy"),
+          dsum(col("value") * col("x")).as("sxy"),
+          dsum(col("value") * col("value")).as("syy"))
+        .select(col("p_brand"), col("n"),
+          expr(TimeSeriesOps.LinReg.slope).as("qty_per_pt"),
+          expr(TimeSeriesOps.LinReg.intercept).as("base_qty"),
+          expr(TimeSeriesOps.LinReg.r2).as("r2"))
+        .orderBy(col("p_brand"))
+    },
+
     // ABC × XYZ matrix — the full inventory-policy grid (ABC ranks
     // revenue share; XYZ grades demand VARIABILITY: X steady, Y
     // swinging, Z erratic). One lineitem scan folds to (part, month)
@@ -1356,6 +1403,61 @@ object Relational {
           expr(chi2).cast("decimal(18,6)").cast("double")
             .as("chi2_part"))
         .orderBy(col("digit"))
+    },
+
+    // Column-entropy profile — the information-content line the
+    // dq_column_profile's distinct counts can't give: a column with a
+    // thousand distinct values that is 99% one value carries ~no
+    // information (H ≈ 0), one that is uniform carries ln(k).
+    // H = ln(n) − Σc·ln(c)/n with every ln micro-quantized through
+    // the shared expression (feat_mutual_info discipline) and the
+    // weighted sum an exact BIGINT; the uniformity ratio H/ln(k) is
+    // one integral ppm division. Three columns profile in one stacked
+    // scan → value-domain cells.
+    QuerySpec.sql(
+      "dq_column_entropy", {
+        def lnm(e: String) = s"CAST(CAST(ln(CAST($e AS DOUBLE)) " +
+          s"AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+        s"""WITH vals AS (
+           |  SELECT 'priority' AS feat, o_orderpriority AS v FROM orders
+           |  UNION ALL
+           |  SELECT 'status', o_orderstatus FROM orders
+           |  UNION ALL
+           |  SELECT 'month', CAST(month(o_orderdate) AS VARCHAR)
+           |  FROM orders),
+           |cells AS (SELECT feat, v, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM vals GROUP BY 1, 2),
+           |nn AS (SELECT feat, CAST(SUM(c) AS BIGINT) AS n,
+           |    CAST(COUNT(*) AS BIGINT) AS k,
+           |    CAST(SUM(c * ${lnm("c")}) AS BIGINT) AS s
+           |  FROM cells GROUP BY 1)
+           |SELECT feat AS feature, n, k AS n_distinct,
+           |  CAST(${lnm("n")} - s // n AS BIGINT) AS entropy_micro,
+           |  CAST(CASE WHEN k > 1 THEN
+           |    (${lnm("n")} - s // n) * 1000000 // ${lnm("k")} END
+           |    AS BIGINT) AS uniformity_ppm
+           |FROM nn ORDER BY feature""".stripMargin
+      }) { (s, dir) =>
+      def lnm(e: String) = s"CAST(CAST(ln(CAST($e AS DOUBLE)) " +
+        s"AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+      val cells = t(s, dir, "orders")
+        .selectExpr("stack(3, 'priority', o_orderpriority," +
+          " 'status', o_orderstatus," +
+          " 'month', CAST(month(o_orderdate) AS STRING)) AS (feat, v)")
+        .groupBy(col("feat"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      cells.groupBy(col("feat"))
+        .agg(sum(col("c")).cast("long").as("n"),
+          count(lit(1)).as("k"),
+          sum(col("c") * expr(lnm("c"))).cast("long").as("s"))
+        .select(col("feat").as("feature"), col("n"),
+          col("k").as("n_distinct"),
+          expr(s"CAST(${lnm("n")} - s div n AS BIGINT)")
+            .as("entropy_micro"),
+          expr(s"CAST(CASE WHEN k > 1 THEN (${lnm("n")} - s div n) " +
+            s"* 1000000 div ${lnm("k")} END AS BIGINT)")
+            .as("uniformity_ppm"))
+        .orderBy(col("feature"))
     },
 
     // Population-stability-index drift monitor — the ML-monitoring

@@ -31,7 +31,7 @@ object TimeSeriesOps {
     * results agree bit-for-bit. Guards keep a degenerate series
     * (single day / constant value) NULL instead of ±inf.
     */
-  private object LinReg {
+  private[operators] object LinReg {
     private val num =
       "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
     private val denx =
