@@ -174,6 +174,89 @@ object XrplOps {
       |lpad(CAST(node_index AS VARCHAR), 5, '0')""".stripMargin.replace("\n", " ")
 
   def specs: Seq[QuerySpec] = Seq(
+    // Roll effective-spread estimator — the market-microstructure
+    // number (Roll 1984: bid-ask bounce makes consecutive price
+    // changes negatively autocovariant; spread = 2√(−cov)) computed
+    // per currency pair over the canonical trade order. Beyond the
+    // reference's OHLC metrics: a market-quality readout its
+    // exchange tables support but never compute. Prices quantize to
+    // integer micro-units (floor of an identical double product), the
+    // lag-1 autocovariance folds as exact 128-bit sums (price deltas
+    // can be large for IOU pairs), and the single sqrt/divide runs on
+    // identical exact operands. One keyed window pass over exchanges.
+    QuerySpec.sql(
+      "xrpl_roll_spread",
+      s"""WITH px AS (
+         |  SELECT base_currency, COALESCE(base_issuer, '') AS base_issuer,
+         |    counter_currency,
+         |    COALESCE(counter_issuer, '') AS counter_issuer,
+         |    CAST(FLOOR(CAST(rate AS DOUBLE) * 1000000) AS BIGINT) AS p,
+         |    $skSql AS sk
+         |  FROM ${t("exchanges")}),
+         |d AS (
+         |  SELECT *, p - LAG(p) OVER w AS d1, LAG(p) OVER w AS pp
+         |  FROM px
+         |  WINDOW w AS (PARTITION BY base_currency, base_issuer,
+         |    counter_currency, counter_issuer ORDER BY sk)),
+         |dd AS (
+         |  SELECT *, LAG(d1) OVER w AS d0
+         |  FROM d
+         |  WINDOW w AS (PARTITION BY base_currency, base_issuer,
+         |    counter_currency, counter_issuer ORDER BY sk)),
+         |a AS (
+         |  SELECT base_currency, base_issuer, counter_currency,
+         |    counter_issuer,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(d1) AS BIGINT) AS sa,
+         |    CAST(SUM(d0) AS BIGINT) AS sb,
+         |    SUM(CAST(d1 AS HUGEINT) * d0) AS sab
+         |  FROM dd WHERE d1 IS NOT NULL AND d0 IS NOT NULL
+         |  GROUP BY 1, 2, 3, 4
+         |  HAVING COUNT(*) >= 3)
+         |SELECT base_currency, base_issuer, counter_currency,
+         |  counter_issuer, n AS n_diff_pairs,
+         |  CAST(CASE WHEN n * sab - CAST(sa AS HUGEINT) * sb < 0 THEN
+         |    2 * sqrt(CAST(-(n * sab - CAST(sa AS HUGEINT) * sb)
+         |      AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000
+         |    END AS DOUBLE) AS roll_spread
+         |FROM a
+         |ORDER BY 1, 2, 3, 4""".stripMargin) { (s, _) =>
+      val d38 = DecimalType(38, 0)
+      val w = Window.partitionBy(col("base_currency"),
+          col("base_issuer"), col("counter_currency"),
+          col("counter_issuer"))
+        .orderBy(col("sk"))
+      val px = pq(s, "exchanges")
+        .select(col("base_currency"),
+          coalesce(col("base_issuer"), lit("")).as("base_issuer"),
+          col("counter_currency"),
+          coalesce(col("counter_issuer"), lit("")).as("counter_issuer"),
+          expr("CAST(FLOOR(CAST(rate AS DOUBLE) * 1000000) AS BIGINT)")
+            .as("p"),
+          skSpark.as("sk"))
+      val dd = px
+        .withColumn("d1", col("p") - lag(col("p"), 1).over(w))
+        .withColumn("d0", lag(col("d1"), 1).over(w))
+        .filter(col("d1").isNotNull && col("d0").isNotNull)
+      dd.groupBy(col("base_currency"), col("base_issuer"),
+          col("counter_currency"), col("counter_issuer"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("d1")).cast("long").as("sa"),
+          sum(col("d0")).cast("long").as("sb"),
+          sum(col("d1").cast(d38) * col("d0").cast(d38)).as("sab"))
+        .filter(col("n") >= 3)
+        .select(col("base_currency"), col("base_issuer"),
+          col("counter_currency"), col("counter_issuer"),
+          col("n").as("n_diff_pairs"),
+          expr("CAST(CASE WHEN n * sab - CAST(sa AS DECIMAL(38,0)) * sb" +
+            " < 0 THEN 2 * sqrt(CAST(-(n * sab - " +
+            "CAST(sa AS DECIMAL(38,0)) * sb) AS DOUBLE)) " +
+            "/ CAST(n AS DOUBLE) / 1000000 END AS DOUBLE)")
+            .as("roll_spread"))
+        .orderBy(col("base_currency"), col("base_issuer"),
+          col("counter_currency"), col("counter_issuer"))
+    },
+
     // Raw exchange page for the canonical USD/XRP pair — the
     // /v2/exchanges scan path (data.js:1463-1750) with keyset paging.
     QuerySpec.sql(
