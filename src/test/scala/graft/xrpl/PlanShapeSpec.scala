@@ -430,7 +430,17 @@ class PlanShapeSpec extends AnyFunSuite {
     for (name <- Seq("stats_spearman", "store_snapshot_read",
         "attr_markov_removal", "privacy_generalization_sweep",
         "mm_image_histogram", "stats_kendall_tau", "sim_recall_curve",
-        "sim_eval_ndcg")) {
+        "sim_eval_ndcg", "mm_audio_silence_trim",
+        "ts_bollinger_breakouts", "stats_diff_in_diff",
+        "text_boilerplate_lines", "curate_ipw_ess",
+        "events_gap_histogram", "ts_seasonal_strength",
+        "store_snapshot_diff", "stats_tost_equivalence",
+        "dedup_source_profile", "sketch_capture_recapture",
+        "dq_psi_drift", "graph_conductance", "eval_score_auc",
+        "eval_pr_curve", "events_user_lifecycle", "sample_group_kfold",
+        "sim_probe_sweep", "emb_pc_variance_ratio",
+        "parts_abc_xyz_matrix", "orders_discount_elasticity",
+        "dq_column_entropy", "xrpl_roll_spread")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
