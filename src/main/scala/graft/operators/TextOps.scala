@@ -1589,6 +1589,108 @@ object TextOps {
         .orderBy(col("tf").desc, col("tok"))
     },
 
+    // CMS width SWEEP — the sketch-sizing curve (the probe-sweep /
+    // threshold-sweep discipline applied to the frequency sketch):
+    // how does the top-20 overcount decay as the counter row widens
+    // 64 → 256 → 1024? Keyed on word BIGRAMS (~|vocab|² keys — the
+    // unigram vocabulary is too small to ever collide) with the same
+    // Kirsch–Mitzenmacher derived hashes. ONE corpus pass folds the
+    // exact bigram counts (vocabulary-bounded); the (width, row) grid
+    // then explodes over that COUNTED key table — 12 rows per
+    // DISTINCT key, never per occurrence — and counters are
+    // weight-sums. Exact integers throughout: total/max overcount
+    // over the true top-20 and how many clear the 2N/w bound — the
+    // number an operator reads before provisioning sketch memory.
+    QuerySpec.sql(
+      "sketch_cms_sweep", {
+        val widths = Seq(64, 256, 1024)
+        s"""WITH bi AS (
+           |  SELECT ts[i] || ' ' || ts[i+1] AS k
+           |  FROM (SELECT string_split(text, ' ') AS ts FROM documents) d,
+           |    LATERAL (SELECT unnest(generate_series(1, len(ts)-1))
+           |      AS i) g
+           |  WHERE len(ts) >= 2),
+           |keys AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM bi GROUP BY 1),
+           |grid AS (
+           |  SELECT w, i FROM (SELECT UNNEST([${widths.mkString(", ")}])
+           |    AS w) ws, (SELECT unnest(range(0, $CmsDepth)) AS i) rs),
+           |counters AS (
+           |  SELECT g.w, g.i,
+           |    CAST(('0x' || substr(md5(k), 1 + 4 * g.i, 13)) AS BIGINT)
+           |      % g.w AS j,
+           |    CAST(SUM(tf) AS BIGINT) AS cnt
+           |  FROM keys CROSS JOIN grid g GROUP BY 1, 2, 3),
+           |total AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total
+           |  FROM keys),
+           |top AS (SELECT k, tf FROM keys
+           |  ORDER BY tf DESC, k LIMIT 20),
+           |est AS (
+           |  SELECT g.w, t.k, t.tf, MIN(c.cnt) AS cms_est
+           |  FROM top t CROSS JOIN grid g
+           |  JOIN counters c ON c.w = g.w AND c.i = g.i AND c.j =
+           |    CAST(('0x' || substr(md5(t.k), 1 + 4 * g.i, 13))
+           |      AS BIGINT) % g.w
+           |  GROUP BY 1, 2, 3)
+           |SELECT CAST(w AS INT) AS width,
+           |  CAST($CmsDepth * w AS BIGINT) AS n_counters,
+           |  CAST(SUM(cms_est - tf) AS BIGINT) AS sum_overcount,
+           |  CAST(MAX(cms_est - tf) AS BIGINT) AS max_overcount,
+           |  CAST(COALESCE(SUM(CASE WHEN (cms_est - tf) * w
+           |    <= 2 * n_total THEN 1 END), 0) AS BIGINT) AS n_within
+           |FROM est CROSS JOIN total
+           |GROUP BY w ORDER BY width""".stripMargin
+      }) { (s, dir) =>
+      val widths = Seq(64, 256, 1024)
+      def slot(h: org.apache.spark.sql.Column, i: Int, w: Int) =
+        pmod(conv(substring(h, 1 + 4 * i, 13), 16, 10).cast("long"),
+          lit(w.toLong))
+      def slots(h: org.apache.spark.sql.Column) =
+        explode(array((for (w <- widths; i <- 0 until CmsDepth)
+          yield struct(lit(w).as("w"), lit(i).as("i"),
+            slot(h, i, w).as("j"))): _*))
+      val keys = docs(s, dir)
+        .select(split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(ts) - 1),
+            |  i -> concat(element_at(ts, i), ' ',
+            |    element_at(ts, i + 1)))""".stripMargin)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("tf"))
+      val keysM = Materialize.stable(keys)
+      val counters = keysM
+        .withColumn("h", md5(col("k")))
+        .select(col("tf"), slots(col("h")).as("s"))
+        .select(col("tf"), col("s.w").as("w"), col("s.i").as("i"),
+          col("s.j").as("j"))
+        .groupBy(col("w"), col("i"), col("j"))
+        .agg(sum(col("tf")).cast("long").as("cnt"))
+      val total = keysM.agg(sum(col("tf")).cast("long").as("n_total"))
+      val top = keysM.orderBy(col("tf").desc, col("k")).limit(20)
+      top
+        .withColumn("h", md5(col("k")))
+        .select(col("k"), col("tf"), slots(col("h")).as("s"))
+        .select(col("k"), col("tf"), col("s.w").as("w"),
+          col("s.i").as("i"), col("s.j").as("j"))
+        .join(broadcast(counters), Seq("w", "i", "j"))
+        .groupBy(col("w"), col("k"), col("tf"))
+        .agg(min(col("cnt")).as("cms_est"))
+        .crossJoin(broadcast(total))
+        .groupBy(col("w").cast("int").as("width"))
+        .agg(first(lit(CmsDepth)).as("__d"),
+          sum(col("cms_est") - col("tf")).cast("long")
+            .as("sum_overcount"),
+          max(col("cms_est") - col("tf")).cast("long")
+            .as("max_overcount"),
+          coalesce(sum(when((col("cms_est") - col("tf")) * col("w")
+            <= lit(2L) * col("n_total"), 1L)), lit(0L))
+            .as("n_within"))
+        .select(col("width"),
+          (col("__d") * col("width")).cast("long").as("n_counters"),
+          col("sum_overcount"), col("max_overcount"), col("n_within"))
+        .orderBy(col("width"))
+    },
+
     // Per-document salient terms: top-3 tokens by tf/df — the
     // idf-proportional relevance ranking (monotone in tf·(1/df); the
     // log is dropped so the score is ONE correctly-rounded IEEE

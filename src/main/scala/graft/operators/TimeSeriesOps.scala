@@ -3990,6 +3990,80 @@ object TimeSeriesOps {
             .as("significant"))
     },
 
+    // SPRT monitor — the sequential test that makes PEEKING legal
+    // (Wald: watch the cumulative log-likelihood ratio day by day;
+    // stop the moment it crosses either boundary, error rates intact
+    // — the fixed-n tests above are invalid if read daily). H₀:
+    // conversion = 40% vs H₁: 50%, α = 0.05, β = 0.2. Everything is
+    // exact: the per-observation LLR increments ln(p₁/p₀) and
+    // ln(q₁/q₀) are micro-quantized CONSTANTS (one shared literal
+    // expression both engines fold identically), so the running LLR
+    // is c·lnA + (n−c)·lnB over exact cumulative integer counts, and
+    // the Wald boundaries ln((1−β)/α), ln(β/(1−α)) quantize the same
+    // way. One pass to daily cohort counts; the cumulative walk is a
+    // window over the |days| table.
+    QuerySpec.sql(
+      "stats_sprt_monitor", {
+        def mln(e: String) =
+          s"CAST(CAST(ln($e) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+        val lnA = mln("0.5 / 0.4")
+        val lnB = mln("0.5 / 0.6")
+        val up = mln("0.8 / 0.05")
+        val lo = mln("0.2 / 0.95")
+        s"""WITH u AS (
+           |  SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE)
+           |      AS day,
+           |    CASE WHEN COUNT(*) FILTER (WHERE event_type = 'purchase')
+           |      > 13 THEN 1 ELSE 0 END AS cv
+           |  FROM events GROUP BY user_id),
+           |d AS (
+           |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(cv) AS BIGINT) AS c
+           |  FROM u GROUP BY 1),
+           |w AS (
+           |  SELECT day,
+           |    CAST(SUM(n) OVER (ORDER BY day) AS BIGINT) AS cum_n,
+           |    CAST(SUM(c) OVER (ORDER BY day) AS BIGINT) AS cum_c
+           |  FROM d),
+           |l AS (
+           |  SELECT day, cum_n, cum_c,
+           |    cum_c * $lnA + (cum_n - cum_c) * $lnB AS llr_micro
+           |  FROM w)
+           |SELECT day, cum_n AS cum_trials, cum_c AS cum_conversions,
+           |  CAST(llr_micro AS BIGINT) AS llr_micro,
+           |  CASE WHEN llr_micro >= $up THEN 'reject_h0'
+           |    WHEN llr_micro <= $lo THEN 'accept_h0'
+           |    ELSE 'continue' END AS decision
+           |FROM l ORDER BY day""".stripMargin
+      }) { (s, dir) =>
+      def mln(e: String) =
+        s"CAST(CAST(ln($e) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+      val u = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(to_date(min(date_trunc("day", col("ts")))).as("day"),
+          (sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) > 13).cast("long").as("cv"))
+      val d = u.groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("cv")).as("c"))
+      // cumulative walk via the range-partitioned two-pass PrefixSum
+      // (the house rule: no unpartitioned window, even on the small
+      // daily table — the same code then holds at minute grain)
+      graft.functions.PrefixSum.globalCumsumMulti(d, Seq(col("day")),
+          Seq(col("n") -> "cum_n", col("c") -> "cum_c"))
+        .select(col("day"), col("cum_n").cast("long").as("cum_n"),
+          col("cum_c").cast("long").as("cum_c"))
+        .select(col("day"), col("cum_n").as("cum_trials"),
+          col("cum_c").as("cum_conversions"),
+          expr(s"CAST(cum_c * ${mln("0.5 / 0.4")} + (cum_n - cum_c) * " +
+            s"${mln("0.5 / 0.6")} AS BIGINT)").as("llr_micro"))
+        .select(col("day"), col("cum_trials"), col("cum_conversions"),
+          col("llr_micro"),
+          expr(s"CASE WHEN llr_micro >= ${mln("0.8 / 0.05")} " +
+            s"THEN 'reject_h0' WHEN llr_micro <= ${mln("0.2 / 0.95")} " +
+            "THEN 'accept_h0' ELSE 'continue' END").as("decision"))
+        .orderBy(col("day"))
+    },
+
     // TOST equivalence test — the question ab_ztest can NOT answer:
     // absence of evidence of a difference is not evidence of
     // equivalence; a no-regression launch gate needs BOTH one-sided
