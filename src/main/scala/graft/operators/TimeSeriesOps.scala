@@ -3529,6 +3529,65 @@ object TimeSeriesOps {
             > 2.3719).as("significant"))
     },
 
+    // DAU/WAU/MAU stickiness — the engagement ratio dashboard (what
+    // fraction of the weekly/monthly audience shows up on a given
+    // day). Windowed DISTINCT users can't ride a window function;
+    // the distributive spelling is the bounded EXPANSION: each
+    // (user, day) activity row casts membership onto the ≤7 / ≤28
+    // calendar days whose trailing window contains it, and one
+    // distinct-count per target day finishes it — scale-linear (28×
+    // the user-day grain, never user×user), exact integer ratios.
+    QuerySpec.sql(
+      "events_stickiness",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS d
+        |  FROM events),
+        |cal AS (SELECT DISTINCT d FROM ud),
+        |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau
+        |  FROM ud GROUP BY 1),
+        |wau AS (
+        |  SELECT c.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+        |  FROM cal c JOIN ud u ON u.d BETWEEN c.d - 6 AND c.d
+        |  GROUP BY 1),
+        |mau AS (
+        |  SELECT c.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+        |  FROM cal c JOIN ud u ON u.d BETWEEN c.d - 27 AND c.d
+        |  GROUP BY 1)
+        |SELECT CAST(make_timestamp(dau.d * 86400000000) AS DATE) AS day,
+        |  dau.dau, wau.wau, mau.mau,
+        |  CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS dau_wau_ppm,
+        |  CAST(dau.dau * 1000000 // mau.mau AS BIGINT) AS dau_mau_ppm
+        |FROM dau JOIN wau ON wau.d = dau.d JOIN mau ON mau.d = dau.d
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ud = events(s, dir)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+            .as("d"))
+        .distinct()
+      val udM = graft.functions.Materialize.stable(ud)
+      val cal = udM.select(col("d")).distinct()
+      val dau = udM.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+      def windowed(span: Int, name: String) = udM
+        .select(col("user_id"), explode(sequence(col("d"),
+          col("d") + (span - 1))).as("d"))
+        .join(cal, Seq("d"), "left_semi")
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as(name))
+      dau.join(windowed(7, "wau"), Seq("d"))
+        .join(windowed(28, "mau"), Seq("d"))
+        .select(to_date(timestamp_micros(col("d") * 86400000000L))
+            .as("day"),
+          col("dau"), col("wau"), col("mau"),
+          expr("CAST(dau * 1000000 div wau AS BIGINT)")
+            .as("dau_wau_ppm"),
+          expr("CAST(dau * 1000000 div mau AS BIGINT)")
+            .as("dau_mau_ppm"))
+        .orderBy(col("day"))
+    },
+
     // Growth accounting — the weekly user-lifecycle ledger (new /
     // retained / resurrected / churned) every product-analytics
     // review opens with, and the decomposition cohort_retention's
