@@ -1551,6 +1551,88 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     },
 
+    // Ablation GRID — the planning table an ablation study reads
+    // before spending any training compute: for each pipeline variant
+    // (baseline / exact-dedup / quality-filter / both), the surviving
+    // doc and token mass, from ONE corpus pass — per-doc keeper and
+    // quality flags computed once (the dedup_exact keeper rule; the
+    // eval gates' integer micro-score at the 0.5 threshold), then a
+    // 4-row broadcast variant grid with CASE-selected membership.
+    // Exact integer ppm of baseline per variant.
+    QuerySpec.sql(
+      "curate_ablation_grid",
+      """WITH fp AS (
+        |  SELECT doc_id, md5(lower(text)) AS fp,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST((3 * len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in')))
+        |      + 7 * len(list_distinct(string_split(text, ' '))))
+        |      * 1000000
+        |      // (10 * len(string_split(text, ' '))) AS BIGINT)
+        |      AS score
+        |  FROM documents),
+        |keep AS (SELECT fp, MIN(doc_id) AS kid FROM fp GROUP BY 1),
+        |j AS (
+        |  SELECT f.doc_id, f.nt,
+        |    f.doc_id = k.kid AS is_keeper,
+        |    f.score >= 500000 AS is_q
+        |  FROM fp f JOIN keep k USING (fp)),
+        |v AS (SELECT UNNEST(['baseline', 'dedup', 'quality',
+        |    'dedup_quality']) AS variant),
+        |g AS (
+        |  SELECT v.variant,
+        |    CAST(COALESCE(SUM(CASE WHEN
+        |      CASE v.variant WHEN 'baseline' THEN TRUE
+        |        WHEN 'dedup' THEN j.is_keeper
+        |        WHEN 'quality' THEN j.is_q
+        |        ELSE j.is_keeper AND j.is_q END
+        |      THEN 1 END), 0) AS BIGINT) AS n_docs,
+        |    CAST(COALESCE(SUM(CASE WHEN
+        |      CASE v.variant WHEN 'baseline' THEN TRUE
+        |        WHEN 'dedup' THEN j.is_keeper
+        |        WHEN 'quality' THEN j.is_q
+        |        ELSE j.is_keeper AND j.is_q END
+        |      THEN j.nt END), 0) AS BIGINT) AS n_tokens
+        |  FROM v CROSS JOIN j GROUP BY 1),
+        |b AS (SELECT n_docs AS bd, n_tokens AS bt FROM g
+        |  WHERE variant = 'baseline')
+        |SELECT variant, n_docs, n_tokens,
+        |  CAST(n_docs * 1000000 // bd AS BIGINT) AS docs_ppm,
+        |  CAST(n_tokens * 1000000 // bt AS BIGINT) AS tokens_ppm
+        |FROM g, b ORDER BY variant""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val fp = docs(s, dir).select(col("doc_id"),
+        md5(lower(col("text"))).as("fp"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        expr("CAST((3 * size(filter(split(text, ' '), " +
+          "t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) " +
+          "+ 7 * size(array_distinct(split(text, ' ')))) * 1000000 " +
+          "div (10 * size(split(text, ' '))) AS BIGINT)").as("score"))
+      val keep = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("kid"))
+      val j = fp.join(keep, Seq("fp"))
+        .select(col("nt"),
+          (col("doc_id") === col("kid")).as("is_keeper"),
+          (col("score") >= 500000L).as("is_q"))
+      val member = expr("CASE variant WHEN 'baseline' THEN TRUE " +
+        "WHEN 'dedup' THEN is_keeper WHEN 'quality' THEN is_q " +
+        "ELSE is_keeper AND is_q END")
+      val g = j.crossJoin(broadcast(Seq("baseline", "dedup",
+          "quality", "dedup_quality").toDF("variant")))
+        .groupBy(col("variant"))
+        .agg(coalesce(sum(when(member, 1L)), lit(0L)).as("n_docs"),
+          coalesce(sum(when(member, col("nt"))), lit(0L))
+            .as("n_tokens"))
+      val b = g.filter(col("variant") === "baseline")
+        .select(col("n_docs").as("bd"), col("n_tokens").as("bt"))
+      g.crossJoin(broadcast(b))
+        .select(col("variant"), col("n_docs"), col("n_tokens"),
+          expr("CAST(n_docs * 1000000 div bd AS BIGINT)")
+            .as("docs_ppm"),
+          expr("CAST(n_tokens * 1000000 div bt AS BIGINT)")
+            .as("tokens_ppm"))
+        .orderBy(col("variant"))
+    },
+
     // Inverse-propensity REWEIGHTING summary — the alternative to
     // mix_domains' resampling: keep every document once, weight each
     // by target-share/actual-share (exact micro-weights, capped ×32

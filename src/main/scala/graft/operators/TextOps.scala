@@ -1589,6 +1589,77 @@ object TextOps {
         .orderBy(col("tf").desc, col("tok"))
     },
 
+    // Corpus entropy rate — the information-theoretic summary the LM
+    // gates don't give: unigram entropy H(w), bigram entropy H(w₁w₂),
+    // and the conditional entropy rate H(w₂|w₁) = H(w₁w₂) − H(w₁) —
+    // how much a next-token model can even hope to compress. Each
+    // entropy is H = ln(N) − Σc·ln(c)/N over exact count tables with
+    // every ln micro-quantized through the shared expression (the
+    // feat_mutual_info discipline), so all three numbers are exact
+    // integer micro-nats. One tokenize pass feeds both grains.
+    QuerySpec.sql(
+      "text_entropy_rate", {
+        def lnm(e: String) = s"CAST(CAST(ln(CAST($e AS DOUBLE)) " +
+          s"AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+        s"""WITH toks AS (
+           |  SELECT doc_id, i,
+           |    ts[i] AS w1, CASE WHEN i < len(ts) THEN ts[i+1] END AS w2
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+           |    FROM documents) d,
+           |    LATERAL (SELECT unnest(generate_series(1, len(ts)))
+           |      AS i) g),
+           |uni AS (SELECT w1 AS k, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM toks GROUP BY 1),
+           |big AS (SELECT w1 || ' ' || w2 AS k,
+           |    CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM toks WHERE w2 IS NOT NULL GROUP BY 1),
+           |hu AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+           |    CAST(COUNT(*) AS BIGINT) AS k,
+           |    CAST(SUM(c * ${lnm("c")}) AS BIGINT) AS s
+           |  FROM uni),
+           |hb AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+           |    CAST(COUNT(*) AS BIGINT) AS k,
+           |    CAST(SUM(c * ${lnm("c")}) AS BIGINT) AS s
+           |  FROM big)
+           |SELECT hu.n AS n_tokens, hu.k AS n_unigrams,
+           |  hb.k AS n_bigrams,
+           |  CAST(${lnm("hu.n")} - hu.s // hu.n AS BIGINT)
+           |    AS h_unigram_micro,
+           |  CAST(${lnm("hb.n")} - hb.s // hb.n AS BIGINT)
+           |    AS h_bigram_micro,
+           |  CAST((${lnm("hb.n")} - hb.s // hb.n)
+           |    - (${lnm("hu.n")} - hu.s // hu.n) AS BIGINT)
+           |    AS h_cond_micro
+           |FROM hu, hb""".stripMargin
+      }) { (s, dir) =>
+      def lnm(e: String) = s"CAST(CAST(ln(CAST($e AS DOUBLE)) " +
+        s"AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+      def hFold(cells: DataFrame) = cells
+        .agg(sum(col("c")).cast("long").as("n"),
+          count(lit(1)).as("k"),
+          sum(col("c") * expr(lnm("c"))).cast("long").as("s"))
+      val ts = docs(s, dir)
+        .select(split(col("text"), " ").as("ts"))
+      val uni = ts.select(explode(col("ts")).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+      val big = ts.filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(ts) - 1),
+            |  i -> concat(element_at(ts, i), ' ',
+            |    element_at(ts, i + 1)))""".stripMargin)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+      hFold(uni).select(col("n").as("n_tokens"),
+          col("k").as("n_unigrams"),
+          expr(s"CAST(${lnm("n")} - s div n AS BIGINT)").as("hu"))
+        .crossJoin(broadcast(hFold(big)
+          .select(col("k").as("n_bigrams"),
+            expr(s"CAST(${lnm("n")} - s div n AS BIGINT)").as("hb"))))
+        .select(col("n_tokens"), col("n_unigrams"), col("n_bigrams"),
+          col("hu").as("h_unigram_micro"),
+          col("hb").as("h_bigram_micro"),
+          (col("hb") - col("hu")).as("h_cond_micro"))
+    },
+
     // CMS width SWEEP — the sketch-sizing curve (the probe-sweep /
     // threshold-sweep discipline applied to the frequency sketch):
     // how does the top-20 overcount decay as the counter row widens
