@@ -925,6 +925,43 @@ object ClusterOps {
         .orderBy(col("label"))
     },
 
+    // Freeman degree centralization — the one-number "is this graph a
+    // star or a mesh" summary beside transitivity and assortativity:
+    // Σ(d_max − d_i) normalized by the star graph's (n−1)(n−2). Exact
+    // integer ppm off the degree table alone.
+    QuerySpec.sql(
+      "graph_centralization",
+      s"""WITH sig AS (${SimilarityOps.quantizedSql}),
+         |knn AS (SELECT vec_id, nbr_id FROM (${SimilarityOps.knnEdgesSql(3)}) k),
+         |und AS (SELECT DISTINCT LEAST(vec_id, nbr_id) AS u,
+         |    GREATEST(vec_id, nbr_id) AS v FROM knn),
+         |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+         |    SELECT u AS n FROM und UNION ALL SELECT v FROM und) m
+         |  GROUP BY n),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(MAX(d) AS BIGINT) AS dmax,
+         |    CAST(SUM(d) AS BIGINT) AS sd
+         |  FROM deg)
+         |SELECT n AS n_nodes, dmax AS max_degree,
+         |  CAST(n * dmax - sd AS BIGINT) AS centralization_num,
+         |  CAST(CASE WHEN n > 2 THEN (n * dmax - sd) * 1000000
+         |    // ((n - 1) * (n - 2)) END AS BIGINT)
+         |    AS centralization_ppm
+         |FROM a""".stripMargin) { (s, dir) =>
+      val und = undirectedEdges(s, dir)
+      und.select(col("u").as("n0"))
+        .unionByName(und.select(col("v").as("n0")))
+        .groupBy(col("n0")).agg(count(lit(1)).as("d"))
+        .agg(count(lit(1)).as("n"), max(col("d")).as("dmax"),
+          sum(col("d")).cast("long").as("sd"))
+        .select(col("n").as("n_nodes"), col("dmax").as("max_degree"),
+          (col("n") * col("dmax") - col("sd")).cast("long")
+            .as("centralization_num"),
+          expr("CAST(CASE WHEN n > 2 THEN (n * dmax - sd) * 1000000 " +
+            "div ((n - 1) * (n - 2)) END AS BIGINT)")
+            .as("centralization_ppm"))
+    },
+
     // Degree assortativity of the undirected k-NN graph: Pearson r
     // over edge-endpoint degree pairs, with each edge contributing
     // both orientations (the standard symmetric formulation, which

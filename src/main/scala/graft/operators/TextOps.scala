@@ -1589,6 +1589,48 @@ object TextOps {
         .orderBy(col("tf").desc, col("tok"))
     },
 
+    // Simpson diversity — the collision-probability view of lexical
+    // diversity beside the entropy rate: D = Σc(c−1)/(N(N−1)) is the
+    // chance two random tokens coincide (an EXACT rational, unlike
+    // entropy's logs), and 1/D the effective vocabulary. Emitted per
+    // source as integer ppm plus the effective-vocab floor — one
+    // count-table pass, no floats at all.
+    QuerySpec.sql(
+      "text_simpson_diversity",
+      """WITH cnt AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) t
+        |  GROUP BY 1, 2),
+        |a AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(c * (c - 1)) AS BIGINT) AS coll
+        |  FROM cnt GROUP BY 1)
+        |SELECT source, n AS n_tokens, k AS n_distinct,
+        |  CAST(CASE WHEN n > 1 THEN coll * 1000000 // (n * (n - 1)) END
+        |    AS BIGINT) AS simpson_ppm,
+        |  CAST(CASE WHEN coll > 0 THEN n * (n - 1) // coll END
+        |    AS BIGINT) AS effective_vocab
+        |FROM a ORDER BY source""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).cast("long").as("n"),
+          count(lit(1)).as("k"),
+          sum(col("c") * (col("c") - 1)).cast("long").as("coll"))
+        .select(col("source"), col("n").as("n_tokens"),
+          col("k").as("n_distinct"),
+          expr("CAST(CASE WHEN n > 1 THEN coll * 1000000 " +
+            "div (n * (n - 1)) END AS BIGINT)").as("simpson_ppm"),
+          expr("CAST(CASE WHEN coll > 0 THEN n * (n - 1) div coll END " +
+            "AS BIGINT)").as("effective_vocab"))
+        .orderBy(col("source"))
+    },
+
     // Corpus entropy rate — the information-theoretic summary the LM
     // gates don't give: unigram entropy H(w), bigram entropy H(w₁w₂),
     // and the conditional entropy rate H(w₂|w₁) = H(w₁w₂) − H(w₁) —

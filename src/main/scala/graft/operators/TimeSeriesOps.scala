@@ -3777,6 +3777,68 @@ object TimeSeriesOps {
         expr(DiD.effect).as("did"))
     },
 
+    // XmR control chart (individuals + moving range) — the SPC
+    // stalwart beside the rolling Bollinger band and the CUSUM: FIXED
+    // control limits x̄ ± 2.66·M̄R from the whole series (2.66 = 3/d₂),
+    // flagging Western-Electric zones: beyond 3σ, and the zone-A band
+    // beyond 2σ (1.77·M̄R — the stricter rule that still fires on a
+    // series stable enough never to breach 3σ). Everything
+    // cross-multiplies into exact integers: |x·n − Sx| · m · 100
+    // against {266, 177} · S_MR · n decides each day on identical
+    // BIGINTs (x̄ from n days, M̄R from m = n−1 absolute consecutive
+    // differences). One daily rollup + one keyed LAG + a 1-row
+    // broadcast per type.
+    QuerySpec.sql(
+      "ts_xmr_control",
+      """WITH d AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |mr AS (
+        |  SELECT event_type, day, y,
+        |    ABS(y - LAG(y) OVER (PARTITION BY event_type ORDER BY day))
+        |      AS r
+        |  FROM d),
+        |c AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sx,
+        |    CAST(COUNT(r) AS BIGINT) AS m,
+        |    CAST(COALESCE(SUM(r), 0) AS BIGINT) AS smr
+        |  FROM mr GROUP BY 1)
+        |SELECT mr.event_type, mr.day, mr.y,
+        |  CAST(mr.y * c.n - c.sx AS BIGINT) AS dev_xn,
+        |  CASE WHEN mr.y * c.n - c.sx > 0 THEN 'above' ELSE 'below' END
+        |    AS side,
+        |  CASE WHEN ABS(mr.y * c.n - c.sx) * c.m * 100
+        |    > 266 * c.smr * c.n THEN 'beyond_3sigma'
+        |    ELSE 'zone_a' END AS zone
+        |FROM mr JOIN c ON c.event_type = mr.event_type
+        |WHERE c.m > 0 AND ABS(mr.y * c.n - c.sx) * c.m * 100
+        |  > 177 * c.smr * c.n
+        |ORDER BY mr.event_type, mr.day""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val mr = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("r", abs(col("y") - lag(col("y"), 1).over(w)))
+      val c = mr.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sx"),
+          count(col("r")).as("m"),
+          coalesce(sum(col("r")), lit(0L)).as("smr"))
+      mr.join(broadcast(c), Seq("event_type"))
+        .filter(col("m") > 0 &&
+          abs(col("y") * col("n") - col("sx")) * col("m") * 100 >
+            lit(177) * col("smr") * col("n"))
+        .select(col("event_type"), col("day"), col("y"),
+          (col("y") * col("n") - col("sx")).cast("long").as("dev_xn"),
+          when(col("y") * col("n") - col("sx") > 0, "above")
+            .otherwise("below").as("side"),
+          when(abs(col("y") * col("n") - col("sx")) * col("m") * 100 >
+            lit(266) * col("smr") * col("n"), "beyond_3sigma")
+            .otherwise("zone_a").as("zone"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
     // Bollinger-band breakout detection — the rolling-volatility
     // screen beside ts_anomaly_zscore's global one: a day breaks out
     // when its count leaves the trailing 7-day ±2σ band. The test
