@@ -440,7 +440,10 @@ class PlanShapeSpec extends AnyFunSuite {
         "eval_pr_curve", "events_user_lifecycle", "sample_group_kfold",
         "sim_probe_sweep", "emb_pc_variance_ratio",
         "parts_abc_xyz_matrix", "orders_discount_elasticity",
-        "dq_column_entropy", "xrpl_roll_spread")) {
+        "dq_column_entropy", "xrpl_roll_spread", "stats_sprt_monitor",
+        "sketch_cms_sweep", "events_stickiness", "text_entropy_rate",
+        "curate_ablation_grid", "ts_xmr_control",
+        "graph_centralization", "text_simpson_diversity")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
