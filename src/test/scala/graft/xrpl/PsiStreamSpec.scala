@@ -1,0 +1,95 @@
+package graft.xrpl
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.PsiStream
+import graft.streaming.PsiStream.{Params, Slice}
+
+/** The streamed PSI monitor must reproduce the sequential cumulative
+  * fold for ANY micro-batching, drop late duplicates of closed days,
+  * and actually ALARM when the live distribution drifts off the
+  * reference while staying quiet on a faithful stream.
+  */
+class PsiStreamSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+
+  private val B = 8
+  // reference: geometric-ish mass over 8 buckets
+  private val params = Params(
+    ref = Seq(400L, 300L, 150L, 80L, 40L, 20L, 7L, 3L),
+    thresholdMicro = 200000L)
+
+  private def mkSlices(): Seq[Slice] = {
+    val rnd = new scala.util.Random(20260815L)
+    def noisy(base: Seq[Long]) =
+      base.map(c => math.max(0L, c + rnd.nextInt(5) - 2))
+    // 'steady' resamples the reference shape (scaled down 10x)
+    val refDaily = params.ref.map(_ / 10)
+    val steady = (1 to 25).map(d =>
+      Slice("steady", d.toLong, noisy(refDaily)))
+    // 'shifted' starts faithful then the mass moves to the tail
+    val tailDaily = Seq(3L, 7L, 20L, 40L, 80L, 150L, 300L, 400L)
+      .map(_ / 10)
+    val shifted = (1 to 10).map(d =>
+        Slice("shifted", d.toLong, noisy(refDaily))) ++
+      (11 to 25).map(d => Slice("shifted", d.toLong, noisy(tailDaily)))
+    steady ++ shifted
+  }
+
+  test("stream equals the cumulative reference across micro-batch splits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val slices = mkSlices()
+    val expected = PsiStream.reference(slices, params)
+      .sortBy(p => (p.series, p.epoch))
+    // test design: the shifted series must alarm, the steady must not
+    assert(expected.filter(_.series == "shifted").exists(_.drifted))
+    assert(!expected.filter(_.series == "steady").exists(_.drifted))
+
+    for (splitAt <- Seq(5, 30, 48)) {
+      val (s1, s2) = slices.splitAt(splitAt)
+      val stream = MemoryStream[Slice]
+      val q = PsiStream.monitor(spark, stream.toDS(), params)
+        .writeStream.format("memory").queryName("psi_pts")
+        .outputMode("append").start()
+      try {
+        stream.addData(s1)
+        q.processAllAvailable()
+        stream.addData(s2)
+        q.processAllAvailable()
+        val got = spark.table("psi_pts")
+          .as[PsiStream.PsiPoint].collect().toSeq
+          .sortBy(p => (p.series, p.epoch))
+        assert(got === expected, s"splitAt=$splitAt")
+      } finally q.stop()
+    }
+  }
+
+  test("late duplicates of closed days are dropped") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val slices = mkSlices().filter(_.series == "steady")
+    val expected = PsiStream.reference(slices, params)
+      .sortBy(_.epoch)
+
+    val stream = MemoryStream[Slice]
+    val q = PsiStream.monitor(spark, stream.toDS(), params)
+      .writeStream.format("memory").queryName("psi_dup")
+      .outputMode("append").start()
+    try {
+      stream.addData(slices.take(8))
+      q.processAllAvailable()
+      stream.addData(Seq(Slice("steady", 3L, Seq.fill(B)(999L))))
+      q.processAllAvailable()
+      stream.addData(slices.drop(8))
+      q.processAllAvailable()
+      val got = spark.table("psi_dup")
+        .as[PsiStream.PsiPoint].collect().toSeq.sortBy(_.epoch)
+      assert(got === expected)
+    } finally q.stop()
+  }
+}
