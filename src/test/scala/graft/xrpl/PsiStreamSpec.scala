@@ -68,6 +68,29 @@ class PsiStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("psiMicro matches the textbook double formula") {
+    // absolute pin, independent of the fold: PSI = Σ (pc − pr)·ln(pc/pr)
+    // with Laplace(+1) smoothing — the integer micro result must sit
+    // within quantization distance (B terms × 1 micro each + the
+    // final floor) of the double computation
+    val rnd = new scala.util.Random(7L)
+    for (_ <- 1 to 50) {
+      val ref = Seq.fill(B)(rnd.nextInt(500).toLong)
+      val cum = Seq.fill(B)(rnd.nextInt(500).toLong)
+      val p = Params(ref, 200000L)
+      val nRef = ref.sum + B
+      val nCur = cum.sum + B
+      val expect = (0 until B).map { i =>
+        val pr = (ref(i) + 1).toDouble / nRef
+        val pc = (cum(i) + 1).toDouble / nCur
+        (pc - pr) * math.log(pc / pr)
+      }.sum * 1e6
+      val got = PsiStream.psiMicro(p, cum).toDouble
+      assert(math.abs(got - expect) <= B + 1,
+        s"ref=$ref cum=$cum got=$got expect=$expect")
+    }
+  }
+
   test("late duplicates of closed days are dropped") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
