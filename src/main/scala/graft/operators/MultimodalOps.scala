@@ -114,7 +114,12 @@ object MultimodalOps {
     */
   private def ppmAssets(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      // byte count (octet_length), NOT character count: the raster
+      // oracles size dims from octet_length(encode(text)), and the
+      // two only agree on pure-ASCII corpora. Dims must derive from
+      // the same byte measure in both engines or a future non-ASCII
+      // document silently diverges.
+      .select(col("doc_id"), col("text"), octet_length(col("text")).as("n"))
       .withColumn("w", (lit(4) + col("n") % 12).cast("int"))
       .withColumn("h", (lit(4) + col("n") % 10).cast("int"))
       .select(col("doc_id"),
@@ -359,7 +364,7 @@ object MultimodalOps {
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
-          val raw = text.getBytes("US-ASCII")
+          val raw = text.getBytes("UTF-8")
           val n = raw.length
           val ns = 50 + n % 100
           val rate = 8000 + (n % 4) * 4000
@@ -446,7 +451,7 @@ object MultimodalOps {
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
-          val raw = text.getBytes("US-ASCII")
+          val raw = text.getBytes("UTF-8")
           val n = raw.length
           val ns = 50 + n % 100
           val rate = 8000 + (n % 4) * 4000
@@ -533,7 +538,7 @@ object MultimodalOps {
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
-          val raw = text.getBytes("US-ASCII")
+          val raw = text.getBytes("UTF-8")
           val n = raw.length
           val ns = 50 + n % 100
           val rate = 8000 + (n % 4) * 4000
@@ -605,7 +610,7 @@ object MultimodalOps {
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
-          val raw = text.getBytes("US-ASCII")
+          val raw = text.getBytes("UTF-8")
           val (w, h) = rasterDims(raw.length)
           val pix = java.util.Arrays.copyOf(raw, w * h * 3)
           // pad with ' ' (rpad semantics), not copyOf's zeros

@@ -34,19 +34,42 @@ object CaptureRecaptureStream {
 
   private val Threshold = 1125899906842624L // 2^50 of the 52-bit prefix
 
-  /** The batch gate's engine-portable draw: 13-hex-char md5 prefix. */
+  // MessageDigest instances are stateful and not thread-safe; a
+  // fresh getInstance per key on the per-arrival hot path is
+  // avoidable allocation. One digest per executor thread, reset
+  // between uses.
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The batch gate's engine-portable draw: 13-hex-char md5 prefix —
+    * decoded directly from the digest bytes (13 hex chars = 6 bytes
+    * plus the high nibble of byte 6), no hex-string round-trip.
+    */
   def hash52(key: Long, salt: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$key$salt".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(13)
-    java.lang.Long.parseLong(hex, 16)
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s"$key$salt".getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(6) & 0xffL) >>> 4)
   }
 
   def inA(key: Long): Boolean = hash52(key, ":crA") < Threshold
   def inB(key: Long): Boolean = hash52(key, ":crB") < Threshold
 
+  /** Chapman estimate. The numerator is widened to BigInt: at the
+    * 25% sample rate (nA ≈ nB ≈ N/4) a Long `(nA+1)*(nB+1)` wraps
+    * once the true population reaches ~1.2e10 keys — exactly the
+    * platform-scale populations this monitor is pitched at. All
+    * inputs are nonnegative, so BigInt's truncating division IS floor
+    * division here; the quotient narrows back to Long because it is
+    * a population estimate ≈ N ≪ 2^63.
+    */
   def chapman(nA: Long, nB: Long, m: Long): Long =
-    Math.floorDiv((nA + 1) * (nB + 1), m + 1) - 1
+    ((BigInt(nA) + 1) * (BigInt(nB) + 1) / (m + 1) - 1).toLong
 
   private def update(series: String, it: Iterator[Arrival],
       state: GroupState[St]): Iterator[CrPoint] = {

@@ -46,21 +46,35 @@ object PsiStream {
   }
 
   /** PSI of cumulative counts vs the reference — the exact fold both
-    * the stream and the batch reference share. */
+    * the stream and the batch reference share.
+    *
+    * The cross-products are widened to BigInt: `num` is
+    * O(cum_count · (nRef+B)) and `lnm` is up to ~2e7 micro-nats, so a
+    * Long accumulator would silently wrap once cumulative live counts
+    * reach the low millions against a skewed reference — a monitor
+    * whose whole job is to not be silently wrong. The final floor
+    * division happens in BigInt too (the divisor has the same
+    * headroom limit), then narrows: |PSI| in micro-nats fits a Long
+    * by construction (PSI of two (B+n)-smoothed histograms is bounded
+    * by ln of the larger count ratio, ≪ 2^63 micro-nats).
+    */
   def psiMicro(p: Params, cum: Seq[Long]): Long = {
     val nCur = cum.sum
-    var acc = 0L
+    var acc = BigInt(0)
     var i = 0
     while (i < p.b) {
       val cr = p.ref(i) + 1
       val cc = cum(i) + 1
-      val num = cc * (p.nRef + p.b) - cr * (nCur + p.b)
+      val num = BigInt(cc) * (p.nRef + p.b) - BigInt(cr) * (nCur + p.b)
       val lnm = SprtStream.mlnMicro(
         cc.toDouble * (p.nRef + p.b) / (cr.toDouble * (nCur + p.b)))
       acc += num * lnm
       i += 1
     }
-    Math.floorDiv(acc, (p.nRef + p.b) * (nCur + p.b))
+    val den = BigInt(p.nRef + p.b) * (nCur + p.b)
+    // BigInt / truncates toward zero; floor it like Math.floorDiv
+    val q = acc / den
+    (if (acc.sign * den.sign < 0 && q * den != acc) q - 1 else q).toLong
   }
 
   private def update(p: Params)(series: String, it: Iterator[Slice],

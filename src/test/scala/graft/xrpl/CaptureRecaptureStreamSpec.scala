@@ -79,4 +79,20 @@ class CaptureRecaptureStreamSpec extends AnyFunSuite {
       .count(i => CaptureRecaptureStream.inA(i.toLong * 7 + 3))
     assert(n > 800 && n < 1200, s"sample rate off: $n/4000")
   }
+
+  test("chapman survives the Long-overflow boundary of (nA+1)*(nB+1)") {
+    import CaptureRecaptureStream.chapman
+    // at the 25% sample rate a population near 1.2e10 puts the
+    // numerator right at 2^63 — a Long multiply wraps negative there
+    val nA = 3037000500L // ceil(sqrt(2^63)) — (nA+1)^2 > Long.MaxValue
+    assert((nA + 1) * (nA + 1) < 0, "boundary no longer overflows Long")
+    val est = chapman(nA, nA, nA / 4)
+    val exact = ((BigInt(nA) + 1) * (BigInt(nA) + 1) / (nA / 4 + 1)) - 1
+    assert(est == exact.toLong && est > 0,
+      s"overflow-boundary estimate wrong: $est vs $exact")
+    // and small values are unchanged (floorDiv ≡ BigInt truncation on
+    // nonnegatives)
+    assert(chapman(10, 20, 4) == Math.floorDiv(11L * 21L, 5L) - 1)
+    assert(chapman(0, 0, 0) == 0)
+  }
 }

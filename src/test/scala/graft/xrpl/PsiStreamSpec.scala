@@ -91,6 +91,46 @@ class PsiStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("psiMicro is exact past the Long-overflow boundary") {
+    // cumulative live counts in the millions against a skewed
+    // reference: num ≈ cum·(nRef+B) ≈ 4e6·1e3 = 4e9, times
+    // lnm ≈ 7e6 micro-nats ≈ 3e16 per term — 8 such terms of mixed
+    // sign plus the divisor (nRef+B)·(nCur+B) kept a Long fold
+    // honest, but ONE hot bucket at 2e9 cumulative (nRef 1e6) puts
+    // num·lnm ≈ 2e15·1.4e7 ≈ 3e22 ≫ 2^63: the old Long accumulator
+    // wrapped. Pin against an independent BigDecimal computation.
+    val ref = Seq(500000L, 300000L, 150000L, 40000L, 7000L, 2000L,
+      700L, 300L)
+    val hot = Seq(1000L, 2000L, 3000L, 5000L, 10000L, 50000L,
+      400000000L, 1600000000L)
+    val p = Params(ref, 200000L)
+    val got = PsiStream.psiMicro(p, hot)
+    // independent recomputation: exact integer cross-products in
+    // BigInt, same micro-quantized ln
+    val nRef = ref.sum + 8
+    val nCur = hot.sum + 8
+    val acc = (0 until 8).map { i =>
+      val cr = BigInt(ref(i) + 1)
+      val cc = BigInt(hot(i) + 1)
+      val num = cc * nRef - cr * nCur
+      val lnm = graft.streaming.SprtStream.mlnMicro(
+        (cc * nRef).toDouble / (cr * nCur).toDouble)
+      num * lnm
+    }.sum
+    val den = BigInt(nRef) * nCur
+    val expect = (acc - (((acc % den) + den) % den)) / den // floor div
+    assert(got == expect.toLong, s"got $got expect $expect")
+    // sanity: a drift this extreme is far past any alarm threshold
+    assert(got > p.thresholdMicro)
+    // and the double formula agrees to quantization distance
+    val dbl = (0 until 8).map { i =>
+      val pr = (ref(i) + 1).toDouble / nRef
+      val pc = (hot(i) + 1).toDouble / nCur
+      (pc - pr) * math.log(pc / pr)
+    }.sum * 1e6
+    assert(math.abs(got - dbl) <= 9, s"got $got dbl $dbl")
+  }
+
   test("late duplicates of closed days are dropped") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
