@@ -54,6 +54,7 @@ object Bench {
         "dedup_prefix_filter",   // rarest-first ordered-gram cache
         "decontaminate",         // eval-ngram memo (shared with bloom/curate)
         "text_bpe_train",        // trained-BPE-model memo (shared with apply)
+        "er_entity_clusters",    // entity-cluster-label memo (ER fixpoint)
         "q6_filtered_revenue",   // lineitem
         "s_topk_orders",         // orders
         "w4_avg_event_gap",      // events
@@ -129,8 +130,18 @@ object Bench {
     val errs = results.collect { case (k, v, _) if v < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map { case (_, v, _) => math.abs(v) }.sum
+    // Execution envelope, so driver-vs-builder captures are comparable
+    // on their face: a driver artifact taken with half the heap or a
+    // different parallelism is visibly not like-for-like.
+    val envJson = {
+      val rt = Runtime.getRuntime
+      s"""{"cpus":"$cpus","shuffle_partitions":"${
+        spark.conf.get("spark.sql.shuffle.partitions")}","jvm_max_heap_mb":${
+        rt.maxMemory() / (1024 * 1024)},"jvm_available_processors":${
+        rt.availableProcessors()},"reps":$reps}"""
+    }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"errors":$errs,"env":$envJson,"sf":"$sfDir"}"""
     // The full JSON (with per-rep vectors) goes to a repo file; stdout
     // gets a COMPACT line without the reps map. The driver captures
     // only a bounded stdout tail, and in r6/r7 the reps-bearing line

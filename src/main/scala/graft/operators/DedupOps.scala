@@ -95,7 +95,12 @@ object DedupOps {
       .filter(length(col("text")) >= 8)
       .select(col("doc_id") +: sig.as("sig") +: Nil: _*)
       .select(col("doc_id") +: mSel: _*)
-      .cache()
+      // Explicit MEMORY_AND_DISK (the Dataset default, spelled out):
+      // these shared memos are multi-stage builds, and an evicted
+      // block under memory pressure must re-read from local disk, not
+      // recompute the whole build — the 20x rep blowups the r10
+      // driver capture showed under an external memory squeeze.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private def minhashSigSql: String = {
@@ -144,7 +149,7 @@ object DedupOps {
       // gate both consume this pair set (Spark's cache manager dedupes
       // by logical plan, so the two invocations share one entry — the
       // same write-once-candidates shape a warehouse pipeline has)
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** The `sig`/`bands` CTE prefix mirroring [[bandFrame]] for the
@@ -187,7 +192,7 @@ object DedupOps {
         """array_distinct(transform(sequence(1, size(ts)-2),
           |  i -> concat(element_at(ts, i), ' ', element_at(ts, i+1),
           |              ' ', element_at(ts, i+2))))""".stripMargin).as("gs"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** df-bounded tf-idf posting table for [[dedup_tfidf_cosine]]: one
     * array of ≤ 16 weighted postings per surviving word-3-gram. The
@@ -213,7 +218,7 @@ object DedupOps {
       .groupBy(col("tok"))
       .agg(collect_list(struct(col("doc_id"),
         expr("tf * (1000000 div dfc)").as("w"))).as("ps"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Full word-3-gram Jaccard oracle (pairs ≥ 0.02 within blocks,
@@ -251,7 +256,7 @@ object DedupOps {
 
   /** (a_id, b_id, n_inter, jaccard) pairs — the Spark mirror of
     * [[ngramJaccardSql]], unordered. Memoized per (session, dir), NOT
-    * just `.cache()`d: the posting-list stage checkpoints through
+    * just `.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)`d: the posting-list stage checkpoints through
     * `Materialize.stable`, so each invocation would build a fresh
     * lineage the plan-equality cache cannot dedupe (the same reason
     * the connected-components labels are memoized). Consumed by the
@@ -332,7 +337,7 @@ object DedupOps {
         .filter(col("jaccard") >= 0.02)
         .select(col("a_id"), col("b_id"), col("n_inter"), col("jaccard"))
         
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   def specs: Seq[QuerySpec] = Seq(
@@ -1313,7 +1318,7 @@ object DedupOps {
            |    md5(array_join(slice(ws, i, $SubstrL), ' ')) AS h))"""
           .stripMargin)).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Component labels memoized per (session, dir): the fixpoint
     * iteration's checkpointed output can't be deduped by Spark's
@@ -1384,7 +1389,7 @@ object DedupOps {
         " x -> x.tk)").as("toks"))
       .withColumn("n", size(col("toks")))
       .withColumn("p", col("n") - expr("(3 * n + 4) div 5") + 1)
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private[graft] def releaseCaches(s: SparkSession, dir: String): Unit = {

@@ -188,7 +188,7 @@ object PqOps {
 
   private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
     codesMemo.getOrBuild(s, dir) {
-      encode(SimilarityOps.signatures(s, dir), codebook(s, dir)).cache()
+      encode(SimilarityOps.signatures(s, dir), codebook(s, dir)).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** ADC scan: (qid, vid, score). The per-query LUT (q-subvector ·

@@ -103,7 +103,7 @@ object SimilarityOps {
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), expr(quantizeSpark).as("qv"))
       .withColumn("norm2", dot_long(col("qv"), col("qv")))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** All unordered same-cell pairs (a_id < b_id) of a signature table
     * (columns label, vec_id, qv, norm2) via the triangle block
@@ -412,7 +412,7 @@ object SimilarityOps {
     TopKPerKey.topKRanked(sym, Seq("vec_id"),
         Seq("cos" -> true, "nbr_id" -> false), k, "rnk")
       .select(col("vec_id"), col("nbr_id"), col("cos"), col("rnk"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** DuckDB derived-table SQL equivalent of [[knnEdges]]; expects a
@@ -461,7 +461,7 @@ object SimilarityOps {
     }
     sig.select(col("vec_id"), explode(array(tables: _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private def lshTopk(s: SparkSession, dir: String): DataFrame = {
@@ -523,7 +523,7 @@ object SimilarityOps {
     val comps = rpPlanes().map(pl => dot_long(col("qv"), typedLit(pl.toSeq)))
     sig.select(col("vec_id"), array(comps.toIndexedSeq: _*).as("rv"))
       .withColumn("rnorm2", dot_long(col("rv"), col("rv")))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** DuckDB CTE fragments for the JL projection: `rp` = (vec_id, k,
@@ -635,7 +635,7 @@ object SimilarityOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private[graft] def releaseCaches(s: SparkSession, dir: String): Unit = {
     val sig = signatures(s, dir)

@@ -215,7 +215,7 @@ object TextOps {
       .select(col("doc_id"),
         graft.functions.WinnowFp.winnow_fp(col("text"), winnowK, winnowW)
           .as("fp"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Unpersist this object's plan-keyed caches for (s, dir). Last
     * consumer is DedupOps (dedup_winnow_pairs) — callers must not

@@ -264,6 +264,29 @@ object TimeSeriesOps {
           .as("is_anomaly"))
   }
 
+  /** Hard bound on the per-series sequential folds (ewma / holt /
+    * cusum): the collected series is calendar-bounded by construction
+    * (one element per (event_type, day) — ~274 years at the 100k
+    * cap), but the bound deserves the same explicit guard the other
+    * bounded collects carry (AsOfStream.buildIndex). If a caller ever
+    * points the fold at an unbounded key, the task fails with a
+    * pointer to the windowed alternative instead of silently
+    * assembling a multi-GB array per group.
+    */
+  private val MaxSeriesLen = 100000
+
+  /** `arr` wrapped in the [[MaxSeriesLen]] guard — a CASE around the
+    * fold input, so the check can't be pruned and costs one `size`
+    * per group. Streaming-sized series belong in
+    * [[graft.streaming.AnomalyStream]]-style keyed state instead.
+    */
+  private def boundedArr(gate: String) = expr(
+    s"""CASE WHEN size(arr) <= $MaxSeriesLen THEN arr
+       |ELSE raise_error(concat('$gate: per-series fold collected ',
+       |  CAST(size(arr) AS STRING), ' elements (bound $MaxSeriesLen);
+       |  use a windowed/streaming formulation for longer series'))
+       |END""".stripMargin)
+
   /** Exact-integer EWMA (α = 1/2, floor) over a daily-count frame
     * (event_type, day, n_events) — shared by the ts_ewma gate and the
     * streaming pipeline (AnomalyStream daily counts → this fold, the
@@ -276,6 +299,7 @@ object TimeSeriesOps {
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(struct(col("day"), col("n_events"))))
         .as("arr"))
+      .withColumn("arr", boundedArr("ts_ewma"))
       .select(col("event_type"), explode(expr(
         """aggregate(arr,
           |  CAST(array() AS ARRAY<STRUCT<day: DATE, n_events: BIGINT,
@@ -1992,6 +2016,7 @@ object TimeSeriesOps {
         .groupBy(col("event_type"))
         .agg(sort_array(collect_list(struct(col("day"), col("n_events"))))
           .as("arr"))
+        .withColumn("arr", boundedArr("ts_holt_trend"))
         .select(col("event_type"), explode(expr(
           """aggregate(arr,
             |  CAST(array() AS ARRAY<STRUCT<day: DATE, n_events: BIGINT,
@@ -2215,6 +2240,7 @@ object TimeSeriesOps {
         .groupBy(col("event_type"))
         .agg(sort_array(collect_list(struct(col("day"), col("n_events"))))
           .as("arr"))
+        .withColumn("arr", boundedArr("ts_cusum"))
         .withColumn("n", size(col("arr")).cast("long"))
         .withColumn("t", expr("aggregate(arr, 0L, (a, x) -> a + x.n_events)"))
         .withColumn("slack", expr("t div 10"))
