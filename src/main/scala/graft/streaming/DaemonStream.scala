@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.xrpl.ParsedLedger
+import graft.xrpl.agg.Aggregations
+
+/** Streaming forms of the reference's remaining incremental
+  * aggregation daemons — payments (lib/aggregation/payments.js),
+  * network stats (lib/aggregation/stats.js) and fees
+  * (lib/aggregation/fees.js). [[CandleStream]] covers the fourth
+  * (exchanges, lib/aggregation/exchanges.js) with the same shape.
+  *
+  * Shape: each micro-batch's parsed rows are APPENDED to a staging
+  * table, then the aggregate store is rebuilt from staging and
+  * overwritten — the reference's periodic full-reload repair
+  * (exchanges.js:484-496 applies the same pattern to all daemons) as
+  * an idempotent batch job per micro-batch. Because the rebuild calls
+  * the SAME batch aggregation code ([[Aggregations]]), stream ≡ batch
+  * holds by construction once staging holds every row;
+  * DaemonStreamSpec proves it end-to-end (streamed store ≡
+  * batch-built store, row-exact) across real multi-micro-batch runs.
+  *
+  * Scale: staging is an append-only parquet log partitionable by
+  * arrival date; the rebuild is the batch job this engine already
+  * runs, so a deployment can widen the trigger interval (or swap the
+  * full rebuild for the associative re-reduce, as the candle store
+  * does) without touching the stream topology. Exactness carries
+  * over: every sum in these daemons rides the DECIMAL(38,18)
+  * discipline or exact counts, so the rebuilt store is identical no
+  * matter how arrivals were micro-batched.
+  */
+object DaemonStream {
+
+  /** A4 payment-volume daemon: per-(currency, issuer, bucket) count /
+    * exact amount / average, rebuilt per micro-batch.
+    * Staging: `dir`/staging/payments; store: `dir`/store/payment_volume.
+    */
+  def paymentVolumeDaemon(spark: SparkSession, raw: DataFrame, dir: String,
+      unit: String = "day"): StreamingQuery = {
+    import spark.implicits._
+    CandleStream.parsedStream(spark, raw).flatMap(_.payments).toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$dir/staging/payments")
+        Aggregations.paymentVolume(
+            spark.read.parquet(s"$dir/staging/payments"), unit)
+          .write.mode("overwrite").parquet(s"$dir/store/payment_volume")
+        ()
+      }
+      .start()
+  }
+
+  /** A6 network-stats daemon: the long-format (date, family, name,
+    * value) stats table rebuilt per micro-batch. One incoming ledger
+    * stream fans out to the five derived staging tables the stats
+    * job reads (stats.js consumes the same five HBase feeds).
+    */
+  def statsDaemon(spark: SparkSession, raw: DataFrame, dir: String,
+      unit: String = "day"): StreamingQuery = {
+    import spark.implicits._
+    CandleStream.parsedStream(spark, raw)
+      .writeStream
+      .foreachBatch { (batch: Dataset[ParsedLedger], _: Long) =>
+        batch.flatMap(_.transactions).toDF()
+          .write.mode("append").parquet(s"$dir/staging/transactions")
+        batch.flatMap(_.payments).toDF()
+          .write.mode("append").parquet(s"$dir/staging/payments")
+        batch.flatMap(_.exchanges).toDF()
+          .write.mode("append").parquet(s"$dir/staging/exchanges")
+        batch.flatMap(_.accountsCreated).toDF()
+          .write.mode("append").parquet(s"$dir/staging/accounts_created")
+        batch.map(_.ledger).toDF()
+          .write.mode("append").parquet(s"$dir/staging/ledgers")
+        Aggregations.stats(
+            spark.read.parquet(s"$dir/staging/transactions"),
+            spark.read.parquet(s"$dir/staging/payments"),
+            spark.read.parquet(s"$dir/staging/exchanges"),
+            spark.read.parquet(s"$dir/staging/accounts_created"),
+            spark.read.parquet(s"$dir/staging/ledgers"),
+            unit)
+          .write.mode("overwrite").parquet(s"$dir/store/stats")
+        ()
+      }
+      .start()
+  }
+
+  /** A7 fee daemon: per-ledger fee summaries rolled into hour/day
+    * rows, rebuilt per micro-batch.
+    * Staging: `dir`/staging/fee_summaries; store: `dir`/store/fees.
+    */
+  def feeDaemon(spark: SparkSession, raw: DataFrame, dir: String,
+      unit: String = "hour"): StreamingQuery = {
+    import spark.implicits._
+    CandleStream.parsedStream(spark, raw).map(_.feeSummary).toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$dir/staging/fee_summaries")
+        Aggregations.feeRollup(
+            spark.read.parquet(s"$dir/staging/fee_summaries"), unit)
+          .write.mode("overwrite").parquet(s"$dir/store/fees")
+        ()
+      }
+      .start()
+  }
+}

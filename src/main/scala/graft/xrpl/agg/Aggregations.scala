@@ -315,7 +315,13 @@ object Aggregations {
       .filter(col("tx_count") > 0)
       .groupBy(bucket.as("start"))
       .agg(
-        sum(col("total")).as("total"),
+        // exact-decimal sum (the dsum discipline, same as the
+        // xrpl_fee_rollup gate): a raw double sum is order-dependent,
+        // so the streamed daemon's rebuild from staging parquet could
+        // differ from the batch table by a ulp depending on partition
+        // layout — DaemonStreamSpec's row-exact parity needs the sum
+        // to be associative
+        graft.functions.Cols.dsum(col("total")).as("total"),
         sum(col("tx_count")).cast("long").as("tx_count"),
         min(col("min")).as("min"),
         max(col("max")).as("max"),
