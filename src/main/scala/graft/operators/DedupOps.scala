@@ -135,7 +135,7 @@ object DedupOps {
     }.reduce(_ unionByName _)
   }
 
-  private def bandedCandidates(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bandedCandidates(s: SparkSession, dir: String): DataFrame = {
     val bands = bandFrame(s, dir)
     // triangle block decomposition of each band bucket: complete
     // candidate set, one hot bucket's pairs spread across block-pair
@@ -539,13 +539,7 @@ object DedupOps {
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val ordered = orderedGrams(s, dir)
-      val pref = ordered
-        .select(col("doc_id"), explode(expr("slice(toks, 1, p)")).as("tk"))
-      val cand = pref.select(col("tk"), col("doc_id").as("doc_a"))
-        .join(pref.select(col("tk"), col("doc_id").as("doc_b")), Seq("tk"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      cand
+      prefixCandidates(s, dir)
         .join(ordered.select(col("doc_id").as("doc_a"),
           col("toks").as("ta"), col("n").as("na")), Seq("doc_a"))
         .join(ordered.select(col("doc_id").as("doc_b"),
@@ -1390,6 +1384,21 @@ object DedupOps {
       .withColumn("n", size(col("toks")))
       .withColumn("p", col("n") - expr("(3 * n + 4) div 5") + 1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The prefix-filter candidate pairs (distinct doc pairs sharing at
+    * least one gram within both prefixes) — the pair surface whose
+    * sub-quadratic growth the scaling evidence (graft.Scaling /
+    * SCALING.md) measures; the dedup_prefix_filter gate verifies
+    * exactly these candidates.
+    */
+  private[graft] def prefixCandidates(s: SparkSession, dir: String): DataFrame = {
+    val pref = orderedGrams(s, dir)
+      .select(col("doc_id"), explode(expr("slice(toks, 1, p)")).as("tk"))
+    pref.select(col("tk"), col("doc_id").as("doc_a"))
+      .join(pref.select(col("tk"), col("doc_id").as("doc_b")), Seq("tk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
   }
 
   private[graft] def releaseCaches(s: SparkSession, dir: String): Unit = {

@@ -362,7 +362,7 @@ object SimilarityOps {
           "cell_rank")
   }
 
-  private[operators] def cellProbes(s: SparkSession, dir: String): DataFrame =
+  private[graft] def cellProbes(s: SparkSession, dir: String): DataFrame =
     rankedCells(s, dir, Probes).select(col("qid"), col("label"))
 
   /** IVF multi-probe search plan (see the sim_ivf_probe spec). */
