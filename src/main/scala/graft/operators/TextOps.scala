@@ -1134,6 +1134,156 @@ object TextOps {
         .orderBy(col("threshold_micro"))
     },
 
+    // Calibration diagnostic (reliability table / ECE decomposition)
+    // over the same micro-score-vs-en-label pair the AUC and PR-curve
+    // gates read: ten fixed score deciles, and per bin the predicted
+    // confidence (mean score — already ppm, so the mean is an exact
+    // integer division of a sum) against the observed positive rate.
+    // AUC measures RANKING quality; this measures whether the score
+    // MEANS what it says (a 0.8-scored doc should be positive ~80% of
+    // the time) — the property threshold-picking and downstream
+    // mixing weights actually rely on. All integers: gap_ppm =
+    // |acc−conf| and the bin's ECE contribution n·gap are exact, so
+    // the classically-float Expected Calibration Error hash-compares.
+    // Plan: the one tokenize+score pass, a 10-ary groupBy — no
+    // window, no second pass.
+    QuerySpec.sql(
+      "eval_calibration_bins",
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+         |    CAST(SUM(CASE WHEN tok IN ${inList(langMarkers.head._2)}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         |    COUNT(DISTINCT tok) AS n_distinct
+         |  FROM (SELECT doc_id, lang,
+         |      unnest(string_split(text, ' ')) AS tok
+         |    FROM documents) t
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         |    CAST((3 * n_stop + 7 * n_distinct) * 1000000
+         |      // (10 * n_tokens) AS BIGINT) AS score
+         |  FROM q),
+         |b AS (
+         |  SELECT LEAST(score // 100000, 9) AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |    CAST(SUM(score) AS BIGINT) AS score_sum
+         |  FROM sc GROUP BY 1)
+         |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+         |  CAST(score_sum // n AS BIGINT) AS conf_ppm,
+         |  CAST(n_pos * 1000000 // n AS BIGINT) AS acc_ppm,
+         |  CAST(ABS(score_sum // n - n_pos * 1000000 // n) AS BIGINT)
+         |    AS gap_ppm,
+         |  CAST(n * ABS(score_sum // n - n_pos * 1000000 // n)
+         |    AS BIGINT) AS ece_contrib
+         |FROM b ORDER BY bin""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          split(col("text"), " ").as("ts"))
+        .select(
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          expr(s"CAST(size(filter(ts, t -> t IN " +
+            s"${inList(langMarkers.head._2)})) AS BIGINT)").as("n_stop"),
+          size(array_distinct(col("ts"))).cast("long").as("n_distinct"))
+        .select(col("pos"),
+          expr("CAST((3 * n_stop + 7 * n_distinct) * 1000000 div " +
+            "(10 * n_tokens) AS BIGINT)").as("score"))
+        .groupBy(least(expr("score div 100000"), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+          sum(col("score")).as("score_sum"))
+        .select(col("bin").cast("long").as("bin"), col("n"),
+          col("n_pos"),
+          expr("CAST(score_sum div n AS BIGINT)").as("conf_ppm"),
+          expr("CAST(n_pos * 1000000 div n AS BIGINT)").as("acc_ppm"),
+          expr("CAST(ABS(score_sum div n - n_pos * 1000000 div n) " +
+            "AS BIGINT)").as("gap_ppm"),
+          expr("CAST(n * ABS(score_sum div n - n_pos * 1000000 div n)" +
+            " AS BIGINT)").as("ece_contrib"))
+        .orderBy(col("bin"))
+    },
+
+    // Duplicated-n-gram mass (the OTHER half of Gopher's repetition
+    // filters, Rae et al. 2021 table A1: text_repetition covers the
+    // "fraction in the TOP n-gram" family; this one is "fraction of
+    // n-gram positions whose n-gram occurs MORE THAN ONCE in the
+    // doc" — the signal that catches diffuse boilerplate a single hot
+    // n-gram misses, at bigram and trigram width). Exact integer ppm
+    // per doc (counts divided once); docs too short for the width
+    // emit NULL rather than a fake 0 — both engines agree on the
+    // edge. Plan: two explode+groupBy passes keyed by doc_id (uniform
+    // key), one join — the same shape as the gram builders.
+    QuerySpec.sql(
+      "text_dup_ngram_mass",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |bi AS (
+        |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS ng,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks,
+        |    LATERAL (SELECT unnest(generate_series(1, len(ts)-1)) AS i)
+        |      g
+        |  WHERE len(ts) >= 2
+        |  GROUP BY 1, 2),
+        |b2 AS (
+        |  SELECT doc_id,
+        |    CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0)
+        |      AS BIGINT) AS dup_bi,
+        |    CAST(SUM(c) AS BIGINT) AS n_bi
+        |  FROM bi GROUP BY 1),
+        |tri AS (
+        |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |      AS ng,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks,
+        |    LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i)
+        |      g
+        |  WHERE len(ts) >= 3
+        |  GROUP BY 1, 2),
+        |t3 AS (
+        |  SELECT doc_id,
+        |    CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0)
+        |      AS BIGINT) AS dup_tri,
+        |    CAST(SUM(c) AS BIGINT) AS n_tri
+        |  FROM tri GROUP BY 1),
+        |base AS (
+        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks)
+        |SELECT base.doc_id, base.n_tokens,
+        |  CAST(b2.dup_bi * 1000000 // b2.n_bi AS BIGINT)
+        |    AS dup_bigram_ppm,
+        |  CAST(t3.dup_tri * 1000000 // t3.n_tri AS BIGINT)
+        |    AS dup_trigram_ppm
+        |FROM base
+        |LEFT JOIN b2 ON b2.doc_id = base.doc_id
+        |LEFT JOIN t3 ON t3.doc_id = base.doc_id
+        |ORDER BY base.doc_id""".stripMargin) { (s, dir) =>
+      val toks = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      def dupMass(width: Int, dupCol: String, totCol: String) = toks
+        .filter(size(col("ts")) >= width)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(ts) - ${width - 1}),
+             |  i -> array_join(slice(ts, i, $width), ' '))"""
+            .stripMargin)).as("ng"))
+        .groupBy(col("doc_id"), col("ng"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+          .cast("long").as(dupCol),
+          sum(col("c")).cast("long").as(totCol))
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(dupMass(2, "dup_bi", "n_bi"), Seq("doc_id"), "left")
+        .join(dupMass(3, "dup_tri", "n_tri"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          expr("CAST(dup_bi * 1000000 div n_bi AS BIGINT)")
+            .as("dup_bigram_ppm"),
+          expr("CAST(dup_tri * 1000000 div n_tri AS BIGINT)")
+            .as("dup_trigram_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
     // Per-source quality calibration: the raw quality score's
     // percentile WITHIN its source — the normalization that makes a
     // "keep the top X%" cut comparable across domains whose raw score

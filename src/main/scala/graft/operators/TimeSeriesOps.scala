@@ -287,6 +287,113 @@ object TimeSeriesOps {
        |  use a windowed/streaming formulation for longer series'))
        |END""".stripMargin)
 
+  /** DuckDB CTE chain of the per-series exact sign test, ending in
+    * `sgn` = (event_type, n, k, p_num, p_den) — shared VERBATIM by
+    * stats_sign_test and stats_fdr_bh (callers prepend WITH
+    * RECURSIVE: `cc` builds the binomial coefficients by the
+    * multiplicative recurrence).
+    */
+  private val signTestCtes: String =
+    """cnts AS (
+      |  SELECT event_type AS series,
+      |    CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |fs AS (
+      |  SELECT event_type, user_id,
+      |    MIN(CAST(date_trunc('day', ts) AS DATE)) AS day
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type || ':cum_users' AS series, day,
+      |    CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type
+      |      ORDER BY day) AS BIGINT) AS x
+      |  FROM fs GROUP BY event_type, day),
+      |daily AS (SELECT * FROM cnts UNION ALL SELECT * FROM cum),
+      |dd AS (
+      |  SELECT series,
+      |    x - LAG(x) OVER (PARTITION BY series ORDER BY day) AS dx
+      |  FROM daily),
+      |nk AS (
+      |  SELECT series,
+      |    CAST(COUNT(*) FILTER (WHERE dx <> 0) AS BIGINT) AS n,
+      |    CAST(COUNT(*) FILTER (WHERE dx > 0) AS BIGINT) AS k
+      |  FROM dd WHERE dx IS NOT NULL GROUP BY 1),
+      |jj AS (SELECT series, n, k, GREATEST(k, n - k) AS j FROM nk),
+      |cc AS (
+      |  SELECT series, n, j, CAST(0 AS BIGINT) AS i,
+      |    CAST(1 AS BIGINT) AS c
+      |  FROM jj
+      |  UNION ALL
+      |  SELECT series, n, j, i + 1, c * (n - i) // (i + 1)
+      |  FROM cc WHERE i < n),
+      |tl AS (
+      |  SELECT series, CAST(SUM(c) AS BIGINT) AS t
+      |  FROM cc WHERE i >= j GROUP BY 1),
+      |sgn AS (
+      |  SELECT j.series, j.n, j.k,
+      |    CAST(LEAST(2 * t.t, 1::BIGINT << CAST(j.n AS INT))
+      |      AS BIGINT) AS p_num,
+      |    CAST(1::BIGINT << CAST(j.n AS INT) AS BIGINT) AS p_den
+      |  FROM jj j JOIN tl t ON t.series = j.series)""".stripMargin
+
+  /** Spark side of [[signTestCtes]]: per event_type, the day-over-day
+    * sign counts and the exact two-sided binomial p as a p_num/p_den
+    * rational. The binomial tail is a per-series `aggregate` fold
+    * (calendar-bounded, like [[ewmaFold]]); n > 55 fails loudly in
+    * both engines (Spark raise_error, DuckDB BIGINT overflow) rather
+    * than wrap the coefficient recurrence.
+    */
+  private def signTest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("series")).orderBy(col("day"))
+    val ev = events(s, dir)
+    // the stationary regime: daily event counts per type (the test
+    // must NOT fire on these)
+    val cnts = ev
+      .groupBy(col("event_type").as("series"),
+        to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("x"))
+    // the trending regime: cumulative distinct users per type (signs
+    // all positive — the test and the FDR step-up MUST fire here).
+    // Cumsum window is partitioned by event_type; only days a new
+    // user appeared carry rows, which the sign test's tie-dropping
+    // makes equivalent to the full calendar frame.
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val cum = ev
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("nu"))
+      .select(concat(col("event_type"), lit(":cum_users")).as("series"),
+        col("day"), sum(col("nu")).over(wc).cast("long").as("x"))
+    cnts.unionByName(cum)
+      .withColumn("dx", col("x") - lag(col("x"), 1).over(w))
+      .filter(col("dx").isNotNull)
+      .groupBy(col("series"))
+      .agg(sum(when(col("dx") =!= 0, 1L).otherwise(0L)).as("n"),
+        sum(when(col("dx") > 0, 1L).otherwise(0L)).as("k"))
+      .withColumn("j", greatest(col("k"), col("n") - col("k")))
+      .withColumn("t", expr(
+        """CASE
+          |  WHEN n > 55 THEN raise_error(concat('stats_sign_test: n = ',
+          |    CAST(n AS STRING), ' > 55 overflows the exact binomial
+          |    recurrence; use a normal-approximation variant'))
+          |  WHEN n = 0 THEN CAST(1 AS BIGINT)
+          |  ELSE aggregate(sequence(1, CAST(n AS INT)),
+          |    named_struct('c', CAST(1 AS BIGINT),
+          |      'tl', CAST(CASE WHEN j = 0 THEN 1 ELSE 0 END AS BIGINT)),
+          |    (acc, i) -> named_struct(
+          |      'c', acc.c * (n - i + 1) div i,
+          |      'tl', acc.tl + CASE WHEN i >= j
+          |        THEN acc.c * (n - i + 1) div i
+          |        ELSE CAST(0 AS BIGINT) END),
+          |    acc -> acc.tl)
+          |END""".stripMargin))
+      .select(col("series"), col("n"), col("k"),
+        expr("CAST(least(2 * t, shiftleft(CAST(1 AS BIGINT)," +
+          " CAST(n AS INT))) AS BIGINT)").as("p_num"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(n AS INT))").as("p_den"))
+  }
+
   /** Exact-integer EWMA (α = 1/2, floor) over a daily-count frame
     * (event_type, day, n_events) — shared by the ts_ewma gate and the
     * streaming pipeline (AnomalyStream daily counts → this fold, the
@@ -2187,6 +2294,90 @@ object TimeSeriesOps {
         .orderBy(col("event_type"))
     },
 
+    // Full autocorrelation function at lags 1..7 per series — the
+    // weekly-seasonality / memory-structure readout beside
+    // ts_autocorr1's single lag-1 number (an ACF table is what a
+    // forecasting pipeline inspects before picking AR terms). The
+    // textbook estimator r_l = Σ(x_i−x̄)(x_{i+l}−x̄) / Σ(x_i−x̄)²
+    // is kept EXACT by multiplying through by n²:
+    //   num = n²·Σx_i·x_{i+l} − n·S·(Σa+Σb) + (n−l)·S²,
+    //   den = n²·Q − n·S²,
+    // both integers (S, Q the series sum / sum of squares), floored
+    // to micro-units in DECIMAL(38,0) ≡ HUGEINT (negative lags
+    // truncate toward zero identically in Spark `div` and DuckDB
+    // `//`, the ts_theil_sen precedent). Plan: ONE daily rollup, the
+    // per-series array collected once (calendar-bounded like the
+    // ewma/holt folds), the 7 lags sliced from it — no per-lag
+    // re-join, no window beyond the rollup.
+    QuerySpec.sql(
+      "ts_acf_lags",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS s,
+        |    CAST(SUM(y * y) AS BIGINT) AS q
+        |  FROM daily GROUP BY 1),
+        |rn AS (
+        |  SELECT event_type, y,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS i
+        |  FROM daily),
+        |lg AS (SELECT CAST(UNNEST(range(1, 8)) AS BIGINT) AS l),
+        |pr AS (
+        |  SELECT a.event_type, l.l, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(a.y * b.y) AS BIGINT) AS sab,
+        |    CAST(SUM(a.y) AS BIGINT) AS sa,
+        |    CAST(SUM(b.y) AS BIGINT) AS sb
+        |  FROM rn a CROSS JOIN lg l
+        |  JOIN rn b ON b.event_type = a.event_type AND b.i = a.i + l.l
+        |  GROUP BY 1, 2)
+        |SELECT p.event_type, p.l AS lag, p.cnt AS n_pairs,
+        |  CAST(CASE WHEN st.n * st.q - st.s * st.s > 0 THEN
+        |    (CAST(st.n AS HUGEINT) * st.n * p.sab
+        |      - CAST(st.n AS HUGEINT) * st.s * (p.sa + p.sb)
+        |      + CAST(p.cnt AS HUGEINT) * st.s * st.s) * 1000000
+        |    // (CAST(st.n AS HUGEINT) * st.n * st.q
+        |      - CAST(st.n AS HUGEINT) * st.s * st.s) END AS BIGINT)
+        |    AS acf_micro
+        |FROM pr p JOIN st USING (event_type)
+        |ORDER BY event_type, lag""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .groupBy(col("event_type"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(day, y))), p -> p.y)")
+          .as("ys"))
+        .select(col("event_type"), col("ys"),
+          expr("CAST(size(ys) AS BIGINT)").as("n"),
+          expr("aggregate(ys, 0L, (acc, v) -> acc + v)").as("s"),
+          expr("aggregate(ys, 0L, (acc, v) -> acc + v * v)").as("q"))
+        .withColumn("l", explode(expr("sequence(1L, 7L)")))
+        .filter(col("n") > col("l"))
+        .select(col("event_type"), col("l").as("lag"),
+          (col("n") - col("l")).as("cnt"), col("n"), col("s"), col("q"),
+          expr("aggregate(zip_with(slice(ys, 1, CAST(n - l AS INT)), " +
+            "slice(ys, CAST(l + 1 AS INT), CAST(n - l AS INT)), " +
+            "(x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("sab"),
+          expr("aggregate(slice(ys, 1, CAST(n - l AS INT)), 0L, " +
+            "(acc, v) -> acc + v)").as("sa"),
+          expr("aggregate(slice(ys, CAST(l + 1 AS INT), " +
+            "CAST(n - l AS INT)), 0L, (acc, v) -> acc + v)").as("sb"))
+        .select(col("event_type"), col("lag"),
+          col("cnt").as("n_pairs"),
+          expr("""CAST(CASE WHEN n * q - s * s > 0 THEN
+            |  (CAST(n AS DECIMAL(38,0)) * n * sab
+            |    - CAST(n AS DECIMAL(38,0)) * s * (sa + sb)
+            |    + CAST(cnt AS DECIMAL(38,0)) * s * s) * 1000000
+            |  div (CAST(n AS DECIMAL(38,0)) * n * q
+            |    - CAST(n AS DECIMAL(38,0)) * s * s) END AS BIGINT)"""
+            .stripMargin).as("acf_micro"))
+        .orderBy(col("event_type"), col("lag"))
+    },
+
     // CUSUM changepoint detection (Page 1954): per event-type series,
     // the two one-sided cumulative sums
     //   s⁺_i = max(0, s⁺_{i-1} + dev_i − K),
@@ -4066,6 +4257,97 @@ object TimeSeriesOps {
           expr("CAST(n_a - n_b AS DECIMAL(38,0)) * (n_a - n_b)" +
             " * 1000000 div (n_a + n_b) > 3841459").as("srm"))
         .orderBy(col("exp"))
+    },
+
+    // Exact sign test per series (Arbuthnott 1710, the oldest test
+    // there is): of each event type's day-over-day moves, k ups out
+    // of n non-ties — under H0 the count is Binomial(n, 1/2), and the
+    // two-sided p-value is an EXACT RATIONAL p_num/2^n whose
+    // numerator is a binomial tail sum of integer C(n,i). Both
+    // engines build the coefficients by the multiplicative recurrence
+    // C(n,i) = C(n,i-1)·(n-i+1)/i (each step divides exactly), Spark
+    // as a per-series `aggregate` fold, DuckDB as the textbook
+    // recursive CTE — so a classically-continuous hypothesis test
+    // hash-compares with NO float anywhere. The series is
+    // calendar-bounded (n = days-1); n > 55 would overflow the
+    // BIGINT recurrence and both engines fail loudly (DuckDB checks
+    // overflow; Spark raise_error) rather than return a wrong tail —
+    // beyond that, a normal-approximation variant is the right tool.
+    QuerySpec.sql(
+      "stats_sign_test",
+      s"""WITH RECURSIVE $signTestCtes
+         |SELECT series, n, k, p_num, p_den,
+         |  20 * p_num <= p_den AS significant
+         |FROM sgn ORDER BY series""".stripMargin) { (s, dir) =>
+      signTest(s, dir)
+        .withColumn("significant", lit(20) * col("p_num") <= col("p_den"))
+        .select(col("series"), col("n"), col("k"), col("p_num"),
+          col("p_den"), col("significant"))
+        .orderBy(col("series"))
+    },
+
+    // Benjamini–Hochberg FDR control (1995) over the per-series sign
+    // tests — the multiple-testing correction a platform needs the
+    // moment it monitors MANY metrics (m tests at α each yields mα
+    // false alarms; BH caps the FALSE DISCOVERY RATE at q instead).
+    // Everything stays exact: the rational p-values are made
+    // comparable by scaling every numerator to the common denominator
+    // 2^nmax (p_scaled = p_num·2^(nmax-n), exact integers), the rank
+    // comes from the PrefixSum global cumsum (no unpartitioned
+    // window), and the step-up condition p_(i) ≤ i·q/m is the
+    // cross-multiplied 10·m·p_scaled ≤ i·2^nmax (q = 0.10). The
+    // step-up cutoff (LARGEST passing rank, then reject all ranks
+    // below it — the part naive implementations get wrong) is one
+    // broadcast scalar join. Bonferroni flags ride along for
+    // contrast. Headroom: 10·m·2^nmax < 2^63 ⇒ fine to n ≤ 55 and
+    // m ≤ 250 — far past any calendar-bounded event-type domain.
+    QuerySpec.sql(
+      "stats_fdr_bh",
+      s"""WITH RECURSIVE $signTestCtes,
+         |mm AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |    CAST(MAX(n) AS BIGINT) AS nmax
+         |  FROM sgn),
+         |sc AS (
+         |  SELECT s.series, s.n, s.k, s.p_num, s.p_den, mm.m,
+         |    mm.nmax,
+         |    s.p_num * (1::BIGINT << CAST(mm.nmax - s.n AS INT))
+         |      AS p_scaled
+         |  FROM sgn s, mm),
+         |rk AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_scaled,
+         |    series) AS BIGINT) AS rnk
+         |  FROM sc),
+         |th AS (
+         |  SELECT COALESCE(MAX(CASE WHEN 10 * m * p_scaled <=
+         |      rnk * (1::BIGINT << CAST(nmax AS INT))
+         |    THEN rnk END), 0) AS cutoff
+         |  FROM rk)
+         |SELECT series, n, k, p_num, p_den, rnk AS rank,
+         |  rnk <= th.cutoff AS bh_reject,
+         |  20 * m * p_num <= p_den AS bonf_reject
+         |FROM rk, th ORDER BY rank, series""".stripMargin) { (s, dir) =>
+      import graft.functions.PrefixSum
+      val sgn = Materialize.stable(signTest(s, dir))
+      val mm = sgn.agg(count(lit(1)).cast("long").as("m"),
+        max(col("n")).cast("long").as("nmax"))
+      val sc = sgn.crossJoin(broadcast(mm))
+        .withColumn("p_scaled", expr(
+          "p_num * shiftleft(CAST(1 AS BIGINT), CAST(nmax - n AS INT))"))
+      // global rank over the (tiny, bounded-by-event-type-domain)
+      // test table without an unpartitioned window
+      val rk = PrefixSum.globalCumsum(sc,
+        Seq(col("p_scaled"), col("series")), lit(1L), "rnk")
+      val th = rk.agg(coalesce(max(when(expr(
+          "10 * m * p_scaled <= rnk * shiftleft(CAST(1 AS BIGINT)," +
+            " CAST(nmax AS INT))"), col("rnk"))), lit(0L)).as("cutoff"))
+      rk.crossJoin(broadcast(th))
+        .select(col("series"), col("n"), col("k"), col("p_num"),
+          col("p_den"), col("rnk").as("rank"),
+          (col("rnk") <= col("cutoff")).as("bh_reject"),
+          (lit(20) * col("m") * col("p_num") <= col("p_den"))
+            .as("bonf_reject"))
+        .orderBy(col("rank"), col("series"))
     },
 
     // Two-proportion z-test — the A/B experiment read-out (arm =
