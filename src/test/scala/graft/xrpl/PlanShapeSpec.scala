@@ -48,7 +48,11 @@ class PlanShapeSpec extends AnyFunSuite {
   test("no unpartitioned window in any relational/time-series gate plan") {
     for (name <- Seq("skyline_orders", "ts_ewma", "ts_rolling_median",
         "w7_rank_distribution", "w8_value_windows", "a_mode_per_user",
-        "pivot_event_daily", "quantile_disc_grouped", "ts_quantile_sketch")) {
+        "pivot_event_daily", "quantile_disc_grouped", "ts_quantile_sketch",
+        // r11: sign-test lag + FDR rank must stay partitioned /
+        // PrefixSum-based; the ACF gate must not regress to a global
+        // row_number over the daily frame
+        "stats_sign_test", "stats_fdr_bh", "ts_acf_lags")) {
       val bad = collectNodes(planOf(name)).collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }
@@ -64,7 +68,8 @@ class PlanShapeSpec extends AnyFunSuite {
   test("no nested-loop or cartesian join in the new pair/join gates") {
     for (name <- Seq("mm_phash_near_dup", "dedup_lsh_verified",
         "dedup_winnow_pairs", "j_asof_next_order", "graph_triangles",
-        "graph_link_predict", "j_asof_nearest_order")) {
+        "graph_link_predict", "j_asof_nearest_order",
+        "text_dup_ngram_mass", "eval_calibration_bins")) {
       val s = planString(name)
       assert(!s.contains("BroadcastNestedLoopJoin") &&
         !s.contains("CartesianProduct"),
