@@ -293,7 +293,13 @@ object TimeSeriesOps {
     * RECURSIVE: `cc` builds the binomial coefficients by the
     * multiplicative recurrence).
     */
-  private val signTestCtes: String =
+  /** DuckDB CTE prefix shared by the nonparametric trend tests
+    * (stats_sign_test / stats_fdr_bh / stats_runs_test): the
+    * two-regime series frame — stationary daily counts per event type
+    * plus trending cumulative-distinct-user series — diffed
+    * per-series into `dd` = (series, day, dx).
+    */
+  private val seriesDiffCtes: String =
     """cnts AS (
       |  SELECT event_type AS series,
       |    CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -310,9 +316,12 @@ object TimeSeriesOps {
       |  FROM fs GROUP BY event_type, day),
       |daily AS (SELECT * FROM cnts UNION ALL SELECT * FROM cum),
       |dd AS (
-      |  SELECT series,
+      |  SELECT series, day,
       |    x - LAG(x) OVER (PARTITION BY series ORDER BY day) AS dx
-      |  FROM daily),
+      |  FROM daily)""".stripMargin
+
+  private val signTestCtes: String =
+    s"""$seriesDiffCtes,
       |nk AS (
       |  SELECT series,
       |    CAST(COUNT(*) FILTER (WHERE dx <> 0) AS BIGINT) AS n,
@@ -343,20 +352,24 @@ object TimeSeriesOps {
     * both engines (Spark raise_error, DuckDB BIGINT overflow) rather
     * than wrap the coefficient recurrence.
     */
-  private def signTest(s: SparkSession, dir: String): DataFrame = {
+  /** Spark side of [[seriesDiffCtes]]: the two-regime series frame,
+    * diffed per series — (series, day, dx) with the first day's null
+    * diff retained (callers filter).
+    */
+  private def seriesDiffs(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("series")).orderBy(col("day"))
     val ev = events(s, dir)
-    // the stationary regime: daily event counts per type (the test
+    // the stationary regime: daily event counts per type (the tests
     // must NOT fire on these)
     val cnts = ev
       .groupBy(col("event_type").as("series"),
         to_date(col("ts")).as("day"))
       .agg(count(lit(1)).cast("long").as("x"))
     // the trending regime: cumulative distinct users per type (signs
-    // all positive — the test and the FDR step-up MUST fire here).
+    // all positive — the tests and the FDR step-up MUST fire here).
     // Cumsum window is partitioned by event_type; only days a new
-    // user appeared carry rows, which the sign test's tie-dropping
-    // makes equivalent to the full calendar frame.
+    // user appeared carry rows, which tie-dropping makes equivalent
+    // to the full calendar frame.
     val wc = Window.partitionBy(col("event_type")).orderBy(col("day"))
     val cum = ev
       .groupBy(col("event_type"), col("user_id"))
@@ -366,7 +379,30 @@ object TimeSeriesOps {
       .select(concat(col("event_type"), lit(":cum_users")).as("series"),
         col("day"), sum(col("nu")).over(wc).cast("long").as("x"))
     cnts.unionByName(cum)
-      .withColumn("dx", col("x") - lag(col("x"), 1).over(w))
+      .select(col("series"), col("day"),
+        (col("x") - lag(col("x"), 1).over(w)).as("dx"))
+  }
+
+  /** Array [C(a,0)..C(a,a)] via the multiplicative recurrence as a
+    * Catalyst fold — shared by the runs test; `a` is an integer SQL
+    * expression. a > 55 fails loudly (the last exactly-representable
+    * step is C(55,27)·29 < 2^63); callers gate evaluation behind a
+    * lazy CASE so degenerate rows never run the recurrence.
+    */
+  private def binomArr(a: String) = expr(
+    s"""CASE
+       |  WHEN ($a) > 55 THEN raise_error(concat(
+       |    'binomial recurrence: a = ', CAST(($a) AS STRING),
+       |    ' > 55 overflows BIGINT; use a normal approximation'))
+       |  WHEN ($a) <= 0 THEN array(CAST(1 AS BIGINT))
+       |  ELSE aggregate(sequence(1, CAST(($a) AS INT)),
+       |    array(CAST(1 AS BIGINT)),
+       |    (acc, i) -> array_append(acc,
+       |      element_at(acc, -1) * (($a) - i + 1) div i))
+       |END""".stripMargin)
+
+  private def signTest(s: SparkSession, dir: String): DataFrame = {
+    seriesDiffs(s, dir)
       .filter(col("dx").isNotNull)
       .groupBy(col("series"))
       .agg(sum(when(col("dx") =!= 0, 1L).otherwise(0L)).as("n"),
@@ -4283,6 +4319,149 @@ object TimeSeriesOps {
         .withColumn("significant", lit(20) * col("p_num") <= col("p_den"))
         .select(col("series"), col("n"), col("k"), col("p_num"),
           col("p_den"), col("significant"))
+        .orderBy(col("series"))
+    },
+
+    // Wald–Wolfowitz runs test (1940) per series — the nonparametric
+    // randomness check beside the sign test: of the tie-dropped
+    // day-over-day signs, the number of RUNS R against its exact
+    // conditional null distribution given (n1 ups, n2 downs):
+    //   P(R=2k)   = 2·C(n1−1,k−1)·C(n2−1,k−1) / C(n,n1)
+    //   P(R=2k+1) = [C(n1−1,k)·C(n2−1,k−1)+C(n1−1,k−1)·C(n2−1,k)]
+    //               / C(n,n1).
+    // The left tail P(R ≤ R_obs) flags CLUSTERING (trend/regime
+    // persistence — too few runs). Everything is the exact integer
+    // rational p_num/C(n,n1): binomial rows from the same
+    // multiplicative recurrence as stats_sign_test (recursive CTE /
+    // per-series fold), the tail a ≤n-term sum of coefficient
+    // products. A single-sign series (the cum_users regime) is the
+    // degenerate R=1 edge: p ≡ 1 by definition, pinned explicitly.
+    // Same calendar bound and loud n > 55 overflow behavior as the
+    // sign test.
+    QuerySpec.sql(
+      "stats_runs_test",
+      s"""WITH RECURSIVE $seriesDiffCtes,
+         |sg AS (
+         |  SELECT series, day, CASE WHEN dx > 0 THEN 1 ELSE 0 END AS s
+         |  FROM dd WHERE dx IS NOT NULL AND dx <> 0),
+         |ch AS (
+         |  SELECT series, s,
+         |    CASE WHEN LAG(s) OVER (PARTITION BY series ORDER BY day)
+         |      <> s THEN 1 ELSE 0 END AS chg
+         |  FROM sg),
+         |rt AS (
+         |  SELECT series, CAST(SUM(s) AS BIGINT) AS n1,
+         |    CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2,
+         |    CAST(1 + COALESCE(SUM(chg), 0) AS BIGINT) AS r_obs
+         |  FROM ch GROUP BY 1),
+         |bau AS (
+         |  SELECT DISTINCT series, a FROM (
+         |    SELECT series, n1 - 1 AS a FROM rt WHERE n1 > 0 AND n2 > 0
+         |    UNION ALL
+         |    SELECT series, n2 - 1 FROM rt WHERE n1 > 0 AND n2 > 0
+         |    UNION ALL
+         |    SELECT series, n1 + n2 FROM rt WHERE n1 > 0 AND n2 > 0) u),
+         |bb AS (
+         |  SELECT series, a, CAST(0 AS BIGINT) AS i,
+         |    CAST(1 AS BIGINT) AS c
+         |  FROM bau
+         |  UNION ALL
+         |  SELECT series, a, i + 1, c * (a - i) // (i + 1)
+         |  FROM bb WHERE i < a),
+         |rg AS (
+         |  SELECT rt.series, rt.n1, rt.n2, CAST(t.r AS BIGINT) AS r
+         |  FROM rt, LATERAL (SELECT unnest(range(2, rt.r_obs + 1))
+         |    AS r) t
+         |  WHERE rt.n1 > 0 AND rt.n2 > 0),
+         |term AS (
+         |  SELECT g.series,
+         |    CASE WHEN g.r % 2 = 0
+         |      THEN 2 * COALESCE(c1m.c, 0) * COALESCE(c2m.c, 0)
+         |      ELSE COALESCE(c1k.c, 0) * COALESCE(c2m.c, 0)
+         |         + COALESCE(c1m.c, 0) * COALESCE(c2k.c, 0)
+         |    END AS num
+         |  FROM rg g
+         |  LEFT JOIN bb c1m ON c1m.series = g.series
+         |    AND c1m.a = g.n1 - 1 AND c1m.i = g.r // 2 - 1
+         |  LEFT JOIN bb c1k ON c1k.series = g.series
+         |    AND c1k.a = g.n1 - 1 AND c1k.i = g.r // 2
+         |  LEFT JOIN bb c2m ON c2m.series = g.series
+         |    AND c2m.a = g.n2 - 1 AND c2m.i = g.r // 2 - 1
+         |  LEFT JOIN bb c2k ON c2k.series = g.series
+         |    AND c2k.a = g.n2 - 1 AND c2k.i = g.r // 2),
+         |pn AS (
+         |  SELECT series, CAST(SUM(num) AS BIGINT) AS p_num
+         |  FROM term GROUP BY 1),
+         |pd AS (
+         |  SELECT b.series, b.c AS p_den
+         |  FROM bb b JOIN rt ON rt.series = b.series
+         |  WHERE b.a = rt.n1 + rt.n2 AND b.i = rt.n1)
+         |SELECT rt.series, rt.n1, rt.n2, rt.r_obs,
+         |  CAST(CASE WHEN rt.n1 = 0 OR rt.n2 = 0 THEN 1
+         |    ELSE pn.p_num END AS BIGINT) AS p_num,
+         |  CAST(CASE WHEN rt.n1 = 0 OR rt.n2 = 0 THEN 1
+         |    ELSE pd.p_den END AS BIGINT) AS p_den,
+         |  20 * CASE WHEN rt.n1 = 0 OR rt.n2 = 0 THEN 1
+         |      ELSE pn.p_num END
+         |    <= CASE WHEN rt.n1 = 0 OR rt.n2 = 0 THEN 1
+         |      ELSE pd.p_den END AS clustered
+         |FROM rt
+         |LEFT JOIN pn ON pn.series = rt.series
+         |LEFT JOIN pd ON pd.series = rt.series
+         |ORDER BY rt.series""".stripMargin) { (s, dir) =>
+      seriesDiffs(s, dir)
+        .filter(col("dx").isNotNull && col("dx") =!= 0)
+        .select(col("series"), col("day"),
+          when(col("dx") > 0, 1L).otherwise(0L).as("sg"))
+        .groupBy(col("series"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(day, sg))), p -> p.sg)")
+          .as("sgs"))
+        .select(col("series"),
+          expr("aggregate(sgs, 0L, (a, v) -> a + v)").as("n1"),
+          expr("CAST(size(sgs) AS BIGINT) - " +
+            "aggregate(sgs, 0L, (a, v) -> a + v)").as("n2"),
+          expr("""1L + aggregate(
+            |  zip_with(slice(sgs, 1, size(sgs) - 1),
+            |    slice(sgs, 2, size(sgs) - 1),
+            |    (x, y) -> CASE WHEN x <> y THEN 1L ELSE 0L END),
+            |  0L, (a, v) -> a + v)""".stripMargin).as("r_obs"))
+        // binomial coefficient arrays C(a, 0..a) for the three a's —
+        // built only on mixed-sign rows (CaseWhen is lazy per row, so
+        // a degenerate single-sign series never runs the recurrence
+        // or its overflow guard)
+        .withColumn("mixed", col("n1") > 0 && col("n2") > 0)
+        .withColumn("c1", when(col("mixed"), binomArr("n1 - 1"))
+          .otherwise(array(lit(1L))))
+        .withColumn("c2", when(col("mixed"), binomArr("n2 - 1"))
+          .otherwise(array(lit(1L))))
+        .withColumn("cn", when(col("mixed"), binomArr("n1 + n2"))
+          .otherwise(array(lit(1L))))
+        .select(col("series"), col("n1"), col("n2"), col("r_obs"),
+          expr("""CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 1
+            |  ELSE aggregate(sequence(2, CAST(r_obs AS INT)),
+            |    CAST(0 AS BIGINT),
+            |    (acc, r) -> acc + CASE WHEN r % 2 = 0
+            |      THEN 2
+            |        * (CASE WHEN size(c1) >= r div 2
+            |             THEN element_at(c1, CAST(r div 2 AS INT)) ELSE 0L END)
+            |        * (CASE WHEN size(c2) >= r div 2
+            |             THEN element_at(c2, CAST(r div 2 AS INT)) ELSE 0L END)
+            |      ELSE (CASE WHEN size(c1) >= r div 2 + 1
+            |             THEN element_at(c1, CAST(r div 2 + 1 AS INT)) ELSE 0L END)
+            |          * (CASE WHEN size(c2) >= r div 2
+            |             THEN element_at(c2, CAST(r div 2 AS INT)) ELSE 0L END)
+            |        + (CASE WHEN size(c1) >= r div 2
+            |             THEN element_at(c1, CAST(r div 2 AS INT)) ELSE 0L END)
+            |          * (CASE WHEN size(c2) >= r div 2 + 1
+            |             THEN element_at(c2, CAST(r div 2 + 1 AS INT)) ELSE 0L END)
+            |      END)
+            |END AS BIGINT)""".stripMargin).as("p_num"),
+          expr("""CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 1
+            |  ELSE element_at(cn, CAST(n1 + 1 AS INT))
+            |END AS BIGINT)""".stripMargin).as("p_den"))
+        .withColumn("clustered",
+          lit(20) * col("p_num") <= col("p_den"))
         .orderBy(col("series"))
     },
 

@@ -52,7 +52,8 @@ class PlanShapeSpec extends AnyFunSuite {
         // r11: sign-test lag + FDR rank must stay partitioned /
         // PrefixSum-based; the ACF gate must not regress to a global
         // row_number over the daily frame
-        "stats_sign_test", "stats_fdr_bh", "ts_acf_lags")) {
+        "stats_sign_test", "stats_fdr_bh", "stats_runs_test",
+        "ts_acf_lags")) {
       val bad = collectNodes(planOf(name)).collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }
