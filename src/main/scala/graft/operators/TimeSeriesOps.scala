@@ -2414,6 +2414,106 @@ object TimeSeriesOps {
         .orderBy(col("event_type"), col("lag"))
     },
 
+    // Rescaled-range table (Hurst 1951 R/S analysis) per series: at
+    // block sizes w ∈ {4, 8, 16}, each complete w-day block's range
+    // of mean-adjusted cumulative deviations over its standard
+    // deviation — the long-memory readout (slope of log R/S vs log w
+    // ≈ the Hurst exponent; ~0.5 for the i.i.d. daily counts here).
+    // Exactness: deviations are scaled ×w so the block mean never
+    // floats (d_i = w·x_i − S, partial sums Y_j = w·cumsum − j·S),
+    // and the square of the range is divided ONCE by the ×w²-scaled
+    // variance (w·Q − S²) in DECIMAL(38,0) ≡ HUGEINT micro-units;
+    // the per-(series, w) average of block ratios is an integer
+    // division of integers. Plan: one daily rollup, a 3-row broadcast
+    // w-grid, block-partitioned windows only — no global sort.
+    QuerySpec.sql(
+      "ts_hurst_rs",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |rn AS (
+        |  SELECT event_type, y,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT) AS i
+        |  FROM daily),
+        |ws AS (SELECT CAST(UNNEST([4, 8, 16]) AS BIGINT) AS w),
+        |rows_ AS (
+        |  SELECT r.event_type, w.w, (r.i - 1) // w.w AS b, r.i, r.y
+        |  FROM rn r CROSS JOIN ws w),
+        |bstat AS (
+        |  SELECT event_type, w, b, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(y) AS BIGINT) AS s,
+        |    CAST(SUM(y * y) AS BIGINT) AS q
+        |  FROM rows_ GROUP BY 1, 2, 3),
+        |cums AS (
+        |  SELECT event_type, w, b, i,
+        |    CAST(SUM(y) OVER (PARTITION BY event_type, w, b
+        |      ORDER BY i) AS BIGINT) AS cy
+        |  FROM rows_),
+        |yv AS (
+        |  SELECT c.event_type, c.w, c.b, bs.s, bs.q,
+        |    c.w * c.cy - (c.i - c.b * c.w) * bs.s AS y_adj
+        |  FROM cums c
+        |  JOIN bstat bs ON bs.event_type = c.event_type
+        |    AND bs.w = c.w AND bs.b = c.b AND bs.cnt = c.w),
+        |rng AS (
+        |  SELECT event_type, w, b, s, q,
+        |    CAST(MAX(y_adj) - MIN(y_adj) AS BIGINT) AS rw
+        |  FROM yv GROUP BY 1, 2, 3, 4, 5),
+        |rs AS (
+        |  SELECT event_type, w,
+        |    CAST(CASE WHEN w * q - s * s > 0 THEN
+        |      CAST(rw AS HUGEINT) * rw * 1000000
+        |        // (CAST(w AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+        |      END AS BIGINT) AS rs2_ppm
+        |  FROM rng)
+        |SELECT event_type, w,
+        |  CAST(COUNT(rs2_ppm) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(rs2_ppm) // COUNT(rs2_ppm) AS BIGINT)
+        |    AS avg_rs2_ppm
+        |FROM rs GROUP BY 1, 2
+        |HAVING COUNT(rs2_ppm) > 0
+        |ORDER BY event_type, w""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val rn = daily.withColumn("i",
+        row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("day"))).cast("long"))
+      val rows = rn
+        .crossJoin(broadcast(Seq(4L, 8L, 16L).toDF("w")))
+        .withColumn("b", expr("(i - 1) div w"))
+      val bstat = rows.groupBy(col("event_type"), col("w"), col("b"))
+        .agg(count(lit(1)).as("cnt"), sum(col("y")).cast("long").as("s"),
+          sum(col("y") * col("y")).cast("long").as("q"))
+        .filter(col("cnt") === col("w"))
+      val cums = rows.withColumn("cy",
+        sum(col("y")).over(Window
+          .partitionBy(col("event_type"), col("w"), col("b"))
+          .orderBy(col("i"))).cast("long"))
+      cums
+        .join(bstat, Seq("event_type", "w", "b"))
+        .withColumn("y_adj", expr("w * cy - (i - b * w) * s"))
+        .groupBy(col("event_type"), col("w"), col("b"), col("s"),
+          col("q"))
+        .agg((max(col("y_adj")) - min(col("y_adj"))).cast("long")
+          .as("rw"))
+        .withColumn("rs2_ppm", expr(
+          """CAST(CASE WHEN w * q - s * s > 0 THEN
+            |  CAST(rw AS DECIMAL(38,0)) * rw * 1000000
+            |    div (CAST(w AS DECIMAL(38,0)) * q
+            |      - CAST(s AS DECIMAL(38,0)) * s)
+            |END AS BIGINT)""".stripMargin))
+        .groupBy(col("event_type"), col("w"))
+        .agg(count(col("rs2_ppm")).as("n_blocks"),
+          expr("CAST(sum(rs2_ppm) div count(rs2_ppm) AS BIGINT)")
+            .as("avg_rs2_ppm"))
+        .filter(col("n_blocks") > 0)
+        .orderBy(col("event_type"), col("w"))
+    },
+
     // CUSUM changepoint detection (Page 1954): per event-type series,
     // the two one-sided cumulative sums
     //   s⁺_i = max(0, s⁺_{i-1} + dev_i − K),

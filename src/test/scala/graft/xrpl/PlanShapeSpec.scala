@@ -53,7 +53,7 @@ class PlanShapeSpec extends AnyFunSuite {
         // PrefixSum-based; the ACF gate must not regress to a global
         // row_number over the daily frame
         "stats_sign_test", "stats_fdr_bh", "stats_runs_test",
-        "ts_acf_lags")) {
+        "ts_acf_lags", "ts_hurst_rs")) {
       val bad = collectNodes(planOf(name)).collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }
