@@ -94,3 +94,88 @@ object TopNgramCount {
       TopNgramCount(
         org.apache.spark.sql.graft.ColumnBridge.expression(tokens), n))
 }
+
+/** Native Catalyst expression: how many of a token array's n-gram
+  * POSITIONS carry an n-gram that occurs more than once in the array
+  * — the numerator of the duplicated-n-gram mass signal
+  * (text_dup_ngram_mass), the Gopher filter complementary to
+  * [[TopNgramCount]]'s top-n-gram family.
+  *
+  * Same design rationale as its sibling: the declarative spellings
+  * either shuffle every (doc, gram) occurrence (explode+groupBy) or
+  * run an interpreted sort+neighbor-scan per document; this is one
+  * O(L) open-addressing counting pass per document, in whole-stage
+  * codegen, no shuffle and no array materialization. Returns 0 when
+  * fewer than `n` tokens (no n-gram positions exist — callers decide
+  * whether that renders as NULL).
+  */
+case class DupNgramMass(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "n-gram width must be positive")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(tokens: Any): Any =
+    DupNgramMass.dupMass(tokens.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val cls = DupNgramMass.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.dupMass($t, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DupNgramMass {
+
+  /** Count of n-gram positions whose n-gram has multiplicity ≥ 2
+    * (0 if no n-gram exists). Key construction matches the SQL
+    * plan's space-joined concatenation, so counts agree exactly.
+    */
+  def dupMass(tokens: ArrayData, n: Int): Long = {
+    val len = tokens.numElements()
+    if (len < n) return 0L
+    val toks = new Array[String](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = tokens.getUTF8String(i).toString
+      i += 1
+    }
+    val counts = new java.util.HashMap[String, Int](len * 2)
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i <= len - n) {
+      val key =
+        if (n == 1) toks(i)
+        else {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          sb.toString
+        }
+      counts.merge(key, 1, Integer.sum)
+      i += 1
+    }
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c > 1) dup += c
+    }
+    dup
+  }
+
+  /** Column-API form over an `array<string>` token column. */
+  def dup_ngram_mass(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      DupNgramMass(
+        org.apache.spark.sql.graft.ColumnBridge.expression(tokens), n))
+}
