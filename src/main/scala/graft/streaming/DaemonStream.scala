@@ -12,26 +12,45 @@ import graft.xrpl.agg.Aggregations
   * (lib/aggregation/fees.js). [[CandleStream]] covers the fourth
   * (exchanges, lib/aggregation/exchanges.js) with the same shape.
   *
-  * Shape: each micro-batch's parsed rows are APPENDED to a staging
-  * table, then the aggregate store is rebuilt from staging and
-  * overwritten — the reference's periodic full-reload repair
-  * (exchanges.js:484-496 applies the same pattern to all daemons) as
-  * an idempotent batch job per micro-batch. Because the rebuild calls
-  * the SAME batch aggregation code ([[Aggregations]]), stream ≡ batch
-  * holds by construction once staging holds every row;
+  * Shape: each micro-batch's parsed rows are staged, then the
+  * aggregate store is rebuilt from staging and overwritten — the
+  * reference's periodic full-reload repair (exchanges.js:484-496
+  * applies the same pattern to all daemons) as an idempotent batch
+  * job per micro-batch. Because the rebuild calls the SAME batch
+  * aggregation code ([[Aggregations]]), stream ≡ batch holds by
+  * construction once staging holds every row exactly once;
   * DaemonStreamSpec proves it end-to-end (streamed store ≡
   * batch-built store, row-exact) across real multi-micro-batch runs.
   *
-  * Scale: staging is an append-only parquet log partitionable by
-  * arrival date; the rebuild is the batch job this engine already
-  * runs, so a deployment can widen the trigger interval (or swap the
-  * full rebuild for the associative re-reduce, as the candle store
-  * does) without touching the stream topology. Exactness carries
-  * over: every sum in these daemons rides the DECIMAL(38,18)
+  * EXACTLY-ONCE staging: foreachBatch re-runs a micro-batch after a
+  * failure, so a plain `append` would double-stage its rows and
+  * silently inflate every aggregate. Each batch therefore OVERWRITES
+  * its own `batch=<id>` staging subdirectory — a replay rewrites the
+  * same rows in place (idempotent; DaemonStreamSpec pins replay ≡
+  * once), and the rebuild reads the whole staging tree.
+  *
+  * Scale: staging is an append-only parquet log partitioned by batch
+  * id; the rebuild is the batch job this engine already runs, so a
+  * deployment can widen the trigger interval (or swap the full
+  * rebuild for the associative re-reduce, as the candle store does)
+  * without touching the stream topology. Exactness carries over:
+  * every sum in these daemons rides the DECIMAL(38,18)/dsum
   * discipline or exact counts, so the rebuilt store is identical no
   * matter how arrivals were micro-batched.
   */
 object DaemonStream {
+
+  /** Stage `batch` under `stagingDir/batch=<id>` (overwrite — replay
+    * safe), then rebuild the store from the full staging tree.
+    */
+  private[graft] def stageAndRebuild(spark: SparkSession,
+      batch: DataFrame, batchId: Long, stagingDir: String,
+      storeDir: String)(aggregate: DataFrame => DataFrame): Unit = {
+    batch.write.mode("overwrite").parquet(s"$stagingDir/batch=$batchId")
+    aggregate(spark.read.parquet(stagingDir))
+      .write.mode("overwrite").parquet(storeDir)
+    ()
+  }
 
   /** A4 payment-volume daemon: per-(currency, issuer, bucket) count /
     * exact amount / average, rebuilt per micro-batch.
@@ -42,12 +61,10 @@ object DaemonStream {
     import spark.implicits._
     CandleStream.parsedStream(spark, raw).flatMap(_.payments).toDF()
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(s"$dir/staging/payments")
-        Aggregations.paymentVolume(
-            spark.read.parquet(s"$dir/staging/payments"), unit)
-          .write.mode("overwrite").parquet(s"$dir/store/payment_volume")
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        stageAndRebuild(spark, batch, batchId,
+          s"$dir/staging/payments", s"$dir/store/payment_volume")(
+          Aggregations.paymentVolume(_, unit))
       }
       .start()
   }
@@ -62,17 +79,15 @@ object DaemonStream {
     import spark.implicits._
     CandleStream.parsedStream(spark, raw)
       .writeStream
-      .foreachBatch { (batch: Dataset[ParsedLedger], _: Long) =>
-        batch.flatMap(_.transactions).toDF()
-          .write.mode("append").parquet(s"$dir/staging/transactions")
-        batch.flatMap(_.payments).toDF()
-          .write.mode("append").parquet(s"$dir/staging/payments")
-        batch.flatMap(_.exchanges).toDF()
-          .write.mode("append").parquet(s"$dir/staging/exchanges")
-        batch.flatMap(_.accountsCreated).toDF()
-          .write.mode("append").parquet(s"$dir/staging/accounts_created")
-        batch.map(_.ledger).toDF()
-          .write.mode("append").parquet(s"$dir/staging/ledgers")
+      .foreachBatch { (batch: Dataset[ParsedLedger], batchId: Long) =>
+        def stage(df: DataFrame, name: String): Unit =
+          df.write.mode("overwrite")
+            .parquet(s"$dir/staging/$name/batch=$batchId")
+        stage(batch.flatMap(_.transactions).toDF(), "transactions")
+        stage(batch.flatMap(_.payments).toDF(), "payments")
+        stage(batch.flatMap(_.exchanges).toDF(), "exchanges")
+        stage(batch.flatMap(_.accountsCreated).toDF(), "accounts_created")
+        stage(batch.map(_.ledger).toDF(), "ledgers")
         Aggregations.stats(
             spark.read.parquet(s"$dir/staging/transactions"),
             spark.read.parquet(s"$dir/staging/payments"),
@@ -95,12 +110,10 @@ object DaemonStream {
     import spark.implicits._
     CandleStream.parsedStream(spark, raw).map(_.feeSummary).toDF()
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(s"$dir/staging/fee_summaries")
-        Aggregations.feeRollup(
-            spark.read.parquet(s"$dir/staging/fee_summaries"), unit)
-          .write.mode("overwrite").parquet(s"$dir/store/fees")
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        stageAndRebuild(spark, batch, batchId,
+          s"$dir/staging/fee_summaries", s"$dir/store/fees")(
+          Aggregations.feeRollup(_, unit))
       }
       .start()
   }

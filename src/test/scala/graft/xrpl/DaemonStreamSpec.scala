@@ -86,4 +86,25 @@ class DaemonStreamSpec extends AnyFunSuite {
       Aggregations.feeRollup(tables.feeSummaries.toDF(), "hour"),
       "fees")
   }
+
+  test("micro-batch replay is idempotent (exactly-once staging)") {
+    // foreachBatch re-runs a batch after failure; a replay must
+    // rewrite its own staging partition, not double-stage its rows
+    val dir = Files.createTempDirectory("graft-daemon-replay").toString
+    val pay = tables.payments.toDF()
+    val (b0, b1) = (pay.filter(org.apache.spark.sql.functions
+      .col("ledger_index") % 2 === 0), pay.filter(
+      org.apache.spark.sql.functions.col("ledger_index") % 2 === 1))
+    def run(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      DaemonStream.stageAndRebuild(spark, batch, id,
+        s"$dir/staging/payments", s"$dir/store/payment_volume")(
+        Aggregations.paymentVolume(_, "day"))
+    run(b0, 0L)
+    run(b1, 1L)
+    run(b1, 1L) // the replay
+    rowExact(
+      spark.read.parquet(s"$dir/store/payment_volume"),
+      Aggregations.paymentVolume(pay, "day"),
+      "replayed payment_volume")
+  }
 }
