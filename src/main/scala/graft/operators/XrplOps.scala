@@ -50,6 +50,7 @@ object XrplOps {
       dump(t.transactions.toDF().drop("tx_json", "meta_json"), "transactions")
       dump(t.affectedAccounts.toDF(), "affected_accounts")
       dump(t.balanceChanges.toDF(), "balance_changes")
+      dump(t.offers.toDF(), "offers")
       dump(t.feeSummaries.toDF(), "fee_summaries")
       dump(t.memos.toDF(), "memos")
       dump(t.escrows.toDF(), "escrows")
@@ -1584,5 +1585,63 @@ object XrplOps {
          |GROUP BY 1
          |ORDER BY 1""".stripMargin) { (s, _) =>
       graft.xrpl.topology.Topology.activeManifests(pq(s, "manifests"))
+    },
+
+    // Live-state S10 (lib/rippled.js getBalances): the reference
+    // PROXIES account_info/account_lines to a live node because its
+    // history store can't answer "current balance" — here the balance
+    // change log carries each node's final_balance, so live state is
+    // the LATEST row per (account, currency, counterparty) at the
+    // ingestion frontier: one max_by over the canonical
+    // (ledger, tx, node) sort key, no window over history, no
+    // external connector. LiveStateSpec covers the request-shaped
+    // getBalances/getOrders API (XRP-first ordering, filters, limit).
+    QuerySpec.sql(
+      "xrpl_live_balances",
+      s"""WITH last AS (
+         |  SELECT account, currency,
+         |    COALESCE(counterparty, '') AS counterparty,
+         |    final_balance, ledger_index,
+         |    ROW_NUMBER() OVER (PARTITION BY account, currency,
+         |        COALESCE(counterparty, '')
+         |      ORDER BY ledger_index DESC, tx_index DESC,
+         |        node_index DESC) AS rn
+         |  FROM ${t("balance_changes")})
+         |SELECT account, currency, counterparty,
+         |  CAST(final_balance AS DOUBLE) AS value,
+         |  CAST(ledger_index AS BIGINT) AS as_of_ledger
+         |FROM last WHERE rn = 1
+         |ORDER BY account, currency, counterparty""".stripMargin) { (s, _) =>
+      graft.xrpl.api.LiveState.balances(pq(s, "balance_changes"))
+        .orderBy(col("account"), col("currency"), col("counterparty"))
+    },
+
+    // Live-state S10 (lib/rippled.js getOrders / account_offers): an
+    // offer is OPEN while its ledger node still exists — the latest
+    // event per (account, offer_sequence) that is not a DeletedNode
+    // (`create` / `partial_fill` survive; fill, cancel, replace and
+    // the unfunded removals delete). Remaining taker amounts are the
+    // latest node's values.
+    QuerySpec.sql(
+      "xrpl_open_offers",
+      s"""WITH last AS (
+         |  SELECT account, offer_sequence, node_type,
+         |    pays_currency, COALESCE(pays_issuer, '') AS pays_issuer,
+         |    pays_value,
+         |    gets_currency, COALESCE(gets_issuer, '') AS gets_issuer,
+         |    gets_value,
+         |    ROW_NUMBER() OVER (PARTITION BY account, offer_sequence
+         |      ORDER BY ledger_index DESC, tx_index DESC,
+         |        node_index DESC) AS rn
+         |  FROM ${t("offers")})
+         |SELECT account, offer_sequence,
+         |  pays_currency, pays_issuer,
+         |  CAST(pays_value AS DOUBLE) AS pays_value,
+         |  gets_currency, gets_issuer,
+         |  CAST(gets_value AS DOUBLE) AS gets_value
+         |FROM last WHERE rn = 1 AND node_type <> 'DeletedNode'
+         |ORDER BY account, offer_sequence""".stripMargin) { (s, _) =>
+      graft.xrpl.api.LiveState.openOffers(pq(s, "offers"))
+        .orderBy(col("account"), col("offer_sequence"))
     })
 }

@@ -1,0 +1,113 @@
+package graft.xrpl.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spark-native replacement for the reference's rippled JSON-RPC
+  * live-state proxy (SURVEY §2.1 S10, `lib/rippled.js:16-269`): the
+  * reference forwards `account_info` / `account_lines` /
+  * `account_offers` to a live node because its history store cannot
+  * answer "current" questions. This engine's ledger history CAN — a
+  * balance change row carries the node's `final_balance`, and an
+  * offer event carries the node's remaining amounts — so live state
+  * is the LATEST row per state key at the ingestion frontier, one
+  * max_by per key, no external connector.
+  *
+  * Semantics mirrored from rippled.js:
+  *  - [[getBalances]] ≙ getBalances: the XRP balance first
+  *    (account_info, rippled.js:33-37 unshifts it), trust lines after
+  *    (account_lines → (currency, counterparty, value)), optional
+  *    currency/counterparty filters, then the limit slice
+  *    (rippled.js:40-48).
+  *  - [[getOrders]] ≙ getOrders/account_offers: the account's OPEN
+  *    offers (latest node event not a DeletedNode — `create` and
+  *    `partial_fill` states survive; fill/cancel/replace/unfunded_*
+  *    delete the node) with their remaining taker_pays/taker_gets.
+  *    The proxy's marker recursion (rippled.js:57-96) is unnecessary:
+  *    the store is a DataFrame, `limit` is a plan node.
+  *
+  * The "latest row" key is the canonical (ledger_index, tx_index,
+  * node_index) composite every parsed row carries — the same sort key
+  * the candle open/close selection uses, so frontier selection is an
+  * order-free max_by (no window over the full history).
+  *
+  * Scale: both state tables are one hash aggregate over the change
+  * log, keyed by (account, …) — uniform keys, map-side combinable. A
+  * deployment keeps them incrementally maintained (the
+  * DaemonStream stage-and-rebuild shape) or as a compacted
+  * merge-on-read view; point lookups then hit the store's account
+  * partitioning.
+  */
+object LiveState {
+
+  private def sk: Column =
+    struct(col("ledger_index"), col("tx_index"), col("node_index"))
+
+  /** Frontier balances: the latest `final_balance` per
+    * (account, currency, counterparty) — account_info (XRP) and
+    * account_lines (IOU) in one table. `counterparty` is '' for XRP.
+    */
+  def balances(balanceChanges: DataFrame): DataFrame =
+    balanceChanges
+      .groupBy(col("account"), col("currency"),
+        coalesce(col("counterparty"), lit("")).as("counterparty"))
+      .agg(
+        max_by(col("final_balance"), sk).as("final_balance"),
+        max(col("ledger_index")).as("as_of_ledger"))
+      .select(col("account"), col("currency"), col("counterparty"),
+        col("final_balance").cast("double").as("value"),
+        col("as_of_ledger"))
+
+  /** getBalances(account[, currency][, counterparty][, limit]) —
+    * XRP first, then lines ordered by (currency, counterparty),
+    * filtered and limited like rippled.js getBalances.
+    */
+  def getBalances(balanceChanges: DataFrame, account: String,
+      currency: Option[String] = None,
+      counterparty: Option[String] = None,
+      limit: Int = 400): DataFrame = {
+    var b = balances(balanceChanges).filter(col("account") === account)
+    currency.foreach(c => b = b.filter(col("currency") === c))
+    counterparty.foreach(cp =>
+      b = b.filter(col("counterparty") === cp ||
+        col("currency") === "XRP"))
+    b.orderBy(when(col("currency") === "XRP", 0).otherwise(1),
+        col("currency"), col("counterparty"))
+      .limit(limit)
+      .select(col("currency"), col("counterparty"), col("value"))
+  }
+
+  /** Open offers at the frontier: per (account, offer_sequence), the
+    * latest offer-node event, kept only while the node still exists.
+    */
+  def openOffers(offers: DataFrame): DataFrame =
+    offers
+      .groupBy(col("account"), col("offer_sequence"))
+      .agg(max_by(
+        struct(col("node_type"),
+          col("pays_currency"),
+          coalesce(col("pays_issuer"), lit("")).as("pays_issuer"),
+          col("pays_value"),
+          col("gets_currency"),
+          coalesce(col("gets_issuer"), lit("")).as("gets_issuer"),
+          col("gets_value")), sk).as("last"))
+      .filter(col("last.node_type") =!= "DeletedNode")
+      .select(col("account"), col("offer_sequence"),
+        col("last.pays_currency").as("pays_currency"),
+        col("last.pays_issuer").as("pays_issuer"),
+        col("last.pays_value").cast("double").as("pays_value"),
+        col("last.gets_currency").as("gets_currency"),
+        col("last.gets_issuer").as("gets_issuer"),
+        col("last.gets_value").cast("double").as("gets_value"))
+
+  /** getOrders(account[, limit]) — the account's open offers, oldest
+    * sequence first (account_offers ordering).
+    */
+  def getOrders(offers: DataFrame, account: String,
+      limit: Int = 400): DataFrame =
+    openOffers(offers)
+      .filter(col("account") === account)
+      .orderBy(col("offer_sequence"))
+      .limit(limit)
+      .drop("account")
+}
