@@ -197,6 +197,52 @@ object TextOps {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** The language-ID prediction as PURE INTEGER comparisons over the
+    * per-language stopword hit counts h_<lang> — provably the same
+    * prediction as text_lang_id's score chain (all scores share the
+    * per-doc denominator, so h_l/n >= h_r/n ⟺ h_l >= h_r), shared
+    * VERBATIM between the Spark plan and the oracle of the
+    * confusion/PRF gates.
+    */
+  private val langPredCase: String = {
+    val langs = langMarkers.map(_._1)
+    val chain = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      s"WHEN h_$l > 0 AND ${rest.map(r => s"h_$l >= h_$r").mkString(" AND ")} THEN '$l'"
+    }.mkString(" ") + s" WHEN h_${langs.last} > 0 THEN '${langs.last}'"
+    s"CASE $chain ELSE 'unknown' END"
+  }
+
+  /** DuckDB CTE `cm` = (true_lang, pred_lang) per document. */
+  private val langCmCte: String = {
+    val hitCols = langMarkers.map { case (l, ws) =>
+      s"""      CAST(SUM(CASE WHEN tok IN ${inList(ws)} THEN 1 ELSE 0 END)
+         |        AS BIGINT) AS h_$l""".stripMargin
+    }.mkString(",\n")
+    s"""cm AS (
+       |  SELECT lang AS true_lang, $langPredCase AS pred_lang
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |$hitCols
+       |    FROM (SELECT doc_id, lang, unnest(string_split(text, ' '))
+       |        AS tok FROM documents)
+       |    GROUP BY doc_id, lang))""".stripMargin
+  }
+
+  /** Spark side of [[langCmCte]]: shuffle-free per-doc hit counts
+    * (array filters) + the same integer prediction chain.
+    */
+  private def langCm(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang").as("true_lang") +:
+        split(col("text"), " ").as("ts") +: Nil: _*)
+      .select(col("true_lang") +: langMarkers.map { case (l, ws) =>
+        expr(s"CAST(size(filter(ts, t -> t IN ${inList(ws)})) AS BIGINT)")
+          .as(s"h_$l")
+      }: _*)
+      .withColumn("pred_lang", expr(langPredCase))
+      .select(col("true_lang"), col("pred_lang"))
+
   /** Winnow fingerprint parameters shared by the text_winnow gate and
     * the dedup_winnow_pairs posting-list join (k-char shingles, window
     * of w shingle hashes).
@@ -1201,6 +1247,97 @@ object TextOps {
           expr("CAST(n * ABS(score_sum div n - n_pos * 1000000 div n)" +
             " AS BIGINT)").as("ece_contrib"))
         .orderBy(col("bin"))
+    },
+
+    // Multiclass confusion matrix of the language-ID heuristic
+    // against the labeled truth — the eval readout every classifier
+    // in the curation stack owes its users (the binary AUC/PR/
+    // calibration gates read a score; this reads the DECISION). The
+    // prediction chain is reduced to pure integer hit-count
+    // comparisons (provably the text_lang_id decision: all scores
+    // share the per-doc denominator), shared verbatim with the
+    // oracle. One tokenize pass, one |classes|²-bounded groupBy.
+    QuerySpec.sql(
+      "eval_confusion_matrix",
+      s"""WITH $langCmCte
+         |SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM cm GROUP BY 1, 2
+         |ORDER BY true_lang, pred_lang""".stripMargin) { (s, dir) =>
+      langCm(s, dir)
+        .groupBy(col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("true_lang"), col("pred_lang"))
+    },
+
+    // Per-class precision/recall/F1 from the same confusion surface —
+    // class set = truth ∪ predictions (a class the model never
+    // predicts still gets its recall row; a hallucinated class gets
+    // precision 0/NULL-guarded). All exact integer ppm; F1 =
+    // 2·tp/(n_pred + n_true), the same no-float harmonic-mean
+    // identity as eval_pr_curve.
+    QuerySpec.sql(
+      "eval_multiclass_prf",
+      s"""WITH $langCmCte,
+         |m AS (
+         |  SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM cm GROUP BY 1, 2),
+         |cls AS (
+         |  SELECT DISTINCT true_lang AS class FROM m
+         |  UNION
+         |  SELECT DISTINCT pred_lang FROM m),
+         |tr AS (SELECT true_lang AS class, CAST(SUM(n) AS BIGINT)
+         |  AS n_true FROM m GROUP BY 1),
+         |pr AS (SELECT pred_lang AS class, CAST(SUM(n) AS BIGINT)
+         |  AS n_pred FROM m GROUP BY 1),
+         |dg AS (SELECT true_lang AS class, CAST(SUM(n) AS BIGINT)
+         |  AS tp FROM m WHERE true_lang = pred_lang GROUP BY 1)
+         |SELECT cls.class,
+         |  COALESCE(dg.tp, 0) AS tp,
+         |  COALESCE(tr.n_true, 0) AS n_true,
+         |  COALESCE(pr.n_pred, 0) AS n_pred,
+         |  CAST(CASE WHEN COALESCE(pr.n_pred, 0) > 0 THEN
+         |    COALESCE(dg.tp, 0) * 1000000 // pr.n_pred END AS BIGINT)
+         |    AS precision_ppm,
+         |  CAST(CASE WHEN COALESCE(tr.n_true, 0) > 0 THEN
+         |    COALESCE(dg.tp, 0) * 1000000 // tr.n_true END AS BIGINT)
+         |    AS recall_ppm,
+         |  CAST(CASE WHEN COALESCE(pr.n_pred, 0) + COALESCE(tr.n_true, 0)
+         |      > 0 THEN 2 * COALESCE(dg.tp, 0) * 1000000
+         |    // (COALESCE(pr.n_pred, 0) + COALESCE(tr.n_true, 0))
+         |    END AS BIGINT) AS f1_ppm
+         |FROM cls
+         |LEFT JOIN tr ON tr.class = cls.class
+         |LEFT JOIN pr ON pr.class = cls.class
+         |LEFT JOIN dg ON dg.class = cls.class
+         |ORDER BY cls.class""".stripMargin) { (s, dir) =>
+      val m = graft.functions.Materialize.stable(langCm(s, dir)
+        .groupBy(col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n")))
+      val cls = m.select(col("true_lang").as("class"))
+        .union(m.select(col("pred_lang"))).distinct()
+      val tr = m.groupBy(col("true_lang").as("class"))
+        .agg(sum(col("n")).cast("long").as("n_true"))
+      val pr = m.groupBy(col("pred_lang").as("class"))
+        .agg(sum(col("n")).cast("long").as("n_pred"))
+      val dg = m.filter(col("true_lang") === col("pred_lang"))
+        .groupBy(col("true_lang").as("class"))
+        .agg(sum(col("n")).cast("long").as("tp"))
+      cls.join(tr, Seq("class"), "left")
+        .join(pr, Seq("class"), "left")
+        .join(dg, Seq("class"), "left")
+        .select(col("class"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+        .select(col("class"), col("tp"), col("n_true"), col("n_pred"),
+          expr("CAST(CASE WHEN n_pred > 0 THEN tp * 1000000 div n_pred" +
+            " END AS BIGINT)").as("precision_ppm"),
+          expr("CAST(CASE WHEN n_true > 0 THEN tp * 1000000 div n_true" +
+            " END AS BIGINT)").as("recall_ppm"),
+          expr("CAST(CASE WHEN n_pred + n_true > 0 THEN " +
+            "2 * tp * 1000000 div (n_pred + n_true) END AS BIGINT)")
+            .as("f1_ppm"))
+        .orderBy(col("class"))
     },
 
     // Duplicated-n-gram mass (the OTHER half of Gopher's repetition
