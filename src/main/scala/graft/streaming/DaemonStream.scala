@@ -57,10 +57,13 @@ object DaemonStream {
     * Staging: `dir`/staging/payments; store: `dir`/store/payment_volume.
     */
   def paymentVolumeDaemon(spark: SparkSession, raw: DataFrame, dir: String,
-      unit: String = "day"): StreamingQuery = {
+      unit: String = "day",
+      checkpoint: Option[String] = None): StreamingQuery = {
     import spark.implicits._
-    CandleStream.parsedStream(spark, raw).flatMap(_.payments).toDF()
+    val w = CandleStream.parsedStream(spark, raw).flatMap(_.payments).toDF()
       .writeStream
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         stageAndRebuild(spark, batch, batchId,
           s"$dir/staging/payments", s"$dir/store/payment_volume")(
@@ -75,10 +78,13 @@ object DaemonStream {
     * job reads (stats.js consumes the same five HBase feeds).
     */
   def statsDaemon(spark: SparkSession, raw: DataFrame, dir: String,
-      unit: String = "day"): StreamingQuery = {
+      unit: String = "day",
+      checkpoint: Option[String] = None): StreamingQuery = {
     import spark.implicits._
-    CandleStream.parsedStream(spark, raw)
+    val w = CandleStream.parsedStream(spark, raw)
       .writeStream
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w
       .foreachBatch { (batch: Dataset[ParsedLedger], batchId: Long) =>
         def stage(df: DataFrame, name: String): Unit =
           df.write.mode("overwrite")
@@ -106,10 +112,13 @@ object DaemonStream {
     * Staging: `dir`/staging/fee_summaries; store: `dir`/store/fees.
     */
   def feeDaemon(spark: SparkSession, raw: DataFrame, dir: String,
-      unit: String = "hour"): StreamingQuery = {
+      unit: String = "hour",
+      checkpoint: Option[String] = None): StreamingQuery = {
     import spark.implicits._
-    CandleStream.parsedStream(spark, raw).map(_.feeSummary).toDF()
+    val w = CandleStream.parsedStream(spark, raw).map(_.feeSummary).toDF()
       .writeStream
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         stageAndRebuild(spark, batch, batchId,
           s"$dir/staging/fee_summaries", s"$dir/store/fees")(

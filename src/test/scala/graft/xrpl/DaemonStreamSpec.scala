@@ -87,6 +87,41 @@ class DaemonStreamSpec extends AnyFunSuite {
       "fees")
   }
 
+  test("daemon restart from checkpoint: no re-staging, store equals batch") {
+    import spark.implicits._
+    // two drop files delivered across TWO query instances sharing one
+    // checkpoint: the restarted instance must skip the already-staged
+    // file (recovered offsets) and continue batch ids so staging holds
+    // every payment exactly once
+    val dropDir = Files.createTempDirectory("graft-daemon-rr-drop").toString
+    val ckptDir = Files.createTempDirectory("graft-daemon-rr-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-daemon-rr-out").toString
+    val raw = spark.read.option("wholetext", "true")
+      .text(XrplTables.fixturesPath).as[String].collect()
+    val lines = raw.map(s => Json.parse(s).toString)
+    val (first, second) = lines.splitAt(lines.length / 2)
+
+    def start() = {
+      val stream = spark.readStream.schema("value STRING").text(dropDir)
+      DaemonStream.paymentVolumeDaemon(spark, stream, outDir,
+        checkpoint = Some(ckptDir))
+    }
+    Files.write(java.nio.file.Paths.get(s"$dropDir/a.jsonl"),
+      first.mkString("\n").getBytes)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    Files.write(java.nio.file.Paths.get(s"$dropDir/b.jsonl"),
+      second.mkString("\n").getBytes)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    rowExact(
+      spark.read.parquet(s"$outDir/store/payment_volume"),
+      Aggregations.paymentVolume(tables.payments.toDF(), "day"),
+      "restarted payment_volume")
+  }
+
   test("micro-batch replay is idempotent (exactly-once staging)") {
     // foreachBatch re-runs a batch after failure; a replay must
     // rewrite its own staging partition, not double-stage its rows
