@@ -213,21 +213,25 @@ object TextOps {
     s"CASE $chain ELSE 'unknown' END"
   }
 
-  /** DuckDB CTE `cm` = (true_lang, pred_lang) per document. */
-  private val langCmCte: String = {
+  /** DuckDB subquery: per-doc (doc_id, lang, h_<lang> hit counts). */
+  private val langHitsSql: String = {
     val hitCols = langMarkers.map { case (l, ws) =>
       s"""      CAST(SUM(CASE WHEN tok IN ${inList(ws)} THEN 1 ELSE 0 END)
          |        AS BIGINT) AS h_$l""".stripMargin
     }.mkString(",\n")
-    s"""cm AS (
-       |  SELECT lang AS true_lang, $langPredCase AS pred_lang
-       |  FROM (
-       |    SELECT doc_id, lang,
+    s"""SELECT doc_id, lang,
        |$hitCols
        |    FROM (SELECT doc_id, lang, unnest(string_split(text, ' '))
        |        AS tok FROM documents)
-       |    GROUP BY doc_id, lang))""".stripMargin
+       |    GROUP BY doc_id, lang""".stripMargin
   }
+
+  /** DuckDB CTE `cm` = (true_lang, pred_lang) per document. */
+  private val langCmCte: String =
+    s"""cm AS (
+       |  SELECT lang AS true_lang, $langPredCase AS pred_lang
+       |  FROM (
+       |    $langHitsSql))""".stripMargin
 
   /** Spark side of [[langCmCte]]: shuffle-free per-doc hit counts
     * (array filters) + the same integer prediction chain.
@@ -1338,6 +1342,85 @@ object TextOps {
             "2 * tp * 1000000 div (n_pred + n_true) END AS BIGINT)")
             .as("f1_ppm"))
         .orderBy(col("class"))
+    },
+
+    // McNemar's paired-classifier test over two cut points of the
+    // quality score (the strict 0.5 cut vs the lenient 0.3 cut, both
+    // predicting "is-en" for the same documents): accuracy deltas
+    // ignore pairing; McNemar reads only the DISCORDANT documents —
+    // here exactly the [0.3, 0.5) score band, where the lenient cut
+    // says yes and the strict cut says no, so b = negatives in the
+    // band (strict right) and c = positives in the band (lenient
+    // right) — and tests b vs c. The statistic is the χ² form
+    // (b−c)²/(b+c), an exact integer cross-product in micro-units
+    // (the srm-gate discipline), SCALE-SAFE where an exact-binomial
+    // tail (stats_sign_test's machinery) would overflow: discordant
+    // counts grow with the corpus, unlike calendar-bounded series.
+    // One tokenize+score pass, one 4-way fold.
+    QuerySpec.sql(
+      "stats_mcnemar",
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+         |    CAST(SUM(CASE WHEN tok IN ${inList(langMarkers.head._2)}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         |    COUNT(DISTINCT tok) AS n_distinct
+         |  FROM (SELECT doc_id, lang,
+         |      unnest(string_split(text, ' ')) AS tok
+         |    FROM documents) t
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         |    CAST((3 * n_stop + 7 * n_distinct) * 1000000
+         |      // (10 * n_tokens) AS BIGINT) AS score
+         |  FROM q),
+         |o AS (
+         |  SELECT pos,
+         |    CASE WHEN score >= 500000 THEN 1 ELSE 0 END AS pa,
+         |    CASE WHEN score >= 300000 THEN 1 ELSE 0 END AS pb
+         |  FROM sc),
+         |d AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN (pa = pos) AND (pb <> pos)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         |    CAST(SUM(CASE WHEN (pa <> pos) AND (pb = pos)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM o)
+         |SELECT b, c,
+         |  CAST(CASE WHEN b + c > 0 THEN
+         |    CAST(b - c AS HUGEINT) * (b - c) * 1000000 // (b + c)
+         |    END AS BIGINT) AS chi2_micro,
+         |  CASE WHEN b + c > 0 THEN
+         |    CAST(b - c AS HUGEINT) * (b - c) * 1000000 // (b + c)
+         |      > 3841459 ELSE FALSE END AS significant
+         |FROM d""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), split(col("text"), " ").as("ts"))
+        .select(
+          when(col("lang") === "en", 1).otherwise(0).as("pos"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          expr(s"CAST(size(filter(ts, t -> t IN " +
+            s"${inList(langMarkers.head._2)})) AS BIGINT)").as("n_stop"),
+          size(array_distinct(col("ts"))).cast("long").as("n_distinct"))
+        .select(col("pos"),
+          expr("CAST((3 * n_stop + 7 * n_distinct) * 1000000 div " +
+            "(10 * n_tokens) AS BIGINT)").as("score"))
+        .select(col("pos"),
+          when(col("score") >= 500000, 1).otherwise(0).as("pa"),
+          when(col("score") >= 300000, 1).otherwise(0).as("pb"))
+        .agg(
+          sum(when(col("pa") === col("pos") && col("pb") =!= col("pos"),
+            1L).otherwise(0L)).as("b"),
+          sum(when(col("pa") =!= col("pos") && col("pb") === col("pos"),
+            1L).otherwise(0L)).as("c"))
+        .select(col("b"), col("c"),
+          expr("""CAST(CASE WHEN b + c > 0 THEN
+            |  CAST(b - c AS DECIMAL(38,0)) * (b - c) * 1000000
+            |    div (b + c) END AS BIGINT)""".stripMargin)
+            .as("chi2_micro"),
+          expr("""CASE WHEN b + c > 0 THEN
+            |  CAST(b - c AS DECIMAL(38,0)) * (b - c) * 1000000
+            |    div (b + c) > 3841459 ELSE FALSE END""".stripMargin)
+            .as("significant"))
     },
 
     // Duplicated-n-gram mass (the OTHER half of Gopher's repetition
