@@ -327,7 +327,10 @@ object TimeSeriesOps {
       |    CAST(COUNT(*) FILTER (WHERE dx <> 0) AS BIGINT) AS n,
       |    CAST(COUNT(*) FILTER (WHERE dx > 0) AS BIGINT) AS k
       |  FROM dd WHERE dx IS NOT NULL GROUP BY 1),
-      |jj AS (SELECT series, n, k, GREATEST(k, n - k) AS j FROM nk),
+      |jj AS (SELECT series, n, k,
+      |  CASE WHEN n > 55 THEN CAST(error(concat('binomial recurrence: ',
+      |      'n > 55 overflows BIGINT; use a normal approximation'))
+      |    AS BIGINT) ELSE GREATEST(k, n - k) END AS j FROM nk),
       |cc AS (
       |  SELECT series, n, j, CAST(0 AS BIGINT) AS i,
       |    CAST(1 AS BIGINT) AS c
@@ -348,9 +351,12 @@ object TimeSeriesOps {
   /** Spark side of [[signTestCtes]]: per event_type, the day-over-day
     * sign counts and the exact two-sided binomial p as a p_num/p_den
     * rational. The binomial tail is a per-series `aggregate` fold
-    * (calendar-bounded, like [[ewmaFold]]); n > 55 fails loudly in
-    * both engines (Spark raise_error, DuckDB BIGINT overflow) rather
-    * than wrap the coefficient recurrence.
+    * (calendar-bounded, like [[ewmaFold]]); n > 55 fails loudly AND
+    * symmetrically in both engines — Spark raise_error here, an
+    * explicit error() guard in [[signTestCtes]]'s jj CTE (DuckDB's
+    * own multiplicative recurrence would stay exact up to n ≈ 61,
+    * so without the guard there would be a one-sided 56..61 window
+    * where the oracle succeeds while Spark errors).
     */
   /** Spark side of [[seriesDiffCtes]]: the two-regime series frame,
     * diffed per series — (series, day, dx) with the first day's null
@@ -4578,8 +4584,11 @@ object TimeSeriesOps {
     // step-up cutoff (LARGEST passing rank, then reject all ranks
     // below it — the part naive implementations get wrong) is one
     // broadcast scalar join. Bonferroni flags ride along for
-    // contrast. Headroom: 10·m·2^nmax < 2^63 ⇒ fine to n ≤ 55 and
-    // m ≤ 250 — far past any calendar-bounded event-type domain.
+    // contrast. Headroom: p_scaled ≤ 2^nmax ≤ 2^55 stays in BIGINT
+    // by construction, and BOTH cross-multiplied comparisons (BH
+    // step-up and Bonferroni) run in DECIMAL(38,0) ≡ HUGEINT, so
+    // 10·m·2^nmax just needs < 10^38 — the full n ≤ 55 envelope
+    // holds for any m up to ~10^20, i.e. effectively unbounded.
     QuerySpec.sql(
       "stats_fdr_bh",
       s"""WITH RECURSIVE $signTestCtes,
@@ -4598,13 +4607,15 @@ object TimeSeriesOps {
          |    series) AS BIGINT) AS rnk
          |  FROM sc),
          |th AS (
-         |  SELECT COALESCE(MAX(CASE WHEN 10 * m * p_scaled <=
-         |      rnk * (1::BIGINT << CAST(nmax AS INT))
+         |  SELECT COALESCE(MAX(CASE WHEN
+         |      10 * m * CAST(p_scaled AS HUGEINT) <=
+         |      CAST(rnk AS HUGEINT)
+         |        * (1::BIGINT << CAST(nmax AS INT))
          |    THEN rnk END), 0) AS cutoff
          |  FROM rk)
          |SELECT series, n, k, p_num, p_den, rnk AS rank,
          |  rnk <= th.cutoff AS bh_reject,
-         |  20 * m * p_num <= p_den AS bonf_reject
+         |  20 * m * CAST(p_num AS HUGEINT) <= p_den AS bonf_reject
          |FROM rk, th ORDER BY rank, series""".stripMargin) { (s, dir) =>
       import graft.functions.PrefixSum
       val sgn = Materialize.stable(signTest(s, dir))
@@ -4618,13 +4629,14 @@ object TimeSeriesOps {
       val rk = PrefixSum.globalCumsum(sc,
         Seq(col("p_scaled"), col("series")), lit(1L), "rnk")
       val th = rk.agg(coalesce(max(when(expr(
-          "10 * m * p_scaled <= rnk * shiftleft(CAST(1 AS BIGINT)," +
+          "10 * m * CAST(p_scaled AS DECIMAL(38,0)) <= " +
+            "CAST(rnk AS DECIMAL(38,0)) * shiftleft(CAST(1 AS BIGINT)," +
             " CAST(nmax AS INT))"), col("rnk"))), lit(0L)).as("cutoff"))
       rk.crossJoin(broadcast(th))
         .select(col("series"), col("n"), col("k"), col("p_num"),
           col("p_den"), col("rnk").as("rank"),
           (col("rnk") <= col("cutoff")).as("bh_reject"),
-          (lit(20) * col("m") * col("p_num") <= col("p_den"))
+          expr("20 * m * CAST(p_num AS DECIMAL(38,0)) <= p_den")
             .as("bonf_reject"))
         .orderBy(col("rank"), col("series"))
     },

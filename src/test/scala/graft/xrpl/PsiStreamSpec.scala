@@ -110,11 +110,15 @@ class PsiStreamSpec extends AnyFunSuite {
     val nRef = ref.sum + 8
     val nCur = hot.sum + 8
     val acc = (0 until 8).map { i =>
-      val cr = BigInt(ref(i) + 1)
-      val cc = BigInt(hot(i) + 1)
-      val num = cc * nRef - cr * nCur
+      val crL = ref(i) + 1
+      val ccL = hot(i) + 1
+      val num = BigInt(ccL) * nRef - BigInt(crL) * nCur
+      // IMPORTANT: identical double-expression SHAPE to psiMicro's
+      // (cc.toDouble * nRef / (cr.toDouble * nCur)) — a different
+      // association can differ by 1 ulp, which the micro-quantized
+      // log can turn into a ±1 lnm disagreement.
       val lnm = graft.streaming.SprtStream.mlnMicro(
-        (cc * nRef).toDouble / (cr * nCur).toDouble)
+        ccL.toDouble * nRef / (crL.toDouble * nCur))
       num * lnm
     }.sum
     val den = BigInt(nRef) * nCur

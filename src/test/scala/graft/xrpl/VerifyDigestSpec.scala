@@ -54,4 +54,52 @@ class VerifyDigestSpec extends AnyFunSuite {
     assert(Verify.digestOf(b1) != Verify.digestOf(b2))
     assert(Verify.digestOf(b1.filter(col("id") < 0)) == "0-0-0")
   }
+
+  test("length-prefixed cells kill the sentinel/boundary collisions") {
+    import spark.implicits._
+    // a cell whose VALUE is a lone NUL must not collide with NULL
+    // (the old rendering used U+0000 as the null sentinel)
+    val asNul  = Seq((1L, "\u0000")).toDF("id", "s")
+    val asNull = Seq((1L, null: String)).toDF("id", "s")
+    assert(Verify.digestOf(asNul) != Verify.digestOf(asNull))
+    // nor can a literal "n" (the new sentinel) collide with NULL
+    val asN = Seq((1L, "n")).toDF("id", "s")
+    assert(Verify.digestOf(asN) != Verify.digestOf(asNull))
+    // content containing the old U+0001 separator cannot shift a
+    // column boundary: ("a\u0001", "b") vs ("a", "\u0001b")
+    val l = Seq(("a\u0001", "b")).toDF("x", "y")
+    val r = Seq(("a", "\u0001b")).toDF("x", "y")
+    assert(Verify.digestOf(l) != Verify.digestOf(r))
+    // adjacent cells cannot trade a suffix/prefix: ("ab","c") vs ("a","bc")
+    val l2 = Seq(("ab", "c")).toDF("x", "y")
+    val r2 = Seq(("a", "bc")).toDF("x", "y")
+    assert(Verify.digestOf(l2) != Verify.digestOf(r2))
+  }
+
+  test("canonical write form: one part, sorted columns, total row order") {
+    import spark.implicits._
+    val base = Seq((3L, "c", 1.0), (1L, "a", -2.0), (2L, null, 0.5),
+      (1L, "b", 7.0)).toDF("id", "s", "v").repartition(5)
+    val c = Verify.canonical(base.select(col("v"), col("id"), col("s")))
+    // fixed column order (sorted by name) regardless of input order
+    assert(c.columns.toSeq == Seq("id", "s", "v"))
+    // exactly one partition
+    assert(c.rdd.getNumPartitions == 1)
+    // rows in total canonical order, independent of input layout
+    val rows = c.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq ==
+      Seq((1L, "a"), (1L, "b"), (2L, null), (3L, "c")))
+    // and the digest is unchanged by canonicalization
+    assert(Verify.digestOf(c) == Verify.digestOf(base))
+  }
+
+  test("canonical degrades gracefully on unsortable (map) columns") {
+    import spark.implicits._
+    val m = Seq((1L, Map("k" -> 1)), (2L, Map("j" -> 2)))
+      .toDF("id", "m").repartition(3)
+    val c = Verify.canonical(m)
+    assert(c.rdd.getNumPartitions == 1)
+    // sorts by the orderable column only; still content-complete
+    assert(c.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
 }
