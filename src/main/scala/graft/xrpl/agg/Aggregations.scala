@@ -512,4 +512,230 @@ object Aggregations {
         greatest(col("sampled"), lit(0d)).as("amount")) // clamp (data.js:962-965)
       .orderBy(col("currency"), col("issuer"), col("date"))
   }
+
+  // ──────────── incremental (associative re-reduce) forms ────────────
+  // The deployment shape of the streaming daemons: instead of
+  // rebuilding a store from the full staging history every micro-batch
+  // (O(history) — fine as a parity harness, wrong as a deployment),
+  // each daemon keeps a keyed STATE table of mergeable sufficient
+  // statistics — counts, exact-decimal/limb sums, mins/maxes, distinct
+  // sets — so a micro-batch costs O(batch + |state|), and |state| is
+  // bounded by key cardinality, not history length. Per daemon:
+  //   `xxxState(batch)`    state rows of ONE micro-batch;
+  //   `reduceXxxState(df)` merge of ANY union of state tables —
+  //                        associative + commutative by construction
+  //                        (sums of sums, min of mins, set unions), so
+  //                        the result is independent of how arrivals
+  //                        were micro-batched;
+  //   `publishXxx(state)`  the user-facing table, value-identical to
+  //                        the one-shot batch aggregation (proven in
+  //                        IncrementalDaemonSpec: every derived float
+  //                        is computed ONCE from exact merged integers
+  //                        /decimals, never averaged across batches).
+  // Storage protocol (replay-safe versioned state dirs) lives in
+  // graft.streaming.IncrementalDaemon.
+
+  /** [[paymentVolume]]'s mergeable state: exact decimal amount sum +
+    * count per (currency, issuer, bucket). */
+  def paymentVolumeState(payments: DataFrame, unit: String = "day"): DataFrame = {
+    val bucket = if (unit == "hour") hourSec(col("time")) else daySec(col("time"))
+    payments
+      .groupBy(col("currency"), col("issuer"), bucket.as("start"))
+      .agg(count(lit(1)).as("count"),
+        sum(col("delivered_amount").cast(Dec)).cast(Dec).as("amount_dec"))
+  }
+
+  def reducePaymentVolumeState(st: DataFrame): DataFrame =
+    st.groupBy(col("currency"), col("issuer"), col("start"))
+      .agg(sum(col("count")).cast("long").as("count"),
+        sum(col("amount_dec")).cast(Dec).as("amount_dec"))
+
+  /** Derives exactly [[paymentVolume]]'s output: the double cast and
+    * the average division happen once, on the exact merged decimal. */
+  def publishPaymentVolume(st: DataFrame): DataFrame =
+    st.select(col("currency"), col("issuer"), col("start"),
+        col("count"), col("amount_dec").cast("double").as("amount"))
+      .withColumn("average", col("amount") / col("count"))
+
+  /** [[feeRollup]]'s mergeable state. The exact total rides the same
+    * three 6-digit limb decomposition as Cols.dsum (hi/mid/lo of the
+    * 6-decimal unscaled value), so limb sums merge by addition and the
+    * published total is bit-identical to the batch dsum at any
+    * micro-batching — the long-limb domain bounds (|value| < 1e12,
+    * < ~9.2e12 rows) carry over unchanged. */
+  def feeState(feeSummaries: DataFrame, unit: String = "hour"): DataFrame = {
+    val t = unix_timestamp(col("date"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    val bucket = if (unit == "hour") hourSec(t) else daySec(t)
+    feeSummaries
+      .filter(col("tx_count") > 0)
+      .select(bucket.as("start"),
+        graft.functions.Cols.micros6(col("total")).as("m_u6"),
+        col("tx_count"), col("min"), col("max"))
+      .groupBy(col("start"))
+      .agg(
+        sum(expr("m_u6 div 1000000000000")).as("hi"),
+        sum(expr("(m_u6 div 1000000) % 1000000")).as("mid"),
+        sum(expr("m_u6 % 1000000")).as("lo"),
+        sum(col("tx_count")).cast("long").as("tx_count"),
+        min(col("min")).as("min"), max(col("max")).as("max"),
+        count(lit(1)).cast("long").as("ledger_count"))
+  }
+
+  def reduceFeeState(st: DataFrame): DataFrame =
+    st.groupBy(col("start"))
+      .agg(sum(col("hi")).as("hi"), sum(col("mid")).as("mid"),
+        sum(col("lo")).as("lo"),
+        sum(col("tx_count")).cast("long").as("tx_count"),
+        min(col("min")).as("min"), max(col("max")).as("max"),
+        sum(col("ledger_count")).cast("long").as("ledger_count"))
+
+  /** Derives exactly [[feeRollup]]'s output; the limb recombination is
+    * dsum's own final expression. */
+  def publishFees(st: DataFrame): DataFrame = {
+    val D = graft.functions.Cols.Dec // DECIMAL(38,6), dsum's type
+    st.select(col("start"),
+        ((col("hi").cast(D) * lit(1000000000000L) +
+          col("mid").cast(D) * lit(1000000L) +
+          col("lo").cast(D)) / lit(1000000L))
+          .cast(D).cast("double").as("total"),
+        col("tx_count"), col("min"), col("max"), col("ledger_count"))
+      .withColumn("avg", col("total") / col("tx_count"))
+  }
+
+  /** [[stats]]' mergeable state, one uniform schema for all nine row
+    * families: `kind` picks the publish formula —
+    *   count:    value = num                (num = Σ partial counts)
+    *   ratio:    value = num / den          (tx_per_ledger: Σtx / Σ
+    *             distinct ledgers — summable across batches because a
+    *             ledger arrives in exactly one micro-batch)
+    *   interval: value = (mx − mn) / den    (ledger_interval)
+    */
+  def statsState(transactions: DataFrame, payments: DataFrame,
+      exchanges: DataFrame, accountsCreated: DataFrame,
+      ledgers: DataFrame, unit: String = "day"): DataFrame = {
+    def bucket(c: org.apache.spark.sql.Column) =
+      if (unit == "hour") hourSec(c) else daySec(c)
+    val nullL = lit(null).cast("long")
+
+    def countRows(df: DataFrame, timeCol: String, family: String,
+        name: org.apache.spark.sql.Column): DataFrame =
+      df.groupBy(bucket(col(timeCol)).as("date"), name.as("name"))
+        .agg(count(lit(1)).cast("double").as("num"))
+        .select(col("date"), lit(family).as("family"), col("name"),
+          lit("count").as("kind"), col("num"),
+          lit(0L).as("den"), nullL.as("mn"), nullL.as("mx"))
+
+    val typeRows = countRows(transactions, "executed_time", "type",
+      col("tx_type"))
+    val resultRows = countRows(transactions, "executed_time", "result",
+      col("tx_result"))
+    def metric(df: DataFrame, timeCol: String, name: String) =
+      countRows(df, timeCol, "metric", lit(name))
+
+    val perLedger = transactions
+      .groupBy(bucket(col("executed_time")).as("date"))
+      .agg(count(lit(1)).cast("double").as("num"),
+        countDistinct(col("ledger_index")).as("den"))
+      .select(col("date"), lit("metric").as("family"),
+        lit("tx_per_ledger").as("name"), lit("ratio").as("kind"),
+        col("num"), col("den"), nullL.as("mn"), nullL.as("mx"))
+
+    val interval = ledgers
+      .groupBy(bucket(col("close_time")).as("date"))
+      .agg(count(lit(1)).as("den"),
+        min(col("close_time")).cast("long").as("mn"),
+        max(col("close_time")).cast("long").as("mx"))
+      .select(col("date"), lit("metric").as("family"),
+        lit("ledger_interval").as("name"), lit("interval").as("kind"),
+        lit(0d).as("num"), col("den"), col("mn"), col("mx"))
+
+    Seq(typeRows, resultRows,
+      metric(transactions, "executed_time", "transaction_count"),
+      metric(payments, "time", "payments_count"),
+      metric(exchanges, "time", "exchanges_count"),
+      metric(accountsCreated, "time", "accounts_created"),
+      metric(ledgers, "close_time", "ledger_count"),
+      perLedger, interval)
+      .reduce(_ unionByName _)
+  }
+
+  def reduceStatsState(st: DataFrame): DataFrame =
+    st.groupBy(col("date"), col("family"), col("name"), col("kind"))
+      .agg(sum(col("num")).as("num"),
+        sum(col("den")).cast("long").as("den"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+
+  /** Derives exactly [[stats]]' long-format output: each ratio is one
+    * double division of exactly-merged integers, the same expression
+    * the batch job evaluates. */
+  def publishStats(st: DataFrame): DataFrame =
+    st.select(col("date"), col("family"), col("name"),
+      when(col("kind") === "count", col("num"))
+        .when(col("kind") === "ratio", col("num") / col("den"))
+        .otherwise((col("mx") - col("mn")).cast("double") / col("den"))
+        .as("value"))
+
+  /** [[accountPayments]]' mergeable state: counts and exact decimal
+    * totals merge by sum, highs by max, and the distinct-counterparty
+    * SETS merge by array union (flatten + array_distinct) — the keyed
+    * merge the reference's accountPayments daemon does in JS
+    * (lib/aggregation/accountPayments.js: union of counterparty sets
+    * on re-aggregation). */
+  def accountPaymentsState(payments: DataFrame): DataFrame = {
+    val amtRaw = col("delivered_amount")
+    val sent = payments.select(
+      col("source").as("account"), col("destination").as("counterparty"),
+      lit("sent").as("direction"), amtRaw.as("amount"), col("time"))
+    val received = payments.select(
+      col("destination").as("account"), col("source").as("counterparty"),
+      lit("received").as("direction"), amtRaw.as("amount"), col("time"))
+    sent.unionByName(received)
+      .groupBy(col("account"), daySec(col("time")).as("date"))
+      .agg(
+        sum(when(col("direction") === "sent", 1).otherwise(0)).cast("long")
+          .as("payments_sent"),
+        sum(when(col("direction") === "received", 1).otherwise(0)).cast("long")
+          .as("payments_received"),
+        collect_set(when(col("direction") === "sent", col("counterparty")))
+          .as("sent_cps"),
+        collect_set(when(col("direction") === "received", col("counterparty")))
+          .as("received_cps"),
+        sum(when(col("direction") === "sent", col("amount")).otherwise(lit("0"))
+          .cast(Dec)).cast(Dec).as("sent_dec"),
+        sum(when(col("direction") === "received", col("amount")).otherwise(lit("0"))
+          .cast(Dec)).cast(Dec).as("received_dec"),
+        max(when(col("direction") === "sent", col("amount").cast("double")))
+          .as("high_value_sent"),
+        max(when(col("direction") === "received", col("amount").cast("double")))
+          .as("high_value_received"))
+  }
+
+  def reduceAccountPaymentsState(st: DataFrame): DataFrame =
+    st.groupBy(col("account"), col("date"))
+      .agg(
+        sum(col("payments_sent")).cast("long").as("payments_sent"),
+        sum(col("payments_received")).cast("long").as("payments_received"),
+        array_distinct(flatten(collect_list(col("sent_cps"))))
+          .as("sent_cps"),
+        array_distinct(flatten(collect_list(col("received_cps"))))
+          .as("received_cps"),
+        sum(col("sent_dec")).cast(Dec).as("sent_dec"),
+        sum(col("received_dec")).cast(Dec).as("received_dec"),
+        max(col("high_value_sent")).as("high_value_sent"),
+        max(col("high_value_received")).as("high_value_received"))
+
+  /** Derives [[accountPayments]]' output with the counterparty sets in
+    * SORTED order (collect_set order is nondeterministic in both the
+    * batch and the merged form; the sorted rendering is the canonical
+    * one — compare the batch side through the same sort). */
+  def publishAccountPayments(st: DataFrame): DataFrame =
+    st.select(col("account"), col("date"),
+        col("payments_sent"), col("payments_received"),
+        sort_array(col("sent_cps")).as("sent_counterparties"),
+        sort_array(col("received_cps")).as("received_counterparties"),
+        col("sent_dec").cast("double").as("total_value_sent"),
+        col("received_dec").cast("double").as("total_value_received"),
+        col("high_value_sent"), col("high_value_received"))
+      .withColumn("total_value",
+        col("total_value_sent") + col("total_value_received"))
 }
