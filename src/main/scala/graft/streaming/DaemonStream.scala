@@ -296,6 +296,41 @@ object DaemonStream {
       .start()
   }
 
+  /** S10 live-state daemon: the frontier balance and open-offer tables
+    * maintained incrementally (the shape LiveState's header promises —
+    * argmax-by-(ledger, tx, node) is associative, so the frontier
+    * advances per micro-batch and a point lookup reads the compacted
+    * store instead of scanning history).
+    * Stores: `dir`/store/live_balances, `dir`/store/open_offers.
+    */
+  def liveStateDaemon(spark: SparkSession, raw: DataFrame, dir: String,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    import spark.implicits._
+    import graft.xrpl.api.LiveState
+    val w = CandleStream.parsedStream(spark, raw)
+      .writeStream
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w
+      .foreachBatch { (batch: Dataset[ParsedLedger], batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val bst = IncrementalDaemon.step(spark,
+            s"$dir/state/live_balances", batchId,
+            LiveState.balancesState(b.flatMap(_.balanceChanges).toDF()))(
+            LiveState.reduceBalancesState)
+          LiveState.publishBalances(bst)
+            .write.mode("overwrite").parquet(s"$dir/store/live_balances")
+          val ost = IncrementalDaemon.step(spark,
+            s"$dir/state/open_offers", batchId,
+            LiveState.offersState(b.flatMap(_.offers).toDF()))(
+            LiveState.reduceOffersState)
+          LiveState.publishOpenOffers(ost)
+            .write.mode("overwrite").parquet(s"$dir/store/open_offers")
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
   /** A5 account-payments daemon (the reference's 5th aggregation
     * daemon, lib/aggregation/accountPayments.js), incremental-only:
     * per-(account, day) profile whose distinct-counterparty sets merge

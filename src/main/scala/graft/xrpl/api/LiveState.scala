@@ -110,4 +110,83 @@ object LiveState {
       .orderBy(col("offer_sequence"))
       .limit(limit)
       .drop("account")
+
+  // ──────────── incremental (frontier-store) forms ────────────
+  // The maintained shape this file's header promises: argmax-by-sort-
+  // key is associative (max_by of max_bys under the same total key
+  // (ledger, tx, node) is the global max_by), so the frontier tables
+  // advance per micro-batch through IncrementalDaemon.step and a point
+  // lookup reads a compacted state table instead of scanning history.
+  // LiveStateSpec proves maintained ≡ full-scan across multi-batch
+  // streams (graft.streaming.DaemonStream.liveStateDaemon wires it).
+
+  /** Mergeable frontier-balance state: per key, the latest
+    * final_balance WITH its (ledger, tx, node) sort key kept, so a
+    * later merge can re-argmax. */
+  def balancesState(balanceChanges: DataFrame): DataFrame =
+    balanceChanges
+      .groupBy(col("account"), col("currency"),
+        coalesce(col("counterparty"), lit("")).as("counterparty"))
+      .agg(max_by(struct(col("ledger_index"), col("tx_index"),
+          col("node_index"), col("final_balance")), sk).as("last"),
+        max(col("ledger_index")).as("as_of_ledger"))
+      .select(col("account"), col("currency"), col("counterparty"),
+        col("last.ledger_index").as("ledger_index"),
+        col("last.tx_index").as("tx_index"),
+        col("last.node_index").as("node_index"),
+        col("last.final_balance").as("final_balance"),
+        col("as_of_ledger"))
+
+  def reduceBalancesState(st: DataFrame): DataFrame =
+    st.groupBy(col("account"), col("currency"), col("counterparty"))
+      .agg(max_by(struct(col("ledger_index"), col("tx_index"),
+          col("node_index"), col("final_balance")), sk).as("last"),
+        max(col("as_of_ledger")).as("as_of_ledger"))
+      .select(col("account"), col("currency"), col("counterparty"),
+        col("last.ledger_index").as("ledger_index"),
+        col("last.tx_index").as("tx_index"),
+        col("last.node_index").as("node_index"),
+        col("last.final_balance").as("final_balance"),
+        col("as_of_ledger"))
+
+  /** Derives exactly [[balances]]' output from the maintained state. */
+  def publishBalances(st: DataFrame): DataFrame =
+    st.select(col("account"), col("currency"), col("counterparty"),
+      col("final_balance").cast("double").as("value"),
+      col("as_of_ledger"))
+
+  /** Mergeable open-offer state: per (account, offer_sequence), the
+    * latest node event INCLUDING DeletedNode rows — a deletion must
+    * keep shadowing earlier events across merges; the publish step
+    * filters it. */
+  def offersState(offers: DataFrame): DataFrame =
+    offers
+      .groupBy(col("account"), col("offer_sequence"))
+      .agg(max_by(struct(col("ledger_index"), col("tx_index"),
+          col("node_index"), col("node_type"),
+          col("pays_currency"),
+          coalesce(col("pays_issuer"), lit("")).as("pays_issuer"),
+          col("pays_value"),
+          col("gets_currency"),
+          coalesce(col("gets_issuer"), lit("")).as("gets_issuer"),
+          col("gets_value")), sk).as("last"))
+      .select(col("account"), col("offer_sequence"), col("last.*"))
+
+  def reduceOffersState(st: DataFrame): DataFrame =
+    st.groupBy(col("account"), col("offer_sequence"))
+      .agg(max_by(struct(col("ledger_index"), col("tx_index"),
+          col("node_index"), col("node_type"),
+          col("pays_currency"), col("pays_issuer"), col("pays_value"),
+          col("gets_currency"), col("gets_issuer"), col("gets_value")),
+        sk).as("last"))
+      .select(col("account"), col("offer_sequence"), col("last.*"))
+
+  /** Derives exactly [[openOffers]]' output from the maintained state. */
+  def publishOpenOffers(st: DataFrame): DataFrame =
+    st.filter(col("node_type") =!= "DeletedNode")
+      .select(col("account"), col("offer_sequence"),
+        col("pays_currency"), col("pays_issuer"),
+        col("pays_value").cast("double").as("pays_value"),
+        col("gets_currency"), col("gets_issuer"),
+        col("gets_value").cast("double").as("gets_value"))
 }

@@ -104,6 +104,20 @@ class IncrementalDaemonSpec extends AnyFunSuite {
       batch, "account_payments")
   }
 
+  test("live-state daemon: maintained frontier equals the full-scan tables") {
+    import graft.xrpl.api.LiveState
+    val dir = Files.createTempDirectory("graft-inc-live").toString
+    runDaemon(DaemonStream.liveStateDaemon(_, _, _), dir)
+    rowExact(
+      spark.read.parquet(s"$dir/store/live_balances"),
+      LiveState.balances(tables.balanceChanges.toDF()),
+      "maintained live balances")
+    rowExact(
+      spark.read.parquet(s"$dir/store/open_offers"),
+      LiveState.openOffers(tables.offers.toDF()),
+      "maintained open offers")
+  }
+
   test("incremental daemon restart from checkpoint continues the state chain") {
     import spark.implicits._
     val dropDir = Files.createTempDirectory("graft-inc-rr-drop").toString
