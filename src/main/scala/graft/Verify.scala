@@ -161,6 +161,20 @@ object Verify {
     val digJson = digests
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/digests.json"), digJson)
+    // Run metadata so tools/adjudicate.py can pick the committed
+    // digest baseline for THIS run's scale factor (DIGESTS_sf*.json —
+    // one per SF is committed; comparing against the wrong SF's
+    // baseline would flag every gate).
+    Files.writeString(Paths.get(s"$outDir/run_meta.json"),
+      s"""{"sf_dir": ${q(sfDir)}, "baseline": ${q(baselineNameFor(sfDir))}}""")
     spark.stop()
+  }
+
+  /** The committed digest-baseline filename for a testdata dir — the
+    * dispatch rule tools/adjudicate.py mirrors (last path component:
+    * /root/testdata/sf0.1 → DIGESTS_sf0.1.json). */
+  def baselineNameFor(sfDir: String): String = {
+    val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf0.01")
+    s"DIGESTS_$sf.json"
   }
 }

@@ -93,6 +93,15 @@ class VerifyDigestSpec extends AnyFunSuite {
     assert(Verify.digestOf(c) == Verify.digestOf(base))
   }
 
+  test("baseline dispatch: each SF dir maps to its own committed digests") {
+    assert(Verify.baselineNameFor("/root/testdata/sf0.001")
+      == "DIGESTS_sf0.001.json")
+    assert(Verify.baselineNameFor("/root/testdata/sf0.01/")
+      == "DIGESTS_sf0.01.json")
+    assert(Verify.baselineNameFor("/root/testdata/sf0.1")
+      == "DIGESTS_sf0.1.json")
+  }
+
   test("canonical degrades gracefully on unsortable (map) columns") {
     import spark.implicits._
     val m = Seq((1L, Map("k" -> 1)), (2L, Map("j" -> 2)))
