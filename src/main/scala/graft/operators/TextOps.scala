@@ -1344,6 +1344,154 @@ object TextOps {
         .orderBy(col("class"))
     },
 
+    // Cohen's kappa over the same confusion surface — chance-corrected
+    // agreement between the lang-id prediction and the truth labels
+    // (plain accuracy rewards a majority-class guesser; kappa
+    // subtracts the marginal-product chance term). ONE exact rational:
+    // kappa = (n·agree − Σ m_c·k_c) / (n² − Σ m_c·k_c) with m/k the
+    // row/column marginals — numerator and denominator are plain
+    // integer cross-products of the (tiny) contingency table, and the
+    // micro value is a single integer division (both engines truncate
+    // toward zero, so negative kappa agrees too). Headroom: n²·10⁶
+    // needs n ≲ 3·10⁶ docs before the division goes HUGEINT. Plan:
+    // the one langCm pass, then arithmetic on the collected-size
+    // contingency — no second scan.
+    QuerySpec.sql(
+      "eval_cohens_kappa",
+      s"""WITH $langCmCte,
+         |m AS (
+         |  SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM cm GROUP BY 1, 2),
+         |tr AS (SELECT true_lang AS class, CAST(SUM(n) AS BIGINT)
+         |  AS n_true FROM m GROUP BY 1),
+         |pr AS (SELECT pred_lang AS class, CAST(SUM(n) AS BIGINT)
+         |  AS n_pred FROM m GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+         |  CAST(COALESCE(SUM(CASE WHEN true_lang = pred_lang THEN n
+         |    END), 0) AS BIGINT) AS agree FROM m),
+         |pe AS (SELECT CAST(COALESCE(SUM(tr.n_true * pr.n_pred), 0)
+         |    AS BIGINT) AS pe_num
+         |  FROM tr JOIN pr ON tr.class = pr.class)
+         |SELECT n, agree, pe_num,
+         |  CAST(CASE WHEN n * n > pe_num THEN
+         |    (n * agree - pe_num) * 1000000 // (n * n - pe_num)
+         |    END AS BIGINT) AS kappa_micro
+         |FROM tot, pe""".stripMargin) { (s, dir) =>
+      val m = graft.functions.Materialize.stable(langCm(s, dir)
+        .groupBy(col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n")))
+      val tr = m.groupBy(col("true_lang").as("class"))
+        .agg(sum(col("n")).cast("long").as("n_true"))
+      val pr = m.groupBy(col("pred_lang").as("class"))
+        .agg(sum(col("n")).cast("long").as("n_pred"))
+      val tot = m.agg(sum(col("n")).cast("long").as("n"),
+        coalesce(sum(when(col("true_lang") === col("pred_lang"),
+          col("n"))), lit(0L)).cast("long").as("agree"))
+      val pe = tr.join(pr, Seq("class"))
+        .agg(coalesce(sum(col("n_true") * col("n_pred")), lit(0L))
+          .cast("long").as("pe_num"))
+      tot.crossJoin(broadcast(pe))
+        .select(col("n"), col("agree"), col("pe_num"),
+          expr("CAST(CASE WHEN n * n > pe_num THEN " +
+            "(n * agree - pe_num) * 1000000 div (n * n - pe_num) " +
+            "END AS BIGINT)").as("kappa_micro"))
+    },
+
+    // Lift / gains table over the quality-score ranking — the
+    // campaign-targeting readout beside AUC (same micro-score, same
+    // en label): rank docs by score DESC, and at each of ten cum-count
+    // deciles report the captured-positive fraction (gains) and the
+    // capture rate vs random (lift). Deciles are picked on the
+    // per-distinct-score HISTOGRAM (the smallest cumulative count
+    // covering i/10 of the corpus — deterministic under ties, no
+    // row-level ranking), cumsums come from the range-partitioned
+    // PrefixSum (no unpartitioned window, unlike the oracle's), and
+    // both ratios are exact integer ppm. Plan: one tokenize+score
+    // pass, one |scores|-row cumsum, a 10-row broadcast grid.
+    QuerySpec.sql(
+      "eval_lift_gains",
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+         |    CAST(SUM(CASE WHEN tok IN ${inList(langMarkers.head._2)}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         |    COUNT(DISTINCT tok) AS n_distinct
+         |  FROM (SELECT doc_id, lang,
+         |      unnest(string_split(text, ' ')) AS tok
+         |    FROM documents) t
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         |    CAST((3 * n_stop + 7 * n_distinct) * 1000000
+         |      // (10 * n_tokens) AS BIGINT) AS score
+         |  FROM q),
+         |s AS (
+         |  SELECT score, CAST(SUM(pos) AS BIGINT) AS c1,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM sc GROUP BY 1),
+         |r AS (SELECT score,
+         |    CAST(SUM(c) OVER (ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_n,
+         |    CAST(SUM(c1) OVER (ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_pos
+         |  FROM s),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+         |  CAST(SUM(c1) AS BIGINT) AS n_pos FROM s),
+         |g AS (SELECT UNNEST(range(1, 11)) AS decile),
+         |pick AS (
+         |  SELECT g.decile, MIN(r.cum_n) AS cum_n
+         |  FROM g, tot, r WHERE r.cum_n * 10 >= g.decile * tot.n
+         |  GROUP BY 1)
+         |SELECT CAST(p.decile AS BIGINT) AS decile, p.cum_n, r.cum_pos,
+         |  tot.n_pos,
+         |  CAST(r.cum_pos * 1000000 // tot.n_pos AS BIGINT) AS gains_ppm,
+         |  CAST(r.cum_pos * tot.n * 1000000 // (p.cum_n * tot.n_pos)
+         |    AS BIGINT) AS lift_ppm
+         |FROM pick p, r, tot WHERE r.cum_n = p.cum_n
+         |ORDER BY decile""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.PrefixSum
+      val hist = docs(s, dir)
+        .select(col("lang"), split(col("text"), " ").as("ts"))
+        .select(
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          expr(s"CAST(size(filter(ts, t -> t IN " +
+            s"${inList(langMarkers.head._2)})) AS BIGINT)").as("n_stop"),
+          size(array_distinct(col("ts"))).cast("long").as("n_distinct"))
+        .select(col("pos"),
+          expr("CAST((3 * n_stop + 7 * n_distinct) * 1000000 div " +
+            "(10 * n_tokens) AS BIGINT)").as("score"))
+        .groupBy(col("score"))
+        .agg(sum(col("pos")).as("c1"), count(lit(1)).as("c"))
+      // cumsums in score-DESC order: PrefixSum sorts ascending, so key
+      // on the negated score
+      val r = graft.functions.Materialize.stable(
+        PrefixSum.globalCumsumMulti(
+          hist.withColumn("neg_score", -col("score")),
+          Seq(col("neg_score")),
+          Seq((col("c"), "cum_n"), (col("c1"), "cum_pos"))))
+      // totals from the cumsum maxima (the PrefixSum discipline: never
+      // rescan for what the last partial already holds)
+      val tot = r.agg(max(col("cum_n")).cast("long").as("n"),
+        max(col("cum_pos")).cast("long").as("n_pos"))
+      val g = Seq.range(1, 11).map(_.toLong).toDF("decile")
+      val rt = r.select(col("cum_n"), col("cum_pos"))
+        .crossJoin(broadcast(tot))
+      rt.join(broadcast(g), col("cum_n") * 10 >= col("decile") * col("n"))
+        .groupBy(col("decile"))
+        .agg(min(col("cum_n")).as("cum_n"))
+        .join(rt, Seq("cum_n"))
+        .select(col("decile"), col("cum_n"), col("cum_pos"),
+          col("n_pos"),
+          expr("CAST(cum_pos * 1000000 div n_pos AS BIGINT)")
+            .as("gains_ppm"),
+          expr("CAST(cum_pos * n * 1000000 div (cum_n * n_pos) " +
+            "AS BIGINT)").as("lift_ppm"))
+        .orderBy(col("decile"))
+    },
+
     // McNemar's paired-classifier test over two cut points of the
     // quality score (the strict 0.5 cut vs the lenient 0.3 cut, both
     // predicting "is-en" for the same documents): accuracy deltas
