@@ -362,17 +362,18 @@ object TimeSeriesOps {
     * diffed per series — (series, day, dx) with the first day's null
     * diff retained (callers filter).
     */
-  private def seriesDiffs(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("series")).orderBy(col("day"))
+  /** The two-regime per-series daily frame (series, day, x) the
+    * nonparametric trend tests read — stationary daily counts per
+    * event type (the tests must NOT fire) plus trending cumulative
+    * distinct users per type (they MUST). Spark side of
+    * [[seriesDiffCtes]]' `daily` CTE.
+    */
+  private def seriesDaily(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
-    // the stationary regime: daily event counts per type (the tests
-    // must NOT fire on these)
     val cnts = ev
       .groupBy(col("event_type").as("series"),
         to_date(col("ts")).as("day"))
       .agg(count(lit(1)).cast("long").as("x"))
-    // the trending regime: cumulative distinct users per type (signs
-    // all positive — the tests and the FDR step-up MUST fire here).
     // Cumsum window is partitioned by event_type; only days a new
     // user appeared carry rows, which tie-dropping makes equivalent
     // to the full calendar frame.
@@ -385,6 +386,11 @@ object TimeSeriesOps {
       .select(concat(col("event_type"), lit(":cum_users")).as("series"),
         col("day"), sum(col("nu")).over(wc).cast("long").as("x"))
     cnts.unionByName(cum)
+  }
+
+  private def seriesDiffs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("series")).orderBy(col("day"))
+    seriesDaily(s, dir)
       .select(col("series"), col("day"),
         (col("x") - lag(col("x"), 1).over(w)).as("dx"))
   }
@@ -4639,6 +4645,315 @@ object TimeSeriesOps {
           expr("20 * m * CAST(p_num AS DECIMAL(38,0)) <= p_den")
             .as("bonf_reject"))
         .orderBy(col("rank"), col("series"))
+    },
+
+    // Cochran's Q — the k-treatment generalization of McNemar over
+    // MATCHED binary outcomes: subjects are users, treatments are
+    // event types, x(i,j) = user i's count of type j STRICTLY ABOVE
+    // the per-type mean count (cross-multiplied cnt·n_users > total_j
+    // — mean-relative, so the split is non-degenerate at every SF; the
+    // naive "ever did type j" outcome is all-ones on this fixture and
+    // zeroes the denominator). Q tests whether the k above-average
+    // rates differ given the per-user pairing. ONE exact integer
+    // rational: Q = (k−1)(k·ΣC_j² − N²)/(kN − ΣR_i²) with C_j the
+    // per-treatment hit counts and R_i the per-user row sums (the
+    // denominator is ΣR_i(k−R_i) ≥ 0, zero only when every flagged
+    // user is flagged in ALL k types — NULL-guarded). Subjects with
+    // R_i = 0 contribute nothing to either sum, so the zero grid is
+    // never materialized. Plan: one (user, type) count aggregate, a
+    // broadcast per-type threshold join, two bounded folds — no
+    // window, no pairing join.
+    QuerySpec.sql(
+      "stats_cochran_q",
+      """WITH u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |  AS nu FROM events),
+        |cnt AS (SELECT user_id, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |tt AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total
+        |  FROM cnt GROUP BY 1),
+        |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM tt),
+        |b AS (SELECT c.user_id, c.event_type
+        |  FROM cnt c JOIN tt t ON t.event_type = c.event_type, u
+        |  WHERE c.cnt * u.nu > t.total),
+        |r AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS r
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1),
+        |ca AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_total,
+        |  CAST(COALESCE(SUM(c * c), 0) AS BIGINT) AS sum_c2 FROM c),
+        |ra AS (SELECT CAST(COALESCE(SUM(r * r), 0) AS BIGINT)
+        |  AS sum_r2 FROM r)
+        |SELECT kk.k AS k, u.nu AS n_subjects, n_total, sum_c2, sum_r2,
+        |  CAST(CASE WHEN kk.k * n_total > sum_r2 THEN
+        |    (kk.k - 1) * (kk.k * sum_c2 - n_total * n_total) * 1000000
+        |      // (kk.k * n_total - sum_r2) END AS BIGINT) AS q_micro
+        |FROM kk, u, ca, ra""".stripMargin) { (s, dir) =>
+      val cnt = Materialize.stable(events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("cnt")))
+      val u = cnt.agg(countDistinct(col("user_id")).cast("long")
+        .as("nu"))
+      val tt = cnt.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).cast("long").as("total"))
+      val kk = tt.agg(count(lit(1)).cast("long").as("k"))
+      val b = Materialize.stable(cnt
+        .join(broadcast(tt), Seq("event_type"))
+        .crossJoin(broadcast(u))
+        .filter(col("cnt") * col("nu") > col("total"))
+        .select(col("user_id"), col("event_type")))
+      val ra = b.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("r"))
+        .agg(coalesce(sum(col("r") * col("r")), lit(0L)).cast("long")
+          .as("sum_r2"))
+      val ca = b.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c")), lit(0L)).cast("long").as("n_total"),
+          coalesce(sum(col("c") * col("c")), lit(0L)).cast("long")
+            .as("sum_c2"))
+      kk.crossJoin(broadcast(u)).crossJoin(broadcast(ca))
+        .crossJoin(broadcast(ra))
+        .select(col("k"), col("nu").as("n_subjects"), col("n_total"),
+          col("sum_c2"), col("sum_r2"),
+          expr("CAST(CASE WHEN k * n_total > sum_r2 THEN " +
+            "(k - 1) * (k * sum_c2 - n_total * n_total) * 1000000 div " +
+            "(k * n_total - sum_r2) END AS BIGINT)").as("q_micro"))
+    },
+
+    // Friedman's test — the blocked nonparametric ANOVA: blocks are
+    // days, treatments are event types, the response is the daily
+    // count, restricted to complete blocks (days where every type
+    // fired). Within-block tie-averaged ranks ride the ×2 identity
+    // (s = 2·cnt_less + cnt_eq + 1, an integer), and the
+    // TIE-CORRECTED statistic is one exact rational in those
+    // integers: χ²_F = (k−1)·Σ_j(S_j − b(k+1))² / (Σs² − bk(k+1)²)
+    // (the 1/4 scale factors cancel). Denominator zero ⟺ every block
+    // is an all-tie — NULL-guarded. Plan: the daily aggregate, then a
+    // within-block k×k equi-join on the ≤|days|·k frame — pairing
+    // cost is k² per block, never corpus².
+    QuerySpec.sql(
+      "stats_friedman",
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+        |  FROM daily),
+        |fd AS (SELECT day FROM daily GROUP BY 1
+        |  HAVING CAST(COUNT(*) AS BIGINT) = (SELECT k FROM kk)),
+        |f AS (SELECT d.day, d.event_type, d.x
+        |  FROM daily d JOIN fd ON d.day = fd.day),
+        |rk AS (
+        |  SELECT a.day, a.event_type,
+        |    CAST(2 * SUM(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)
+        |      + SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) + 1
+        |      AS BIGINT) AS s
+        |  FROM f a JOIN f b ON a.day = b.day GROUP BY 1, 2),
+        |bb AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS b FROM f),
+        |sj AS (SELECT event_type, CAST(SUM(s) AS BIGINT) AS s_j
+        |  FROM rk GROUP BY 1),
+        |s2 AS (SELECT CAST(SUM(s * s) AS BIGINT) AS sum_s2 FROM rk),
+        |nm AS (SELECT CAST(SUM((s_j - bb.b * (kk.k + 1))
+        |    * (s_j - bb.b * (kk.k + 1))) AS BIGINT) AS num
+        |  FROM sj, bb, kk)
+        |SELECT kk.k AS k, bb.b AS b, num,
+        |  CAST(sum_s2 - bb.b * kk.k * (kk.k + 1) * (kk.k + 1)
+        |    AS BIGINT) AS den,
+        |  CAST(CASE WHEN sum_s2 > bb.b * kk.k * (kk.k + 1) * (kk.k + 1)
+        |    THEN (kk.k - 1) * num * 1000000
+        |      // (sum_s2 - bb.b * kk.k * (kk.k + 1) * (kk.k + 1))
+        |    END AS BIGINT) AS chi2_micro
+        |FROM kk, bb, nm, s2""".stripMargin) { (s, dir) =>
+      val daily = Materialize.stable(events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("x")))
+      val kk = daily.agg(countDistinct(col("event_type")).cast("long")
+        .as("k"))
+      val f = Materialize.stable(daily
+        .groupBy(col("day")).agg(count(lit(1)).as("nt"))
+        .crossJoin(broadcast(kk))
+        .filter(col("nt") === col("k"))
+        .select(col("day"))
+        .join(daily, Seq("day")))
+      val rk = f.as("a")
+        .join(f.as("b"), col("a.day") === col("b.day"))
+        .groupBy(col("a.day").as("day"),
+          col("a.event_type").as("event_type"))
+        .agg((lit(2) * sum(when(col("b.x") < col("a.x"), 1)
+            .otherwise(0)) +
+          sum(when(col("b.x") === col("a.x"), 1).otherwise(0)) + lit(1))
+          .cast("long").as("s"))
+      val rkM = Materialize.stable(rk)
+      val bb = f.agg(countDistinct(col("day")).cast("long").as("b"))
+      val sj = rkM.groupBy(col("event_type"))
+        .agg(sum(col("s")).cast("long").as("s_j"))
+      val s2 = rkM.agg(sum(col("s") * col("s")).cast("long")
+        .as("sum_s2"))
+      val nm = sj.crossJoin(broadcast(bb)).crossJoin(broadcast(kk))
+        .agg(sum((col("s_j") - col("b") * (col("k") + 1)) *
+          (col("s_j") - col("b") * (col("k") + 1))).cast("long")
+          .as("num"))
+      kk.crossJoin(broadcast(bb)).crossJoin(broadcast(nm))
+        .crossJoin(broadcast(s2))
+        .select(col("k"), col("b"), col("num"),
+          expr("CAST(sum_s2 - b * k * (k + 1) * (k + 1) AS BIGINT)")
+            .as("den"),
+          expr("CAST(CASE WHEN sum_s2 > b * k * (k + 1) * (k + 1) " +
+            "THEN (k - 1) * num * 1000000 div " +
+            "(sum_s2 - b * k * (k + 1) * (k + 1)) END AS BIGINT)")
+            .as("chi2_micro"))
+    },
+
+    // Mann–Kendall trend test per series (the standard
+    // distribution-free monotone-trend detector, run on the same
+    // two-regime frame as the sign/runs tests so the trending
+    // cum-user series must fire and the stationary count series must
+    // not): S = Σ_{i<j} sgn(x_j − x_i) by pairwise equi-join on the
+    // calendar-bounded daily frame (≤ days² pairs per series — never
+    // corpus²), the tie-corrected variance as the ×18-scaled integer
+    // var18 = n(n−1)(2n+5) − Σt(t−1)(2t+5), and the z > 1.96 verdict
+    // as the exact cross-multiplied integer comparison
+    // (|S|−1)²·18·625 > 2401·var18 (1.96 = 49/25 exactly) — no sqrt,
+    // no float anywhere.
+    QuerySpec.sql(
+      "stats_mann_kendall",
+      s"""WITH $seriesDiffCtes,
+         |p AS (
+         |  SELECT a.series,
+         |    CAST(SUM(CASE WHEN b.x > a.x THEN 1
+         |      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+         |  FROM daily a JOIN daily b
+         |    ON a.series = b.series AND b.day > a.day
+         |  GROUP BY 1),
+         |nn AS (SELECT series, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM daily GROUP BY 1),
+         |tt AS (SELECT series,
+         |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+         |  FROM (SELECT series, x, CAST(COUNT(*) AS BIGINT) AS t
+         |    FROM daily GROUP BY 1, 2) g GROUP BY 1)
+         |SELECT nn.series, nn.n, COALESCE(p.s, 0) AS s,
+         |  CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - tt.tie_term
+         |    AS BIGINT) AS var18,
+         |  COALESCE(p.s, 0) <> 0 AND
+         |    (ABS(COALESCE(p.s, 0)) - 1) * (ABS(COALESCE(p.s, 0)) - 1)
+         |      * 11250
+         |    > 2401 * (nn.n * (nn.n - 1) * (2 * nn.n + 5) - tt.tie_term)
+         |    AS significant,
+         |  CASE WHEN COALESCE(p.s, 0) > 0 THEN 'up'
+         |    WHEN COALESCE(p.s, 0) < 0 THEN 'down'
+         |    ELSE 'flat' END AS trend
+         |FROM nn JOIN tt ON tt.series = nn.series
+         |LEFT JOIN p ON p.series = nn.series
+         |ORDER BY nn.series""".stripMargin) { (s, dir) =>
+      val daily = Materialize.stable(seriesDaily(s, dir))
+      val p = daily.as("a")
+        .join(daily.as("b"), col("a.series") === col("b.series") &&
+          col("b.day") > col("a.day"))
+        .groupBy(col("a.series").as("series"))
+        .agg(sum(when(col("b.x") > col("a.x"), 1L)
+          .when(col("b.x") < col("a.x"), -1L).otherwise(0L))
+          .cast("long").as("s"))
+      val nn = daily.groupBy(col("series"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val tt = daily.groupBy(col("series"), col("x"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("series"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .cast("long").as("tie_term"))
+      nn.join(tt, Seq("series"))
+        .join(p, Seq("series"), "left")
+        .select(col("series"), col("n"),
+          coalesce(col("s"), lit(0L)).as("s"),
+          expr("CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT)")
+            .as("var18"))
+        .withColumn("significant",
+          expr("s <> 0 AND (ABS(s) - 1) * (ABS(s) - 1) * 11250 " +
+            "> 2401 * var18"))
+        .withColumn("trend", expr("CASE WHEN s > 0 THEN 'up' " +
+          "WHEN s < 0 THEN 'down' ELSE 'flat' END"))
+        .orderBy(col("series"))
+    },
+
+    // Kruskal–Wallis — the k-group rank ANOVA over per-event values
+    // (cents-quantized, the established portable rounding): do the
+    // event types draw from the same value distribution? Global
+    // tie-averaged ranks ride the ×2 histogram identity
+    // (2r̄(v) = 2·cum_below + c_v + 1) computed from the
+    // range-partitioned PrefixSum over distinct values (no
+    // unpartitioned window); H = 3·Σ_g R2_g²/n_g / (n(n+1)) − 3(n+1)
+    // with R2_g = Σ 2r̄ per group, each per-group quotient floored
+    // identically in both engines (error < 1 against values ~n²);
+    // squares and the 10⁶ scaling run in HUGEINT ≡ DECIMAL(38,0)
+    // (R2_g² ≈ 4n²n_g² passes 2^63 already at sf0.1). Tie-corrected
+    // H' = H·(n³−n)/(n³−n−Σ(t³−t)), NULL when every value ties.
+    QuerySpec.sql(
+      "stats_kruskal_wallis",
+      """WITH v AS (
+        |  SELECT event_type AS grp,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (SELECT cents, grp, CAST(COUNT(*) AS BIGINT) AS cg
+        |  FROM v GROUP BY 1, 2),
+        |hv AS (SELECT cents, CAST(SUM(cg) AS BIGINT) AS c
+        |  FROM h GROUP BY 1),
+        |r AS (SELECT cents, c,
+        |    COALESCE(SUM(c) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumb
+        |  FROM hv),
+        |rg AS (
+        |  SELECT h.grp, CAST(SUM(h.cg) AS BIGINT) AS n_g,
+        |    CAST(SUM(h.cg * (2 * r.cumb + r.c + 1)) AS BIGINT) AS r2_g
+        |  FROM h JOIN r ON r.cents = h.cents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(CAST(r2_g AS HUGEINT) * r2_g // n_g) AS HUGEINT)
+        |      AS hx
+        |  FROM rg),
+        |tie AS (SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS tie_num
+        |  FROM hv),
+        |hh AS (SELECT n, k,
+        |    CAST(3 * hx * 1000000 // (n * (n + 1))
+        |      - 3 * (n + 1) * 1000000 AS BIGINT) AS h_micro
+        |  FROM tot)
+        |SELECT hh.n, hh.k, hh.h_micro,
+        |  CAST(CASE WHEN n * n * n - n > tie_num THEN
+        |    CAST(h_micro AS HUGEINT) * (n * n * n - n)
+        |      // (n * n * n - n - tie_num) END AS BIGINT)
+        |    AS h_tie_micro
+        |FROM hh, tie""".stripMargin) { (s, dir) =>
+      import graft.functions.PrefixSum
+      val h = Materialize.stable(events(s, dir)
+        .select(col("event_type").as("grp"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("cents"), col("grp"))
+        .agg(count(lit(1)).as("cg")))
+      val hv = Materialize.stable(h.groupBy(col("cents"))
+        .agg(sum(col("cg")).cast("long").as("c")))
+      val r = PrefixSum.globalCumsum(hv, Seq(col("cents")), col("c"),
+          "cum")
+        .withColumn("cumb", col("cum") - col("c"))
+      val rg = h.join(r.select(col("cents"), col("c"), col("cumb")),
+          Seq("cents"))
+        .groupBy(col("grp"))
+        .agg(sum(col("cg")).cast("long").as("n_g"),
+          sum(col("cg") * (lit(2) * col("cumb") + col("c") + 1))
+            .cast("long").as("r2_g"))
+      val tot = rg.agg(sum(col("n_g")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("k"),
+        sum(expr("CAST(r2_g AS DECIMAL(38,0)) * r2_g div n_g"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("hx"))
+      val tie = hv.agg(sum(col("c") * col("c") * col("c") - col("c"))
+        .cast("long").as("tie_num"))
+      tot.crossJoin(broadcast(tie))
+        .select(col("n"), col("k"),
+          expr("CAST(3 * hx * 1000000 div (n * (n + 1)) " +
+            "- 3 * (n + 1) * 1000000 AS BIGINT)").as("h_micro"),
+          col("tie_num"))
+        .select(col("n"), col("k"), col("h_micro"),
+          expr("CAST(CASE WHEN n * n * n - n > tie_num THEN " +
+            "CAST(h_micro AS DECIMAL(38,0)) * (n * n * n - n) div " +
+            "(n * n * n - n - tie_num) END AS BIGINT)")
+            .as("h_tie_micro"))
     },
 
     // Two-proportion z-test — the A/B experiment read-out (arm =
