@@ -1492,6 +1492,77 @@ object TextOps {
         .orderBy(col("decile"))
     },
 
+    // Brier score + per-bin reliability (the Murphy-decomposition
+    // numerators) over the same micro-score-vs-en-label pair: the
+    // calibration-bins gate reports |acc − conf| per bin; this one
+    // reports the proper-scoring-rule view — the per-bin Brier mass
+    // Σ(p − y)² (pico units: p is the micro score, so each square is
+    // exact ≤ 10¹²) and the reliability numerator n_b(p̄_b − ō_b)² as
+    // the exact integer (S_b − 10⁶·O_b)²//n_b (the square passes 2^63
+    // at sf0.1, so it rides HUGEINT ≡ DECIMAL(38,0); the quotient is
+    // ≤ 10¹²·n_b and lands back in BIGINT). All floor divisions are
+    // nonneg-by-construction, so // ≡ div ≡ floor in both engines.
+    // Plan: the one tokenize+score pass, a 10-ary groupBy.
+    QuerySpec.sql(
+      "eval_brier_reliability",
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+         |    CAST(SUM(CASE WHEN tok IN ${inList(langMarkers.head._2)}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         |    COUNT(DISTINCT tok) AS n_distinct
+         |  FROM (SELECT doc_id, lang,
+         |      unnest(string_split(text, ' ')) AS tok
+         |    FROM documents) t
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         |    CAST((3 * n_stop + 7 * n_distinct) * 1000000
+         |      // (10 * n_tokens) AS BIGINT) AS score
+         |  FROM q),
+         |b AS (
+         |  SELECT LEAST(score // 100000, 9) AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |    CAST(SUM(score) AS BIGINT) AS score_sum,
+         |    CAST(SUM((score - pos * 1000000)
+         |      * (score - pos * 1000000)) AS BIGINT) AS brier_num
+         |  FROM sc GROUP BY 1)
+         |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos, score_sum,
+         |  brier_num,
+         |  CAST(brier_num // (n * 1000000) AS BIGINT)
+         |    AS bin_brier_micro,
+         |  CAST((CAST(score_sum - 1000000 * n_pos AS HUGEINT)
+         |    * (score_sum - 1000000 * n_pos)) // n AS BIGINT)
+         |    AS reliability_pico
+         |FROM b ORDER BY bin""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), split(col("text"), " ").as("ts"))
+        .select(
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          expr(s"CAST(size(filter(ts, t -> t IN " +
+            s"${inList(langMarkers.head._2)})) AS BIGINT)").as("n_stop"),
+          size(array_distinct(col("ts"))).cast("long").as("n_distinct"))
+        .select(col("pos"),
+          expr("CAST((3 * n_stop + 7 * n_distinct) * 1000000 div " +
+            "(10 * n_tokens) AS BIGINT)").as("score"))
+        .groupBy(expr("LEAST(score div 100000, 9)").as("bin"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("pos")).cast("long").as("n_pos"),
+          sum(col("score")).cast("long").as("score_sum"),
+          sum((col("score") - col("pos") * 1000000L) *
+            (col("score") - col("pos") * 1000000L)).cast("long")
+            .as("brier_num"))
+        .select(col("bin"), col("n"), col("n_pos"), col("score_sum"),
+          col("brier_num"),
+          expr("CAST(brier_num div (n * 1000000) AS BIGINT)")
+            .as("bin_brier_micro"),
+          expr("CAST(CAST(score_sum - 1000000 * n_pos " +
+            "AS DECIMAL(38,0)) * (score_sum - 1000000 * n_pos) div n " +
+            "AS BIGINT)").as("reliability_pico"))
+        .orderBy(col("bin"))
+    },
+
     // McNemar's paired-classifier test over two cut points of the
     // quality score (the strict 0.5 cut vs the lenient 0.3 cut, both
     // predicting "is-en" for the same documents): accuracy deltas

@@ -4956,6 +4956,114 @@ object TimeSeriesOps {
             .as("h_tie_micro"))
     },
 
+    // Brown–Forsythe (median-based Levene) — variance-homogeneity
+    // across the event-type groups, the assumption check ANOVA-style
+    // readouts lean on. Everything stays exact integers: group LOWER
+    // medians come off the per-group histogram cumsum (2·cum ≥ n_g
+    // picks position ⌈n_g/2⌉ — an element selection, portable, no
+    // interpolation), the |x−med| moments are plain BIGINT sums, and
+    // the F statistic is one integer rational with per-group floors
+    // mirrored in both engines: A = Σ(n·Sd_g − n_g·Sd)²//n_g,
+    // B = Σ(n_g·Sd2_g − Sd_g²)//n_g (both Cauchy-Schwarz-nonnegative,
+    // so floor = truncation in both), F_micro = (n−k)·A·10⁶ //
+    // ((k−1)·n²·B). Squares pass 2^63 (n·Sd_g ≈ 5·10¹³ at sf0.1), so
+    // the products ride HUGEINT ≡ DECIMAL(38,0); Spark's integral
+    // `div` returns LONG, so the per-group floor uses the exact
+    // subtract-remainder form ((t − t%n_g)/n_g) instead. Plan: one
+    // cents histogram, a per-group (partitioned) cumsum window, two
+    // bounded folds.
+    QuerySpec.sql(
+      "stats_levene_bf",
+      """WITH v AS (
+        |  SELECT event_type AS grp,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (SELECT grp, cents, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM v GROUP BY 1, 2),
+        |hc AS (SELECT grp, cents, c,
+        |    CAST(SUM(c) OVER (PARTITION BY grp ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM h),
+        |ng AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_g
+        |  FROM h GROUP BY 1),
+        |md AS (SELECT hc.grp, MIN(hc.cents) AS med
+        |  FROM hc JOIN ng ON ng.grp = hc.grp
+        |  WHERE 2 * hc.cum >= ng.n_g GROUP BY 1),
+        |st AS (SELECT h.grp, ng.n_g,
+        |    CAST(SUM(h.c * ABS(h.cents - md.med)) AS BIGINT) AS sd,
+        |    CAST(SUM(h.c * (h.cents - md.med) * (h.cents - md.med))
+        |      AS BIGINT) AS sd2
+        |  FROM h JOIN md ON md.grp = h.grp JOIN ng ON ng.grp = h.grp
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS k,
+        |  CAST(SUM(sd) AS BIGINT) AS sdall FROM st),
+        |ab AS (SELECT
+        |    CAST(SUM((CAST(tot.n AS HUGEINT) * st.sd
+        |        - st.n_g * tot.sdall)
+        |      * (CAST(tot.n AS HUGEINT) * st.sd - st.n_g * tot.sdall)
+        |      // st.n_g) AS HUGEINT) AS a_num,
+        |    CAST(SUM((CAST(st.n_g AS HUGEINT) * st.sd2
+        |        - CAST(st.sd AS HUGEINT) * st.sd)
+        |      // st.n_g) AS HUGEINT) AS b_num
+        |  FROM st, tot)
+        |SELECT tot.n, tot.k,
+        |  CAST(a_num // 1000000 AS BIGINT) AS a_scaled,
+        |  CAST(b_num AS BIGINT) AS b_num,
+        |  CAST(CASE WHEN b_num > 0 AND tot.k > 1 THEN
+        |    (tot.n - tot.k) * a_num * 1000000
+        |      // ((tot.k - 1) * CAST(tot.n AS HUGEINT) * tot.n * b_num)
+        |    END AS BIGINT) AS f_micro
+        |FROM tot, ab""".stripMargin) { (s, dir) =>
+      val h = Materialize.stable(events(s, dir)
+        .select(col("event_type").as("grp"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("grp"), col("cents"))
+        .agg(count(lit(1)).cast("long").as("c")))
+      val wc = Window.partitionBy(col("grp")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ng = h.groupBy(col("grp"))
+        .agg(sum(col("c")).cast("long").as("n_g"))
+      val md = h.withColumn("cum", sum(col("c")).over(wc).cast("long"))
+        .join(ng, Seq("grp"))
+        .filter(lit(2) * col("cum") >= col("n_g"))
+        .groupBy(col("grp")).agg(min(col("cents")).as("med"))
+      val st = h.join(md, Seq("grp")).join(ng, Seq("grp"))
+        .groupBy(col("grp"), col("n_g"))
+        .agg(sum(col("c") * abs(col("cents") - col("med")))
+            .cast("long").as("sd"),
+          sum(col("c") * (col("cents") - col("med")) *
+            (col("cents") - col("med"))).cast("long").as("sd2"))
+      val stM = Materialize.stable(st)
+      val tot = stM.agg(sum(col("n_g")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("k"),
+        sum(col("sd")).cast("long").as("sdall"))
+      val D = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ab = stM.crossJoin(broadcast(tot))
+        .select(
+          expr("CAST(n AS DECIMAL(38,0)) * sd - n_g * sdall").as("x"),
+          expr("CAST(n_g AS DECIMAL(38,0)) * sd2 " +
+            "- CAST(sd AS DECIMAL(38,0)) * sd").as("y"),
+          col("n_g"))
+        .select(expr("x * x").as("t"), col("y"), col("n_g"))
+        // per-group floor without Spark's long-typed `div`:
+        // (t − t % n_g) / n_g is an exact decimal integer
+        .select(
+          expr("CAST((t - t % n_g) / n_g AS DECIMAL(38,0))").as("a_g"),
+          expr("CAST((y - y % n_g) / n_g AS DECIMAL(38,0))").as("b_g"))
+        .agg(sum(col("a_g")).cast(D).as("a_num"),
+          sum(col("b_g")).cast(D).as("b_num"))
+      tot.crossJoin(broadcast(ab))
+        .select(col("n"), col("k"),
+          expr("CAST(a_num div 1000000 AS BIGINT)").as("a_scaled"),
+          expr("CAST(b_num AS BIGINT)").as("b_num"),
+          expr("CAST(CASE WHEN b_num > 0 AND k > 1 THEN " +
+            "CAST((n - k) AS DECIMAL(38,0)) * a_num * 1000000 div " +
+            "((k - 1) * CAST(n AS DECIMAL(38,0)) * n * b_num) " +
+            "END AS BIGINT)").as("f_micro"))
+    },
+
     // Two-proportion z-test — the A/B experiment read-out (arm =
     // deterministic user_id parity, conversion = a heavy-purchaser
     // cut that splits every fixture scale non-degenerately). The
