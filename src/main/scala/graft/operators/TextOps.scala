@@ -1563,6 +1563,49 @@ object TextOps {
         .orderBy(col("bin"))
     },
 
+    // Per-token burstiness (Fano factor of per-document counts): does
+    // a token cluster into few documents (topical, Fano ≫ 1) or
+    // spread evenly (functional, Fano ≈ its mean-dependent floor)?
+    // The index of dispersion Var/Mean over ALL n docs — zero-count
+    // docs included implicitly, since S and Q only read docs that
+    // contain the token — is ONE exact integer rational:
+    // fano_ppm = (n·Q − S²)·10⁶ // (n·S). df ≥ 5 keeps hapax noise
+    // out. Plan: one tokenize pass, two hash aggregates keyed by
+    // token — posting-list-free, no window.
+    QuerySpec.sql(
+      "text_burstiness",
+      """WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents),
+        |tc AS (SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) t
+        |  GROUP BY 1, 2),
+        |ag AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+        |    CAST(SUM(x) AS BIGINT) AS s,
+        |    CAST(SUM(x * x) AS BIGINT) AS q
+        |  FROM tc GROUP BY 1)
+        |SELECT tok, df, s, q,
+        |  CAST((nd.n * q - s * s) * 1000000 // (nd.n * s) AS BIGINT)
+        |    AS fano_ppm
+        |FROM ag, nd WHERE df >= 5
+        |ORDER BY tok""".stripMargin) { (s, dir) =>
+      val nd = docs(s, dir).agg(count(lit(1)).cast("long").as("n"))
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok"), col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("x"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).cast("long").as("df"),
+          sum(col("x")).cast("long").as("s"),
+          sum(col("x") * col("x")).cast("long").as("q"))
+        .filter(col("df") >= 5)
+        .crossJoin(broadcast(nd))
+        .select(col("tok"), col("df"), col("s"), col("q"),
+          expr("CAST((n * q - s * s) * 1000000 div (n * s) AS BIGINT)")
+            .as("fano_ppm"))
+        .orderBy(col("tok"))
+    },
+
     // McNemar's paired-classifier test over two cut points of the
     // quality score (the strict 0.5 cut vs the lenient 0.3 cut, both
     // predicting "is-en" for the same documents): accuracy deltas

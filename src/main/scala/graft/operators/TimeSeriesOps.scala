@@ -2426,6 +2426,107 @@ object TimeSeriesOps {
         .orderBy(col("event_type"), col("lag"))
     },
 
+    // Ljung–Box portmanteau per series — "is there ANY
+    // autocorrelation in the first h lags?", the residual-whiteness
+    // test a forecasting pipeline runs after fitting: Q_LB =
+    // n(n+2)·Σ_{l≤h} r_l²/(n−l). Rides the exact ACF machinery
+    // (num_l/den integer rationals, common den = n²Q − nS²): per-lag
+    // t_l = num_l² // (n−l) (num² ≥ 0, so floor ≡ truncation in both
+    // engines; error < 1 against ~10²² values), then ONE division
+    // q_lb_micro = n(n+2)·10⁶·Σt_l // den² — all in DECIMAL(38,0) ≡
+    // HUGEINT. Plan: the same one-collect-per-series array fold as
+    // ts_acf_lags (calendar-bounded), a 7-lag explode, one re-group.
+    QuerySpec.sql(
+      "ts_ljung_box",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS s,
+        |    CAST(SUM(y * y) AS BIGINT) AS q
+        |  FROM daily GROUP BY 1),
+        |rn AS (
+        |  SELECT event_type, y,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS i
+        |  FROM daily),
+        |lg AS (SELECT CAST(UNNEST(range(1, 8)) AS BIGINT) AS l),
+        |pr AS (
+        |  SELECT a.event_type, l.l, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(a.y * b.y) AS BIGINT) AS sab,
+        |    CAST(SUM(a.y) AS BIGINT) AS sa,
+        |    CAST(SUM(b.y) AS BIGINT) AS sb
+        |  FROM rn a CROSS JOIN lg l
+        |  JOIN rn b ON b.event_type = a.event_type AND b.i = a.i + l.l
+        |  GROUP BY 1, 2),
+        |tl AS (
+        |  SELECT p.event_type, st.n,
+        |    CAST(st.n AS HUGEINT) * st.n * st.q
+        |      - CAST(st.n AS HUGEINT) * st.s * st.s AS den,
+        |    (CAST(st.n AS HUGEINT) * st.n * p.sab
+        |      - CAST(st.n AS HUGEINT) * st.s * (p.sa + p.sb)
+        |      + CAST(p.cnt AS HUGEINT) * st.s * st.s)
+        |    * (CAST(st.n AS HUGEINT) * st.n * p.sab
+        |      - CAST(st.n AS HUGEINT) * st.s * (p.sa + p.sb)
+        |      + CAST(p.cnt AS HUGEINT) * st.s * st.s)
+        |    // (st.n - p.l) AS t
+        |  FROM pr p JOIN st USING (event_type))
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS h,
+        |  CAST(CASE WHEN MAX(den) > 0 THEN
+        |    CAST(MAX(n) AS HUGEINT) * (MAX(n) + 2) * 1000000 * SUM(t)
+        |      // (MAX(den) * MAX(den)) END AS BIGINT) AS q_lb_micro
+        |FROM tl GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .groupBy(col("event_type"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(day, y))), p -> p.y)")
+          .as("ys"))
+        .select(col("event_type"), col("ys"),
+          expr("CAST(size(ys) AS BIGINT)").as("n"),
+          expr("aggregate(ys, 0L, (acc, v) -> acc + v)").as("s"),
+          expr("aggregate(ys, 0L, (acc, v) -> acc + v * v)").as("q"))
+        .withColumn("l", explode(expr("sequence(1L, 7L)")))
+        .filter(col("n") > col("l"))
+        .select(col("event_type"), col("n"), col("l"),
+          (col("n") - col("l")).as("cnt"), col("s"), col("q"),
+          expr("aggregate(zip_with(slice(ys, 1, CAST(n - l AS INT)), " +
+            "slice(ys, CAST(l + 1 AS INT), CAST(n - l AS INT)), " +
+            "(x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("sab"),
+          expr("aggregate(slice(ys, 1, CAST(n - l AS INT)), 0L, " +
+            "(acc, v) -> acc + v)").as("sa"),
+          expr("aggregate(slice(ys, CAST(l + 1 AS INT), " +
+            "CAST(n - l AS INT)), 0L, (acc, v) -> acc + v)").as("sb"))
+        .select(col("event_type"), col("n"),
+          expr("CAST(n AS DECIMAL(38,0)) * n * q " +
+            "- CAST(n AS DECIMAL(38,0)) * s * s").as("den"),
+          expr("CAST(n AS DECIMAL(38,0)) * n * sab " +
+            "- CAST(n AS DECIMAL(38,0)) * s * (sa + sb) " +
+            "+ CAST(cnt AS DECIMAL(38,0)) * s * s").as("num"),
+          (col("n") - col("l")).as("nl"))
+        // floor of num²/(n−l) without the long-typed `div`: num² ≥ 0,
+        // subtract-remainder keeps it an exact decimal integer
+        .select(col("event_type"), col("n"), col("den"),
+          expr("CAST((num * num - (num * num) % nl) / nl " +
+            "AS DECIMAL(38,0))").as("t"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).cast("long").as("n"),
+          count(lit(1)).cast("long").as("h"),
+          max(col("den")).as("den"),
+          sum(col("t"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            .as("tsum"))
+        .select(col("event_type"), col("n"), col("h"),
+          expr("CAST(CASE WHEN den > 0 THEN " +
+            "CAST(n AS DECIMAL(38,0)) * (n + 2) * 1000000 * tsum div " +
+            "(den * den) END AS BIGINT)").as("q_lb_micro"))
+        .orderBy(col("event_type"))
+    },
+
     // Rescaled-range table (Hurst 1951 R/S analysis) per series: at
     // block sizes w ∈ {4, 8, 16}, each complete w-day block's range
     // of mean-adjusted cumulative deviations over its standard

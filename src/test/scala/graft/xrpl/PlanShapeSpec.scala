@@ -461,6 +461,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("round-12 additions: no cartesian, every window keyed") {
+    // kappa/brier/lift ride the one langCm / score-histogram pass
+    // (ranks via PrefixSum, never a global window); the nonparametric
+    // tests pair only on calendar-bounded or k-bounded frames
+    // (day/series equi-joins), and kruskal/levene keep their rank /
+    // median windows keyed by group.
+    for (name <- Seq("eval_cohens_kappa", "eval_lift_gains",
+        "eval_brier_reliability", "stats_cochran_q", "stats_friedman",
+        "stats_mann_kendall", "stats_kruskal_wallis",
+        "stats_levene_bf", "ts_ljung_box", "text_burstiness")) {
+      val all = collectNodes(planOf(name))
+      val s = all.map(_.toString).mkString("\n")
+      assert(!s.contains("CartesianProduct"),
+        s"$name plans an unbroadcast cartesian join")
+      val bad = all.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name plans an unpartitioned WindowExec")
+    }
+  }
+
   test("scale posture: AQE and skew-join splitting stay enabled") {
     // Every 100x claim in PLANS.md assumes AQE's runtime re-plan, and
     // the skewed-key paths (j_asof_skewed family, band joins, blocking
