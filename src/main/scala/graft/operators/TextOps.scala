@@ -1606,6 +1606,98 @@ object TextOps {
         .orderBy(col("tok"))
     },
 
+    // Matthews correlation coefficient of the strict-cut classifier
+    // (score ≥ 0.5 predicts en) against the truth label — the
+    // single-number binary-classifier summary that stays honest under
+    // class imbalance (accuracy and F1 both don't). The exact part:
+    // num = TP·TN − FP·FN and the four marginals are plain integers,
+    // and the SIGNED SQUARE mcc²·sign(num) is one exact rational
+    // (num²·10⁶ // Π marginals, products in HUGEINT ≡ DECIMAL(38,0)).
+    // mcc_micro itself needs a sqrt, so it rides the shared-expression
+    // discipline (identical text in both engines over the same exact
+    // integers — the MwZ precedent; IEEE sqrt is correctly rounded,
+    // so the doubles are bit-identical). Plan: one tokenize+score
+    // pass, one 4-way fold.
+    QuerySpec.sql(
+      "eval_mcc", {
+      val mcc = "CASE WHEN tp + fp > 0 AND tp + fn_ > 0 AND tn + fp > 0 " +
+        "AND tn + fn_ > 0 THEN CAST(FLOOR((CAST(tp AS DOUBLE) " +
+        "* CAST(tn AS DOUBLE) - CAST(fp AS DOUBLE) " +
+        "* CAST(fn_ AS DOUBLE)) / sqrt(CAST(tp + fp AS DOUBLE) " +
+        "* CAST(tp + fn_ AS DOUBLE) * CAST(tn + fp AS DOUBLE) " +
+        "* CAST(tn + fn_ AS DOUBLE)) * 1000000) AS BIGINT) END"
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+         |    CAST(SUM(CASE WHEN tok IN ${inList(langMarkers.head._2)}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         |    COUNT(DISTINCT tok) AS n_distinct
+         |  FROM (SELECT doc_id, lang,
+         |      unnest(string_split(text, ' ')) AS tok
+         |    FROM documents) t
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         |    CASE WHEN CAST((3 * n_stop + 7 * n_distinct) * 1000000
+         |      // (10 * n_tokens) AS BIGINT) >= 500000
+         |      THEN 1 ELSE 0 END AS pred
+         |  FROM q),
+         |cm AS (
+         |  SELECT
+         |    CAST(SUM(pos * pred) AS BIGINT) AS tp,
+         |    CAST(SUM((1 - pos) * pred) AS BIGINT) AS fp,
+         |    CAST(SUM(pos * (1 - pred)) AS BIGINT) AS fn_,
+         |    CAST(SUM((1 - pos) * (1 - pred)) AS BIGINT) AS tn
+         |  FROM sc)
+         |SELECT tp, fp, fn_, tn,
+         |  CAST(tp * tn - fp * fn_ AS BIGINT) AS num,
+         |  CAST(CASE WHEN tp + fp > 0 AND tp + fn_ > 0
+         |      AND tn + fp > 0 AND tn + fn_ > 0 THEN
+         |    (CASE WHEN tp * tn - fp * fn_ < 0 THEN -1 ELSE 1 END)
+         |    * (CAST(tp * tn - fp * fn_ AS HUGEINT)
+         |       * (tp * tn - fp * fn_)) * 1000000
+         |    // (CAST((tp + fp) AS HUGEINT) * (tp + fn_)
+         |       * (tn + fp) * (tn + fn_)) END AS BIGINT)
+         |    AS mcc_sq_signed_micro,
+         |  $mcc AS mcc_micro
+         |FROM cm""".stripMargin }) { (s, dir) =>
+      val mcc = "CASE WHEN tp + fp > 0 AND tp + fn_ > 0 AND tn + fp > 0 " +
+        "AND tn + fn_ > 0 THEN CAST(FLOOR((CAST(tp AS DOUBLE) " +
+        "* CAST(tn AS DOUBLE) - CAST(fp AS DOUBLE) " +
+        "* CAST(fn_ AS DOUBLE)) / sqrt(CAST(tp + fp AS DOUBLE) " +
+        "* CAST(tp + fn_ AS DOUBLE) * CAST(tn + fp AS DOUBLE) " +
+        "* CAST(tn + fn_ AS DOUBLE)) * 1000000) AS BIGINT) END"
+      docs(s, dir)
+        .select(col("lang"), split(col("text"), " ").as("ts"))
+        .select(
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          expr(s"CAST(size(filter(ts, t -> t IN " +
+            s"${inList(langMarkers.head._2)})) AS BIGINT)").as("n_stop"),
+          size(array_distinct(col("ts"))).cast("long").as("n_distinct"))
+        .select(col("pos"),
+          expr("CASE WHEN CAST((3 * n_stop + 7 * n_distinct) * " +
+            "1000000 div (10 * n_tokens) AS BIGINT) >= 500000 " +
+            "THEN 1L ELSE 0L END").as("pred"))
+        .agg(
+          sum(col("pos") * col("pred")).cast("long").as("tp"),
+          sum((lit(1) - col("pos")) * col("pred")).cast("long").as("fp"),
+          sum(col("pos") * (lit(1) - col("pred"))).cast("long")
+            .as("fn_"),
+          sum((lit(1) - col("pos")) * (lit(1) - col("pred")))
+            .cast("long").as("tn"))
+        .select(col("tp"), col("fp"), col("fn_"), col("tn"),
+          expr("CAST(tp * tn - fp * fn_ AS BIGINT)").as("num"),
+          expr("CAST(CASE WHEN tp + fp > 0 AND tp + fn_ > 0 " +
+            "AND tn + fp > 0 AND tn + fn_ > 0 THEN " +
+            "(CASE WHEN tp * tn - fp * fn_ < 0 THEN -1 ELSE 1 END) " +
+            "* (CAST(tp * tn - fp * fn_ AS DECIMAL(38,0)) " +
+            "* (tp * tn - fp * fn_)) * 1000000 div " +
+            "(CAST((tp + fp) AS DECIMAL(38,0)) * (tp + fn_) " +
+            "* (tn + fp) * (tn + fn_)) END AS BIGINT)")
+            .as("mcc_sq_signed_micro"),
+          expr(mcc).as("mcc_micro"))
+    },
+
     // McNemar's paired-classifier test over two cut points of the
     // quality score (the strict 0.5 cut vs the lenient 0.3 cut, both
     // predicting "is-en" for the same documents): accuracy deltas

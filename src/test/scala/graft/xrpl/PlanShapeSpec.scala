@@ -470,7 +470,8 @@ class PlanShapeSpec extends AnyFunSuite {
     for (name <- Seq("eval_cohens_kappa", "eval_lift_gains",
         "eval_brier_reliability", "stats_cochran_q", "stats_friedman",
         "stats_mann_kendall", "stats_kruskal_wallis",
-        "stats_levene_bf", "ts_ljung_box", "text_burstiness")) {
+        "stats_levene_bf", "ts_ljung_box", "text_burstiness",
+        "eval_mcc")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
