@@ -3950,49 +3950,88 @@ object TimeSeriesOps {
     // One-way ANOVA — the k-group generalization of the two-sample
     // tests (Welch/z/U answer "do these TWO differ"; ANOVA answers
     // "does the metric differ across ALL event types at once").
-    // Between/within sums of squares from exact decimal power sums per
-    // group (Σv, Σv² — the a_moments discipline), folded over the
-    // k-row group table; F and the α=0.05 verdict (F₄,∞ crit 2.3719)
-    // are single correctly-rounded float ops on identical operands.
+    // EXACT-INTEGER form (round-12 rewrite: the previous spelling
+    // summed k DOUBLES over the group table — Σs, Σs²/n — whose
+    // partition-merge order is nondeterministic, and it finally flaked
+    // at the 13th digit): cents-quantized values, per-group BIGINT /
+    // DECIMAL(38,0) power sums, and the between/within sums of squares
+    // as the same per-group Cauchy-Schwarz-nonnegative floors the
+    // Brown-Forsythe gate uses — A = Σ(nt·S_g − n_g·St)²//n_g,
+    // B = Σ(n_g·Q_g − S_g²)//n_g, F_micro = (nt−k)·A·10⁶ //
+    // ((k−1)·nt²·B). The α=0.05 verdict (F₄,∞ crit 2.3719) compares
+    // the exact micro integer. Headroom: (nt·S_g)² ≲ 4·10²⁸ at sf0.1
+    // in DECIMAL(38,0) ≡ HUGEINT; the ×10⁶ product stays < 10³⁸ to
+    // nt ~ 10⁶ rows.
     QuerySpec.sql(
       "stats_anova_f",
-      s"""WITH g AS (
-         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-         |    ${dsumSql("value")} AS s, ${dsumSql("value * value")} AS q
-         |  FROM events GROUP BY 1),
-         |a AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
-         |    CAST(SUM(n) AS BIGINT) AS nt,
-         |    SUM(s) AS st, SUM(q) AS qt,
-         |    SUM(s * s / n) AS sb
-         |  FROM g)
-         |SELECT k, nt AS n,
-         |  sb - st * st / nt AS ss_between,
-         |  qt - sb AS ss_within,
-         |  ((sb - st * st / nt) / (k - 1))
-         |    / ((qt - sb) / (nt - k)) AS f_stat,
-         |  ((sb - st * st / nt) / (k - 1))
-         |    / ((qt - sb) / (nt - k)) > 2.3719 AS significant
-         |FROM a""".stripMargin) { (s, dir) =>
-      val g = events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("s"),
-          dsum(col("value") * col("value")).as("q"))
-      g.agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
-          sum(col("s")).as("st"), sum(col("q")).as("qt"),
-          sum(col("s") * col("s") / col("n")).as("sb"))
+      """WITH v AS (
+        |  SELECT event_type AS grp,
+        |    CAST(round(value * 100) AS BIGINT) AS m
+        |  FROM events),
+        |g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(m) AS BIGINT) AS s,
+        |    CAST(SUM(CAST(m AS HUGEINT) * m) AS HUGEINT) AS q
+        |  FROM v GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |  CAST(SUM(n) AS BIGINT) AS nt,
+        |  CAST(SUM(s) AS BIGINT) AS st FROM g),
+        |ab AS (SELECT
+        |    CAST(SUM((CAST(tot.nt AS HUGEINT) * g.s - g.n * tot.st)
+        |      * (CAST(tot.nt AS HUGEINT) * g.s - g.n * tot.st)
+        |      // g.n) AS HUGEINT) AS a_num,
+        |    CAST(SUM((g.n * g.q - CAST(g.s AS HUGEINT) * g.s)
+        |      // g.n) AS HUGEINT) AS b_num
+        |  FROM g, tot)
+        |SELECT tot.k, tot.nt AS n,
+        |  CAST(a_num // (CAST(tot.nt AS HUGEINT) * tot.nt) AS BIGINT)
+        |    AS ss_between_c2,
+        |  CAST(b_num AS BIGINT) AS ss_within_c2,
+        |  CAST(CASE WHEN b_num > 0 AND tot.k > 1 THEN
+        |    (tot.nt - tot.k) * a_num * 1000000
+        |      // ((tot.k - 1) * CAST(tot.nt AS HUGEINT) * tot.nt
+        |        * b_num) END AS BIGINT) AS f_micro,
+        |  CASE WHEN b_num > 0 AND tot.k > 1 THEN
+        |    (tot.nt - tot.k) * a_num * 1000000
+        |      // ((tot.k - 1) * CAST(tot.nt AS HUGEINT) * tot.nt
+        |        * b_num) > 2371900 END AS significant
+        |FROM tot, ab""".stripMargin) { (s, dir) =>
+      val D = org.apache.spark.sql.types.DecimalType(38, 0)
+      val g = Materialize.stable(events(s, dir)
+        .select(col("event_type").as("grp"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("m"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("m")).cast("long").as("s"),
+          sum(expr("CAST(m AS DECIMAL(38,0)) * m")).cast(D).as("q")))
+      val tot = g.agg(count(lit(1)).cast("long").as("k"),
+        sum(col("n")).cast("long").as("nt"),
+        sum(col("s")).cast("long").as("st"))
+      val ab = g.crossJoin(broadcast(tot))
+        .select(
+          expr("CAST(nt AS DECIMAL(38,0)) * s - n * st").as("x"),
+          expr("n * q - CAST(s AS DECIMAL(38,0)) * s").as("y"),
+          col("n"))
+        .select(expr("x * x").as("t"), col("y"), col("n"))
+        // per-group floors via the exact subtract-remainder form
+        // (Spark's integral div is long-typed; quotients can pass it)
+        .select(
+          expr("CAST((t - t % n) / n AS DECIMAL(38,0))").as("a_g"),
+          expr("CAST((y - y % n) / n AS DECIMAL(38,0))").as("b_g"))
+        .agg(sum(col("a_g")).cast(D).as("a_num"),
+          sum(col("b_g")).cast(D).as("b_num"))
+      tot.crossJoin(broadcast(ab))
         .select(col("k"), col("nt").as("n"),
-          (col("sb") - col("st") * col("st") / col("nt"))
-            .as("ss_between"),
-          (col("qt") - col("sb")).as("ss_within"),
-          (((col("sb") - col("st") * col("st") / col("nt")) /
-            (col("k") - 1)) /
-            ((col("qt") - col("sb")) / (col("nt") - col("k"))))
-            .as("f_stat"),
-          ((((col("sb") - col("st") * col("st") / col("nt")) /
-            (col("k") - 1)) /
-            ((col("qt") - col("sb")) / (col("nt") - col("k"))))
-            > 2.3719).as("significant"))
+          expr("CAST(a_num div (CAST(nt AS DECIMAL(38,0)) * nt) " +
+            "AS BIGINT)").as("ss_between_c2"),
+          expr("CAST(b_num AS BIGINT)").as("ss_within_c2"),
+          expr("CAST(CASE WHEN b_num > 0 AND k > 1 THEN " +
+            "CAST((nt - k) AS DECIMAL(38,0)) * a_num * 1000000 div " +
+            "((k - 1) * CAST(nt AS DECIMAL(38,0)) * nt * b_num) " +
+            "END AS BIGINT)").as("f_micro"),
+          expr("CASE WHEN b_num > 0 AND k > 1 THEN " +
+            "CAST(CAST((nt - k) AS DECIMAL(38,0)) * a_num * 1000000 " +
+            "div ((k - 1) * CAST(nt AS DECIMAL(38,0)) * nt * b_num) " +
+            "AS BIGINT) > 2371900 END").as("significant"))
     },
 
     // DAU/WAU/MAU stickiness — the engagement ratio dashboard (what
