@@ -4943,6 +4943,110 @@ object TimeSeriesOps {
             .as("chi2_micro"))
     },
 
+    // Page's trend test — the ORDERED-alternative Friedman: with the
+    // treatments in a hypothesized order (the order is the test's
+    // parameter; this gate fixes it to the lexicographic event-type
+    // order), L = Σ j·R_j detects a monotone trend the omnibus
+    // Friedman dilutes. Same complete-block ×2-rank frame; L2 = 2L is
+    // an exact integer folded from the SORTED per-treatment rank sums
+    // (one aggregate over the k-row table — no window, not even a
+    // k-row one), and both the z² micro readout and the two-sided
+    // z > 1.96 verdict are integer rationals:
+    // z² = 9(k−1)(2L2 − bk(k+1)²)² / (b(k³−k)²), verdict cross-
+    // multiplied with 1.96² = 2401/625. Ranks are tie-averaged (the
+    // classic variance assumes no ties — documented approximation,
+    // identical in both engines).
+    QuerySpec.sql(
+      "stats_page_trend",
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+        |  FROM daily),
+        |fd AS (SELECT day FROM daily GROUP BY 1
+        |  HAVING CAST(COUNT(*) AS BIGINT) = (SELECT k FROM kk)),
+        |f AS (SELECT d.day, d.event_type, d.x
+        |  FROM daily d JOIN fd ON d.day = fd.day),
+        |rk AS (
+        |  SELECT a.day, a.event_type,
+        |    CAST(2 * SUM(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)
+        |      + SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) + 1
+        |      AS BIGINT) AS s
+        |  FROM f a JOIN f b ON a.day = b.day GROUP BY 1, 2),
+        |bb AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS b FROM f),
+        |sj AS (SELECT event_type, CAST(SUM(s) AS BIGINT) AS s_j
+        |  FROM rk GROUP BY 1),
+        |ll AS (SELECT CAST(SUM(j * s_j) AS BIGINT) AS l2 FROM (
+        |  SELECT s_j, ROW_NUMBER() OVER (ORDER BY event_type) AS j
+        |  FROM sj) t)
+        |SELECT kk.k, bb.b, ll.l2,
+        |  CAST(CASE WHEN bb.b > 0 AND kk.k > 1 THEN
+        |    9 * (kk.k - 1)
+        |      * (2 * ll.l2 - bb.b * kk.k * (kk.k + 1) * (kk.k + 1))
+        |      * (2 * ll.l2 - bb.b * kk.k * (kk.k + 1) * (kk.k + 1))
+        |      * 1000000
+        |      // (bb.b * (kk.k * kk.k * kk.k - kk.k)
+        |        * (kk.k * kk.k * kk.k - kk.k)) END AS BIGINT)
+        |    AS z2_micro,
+        |  CASE WHEN bb.b > 0 AND kk.k > 1 THEN
+        |    5625 * (kk.k - 1)
+        |      * (2 * ll.l2 - bb.b * kk.k * (kk.k + 1) * (kk.k + 1))
+        |      * (2 * ll.l2 - bb.b * kk.k * (kk.k + 1) * (kk.k + 1))
+        |    > 2401 * bb.b * (kk.k * kk.k * kk.k - kk.k)
+        |      * (kk.k * kk.k * kk.k - kk.k) END AS significant,
+        |  CASE WHEN 2 * ll.l2 > bb.b * kk.k * (kk.k + 1) * (kk.k + 1)
+        |    THEN 'increasing' WHEN 2 * ll.l2 <
+        |      bb.b * kk.k * (kk.k + 1) * (kk.k + 1)
+        |    THEN 'decreasing' ELSE 'flat' END AS direction
+        |FROM kk, bb, ll""".stripMargin) { (s, dir) =>
+      val daily = Materialize.stable(events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("x")))
+      val kk = daily.agg(countDistinct(col("event_type")).cast("long")
+        .as("k"))
+      val f = Materialize.stable(daily
+        .groupBy(col("day")).agg(count(lit(1)).as("nt"))
+        .crossJoin(broadcast(kk))
+        .filter(col("nt") === col("k"))
+        .select(col("day"))
+        .join(daily, Seq("day")))
+      val rk = f.as("a")
+        .join(f.as("b"), col("a.day") === col("b.day"))
+        .groupBy(col("a.day").as("day"),
+          col("a.event_type").as("event_type"))
+        .agg((lit(2) * sum(when(col("b.x") < col("a.x"), 1)
+            .otherwise(0)) +
+          sum(when(col("b.x") === col("a.x"), 1).otherwise(0)) + lit(1))
+          .cast("long").as("s"))
+      val bb = f.agg(countDistinct(col("day")).cast("long").as("b"))
+      // L2 = Σ j·S_j over the hypothesized (lexicographic) order: one
+      // fold over the sorted k-row array — no window, even a k-row one
+      val ll = rk.groupBy(col("event_type"))
+        .agg(sum(col("s")).cast("long").as("s_j"))
+        .agg(expr("aggregate(" +
+          "array_sort(collect_list(struct(event_type, s_j))), " +
+          "named_struct('i', 0L, 'tot', 0L), " +
+          "(acc, x) -> named_struct('i', acc.i + 1L, " +
+          "'tot', acc.tot + (acc.i + 1L) * x.s_j), " +
+          "acc -> acc.tot)").as("l2"))
+      kk.crossJoin(broadcast(bb)).crossJoin(broadcast(ll))
+        .select(col("k"), col("b"), col("l2"),
+          expr("CAST(CASE WHEN b > 0 AND k > 1 THEN " +
+            "9 * (k - 1) * (2 * l2 - b * k * (k + 1) * (k + 1)) " +
+            "* (2 * l2 - b * k * (k + 1) * (k + 1)) * 1000000 div " +
+            "(b * (k * k * k - k) * (k * k * k - k)) " +
+            "END AS BIGINT)").as("z2_micro"),
+          expr("CASE WHEN b > 0 AND k > 1 THEN " +
+            "5625 * (k - 1) * (2 * l2 - b * k * (k + 1) * (k + 1)) " +
+            "* (2 * l2 - b * k * (k + 1) * (k + 1)) " +
+            "> 2401 * b * (k * k * k - k) * (k * k * k - k) END")
+            .as("significant"),
+          expr("CASE WHEN 2 * l2 > b * k * (k + 1) * (k + 1) " +
+            "THEN 'increasing' WHEN 2 * l2 < b * k * (k + 1) * (k + 1) " +
+            "THEN 'decreasing' ELSE 'flat' END").as("direction"))
+    },
+
     // Mann–Kendall trend test per series (the standard
     // distribution-free monotone-trend detector, run on the same
     // two-regime frame as the sign/runs tests so the trending

@@ -471,7 +471,7 @@ class PlanShapeSpec extends AnyFunSuite {
         "eval_brier_reliability", "stats_cochran_q", "stats_friedman",
         "stats_mann_kendall", "stats_kruskal_wallis",
         "stats_levene_bf", "ts_ljung_box", "text_burstiness",
-        "eval_mcc")) {
+        "eval_mcc", "stats_page_trend")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
