@@ -5200,6 +5200,106 @@ object TimeSeriesOps {
             .as("h_tie_micro"))
     },
 
+    // Dunn's post-hoc — WHICH groups differ once Kruskal-Wallis fires:
+    // pairwise z tests on the same global tie-averaged ×2 ranks, with
+    // the tie-corrected variance and the Bonferroni-adjusted critical
+    // value for the k(k−1)/2 comparisons (k = 5 here ⇒ per-pair
+    // two-sided α = 0.005, z_crit = Φ⁻¹(0.9975) = 2.807034, so the
+    // verdict compares the exact z²_micro against 7879440). Exactness:
+    // mean-rank difference floored once to milli units (both terms
+    // nonnegative, so // ≡ truncation in both engines), then
+    // z² = d²·12(n−1)·n_i·n_j / (10⁶·(n(n+1)(n−1) − Σ(t³−t))·(n_i+n_j))
+    // evaluated as a TWO-STEP exact long division
+    // (q·10⁶ + r·10⁶//den — the single-shot ×10⁶ product would pass
+    // DECIMAL(38,0) at corpus scale). Pair surface: k²/2 rows from a
+    // broadcast self-join of the k-row rank-sum table — never data².
+    QuerySpec.sql(
+      "stats_dunn_posthoc",
+      """WITH v AS (
+        |  SELECT event_type AS grp,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (SELECT cents, grp, CAST(COUNT(*) AS BIGINT) AS cg
+        |  FROM v GROUP BY 1, 2),
+        |hv AS (SELECT cents, CAST(SUM(cg) AS BIGINT) AS c
+        |  FROM h GROUP BY 1),
+        |r AS (SELECT cents, c,
+        |    COALESCE(SUM(c) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumb
+        |  FROM hv),
+        |rg AS (
+        |  SELECT h.grp, CAST(SUM(h.cg) AS BIGINT) AS n_g,
+        |    CAST(SUM(h.cg * (2 * r.cumb + r.c + 1)) AS BIGINT) AS r2_g
+        |  FROM h JOIN r ON r.cents = h.cents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n FROM rg),
+        |tie AS (SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS tie_num
+        |  FROM hv),
+        |pr AS (
+        |  SELECT a.grp AS grp_a, b.grp AS grp_b,
+        |    a.n_g AS na, b.n_g AS nb,
+        |    a.r2_g * 1000 // (2 * a.n_g)
+        |      - b.r2_g * 1000 // (2 * b.n_g) AS d_milli
+        |  FROM rg a JOIN rg b ON a.grp < b.grp),
+        |z AS (
+        |  SELECT grp_a, grp_b, na, nb,
+        |    CAST(d_milli AS HUGEINT) * d_milli * 12 * (tot.n - 1)
+        |      * na * nb AS num,
+        |    1000000 * (CAST(tot.n AS HUGEINT) * (tot.n + 1)
+        |      * (tot.n - 1) - tie.tie_num) * (na + nb) AS den
+        |  FROM pr, tot, tie)
+        |SELECT grp_a, grp_b, na AS n_a, nb AS n_b,
+        |  CAST(CASE WHEN den > 0 THEN (num // den) * 1000000
+        |    + (num % den) * 1000000 // den END AS BIGINT) AS z2_micro,
+        |  CASE WHEN den > 0 THEN (num // den) * 1000000
+        |    + (num % den) * 1000000 // den > 7879440 END AS significant
+        |FROM z ORDER BY grp_a, grp_b""".stripMargin) { (s, dir) =>
+      import graft.functions.PrefixSum
+      val h = Materialize.stable(events(s, dir)
+        .select(col("event_type").as("grp"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("cents"), col("grp"))
+        .agg(count(lit(1)).as("cg")))
+      val hv = Materialize.stable(h.groupBy(col("cents"))
+        .agg(sum(col("cg")).cast("long").as("c")))
+      val r = PrefixSum.globalCumsum(hv, Seq(col("cents")), col("c"),
+          "cum")
+        .withColumn("cumb", col("cum") - col("c"))
+      val rg = Materialize.stable(
+        h.join(r.select(col("cents"), col("c"), col("cumb")),
+            Seq("cents"))
+          .groupBy(col("grp"))
+          .agg(sum(col("cg")).cast("long").as("n_g"),
+            sum(col("cg") * (lit(2) * col("cumb") + col("c") + 1))
+              .cast("long").as("r2_g")))
+      val tot = rg.agg(sum(col("n_g")).cast("long").as("n"))
+      val tie = hv.agg(sum(col("c") * col("c") * col("c") - col("c"))
+        .cast("long").as("tie_num"))
+      val a = rg.select(col("grp").as("grp_a"), col("n_g").as("na"),
+        expr("r2_g * 1000 div (2 * n_g)").as("ra"))
+      val b = rg.select(col("grp").as("grp_b"), col("n_g").as("nb"),
+        expr("r2_g * 1000 div (2 * n_g)").as("rb"))
+      a.join(broadcast(b), col("grp_a") < col("grp_b"))
+        .withColumn("d_milli", col("ra") - col("rb"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(tie))
+        .select(col("grp_a"), col("grp_b"),
+          col("na"), col("nb"),
+          expr("CAST(d_milli AS DECIMAL(38,0)) * d_milli * 12 " +
+            "* (n - 1) * na * nb").as("num"),
+          expr("CAST(1000000 AS DECIMAL(38,0)) " +
+            "* (CAST(n AS DECIMAL(38,0)) * (n + 1) * (n - 1) " +
+            "- tie_num) * (na + nb)").as("den"))
+        .select(col("grp_a"), col("grp_b"),
+          col("na").as("n_a"), col("nb").as("n_b"),
+          expr("CAST(CASE WHEN den > 0 THEN (num div den) * 1000000 " +
+            "+ (num % den) * 1000000 div den END AS BIGINT)")
+            .as("z2_micro"),
+          expr("CASE WHEN den > 0 THEN (num div den) * 1000000 " +
+            "+ (num % den) * 1000000 div den > 7879440 END")
+            .as("significant"))
+        .orderBy(col("grp_a"), col("grp_b"))
+    },
+
     // Brown–Forsythe (median-based Levene) — variance-homogeneity
     // across the event-type groups, the assumption check ANOVA-style
     // readouts lean on. Everything stays exact integers: group LOWER

@@ -471,7 +471,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "eval_brier_reliability", "stats_cochran_q", "stats_friedman",
         "stats_mann_kendall", "stats_kruskal_wallis",
         "stats_levene_bf", "ts_ljung_box", "text_burstiness",
-        "eval_mcc", "stats_page_trend")) {
+        "eval_mcc", "stats_page_trend", "stats_dunn_posthoc",
+        "stats_anova_f")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
