@@ -186,7 +186,7 @@ object Bench {
     }
     val stillSuspect = finalResults.collect { case (k, v, _)
       if remeasured.contains(k) &&
-        priorMins.get(k).exists(p => v > 2 * p) => k }
+        priorMins.get(k).exists(p => v > 2 * p && v - p > 0.15) => k }
     if (suspects0.nonEmpty)
       System.err.println("bench: suspects recovered=" +
         suspects0.filterNot(stillSuspect.toSet).mkString("[", ",", "]") +

@@ -1027,9 +1027,9 @@ object Relational {
         |    AS n_expired,
         |  CAST(COALESCE(SUM(CASE WHEN next_us IS NULL THEN 1 END), 0)
         |    AS BIGINT) AS n_live,
-        |  COALESCE(SUM(CASE WHEN next_us IS NOT NULL
+        |  CAST(COALESCE(SUM(CASE WHEN next_us IS NOT NULL
         |    AND next_us < cutoff THEN 1 END), 0) * 1000000 // COUNT(*)
-        |    AS reclaim_ppm
+        |    AS BIGINT) AS reclaim_ppm
         |FROM v CROSS JOIN c GROUP BY 1
         |ORDER BY 1""".stripMargin) { (s, dir) =>
       val log = Tables.events(s, dir)

@@ -1569,7 +1569,10 @@ object TextOps {
     // The index of dispersion Var/Mean over ALL n docs — zero-count
     // docs included implicitly, since S and Q only read docs that
     // contain the token — is ONE exact integer rational:
-    // fano_ppm = (n·Q − S²)·10⁶ // (n·S). df ≥ 5 keeps hapax noise
+    // fano_ppm = (n·Q − S²)·10⁶ // (n·S), numerator in HUGEINT ≡
+    // DECIMAL(38,0) (n·Q·10⁶ passes 2^63 on stopword-scale postings
+    // past the test SFs — keep the engines' overflow behavior
+    // symmetric, not wrap-vs-raise). df ≥ 5 keeps hapax noise
     // out. Plan: one tokenize pass, two hash aggregates keyed by
     // token — posting-list-free, no window.
     QuerySpec.sql(
@@ -1585,7 +1588,8 @@ object TextOps {
         |    CAST(SUM(x * x) AS BIGINT) AS q
         |  FROM tc GROUP BY 1)
         |SELECT tok, df, s, q,
-        |  CAST((nd.n * q - s * s) * 1000000 // (nd.n * s) AS BIGINT)
+        |  CAST((CAST(nd.n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+        |    * 1000000 // (nd.n * s) AS BIGINT)
         |    AS fano_ppm
         |FROM ag, nd WHERE df >= 5
         |ORDER BY tok""".stripMargin) { (s, dir) =>
@@ -1601,7 +1605,9 @@ object TextOps {
         .filter(col("df") >= 5)
         .crossJoin(broadcast(nd))
         .select(col("tok"), col("df"), col("s"), col("q"),
-          expr("CAST((n * q - s * s) * 1000000 div (n * s) AS BIGINT)")
+          expr("CAST((CAST(n AS DECIMAL(38,0)) * q " +
+            "- CAST(s AS DECIMAL(38,0)) * s) " +
+            "* 1000000 div (n * s) AS BIGINT)")
             .as("fano_ppm"))
         .orderBy(col("tok"))
     },

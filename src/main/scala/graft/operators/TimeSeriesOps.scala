@@ -5128,7 +5128,10 @@ object TimeSeriesOps {
     // identically in both engines (error < 1 against values ~n²);
     // squares and the 10⁶ scaling run in HUGEINT ≡ DECIMAL(38,0)
     // (R2_g² ≈ 4n²n_g² passes 2^63 already at sf0.1). Tie-corrected
-    // H' = H·(n³−n)/(n³−n−Σ(t³−t)), NULL when every value ties.
+    // H' = H·(n³−n)/(n³−n−Σ(t³−t)), NULL when every value ties; the
+    // n³ and t³ cubes also ride HUGEINT ≡ DECIMAL(38,0) (n³ passes
+    // 2^63 at n ≈ 2.1M — past that the engines would otherwise
+    // diverge asymmetrically, DuckDB raising vs Spark wrapping).
     QuerySpec.sql(
       "stats_kruskal_wallis",
       """WITH v AS (
@@ -5153,16 +5156,18 @@ object TimeSeriesOps {
         |    CAST(SUM(CAST(r2_g AS HUGEINT) * r2_g // n_g) AS HUGEINT)
         |      AS hx
         |  FROM rg),
-        |tie AS (SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS tie_num
+        |tie AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * c * c - c)
+        |    AS HUGEINT) AS tie_num
         |  FROM hv),
         |hh AS (SELECT n, k,
         |    CAST(3 * hx * 1000000 // (n * (n + 1))
         |      - 3 * (n + 1) * 1000000 AS BIGINT) AS h_micro
         |  FROM tot)
         |SELECT hh.n, hh.k, hh.h_micro,
-        |  CAST(CASE WHEN n * n * n - n > tie_num THEN
-        |    CAST(h_micro AS HUGEINT) * (n * n * n - n)
-        |      // (n * n * n - n - tie_num) END AS BIGINT)
+        |  CAST(CASE WHEN CAST(n AS HUGEINT) * n * n - n > tie_num THEN
+        |    CAST(h_micro AS HUGEINT) * (CAST(n AS HUGEINT) * n * n - n)
+        |      // (CAST(n AS HUGEINT) * n * n - n - tie_num)
+        |    END AS BIGINT)
         |    AS h_tie_micro
         |FROM hh, tie""".stripMargin) { (s, dir) =>
       import graft.functions.PrefixSum
@@ -5186,17 +5191,22 @@ object TimeSeriesOps {
         count(lit(1)).cast("long").as("k"),
         sum(expr("CAST(r2_g AS DECIMAL(38,0)) * r2_g div n_g"))
           .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("hx"))
-      val tie = hv.agg(sum(col("c") * col("c") * col("c") - col("c"))
-        .cast("long").as("tie_num"))
+      val tie = hv.agg(
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c * c - c"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .as("tie_num"))
       tot.crossJoin(broadcast(tie))
         .select(col("n"), col("k"),
           expr("CAST(3 * hx * 1000000 div (n * (n + 1)) " +
             "- 3 * (n + 1) * 1000000 AS BIGINT)").as("h_micro"),
           col("tie_num"))
         .select(col("n"), col("k"), col("h_micro"),
-          expr("CAST(CASE WHEN n * n * n - n > tie_num THEN " +
-            "CAST(h_micro AS DECIMAL(38,0)) * (n * n * n - n) div " +
-            "(n * n * n - n - tie_num) END AS BIGINT)")
+          expr("CAST(CASE WHEN " +
+            "CAST(n AS DECIMAL(38,0)) * n * n - n > tie_num THEN " +
+            "CAST(h_micro AS DECIMAL(38,0)) " +
+            "* (CAST(n AS DECIMAL(38,0)) * n * n - n) div " +
+            "(CAST(n AS DECIMAL(38,0)) * n * n - n - tie_num) " +
+            "END AS BIGINT)")
             .as("h_tie_micro"))
     },
 
@@ -5233,7 +5243,8 @@ object TimeSeriesOps {
         |    CAST(SUM(h.cg * (2 * r.cumb + r.c + 1)) AS BIGINT) AS r2_g
         |  FROM h JOIN r ON r.cents = h.cents GROUP BY 1),
         |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n FROM rg),
-        |tie AS (SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS tie_num
+        |tie AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * c * c - c)
+        |    AS HUGEINT) AS tie_num
         |  FROM hv),
         |pr AS (
         |  SELECT a.grp AS grp_a, b.grp AS grp_b,
@@ -5273,8 +5284,10 @@ object TimeSeriesOps {
             sum(col("cg") * (lit(2) * col("cumb") + col("c") + 1))
               .cast("long").as("r2_g")))
       val tot = rg.agg(sum(col("n_g")).cast("long").as("n"))
-      val tie = hv.agg(sum(col("c") * col("c") * col("c") - col("c"))
-        .cast("long").as("tie_num"))
+      val tie = hv.agg(
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c * c - c"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .as("tie_num"))
       val a = rg.select(col("grp").as("grp_a"), col("n_g").as("na"),
         expr("r2_g * 1000 div (2 * n_g)").as("ra"))
       val b = rg.select(col("grp").as("grp_b"), col("n_g").as("nb"),

@@ -72,6 +72,18 @@ object DaemonStream {
     names.collect { case n if n.startsWith(prefix) =>
       scala.util.Try(n.stripPrefix(prefix).toLong).toOption }.flatten
 
+  /** ids under `prefix` whose dir carries a `_SUCCESS` marker — the
+    * only dirs any reader or fold may honor. A crash mid-write leaves
+    * a marker-less partial dir that must be invisible, or a restart
+    * would prefer it and silently drop the still-present batch dirs
+    * it claims to cover. */
+  private def committedIds(spark: SparkSession, dir: String,
+      names: Seq[String], prefix: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    ids(names, prefix)
+      .filter(id => f.exists(new Path(s"$dir/$prefix$id/_SUCCESS")))
+  }
+
   /** Read the staging tree selectively: the newest consolidated dir
     * (`compact=<K>`, holding every batch ≤ K) plus every `batch=<id>`
     * with id > K. Batch dirs ≤ K are IGNORED even if still present —
@@ -80,7 +92,8 @@ object DaemonStream {
     * nothing a reader sees). */
   private[graft] def readStaging(spark: SparkSession, dir: String): DataFrame = {
     val names = subdirs(spark, dir)
-    val k = ids(names, "compact=").maxOption.getOrElse(-1L)
+    val k = committedIds(spark, dir, names, "compact=")
+      .maxOption.getOrElse(-1L)
     val paths =
       (if (k >= 0) Seq(s"$dir/compact=$k") else Seq.empty) ++
       ids(names, "batch=").filter(_ > k).sorted.map(id => s"$dir/batch=$id")
@@ -102,10 +115,19 @@ object DaemonStream {
       currentBatchId: Long, minDirs: Int = 8): Unit = {
     val f = fs(spark, dir)
     val names = subdirs(spark, dir)
-    val k0 = ids(names, "compact=").maxOption.getOrElse(-1L)
-    val olds = ids(names, "batch=")
+    // drop partial compact dirs from a crashed fold FIRST — they are
+    // invisible to readers (no _SUCCESS) but would collide with a
+    // same-K rewrite below
+    (ids(names, "compact=").toSet --
+        committedIds(spark, dir, names, "compact=").toSet)
+      .foreach { id =>
+        try { f.delete(new Path(s"$dir/compact=$id"), true); () }
+        catch { case _: Throwable => () }
+      }
+    val k0 = committedIds(spark, dir, names, "compact=")
+      .maxOption.getOrElse(-1L)
+    val olds = committedIds(spark, dir, names, "batch=")
       .filter(id => id > k0 && id < currentBatchId)
-      .filter(id => f.exists(new Path(s"$dir/batch=$id/_SUCCESS")))
     if (olds.size >= minDirs) {
       val newK = olds.max
       val paths = (if (k0 >= 0) Seq(s"$dir/compact=$k0") else Seq.empty) ++

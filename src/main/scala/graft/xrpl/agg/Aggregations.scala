@@ -609,7 +609,18 @@ object Aggregations {
     *             distinct ledgers — summable across batches because a
     *             ledger arrives in exactly one micro-batch)
     *   interval: value = (mx − mn) / den    (ledger_interval)
-    */
+    *
+    * CALLER CONTRACT (ledger atomicity): `den` for the ratio kind is a
+    * per-batch `countDistinct(ledger_index)` that [[reduceStatsState]]
+    * SUMS — correct iff every ledger's transactions arrive in exactly
+    * one batch (the wired [[graft.streaming.DaemonStream]] source
+    * delivers whole `ParsedLedger` elements, so this holds there). A
+    * caller that splits one ledger's transactions across batches
+    * double-counts that ledger in the merged denominator. If you need
+    * split-tolerant partials, carry the distinct-ledger SET instead
+    * (collect_set merged by array-union) and count it at publish time
+    * — deliberately not done here because the set is unbounded state
+    * while the wired source makes the scalar exact. */
   def statsState(transactions: DataFrame, payments: DataFrame,
       exchanges: DataFrame, accountsCreated: DataFrame,
       ledgers: DataFrame, unit: String = "day"): DataFrame = {
