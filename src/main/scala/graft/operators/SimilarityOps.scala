@@ -1480,7 +1480,8 @@ object SimilarityOps {
          |    AS cos
          |  FROM ($quantizedSql) a JOIN ($quantizedSql) b
          |    ON a.label = b.label AND a.vec_id < b.vec_id),
-         |th AS (SELECT * FROM (VALUES (0.2), (0.3), (0.4), (0.5), (0.6))
+         |th AS (SELECT CAST(t.threshold AS DOUBLE) AS threshold
+         |  FROM (VALUES (0.2), (0.3), (0.4), (0.5), (0.6))
          |  AS t(threshold))
          |SELECT threshold,
          |  CAST(SUM(CASE WHEN cos >= threshold THEN 1 ELSE 0 END)

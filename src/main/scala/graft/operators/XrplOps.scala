@@ -905,7 +905,7 @@ object XrplOps {
          |SELECT day AS date,
          |  100000000000.0 - CAST(CAST(cum_fees AS VARCHAR) AS DOUBLE) AS total,
          |  CAST(CAST(cum_esc AS VARCHAR) AS DOUBLE) AS escrowed,
-         |  0.0 AS undistributed,
+         |  CAST(0.0 AS DOUBLE) AS undistributed,
          |  (100000000000.0 - CAST(CAST(cum_fees AS VARCHAR) AS DOUBLE))
          |    - CAST(CAST(cum_esc AS VARCHAR) AS DOUBLE) AS distributed
          |FROM cums

@@ -9,6 +9,9 @@ after sorting rows. Reports per-query PASS/FAIL with diffs.
 import json, sys, glob, os
 import duckdb
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from typeparity import gate_parity
+
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
@@ -32,6 +35,19 @@ def main(sf_dir, out_dir):
         gc, ec = sorted(got.columns), sorted(exp.columns)
         if gc != ec:
             print(f"FAIL {name}: columns {gc} != {ec}");  n_fail += 1;  continue
+        # Type-class parity (the store_vacuum_plan lesson): a gate can
+        # be exact-value equal yet deterministically red in any dtype-
+        # sensitive compare when DuckDB types an oracle column
+        # differently (e.g. an uncast SUM // COUNT is HUGEINT ->
+        # pandas float64 vs Spark int64). Fail it here even though the
+        # value compare below would pass.
+        try:
+            parity = gate_parity(con, out_dir, name, oracles[name])
+        except Exception as e:
+            parity = [f"describe error: {e}"]
+        if parity:
+            print(f"FAIL {name}: type parity: " + "; ".join(parity))
+            n_fail += 1;  continue
         g = got[gc].sort_values(gc, ignore_index=True)
         e = exp[ec].sort_values(ec, ignore_index=True)
         if len(g) != len(e):
