@@ -275,7 +275,14 @@ object DedupOps {
   def clearNgramJaccardPairs(session: Option[SparkSession] = None): Unit =
     njMemo.clear(session)
 
-  private def buildNgramJaccardPairs(s: SparkSession, dir: String)
+  /** The bounded (lang, source, ng) → sorted-doc-list posting table
+    * both jaccard consumers read — every list ≤ MaxNgramDf by
+    * construction (see the two-pass note inside). Materialize.stable'd
+    * so sizes and intersections share one build; NOT memoized across
+    * calls (callers that need reuse go through [[ngramJaccardPairs]]'
+    * memo).
+    */
+  private def buildNgramPosting(s: SparkSession, dir: String)
       : DataFrame = {
 
       // distinct n-grams per doc via array_distinct BEFORE the explode:
@@ -312,10 +319,15 @@ object DedupOps {
       // (Materialize.stable) instead of re-exploding the corpus per
       // consumer; at warehouse scale this is the transient posting
       // table a dedup job writes between its two phases
-      val posting = graft.functions.Materialize.stable(exploded
+      graft.functions.Materialize.stable(exploded
         .join(hot, Seq("lang", "source", "ng"), "left_anti")
         .groupBy(col("lang"), col("source"), col("ng"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ds")))
+  }
+
+  private def buildNgramJaccardPairs(s: SparkSession, dir: String)
+      : DataFrame = {
+      val posting = buildNgramPosting(s, dir)
       val sizes = posting
         .select(explode(col("ds")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -1399,6 +1411,39 @@ object DedupOps {
       .join(pref.select(col("tk"), col("doc_id").as("doc_b")), Seq("tk"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Candidate-pair surface of [[dedup_ngram_jaccard]]: the DISTINCT
+    * blocked doc pairs sharing ≥ 1 under-ceiling word-3-gram — the
+    * `inter` grouping rows BEFORE the jaccard ≥ 0.02 cut, i.e. every
+    * pair the verify stage would score. This is the surface the
+    * df-ceiling (MaxNgramDf) bounds by construction: ≤ C(MaxNgramDf,2)
+    * pairs per posting list however hot the n-gram. Counted by
+    * graft.Scaling (SCALING.md).
+    */
+  private[graft] def ngramCandidates(s: SparkSession, dir: String): DataFrame =
+    buildNgramPosting(s, dir)
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |    y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .distinct()
+
+  /** Candidate-pair surface of [[dedup_tfidf_cosine]]: the DISTINCT
+    * doc pairs co-occurring in ≥ 1 df∈[2,16] posting list — every pair
+    * the integer-cosine verify stage scores. The df ceiling bounds
+    * each list's contribution at C(16,2) pairs, so the surface tracks
+    * posting-list count, never corpus². Counted by graft.Scaling.
+    */
+  private[graft] def tfidfCandidates(s: SparkSession, dir: String): DataFrame = {
+    val posts = tfidfPosts(s, dir)
+    posts.select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
   }
 
   private[graft] def releaseCaches(s: SparkSession, dir: String): Unit = {
