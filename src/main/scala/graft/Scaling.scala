@@ -304,12 +304,16 @@ object Scaling {
         |  vocabulary, then bounds the pair count, at a bounded,
         |  gate-measured recall cost.
         |- The df-ceiling'd families are now MEASURED on the natural
-        |  corpus, not ceiling-argued: `dedup_ngram_jaccard` and
-        |  `dedup_tfidf_cosine` candidate ppm-of-naive falls with n
-        |  (their posting lists stay short when grams are rare, so
-        |  candidates track the linear true-pair floor), and
-        |  `dedup_containment` inherits `dedup_minhash_banded`'s
-        |  measured sub-quadratic surface verbatim — it verifies the
+        |  corpus, not ceiling-argued: candidate ppm-of-naive FALLS
+        |  with n for all three. `dedup_tfidf_cosine` grows ~x7–8 per
+        |  x4 corpus (vs x16 quadratic); `dedup_ngram_jaccard` is the
+        |  honest laggard at ~x13–14 — zipfian gram frequencies drift
+        |  upward with n so more posting lists sit near (but under) the
+        |  df ceiling, each contributing C(df,2) pairs; the ceiling is
+        |  what bounds it, and past the point where the hot grams cross
+        |  MaxNgramDf the surface growth collapses toward the list
+        |  count. `dedup_containment` inherits `dedup_minhash_banded`'s
+        |  measured sub-quadratic surface VERBATIM — it verifies the
         |  SAME banded candidate set, adding only a per-pair O(|grams|)
         |  verify cost.
         |""".stripMargin
