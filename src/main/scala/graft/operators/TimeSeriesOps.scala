@@ -6081,5 +6081,795 @@ object TimeSeriesOps {
         .select(col("user_id"), col("event_type"), col("start_us"),
           col("end_us"), col("n_events"))
         .orderBy(col("user_id"))
+    },
+
+    // Lo–MacKinlay variance-ratio test per series, q = 2 — does the
+    // series behave like a random walk (VR ≈ 1), a momentum/trending
+    // process (VR > 1), or a mean-reverting one (VR < 1)? Run on the
+    // same two-regime frame as the other trend tests so the trending
+    // cum-user series must read momentum and the stationary count
+    // series must not. Overlapping 2-period sums y_t = dx_t + dx_{t−1}
+    // (the standard overlapping estimator); VR(2) =
+    // [n²·(n_y·Σy² − (Σy)²)] / [2·n_y²·(n·Σdx² − (Σdx)²)] — a ratio of
+    // two Cauchy–Schwarz-nonnegative integers, so the single ppm floor
+    // truncates identically in both engines, and the verdict is the
+    // exact num-vs-den comparison (no division at all). Products ride
+    // DECIMAL(38,0) ≡ HUGEINT (n·Σy²·n² passes 2^63 once daily deltas
+    // reach ~10⁵ over a year). Plan: one series-keyed LAG window over
+    // the calendar-bounded daily frame, then BIGINT moment folds.
+    QuerySpec.sql(
+      "ts_variance_ratio",
+      s"""WITH $seriesDiffCtes,
+         |r AS (SELECT series, day, dx FROM dd WHERE dx IS NOT NULL),
+         |y AS (
+         |  SELECT series,
+         |    dx + LAG(dx) OVER (PARTITION BY series ORDER BY day)
+         |      AS yv
+         |  FROM r),
+         |s1 AS (
+         |  SELECT series, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(dx) AS BIGINT) AS sx,
+         |    CAST(SUM(dx * dx) AS BIGINT) AS sxx
+         |  FROM r GROUP BY 1),
+         |s2 AS (
+         |  SELECT series, CAST(COUNT(*) AS BIGINT) AS ny,
+         |    CAST(SUM(yv) AS BIGINT) AS sy,
+         |    CAST(SUM(yv * yv) AS BIGINT) AS syy
+         |  FROM y WHERE yv IS NOT NULL GROUP BY 1),
+         |v AS (
+         |  SELECT s1.series, s1.n, COALESCE(s2.ny, 0) AS ny,
+         |    CAST((COALESCE(s2.ny, 0) * CAST(COALESCE(s2.syy, 0)
+         |        AS HUGEINT) - CAST(COALESCE(s2.sy, 0) AS HUGEINT)
+         |        * COALESCE(s2.sy, 0)) * s1.n * s1.n AS HUGEINT)
+         |      AS num,
+         |    CAST(2 * (s1.n * CAST(s1.sxx AS HUGEINT)
+         |        - CAST(s1.sx AS HUGEINT) * s1.sx)
+         |      * COALESCE(s2.ny, 0) * COALESCE(s2.ny, 0) AS HUGEINT)
+         |      AS den
+         |  FROM s1 LEFT JOIN s2 ON s2.series = s1.series)
+         |SELECT series, n AS n_returns, ny AS n_sums,
+         |  CAST(CASE WHEN den > 0 THEN num * 1000000 // den END
+         |    AS BIGINT) AS vr2_ppm,
+         |  CASE WHEN den = 0 THEN NULL
+         |    WHEN num > den THEN 'momentum'
+         |    WHEN num < den THEN 'mean_reverting'
+         |    ELSE 'random_walk' END AS verdict
+         |FROM v ORDER BY series""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("series")).orderBy(col("day"))
+      val r = Materialize.stable(seriesDiffs(s, dir)
+        .filter(col("dx").isNotNull))
+      val s1 = r.groupBy(col("series"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("dx")).cast("long").as("sx"),
+          sum(col("dx") * col("dx")).cast("long").as("sxx"))
+      val s2 = r
+        .withColumn("yv", col("dx") + lag(col("dx"), 1).over(w))
+        .filter(col("yv").isNotNull)
+        .groupBy(col("series"))
+        .agg(count(lit(1)).cast("long").as("ny"),
+          sum(col("yv")).cast("long").as("sy"),
+          sum(col("yv") * col("yv")).cast("long").as("syy"))
+      s1.join(s2, Seq("series"), "left")
+        .select(col("series"), col("n"),
+          coalesce(col("ny"), lit(0L)).as("ny"),
+          expr("CAST((COALESCE(ny, 0) * CAST(COALESCE(syy, 0) " +
+            "AS DECIMAL(38,0)) - CAST(COALESCE(sy, 0) " +
+            "AS DECIMAL(38,0)) * COALESCE(sy, 0)) * n * n " +
+            "AS DECIMAL(38,0))").as("num"),
+          expr("CAST(2 * (n * CAST(sxx AS DECIMAL(38,0)) " +
+            "- CAST(sx AS DECIMAL(38,0)) * sx) " +
+            "* COALESCE(ny, 0) * COALESCE(ny, 0) AS DECIMAL(38,0))")
+            .as("den"))
+        .select(col("series"), col("n").as("n_returns"),
+          col("ny").as("n_sums"),
+          expr("CAST(CASE WHEN den > 0 THEN num * 1000000 div den " +
+            "END AS BIGINT)").as("vr2_ppm"),
+          expr("CASE WHEN den = 0 THEN NULL " +
+            "WHEN num > den THEN 'momentum' " +
+            "WHEN num < den THEN 'mean_reverting' " +
+            "ELSE 'random_walk' END").as("verdict"))
+        .orderBy(col("series"))
+    },
+
+    // Turning-points randomness test per series — counts strict local
+    // maxima/minima in the daily frame and compares against the
+    // exact null moments E[T] = 2(n−2)/3, Var[T] = (16n−29)/90:
+    // a jagged series (noise) turns more often than a random walk,
+    // a smooth trending one less. With d = 3T − 2(n−2) the statistic
+    // z² = 10·d²/(16n−29) and the z > 1.96 verdict is the exact
+    // cross-multiplied comparison 6250·d² > 2401·(16n−29)
+    // (1.96 = 49/25) — no float anywhere; equal-value neighbors
+    // (possible under count data) are NOT turning points (strict
+    // inequalities both sides), the same convention both engines
+    // compile from this text. Plan: one series-keyed LAG/LEAD window
+    // over the calendar-bounded daily frame, then one fold.
+    QuerySpec.sql(
+      "ts_turning_points",
+      s"""WITH $seriesDiffCtes,
+         |t AS (
+         |  SELECT series, x,
+         |    LAG(x) OVER (PARTITION BY series ORDER BY day) AS pv,
+         |    LEAD(x) OVER (PARTITION BY series ORDER BY day) AS nx
+         |  FROM daily),
+         |a AS (
+         |  SELECT series, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(COALESCE(SUM(CASE WHEN pv IS NOT NULL
+         |      AND nx IS NOT NULL AND ((x > pv AND x > nx)
+         |        OR (x < pv AND x < nx)) THEN 1 END), 0) AS BIGINT)
+         |      AS tp
+         |  FROM t GROUP BY 1),
+         |d AS (SELECT series, n, tp, 3 * tp - 2 * (n - 2) AS dz
+         |  FROM a)
+         |SELECT series, n AS n_days, tp AS n_turns,
+         |  CAST(CASE WHEN n >= 3 THEN
+         |    10 * dz * dz * 1000000 // (16 * n - 29) END AS BIGINT)
+         |    AS z2_micro,
+         |  CASE WHEN n >= 3 THEN
+         |    6250 * dz * dz > 2401 * (16 * n - 29) END AS significant,
+         |  CASE WHEN n < 3 THEN NULL WHEN dz > 0 THEN 'jagged'
+         |    WHEN dz < 0 THEN 'smooth' ELSE 'random' END AS verdict
+         |FROM d ORDER BY series""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("series")).orderBy(col("day"))
+      seriesDaily(s, dir)
+        .select(col("series"), col("x"),
+          lag(col("x"), 1).over(w).as("pv"),
+          lead(col("x"), 1).over(w).as("nx"))
+        .groupBy(col("series"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          coalesce(sum(when(col("pv").isNotNull &&
+              col("nx").isNotNull &&
+              ((col("x") > col("pv") && col("x") > col("nx")) ||
+               (col("x") < col("pv") && col("x") < col("nx"))), 1L)),
+            lit(0L)).cast("long").as("tp"))
+        .withColumn("dz", expr("3 * tp - 2 * (n - 2)"))
+        .select(col("series"), col("n").as("n_days"),
+          col("tp").as("n_turns"),
+          expr("CAST(CASE WHEN n >= 3 THEN " +
+            "10 * dz * dz * 1000000 div (16 * n - 29) END AS BIGINT)")
+            .as("z2_micro"),
+          expr("CASE WHEN n >= 3 THEN " +
+            "6250 * dz * dz > 2401 * (16 * n - 29) END")
+            .as("significant"),
+          expr("CASE WHEN n < 3 THEN NULL WHEN dz > 0 THEN 'jagged' " +
+            "WHEN dz < 0 THEN 'smooth' ELSE 'random' END")
+            .as("verdict"))
+        .orderBy(col("series"))
+    },
+
+    // Maximum drawdown per event-type value series — the worst
+    // peak-to-trough decline of the daily total (exact cents), the
+    // risk summary every monitored business metric carries. Running
+    // peak via a series-keyed cumulative-max window; the trough is
+    // the EARLIEST day attaining the maximal drawdown (min_by on the
+    // unique daily grain — deterministic in both engines), and the
+    // relative depth is one nonnegative ppm floor against the peak
+    // at that trough. Plan: one daily aggregate, one keyed window,
+    // one k-row join-back — nothing global, no sort beyond the
+    // per-series window.
+    QuerySpec.sql(
+      "ts_max_drawdown",
+      """WITH d AS (
+        |  SELECT event_type AS series,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT series, day, x,
+        |    MAX(x) OVER (PARTITION BY series ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM d),
+        |dd AS (SELECT series, day, peak, peak - x AS draw FROM p),
+        |m AS (SELECT series, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(MAX(draw) AS BIGINT) AS max_dd
+        |  FROM dd GROUP BY 1)
+        |SELECT m.series, m.n_days,
+        |  arg_min(dd.peak, dd.day) AS peak_cents,
+        |  m.max_dd AS max_drawdown_cents,
+        |  MIN(dd.day) AS trough_day,
+        |  CAST(CASE WHEN arg_min(dd.peak, dd.day) > 0 THEN
+        |    m.max_dd * 1000000 // arg_min(dd.peak, dd.day) END
+        |    AS BIGINT) AS drawdown_ppm
+        |FROM m JOIN dd ON dd.series = m.series AND dd.draw = m.max_dd
+        |GROUP BY m.series, m.n_days, m.max_dd
+        |ORDER BY m.series""".stripMargin) { (s, dir) =>
+      val d = events(s, dir)
+        .groupBy(col("event_type").as("series"),
+          to_date(col("ts")).as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))
+          .cast("long").as("x"))
+      val w = Window.partitionBy(col("series")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = Materialize.stable(d
+        .withColumn("peak", max(col("x")).over(w))
+        .select(col("series"), col("day"), col("peak"),
+          (col("peak") - col("x")).as("draw")))
+      val m = dd.groupBy(col("series"))
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          max(col("draw")).cast("long").as("max_dd"))
+      m.join(dd, Seq("series"))
+        .filter(col("draw") === col("max_dd"))
+        .groupBy(col("series"), col("n_days"), col("max_dd"))
+        .agg(min_by(col("peak"), col("day")).as("peak_cents"),
+          min(col("day")).as("trough_day"))
+        .select(col("series"), col("n_days"), col("peak_cents"),
+          col("max_dd").as("max_drawdown_cents"), col("trough_day"),
+          expr("CAST(CASE WHEN peak_cents > 0 THEN " +
+            "max_dd * 1000000 div peak_cents END AS BIGINT)")
+            .as("drawdown_ppm"))
+        .orderBy(col("series"))
+    },
+
+    // Seasonal Mann–Kendall (Hirsch–Slack) per series — the trend
+    // test a weekly-cycled metric actually needs: Kendall's S is
+    // computed WITHIN each day-of-week season (so the weekend dip
+    // never masquerades as trend), then S and the ×18-scaled
+    // tie-corrected variances sum across seasons (independent under
+    // the null). Verdict is the same exact cross-multiplied
+    // (|S|−1)²·11250 > 2401·var18 as the plain MK gate. Pair surface:
+    // day²/7 per series (calendar-bounded), never corpus².
+    QuerySpec.sql(
+      "stats_seasonal_mk",
+      s"""WITH $seriesDiffCtes,
+         |sd AS (SELECT series, day, isodow(day) AS dow, x FROM daily),
+         |p AS (
+         |  SELECT a.series, a.dow,
+         |    CAST(SUM(CASE WHEN b.x > a.x THEN 1
+         |      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+         |  FROM sd a JOIN sd b
+         |    ON a.series = b.series AND a.dow = b.dow AND b.day > a.day
+         |  GROUP BY 1, 2),
+         |nn AS (SELECT series, dow, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM sd GROUP BY 1, 2),
+         |tt AS (SELECT series, dow,
+         |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+         |  FROM (SELECT series, dow, x, CAST(COUNT(*) AS BIGINT) AS t
+         |    FROM sd GROUP BY 1, 2, 3) g GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT nn.series, CAST(SUM(nn.n) AS BIGINT) AS n,
+         |    CAST(SUM(COALESCE(p.s, 0)) AS BIGINT) AS s,
+         |    CAST(SUM(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+         |      - tt.tie_term) AS BIGINT) AS var18
+         |  FROM nn JOIN tt ON tt.series = nn.series AND tt.dow = nn.dow
+         |  LEFT JOIN p ON p.series = nn.series AND p.dow = nn.dow
+         |  GROUP BY 1)
+         |SELECT series, n, s, var18,
+         |  s <> 0 AND (ABS(s) - 1) * (ABS(s) - 1) * 11250
+         |    > 2401 * var18 AS significant,
+         |  CASE WHEN s > 0 THEN 'up' WHEN s < 0 THEN 'down'
+         |    ELSE 'flat' END AS trend
+         |FROM agg ORDER BY series""".stripMargin) { (s, dir) =>
+      val sd = Materialize.stable(seriesDaily(s, dir)
+        .withColumn("dow", expr("weekday(day) + 1")))
+      val p = sd.as("a")
+        .join(sd.as("b"), col("a.series") === col("b.series") &&
+          col("a.dow") === col("b.dow") && col("b.day") > col("a.day"))
+        .groupBy(col("a.series").as("series"), col("a.dow").as("dow"))
+        .agg(sum(when(col("b.x") > col("a.x"), 1L)
+          .when(col("b.x") < col("a.x"), -1L).otherwise(0L))
+          .cast("long").as("s"))
+      val nn = sd.groupBy(col("series"), col("dow"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val tt = sd.groupBy(col("series"), col("dow"), col("x"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("series"), col("dow"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .cast("long").as("tie_term"))
+      nn.join(tt, Seq("series", "dow"))
+        .join(p, Seq("series", "dow"), "left")
+        .groupBy(col("series"))
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(coalesce(col("s"), lit(0L))).cast("long").as("s"),
+          sum(col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)
+            - col("tie_term")).cast("long").as("var18"))
+        .select(col("series"), col("n"), col("s"), col("var18"),
+          expr("s <> 0 AND (ABS(s) - 1) * (ABS(s) - 1) * 11250 " +
+            "> 2401 * var18").as("significant"),
+          expr("CASE WHEN s > 0 THEN 'up' WHEN s < 0 THEN 'down' " +
+            "ELSE 'flat' END").as("trend"))
+        .orderBy(col("series"))
+    },
+
+    // Jonckheere–Terpstra — the ordered-alternative k-group test
+    // (do values RISE across the hypothesized group ordering?), the
+    // independent-samples sibling of Page's trend test, over the same
+    // lexicographic event-type ordering. JT = Σ_{i<j} U_ij computed
+    // ×2 on cents histograms (2U = 2·#less + #ties): each group's
+    // strictly-below cumulative lives on the GLOBAL distinct-value
+    // grid (k×V rows, windows keyed by group), so the pair sum is an
+    // equi-join on cents — no value×value surface anywhere. The null
+    // moments are exact integers (E2 = 2E = (n²−Σn_g²)/2 — always
+    // even as Σ_{i≠j}n_i n_j; Var = D/72 with D = n²(2n+3) −
+    // Σn_g²(2n_g+3)), so z² = 18·d²/D with d = JT2−E2, and the
+    // z > 1.96 verdict is the exact 11250·d² > 2401·D comparison.
+    // Ties enter JT exactly (the ½ convention ×2); the variance uses
+    // the untied form (cents ties are quantization artifacts — the
+    // convention both engines compile from this text). d² rides
+    // DECIMAL(38,0) ≡ HUGEINT (JT2 ≈ n² passes 2^63 at n ≈ 3B, d²
+    // far earlier).
+    QuerySpec.sql(
+      "stats_jonckheere",
+      """WITH v AS (
+        |  SELECT event_type AS grp,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (SELECT grp, cents, CAST(COUNT(*) AS BIGINT) AS cg
+        |  FROM v GROUP BY 1, 2),
+        |hv AS (SELECT DISTINCT cents FROM h),
+        |gs AS (SELECT DISTINCT grp FROM h),
+        |grid AS (
+        |  SELECT gs.grp, hv.cents, COALESCE(h.cg, 0) AS cg0,
+        |    COALESCE(SUM(h.cg) OVER (PARTITION BY gs.grp
+        |      ORDER BY hv.cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumb
+        |  FROM hv CROSS JOIN gs
+        |  LEFT JOIN h ON h.grp = gs.grp AND h.cents = hv.cents),
+        |jt AS (
+        |  SELECT CAST(SUM(b.cg * (2 * a.cumb + a.cg0)) AS BIGINT)
+        |    AS jt2
+        |  FROM h b JOIN grid a ON a.cents = b.cents
+        |  WHERE a.grp < b.grp),
+        |ng AS (SELECT grp, CAST(SUM(cg) AS BIGINT) AS n_g
+        |  FROM h GROUP BY 1),
+        |mo AS (
+        |  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST((SUM(n_g) * SUM(n_g) - SUM(n_g * n_g)) // 2
+        |      AS BIGINT) AS e2,
+        |    CAST(SUM(n_g) * SUM(n_g) * (2 * SUM(n_g) + 3)
+        |      - SUM(n_g * n_g * (2 * n_g + 3)) AS BIGINT) AS d72
+        |  FROM ng)
+        |SELECT mo.n, mo.k, jt.jt2, mo.e2,
+        |  CAST(CASE WHEN mo.d72 > 0 THEN
+        |    18 * CAST(jt.jt2 - mo.e2 AS HUGEINT) * (jt.jt2 - mo.e2)
+        |      * 1000000 // mo.d72 END AS BIGINT) AS z2_micro,
+        |  CASE WHEN mo.d72 > 0 THEN
+        |    11250 * CAST(jt.jt2 - mo.e2 AS HUGEINT) * (jt.jt2 - mo.e2)
+        |      > 2401 * CAST(mo.d72 AS HUGEINT) END AS significant,
+        |  CASE WHEN jt.jt2 > mo.e2 THEN 'increasing'
+        |    WHEN jt.jt2 < mo.e2 THEN 'decreasing'
+        |    ELSE 'none' END AS direction
+        |FROM mo, jt""".stripMargin) { (s, dir) =>
+      val h = Materialize.stable(events(s, dir)
+        .select(col("event_type").as("grp"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("grp"), col("cents"))
+        .agg(count(lit(1)).cast("long").as("cg")))
+      val hv = h.select(col("cents")).distinct()
+      val gs = h.select(col("grp")).distinct()
+      val wg = Window.partitionBy(col("grp")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val grid = hv.crossJoin(broadcast(gs))
+        .join(h, Seq("grp", "cents"), "left")
+        .select(col("grp"), col("cents"),
+          coalesce(col("cg"), lit(0L)).as("cg0"),
+          coalesce(sum(col("cg")).over(wg), lit(0L)).as("cumb"))
+      val jt = h.as("b")
+        .join(grid.as("a"), col("a.cents") === col("b.cents") &&
+          col("a.grp") < col("b.grp"))
+        .agg(sum(col("b.cg") * (lit(2) * col("a.cumb") + col("a.cg0")))
+          .cast("long").as("jt2"))
+      val mo = h.groupBy(col("grp"))
+        .agg(sum(col("cg")).cast("long").as("n_g"))
+        .agg(sum(col("n_g")).cast("long").as("n"),
+          count(lit(1)).cast("long").as("k"),
+          expr("CAST((SUM(n_g) * SUM(n_g) - SUM(n_g * n_g)) div 2 " +
+            "AS BIGINT)").as("e2"),
+          expr("CAST(SUM(n_g) * SUM(n_g) * (2 * SUM(n_g) + 3) " +
+            "- SUM(n_g * n_g * (2 * n_g + 3)) AS BIGINT)").as("d72"))
+      mo.crossJoin(broadcast(jt))
+        .select(col("n"), col("k"), col("jt2"), col("e2"),
+          expr("CAST(CASE WHEN d72 > 0 THEN " +
+            "18 * CAST(jt2 - e2 AS DECIMAL(38,0)) * (jt2 - e2) " +
+            "* 1000000 div d72 END AS BIGINT)").as("z2_micro"),
+          expr("CASE WHEN d72 > 0 THEN " +
+            "11250 * CAST(jt2 - e2 AS DECIMAL(38,0)) * (jt2 - e2) " +
+            "> 2401 * CAST(d72 AS DECIMAL(38,0)) END")
+            .as("significant"),
+          expr("CASE WHEN jt2 > e2 THEN 'increasing' " +
+            "WHEN jt2 < e2 THEN 'decreasing' ELSE 'none' END")
+            .as("direction"))
+    },
+
+    // Mood's median test — the blunt-but-robust k-group location
+    // test: classify every value against the EXACT global lower
+    // median (an element, selected by rank from the PrefixSum
+    // cumulative over the cents histogram — no sketch, no
+    // unpartitioned window), then chi-square the k×2
+    // above/not-above contingency. Each group row carries its two
+    // cell contributions as exact micro floors ((n·obs − n_g·A)² is
+    // nonnegative, so // ≡ truncation in both engines); squared
+    // products ride DECIMAL(38,0) ≡ HUGEINT (n·a_g ≈ n² passes 2^63
+    // at n ≈ 3B).
+    QuerySpec.sql(
+      "stats_mood_median",
+      """WITH v AS (
+        |  SELECT event_type AS grp,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (SELECT grp, cents, CAST(COUNT(*) AS BIGINT) AS cg
+        |  FROM v GROUP BY 1, 2),
+        |hv AS (SELECT cents, CAST(SUM(cg) AS BIGINT) AS c
+        |  FROM h GROUP BY 1),
+        |r AS (SELECT cents, c,
+        |    SUM(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+        |      AS cum
+        |  FROM hv),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hv),
+        |med AS (
+        |  SELECT MIN(cents) AS med FROM r, nn
+        |  WHERE cum >= (n + 1) // 2),
+        |g AS (
+        |  SELECT h.grp, CAST(SUM(h.cg) AS BIGINT) AS n_g,
+        |    CAST(SUM(CASE WHEN h.cents > med.med THEN h.cg
+        |      ELSE 0 END) AS BIGINT) AS a_g
+        |  FROM h, med GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(a_g) AS BIGINT) AS a FROM g)
+        |SELECT g.grp, g.n_g, g.a_g AS n_above,
+        |  g.n_g - g.a_g AS n_not_above,
+        |  CAST(g.n_g * tot.a * 1000000 // nn.n AS BIGINT)
+        |    AS expected_above_micro,
+        |  CAST(CASE WHEN tot.a > 0 AND tot.a < nn.n THEN
+        |    CAST(nn.n * g.a_g - g.n_g * tot.a AS HUGEINT)
+        |      * (nn.n * g.a_g - g.n_g * tot.a) * 1000000
+        |      // (CAST(nn.n AS HUGEINT) * g.n_g * tot.a)
+        |    + CAST(nn.n * (g.n_g - g.a_g) - g.n_g * (nn.n - tot.a)
+        |        AS HUGEINT)
+        |      * (nn.n * (g.n_g - g.a_g) - g.n_g * (nn.n - tot.a))
+        |      * 1000000
+        |      // (CAST(nn.n AS HUGEINT) * g.n_g * (nn.n - tot.a))
+        |    END AS BIGINT) AS chi2_cell_micro
+        |FROM g, tot, nn ORDER BY g.grp""".stripMargin) { (s, dir) =>
+      import graft.functions.PrefixSum
+      val h = Materialize.stable(events(s, dir)
+        .select(col("event_type").as("grp"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("grp"), col("cents"))
+        .agg(count(lit(1)).cast("long").as("cg")))
+      val hv = h.groupBy(col("cents"))
+        .agg(sum(col("cg")).cast("long").as("c"))
+      val r = PrefixSum.globalCumsum(hv, Seq(col("cents")), col("c"),
+        "cum")
+      val nn = hv.agg(sum(col("c")).cast("long").as("n"))
+      val med = r.crossJoin(broadcast(nn))
+        .filter(expr("cum >= (n + 1) div 2"))
+        .agg(min(col("cents")).as("med"))
+      val g = h.crossJoin(broadcast(med))
+        .groupBy(col("grp"))
+        .agg(sum(col("cg")).cast("long").as("n_g"),
+          sum(when(col("cents") > col("med"), col("cg"))
+            .otherwise(0L)).cast("long").as("a_g"))
+      val tot = g.agg(sum(col("a_g")).cast("long").as("a"))
+      g.crossJoin(broadcast(tot)).crossJoin(broadcast(nn))
+        .select(col("grp"), col("n_g"), col("a_g").as("n_above"),
+          (col("n_g") - col("a_g")).as("n_not_above"),
+          expr("CAST(n_g * a * 1000000 div n AS BIGINT)")
+            .as("expected_above_micro"),
+          expr("CAST(CASE WHEN a > 0 AND a < n THEN " +
+            "CAST(n * a_g - n_g * a AS DECIMAL(38,0)) " +
+            "* (n * a_g - n_g * a) * 1000000 " +
+            "div (CAST(n AS DECIMAL(38,0)) * n_g * a) " +
+            "+ CAST(n * (n_g - a_g) - n_g * (n - a) AS DECIMAL(38,0)) " +
+            "* (n * (n_g - a_g) - n_g * (n - a)) * 1000000 " +
+            "div (CAST(n AS DECIMAL(38,0)) * n_g * (n - a)) " +
+            "END AS BIGINT)").as("chi2_cell_micro"))
+        .orderBy(col("grp"))
+    },
+
+    // Cramér's V — the EFFECT-SIZE companion the chi2_indep gate
+    // owes its readers (a p-value says "dependent"; V says "how
+    // much"): V² = χ²/(n·min(r−1, c−1)) over the same
+    // event-type × day-of-week contingency, with χ²_micro summed
+    // from the identical per-cell floors the chi2_indep gate emits
+    // (flooring per cell THEN summing — the convention both engines
+    // compile from this text). One row; every product rides
+    // DECIMAL(38,0) ≡ HUGEINT.
+    QuerySpec.sql(
+      "stats_cramers_v",
+      """WITH o AS (
+        |  SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, dow, obs,
+        |    SUM(obs) OVER (PARTITION BY event_type) AS r,
+        |    SUM(obs) OVER (PARTITION BY dow) AS c,
+        |    SUM(obs) OVER () AS n
+        |  FROM o),
+        |cc AS (
+        |  SELECT MAX(n) AS n,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
+        |    CAST(COUNT(DISTINCT dow) AS BIGINT) AS nc,
+        |    CAST(SUM((CAST(n AS HUGEINT) * obs
+        |        - CAST(r AS HUGEINT) * c)
+        |      * (CAST(n AS HUGEINT) * obs - CAST(r AS HUGEINT) * c)
+        |      * 1000000 // (CAST(n AS HUGEINT) * r * c)) AS HUGEINT)
+        |      AS chi2_micro
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n, nr, nc,
+        |  (nr - 1) * (nc - 1) AS dof,
+        |  CAST(chi2_micro AS BIGINT) AS chi2_micro,
+        |  CAST(chi2_micro // n AS BIGINT) AS phi2_ppm,
+        |  CAST(chi2_micro // (n * LEAST(nr - 1, nc - 1)) AS BIGINT)
+        |    AS v2_ppm
+        |FROM cc""".stripMargin) { (s, dir) =>
+      val o = events(s, dir)
+        .groupBy(col("event_type"), expr("weekday(ts) + 1").as("dow"))
+        .agg(count(lit(1)).as("obs"))
+      o
+        .withColumn("r",
+          sum(col("obs")).over(Window.partitionBy(col("event_type"))))
+        .withColumn("c",
+          sum(col("obs")).over(Window.partitionBy(col("dow"))))
+        .withColumn("n", sum(col("obs")).over(Window.partitionBy()))
+        .agg(max(col("n")).cast("long").as("n"),
+          countDistinct(col("event_type")).cast("long").as("nr"),
+          countDistinct(col("dow")).cast("long").as("nc"),
+          sum(expr(
+            """(CAST(n AS DECIMAL(38,0)) * obs
+              |  - CAST(r AS DECIMAL(38,0)) * c)
+              |* (CAST(n AS DECIMAL(38,0)) * obs
+              |  - CAST(r AS DECIMAL(38,0)) * c)
+              |* 1000000 div (CAST(n AS DECIMAL(38,0)) * r * c)"""
+              .stripMargin))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            .as("chi2_micro"))
+        .select(col("n"), col("nr"), col("nc"),
+          ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+          col("chi2_micro").cast("long").as("chi2_micro"),
+          expr("CAST(chi2_micro div n AS BIGINT)").as("phi2_ppm"),
+          expr("CAST(chi2_micro div (n * LEAST(nr - 1, nc - 1)) " +
+            "AS BIGINT)").as("v2_ppm"))
+    },
+
+    // Cliff's delta — the ordinal effect size between the click and
+    // view value distributions: δ = (#(a>b) − #(a<b))/(n_a·n_b),
+    // the number Mann–Whitney's p-value doesn't give. The dominance
+    // count folds over the two cents histograms through ONE
+    // PrefixSum cumulative on the shared distinct-value grid
+    // (#greater − #less = Σ_v c_a(v)·(2·cumb_b(v) + c_b(v) − n_b)) —
+    // an equi-join on cents, never a value×value surface. The
+    // signed ppm is sign·(|num|·10⁶ // n_a·n_b) — the floor runs on
+    // the nonnegative magnitude so // ≡ div exactly — and the
+    // standard effect buckets (0.147/0.33/0.474) are exact
+    // cross-multiplied integer comparisons.
+    QuerySpec.sql(
+      "stats_cliffs_delta",
+      """WITH va AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'click'),
+        |vb AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'view'),
+        |ha AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS ca
+        |  FROM va GROUP BY 1),
+        |hb AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM vb GROUP BY 1),
+        |grid AS (
+        |  SELECT g.cents, COALESCE(hb.cb, 0) AS cb0,
+        |    COALESCE(SUM(hb.cb) OVER (ORDER BY g.cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumb
+        |  FROM (SELECT cents FROM ha UNION SELECT cents FROM hb) g
+        |  LEFT JOIN hb ON hb.cents = g.cents),
+        |nb AS (SELECT CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS n_b
+        |  FROM hb),
+        |na AS (SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n_a
+        |  FROM ha),
+        |dm AS (
+        |  SELECT CAST(SUM(ha.ca * (2 * grid.cumb + grid.cb0 - nb.n_b))
+        |    AS BIGINT) AS num
+        |  FROM ha JOIN grid ON grid.cents = ha.cents, nb)
+        |SELECT na.n_a, nb.n_b, dm.num AS dominance,
+        |  CAST(CASE WHEN dm.num >= 0 THEN
+        |      ABS(dm.num) * 1000000 // (na.n_a * nb.n_b)
+        |    ELSE -(ABS(dm.num) * 1000000 // (na.n_a * nb.n_b)) END
+        |    AS BIGINT) AS delta_ppm,
+        |  CASE WHEN ABS(dm.num) * 1000 < 147 * na.n_a * nb.n_b
+        |      THEN 'negligible'
+        |    WHEN ABS(dm.num) * 100 < 33 * na.n_a * nb.n_b
+        |      THEN 'small'
+        |    WHEN ABS(dm.num) * 1000 < 474 * na.n_a * nb.n_b
+        |      THEN 'medium'
+        |    ELSE 'large' END AS effect
+        |FROM na, nb, dm""".stripMargin) { (s, dir) =>
+      import graft.functions.PrefixSum
+      val v = Materialize.stable(events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents")))
+      val ha = v.filter(col("event_type") === "click")
+        .groupBy(col("cents")).agg(count(lit(1)).cast("long").as("ca"))
+      val hb = v.filter(col("event_type") === "view")
+        .groupBy(col("cents")).agg(count(lit(1)).cast("long").as("cb"))
+      val g0 = ha.select(col("cents"))
+        .union(hb.select(col("cents"))).distinct()
+        .join(hb, Seq("cents"), "left")
+        .select(col("cents"), coalesce(col("cb"), lit(0L)).as("cb0"))
+      val grid = PrefixSum.globalCumsum(g0, Seq(col("cents")),
+          col("cb0"), "cum")
+        .withColumn("cumb", col("cum") - col("cb0"))
+      val na = ha.agg(coalesce(sum(col("ca")), lit(0L)).cast("long")
+        .as("n_a"))
+      val nb = hb.agg(coalesce(sum(col("cb")), lit(0L)).cast("long")
+        .as("n_b"))
+      val dm = ha.join(grid, Seq("cents"))
+        .crossJoin(broadcast(nb))
+        .agg(sum(col("ca") * (lit(2) * col("cumb") + col("cb0")
+          - col("n_b"))).cast("long").as("num"))
+      na.crossJoin(broadcast(nb)).crossJoin(broadcast(dm))
+        .select(col("n_a"), col("n_b"), col("num").as("dominance"),
+          expr("CAST(CASE WHEN num >= 0 THEN " +
+            "ABS(num) * 1000000 div (n_a * n_b) " +
+            "ELSE -(ABS(num) * 1000000 div (n_a * n_b)) END " +
+            "AS BIGINT)").as("delta_ppm"),
+          expr("CASE WHEN ABS(num) * 1000 < 147 * n_a * n_b " +
+            "THEN 'negligible' " +
+            "WHEN ABS(num) * 100 < 33 * n_a * n_b THEN 'small' " +
+            "WHEN ABS(num) * 1000 < 474 * n_a * n_b THEN 'medium' " +
+            "ELSE 'large' END").as("effect"))
+    },
+
+    // Gini coefficient of order spend per market segment — the
+    // inequality summary every revenue-concentration dashboard
+    // carries, exact: with the per-segment cents histogram and the
+    // segment-keyed strictly-below cumulative, 2Σrᵢxᵢ =
+    // Σ_v v·(2·c·cumb + c² + c) (tied values take consecutive ranks
+    // — the sum is tie-order-invariant), so G = (2Σrx − (n+1)Σx)
+    // / (n·Σx) is one nonnegative ppm floor (Chebyshev's sum
+    // inequality makes the numerator ≥ 0, so // ≡ truncation in
+    // both engines). Products ride DECIMAL(38,0) ≡ HUGEINT
+    // (v·c·cumb ≈ price·n² passes 2^63 at ~10⁵ orders/segment).
+    // Windows keyed by segment; no global anything.
+    QuerySpec.sql(
+      "stats_gini",
+      """WITH v AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |h AS (SELECT segment, cents, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM v GROUP BY 1, 2),
+        |r AS (
+        |  SELECT segment, cents, c,
+        |    COALESCE(SUM(c) OVER (PARTITION BY segment ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumb
+        |  FROM h),
+        |a AS (
+        |  SELECT segment, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(cents * c) AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(cents AS HUGEINT)
+        |      * (2 * c * cumb + c * c + c)) AS HUGEINT) AS s2r
+        |  FROM r GROUP BY 1)
+        |SELECT segment, n, sx AS sum_cents,
+        |  CAST(CASE WHEN n > 0 AND sx > 0 THEN
+        |    (s2r - (n + 1) * CAST(sx AS HUGEINT)) * 1000000
+        |      // (CAST(n AS HUGEINT) * sx) END AS BIGINT) AS gini_ppm
+        |FROM a ORDER BY segment""".stripMargin) { (s, dir) =>
+      val v = Tables(s, dir, "orders").as("o")
+        .join(Tables(s, dir, "customer").as("c"),
+          col("c.c_custkey") === col("o.o_custkey"))
+        .select(col("c.c_mktsegment").as("segment"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            .as("cents"))
+      val h = v.groupBy(col("segment"), col("cents"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val wg = Window.partitionBy(col("segment")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      h.withColumn("cumb", coalesce(sum(col("c")).over(wg), lit(0L)))
+        .groupBy(col("segment"))
+        .agg(sum(col("c")).cast("long").as("n"),
+          sum(col("cents") * col("c")).cast("long").as("sx"),
+          sum(expr("CAST(cents AS DECIMAL(38,0)) " +
+            "* (2 * c * cumb + c * c + c)"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            .as("s2r"))
+        .select(col("segment"), col("n"), col("sx").as("sum_cents"),
+          expr("CAST(CASE WHEN n > 0 AND sx > 0 THEN " +
+            "(s2r - (n + 1) * CAST(sx AS DECIMAL(38,0))) * 1000000 " +
+            "div (CAST(n AS DECIMAL(38,0)) * sx) END AS BIGINT)")
+            .as("gini_ppm"))
+        .orderBy(col("segment"))
+    },
+
+    // Kendall's W — the concordance coefficient across the k
+    // event-type "judges" ranking the m complete days by activity:
+    // do the types agree on which days were big? Tie-averaged ×2
+    // ranks per judge from the (judge, value) histogram joined back
+    // on the value (windows keyed by judge); S4 = Σ_d (R2_d −
+    // k(m+1))² = 4S, so the tie-corrected W = 12S/(k²(m³−m) − kΣT)
+    // = 3·S4/(k²(m³−m) − kΣT) is one nonnegative ppm floor. The
+    // complete-block filter is the same as Friedman's (only days
+    // every judge scored). m³ rides DECIMAL(38,0) ≡ HUGEINT past
+    // the 2^63 envelope at m ≈ 2.1M days.
+    QuerySpec.sql(
+      "stats_kendall_w",
+      """WITH cnts AS (
+        |  SELECT event_type AS judge,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |kk AS (SELECT CAST(COUNT(DISTINCT judge) AS BIGINT) AS k
+        |  FROM cnts),
+        |f AS (
+        |  SELECT c.* FROM cnts c
+        |  JOIN (SELECT day FROM cnts, kk GROUP BY day, kk.k
+        |    HAVING COUNT(*) = MAX(kk.k)) d ON d.day = c.day),
+        |h AS (SELECT judge, x, CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM f GROUP BY 1, 2),
+        |hw AS (
+        |  SELECT judge, x, t,
+        |    COALESCE(SUM(t) OVER (PARTITION BY judge ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumb
+        |  FROM h),
+        |rk AS (
+        |  SELECT f.day, 2 * hw.cumb + hw.t + 1 AS r2
+        |  FROM f JOIN hw ON hw.judge = f.judge AND hw.x = f.x),
+        |mm AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS m
+        |  FROM f),
+        |s4 AS (
+        |  SELECT CAST(SUM(CAST(rd - kk.k * (mm.m + 1) AS HUGEINT)
+        |    * (rd - kk.k * (mm.m + 1))) AS HUGEINT) AS s4
+        |  FROM (SELECT day, CAST(SUM(r2) AS BIGINT) AS rd
+        |    FROM rk GROUP BY 1) z, kk, mm),
+        |tt AS (
+        |  SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t),
+        |    0) AS HUGEINT) AS tsum
+        |  FROM h),
+        |de AS (
+        |  SELECT kk.k, mm.m,
+        |    CAST(kk.k AS HUGEINT) * kk.k
+        |      * (CAST(mm.m AS HUGEINT) * mm.m * mm.m - mm.m)
+        |      - kk.k * tt.tsum AS den
+        |  FROM kk, mm, tt)
+        |SELECT de.k, de.m, CAST(s4.s4 AS BIGINT) AS s4,
+        |  CAST(CASE WHEN de.den > 0 THEN
+        |    3 * s4.s4 * 1000000 // de.den END AS BIGINT) AS w_ppm
+        |FROM de, s4""".stripMargin) { (s, dir) =>
+      val cnts = Materialize.stable(events(s, dir)
+        .groupBy(col("event_type").as("judge"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("x")))
+      val kk = cnts.agg(countDistinct(col("judge")).cast("long")
+        .as("k"))
+      val f = Materialize.stable(cnts
+        .groupBy(col("day")).agg(count(lit(1)).as("nt"))
+        .crossJoin(broadcast(kk))
+        .filter(col("nt") === col("k"))
+        .select(col("day"))
+        .join(cnts, Seq("day")))
+      val h = f.groupBy(col("judge"), col("x"))
+        .agg(count(lit(1)).cast("long").as("t"))
+      val wj = Window.partitionBy(col("judge")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val hw = h.withColumn("cumb",
+        coalesce(sum(col("t")).over(wj), lit(0L)))
+      val rk = f.join(hw, Seq("judge", "x"))
+        .select(col("day"),
+          (lit(2) * col("cumb") + col("t") + 1).as("r2"))
+      val mm = f.agg(countDistinct(col("day")).cast("long").as("m"))
+      val s4 = rk.groupBy(col("day"))
+        .agg(sum(col("r2")).cast("long").as("rd"))
+        .crossJoin(broadcast(kk)).crossJoin(broadcast(mm))
+        .agg(sum(expr("CAST(rd - k * (m + 1) AS DECIMAL(38,0)) " +
+          "* (rd - k * (m + 1))"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .as("s4"))
+      val tt = h.agg(
+        coalesce(sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")),
+          lit(0L).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .as("tsum"))
+      kk.crossJoin(broadcast(mm)).crossJoin(broadcast(tt))
+        .crossJoin(broadcast(s4))
+        .withColumn("den",
+          expr("CAST(k AS DECIMAL(38,0)) * k " +
+            "* (CAST(m AS DECIMAL(38,0)) * m * m - m) - k * tsum"))
+        .select(col("k"), col("m"),
+          col("s4").cast("long").as("s4"),
+          expr("CAST(CASE WHEN den > 0 THEN " +
+            "3 * s4 * 1000000 div den END AS BIGINT)").as("w_ppm"))
     })
 }
