@@ -3158,5 +3158,358 @@ object TextOps {
           ((-col("sm")).cast("double") /
             (col("n_bigrams") * lit(1000000L)).cast("double")).as("avg_nll"))
         .orderBy(col("doc_id"))
+    },
+
+    // NDCG@10 of the BM25 retrieval (the ranking-eval readout every
+    // retrieval stack owes its users — the AUC/PR gates grade the
+    // CLASSIFIER; this grades the RANKER). Graded relevance is
+    // deterministic: how many distinct query terms the document
+    // contains (0–3), gain = 2^rel − 1, and the per-rank discounts
+    // 1/log2(r+1) are a FIXED 10-entry micro-quantized literal table
+    // shared verbatim with the oracle — so DCG, ideal DCG, and the
+    // classically-float NDCG are exact integers that hash-compare.
+    // Plan: the text_bm25_topk scorer (one tokenize pass, broadcast
+    // df/scale), a TakeOrdered top-10, then 10-row bounded windows —
+    // rank math never touches more than k rows however large the
+    // corpus.
+    QuerySpec.sql(
+      "eval_ndcg",
+      s"""WITH $rankEvalCte,
+         |d AS (SELECT * FROM (VALUES $ndcgDiscSql)
+         |  AS t(rnk, disc_micros)),
+         |ideal AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id)
+         |    AS rnk, rel
+         |  FROM relv ORDER BY rel DESC, doc_id LIMIT 10),
+         |icum AS (
+         |  SELECT d.rnk,
+         |    SUM((CASE i.rel WHEN 0 THEN 0 WHEN 1 THEN 1
+         |        WHEN 2 THEN 3 ELSE 7 END) * d.disc_micros)
+         |      OVER (ORDER BY d.rnk) AS idcg_cum
+         |  FROM d JOIN ideal i ON i.rnk = d.rnk),
+         |rcum AS (
+         |  SELECT ret.rnk, ret.doc_id, relv.rel,
+         |    CAST(CASE relv.rel WHEN 0 THEN 0 WHEN 1 THEN 1
+         |      WHEN 2 THEN 3 ELSE 7 END AS BIGINT) AS gain,
+         |    d.disc_micros,
+         |    SUM((CASE relv.rel WHEN 0 THEN 0 WHEN 1 THEN 1
+         |        WHEN 2 THEN 3 ELSE 7 END) * d.disc_micros)
+         |      OVER (ORDER BY ret.rnk) AS dcg_cum
+         |  FROM ret JOIN relv USING (doc_id) JOIN d ON d.rnk = ret.rnk)
+         |SELECT CAST(r.rnk AS BIGINT) AS rnk, r.doc_id, r.rel, r.gain,
+         |  CAST(r.disc_micros AS BIGINT) AS disc_micros,
+         |  CAST(r.dcg_cum AS BIGINT) AS dcg_cum,
+         |  CAST(i.idcg_cum AS BIGINT) AS idcg_cum,
+         |  CAST(CASE WHEN i.idcg_cum > 0
+         |    THEN r.dcg_cum * 1000000 // i.idcg_cum END AS BIGINT)
+         |    AS ndcg_ppm
+         |FROM rcum r JOIN icum i ON i.rnk = r.rnk
+         |ORDER BY rnk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val (ret, relv) = rankEval(s, dir)
+      val d = ndcgDisc.toDF("rnk", "disc_micros")
+      val cum = Window.orderBy(col("rnk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gainOf = (rel: org.apache.spark.sql.Column) =>
+        when(rel === 0, 0L).when(rel === 1, 1L)
+          .when(rel === 2, 3L).otherwise(7L)
+      val ideal = relv
+        .orderBy(col("rel").desc, col("doc_id")).limit(10)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("rel").desc,
+            col("doc_id"))).cast("long"))
+      val icum = broadcast(d).join(ideal, Seq("rnk"))
+        .withColumn("idcg_cum",
+          sum(gainOf(col("rel")) * col("disc_micros")).over(cum))
+        .select(col("rnk"), col("idcg_cum"))
+      ret.join(relv, Seq("doc_id"))
+        .join(broadcast(d), Seq("rnk"))
+        .withColumn("gain", gainOf(col("rel")))
+        .withColumn("dcg_cum",
+          sum(col("gain") * col("disc_micros")).over(cum))
+        .join(icum, Seq("rnk"))
+        .select(col("rnk"), col("doc_id"), col("rel"), col("gain"),
+          col("disc_micros").cast("long").as("disc_micros"),
+          col("dcg_cum").cast("long").as("dcg_cum"),
+          col("idcg_cum").cast("long").as("idcg_cum"),
+          expr("CAST(CASE WHEN idcg_cum > 0 THEN " +
+            "dcg_cum * 1000000 div idcg_cum END AS BIGINT)")
+            .as("ndcg_ppm"))
+        .orderBy(col("rnk"))
+    },
+
+    // MAP / MRR / precision-recall@k over the same BM25 top-10, with
+    // BINARY relevance (document contains ≥ 2 of the 3 query terms) —
+    // the complementary ranking readout to eval_ndcg's graded one.
+    // Average precision accumulates prec@r at each hit rank (exact
+    // ppm integers, truncation shared with the oracle) and divides by
+    // min(|relevant|, k); reciprocal rank is 10^6 // first-hit rank.
+    // Every metric is a per-rank CUMULATIVE column, so the gate pins
+    // the whole trajectory, not one scalar. Same bounded-window
+    // posture as eval_ndcg: corpus-scale work ends at the top-k cut.
+    QuerySpec.sql(
+      "eval_map_mrr",
+      s"""WITH $rankEvalCte,
+         |nrel AS (SELECT CAST(SUM(CASE WHEN rel >= 2 THEN 1 ELSE 0
+         |  END) AS BIGINT) AS n_rel FROM relv),
+         |h AS (
+         |  SELECT ret.rnk, ret.doc_id,
+         |    CAST(CASE WHEN relv.rel >= 2 THEN 1 ELSE 0 END
+         |      AS BIGINT) AS hit
+         |  FROM ret JOIN relv USING (doc_id)),
+         |c AS (
+         |  SELECT rnk, doc_id, hit,
+         |    SUM(hit) OVER (ORDER BY rnk) AS hits_cum,
+         |    MIN(CASE WHEN hit = 1 THEN rnk END) OVER (ORDER BY rnk)
+         |      AS first_hit
+         |  FROM h),
+         |p AS (
+         |  SELECT rnk, doc_id, hit, hits_cum, first_hit,
+         |    hits_cum * 1000000 // rnk AS prec_ppm
+         |  FROM c),
+         |a AS (
+         |  SELECT rnk, doc_id, hit, hits_cum, prec_ppm, first_hit,
+         |    SUM(hit * prec_ppm) OVER (ORDER BY rnk) AS ap_num
+         |  FROM p)
+         |SELECT CAST(a.rnk AS BIGINT) AS rnk, a.doc_id, a.hit,
+         |  CAST(a.hits_cum AS BIGINT) AS hits_cum,
+         |  CAST(a.prec_ppm AS BIGINT) AS prec_ppm,
+         |  CAST(CASE WHEN n.n_rel > 0
+         |    THEN a.hits_cum * 1000000 // n.n_rel END AS BIGINT)
+         |    AS recall_ppm,
+         |  CAST(CASE WHEN LEAST(n.n_rel, 10) > 0
+         |    THEN a.ap_num // LEAST(n.n_rel, 10) END AS BIGINT)
+         |    AS ap_ppm,
+         |  CAST(CASE WHEN a.first_hit IS NOT NULL
+         |    THEN 1000000 // a.first_hit END AS BIGINT) AS rr_ppm
+         |FROM a CROSS JOIN nrel n
+         |ORDER BY rnk""".stripMargin) { (s, dir) =>
+      val (ret, relv) = rankEval(s, dir)
+      val cum = Window.orderBy(col("rnk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nrel = relv.agg(
+        sum(when(col("rel") >= 2, 1L).otherwise(0L)).as("n_rel"))
+      ret.join(relv, Seq("doc_id"))
+        .withColumn("hit",
+          when(col("rel") >= 2, 1L).otherwise(0L))
+        .withColumn("hits_cum", sum(col("hit")).over(cum))
+        .withColumn("first_hit",
+          min(when(col("hit") === 1, col("rnk"))).over(cum))
+        .withColumn("prec_ppm",
+          expr("hits_cum * 1000000 div rnk"))
+        .withColumn("ap_num", sum(col("hit") * col("prec_ppm")).over(cum))
+        .crossJoin(broadcast(nrel))
+        .select(col("rnk"), col("doc_id"), col("hit"),
+          col("hits_cum").cast("long").as("hits_cum"),
+          col("prec_ppm").cast("long").as("prec_ppm"),
+          expr("CAST(CASE WHEN n_rel > 0 THEN " +
+            "hits_cum * 1000000 div n_rel END AS BIGINT)")
+            .as("recall_ppm"),
+          expr("CAST(CASE WHEN LEAST(n_rel, 10) > 0 THEN " +
+            "ap_num div LEAST(n_rel, 10) END AS BIGINT)").as("ap_ppm"),
+          expr("CAST(CASE WHEN first_hit IS NOT NULL THEN " +
+            "1000000 div first_hit END AS BIGINT)").as("rr_ppm"))
+        .orderBy(col("rnk"))
+    },
+
+    // Yule's characteristic K per document (Yule 1944) — the
+    // repeated-vocabulary richness statistic the mattr/simpson gates
+    // don't cover: K = 10^4 · (Σc² − Σc) / (Σc)², driven entirely by
+    // how often the SAME type repeats, and famously length-stable
+    // where raw type/token ratio is not. Reported in exact
+    // milli-units ((S2−S1)·10^7 // S1²); hapax and dis legomena
+    // counts ride along (the Honoré/Sichel inputs). Products cap at
+    // S2·10^7 ≤ |doc|²·10^7 — BIGINT-safe for any document under ~30k
+    // tokens, far above the corpus envelope. Plan: one tokenize pass,
+    // per-(doc,token) count, per-doc fold — map-side combinable,
+    // doc_id-keyed, no window.
+    QuerySpec.sql(
+      "text_yule_k",
+      """WITH c AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) t
+        |  GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dis,
+        |  CAST(CASE WHEN SUM(c) > 0 THEN
+        |    (SUM(c * c) - SUM(c)) * 10000000 // (SUM(c) * SUM(c))
+        |    END AS BIGINT) AS yule_k_milli
+        |FROM c GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("s1"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_dis"),
+          sum(col("c") * col("c")).as("s2"))
+        .select(col("doc_id"),
+          col("s1").cast("long").as("n_tokens"),
+          col("n_types"), col("n_hapax"), col("n_dis"),
+          expr("CAST(CASE WHEN s1 > 0 THEN " +
+            "(s2 - s1) * 10000000 div (s1 * s1) END AS BIGINT)")
+            .as("yule_k_milli"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-document n-gram NOVELTY in corpus order — of a document's
+    // distinct word trigrams, how many appear for the FIRST time in
+    // this document (no lower doc_id contains them)? The curation
+    // readout behind "is the tail of this source adding anything new"
+    // — complementary to text_dup_ngram_mass (which scores REPEATED
+    // mass; this scores first-seen mass) and to text_vocab_growth
+    // (unigram types; trigrams saturate far slower). Exact by
+    // construction: first-occurrence doc = MIN(doc_id) per trigram,
+    // one hash-agg over the (trigram → min-doc) table — map-side
+    // combinable MIN, no window, no self-join; the per-doc novel
+    // count is a second hash-agg of that table keyed by the min doc.
+    QuerySpec.sql(
+      "text_ngram_novelty",
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+        |        FROM ws)),
+        |fst AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY 1),
+        |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        |        FROM g GROUP BY 1),
+        |nov AS (SELECT first_doc AS doc_id,
+        |          CAST(COUNT(*) AS BIGINT) AS n_novel
+        |        FROM fst GROUP BY 1)
+        |SELECT t.doc_id, t.n_grams,
+        |  CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CAST(COALESCE(n.n_novel, 0) * 1000000 // t.n_grams
+        |    AS BIGINT) AS novelty_ppm
+        |FROM tot t LEFT JOIN nov n USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val g = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', " +
+            "element_at(ws, i), element_at(ws, i + 1), " +
+            "element_at(ws, i + 2)))")).as("g"))
+        .distinct()
+      val tot = g.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"))
+      val nov = g.groupBy(col("g"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_novel"))
+      tot.join(nov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).cast("long").as("n_novel"),
+          expr("CAST(COALESCE(n_novel, 0) * 1000000 div n_grams " +
+            "AS BIGINT)").as("novelty_ppm"))
+        .orderBy(col("doc_id"))
     })
+
+  /** Fixed NDCG discount table, rank 1–10: round(10^6 / log2(r+1)).
+    * A LITERAL shared between the Spark plan and the DuckDB oracle so
+    * the rank math is float-free at runtime in both engines.
+    */
+  private val ndcgDisc: Seq[(Long, Long)] = Seq(
+    1L -> 1000000L, 2L -> 630930L, 3L -> 500000L, 4L -> 430677L,
+    5L -> 386853L, 6L -> 356207L, 7L -> 333333L, 8L -> 315465L,
+    9L -> 301030L, 10L -> 289065L)
+
+  private val ndcgDiscSql: String =
+    ndcgDisc.map { case (r, d) => s"($r, $d)" }.mkString(", ")
+
+  /** Shared retrieval CTEs for the ranking-eval gates: the
+    * text_bm25_topk scorer verbatim (same literal constants) reduced
+    * to `ret(rnk, doc_id)` over the top 10, plus `relv(doc_id, rel)`
+    * — the graded relevance (distinct query terms contained, 0–3)
+    * for EVERY document (the ideal-ranking / recall denominator).
+    */
+  private val rankEvalCte: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      |  FROM toks GROUP BY 1),
+      |scal AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+      |  CAST(SUM(dl) AS BIGINT) AS tt FROM dl),
+      |tfq AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM toks WHERE tok IN ('hash', 'join', 'spark')
+      |  GROUP BY 1, 2),
+      |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM tfq GROUP BY 1),
+      |sc AS (
+      |  SELECT tfq.doc_id,
+      |    (CAST(round(ln(1 + (nd - df + 0.5) / (df + 0.5)) * 1e6)
+      |        AS BIGINT) * 22 * tf * tt)
+      |      // (10 * tf * tt + 3 * tt + 9 * dl * nd) AS s
+      |  FROM tfq JOIN dfq USING (tok) JOIN dl USING (doc_id)
+      |  CROSS JOIN scal),
+      |bm AS (
+      |  SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_micros
+      |  FROM sc GROUP BY doc_id
+      |  ORDER BY score_micros DESC, doc_id LIMIT 10),
+      |ret AS (
+      |  SELECT doc_id, ROW_NUMBER() OVER
+      |    (ORDER BY score_micros DESC, doc_id) AS rnk
+      |  FROM bm),
+      |relv AS (
+      |  SELECT d.doc_id, CAST(COALESCE(r.rel, 0) AS BIGINT) AS rel
+      |  FROM (SELECT DISTINCT doc_id FROM documents) d
+      |  LEFT JOIN (SELECT doc_id, COUNT(DISTINCT tok) AS rel
+      |             FROM tfq GROUP BY 1) r
+      |  ON r.doc_id = d.doc_id)""".stripMargin
+
+  /** Spark side of [[rankEvalCte]]: (`ret(rnk, doc_id)`,
+    * `relv(doc_id, rel)`). The scorer is the text_bm25_topk plan
+    * (broadcast df + corpus scalars, hash-agg per doc, TakeOrdered
+    * top-10); the 10-row rank window is bounded by construction.
+    */
+  private def rankEval(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dl = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"))
+    val scal = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+    val tfq = toks.filter(col("tok").isin("hash", "join", "spark"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tfq.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val bm = tfq.join(broadcast(dfq), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(scal))
+      .select(col("doc_id"),
+        expr("""(CAST(round(ln(1 + (nd - df + 0.5) / (df + 0.5)) * 1e6)
+               |    AS BIGINT) * 22 * tf * tt)
+               |  div (10 * tf * tt + 3 * tt + 9 * dl * nd)""".stripMargin)
+          .as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s")).cast("long").as("score_micros"))
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(10)
+    val ret = bm
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("score_micros").desc,
+          col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rnk"))
+    val relv = docs(s, dir).select(col("doc_id")).distinct()
+      .join(tfq.groupBy(col("doc_id"))
+          .agg(countDistinct(col("tok")).as("rel0")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rel0"), lit(0L)).cast("long").as("rel"))
+    (ret, relv)
+  }
 }
