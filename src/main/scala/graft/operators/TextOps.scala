@@ -3415,6 +3415,108 @@ object TextOps {
           expr("CAST(COALESCE(n_novel, 0) * 1000000 div n_grams " +
             "AS BIGINT)").as("novelty_ppm"))
         .orderBy(col("doc_id"))
+    },
+
+    // Fleiss' kappa — chance-corrected agreement of THREE annotators
+    // (the multi-rater member of the agreement family next to the
+    // two-rater eval_cohens_kappa). The raters are three cheap
+    // deterministic length annotators (char / token / distinct-token
+    // terciles) labeling every document short/medium/long — the
+    // inter-annotator-agreement readout any labeling pipeline owes
+    // before trusting a rubric. Exact rational: with n=3 raters,
+    // kappa = (3N·S1 − 2ΣT²) / (2·(9N² − ΣT²)) where
+    // S1 = Σ_i(Σ_j n_ij² − 3) and T_j are category totals — both
+    // engines fold the same integers (ΣT² rides DECIMAL(38,0)/
+    // HUGEINT past N ≈ 10⁹), and `//`/`div` both truncate toward
+    // zero, so the signed kappa hash-compares. Plan: one per-row
+    // annotate pass (no explode — list_distinct is per-row), one
+    // 9-ary category fold + one per-subject fold, three scalar rows
+    // joined broadcast.
+    QuerySpec.sql(
+      "eval_fleiss_kappa",
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 350 THEN 1
+        |      ELSE 2 END AS r1,
+        |    CASE WHEN len(string_split(text, ' ')) < 37 THEN 0
+        |      WHEN len(string_split(text, ' ')) < 64 THEN 1 ELSE 2
+        |      END AS r2,
+        |    CASE WHEN len(list_distinct(string_split(text, ' '))) < 19
+        |        THEN 0
+        |      WHEN len(list_distinct(string_split(text, ' '))) < 33
+        |        THEN 1 ELSE 2 END AS r3
+        |  FROM documents),
+        |nij AS (
+        |  SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS nij
+        |  FROM (SELECT doc_id, unnest([r1, r2, r3]) AS cat FROM r)
+        |  GROUP BY 1, 2),
+        |s1 AS (
+        |  SELECT CAST(SUM(sq) - 3 * COUNT(*) AS BIGINT) AS s1,
+        |    CAST(COUNT(*) AS BIGINT) AS nsub
+        |  FROM (SELECT doc_id, SUM(nij * nij) AS sq
+        |        FROM nij GROUP BY 1)),
+        |t2 AS (
+        |  SELECT CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS st2
+        |  FROM (SELECT cat, SUM(nij) AS t FROM nij GROUP BY 1))
+        |SELECT nsub AS n_subjects,
+        |  CAST(s1 * 1000000 // (6 * nsub) AS BIGINT) AS p_bar_ppm,
+        |  CAST(st2 * 1000000 // (9 * CAST(nsub AS HUGEINT) * nsub)
+        |    AS BIGINT) AS p_e_ppm,
+        |  CAST((3 * CAST(nsub AS HUGEINT) * s1 - 2 * st2) * 1000000
+        |    // (2 * (9 * CAST(nsub AS HUGEINT) * nsub - st2))
+        |    AS BIGINT) AS kappa_ppm,
+        |  CASE
+        |    WHEN (3 * CAST(nsub AS HUGEINT) * s1 - 2 * st2) * 1000000
+        |      // (2 * (9 * CAST(nsub AS HUGEINT) * nsub - st2))
+        |      > 600000 THEN 'substantial'
+        |    WHEN (3 * CAST(nsub AS HUGEINT) * s1 - 2 * st2) * 1000000
+        |      // (2 * (9 * CAST(nsub AS HUGEINT) * nsub - st2))
+        |      > 400000 THEN 'moderate'
+        |    WHEN (3 * CAST(nsub AS HUGEINT) * s1 - 2 * st2) * 1000000
+        |      // (2 * (9 * CAST(nsub AS HUGEINT) * nsub - st2))
+        |      > 200000 THEN 'fair'
+        |    ELSE 'slight' END AS agreement
+        |FROM s1 CROSS JOIN t2""".stripMargin) { (s, dir) =>
+      val r = docs(s, dir)
+        .select(col("doc_id"),
+          when(col("n_chars") < 200, 0L)
+            .when(col("n_chars") < 350, 1L).otherwise(2L).as("r1"),
+          when(size(split(col("text"), " ")) < 37, 0L)
+            .when(size(split(col("text"), " ")) < 64, 1L)
+            .otherwise(2L).as("r2"),
+          when(size(array_distinct(split(col("text"), " "))) < 19, 0L)
+            .when(size(array_distinct(split(col("text"), " "))) < 33,
+              1L).otherwise(2L).as("r3"))
+      val nij = r
+        .select(col("doc_id"),
+          explode(array(col("r1"), col("r2"), col("r3"))).as("cat"))
+        .groupBy(col("doc_id"), col("cat"))
+        .agg(count(lit(1)).as("nij"))
+      val s1 = nij.groupBy(col("doc_id"))
+        .agg(sum(col("nij") * col("nij")).as("sq"))
+        .agg((sum(col("sq")) - lit(3L) * count(lit(1)))
+            .cast("long").as("s1"),
+          count(lit(1)).as("nsub"))
+      val t2 = nij.groupBy(col("cat"))
+        .agg(sum(col("nij")).as("t"))
+        .agg(sum(expr("CAST(t AS DECIMAL(38,0)) * t"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .as("st2"))
+      val kap = "(3 * CAST(nsub AS DECIMAL(38,0)) * s1 - 2 * st2) " +
+        "* 1000000 div (2 * (9 * CAST(nsub AS DECIMAL(38,0)) * nsub " +
+        "- st2))"
+      s1.crossJoin(broadcast(t2))
+        .select(col("nsub").as("n_subjects"),
+          expr("CAST(s1 * 1000000 div (6 * nsub) AS BIGINT)")
+            .as("p_bar_ppm"),
+          expr("CAST(st2 * 1000000 div " +
+            "(9 * CAST(nsub AS DECIMAL(38,0)) * nsub) AS BIGINT)")
+            .as("p_e_ppm"),
+          expr(s"CAST($kap AS BIGINT)").as("kappa_ppm"),
+          expr(s"CASE WHEN $kap > 600000 THEN 'substantial' " +
+            s"WHEN $kap > 400000 THEN 'moderate' " +
+            s"WHEN $kap > 200000 THEN 'fair' " +
+            "ELSE 'slight' END").as("agreement"))
     })
 
   /** Fixed NDCG discount table, rank 1–10: round(10^6 / log2(r+1)).

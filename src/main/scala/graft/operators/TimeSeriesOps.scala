@@ -6871,5 +6871,280 @@ object TimeSeriesOps {
           col("s4").cast("long").as("s4"),
           expr("CAST(CASE WHEN den > 0 THEN " +
             "3 * s4 * 1000000 div den END AS BIGINT)").as("w_ppm"))
+    },
+
+    // pass@k (Chen et al. 2021, the HumanEval estimator) — THE LLM
+    // eval-suite metric, computed over a natural attempts frame:
+    // problem = customer, attempts = their orders, success = a
+    // finished ('F') order. pass@k = 1 − C(n−c,k)/C(n,k), evaluated
+    // as the exact product Π_{i<k}(n−c−i)/Π_{i<k}(n−i) (never the
+    // factorial form): both engines fold the k-term products through
+    // DECIMAL(38,0)/HUGEINT, so the classically-float estimator is an
+    // exact ppm integer, and the n−c<k / c=0 edges take lazy CASE
+    // branches (no product is ever built over a negative run). The
+    // corpus readout is the per-k mean plus the certain/zero problem
+    // counts. Plan: one orders groupBy (map-side combinable), a
+    // 3-row broadcast of k values, one final 3-group fold — no
+    // window, no join wider than the k table.
+    QuerySpec.sql(
+      "eval_pass_at_k",
+      """WITH pr AS (
+        |  SELECT o_custkey AS problem,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |ks AS (SELECT * FROM (VALUES (1), (3), (5)) t(k)),
+        |p AS (
+        |  SELECT pr.problem, ks.k,
+        |    CASE WHEN pr.c = 0 THEN CAST(0 AS BIGINT)
+        |      WHEN pr.n - pr.c < ks.k THEN CAST(1000000 AS BIGINT)
+        |      ELSE CAST(1000000 -
+        |        list_reduce(list_transform(range(0, ks.k),
+        |          i -> CAST(pr.n - pr.c - i AS HUGEINT)),
+        |          (a, b) -> a * b) * 1000000
+        |        // list_reduce(list_transform(range(0, ks.k),
+        |          i -> CAST(pr.n - i AS HUGEINT)), (a, b) -> a * b)
+        |        AS BIGINT)
+        |    END AS pass_ppm
+        |  FROM pr CROSS JOIN ks)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  CAST(COUNT(*) AS BIGINT) AS n_problems,
+        |  CAST(SUM(CASE WHEN pass_ppm = 1000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_certain,
+        |  CAST(SUM(CASE WHEN pass_ppm = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_zero,
+        |  CAST(SUM(pass_ppm) // COUNT(*) AS BIGINT) AS mean_pass_ppm
+        |FROM p GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+      val pr = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey").as("problem"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("c"))
+      val ks = s.range(1)
+        .select(explode(array(lit(1), lit(3), lit(5))).as("k"))
+      pr.crossJoin(broadcast(ks))
+        .withColumn("pass_ppm", expr(
+          """CASE WHEN c = 0 THEN CAST(0 AS BIGINT)
+            |  WHEN n - c < k THEN CAST(1000000 AS BIGINT)
+            |  ELSE CAST(1000000 -
+            |    aggregate(sequence(0, k - 1),
+            |      CAST(1 AS DECIMAL(38,0)),
+            |      (acc, i) -> acc * (n - c - i)) * 1000000
+            |    div aggregate(sequence(0, k - 1),
+            |      CAST(1 AS DECIMAL(38,0)),
+            |      (acc, i) -> acc * (n - i))
+            |    AS BIGINT)
+            |END""".stripMargin))
+        .groupBy(col("k").cast("long").as("k"))
+        .agg(count(lit(1)).as("n_problems"),
+          sum(when(col("pass_ppm") === 1000000L, 1L).otherwise(0L))
+            .as("n_certain"),
+          sum(when(col("pass_ppm") === 0L, 1L).otherwise(0L))
+            .as("n_zero"),
+          expr("CAST(SUM(pass_ppm) div COUNT(*) AS BIGINT)")
+            .as("mean_pass_ppm"))
+        .orderBy(col("k"))
+    },
+
+    // Cochran–Mantel–Haenszel test: is the exposure→outcome
+    // association (BUILDING-segment customer → finished order) real
+    // once the order-priority strata are controlled for? The
+    // stratified companion to stats_chi2_indep — THE guard against
+    // Simpson's-paradox conclusions in any segmented funnel readout.
+    // Per stratum: a = exposed∧outcome count, E and Var from the
+    // hypergeometric null; the statistic ((|ΣA−ΣE|−½)²/ΣV, continuity
+    // corrected) is folded entirely in ppm integers. The Var product
+    // n1(n−n1)m1(n−m1)·10⁶/(n²(n−1)) is divided in TWO steps (by n,
+    // then by n(n−1)) with the identical op order in both engines —
+    // each step stays under DECIMAL(38,0)/HUGEINT for strata up to
+    // ~10¹⁰ rows, far past the 100 TB envelope. Plan: one join
+    // orders⋈customer (broadcast-eligible dim), one 5-group fold,
+    // one scalar row.
+    QuerySpec.sql(
+      "stats_cmh",
+      """WITH j AS (
+        |  SELECT o.o_orderpriority AS stratum,
+        |    CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+        |      AS e,
+        |    CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |t AS (
+        |  SELECT stratum,
+        |    CAST(SUM(e * y) AS BIGINT) AS a,
+        |    CAST(SUM(e) AS BIGINT) AS n1,
+        |    CAST(SUM(y) AS BIGINT) AS m1,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM j GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |    CAST(SUM(a) AS BIGINT) AS a_sum,
+        |    CAST(SUM(CAST(n1 AS HUGEINT) * m1 * 1000000 // n)
+        |      AS BIGINT) AS e_ppm,
+        |    CAST(SUM(CASE WHEN n > 1 THEN
+        |      (CAST(n1 AS HUGEINT) * (n - n1) * 1000000 // n)
+        |        * (CAST(m1 AS HUGEINT) * (n - m1))
+        |        // (CAST(n AS HUGEINT) * (n - 1))
+        |      ELSE 0 END) AS BIGINT) AS v_ppm
+        |  FROM t)
+        |SELECT n_strata, a_sum, e_ppm, v_ppm,
+        |  CAST(CASE WHEN v_ppm > 0 THEN
+        |    CAST(GREATEST(ABS(a_sum * 1000000 - e_ppm) - 500000, 0)
+        |      AS HUGEINT)
+        |    * GREATEST(ABS(a_sum * 1000000 - e_ppm) - 500000, 0)
+        |    // v_ppm END AS BIGINT) AS x2_micros,
+        |  CASE WHEN v_ppm > 0 THEN
+        |    CASE WHEN CAST(GREATEST(ABS(a_sum * 1000000 - e_ppm)
+        |          - 500000, 0) AS HUGEINT)
+        |        * GREATEST(ABS(a_sum * 1000000 - e_ppm) - 500000, 0)
+        |        // v_ppm > 3841459
+        |      THEN 'associated' ELSE 'independent' END
+        |  END AS verdict
+        |FROM s""".stripMargin) { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val j = Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"))),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderpriority").as("stratum"),
+          when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+            .as("e"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L)
+            .as("y"))
+      val t = j.groupBy(col("stratum"))
+        .agg(sum(col("e") * col("y")).as("a"),
+          sum(col("e")).as("n1"), sum(col("y")).as("m1"),
+          count(lit(1)).as("n"))
+      t.agg(count(lit(1)).as("n_strata"),
+          sum(col("a")).cast("long").as("a_sum"),
+          sum(expr("CAST(n1 AS DECIMAL(38,0)) * m1 * 1000000 div n"))
+            .cast("long").as("e_ppm"),
+          sum(expr(
+            """CASE WHEN n > 1 THEN
+              |  (CAST(n1 AS DECIMAL(38,0)) * (n - n1) * 1000000
+              |    div n)
+              |  * (CAST(m1 AS DECIMAL(38,0)) * (n - m1))
+              |  div (CAST(n AS DECIMAL(38,0)) * (n - 1))
+              |ELSE CAST(0 AS BIGINT) END""".stripMargin))
+            .cast("long").as("v_ppm"))
+        .select(col("n_strata"), col("a_sum"), col("e_ppm"),
+          col("v_ppm"),
+          expr("CAST(CASE WHEN v_ppm > 0 THEN " +
+            "CAST(GREATEST(ABS(a_sum * 1000000 - e_ppm) - 500000, 0)" +
+            " AS DECIMAL(38,0))" +
+            " * GREATEST(ABS(a_sum * 1000000 - e_ppm) - 500000, 0)" +
+            " div v_ppm END AS BIGINT)").as("x2_micros"),
+          expr("CASE WHEN v_ppm > 0 THEN CASE WHEN " +
+            "CAST(GREATEST(ABS(a_sum * 1000000 - e_ppm) - 500000, 0)" +
+            " AS DECIMAL(38,0))" +
+            " * GREATEST(ABS(a_sum * 1000000 - e_ppm) - 500000, 0)" +
+            " div v_ppm > 3841459 THEN 'associated' " +
+            "ELSE 'independent' END END").as("verdict"))
+    },
+
+    // Page–Hinkley drift monitor with a STEP-RESPONSE calibration —
+    // the sequential change-of-mean detector (Page 1954, the PH test
+    // every streaming drift library ships next to CUSUM): M_t
+    // accumulates each observation's deviation from the RUNNING mean
+    // and alarms when M_t climbs λ above its own running minimum.
+    // Each daily-count series is monitored twice: `raw` (stationary —
+    // must NOT alarm) and `step` (counts doubled from mid-window — a
+    // +100% mean shift the detector MUST catch), the calibration
+    // harness a production monitor owes its operators. λ = 3.5× the
+    // series mean is scale-free and sits in the measured gap (raw
+    // ph/mean ≤ 2.93, step ≥ 4.15 across all three SFs). Exact in
+    // ppm: the running mean is the prefix-sum // row-number
+    // truncation shared verbatim with the oracle, so M, its running
+    // min, the PH gap, and λ are all integers. Plan: three
+    // (series,variant)-partitioned windows over the calendar-bounded
+    // daily frame — no global window, no join wider than the 10-row
+    // λ table.
+    QuerySpec.sql(
+      "ts_page_hinkley",
+      """WITH cnts AS (
+        |  SELECT event_type AS series,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT series, 'raw' AS variant, day, x FROM cnts
+        |  UNION ALL
+        |  SELECT series, 'step', day,
+        |    CASE WHEN day >= DATE '2024-01-16' THEN 2 * x ELSE x END
+        |  FROM cnts),
+        |o AS (
+        |  SELECT series, variant, day, x,
+        |    CAST(SUM(x) OVER (PARTITION BY series, variant
+        |      ORDER BY day) AS BIGINT) AS sx,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY series, variant
+        |      ORDER BY day) AS BIGINT) AS i
+        |  FROM v),
+        |d AS (
+        |  SELECT series, variant, day,
+        |    x * 1000000 - sx * 1000000 // i AS dev
+        |  FROM o),
+        |m AS (
+        |  SELECT series, variant, day,
+        |    CAST(SUM(dev) OVER (PARTITION BY series, variant
+        |      ORDER BY day) AS BIGINT) AS mt
+        |  FROM d),
+        |ph AS (
+        |  SELECT series, variant, day,
+        |    CAST(mt - MIN(mt) OVER (PARTITION BY series, variant
+        |      ORDER BY day) AS BIGINT) AS ph
+        |  FROM m),
+        |lam AS (
+        |  SELECT series, variant,
+        |    CAST(7 * (SUM(x) * 1000000 // COUNT(*)) // 2 AS BIGINT)
+        |      AS lambda_ppm
+        |  FROM v GROUP BY 1, 2)
+        |SELECT ph.series AS series, ph.variant AS variant,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(MAX(ph.ph) AS BIGINT) AS ph_max_ppm,
+        |  MAX(lam.lambda_ppm) AS lambda_ppm,
+        |  MIN(CASE WHEN ph.ph > lam.lambda_ppm THEN ph.day END)
+        |    AS alarm_day,
+        |  CAST(CASE WHEN MAX(ph.ph) > MAX(lam.lambda_ppm)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alarmed
+        |FROM ph JOIN lam
+        |  ON lam.series = ph.series AND lam.variant = ph.variant
+        |GROUP BY 1, 2
+        |ORDER BY series, variant""".stripMargin) { (s, dir) =>
+      val cnts = events(s, dir)
+        .groupBy(col("event_type").as("series"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("x"))
+      val v = cnts.select(col("series"), lit("raw").as("variant"),
+          col("day"), col("x"))
+        .unionByName(cnts.select(col("series"),
+          lit("step").as("variant"), col("day"),
+          when(col("day") >= lit("2024-01-16").cast("date"),
+            lit(2L) * col("x")).otherwise(col("x")).as("x")))
+      val w = Window.partitionBy(col("series"), col("variant"))
+        .orderBy(col("day"))
+      val ph = v
+        .select(col("series"), col("variant"), col("day"),
+          (col("x") * lit(1000000L)).as("xp"),
+          sum(col("x")).over(w).cast("long").as("sx"),
+          row_number().over(w).cast("long").as("i"))
+        .select(col("series"), col("variant"), col("day"),
+          (col("xp") - expr("sx * 1000000 div i")).as("dev"))
+        .select(col("series"), col("variant"), col("day"),
+          sum(col("dev")).over(w).cast("long").as("mt"))
+        .select(col("series"), col("variant"), col("day"),
+          (col("mt") - min(col("mt")).over(w)).cast("long").as("ph"))
+      val lam = v.groupBy(col("series"), col("variant"))
+        .agg(expr("CAST(7 * (SUM(x) * 1000000 div COUNT(*)) div 2 " +
+          "AS BIGINT)").as("lambda_ppm"))
+      ph.join(lam, Seq("series", "variant"))
+        .groupBy(col("series"), col("variant"))
+        .agg(count(lit(1)).as("n_days"),
+          max(col("ph")).cast("long").as("ph_max_ppm"),
+          max(col("lambda_ppm")).as("lambda_ppm"),
+          min(when(col("ph") > col("lambda_ppm"), col("day")))
+            .as("alarm_day"),
+          expr("CAST(CASE WHEN MAX(ph) > MAX(lambda_ppm) " +
+            "THEN 1 ELSE 0 END AS BIGINT)").as("alarmed"))
+        .orderBy(col("series"), col("variant"))
     })
 }
