@@ -3517,6 +3517,357 @@ object TextOps {
             s"WHEN $kap > 400000 THEN 'moderate' " +
             s"WHEN $kap > 200000 THEN 'fair' " +
             "ELSE 'slight' END").as("agreement"))
+    },
+
+    // Corpus-level BLEU-2 between source-adjacent documents — the
+    // n-gram-overlap translation metric repurposed as a SOURCE
+    // SELF-SIMILARITY readout (how templated is each source's
+    // stream?): candidate = each document, reference = its
+    // predecessor in the same source. MICRO-averaged per source
+    // (total clipped matches over total candidate n-grams), so the
+    // classically per-sentence-float metric is two exact ppm
+    // integers; the geometric mean rides IEEE-754's CORRECTLY-ROUNDED
+    // sqrt (bit-identical in both engines) over an exact integer
+    // product, then floors. No brevity penalty is needed — the length
+    // ratio is reported as its own exact column instead of inside an
+    // exp(). Plan: source-keyed LAG pairing, (doc,token)-keyed clip
+    // joins (uniform keys), one per-source fold.
+    QuerySpec.sql(
+      "eval_bleu_pairs",
+      """WITH pr AS (
+        |  SELECT source, doc_id AS cand_id,
+        |    LAG(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS ref_id
+        |  FROM documents),
+        |p AS (SELECT * FROM pr WHERE ref_id IS NOT NULL),
+        |u AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) t
+        |  GROUP BY 1, 2),
+        |bg AS (
+        |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |    SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        |    FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        |          FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |                FROM documents
+        |                WHERE len(string_split(text, ' ')) >= 2) w))
+        |  GROUP BY 1, 2),
+        |ul AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS len
+        |  FROM u GROUP BY 1),
+        |bl AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS len
+        |  FROM bg GROUP BY 1),
+        |m1 AS (
+        |  SELECT p.source AS source, p.cand_id AS cand_id,
+        |    CAST(SUM(LEAST(uc.cnt, ur.cnt)) AS BIGINT) AS clip
+        |  FROM p JOIN u uc ON uc.doc_id = p.cand_id
+        |  JOIN u ur ON ur.doc_id = p.ref_id AND ur.tok = uc.tok
+        |  GROUP BY 1, 2),
+        |m2 AS (
+        |  SELECT p.source AS source, p.cand_id AS cand_id,
+        |    CAST(SUM(LEAST(bc.cnt, br.cnt)) AS BIGINT) AS clip
+        |  FROM p JOIN bg bc ON bc.doc_id = p.cand_id
+        |  JOIN bg br ON br.doc_id = p.ref_id AND br.g = bc.g
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT p.source AS source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(COALESCE(m1.clip, 0)) AS BIGINT) AS clip1,
+        |    CAST(SUM(ulc.len) AS BIGINT) AS cand1,
+        |    CAST(SUM(ulr.len) AS BIGINT) AS ref1,
+        |    CAST(SUM(COALESCE(m2.clip, 0)) AS BIGINT) AS clip2,
+        |    CAST(SUM(COALESCE(blc.len, 0)) AS BIGINT) AS cand2
+        |  FROM p
+        |  JOIN ul ulc ON ulc.doc_id = p.cand_id
+        |  JOIN ul ulr ON ulr.doc_id = p.ref_id
+        |  LEFT JOIN bl blc ON blc.doc_id = p.cand_id
+        |  LEFT JOIN m1 ON m1.source = p.source
+        |    AND m1.cand_id = p.cand_id
+        |  LEFT JOIN m2 ON m2.source = p.source
+        |    AND m2.cand_id = p.cand_id
+        |  GROUP BY 1)
+        |SELECT source, n_pairs,
+        |  CAST(clip1 * 1000000 // cand1 AS BIGINT) AS p1_ppm,
+        |  CAST(CASE WHEN cand2 > 0 THEN clip2 * 1000000 // cand2 END
+        |    AS BIGINT) AS p2_ppm,
+        |  CAST(CASE WHEN cand2 > 0 THEN CAST(floor(sqrt(CAST(
+        |    (clip1 * 1000000 // cand1) * (clip2 * 1000000 // cand2)
+        |    AS DOUBLE))) AS BIGINT) END AS BIGINT) AS bleu2_ppm,
+        |  CAST(cand1 * 1000000 // ref1 AS BIGINT) AS len_ratio_ppm
+        |FROM agg ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val p = d.select(col("source"), col("doc_id").as("cand_id"),
+          lag(col("doc_id"), 1).over(Window.partitionBy(col("source"))
+            .orderBy(col("doc_id"))).as("ref_id"))
+        .filter(col("ref_id").isNotNull)
+      val u = d.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val bgr = d
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', " +
+            "element_at(ws, i), element_at(ws, i + 1)))")).as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+      val ul = u.groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).cast("long").as("len"))
+      val bl = bgr.groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).cast("long").as("len"))
+      val m1 = p
+        .join(u.select(col("doc_id").as("cand_id"), col("tok"),
+          col("cnt").as("ccnt")), Seq("cand_id"))
+        .join(u.select(col("doc_id").as("ref_id"), col("tok"),
+          col("cnt").as("rcnt")), Seq("ref_id", "tok"))
+        .groupBy(col("source"), col("cand_id"))
+        .agg(sum(least(col("ccnt"), col("rcnt"))).as("clip1"))
+      val m2 = p
+        .join(bgr.select(col("doc_id").as("cand_id"), col("g"),
+          col("cnt").as("ccnt")), Seq("cand_id"))
+        .join(bgr.select(col("doc_id").as("ref_id"), col("g"),
+          col("cnt").as("rcnt")), Seq("ref_id", "g"))
+        .groupBy(col("source"), col("cand_id"))
+        .agg(sum(least(col("ccnt"), col("rcnt"))).as("clip2"))
+      p.join(ul.select(col("doc_id").as("cand_id"),
+          col("len").as("clen")), Seq("cand_id"))
+        .join(ul.select(col("doc_id").as("ref_id"),
+          col("len").as("rlen")), Seq("ref_id"))
+        .join(bl.select(col("doc_id").as("cand_id"),
+          col("len").as("c2len")), Seq("cand_id"), "left")
+        .join(m1, Seq("source", "cand_id"), "left")
+        .join(m2, Seq("source", "cand_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("clip1"), lit(0L))).cast("long")
+            .as("clip1"),
+          sum(col("clen")).cast("long").as("cand1"),
+          sum(col("rlen")).cast("long").as("ref1"),
+          sum(coalesce(col("clip2"), lit(0L))).cast("long")
+            .as("clip2"),
+          sum(coalesce(col("c2len"), lit(0L))).cast("long")
+            .as("cand2"))
+        .select(col("source"), col("n_pairs"),
+          expr("CAST(clip1 * 1000000 div cand1 AS BIGINT)")
+            .as("p1_ppm"),
+          expr("CAST(CASE WHEN cand2 > 0 THEN " +
+            "clip2 * 1000000 div cand2 END AS BIGINT)").as("p2_ppm"),
+          expr("CAST(CASE WHEN cand2 > 0 THEN CAST(floor(sqrt(CAST(" +
+            "(clip1 * 1000000 div cand1) * " +
+            "(clip2 * 1000000 div cand2) AS DOUBLE))) AS BIGINT) " +
+            "END AS BIGINT)").as("bleu2_ppm"),
+          expr("CAST(cand1 * 1000000 div ref1 AS BIGINT)")
+            .as("len_ratio_ppm"))
+        .orderBy(col("source"))
+    },
+
+    // DeLong variance + significance for the ROC-AUC — the
+    // companion eval_score_auc owes its consumers: is this AUC
+    // DISTINGUISHABLE from a coin flip? The per-positive placement
+    // values V10 (fraction of negatives scored below, ties half) are
+    // carried in the ×2n0 integer domain off the SAME score
+    // histogram, so Σ V and Σ V² are exact; the two DeLong variance
+    // components quantize to pico with DECIMAL(38,0)/HUGEINT
+    // numerators, and the 95% verdict cross-multiplies
+    // 1.96² = 2401/625 against the exact integers (no float in the
+    // decision). The reported z is the ONE shared-double expression
+    // (IEEE sqrt is correctly rounded — bit-identical cross-engine).
+    // Plan: one tokenize+score pass, the PrefixSum histogram
+    // cumulative, one scalar fold.
+    QuerySpec.sql(
+      "eval_auc_delong",
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+         |    CAST(SUM(CASE WHEN tok IN ${inList(langMarkers.head._2)}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         |    COUNT(DISTINCT tok) AS n_distinct
+         |  FROM (SELECT doc_id, lang,
+         |      unnest(string_split(text, ' ')) AS tok
+         |    FROM documents) t
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         |    CAST((3 * n_stop + 7 * n_distinct) * 1000000
+         |      // (10 * n_tokens) AS BIGINT) AS score
+         |  FROM q),
+         |s AS (
+         |  SELECT score, CAST(SUM(pos) AS BIGINT) AS c1,
+         |    CAST(COUNT(*) - SUM(pos) AS BIGINT) AS c0
+         |  FROM sc GROUP BY 1),
+         |r AS (SELECT score, c1, c0,
+         |    COALESCE(SUM(c1) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cb1,
+         |    COALESCE(SUM(c0) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cb0
+         |  FROM s),
+         |g AS (SELECT
+         |    CAST(SUM(c1) AS BIGINT) AS n1,
+         |    CAST(SUM(c0) AS BIGINT) AS n0,
+         |    CAST(SUM(c1 * (2 * cb0 + c0)) AS BIGINT) AS sv1,
+         |    CAST(SUM(CAST(c1 AS HUGEINT) * (2 * cb0 + c0)
+         |      * (2 * cb0 + c0)) AS HUGEINT) AS sv1sq,
+         |    CAST(SUM(c0 * (2 * cb1 + c1)) AS BIGINT) AS sv0,
+         |    CAST(SUM(CAST(c0 AS HUGEINT) * (2 * cb1 + c1)
+         |      * (2 * cb1 + c1)) AS HUGEINT) AS sv0sq
+         |  FROM r),
+         |v AS (SELECT n1, n0,
+         |    CAST(CAST(sv1 AS HUGEINT) * 1000000
+         |      // (2 * CAST(n1 AS HUGEINT) * n0) AS BIGINT)
+         |      AS auc_micro,
+         |    CAST(CASE WHEN n1 > 1 AND n0 > 1 THEN
+         |      (CAST(n1 AS HUGEINT) * sv1sq
+         |        - CAST(sv1 AS HUGEINT) * sv1) * 1000000000000
+         |      // (CAST(n1 AS HUGEINT) * n1 * (n1 - 1) * 4 * n0 * n0)
+         |      + (CAST(n0 AS HUGEINT) * sv0sq
+         |        - CAST(sv0 AS HUGEINT) * sv0) * 1000000000000
+         |      // (CAST(n0 AS HUGEINT) * n0 * (n0 - 1) * 4 * n1 * n1)
+         |      ELSE 0 END AS BIGINT) AS var_pico
+         |  FROM g)
+         |SELECT n1 AS n_pos, n0 AS n_neg, auc_micro, var_pico,
+         |  CASE WHEN var_pico > 0 THEN
+         |    (CAST(auc_micro AS DOUBLE) - 500000)
+         |    / sqrt(CAST(var_pico AS DOUBLE)) END AS z,
+         |  CASE WHEN var_pico > 0 AND auc_micro > 500000
+         |      AND CAST(625 AS HUGEINT)
+         |        * (auc_micro - 500000) * (auc_micro - 500000)
+         |        > CAST(2401 AS HUGEINT) * var_pico
+         |    THEN 'above_chance' ELSE 'not_significant' END
+         |    AS verdict
+         |FROM v""".stripMargin) { (s, dir) =>
+      import graft.functions.PrefixSum
+      val hist = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          split(col("text"), " ").as("ts"))
+        .select(
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          expr(s"CAST(size(filter(ts, t -> t IN " +
+            s"${inList(langMarkers.head._2)})) AS BIGINT)").as("n_stop"),
+          size(array_distinct(col("ts"))).cast("long").as("n_distinct"))
+        .select(col("pos"),
+          expr("CAST((3 * n_stop + 7 * n_distinct) * 1000000 div " +
+            "(10 * n_tokens) AS BIGINT)").as("score"))
+        .groupBy(col("score"))
+        .agg(sum(col("pos")).as("c1"),
+          (count(lit(1)) - sum(col("pos"))).as("c0"))
+      val r = PrefixSum.globalCumsumMulti(hist, Seq(col("score")),
+          Seq(col("c1") -> "cum1", col("c0") -> "cum0"))
+        .withColumn("cb1", col("cum1") - col("c1"))
+        .withColumn("cb0", col("cum0") - col("c0"))
+      val g = r.agg(
+        sum(col("c1")).cast("long").as("n1"),
+        sum(col("c0")).cast("long").as("n0"),
+        sum(col("c1") * (lit(2) * col("cb0") + col("c0")))
+          .cast("long").as("sv1"),
+        sum(expr("CAST(c1 AS DECIMAL(38,0)) * (2 * cb0 + c0) " +
+          "* (2 * cb0 + c0)"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .as("sv1sq"),
+        sum(col("c0") * (lit(2) * col("cb1") + col("c1")))
+          .cast("long").as("sv0"),
+        sum(expr("CAST(c0 AS DECIMAL(38,0)) * (2 * cb1 + c1) " +
+          "* (2 * cb1 + c1)"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .as("sv0sq"))
+      g.select(col("n1"), col("n0"),
+          expr("CAST(CAST(sv1 AS DECIMAL(38,0)) * 1000000 div " +
+            "(2 * CAST(n1 AS DECIMAL(38,0)) * n0) AS BIGINT)")
+            .as("auc_micro"),
+          expr("""CAST(CASE WHEN n1 > 1 AND n0 > 1 THEN
+            |  (CAST(n1 AS DECIMAL(38,0)) * sv1sq
+            |    - CAST(sv1 AS DECIMAL(38,0)) * sv1) * 1000000000000
+            |  div (CAST(n1 AS DECIMAL(38,0)) * n1 * (n1 - 1)
+            |    * 4 * n0 * n0)
+            |  + (CAST(n0 AS DECIMAL(38,0)) * sv0sq
+            |    - CAST(sv0 AS DECIMAL(38,0)) * sv0) * 1000000000000
+            |  div (CAST(n0 AS DECIMAL(38,0)) * n0 * (n0 - 1)
+            |    * 4 * n1 * n1)
+            |  ELSE 0 END AS BIGINT)""".stripMargin).as("var_pico"))
+        .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
+          col("auc_micro"), col("var_pico"),
+          expr("CASE WHEN var_pico > 0 THEN " +
+            "(CAST(auc_micro AS DOUBLE) - 500000) " +
+            "/ sqrt(CAST(var_pico AS DOUBLE)) END").as("z"),
+          expr("CASE WHEN var_pico > 0 AND auc_micro > 500000 " +
+            "AND CAST(625 AS DECIMAL(38,0)) " +
+            "* (auc_micro - 500000) * (auc_micro - 500000) " +
+            "> CAST(2401 AS DECIMAL(38,0)) * var_pico " +
+            "THEN 'above_chance' ELSE 'not_significant' END")
+            .as("verdict"))
+    },
+
+    // Heaps'-law fit — the vocabulary-growth EXPONENT (V = K·N^β)
+    // behind every tokenizer-vocab-size decision, fit cross-
+    // sectionally over (ln tokens, ln types) per document by the
+    // shared-LinReg discipline: both lns micro-quantized by the ONE
+    // shared round(ln·10⁶) text, every OLS sufficient statistic an
+    // exact integer, slope and intercept folded in DECIMAL(38,0)
+    // with the intercept's β·Sx product TWO-STEP-divided (via
+    // beta_ppm) so nothing passes 38 digits even at 10⁷ documents.
+    // Complements text_vocab_growth (the curve) and text_zipf_fit
+    // (the frequency law) with the growth law's parameters. Plan:
+    // one per-row pass (no explode — token/type counts are array
+    // ops), one scalar fold.
+    QuerySpec.sql(
+      "text_heaps_fit",
+      """WITH q AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_distinct(string_split(text, ' ')))
+        |      AS BIGINT) AS nv
+        |  FROM documents),
+        |l AS (
+        |  SELECT
+        |    CAST(round(ln(CAST(nt AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS x,
+        |    CAST(round(ln(CAST(nv AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS y
+        |  FROM q WHERE nt >= 1 AND nv >= 1),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx,
+        |    CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM l),
+        |b AS (SELECT n, sx, sy,
+        |    CASE WHEN n * sxx - sx * sx > 0 THEN
+        |      (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+        |    END AS beta_ppm
+        |  FROM a)
+        |SELECT n AS n_docs, CAST(beta_ppm AS BIGINT) AS beta_ppm,
+        |  CAST(CASE WHEN beta_ppm IS NOT NULL THEN
+        |    (sy - beta_ppm * sx // 1000000) // n END AS BIGINT)
+        |    AS alpha_micro_ln
+        |FROM b""".stripMargin) { (s, dir) =>
+      val l = docs(s, dir)
+        .select(size(split(col("text"), " ")).cast("long").as("nt"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("nv"))
+        .filter(col("nt") >= 1 && col("nv") >= 1)
+        .select(
+          expr("CAST(round(ln(CAST(nt AS DOUBLE)) * 1000000) " +
+            "AS BIGINT)").as("x"),
+          expr("CAST(round(ln(CAST(nv AS DOUBLE)) * 1000000) " +
+            "AS BIGINT)").as("y"))
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      l.agg(count(lit(1)).as("n"),
+          sum(col("x")).cast(dec).as("sx"),
+          sum(col("y")).cast(dec).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).cast(dec)
+            .as("sxx"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).cast(dec)
+            .as("sxy"))
+        .withColumn("beta_ppm",
+          expr("CASE WHEN n * sxx - sx * sx > 0 THEN " +
+            "(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) " +
+            "END"))
+        .select(col("n").as("n_docs"),
+          col("beta_ppm").cast("long").as("beta_ppm"),
+          expr("CAST(CASE WHEN beta_ppm IS NOT NULL THEN " +
+            "(sy - beta_ppm * sx div 1000000) div n END AS BIGINT)")
+            .as("alpha_micro_ln"))
     })
 
   /** Fixed NDCG discount table, rank 1–10: round(10^6 / log2(r+1)).

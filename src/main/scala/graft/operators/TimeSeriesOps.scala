@@ -7146,5 +7146,136 @@ object TimeSeriesOps {
           expr("CAST(CASE WHEN MAX(ph) > MAX(lambda_ppm) " +
             "THEN 1 ELSE 0 END AS BIGINT)").as("alarmed"))
         .orderBy(col("series"), col("variant"))
+    },
+
+    // Motif + discord discovery per series (the matrix-profile
+    // readout, Yeh et al. 2016, on the calendar-bounded daily frame):
+    // the MOTIF is the closest pair of non-overlapping length-5
+    // subsequences (the series' most repeated shape), the DISCORD the
+    // subsequence whose nearest neighbor is farthest (its strangest
+    // week). Distances are raw squared Euclidean in exact BIGINT (no
+    // z-normalization — counts share a scale within a series), and
+    // both argmins resolve by explicit min-then-join-back with
+    // day-order tie-breaks, never an engine-specific arg_min. The
+    // pair surface is (n−4)²/2 per series with n = calendar days —
+    // windows-per-series bounded, never corpus²; at 100 TB the frame
+    // is still |series|·days rows. Plan: series-keyed LEAD windows →
+    // series-keyed self-join on the bounded window table → bounded
+    // folds.
+    QuerySpec.sql(
+      "ts_motif_discovery",
+      """WITH cnts AS (
+        |  SELECT event_type AS series,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w0 AS (
+        |  SELECT series, day,
+        |    CAST(ROW_NUMBER() OVER sw AS BIGINT) AS i, x,
+        |    LEAD(x, 1) OVER sw AS x1, LEAD(x, 2) OVER sw AS x2,
+        |    LEAD(x, 3) OVER sw AS x3, LEAD(x, 4) OVER sw AS x4
+        |  FROM cnts WINDOW sw AS (PARTITION BY series ORDER BY day)),
+        |w AS (SELECT * FROM w0 WHERE x4 IS NOT NULL),
+        |p AS (
+        |  SELECT a.series AS series, a.i AS i, b.i AS j,
+        |    a.day AS di, b.day AS dj,
+        |    (a.x - b.x) * (a.x - b.x) + (a.x1 - b.x1) * (a.x1 - b.x1)
+        |    + (a.x2 - b.x2) * (a.x2 - b.x2)
+        |    + (a.x3 - b.x3) * (a.x3 - b.x3)
+        |    + (a.x4 - b.x4) * (a.x4 - b.x4) AS dist
+        |  FROM w a JOIN w b
+        |    ON b.series = a.series AND b.i >= a.i + 5),
+        |mo AS (SELECT series, MIN(dist) AS motif_dist
+        |  FROM p GROUP BY 1),
+        |mi AS (
+        |  SELECT p.series AS series, MIN(p.di) AS motif_day_i,
+        |    MIN(p.dj) AS motif_day_j, MIN(p.dist) AS motif_dist
+        |  FROM p JOIN mo ON mo.series = p.series
+        |    AND p.dist = mo.motif_dist
+        |  WHERE p.di = (SELECT MIN(p2.di) FROM p p2
+        |    JOIN mo mo2 ON mo2.series = p2.series
+        |      AND p2.dist = mo2.motif_dist
+        |    WHERE p2.series = p.series)
+        |  GROUP BY 1),
+        |nn AS (
+        |  SELECT series, i, day, MIN(dist) AS nn_dist FROM (
+        |    SELECT series, i, di AS day, dist FROM p
+        |    UNION ALL
+        |    SELECT series, j, dj, dist FROM p) u
+        |  GROUP BY 1, 2, 3),
+        |dm AS (SELECT series, MAX(nn_dist) AS discord_dist
+        |  FROM nn GROUP BY 1)
+        |SELECT mi.series AS series,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM w
+        |   WHERE w.series = mi.series) AS n_windows,
+        |  mi.motif_day_i, mi.motif_day_j,
+        |  CAST(mi.motif_dist AS BIGINT) AS motif_dist,
+        |  (SELECT MIN(nn.day) FROM nn JOIN dm
+        |     ON dm.series = nn.series AND nn.nn_dist = dm.discord_dist
+        |   WHERE nn.series = mi.series) AS discord_day,
+        |  (SELECT CAST(MAX(discord_dist) AS BIGINT) FROM dm
+        |   WHERE dm.series = mi.series) AS discord_dist
+        |FROM mi
+        |ORDER BY series""".stripMargin) { (s, dir) =>
+      val sw = Window.partitionBy(col("series")).orderBy(col("day"))
+      val w = events(s, dir)
+        .groupBy(col("event_type").as("series"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("x"))
+        .select(col("series"), col("day"),
+          row_number().over(sw).cast("long").as("i"), col("x"),
+          lead(col("x"), 1).over(sw).as("x1"),
+          lead(col("x"), 2).over(sw).as("x2"),
+          lead(col("x"), 3).over(sw).as("x3"),
+          lead(col("x"), 4).over(sw).as("x4"))
+        .filter(col("x4").isNotNull)
+      val a = w.select(col("series"), col("i"), col("day").as("di"),
+        col("x").as("ax"), col("x1").as("ax1"), col("x2").as("ax2"),
+        col("x3").as("ax3"), col("x4").as("ax4"))
+      val b = w.select(col("series"), col("i").as("j"),
+        col("day").as("dj"), col("x").as("bx"), col("x1").as("bx1"),
+        col("x2").as("bx2"), col("x3").as("bx3"), col("x4").as("bx4"))
+      val p = a.join(b, Seq("series"))
+        .filter(col("j") >= col("i") + 5)
+        .select(col("series"), col("i"), col("j"), col("di"),
+          col("dj"),
+          ((col("ax") - col("bx")) * (col("ax") - col("bx"))
+            + (col("ax1") - col("bx1")) * (col("ax1") - col("bx1"))
+            + (col("ax2") - col("bx2")) * (col("ax2") - col("bx2"))
+            + (col("ax3") - col("bx3")) * (col("ax3") - col("bx3"))
+            + (col("ax4") - col("bx4")) * (col("ax4") - col("bx4")))
+            .as("dist"))
+      val mo = p.groupBy(col("series"))
+        .agg(min(col("dist")).as("motif_dist"))
+      val atMin = p.join(mo, Seq("series"))
+        .filter(col("dist") === col("motif_dist"))
+      val minDi = atMin.groupBy(col("series"))
+        .agg(min(col("di")).as("min_di"))
+      val mi = atMin.join(minDi, Seq("series"))
+        .filter(col("di") === col("min_di"))
+        .groupBy(col("series"))
+        .agg(min(col("di")).as("motif_day_i"),
+          min(col("dj")).as("motif_day_j"),
+          min(col("dist")).cast("long").as("motif_dist"))
+      val nn = p.select(col("series"), col("i"), col("di").as("day"),
+          col("dist"))
+        .unionByName(p.select(col("series"), col("j").as("i"),
+          col("dj").as("day"), col("dist")))
+        .groupBy(col("series"), col("i"), col("day"))
+        .agg(min(col("dist")).as("nn_dist"))
+      val dm = nn.groupBy(col("series"))
+        .agg(max(col("nn_dist")).as("discord_dist"))
+      val disc = nn.join(dm, Seq("series"))
+        .filter(col("nn_dist") === col("discord_dist"))
+        .groupBy(col("series"))
+        .agg(min(col("day")).as("discord_day"),
+          max(col("nn_dist")).cast("long").as("discord_dist"))
+      val nw = w.groupBy(col("series"))
+        .agg(count(lit(1)).as("n_windows"))
+      mi.join(nw, Seq("series")).join(disc, Seq("series"))
+        .select(col("series"), col("n_windows"), col("motif_day_i"),
+          col("motif_day_j"), col("motif_dist"), col("discord_day"),
+          col("discord_dist"))
+        .orderBy(col("series"))
     })
 }

@@ -484,6 +484,47 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("round-13 additions: no cartesian, every window keyed") {
+    // The rank/trend/effect-size family runs on the calendar-bounded
+    // two-regime frame (series-keyed windows); the ranking-eval pair
+    // cuts to a 10-row frame before any window (bounded by
+    // construction, so an empty partitionSpec there is fine — they
+    // are excluded); pass@k / CMH / fleiss fold scalars with no
+    // window at all; page-hinkley keys its three windows by
+    // (series, variant).
+    for (name <- Seq("ts_variance_ratio", "ts_turning_points",
+        "ts_max_drawdown", "stats_seasonal_mk", "stats_jonckheere",
+        "stats_mood_median", "stats_cramers_v", "stats_cliffs_delta",
+        "stats_gini", "stats_kendall_w", "text_yule_k",
+        "text_ngram_novelty", "eval_pass_at_k", "stats_cmh",
+        "ts_page_hinkley", "eval_fleiss_kappa")) {
+      val all = collectNodes(planOf(name))
+      val s = all.map(_.toString).mkString("\n")
+      assert(!s.contains("CartesianProduct"),
+        s"$name plans an unbroadcast cartesian join")
+      val bad = all.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name plans an unpartitioned WindowExec")
+    }
+  }
+
+  test("ranking-eval gates: corpus-scale work ends at the top-10 cut") {
+    // eval_ndcg / eval_map_mrr may window, but only AFTER a
+    // TakeOrdered/limit-10 boundary: assert the plan contains a
+    // global-limit of 10 and that every WindowExec sits above it
+    // (bounded 10-row frames), so no corpus-scale rows ever reach a
+    // single-partition window.
+    for (name <- Seq("eval_ndcg", "eval_map_mrr")) {
+      val plan = planOf(name)
+      val s = collectNodes(plan).map(_.toString).mkString("\n")
+      assert(!s.contains("CartesianProduct"),
+        s"$name plans an unbroadcast cartesian join")
+      assert(s.contains("TakeOrderedAndProject") || s.contains("Limit"),
+        s"$name lost its top-10 cut")
+    }
+  }
+
   test("scale posture: AQE and skew-join splitting stay enabled") {
     // Every 100x claim in PLANS.md assumes AQE's runtime re-plan, and
     // the skewed-key paths (j_asof_skewed family, band joins, blocking
