@@ -7277,5 +7277,311 @@ object TimeSeriesOps {
           col("motif_day_j"), col("motif_dist"), col("discord_day"),
           col("discord_dist"))
         .orderBy(col("series"))
+    },
+
+    // Bradley–Terry arena ratings — rank items from PAIRWISE win
+    // counts (the Chatbot-Arena / LMSYS leaderboard model): each day
+    // is a head-to-head between every pair of event types (higher
+    // daily count wins, ties void), and three Hunter-2004 MM rounds
+    // r_i ← W_i / Σ_j n_ij/(r_i+r_j) are UNROLLED with every rating
+    // micro-quantized and sum-normalized to 5·10⁶ per round — the
+    // same unrolled-rounds discipline as the pagerank/BPE oracles, so
+    // the classically-float fixed point is an exact integer chain in
+    // both engines. The final rank is a count-of-dominators fold (no
+    // window at all). Plan: one daily rollup, a day-keyed k²-bounded
+    // pair join, then three joins over the |items|-row rating table —
+    // everything after the rollup is k-bounded however large the
+    // event log.
+    QuerySpec.sql(
+      "eval_bt_arena", {
+        def round(rin: String, k: Int): String =
+          s"""s$k AS (
+             |  SELECT e.t AS t,
+             |    CAST(SUM(e.n * 1000000000000 // (ra.r + rb.r))
+             |      AS BIGINT) AS s
+             |  FROM e JOIN $rin ra ON ra.t = e.t
+             |  JOIN $rin rb ON rb.t = e.o GROUP BY 1),
+             |r${k}u AS (
+             |  SELECT wt.t AS t, CASE WHEN wt.wins = 0 OR s$k.s = 0
+             |    THEN CAST(1 AS BIGINT)
+             |    ELSE CAST(wt.wins * 1000000000000 // s$k.s AS BIGINT)
+             |    END AS r
+             |  FROM wt JOIN s$k ON s$k.t = wt.t),
+             |r$k AS (
+             |  SELECT t, CAST(r * 5000000 // (SELECT SUM(r) FROM r${k}u)
+             |    AS BIGINT) AS r
+             |  FROM r${k}u)""".stripMargin
+        s"""WITH cnts AS (
+           |  SELECT event_type AS series,
+           |    CAST(date_trunc('day', ts) AS DATE) AS day,
+           |    CAST(COUNT(*) AS BIGINT) AS x
+           |  FROM events GROUP BY 1, 2),
+           |m AS (
+           |  SELECT a.series AS i, b.series AS j,
+           |    CASE WHEN a.x > b.x THEN 1 ELSE 0 END AS wi
+           |  FROM cnts a JOIN cnts b
+           |    ON b.day = a.day AND b.series > a.series
+           |  WHERE a.x <> b.x),
+           |pair AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(wi) AS BIGINT) AS wij
+           |  FROM m GROUP BY 1, 2),
+           |e AS (SELECT i AS t, j AS o, n, wij AS w FROM pair
+           |  UNION ALL SELECT j, i, n, n - wij FROM pair),
+           |wt AS (SELECT t, CAST(SUM(w) AS BIGINT) AS wins,
+           |    CAST(SUM(n) AS BIGINT) AS nm FROM e GROUP BY 1),
+           |r0 AS (SELECT t, CAST(1000000 AS BIGINT) AS r FROM wt),
+           |${round("r0", 1)},
+           |${round("r1", 2)},
+           |${round("r2", 3)}
+           |SELECT wt.t AS event_type, wt.nm AS n_matches, wt.wins,
+           |  r3.r AS bt_rating_micro,
+           |  CAST(1 + (SELECT COUNT(*) FROM r3 o JOIN wt wo
+           |    ON wo.t = o.t
+           |    WHERE o.r > r3.r OR (o.r = r3.r AND o.t < r3.t))
+           |    AS BIGINT) AS rank
+           |FROM wt JOIN r3 ON r3.t = wt.t
+           |ORDER BY event_type""".stripMargin
+      }) { (s, dir) =>
+      val cnts = events(s, dir)
+        .groupBy(col("event_type").as("series"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("x"))
+      val a = cnts.select(col("day"), col("series").as("i"),
+        col("x").as("xa"))
+      val b = cnts.select(col("day"), col("series").as("j"),
+        col("x").as("xb"))
+      val pair = a.join(b, Seq("day"))
+        .filter(col("j") > col("i") && col("xa") =!= col("xb"))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("xa") > col("xb"), 1L).otherwise(0L))
+            .as("wij"))
+      val e = pair.select(col("i").as("t"), col("j").as("o"),
+          col("n"), col("wij").as("w"))
+        .unionByName(pair.select(col("j").as("t"), col("i").as("o"),
+          col("n"), (col("n") - col("wij")).as("w")))
+      // The |items|-row tables iterate 3 MM rounds; without lineage
+      // truncation every later reference re-derives the whole chain
+      // exponentially (measured 26 s at sf0.1) — the k-means/pagerank
+      // Materialize.stable discipline brings it back to the rollup's
+      // cost.
+      val eS = Materialize.stable(e)
+      val wt = Materialize.stable(eS.groupBy(col("t"))
+        .agg(sum(col("w")).cast("long").as("wins"),
+          sum(col("n")).cast("long").as("nm")))
+      var r = wt.select(col("t"), lit(1000000L).as("r"))
+      for (_ <- 1 to 3) {
+        val sK = eS
+          .join(broadcast(r.select(col("t"), col("r").as("rt"))),
+            Seq("t"))
+          .join(broadcast(r.select(col("t").as("o"),
+            col("r").as("ro"))), Seq("o"))
+          .groupBy(col("t"))
+          .agg(sum(expr("n * 1000000000000 div (rt + ro)"))
+            .cast("long").as("s"))
+        val ru = wt.join(sK, Seq("t"))
+          .select(col("t"),
+            expr("CASE WHEN wins = 0 OR s = 0 THEN CAST(1 AS BIGINT)" +
+              " ELSE CAST(wins * 1000000000000 div s AS BIGINT) END")
+              .as("r"))
+        val tot = ru.agg(sum(col("r")).as("rs"))
+        r = Materialize.stable(ru.crossJoin(broadcast(tot))
+          .select(col("t"),
+            expr("CAST(r * 5000000 div rs AS BIGINT)").as("r")))
+      }
+      val dominators = r.select(col("t").as("ot"), col("r").as("or"))
+      val ranked = r.join(dominators,
+          col("or") > col("r") ||
+            (col("or") === col("r") && col("ot") < col("t")), "left")
+        .groupBy(col("t"), col("r"))
+        .agg((lit(1L) + count(col("ot"))).as("rank"))
+      wt.join(ranked, Seq("t"))
+        .select(col("t").as("event_type"), col("nm").as("n_matches"),
+          col("wins"), col("r").as("bt_rating_micro"), col("rank"))
+        .orderBy(col("event_type"))
+    },
+
+    // Permutation entropy per series (Bandt–Pompe 2002) — the
+    // complexity measure that reads a series' DYNAMICS (how varied
+    // are its local up/down shapes) where the value-domain entropies
+    // read its distribution. Each 3-day window maps to its strict
+    // ordinal code (three pairwise comparisons → 3 bits; ties fold to
+    // 0 deterministically in both engines), and H = ln n − Σc·ln c/n
+    // follows the one shared micro-ln discipline (text_entropy_rate's
+    // fold). h_norm_ppm divides by the ln 3! = 1791759 micro literal.
+    // Plan: series-keyed double-LEAD window → 8-ary groupBy →
+    // per-series fold; nothing wider than the daily frame.
+    QuerySpec.sql(
+      "ts_permutation_entropy", {
+        def lnm(e: String) = s"CAST(CAST(ln(CAST($e AS DOUBLE)) " +
+          s"AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+        s"""WITH cnts AS (
+           |  SELECT event_type AS series,
+           |    CAST(date_trunc('day', ts) AS DATE) AS day,
+           |    CAST(COUNT(*) AS BIGINT) AS x
+           |  FROM events GROUP BY 1, 2),
+           |w AS (
+           |  SELECT series, x,
+           |    LEAD(x, 1) OVER sw AS x1, LEAD(x, 2) OVER sw AS x2
+           |  FROM cnts WINDOW sw AS (PARTITION BY series ORDER BY day)),
+           |pat AS (
+           |  SELECT series,
+           |    CAST(CASE WHEN x1 > x THEN 4 ELSE 0 END
+           |      + CASE WHEN x2 > x1 THEN 2 ELSE 0 END
+           |      + CASE WHEN x2 > x THEN 1 ELSE 0 END AS BIGINT)
+           |      AS code
+           |  FROM w WHERE x2 IS NOT NULL),
+           |c AS (SELECT series, code, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM pat GROUP BY 1, 2),
+           |h AS (SELECT series, CAST(SUM(c) AS BIGINT) AS n,
+           |    CAST(COUNT(*) AS BIGINT) AS k,
+           |    CAST(SUM(c * ${lnm("c")}) AS BIGINT) AS s
+           |  FROM c GROUP BY 1),
+           |dm AS (SELECT series, MAX(c) AS mc FROM c GROUP BY 1),
+           |dom AS (SELECT c.series AS series, MIN(c.code) AS dom_code
+           |  FROM c JOIN dm ON dm.series = c.series AND c.c = dm.mc
+           |  GROUP BY 1)
+           |SELECT h.series AS series, h.n AS n_patterns,
+           |  h.k AS n_codes,
+           |  CAST(${lnm("h.n")} - h.s // h.n AS BIGINT) AS h_micro,
+           |  CAST((${lnm("h.n")} - h.s // h.n) * 1000000 // 1791759
+           |    AS BIGINT) AS h_norm_ppm,
+           |  dom.dom_code
+           |FROM h JOIN dom ON dom.series = h.series
+           |ORDER BY series""".stripMargin
+      }) { (s, dir) =>
+      def lnm(e: String) = s"CAST(CAST(ln(CAST($e AS DOUBLE)) " +
+        s"AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+      val sw = Window.partitionBy(col("series")).orderBy(col("day"))
+      val c = events(s, dir)
+        .groupBy(col("event_type").as("series"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("x"))
+        .select(col("series"), col("x"),
+          lead(col("x"), 1).over(sw).as("x1"),
+          lead(col("x"), 2).over(sw).as("x2"))
+        .filter(col("x2").isNotNull)
+        .select(col("series"),
+          (when(col("x1") > col("x"), 4L).otherwise(0L)
+            + when(col("x2") > col("x1"), 2L).otherwise(0L)
+            + when(col("x2") > col("x"), 1L).otherwise(0L)).as("code"))
+        .groupBy(col("series"), col("code"))
+        .agg(count(lit(1)).as("c"))
+      val h = c.groupBy(col("series"))
+        .agg(sum(col("c")).cast("long").as("n"),
+          count(lit(1)).as("k"),
+          sum(col("c") * expr(lnm("c"))).cast("long").as("s"))
+      val dm = c.groupBy(col("series")).agg(max(col("c")).as("mc"))
+      val dom = c.join(dm, Seq("series"))
+        .filter(col("c") === col("mc"))
+        .groupBy(col("series")).agg(min(col("code")).as("dom_code"))
+      h.join(dom, Seq("series"))
+        .select(col("series"), col("n").as("n_patterns"),
+          col("k").as("n_codes"),
+          expr(s"CAST(${lnm("n")} - s div n AS BIGINT)").as("h_micro"),
+          expr(s"CAST((${lnm("n")} - s div n) * 1000000 div 1791759 " +
+            "AS BIGINT)").as("h_norm_ppm"),
+          col("dom_code"))
+        .orderBy(col("series"))
+    },
+
+    // SAX symbolization per series (Lin/Keogh 2003): PAA-compress the
+    // daily series into 6 equal-width segments, z-score each segment
+    // mean against the series' own mean/σ, and bin into the 4-letter
+    // alphabet at the ±0.6745σ Gaussian breakpoints — the
+    // discretization under every symbolic TS index. Exact without
+    // evaluating σ: each |dev| vs 0.6745σ test cross-multiplies to
+    // dev²·10⁸ vs 45495025·σ²-numerator integers in DECIMAL(38,0)/
+    // HUGEINT (0.6745² = 0.45495025 exactly), so the word — the
+    // gate's payload — involves no float at all. Plan: one daily
+    // rollup, a 6-ary segment fold keyed by series, a broadcast
+    // series-moments join; the word assembles from a sorted 6-element
+    // collected array (bounded by construction).
+    QuerySpec.sql(
+      "ts_sax_symbols",
+      """WITH cnts AS (
+        |  SELECT event_type AS series,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ix AS (
+        |  SELECT series, x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY series ORDER BY day)
+        |      - 1 AS BIGINT) AS i,
+        |    CAST(COUNT(*) OVER (PARTITION BY series) AS BIGINT) AS n
+        |  FROM cnts),
+        |seg AS (
+        |  SELECT series, i * 6 // n AS g,
+        |    CAST(SUM(x) * 1000000 // COUNT(*) AS BIGINT) AS m
+        |  FROM ix GROUP BY 1, 2),
+        |mo AS (
+        |  SELECT series, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM ix GROUP BY 1),
+        |sym AS (
+        |  SELECT seg.series AS series, seg.g AS g,
+        |    CASE
+        |      WHEN (seg.m - mo.sx * 1000000 // mo.n) < 0 THEN
+        |        CASE WHEN CAST((seg.m - mo.sx * 1000000 // mo.n)
+        |            AS HUGEINT)
+        |            * (seg.m - mo.sx * 1000000 // mo.n)
+        |            * mo.n * mo.n * 100000000
+        |          > CAST(45495025 AS HUGEINT) * 1000000000000
+        |            * (mo.n * mo.sxx - mo.sx * mo.sx)
+        |          THEN 'a' ELSE 'b' END
+        |      ELSE
+        |        CASE WHEN CAST((seg.m - mo.sx * 1000000 // mo.n)
+        |            AS HUGEINT)
+        |            * (seg.m - mo.sx * 1000000 // mo.n)
+        |            * mo.n * mo.n * 100000000
+        |          > CAST(45495025 AS HUGEINT) * 1000000000000
+        |            * (mo.n * mo.sxx - mo.sx * mo.sx)
+        |          THEN 'd' ELSE 'c' END
+        |    END AS sym
+        |  FROM seg JOIN mo ON mo.series = seg.series)
+        |SELECT sym.series AS series,
+        |  (SELECT MAX(n) FROM mo WHERE mo.series = sym.series)
+        |    AS n_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |  string_agg(sym.sym, '' ORDER BY sym.g) AS sax_word,
+        |  CAST(COUNT(DISTINCT sym.sym) AS BIGINT) AS n_symbols
+        |FROM sym GROUP BY 1
+        |ORDER BY series""".stripMargin) { (s, dir) =>
+      val sw = Window.partitionBy(col("series")).orderBy(col("day"))
+      val swAll = Window.partitionBy(col("series"))
+      val ix = events(s, dir)
+        .groupBy(col("event_type").as("series"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("x"))
+        .select(col("series"), col("x"),
+          (row_number().over(sw) - 1).cast("long").as("i"),
+          count(lit(1)).over(swAll).cast("long").as("n"))
+      val seg = ix.groupBy(col("series"),
+          expr("i * 6 div n").as("g"))
+        .agg(expr("CAST(SUM(x) * 1000000 div COUNT(*) AS BIGINT)")
+          .as("m"))
+      val mo = ix.groupBy(col("series"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).cast("long").as("sx"),
+          sum(col("x") * col("x")).cast("long").as("sxx"))
+      val devSq = "CAST((m - sx * 1000000 div n) AS DECIMAL(38,0)) " +
+        "* (m - sx * 1000000 div n) * n * n * 100000000"
+      val bound = "CAST(45495025 AS DECIMAL(38,0)) * 1000000000000 " +
+        "* (n * sxx - sx * sx)"
+      seg.join(mo, Seq("series"))
+        .select(col("series"), col("g"), col("n"),
+          expr(s"""CASE
+            |  WHEN (m - sx * 1000000 div n) < 0 THEN
+            |    CASE WHEN $devSq > $bound THEN 'a' ELSE 'b' END
+            |  ELSE CASE WHEN $devSq > $bound THEN 'd' ELSE 'c' END
+            |END""".stripMargin).as("sym"))
+        .groupBy(col("series"))
+        .agg(max(col("n")).as("n_days"),
+          count(lit(1)).as("n_segments"),
+          expr("array_join(transform(array_sort(" +
+            "collect_list(struct(g, sym))), s -> s.sym), '')")
+            .as("sax_word"),
+          expr("CAST(COUNT(DISTINCT sym) AS BIGINT)").as("n_symbols"))
+        .orderBy(col("series"))
     })
 }

@@ -498,7 +498,9 @@ class PlanShapeSpec extends AnyFunSuite {
         "stats_gini", "stats_kendall_w", "text_yule_k",
         "text_ngram_novelty", "eval_pass_at_k", "stats_cmh",
         "ts_page_hinkley", "eval_fleiss_kappa", "ts_motif_discovery",
-        "eval_bleu_pairs", "eval_auc_delong", "text_heaps_fit")) {
+        "eval_bleu_pairs", "eval_auc_delong", "text_heaps_fit",
+        "eval_bt_arena", "ts_permutation_entropy",
+        "ts_sax_symbols")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
