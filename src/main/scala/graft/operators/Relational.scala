@@ -2910,5 +2910,79 @@ object Relational {
           (col("vlo") + col("fr100").cast("double") / lit(100) *
             (col("vhi") - col("vlo"))).as("q"))
         .orderBy(col("o_orderpriority"), col("p_pct"))
+    },
+
+    // Functional-dependency audit — profile-driven data-quality rule
+    // MINING (the Metanome/HoloClean first pass): for six candidate
+    // A→B dependencies across four tables, the minimal number of rows
+    // that would have to change for the FD to hold (Σ over LHS values
+    // of group-size minus its majority-RHS size — the g3 error
+    // measure). Keys that must hold (o_orderkey→o_custkey,
+    // event_id→event_type, c_custkey→c_mktsegment, doc_id→lang) pin
+    // 0; behavioral non-FDs (user_id→event_type, source→lang) report
+    // their true repair distance. Exact integers throughout. Plan:
+    // per FD one (A,B) hash-agg then one A-keyed fold — map-side
+    // combinable, LHS cardinality is the only shuffled surface; the
+    // six audits union into one 6-row frame.
+    QuerySpec.sql(
+      "dq_fd_violations", {
+        def fdSql(name: String, table: String, a: String, b: String) =
+          s"""SELECT '$name' AS fd, CAST(SUM(c) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(*) AS BIGINT) AS n_lhs,
+             |  CAST(SUM(c - m) AS BIGINT) AS n_violations,
+             |  CAST(SUM(c - m) * 1000000 // SUM(c) AS BIGINT)
+             |    AS viol_ppm,
+             |  CAST(CASE WHEN SUM(c - m) = 0 THEN 1 ELSE 0 END
+             |    AS BIGINT) AS holds
+             |FROM (SELECT a, CAST(SUM(cnt) AS BIGINT) AS c,
+             |    CAST(MAX(cnt) AS BIGINT) AS m
+             |  FROM (SELECT $a AS a, $b AS b,
+             |      CAST(COUNT(*) AS BIGINT) AS cnt
+             |    FROM $table GROUP BY 1, 2) i
+             |  GROUP BY 1) g""".stripMargin
+        Seq(
+          fdSql("customer.c_custkey->c_mktsegment", "customer",
+            "c_custkey", "c_mktsegment"),
+          fdSql("documents.doc_id->lang", "documents", "doc_id",
+            "lang"),
+          fdSql("documents.source->lang", "documents", "source",
+            "lang"),
+          fdSql("events.event_id->event_type", "events", "event_id",
+            "event_type"),
+          fdSql("events.user_id->event_type", "events", "user_id",
+            "event_type"),
+          fdSql("orders.o_custkey->o_orderpriority", "orders",
+            "o_custkey", "o_orderpriority"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+      }) { (s, dir) =>
+      def fd(df: DataFrame, name: String, a: String, b: String)
+          : DataFrame =
+        df.groupBy(col(a).as("a"), col(b).as("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("a"))
+          .agg(sum(col("cnt")).as("c"), max(col("cnt")).as("m"))
+          .agg(sum(col("c")).cast("long").as("n_rows"),
+            count(lit(1)).as("n_lhs"),
+            sum(col("c") - col("m")).cast("long").as("n_violations"))
+          .select(lit(name).as("fd"), col("n_rows"), col("n_lhs"),
+            col("n_violations"),
+            expr("CAST(n_violations * 1000000 div n_rows AS BIGINT)")
+              .as("viol_ppm"),
+            expr("CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END" +
+              " AS BIGINT)").as("holds"))
+      fd(t(s, dir, "customer"), "customer.c_custkey->c_mktsegment",
+          "c_custkey", "c_mktsegment")
+        .unionByName(fd(t(s, dir, "documents"),
+          "documents.doc_id->lang", "doc_id", "lang"))
+        .unionByName(fd(t(s, dir, "documents"),
+          "documents.source->lang", "source", "lang"))
+        .unionByName(fd(t(s, dir, "events"),
+          "events.event_id->event_type", "event_id", "event_type"))
+        .unionByName(fd(t(s, dir, "events"),
+          "events.user_id->event_type", "user_id", "event_type"))
+        .unionByName(fd(t(s, dir, "orders"),
+          "orders.o_custkey->o_orderpriority", "o_custkey",
+          "o_orderpriority"))
+        .orderBy(col("fd"))
     })
 }

@@ -7583,5 +7583,206 @@ object TimeSeriesOps {
             .as("sax_word"),
           expr("CAST(COUNT(DISTINCT sym) AS BIGINT)").as("n_symbols"))
         .orderBy(col("series"))
+    },
+
+    // Haar wavelet energy decomposition per series — three levels of
+    // the unnormalized Haar DWT (details d = pair difference, approx
+    // a = pair sum; incomplete tail pairs dropped at each level), the
+    // multi-resolution energy readout next to the periodogram's
+    // single-resolution one: e1 reads day-to-day noise, e2/e3
+    // progressively coarser structure. Unnormalized transforms keep
+    // EVERY coefficient an exact BIGINT (the classical 1/√2 scaling
+    // would float every level), so the energies hash-compare; the
+    // per-level scale factors (2, 4, 8 per coefficient) are the
+    // documented contract. Plan: three chained series-keyed pair
+    // folds (groupBy on position//2 — map-side combinable, each level
+    // halves the frame), no window past the initial position index.
+    QuerySpec.sql(
+      "ts_haar_energy",
+      """WITH cnts AS (
+        |  SELECT event_type AS series,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l0 AS (
+        |  SELECT series,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY series ORDER BY day)
+        |      - 1 AS BIGINT) AS p,
+        |    x AS v
+        |  FROM cnts),
+        |l1 AS (
+        |  SELECT series, p // 2 AS p,
+        |    CAST(SUM(v) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN p % 2 = 0 THEN v ELSE -v END)
+        |      AS BIGINT) AS d
+        |  FROM l0 GROUP BY 1, 2 HAVING COUNT(*) = 2),
+        |l2 AS (
+        |  SELECT series, p // 2 AS p,
+        |    CAST(SUM(a) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN p % 2 = 0 THEN a ELSE -a END)
+        |      AS BIGINT) AS d
+        |  FROM l1 GROUP BY 1, 2 HAVING COUNT(*) = 2),
+        |l3 AS (
+        |  SELECT series, p // 2 AS p,
+        |    CAST(SUM(a) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN p % 2 = 0 THEN a ELSE -a END)
+        |      AS BIGINT) AS d
+        |  FROM l2 GROUP BY 1, 2 HAVING COUNT(*) = 2),
+        |n AS (SELECT series, CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM cnts GROUP BY 1)
+        |SELECT n.series AS series, n.n_days,
+        |  (SELECT CAST(COALESCE(SUM(d * d), 0) AS BIGINT) FROM l1
+        |   WHERE l1.series = n.series) AS e1,
+        |  (SELECT CAST(COALESCE(SUM(d * d), 0) AS BIGINT) FROM l2
+        |   WHERE l2.series = n.series) AS e2,
+        |  (SELECT CAST(COALESCE(SUM(d * d), 0) AS BIGINT) FROM l3
+        |   WHERE l3.series = n.series) AS e3,
+        |  (SELECT CAST(COALESCE(SUM(a * a), 0) AS BIGINT) FROM l3
+        |   WHERE l3.series = n.series) AS ea3
+        |FROM n ORDER BY series""".stripMargin) { (s, dir) =>
+      val sw = Window.partitionBy(col("series")).orderBy(col("day"))
+      val cnts = events(s, dir)
+        .groupBy(col("event_type").as("series"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("x"))
+      val l0 = cnts.select(col("series"),
+        (row_number().over(sw) - 1).cast("long").as("p"),
+        col("x").as("v"))
+      def level(in: DataFrame): DataFrame = in
+        .groupBy(col("series"), expr("p div 2").as("p2"))
+        .agg(sum(col("a")).as("na"),
+          sum(when(col("p") % 2 === 0, col("a"))
+            .otherwise(-col("a"))).as("d"),
+          count(lit(1)).as("cnt"))
+        .filter(col("cnt") === 2)
+        .select(col("series"), col("p2").as("p"), col("na").as("a"),
+          col("d"))
+      val l1 = level(l0.withColumnRenamed("v", "a"))
+      val l2 = level(l1)
+      val l3 = level(l2)
+      def energy(df: DataFrame, c: String, out: String) =
+        df.groupBy(col("series"))
+          .agg(sum(col(c) * col(c)).cast("long").as(out))
+      val n = cnts.groupBy(col("series"))
+        .agg(count(lit(1)).as("n_days"))
+      n.join(energy(l1, "d", "e1"), Seq("series"), "left")
+        .join(energy(l2, "d", "e2"), Seq("series"), "left")
+        .join(energy(l3, "d", "e3"), Seq("series"), "left")
+        .join(energy(l3, "a", "ea3"), Seq("series"), "left")
+        .select(col("series"), col("n_days"),
+          coalesce(col("e1"), lit(0L)).as("e1"),
+          coalesce(col("e2"), lit(0L)).as("e2"),
+          coalesce(col("e3"), lit(0L)).as("e3"),
+          coalesce(col("ea3"), lit(0L)).as("ea3"))
+        .orderBy(col("series"))
+    },
+
+    // Spectral entropy per series — how CONCENTRATED is the
+    // periodogram? (White noise → flat spectrum → H near ln k; one
+    // dominant cycle → H near 0.) Reads the ts_periodogram powers
+    // (exact integers by the micro-quantized cos/sin discipline) and
+    // folds Shannon entropy over the 10 harmonics with the one shared
+    // micro-ln text; zero-power bins contribute exactly zero in both
+    // engines. peak_k resolves by min-then-join-back. Plan: the
+    // periodogram's one rollup + 10-harmonic grid, then a per-series
+    // fold — bounded by |series|·10 everywhere past the rollup.
+    QuerySpec.sql(
+      "ts_spectral_entropy", {
+        def lnm(e: String) = s"CAST(CAST(ln(CAST($e AS DOUBLE)) " +
+          s"AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+        s"""WITH d AS (SELECT event_type,
+           |    CAST(date_trunc('day', ts) AS DATE) AS day,
+           |    CAST(COUNT(*) AS BIGINT) AS x
+           |  FROM events GROUP BY 1, 2),
+           |c AS (SELECT MIN(day) AS d0,
+           |    date_diff('day', MIN(day), MAX(day)) + 1 AS n FROM d),
+           |tt AS (SELECT event_type, x,
+           |    date_diff('day', c.d0, day) AS t, c.n FROM d, c),
+           |kk AS (SELECT unnest(range(1, 11)) AS k),
+           |terms AS (SELECT event_type, kk.k,
+           |    x * CAST(CAST(cos(2 * pi() * kk.k * t / n)
+           |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xc,
+           |    x * CAST(CAST(sin(2 * pi() * kk.k * t / n)
+           |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xs
+           |  FROM tt, kk),
+           |pw AS (SELECT event_type, k,
+           |    CAST((CAST(SUM(xc) AS HUGEINT) * SUM(xc)
+           |      + CAST(SUM(xs) AS HUGEINT) * SUM(xs))
+           |      // 1000000000000 AS BIGINT) AS power
+           |  FROM terms GROUP BY 1, 2),
+           |h AS (SELECT event_type,
+           |    CAST(SUM(power) AS BIGINT) AS tot,
+           |    CAST(COUNT(*) FILTER (WHERE power > 0) AS BIGINT)
+           |      AS n_active,
+           |    CAST(COALESCE(SUM(power * ${lnm("power")})
+           |      FILTER (WHERE power > 0), 0) AS BIGINT) AS s
+           |  FROM pw GROUP BY 1),
+           |pk AS (SELECT event_type, MAX(power) AS mp FROM pw
+           |  GROUP BY 1),
+           |peak AS (SELECT pw.event_type AS event_type,
+           |    CAST(MIN(pw.k) AS BIGINT) AS peak_k
+           |  FROM pw JOIN pk ON pk.event_type = pw.event_type
+           |    AND pw.power = pk.mp
+           |  GROUP BY 1)
+           |SELECT h.event_type AS series, h.tot AS total_power,
+           |  h.n_active,
+           |  CAST(CASE WHEN h.tot > 0 THEN
+           |    ${lnm("h.tot")} - h.s // h.tot END AS BIGINT)
+           |    AS h_micro,
+           |  CAST(CASE WHEN h.tot > 0 THEN
+           |    (${lnm("h.tot")} - h.s // h.tot) * 1000000 // 2302585
+           |    END AS BIGINT) AS h_norm_ppm,
+           |  peak.peak_k
+           |FROM h JOIN peak ON peak.event_type = h.event_type
+           |ORDER BY series""".stripMargin
+      }) { (s, dir) =>
+      def lnm(e: String) = s"CAST(CAST(ln(CAST($e AS DOUBLE)) " +
+        s"AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+      val d = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val c = d.agg(min(col("day")).as("d0"),
+        (datediff(max(col("day")), min(col("day"))) + 1).as("n"))
+      val pw = d.crossJoin(broadcast(c))
+        .select(col("event_type"), col("x"),
+          datediff(col("day"), col("d0")).as("t"), col("n"))
+        .select(col("event_type"), col("x"), col("t"), col("n"),
+          explode(sequence(lit(1), lit(10))).as("k"))
+        .select(col("event_type"), col("k"),
+          expr("""x * CAST(CAST(cos(2 * pi() * k * t / n)
+                 |  AS DECIMAL(18,6)) * 1000000 AS BIGINT)"""
+            .stripMargin).as("xc"),
+          expr("""x * CAST(CAST(sin(2 * pi() * k * t / n)
+                 |  AS DECIMAL(18,6)) * 1000000 AS BIGINT)"""
+            .stripMargin).as("xs"))
+        .groupBy(col("event_type"), col("k"))
+        .agg(sum(col("xc")).as("sc"), sum(col("xs")).as("ss"))
+        .select(col("event_type"), col("k"),
+          expr("CAST((CAST(sc AS DECIMAL(38,0)) * sc " +
+            "+ CAST(ss AS DECIMAL(38,0)) * ss) div 1000000000000 " +
+            "AS BIGINT)").as("power"))
+      val h = pw.groupBy(col("event_type"))
+        .agg(sum(col("power")).cast("long").as("tot"),
+          sum(when(col("power") > 0, 1L).otherwise(0L))
+            .as("n_active"),
+          coalesce(sum(when(col("power") > 0,
+              col("power") * expr(lnm("power")))), lit(0L))
+            .cast("long").as("s"))
+      val pk = pw.groupBy(col("event_type"))
+        .agg(max(col("power")).as("mp"))
+      val peak = pw.join(pk, Seq("event_type"))
+        .filter(col("power") === col("mp"))
+        .groupBy(col("event_type"))
+        .agg(min(col("k")).cast("long").as("peak_k"))
+      h.join(peak, Seq("event_type"))
+        .select(col("event_type").as("series"),
+          col("tot").as("total_power"), col("n_active"),
+          expr(s"CAST(CASE WHEN tot > 0 THEN ${lnm("tot")} " +
+            "- s div tot END AS BIGINT)").as("h_micro"),
+          expr(s"CAST(CASE WHEN tot > 0 THEN (${lnm("tot")} " +
+            "- s div tot) * 1000000 div 2302585 END AS BIGINT)")
+            .as("h_norm_ppm"),
+          col("peak_k"))
+        .orderBy(col("series"))
     })
 }

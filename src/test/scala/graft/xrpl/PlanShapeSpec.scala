@@ -500,7 +500,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "ts_page_hinkley", "eval_fleiss_kappa", "ts_motif_discovery",
         "eval_bleu_pairs", "eval_auc_delong", "text_heaps_fit",
         "eval_bt_arena", "ts_permutation_entropy",
-        "ts_sax_symbols")) {
+        "ts_sax_symbols", "dq_fd_violations", "ts_haar_energy",
+        "ts_spectral_entropy")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
