@@ -3868,6 +3868,105 @@ object TextOps {
           expr("CAST(CASE WHEN beta_ppm IS NOT NULL THEN " +
             "(sy - beta_ppm * sx div 1000000) div n END AS BIGINT)")
             .as("alpha_micro_ln"))
+    },
+
+    // EXACT isotonic calibration of the score's reliability table —
+    // pool-adjacent-violators without the sequential pooling loop:
+    // the PAV fit at bin i equals the minimax identity
+    // max_{j≤i} min_{k≥i} avg(pos rate over bins j..k), which turns
+    // the classically-iterative algorithm into three joins over the
+    // 10-row bin frame (≤10³ combinations, bounded by construction
+    // whatever the corpus size). Range averages come from prefix
+    // sums, each quantized once to ppm with shared truncation — the
+    // fitted monotone curve hash-compares, giving the calibration
+    // MAP eval_calibration_bins only diagnoses. Windows run over the
+    // ≤10-row bin table only (bounded like the ranking-eval pair).
+    QuerySpec.sql(
+      "eval_isotonic_calibration",
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+         |    CAST(SUM(CASE WHEN tok IN ${inList(langMarkers.head._2)}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         |    COUNT(DISTINCT tok) AS n_distinct
+         |  FROM (SELECT doc_id, lang,
+         |      unnest(string_split(text, ' ')) AS tok
+         |    FROM documents) t
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         |    CAST((3 * n_stop + 7 * n_distinct) * 1000000
+         |      // (10 * n_tokens) AS BIGINT) AS score
+         |  FROM q),
+         |b AS (
+         |  SELECT LEAST(score // 100000, 9) AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(pos) AS BIGINT) AS n_pos
+         |  FROM sc GROUP BY 1),
+         |o AS (SELECT bin, n, n_pos,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY bin) AS BIGINT) AS i
+         |  FROM b),
+         |c AS (SELECT o.*,
+         |    CAST(SUM(n) OVER (ORDER BY i) AS BIGINT) AS cn,
+         |    CAST(SUM(n_pos) OVER (ORDER BY i) AS BIGINT) AS cp
+         |  FROM o),
+         |pr AS (
+         |  SELECT j.i AS j, k.i AS k,
+         |    (k.cp - j.cp + j.n_pos) * 1000000
+         |      // (k.cn - j.cn + j.n) AS a
+         |  FROM c j JOIN c k ON k.i >= j.i),
+         |t AS (
+         |  SELECT m.i AS i, pr.j AS j, MIN(pr.a) AS mn
+         |  FROM c m JOIN pr ON pr.j <= m.i AND pr.k >= m.i
+         |  GROUP BY 1, 2),
+         |iso AS (SELECT i, CAST(MAX(mn) AS BIGINT) AS iso_ppm
+         |  FROM t GROUP BY 1)
+         |SELECT CAST(c.bin AS BIGINT) AS bin, c.n, c.n_pos,
+         |  CAST(c.n_pos * 1000000 // c.n AS BIGINT) AS acc_ppm,
+         |  iso.iso_ppm
+         |FROM c JOIN iso ON iso.i = c.i
+         |ORDER BY bin""".stripMargin) { (s, dir) =>
+      val cum = Window.orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val b = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          split(col("text"), " ").as("ts"))
+        .select(
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          expr(s"CAST(size(filter(ts, t -> t IN " +
+            s"${inList(langMarkers.head._2)})) AS BIGINT)").as("n_stop"),
+          size(array_distinct(col("ts"))).cast("long").as("n_distinct"))
+        .select(col("pos"),
+          expr("CAST((3 * n_stop + 7 * n_distinct) * 1000000 div " +
+            "(10 * n_tokens) AS BIGINT)").as("score"))
+        .groupBy(least(expr("score div 100000"), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      val c = b
+        .withColumn("i",
+          row_number().over(Window.orderBy(col("bin"))).cast("long"))
+        .withColumn("cn", sum(col("n")).over(cum).cast("long"))
+        .withColumn("cp", sum(col("n_pos")).over(cum).cast("long"))
+      val j = c.select(col("i").as("j"), col("cp").as("jcp"),
+        col("cn").as("jcn"), col("n_pos").as("jnp"),
+        col("n").as("jn"))
+      val k = c.select(col("i").as("k"), col("cp").as("kcp"),
+        col("cn").as("kcn"))
+      val pr = j.join(k, col("k") >= col("j"))
+        .select(col("j"), col("k"),
+          expr("(kcp - jcp + jnp) * 1000000 div (kcn - jcn + jn)")
+            .as("a"))
+      val iso = c.select(col("i"))
+        .join(pr, col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy(col("i"), col("j"))
+        .agg(min(col("a")).as("mn"))
+        .groupBy(col("i"))
+        .agg(max(col("mn")).cast("long").as("iso_ppm"))
+      c.join(iso, Seq("i"))
+        .select(col("bin").cast("long").as("bin"), col("n"),
+          col("n_pos"),
+          expr("CAST(n_pos * 1000000 div n AS BIGINT)").as("acc_ppm"),
+          col("iso_ppm"))
+        .orderBy(col("bin"))
     })
 
   /** Fixed NDCG discount table, rank 1–10: round(10^6 / log2(r+1)).

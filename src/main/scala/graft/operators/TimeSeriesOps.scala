@@ -7784,5 +7784,167 @@ object TimeSeriesOps {
             .as("h_norm_ppm"),
           col("peak_k"))
         .orderBy(col("series"))
+    },
+
+    // Benjamini–Yekutieli FDR — the BH step-up's dependence-robust
+    // sibling (valid under ARBITRARY p-value dependence, the honest
+    // choice when the per-series tests share the same event stream):
+    // thresholds shrink by the harmonic factor c(m) = Σ 1/i, carried
+    // as the micro-quantized integer Σ 10⁶//i computed by the SAME
+    // fold text in both engines, so every step-up comparison is an
+    // exact cross-multiplied integer test (p_den = 2^n rides the
+    // common-denominator shift trick shared with stats_fdr_bh). BH
+    // rides along for the side-by-side readout. Plan: the shared sign
+    // -test fold + PrefixSum global rank over the |series|-row test
+    // table — no unpartitioned window, nothing row-scale past the
+    // daily rollup.
+    QuerySpec.sql(
+      "stats_fdr_by",
+      s"""WITH RECURSIVE $signTestCtes,
+         |mm0 AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |    CAST(MAX(n) AS BIGINT) AS nmax
+         |  FROM sgn),
+         |mm AS (
+         |  SELECT m, nmax,
+         |    CAST(list_reduce(list_transform(range(1, m + 1),
+         |      i -> CAST(1000000 // i AS BIGINT)), (a, b) -> a + b)
+         |      AS BIGINT) AS c_micros
+         |  FROM mm0),
+         |sc AS (
+         |  SELECT s.series, s.n, s.k, s.p_num, s.p_den, mm.m,
+         |    mm.nmax, mm.c_micros,
+         |    s.p_num * (1::BIGINT << CAST(mm.nmax - s.n AS INT))
+         |      AS p_scaled
+         |  FROM sgn s, mm),
+         |rk AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_scaled,
+         |    series) AS BIGINT) AS rnk
+         |  FROM sc),
+         |th AS (
+         |  SELECT
+         |    COALESCE(MAX(CASE WHEN
+         |      10 * m * CAST(c_micros AS HUGEINT) * p_scaled <=
+         |      CAST(rnk AS HUGEINT) * 1000000
+         |        * (1::BIGINT << CAST(nmax AS INT))
+         |      THEN rnk END), 0) AS cutoff_by,
+         |    COALESCE(MAX(CASE WHEN
+         |      10 * m * CAST(p_scaled AS HUGEINT) <=
+         |      CAST(rnk AS HUGEINT)
+         |        * (1::BIGINT << CAST(nmax AS INT))
+         |      THEN rnk END), 0) AS cutoff_bh
+         |  FROM rk)
+         |SELECT series, n, k, p_num, p_den, rnk AS rank, c_micros,
+         |  rnk <= th.cutoff_by AS by_reject,
+         |  rnk <= th.cutoff_bh AS bh_reject
+         |FROM rk, th ORDER BY rank, series""".stripMargin) {
+      (s, dir) =>
+      import graft.functions.PrefixSum
+      val sgn = Materialize.stable(signTest(s, dir))
+      val mm = sgn.agg(count(lit(1)).cast("long").as("m"),
+          max(col("n")).cast("long").as("nmax"))
+        .withColumn("c_micros",
+          expr("aggregate(sequence(1, CAST(m AS INT)), " +
+            "CAST(0 AS BIGINT), (acc, i) -> acc + 1000000 div i)"))
+      val sc = sgn.crossJoin(broadcast(mm))
+        .withColumn("p_scaled", expr(
+          "p_num * shiftleft(CAST(1 AS BIGINT), CAST(nmax - n AS INT))"))
+      val rk = PrefixSum.globalCumsum(sc,
+        Seq(col("p_scaled"), col("series")), lit(1L), "rnk")
+      val th = rk.agg(
+        coalesce(max(when(expr(
+          "10 * m * CAST(c_micros AS DECIMAL(38,0)) * p_scaled <= " +
+            "CAST(rnk AS DECIMAL(38,0)) * 1000000 * " +
+            "shiftleft(CAST(1 AS BIGINT), CAST(nmax AS INT))"),
+          col("rnk"))), lit(0L)).as("cutoff_by"),
+        coalesce(max(when(expr(
+          "10 * m * CAST(p_scaled AS DECIMAL(38,0)) <= " +
+            "CAST(rnk AS DECIMAL(38,0)) * " +
+            "shiftleft(CAST(1 AS BIGINT), CAST(nmax AS INT))"),
+          col("rnk"))), lit(0L)).as("cutoff_bh"))
+      rk.crossJoin(broadcast(th))
+        .select(col("series"), col("n"), col("k"), col("p_num"),
+          col("p_den"), col("rnk").as("rank"), col("c_micros"),
+          (col("rnk") <= col("cutoff_by")).as("by_reject"),
+          (col("rnk") <= col("cutoff_bh")).as("bh_reject"))
+        .orderBy(col("rank"), col("series"))
+    },
+
+    // Hodges–Lehmann pseudo-median of the day-over-day deltas per
+    // series — the robust location estimate paired with the sign
+    // test (its confidence dual): the median of all Walsh averages
+    // (dx_i + dx_j)/2, i ≤ j. Computed on the VALUE DOMAIN: distinct
+    // delta values with multiplicities, pair mass c_i·c_j (or the
+    // triangular c(c+1)/2 on the diagonal), so the pair surface is
+    // distinct-values² — never rows² — and the estimate is the
+    // smallest doubled-sum w whose cumulative mass reaches the lower
+    // median, an exact integer (reported ×2 to avoid the halving
+    // float). Plan: per-series value histogram → series-keyed
+    // value-pair join → series-keyed cumulative window → one fold.
+    QuerySpec.sql(
+      "stats_hodges_lehmann",
+      s"""WITH $seriesDiffCtes,
+         |vc AS (
+         |  SELECT series, dx AS v, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM dd WHERE dx IS NOT NULL GROUP BY 1, 2),
+         |pa AS (
+         |  SELECT a.series AS series, a.v + b.v AS w,
+         |    CAST(CASE WHEN b.v > a.v THEN a.c * b.c
+         |      ELSE a.c * (a.c + 1) // 2 END AS BIGINT) AS mass
+         |  FROM vc a JOIN vc b
+         |    ON b.series = a.series AND b.v >= a.v),
+         |g AS (SELECT series, w, CAST(SUM(mass) AS BIGINT) AS mass
+         |  FROM pa GROUP BY 1, 2),
+         |cw AS (SELECT series, w, mass,
+         |    CAST(SUM(mass) OVER (PARTITION BY series ORDER BY w)
+         |      AS BIGINT) AS cm
+         |  FROM g),
+         |tot AS (SELECT series, CAST(SUM(mass) AS BIGINT) AS t
+         |  FROM g GROUP BY 1),
+         |ndf AS (SELECT series, CAST(SUM(c) AS BIGINT) AS nd
+         |  FROM vc GROUP BY 1)
+         |SELECT c.series AS series,
+         |  MAX(ndf.nd) AS n_diffs,
+         |  MAX(t.t) AS n_pairs,
+         |  CAST(MIN(CASE WHEN c.cm * 2 >= t.t + 1 THEN c.w END)
+         |    AS BIGINT) AS hl_x2,
+         |  CAST(SIGN(MIN(CASE WHEN c.cm * 2 >= t.t + 1 THEN c.w
+         |    END)) AS BIGINT) AS shift_sign
+         |FROM cw c JOIN tot t ON t.series = c.series
+         |JOIN ndf ON ndf.series = c.series
+         |GROUP BY 1 ORDER BY series""".stripMargin) { (s, dir) =>
+      val vc = seriesDiffs(s, dir)
+        .filter(col("dx").isNotNull)
+        .groupBy(col("series"), col("dx").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val a = vc.select(col("series"), col("v").as("va"),
+        col("c").as("ca"))
+      val b = vc.select(col("series"), col("v").as("vb"),
+        col("c").as("cb"))
+      val g = a.join(b, Seq("series"))
+        .filter(col("vb") >= col("va"))
+        .select(col("series"), (col("va") + col("vb")).as("w"),
+          expr("CAST(CASE WHEN vb > va THEN ca * cb " +
+            "ELSE ca * (ca + 1) div 2 END AS BIGINT)").as("mass"))
+        .groupBy(col("series"), col("w"))
+        .agg(sum(col("mass")).cast("long").as("mass"))
+      val cum = g.withColumn("cm",
+        sum(col("mass")).over(Window.partitionBy(col("series"))
+          .orderBy(col("w"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      val tot = g.groupBy(col("series"))
+        .agg(sum(col("mass")).cast("long").as("t"))
+      val nd = vc.groupBy(col("series"))
+        .agg(sum(col("c")).cast("long").as("nd"))
+      cum.join(tot, Seq("series")).join(nd, Seq("series"))
+        .groupBy(col("series"))
+        .agg(max(col("nd")).as("n_diffs"),
+          max(col("t")).as("n_pairs"),
+          min(when(col("cm") * 2 >= col("t") + 1, col("w")))
+            .cast("long").as("hl_x2"),
+          expr("CAST(SIGN(MIN(CASE WHEN cm * 2 >= t + 1 THEN w END))" +
+            " AS BIGINT)").as("shift_sign"))
+        .orderBy(col("series"))
     })
 }

@@ -501,7 +501,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "eval_bleu_pairs", "eval_auc_delong", "text_heaps_fit",
         "eval_bt_arena", "ts_permutation_entropy",
         "ts_sax_symbols", "dq_fd_violations", "ts_haar_energy",
-        "ts_spectral_entropy")) {
+        "ts_spectral_entropy", "stats_fdr_by",
+        "stats_hodges_lehmann")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
