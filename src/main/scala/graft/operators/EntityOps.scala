@@ -291,7 +291,87 @@ object EntityOps {
           min(col("p_retailprice")).as("price_min"),
           max(col("p_retailprice")).as("price_max"))
         .orderBy(col("entity"))
+    },
+
+    // Phonetic blocking evaluation — a second, SOUND-based blocking
+    // key (simplified Soundex: first letter + the first three
+    // collapsed consonant classes, built from ONE shared
+    // translate/regexp chain in the RE2 ∩ Java-regex subset — no
+    // backreferences, so both engines compile it) evaluated head-to-
+    // head against the trailing-token key on the same lev ≤ 3 ground
+    // truth as er_blocking_recall. Phonetic keys are coarser, so they
+    // catch typo'd matches token equality misses — the recall
+    // trade-off every blocking design weighs. Plan: the same
+    // broadcast dictionary² truth join (dictionary-bounded, never
+    // corpus²); the key itself is a per-row expression.
+    QuerySpec.sql(
+      "er_phonetic_blocking",
+      s"""WITH d AS ($dictSql),
+         |p AS (SELECT name, blk, n, ${phoneticSql("blk")} AS pk
+         |  FROM d),
+         |truth AS (
+         |  SELECT CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+         |    a.blk = b.blk AS tok_caught,
+         |    a.pk = b.pk AS ph_caught
+         |  FROM p a JOIN p b ON a.name < b.name
+         |  WHERE levenshtein(a.name, b.name) <= 3)
+         |SELECT dist,
+         |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(COALESCE(SUM(CASE WHEN tok_caught THEN 1 END), 0)
+         |    AS BIGINT) AS n_tok,
+         |  CAST(COALESCE(SUM(CASE WHEN ph_caught THEN 1 END), 0)
+         |    AS BIGINT) AS n_ph,
+         |  CAST(COALESCE(SUM(CASE WHEN tok_caught THEN 1 END), 0)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS tok_recall_ppm,
+         |  CAST(COALESCE(SUM(CASE WHEN ph_caught THEN 1 END), 0)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS ph_recall_ppm
+         |FROM truth GROUP BY 1
+         |ORDER BY dist""".stripMargin) { (s, dir) =>
+      val d = dict(s, dir).withColumn("pk", expr(phoneticSql("blk")))
+      val a = d.select(col("name").as("a"), col("blk").as("ba"),
+        col("pk").as("pa"))
+      val b = d.select(col("name").as("b"), col("blk").as("bb"),
+        col("pk").as("pb"))
+      a.join(broadcast(b), col("a") < col("b"))
+        .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
+        .filter(col("dist") <= 3)
+        .withColumn("tok_caught", col("ba") === col("bb"))
+        .withColumn("ph_caught", col("pa") === col("pb"))
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_truth"),
+          coalesce(sum(when(col("tok_caught"), 1L)), lit(0L))
+            .as("n_tok"),
+          coalesce(sum(when(col("ph_caught"), 1L)), lit(0L))
+            .as("n_ph"),
+          expr("CAST(COALESCE(SUM(CASE WHEN tok_caught THEN 1L END)," +
+            " 0) * 1000000 div COUNT(*) AS BIGINT)")
+            .as("tok_recall_ppm"),
+          expr("CAST(COALESCE(SUM(CASE WHEN ph_caught THEN 1L END)," +
+            " 0) * 1000000 div COUNT(*) AS BIGINT)")
+            .as("ph_recall_ppm"))
+        .orderBy(col("dist"))
     })
+
+  /** Simplified-Soundex SQL expression over a word column — ONE text
+    * compiled by BOTH engines: translate to consonant-class digits,
+    * collapse adjacent duplicates with plain replace('dd','d')
+    * passes (four per digit — enough for any run in a ≤16-char
+    * token; regexp_replace is out because DuckDB's is first-match
+    * while Spark's is global), then first letter + the first three
+    * nonzero codes, zero-padded. Differs from full Soundex only in
+    * the H/W separator rule — irrelevant here because both sides
+    * share this exact definition.
+    */
+  private def phoneticSql(c: String): String = {
+    val digits = s"translate(upper($c), " +
+      "'AEIOUYHWBFPVCGJKQSXZDTLMNR', '00000000111122222222334556')"
+    val collapsed = (0 to 6).foldLeft(digits) { (acc, d) =>
+      (1 to 4).foldLeft(acc)((a, _) => s"replace($a, '$d$d', '$d')")
+    }
+    s"substr(upper($c), 1, 1) || " +
+      s"rpad(substr(replace(substr($collapsed, 2), '0', ''), 1, 3), " +
+      "3, '0')"
+  }
 
   /** The resolved (name, entity) label table — the shared body of
     * `er_entity_clusters` and `er_golden_record`: blocked candidate

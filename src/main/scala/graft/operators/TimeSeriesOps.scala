@@ -7946,5 +7946,86 @@ object TimeSeriesOps {
           expr("CAST(SIGN(MIN(CASE WHEN cm * 2 >= t + 1 THEN w END))" +
             " AS BIGINT)").as("shift_sign"))
         .orderBy(col("series"))
+    },
+
+    // Exponentially-decayed volume per series — the recency-weighted
+    // aggregate behind every trending-now / freshness ranking (decay
+    // 0.9/day ≈ 6.6-day half-life; a slower 0.8/day column rides
+    // along): weight(age) comes from a FIXED 30-entry micro-quantized
+    // literal table shared verbatim with the oracle (the ndcg-
+    // discount discipline), so the classically-float decayed sum is
+    // an exact integer — and, because the weights are per-day
+    // constants, the whole aggregate is one map-side-combinable fold
+    // (the streaming form just adds yesterday's total × 0.9). Plan:
+    // one daily rollup → broadcast age join → per-series fold; no
+    // window.
+    QuerySpec.sql(
+      "ts_decayed_volume",
+      s"""WITH cnts AS (
+         |  SELECT event_type AS series,
+         |    CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |mx AS (SELECT MAX(day) AS d1 FROM cnts),
+         |w AS (SELECT * FROM (VALUES $decayWeightsSql)
+         |  AS t(age, w9, w8)),
+         |j AS (
+         |  SELECT c.series AS series, c.x, w.w9, w.w8
+         |  FROM cnts c CROSS JOIN mx
+         |  JOIN w ON w.age = date_diff('day', c.day, mx.d1))
+         |SELECT series,
+         |  CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  CAST(SUM(x) AS BIGINT) AS raw_total,
+         |  CAST(SUM(x * w9) AS BIGINT) AS decayed9_micro,
+         |  CAST(SUM(x * w8) AS BIGINT) AS decayed8_micro,
+         |  CAST(SUM(x * w9) // 1000000 AS BIGINT) AS decayed9,
+         |  CAST(SUM(x * w9) * 1000000 // SUM(x * 1000000) AS BIGINT)
+         |    AS freshness_ppm
+         |FROM j GROUP BY 1
+         |ORDER BY series""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cnts = events(s, dir)
+        .groupBy(col("event_type").as("series"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("x"))
+      val mx = cnts.agg(max(col("day")).as("d1"))
+      val w = decayWeights.toDF("age", "w9", "w8")
+      cnts.crossJoin(broadcast(mx))
+        .withColumn("age", datediff(col("d1"), col("day")))
+        .join(broadcast(w), Seq("age"))
+        .groupBy(col("series"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).cast("long").as("raw_total"),
+          sum(col("x") * col("w9")).cast("long").as("decayed9_micro"),
+          sum(col("x") * col("w8")).cast("long").as("decayed8_micro"))
+        .select(col("series"), col("n_days"), col("raw_total"),
+          col("decayed9_micro"), col("decayed8_micro"),
+          expr("CAST(decayed9_micro div 1000000 AS BIGINT)")
+            .as("decayed9"),
+          expr("CAST(decayed9_micro * 1000000 div " +
+            "(raw_total * 1000000) AS BIGINT)").as("freshness_ppm"))
+        .orderBy(col("series"))
     })
+
+  /** Per-day decay weights, age 0–29: round(0.9^age·10⁶) and
+    * round(0.8^age·10⁶) — fixed literals shared verbatim with the
+    * oracle so the decayed sums are float-free in both engines.
+    */
+  private val decayWeights: Seq[(Int, Long, Long)] = {
+    val w9 = Seq(1000000L, 900000L, 810000L, 729000L, 656100L,
+      590490L, 531441L, 478297L, 430467L, 387420L, 348678L, 313811L,
+      282430L, 254187L, 228768L, 205891L, 185302L, 166772L, 150095L,
+      135085L, 121577L, 109419L, 98477L, 88629L, 79766L, 71790L,
+      64611L, 58150L, 52335L, 47101L)
+    val w8 = Seq(1000000L, 800000L, 640000L, 512000L, 409600L,
+      327680L, 262144L, 209715L, 167772L, 134218L, 107374L, 85899L,
+      68719L, 54976L, 43980L, 35184L, 28147L, 22518L, 18014L, 14412L,
+      11529L, 9223L, 7379L, 5903L, 4722L, 3778L, 3022L, 2418L, 1934L,
+      1547L)
+    (0 until 30).map(i => (i, w9(i), w8(i)))
+  }
+
+  private val decayWeightsSql: String =
+    decayWeights.map { case (a, x, y) => s"($a, $x, $y)" }
+      .mkString(", ")
 }

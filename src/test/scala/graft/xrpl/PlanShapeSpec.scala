@@ -502,7 +502,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "eval_bt_arena", "ts_permutation_entropy",
         "ts_sax_symbols", "dq_fd_violations", "ts_haar_energy",
         "ts_spectral_entropy", "stats_fdr_by",
-        "stats_hodges_lehmann")) {
+        "stats_hodges_lehmann", "er_phonetic_blocking",
+        "ts_decayed_volume")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
