@@ -3519,6 +3519,116 @@ object TextOps {
             "ELSE 'slight' END").as("agreement"))
     },
 
+    // Krippendorff's alpha (nominal, same three annotators as
+    // eval_fleiss_kappa): the agreement coefficient that generalizes
+    // across rater counts and, unlike kappa, is anchored at the
+    // PAIRWISE disagreement rate. With m = 3 raters per unit the
+    // whole statistic collapses to one exact integer rational:
+    // alpha = 1 − [(9N − S)·(3N − 1)] / [2·(9N² − ΣT²)] where
+    // S = Σ_u Σ_c n_uc² and T_c the category totals — the N² terms
+    // ride DECIMAL(38,0)/HUGEINT past N ≈ 10⁹. alpha_ppm is ONE
+    // floor division of the full rational (no intermediate
+    // truncation). Plan: per-row annotate → per-(unit,cat) fold →
+    // two scalar rows joined broadcast; no window anywhere.
+    QuerySpec.sql(
+      "eval_krippendorff_alpha",
+      s"""WITH $ratersNijSql,
+         |su AS (
+         |  SELECT CAST(SUM(sq) AS BIGINT) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS nsub
+         |  FROM (SELECT doc_id, SUM(nij * nij) AS sq
+         |        FROM nij GROUP BY 1)),
+         |t2 AS (
+         |  SELECT CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS st2
+         |  FROM (SELECT cat, SUM(nij) AS t FROM nij GROUP BY 1))
+         |SELECT nsub AS n_subjects,
+         |  CAST((9 * nsub - s) * 1000000 // (6 * nsub) AS BIGINT)
+         |    AS d_o_ppm,
+         |  CAST((9 * CAST(nsub AS HUGEINT) * nsub - st2) * 1000000
+         |    // (CAST(3 AS HUGEINT) * nsub * (3 * nsub - 1))
+         |    AS BIGINT) AS d_e_ppm,
+         |  CAST((2 * (9 * CAST(nsub AS HUGEINT) * nsub - st2)
+         |      - (9 * nsub - s) * CAST(3 * nsub - 1 AS HUGEINT))
+         |      * 1000000
+         |    // (2 * (9 * CAST(nsub AS HUGEINT) * nsub - st2))
+         |    AS BIGINT) AS alpha_ppm
+         |FROM su CROSS JOIN t2""".stripMargin) { (s, dir) =>
+      val nij = raterNij(s, dir)
+      val su = nij.groupBy(col("doc_id"))
+        .agg(sum(col("nij") * col("nij")).as("sq"))
+        .agg(sum(col("sq")).cast("long").as("s"),
+          count(lit(1)).as("nsub"))
+      val t2 = nij.groupBy(col("cat"))
+        .agg(sum(col("nij")).as("t"))
+        .agg(sum(expr("CAST(t AS DECIMAL(38,0)) * t"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .as("st2"))
+      su.crossJoin(broadcast(t2))
+        .select(col("nsub").as("n_subjects"),
+          expr("CAST((9 * nsub - s) * 1000000 div (6 * nsub) " +
+            "AS BIGINT)").as("d_o_ppm"),
+          expr("CAST((9 * CAST(nsub AS DECIMAL(38,0)) * nsub - st2) " +
+            "* 1000000 div (CAST(3 AS DECIMAL(38,0)) * nsub " +
+            "* (3 * nsub - 1)) AS BIGINT)").as("d_e_ppm"),
+          expr("CAST((2 * (9 * CAST(nsub AS DECIMAL(38,0)) * nsub " +
+            "- st2) - (9 * nsub - s) " +
+            "* CAST(3 * nsub - 1 AS DECIMAL(38,0))) * 1000000 " +
+            "div (2 * (9 * CAST(nsub AS DECIMAL(38,0)) * nsub - st2))" +
+            " AS BIGINT)").as("alpha_ppm"))
+    },
+
+    // Gwet's AC1 (same annotator frame): the agreement coefficient
+    // that stays stable when category prevalence is skewed — the
+    // known kappa paradox. With q = 3 categories and m = 3 raters:
+    // AC1 = (3N·S1 − 9N² + ΣT²) / (9N² + ΣT²) with S1 = S − 3N
+    // (fleiss' per-unit agreement sum) — again ONE exact rational,
+    // one floor division, N² terms in DECIMAL(38,0)/HUGEINT. Same
+    // two-fold + broadcast-scalar plan as alpha; no window.
+    QuerySpec.sql(
+      "eval_gwet_ac1",
+      s"""WITH $ratersNijSql,
+         |su AS (
+         |  SELECT CAST(SUM(sq) - 3 * COUNT(*) AS BIGINT) AS s1,
+         |    CAST(COUNT(*) AS BIGINT) AS nsub
+         |  FROM (SELECT doc_id, SUM(nij * nij) AS sq
+         |        FROM nij GROUP BY 1)),
+         |t2 AS (
+         |  SELECT CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS st2
+         |  FROM (SELECT cat, SUM(nij) AS t FROM nij GROUP BY 1))
+         |SELECT nsub AS n_subjects,
+         |  CAST(s1 * 1000000 // (6 * nsub) AS BIGINT) AS p_a_ppm,
+         |  CAST((9 * CAST(nsub AS HUGEINT) * nsub - st2) * 1000000
+         |    // (18 * CAST(nsub AS HUGEINT) * nsub) AS BIGINT)
+         |    AS p_e_ppm,
+         |  CAST((3 * CAST(nsub AS HUGEINT) * s1
+         |      - 9 * CAST(nsub AS HUGEINT) * nsub + st2) * 1000000
+         |    // (9 * CAST(nsub AS HUGEINT) * nsub + st2) AS BIGINT)
+         |    AS ac1_ppm
+         |FROM su CROSS JOIN t2""".stripMargin) { (s, dir) =>
+      val nij = raterNij(s, dir)
+      val su = nij.groupBy(col("doc_id"))
+        .agg(sum(col("nij") * col("nij")).as("sq"))
+        .agg((sum(col("sq")) - lit(3L) * count(lit(1)))
+            .cast("long").as("s1"),
+          count(lit(1)).as("nsub"))
+      val t2 = nij.groupBy(col("cat"))
+        .agg(sum(col("nij")).as("t"))
+        .agg(sum(expr("CAST(t AS DECIMAL(38,0)) * t"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .as("st2"))
+      su.crossJoin(broadcast(t2))
+        .select(col("nsub").as("n_subjects"),
+          expr("CAST(s1 * 1000000 div (6 * nsub) AS BIGINT)")
+            .as("p_a_ppm"),
+          expr("CAST((9 * CAST(nsub AS DECIMAL(38,0)) * nsub - st2) " +
+            "* 1000000 div (18 * CAST(nsub AS DECIMAL(38,0)) * nsub)" +
+            " AS BIGINT)").as("p_e_ppm"),
+          expr("CAST((3 * CAST(nsub AS DECIMAL(38,0)) * s1 " +
+            "- 9 * CAST(nsub AS DECIMAL(38,0)) * nsub + st2) " +
+            "* 1000000 div (9 * CAST(nsub AS DECIMAL(38,0)) * nsub " +
+            "+ st2) AS BIGINT)").as("ac1_ppm"))
+    },
+
     // Corpus-level BLEU-2 between source-adjacent documents — the
     // n-gram-overlap translation metric repurposed as a SOURCE
     // SELF-SIMILARITY readout (how templated is each source's
@@ -4064,4 +4174,47 @@ object TextOps {
         coalesce(col("rel0"), lit(0L)).cast("long").as("rel"))
     (ret, relv)
   }
+
+  /** Per-(unit, category) rating counts n_uc of the THREE
+    * deterministic length annotators — the eval_fleiss_kappa rater
+    * frame, shared by the other chance-corrected agreement gates
+    * (eval_krippendorff_alpha, eval_gwet_ac1). Thresholds are
+    * verbatim fleiss' (char / token / distinct-token terciles).
+    */
+  private def raterNij(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        when(col("n_chars") < 200, 0L)
+          .when(col("n_chars") < 350, 1L).otherwise(2L).as("r1"),
+        when(size(split(col("text"), " ")) < 37, 0L)
+          .when(size(split(col("text"), " ")) < 64, 1L)
+          .otherwise(2L).as("r2"),
+        when(size(array_distinct(split(col("text"), " "))) < 19, 0L)
+          .when(size(array_distinct(split(col("text"), " "))) < 33,
+            1L).otherwise(2L).as("r3"))
+      .select(col("doc_id"),
+        explode(array(col("r1"), col("r2"), col("r3"))).as("cat"))
+      .groupBy(col("doc_id"), col("cat"))
+      .agg(count(lit(1)).as("nij"))
+
+  /** DuckDB mirror of [[raterNij]] — CTEs `r` then `nij` (expects to
+    * open a WITH list); the rater CASEs are the fleiss text verbatim.
+    */
+  private val ratersNijSql =
+    """r AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 350 THEN 1
+      |      ELSE 2 END AS r1,
+      |    CASE WHEN len(string_split(text, ' ')) < 37 THEN 0
+      |      WHEN len(string_split(text, ' ')) < 64 THEN 1 ELSE 2
+      |      END AS r2,
+      |    CASE WHEN len(list_distinct(string_split(text, ' '))) < 19
+      |        THEN 0
+      |      WHEN len(list_distinct(string_split(text, ' '))) < 33
+      |        THEN 1 ELSE 2 END AS r3
+      |  FROM documents),
+      |nij AS (
+      |  SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS nij
+      |  FROM (SELECT doc_id, unnest([r1, r2, r3]) AS cat FROM r)
+      |  GROUP BY 1, 2)""".stripMargin
 }

@@ -8005,7 +8005,342 @@ object TimeSeriesOps {
           expr("CAST(decayed9_micro * 1000000 div " +
             "(raw_total * 1000000) AS BIGINT)").as("freshness_ppm"))
         .orderBy(col("series"))
+    },
+
+    // ---- technical-analysis indicators over daily OHLC candles ----
+    // The reference serves OHLC candles (exchanges.js:515-582) and
+    // rolling rates; the classic indicator stack a market-data
+    // consumer computes downstream (RSI / ATR / OBV / stochastics /
+    // money flow) is the same shape: per-series day-keyed windows over
+    // the candle table. All five gates share ONE daily-candle rollup
+    // (cents-quantized OHLC + exact cents volume) and stay in BIGINT
+    // throughout — SMA variants (Cutler RSI, Wilder-SMA ATR) rather
+    // than the recursive EMAs, so every column is an exact integer
+    // both engines agree on. Windows are series-keyed ROWS frames: at
+    // 100 TB the candle table is one row per (series, day) — bounded
+    // metadata, never a per-event surface.
+
+    // Cutler's RSI-14: gain/loss sums over a 14-row series-keyed
+    // window of close-to-close diffs; rsi in ppm by floor division
+    // (flat 14-day window = the conventional 500000 midpoint).
+    QuerySpec.sql(
+      "ts_rsi",
+      s"""WITH $dailyOhlcSql,
+         |d AS (SELECT series, day, close_c,
+         |  close_c - LAG(close_c) OVER
+         |    (PARTITION BY series ORDER BY day) AS diff
+         |  FROM daily),
+         |w AS (SELECT series, day,
+         |  CAST(SUM(CASE WHEN diff > 0 THEN diff ELSE 0 END)
+         |    OVER win AS BIGINT) AS gain_c,
+         |  CAST(SUM(CASE WHEN diff < 0 THEN -diff ELSE 0 END)
+         |    OVER win AS BIGINT) AS loss_c,
+         |  CAST(COUNT(diff) OVER win AS BIGINT) AS nd
+         |  FROM d WINDOW win AS (PARTITION BY series ORDER BY day
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT series, day, gain_c, loss_c,
+         |  CAST(CASE WHEN gain_c + loss_c > 0
+         |    THEN gain_c * 1000000 // (gain_c + loss_c)
+         |    ELSE 500000 END AS BIGINT) AS rsi_ppm
+         |FROM w WHERE nd = 14
+         |ORDER BY series, day""".stripMargin) { (s, dir) =>
+      val lagW = Window.partitionBy(col("series")).orderBy(col("day"))
+      val w14 = lagW.rowsBetween(-13, 0)
+      dailyOhlc(s, dir)
+        .withColumn("diff",
+          col("close_c") - lag(col("close_c"), 1).over(lagW))
+        .withColumn("gain_c",
+          sum(when(col("diff") > 0, col("diff")).otherwise(lit(0L)))
+            .over(w14).cast("long"))
+        .withColumn("loss_c",
+          sum(when(col("diff") < 0, -col("diff")).otherwise(lit(0L)))
+            .over(w14).cast("long"))
+        .withColumn("nd", count(col("diff")).over(w14))
+        .filter(col("nd") === 14)
+        .select(col("series"), col("day"), col("gain_c"),
+          col("loss_c"),
+          when(col("gain_c") + col("loss_c") > 0,
+            expr("gain_c * 1000000 div (gain_c + loss_c)"))
+            .otherwise(lit(500000L)).cast("long").as("rsi_ppm"))
+        .orderBy(col("series"), col("day"))
+    },
+
+    // ATR-14 (SMA form): true range folds yesterday's close into the
+    // day's high/low span; the average is a floor-divided 14-row sum.
+    QuerySpec.sql(
+      "ts_atr",
+      s"""WITH $dailyOhlcSql,
+         |d AS (SELECT series, day, high_c, low_c,
+         |  LAG(close_c) OVER (PARTITION BY series ORDER BY day) AS pc
+         |  FROM daily),
+         |t AS (SELECT series, day,
+         |  CAST(CASE WHEN pc IS NULL THEN high_c - low_c
+         |    ELSE GREATEST(high_c - low_c, ABS(high_c - pc),
+         |      ABS(low_c - pc)) END AS BIGINT) AS tr_c
+         |  FROM d),
+         |w AS (SELECT series, day, tr_c,
+         |  CAST(SUM(tr_c) OVER win AS BIGINT) AS str_c,
+         |  CAST(COUNT(*) OVER win AS BIGINT) AS nw
+         |  FROM t WINDOW win AS (PARTITION BY series ORDER BY day
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT series, day, tr_c,
+         |  CAST(str_c // 14 AS BIGINT) AS atr_c
+         |FROM w WHERE nw = 14
+         |ORDER BY series, day""".stripMargin) { (s, dir) =>
+      val lagW = Window.partitionBy(col("series")).orderBy(col("day"))
+      val w14 = lagW.rowsBetween(-13, 0)
+      dailyOhlc(s, dir)
+        .withColumn("pc", lag(col("close_c"), 1).over(lagW))
+        .withColumn("tr_c",
+          when(col("pc").isNull, col("high_c") - col("low_c"))
+            .otherwise(greatest(col("high_c") - col("low_c"),
+              abs(col("high_c") - col("pc")),
+              abs(col("low_c") - col("pc")))).cast("long"))
+        .withColumn("str_c", sum(col("tr_c")).over(w14).cast("long"))
+        .withColumn("nw", count(lit(1)).over(w14).cast("long"))
+        .filter(col("nw") === 14)
+        .select(col("series"), col("day"), col("tr_c"),
+          expr("CAST(str_c div 14 AS BIGINT)").as("atr_c"))
+        .orderBy(col("series"), col("day"))
+    },
+
+    // On-balance volume: signed cents-volume running sum — sign from
+    // the close-to-close direction (first day contributes 0), the
+    // cumulative window series-keyed.
+    QuerySpec.sql(
+      "ts_obv",
+      s"""WITH $dailyOhlcSql,
+         |d AS (SELECT series, day, close_c, vol_c,
+         |  LAG(close_c) OVER (PARTITION BY series ORDER BY day) AS pc
+         |  FROM daily),
+         |sv AS (SELECT series, day, close_c,
+         |  CAST(CASE WHEN pc IS NULL THEN 0
+         |    WHEN close_c > pc THEN vol_c
+         |    WHEN close_c < pc THEN -vol_c
+         |    ELSE 0 END AS BIGINT) AS sv_c
+         |  FROM d)
+         |SELECT series, day, close_c,
+         |  CAST(SUM(sv_c) OVER (PARTITION BY series ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS obv_c
+         |FROM sv
+         |ORDER BY series, day""".stripMargin) { (s, dir) =>
+      val lagW = Window.partitionBy(col("series")).orderBy(col("day"))
+      val cumW = lagW.rowsBetween(Window.unboundedPreceding, 0)
+      dailyOhlc(s, dir)
+        .withColumn("pc", lag(col("close_c"), 1).over(lagW))
+        .withColumn("sv_c",
+          when(col("pc").isNull, lit(0L))
+            .when(col("close_c") > col("pc"), col("vol_c"))
+            .when(col("close_c") < col("pc"), -col("vol_c"))
+            .otherwise(lit(0L)).cast("long"))
+        .select(col("series"), col("day"), col("close_c"),
+          sum(col("sv_c")).over(cumW).cast("long").as("obv_c"))
+        .orderBy(col("series"), col("day"))
+    },
+
+    // Stochastic oscillator: %K = position of the close inside the
+    // 14-day high/low channel (ppm, floor-divided; flat channel =
+    // midpoint), %D = 3-row SMA of %K (null until 3 %K rows exist).
+    QuerySpec.sql(
+      "ts_stochastic",
+      s"""WITH $dailyOhlcSql,
+         |w AS (SELECT series, day, close_c,
+         |  CAST(MIN(low_c) OVER win AS BIGINT) AS ll,
+         |  CAST(MAX(high_c) OVER win AS BIGINT) AS hh,
+         |  CAST(COUNT(*) OVER win AS BIGINT) AS nw
+         |  FROM daily WINDOW win AS (PARTITION BY series ORDER BY day
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         |k AS (SELECT series, day,
+         |  CAST(CASE WHEN hh > ll
+         |    THEN (close_c - ll) * 1000000 // (hh - ll)
+         |    ELSE 500000 END AS BIGINT) AS k_ppm
+         |  FROM w WHERE nw = 14)
+         |SELECT series, day, k_ppm,
+         |  CAST(CASE WHEN COUNT(*) OVER w3 = 3
+         |    THEN SUM(k_ppm) OVER w3 // 3 END AS BIGINT) AS d_ppm
+         |FROM k WINDOW w3 AS (PARTITION BY series ORDER BY day
+         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         |ORDER BY series, day""".stripMargin) { (s, dir) =>
+      val ordW = Window.partitionBy(col("series")).orderBy(col("day"))
+      val w14 = ordW.rowsBetween(-13, 0)
+      val w3 = ordW.rowsBetween(-2, 0)
+      dailyOhlc(s, dir)
+        .withColumn("ll", min(col("low_c")).over(w14).cast("long"))
+        .withColumn("hh", max(col("high_c")).over(w14).cast("long"))
+        .withColumn("nw", count(lit(1)).over(w14).cast("long"))
+        .filter(col("nw") === 14)
+        .select(col("series"), col("day"),
+          when(col("hh") > col("ll"),
+            expr("(close_c - ll) * 1000000 div (hh - ll)"))
+            .otherwise(lit(500000L)).cast("long").as("k_ppm"))
+        .withColumn("sk", sum(col("k_ppm")).over(w3).cast("long"))
+        .withColumn("nk", count(lit(1)).over(w3).cast("long"))
+        .select(col("series"), col("day"), col("k_ppm"),
+          when(col("nk") === 3, expr("sk div 3"))
+            .cast("long").as("d_ppm"))
+        .orderBy(col("series"), col("day"))
+    },
+
+    // Chaikin money flow (20-day): the per-day money-flow volume is
+    // an exact per-row floor division (|mfv| ≤ vol by construction),
+    // folded against the volume sum in ppm. BIGINT-safe while a
+    // series' 20-day cents volume stays under ~9.2e12 — the dsum
+    // envelope; beyond that the multiplier column moves to
+    // DECIMAL(38,0) like the XRPL IOU path.
+    QuerySpec.sql(
+      "ts_chaikin_mf",
+      s"""WITH $dailyOhlcSql,
+         |m AS (SELECT series, day, vol_c,
+         |  CAST(CASE WHEN high_c > low_c
+         |    THEN (vol_c * (2 * close_c - low_c - high_c))
+         |      // (high_c - low_c)
+         |    ELSE 0 END AS BIGINT) AS mfv_c
+         |  FROM daily),
+         |w AS (SELECT series, day,
+         |  CAST(SUM(mfv_c) OVER win AS BIGINT) AS smfv_c,
+         |  CAST(SUM(vol_c) OVER win AS BIGINT) AS svol_c,
+         |  CAST(COUNT(*) OVER win AS BIGINT) AS nw
+         |  FROM m WINDOW win AS (PARTITION BY series ORDER BY day
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT series, day, smfv_c, svol_c,
+         |  CAST(CASE WHEN svol_c > 0
+         |    THEN smfv_c * 1000000 // svol_c END AS BIGINT) AS cmf_ppm
+         |FROM w WHERE nw = 20
+         |ORDER BY series, day""".stripMargin) { (s, dir) =>
+      val ordW = Window.partitionBy(col("series")).orderBy(col("day"))
+      val w20 = ordW.rowsBetween(-19, 0)
+      dailyOhlc(s, dir)
+        .withColumn("mfv_c",
+          when(col("high_c") > col("low_c"),
+            expr("(vol_c * (2 * close_c - low_c - high_c))" +
+              " div (high_c - low_c)"))
+            .otherwise(lit(0L)).cast("long"))
+        .withColumn("smfv_c", sum(col("mfv_c")).over(w20).cast("long"))
+        .withColumn("svol_c", sum(col("vol_c")).over(w20).cast("long"))
+        .withColumn("nw", count(lit(1)).over(w20).cast("long"))
+        .filter(col("nw") === 20)
+        .select(col("series"), col("day"), col("smfv_c"),
+          col("svol_c"),
+          when(col("svol_c") > 0,
+            expr("smfv_c * 1000000 div svol_c"))
+            .cast("long").as("cmf_ppm"))
+        .orderBy(col("series"), col("day"))
+    },
+
+    // Wilcoxon signed-rank (one-sample, per series): does the daily
+    // step dx have zero median? The magnitude-aware sibling of
+    // stats_sign_test on the SAME two-regime diff frame — zeros
+    // dropped, |dx| midranked through the per-distinct-magnitude
+    // histogram (series-keyed prefix window, the mannwhitney ×2-rank
+    // discipline), W⁺ and the tie-corrected variance exact integers:
+    // var48 = 2n(n+1)(2n+1) − Σ(t³−t) (= 48·Var, provably > 0 for
+    // n ≥ 1), z floored to micro through the shared-text float
+    // expression (sqrt/÷ correctly rounded in the same order both
+    // engines). BIGINT-safe to n ≈ 1.6e6 nonzero days per series —
+    // a 4,000-year daily calendar; the n³ terms error loudly past it
+    // (ANSI overflow), never wrap.
+    QuerySpec.sql(
+      "stats_wilcoxon_signed_rank",
+      s"""WITH $seriesDiffCtes,
+         |h AS (
+         |  SELECT series, ABS(dx) AS a,
+         |    CAST(COUNT(*) AS BIGINT) AS c,
+         |    CAST(COUNT(*) FILTER (WHERE dx > 0) AS BIGINT) AS cpos
+         |  FROM dd WHERE dx IS NOT NULL AND dx <> 0
+         |  GROUP BY 1, 2),
+         |r AS (SELECT series, a, c, cpos,
+         |    COALESCE(SUM(c) OVER (PARTITION BY series ORDER BY a
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cumb
+         |  FROM h),
+         |agg AS (SELECT series,
+         |    CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(SUM(cpos * (2 * cumb + c + 1)) AS BIGINT)
+         |      AS wplus_x2,
+         |    CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+         |  FROM r GROUP BY 1),
+         |v AS (SELECT series, n, wplus_x2,
+         |    CAST(2 * n * (n + 1) * (2 * n + 1) - ties AS BIGINT)
+         |      AS var48,
+         |    CAST(wplus_x2 - n * (n + 1) // 2 AS BIGINT) AS dev_x2
+         |  FROM agg)
+         |SELECT series, n, wplus_x2, var48,
+         |  CAST(FLOOR(dev_x2 / 2.0 / sqrt(var48 / 48.0) * 1000000)
+         |    AS BIGINT) AS z_micro,
+         |  CASE WHEN ABS(CAST(FLOOR(dev_x2 / 2.0 / sqrt(var48 / 48.0)
+         |      * 1000000) AS BIGINT)) > 1959964
+         |    THEN 'shifted' ELSE 'no_shift' END AS verdict
+         |FROM v ORDER BY series""".stripMargin) { (s, dir) =>
+      val h = seriesDiffs(s, dir)
+        .filter(col("dx").isNotNull && col("dx") =!= 0)
+        .groupBy(col("series"), abs(col("dx")).as("a"))
+        .agg(count(lit(1)).as("c"),
+          sum(when(col("dx") > 0, 1L).otherwise(0L)).as("cpos"))
+      val w = Window.partitionBy(col("series")).orderBy(col("a"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val agg = h
+        .withColumn("cumb", coalesce(sum(col("c")).over(w), lit(0L)))
+        .groupBy(col("series"))
+        .agg(sum(col("c")).cast("long").as("n"),
+          sum(col("cpos") * (lit(2) * col("cumb") + col("c") + lit(1)))
+            .cast("long").as("wplus_x2"),
+          sum(col("c") * col("c") * col("c") - col("c"))
+            .cast("long").as("ties"))
+      val zExpr = "FLOOR(dev_x2 / 2.0 / sqrt(var48 / 48.0) * 1000000)"
+      agg
+        .withColumn("var48",
+          expr("CAST(2 * n * (n + 1) * (2 * n + 1) - ties AS BIGINT)"))
+        .withColumn("dev_x2",
+          expr("CAST(wplus_x2 - n * (n + 1) div 2 AS BIGINT)"))
+        .select(col("series"), col("n"), col("wplus_x2"),
+          col("var48"),
+          expr(s"CAST($zExpr AS BIGINT)").as("z_micro"),
+          expr(s"CASE WHEN ABS(CAST($zExpr AS BIGINT)) > 1959964 " +
+            "THEN 'shifted' ELSE 'no_shift' END").as("verdict"))
+        .orderBy(col("series"))
     })
+
+  /** Daily OHLC candle in exact cents, shared by the five
+    * technical-analysis gates (ts_rsi/atr/obv/stochastic/chaikin_mf):
+    * the a1/a2 candle rollup re-expressed on the portable
+    * `round(value·100)` cents quantization so every downstream
+    * indicator stays in BIGINT. open/close pick by the unique
+    * event_id (min_by/max_by — associative, no sort); volume sums the
+    * PER-ROW cents quantization (never `round(sum)·100`), so both
+    * engines fold identical integers. One row per (series, day):
+    * bounded metadata at any scale.
+    */
+  private def dailyOhlc(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type").as("series"),
+        to_date(col("ts")).as("day"))
+      .agg(
+        expr("CAST(round(min_by(value, event_id) * 100) AS BIGINT)")
+          .as("open_c"),
+        expr("CAST(round(max_by(value, event_id) * 100) AS BIGINT)")
+          .as("close_c"),
+        expr("CAST(round(max(value) * 100) AS BIGINT)").as("high_c"),
+        expr("CAST(round(min(value) * 100) AS BIGINT)").as("low_c"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).cast("long")
+          .as("vol_c"))
+
+  /** DuckDB mirror of [[dailyOhlc]]; a CTE named `daily` (expects to
+    * open a WITH list).
+    */
+  private val dailyOhlcSql =
+    """daily AS (
+      |  SELECT event_type AS series,
+      |    CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(round(min_by(value, event_id) * 100) AS BIGINT)
+      |      AS open_c,
+      |    CAST(round(max_by(value, event_id) * 100) AS BIGINT)
+      |      AS close_c,
+      |    CAST(round(max(value) * 100) AS BIGINT) AS high_c,
+      |    CAST(round(min(value) * 100) AS BIGINT) AS low_c,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |      AS vol_c
+      |  FROM events GROUP BY 1, 2)""".stripMargin
 
   /** Per-day decay weights, age 0–29: round(0.9^age·10⁶) and
     * round(0.8^age·10⁶) — fixed literals shared verbatim with the

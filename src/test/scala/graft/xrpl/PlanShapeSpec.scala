@@ -503,7 +503,9 @@ class PlanShapeSpec extends AnyFunSuite {
         "ts_sax_symbols", "dq_fd_violations", "ts_haar_energy",
         "ts_spectral_entropy", "stats_fdr_by",
         "stats_hodges_lehmann", "er_phonetic_blocking",
-        "ts_decayed_volume")) {
+        "ts_decayed_volume", "ts_rsi", "ts_atr", "ts_obv",
+        "ts_stochastic", "ts_chaikin_mf", "stats_wilcoxon_signed_rank",
+        "eval_krippendorff_alpha", "eval_gwet_ac1")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
