@@ -1499,6 +1499,156 @@ object ClusterOps {
       import s.implicits._
       trace.result().toDF("k_round", "n_nodes", "n_edges")
         .orderBy(col("k_round"))
+    },
+
+    // Rich-club coefficient φ(k) over the undirected k-NN graph: for
+    // each degree threshold k, the density of the subgraph induced by
+    // nodes of degree > k — do the hubs preferentially interlink?
+    // Exact ppm off the degree table: n_k nodes and e_k edges whose
+    // BOTH endpoints clear the bar, φ = 2e_k/(n_k(n_k−1)). The
+    // threshold grid is a 6-row broadcast literal; the only
+    // edge-scale work is the one edge ⋈ degree join every other graph
+    // gate already pays, then two 6-row folds.
+    QuerySpec.sql(
+      "graph_rich_club",
+      s"""WITH sig AS (${SimilarityOps.quantizedSql}),
+         |knn AS (SELECT vec_id, nbr_id FROM (${SimilarityOps.knnEdgesSql(3)}) k),
+         |und AS (SELECT DISTINCT LEAST(vec_id, nbr_id) AS u,
+         |    GREATEST(vec_id, nbr_id) AS v FROM knn),
+         |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+         |    SELECT u AS n FROM und UNION ALL SELECT v FROM und) m
+         |  GROUP BY n),
+         |ks AS (SELECT CAST(k AS BIGINT) AS k
+         |  FROM (VALUES (1), (2), (3), (4), (5), (6)) t(k)),
+         |nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k
+         |  FROM ks JOIN deg ON d > k GROUP BY 1),
+         |em AS (SELECT LEAST(du.d, dv.d) AS dmin
+         |  FROM und JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v),
+         |ek AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS e_k
+         |  FROM ks JOIN em ON dmin > k GROUP BY 1)
+         |SELECT ks.k AS k,
+         |  CAST(COALESCE(nk.n_k, 0) AS BIGINT) AS n_rich,
+         |  CAST(COALESCE(ek.e_k, 0) AS BIGINT) AS e_rich,
+         |  CAST(CASE WHEN COALESCE(nk.n_k, 0) >= 2
+         |    THEN COALESCE(ek.e_k, 0) * 2000000
+         |      // (nk.n_k * (nk.n_k - 1)) END AS BIGINT) AS phi_ppm
+         |FROM ks LEFT JOIN nk ON nk.k = ks.k
+         |LEFT JOIN ek ON ek.k = ks.k
+         |ORDER BY k""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val und = undirectedEdges(s, dir)
+      val deg = und.select(col("u").as("n"))
+        .unionByName(und.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val ks = (1L to 6L).toDF("k")
+      val nk = deg.crossJoin(broadcast(ks))
+        .filter(col("d") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+      val em = und
+        .join(deg.select(col("n").as("un"), col("d").as("du")),
+          col("un") === col("u"))
+        .join(deg.select(col("n").as("vn"), col("d").as("dv")),
+          col("vn") === col("v"))
+        .select(least(col("du"), col("dv")).as("dmin"))
+      val ek = em.crossJoin(broadcast(ks))
+        .filter(col("dmin") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("e_k"))
+      ks.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+        .select(col("k"),
+          coalesce(col("n_k"), lit(0L)).cast("long").as("n_rich"),
+          coalesce(col("e_k"), lit(0L)).cast("long").as("e_rich"),
+          expr("CAST(CASE WHEN COALESCE(n_k, 0) >= 2 " +
+            "THEN COALESCE(e_k, 0) * 2000000 " +
+            "div (n_k * (n_k - 1)) END AS BIGINT)").as("phi_ppm"))
+        .orderBy(col("k"))
+    },
+
+    // HITS hubs & authorities over the DIRECTED k-NN graph — the
+    // query-independent link-analysis pair beside PageRank: an
+    // authority is pointed at by good hubs, a hub points at good
+    // authorities. Two mutual-reinforcement rounds unrolled in
+    // integer micro-mass, each followed by an exact L∞ normalization
+    // (x·10⁶ // max — the max is a 1-row broadcast), so every score
+    // is a deterministic integer both engines reproduce; isolated
+    // directions coalesce to 0 at the final node join. Per round: two
+    // shuffle-on-key joins + two hash aggregates, same cost shape as
+    // one PageRank round; the oracle unrolls identical MATERIALIZED
+    // CTEs.
+    QuerySpec.sql(
+      "graph_hits",
+      s"""WITH sig AS (${SimilarityOps.quantizedSql}),
+         |knn AS MATERIALIZED (SELECT vec_id, nbr_id
+         |  FROM (${SimilarityOps.knnEdgesSql(3)}) k),
+         |nodes AS (SELECT DISTINCT vec_id FROM sig),
+         |a1 AS MATERIALIZED (SELECT nbr_id AS id,
+         |    CAST(COUNT(*) AS BIGINT) * 1000000 AS a
+         |  FROM knn GROUP BY 1),
+         |am1 AS (SELECT MAX(a) AS m FROM a1),
+         |a1n AS MATERIALIZED (SELECT id,
+         |    CAST(a * 1000000 // m AS BIGINT) AS a FROM a1, am1),
+         |h1 AS MATERIALIZED (SELECT k.vec_id AS id,
+         |    CAST(SUM(x.a) AS BIGINT) AS h
+         |  FROM knn k JOIN a1n x ON x.id = k.nbr_id GROUP BY 1),
+         |hm1 AS (SELECT MAX(h) AS m FROM h1),
+         |h1n AS MATERIALIZED (SELECT id,
+         |    CAST(h * 1000000 // m AS BIGINT) AS h FROM h1, hm1),
+         |a2 AS MATERIALIZED (SELECT k.nbr_id AS id,
+         |    CAST(SUM(x.h) AS BIGINT) AS a
+         |  FROM knn k JOIN h1n x ON x.id = k.vec_id GROUP BY 1),
+         |am2 AS (SELECT MAX(a) AS m FROM a2),
+         |a2n AS MATERIALIZED (SELECT id,
+         |    CAST(a * 1000000 // m AS BIGINT) AS a FROM a2, am2),
+         |h2 AS MATERIALIZED (SELECT k.vec_id AS id,
+         |    CAST(SUM(x.a) AS BIGINT) AS h
+         |  FROM knn k JOIN a2n x ON x.id = k.nbr_id GROUP BY 1),
+         |hm2 AS (SELECT MAX(h) AS m FROM h2),
+         |h2n AS MATERIALIZED (SELECT id,
+         |    CAST(h * 1000000 // m AS BIGINT) AS h FROM h2, hm2)
+         |SELECT n.vec_id AS vec_id,
+         |  CAST(COALESCE(h.h, 0) AS BIGINT) AS hub_micro,
+         |  CAST(COALESCE(a.a, 0) AS BIGINT) AS auth_micro
+         |FROM nodes n
+         |LEFT JOIN h2n h ON h.id = n.vec_id
+         |LEFT JOIN a2n a ON a.id = n.vec_id
+         |ORDER BY auth_micro DESC, vec_id""".stripMargin) { (s, dir) =>
+      val knn = Materialize.stable(
+        SimilarityOps.knnEdges(s, dir, 3)
+          .select(col("vec_id"), col("nbr_id")))
+      val nodes = SimilarityOps.signatures(s, dir).select(col("vec_id"))
+      def lInfNorm(df: DataFrame, c: String): DataFrame = {
+        val m = df.agg(max(col(c)).as("m"))
+        Materialize.stable(df.crossJoin(broadcast(m))
+          .select(col("id"),
+            expr(s"CAST($c * 1000000 div m AS BIGINT)").as(c)))
+      }
+      val a1 = lInfNorm(
+        knn.groupBy(col("nbr_id").as("id"))
+          .agg((count(lit(1)) * lit(1000000L)).cast("long").as("a")),
+        "a")
+      val h1 = lInfNorm(
+        knn.join(a1.withColumnRenamed("id", "nbr_id"), Seq("nbr_id"))
+          .groupBy(col("vec_id").as("id"))
+          .agg(sum(col("a")).cast("long").as("h")),
+        "h")
+      val a2 = lInfNorm(
+        knn.join(h1.withColumnRenamed("id", "vec_id"), Seq("vec_id"))
+          .groupBy(col("nbr_id").as("id"))
+          .agg(sum(col("h")).cast("long").as("a")),
+        "a")
+      val h2 = lInfNorm(
+        knn.join(a2.withColumnRenamed("id", "nbr_id"), Seq("nbr_id"))
+          .groupBy(col("vec_id").as("id"))
+          .agg(sum(col("a")).cast("long").as("h")),
+        "h")
+      nodes
+        .join(h2.withColumnRenamed("id", "vec_id"), Seq("vec_id"),
+          "left")
+        .join(a2.withColumnRenamed("id", "vec_id"), Seq("vec_id"),
+          "left")
+        .select(col("vec_id"),
+          coalesce(col("h"), lit(0L)).cast("long").as("hub_micro"),
+          coalesce(col("a"), lit(0L)).cast("long").as("auth_micro"))
+        .orderBy(col("auth_micro").desc, col("vec_id"))
     })
 
   /** Peel threshold and round cap for [[graph_kcore_peel]]'s oracle

@@ -505,7 +505,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "stats_hodges_lehmann", "er_phonetic_blocking",
         "ts_decayed_volume", "ts_rsi", "ts_atr", "ts_obv",
         "ts_stochastic", "ts_chaikin_mf", "stats_wilcoxon_signed_rank",
-        "eval_krippendorff_alpha", "eval_gwet_ac1")) {
+        "eval_krippendorff_alpha", "eval_gwet_ac1", "graph_rich_club",
+        "graph_hits")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
