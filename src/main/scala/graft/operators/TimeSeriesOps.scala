@@ -7955,8 +7955,11 @@ object TimeSeriesOps {
     // literal table shared verbatim with the oracle (the ndcg-
     // discount discipline), so the classically-float decayed sum is
     // an exact integer — and, because the weights are per-day
-    // constants, the whole aggregate is one map-side-combinable fold
-    // (the streaming form just adds yesterday's total × 0.9). Plan:
+    // constants, the whole aggregate is one map-side-combinable fold.
+    // Streaming twin: graft.streaming.DecayedVolumeStream — a bounded
+    // 30-slot per-series ring (NOT a scalar ×0.9 fold: the table
+    // truncates at age 29 and quantized weights don't compose),
+    // frontier parity spec-pinned. Plan:
     // one daily rollup → broadcast age join → per-series fold; no
     // window.
     QuerySpec.sql(
@@ -8346,7 +8349,7 @@ object TimeSeriesOps {
     * round(0.8^age·10⁶) — fixed literals shared verbatim with the
     * oracle so the decayed sums are float-free in both engines.
     */
-  private val decayWeights: Seq[(Int, Long, Long)] = {
+  private[graft] val decayWeights: Seq[(Int, Long, Long)] = {
     val w9 = Seq(1000000L, 900000L, 810000L, 729000L, 656100L,
       590490L, 531441L, 478297L, 430467L, 387420L, 348678L, 313811L,
       282430L, 254187L, 228768L, 205891L, 185302L, 166772L, 150095L,
