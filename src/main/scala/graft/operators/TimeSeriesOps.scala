@@ -8302,6 +8302,147 @@ object TimeSeriesOps {
           expr(s"CASE WHEN ABS(CAST($zExpr AS BIGINT)) > 1959964 " +
             "THEN 'shifted' ELSE 'no_shift' END").as("verdict"))
         .orderBy(col("series"))
+    },
+
+    // Parkinson range volatility per series: σ²_P = mean(ln(H/L)²) /
+    // (4·ln2) over the daily candles — the estimator that extracts
+    // ~5× more information per day than close-to-close returns. Each
+    // ln is micro-quantized through the ONE shared expression (the
+    // entropy-rate discipline), so ln(H/L) = lnm(H) − lnm(L) is an
+    // exact micro integer, its square exact pico, and the 4·ln2
+    // constant a fixed micro literal (2772589) — one floor division
+    // through DECIMAL(38,0)/HUGEINT closes the variance. Plan: the
+    // shared candle rollup → per-series fold; no window at all.
+    QuerySpec.sql(
+      "ts_parkinson_vol", {
+        def lnm(e: String) = s"CAST(CAST(ln(CAST($e AS DOUBLE)) " +
+          s"AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+        s"""WITH $dailyOhlcSql,
+           |l AS (SELECT series, day,
+           |    ${lnm("high_c")} - ${lnm("low_c")} AS hl_micro
+           |  FROM daily WHERE low_c > 0),
+           |a AS (SELECT series, CAST(COUNT(*) AS BIGINT) AS n_days,
+           |    CAST(SUM(hl_micro * hl_micro) AS BIGINT) AS ssq_pico
+           |  FROM l GROUP BY 1)
+           |SELECT series, n_days, ssq_pico,
+           |  CAST(CAST(ssq_pico AS HUGEINT) * 1000000
+           |    // (2772589 * CAST(n_days AS HUGEINT)) AS BIGINT)
+           |    AS park_var_pico
+           |FROM a ORDER BY series""".stripMargin
+      }) { (s, dir) =>
+      val lnm = (e: String) => s"CAST(CAST(ln(CAST($e AS DOUBLE)) " +
+        s"AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+      dailyOhlc(s, dir)
+        .filter(col("low_c") > 0)
+        .select(col("series"),
+          (expr(lnm("high_c")) - expr(lnm("low_c"))).as("hl_micro"))
+        .groupBy(col("series"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("hl_micro") * col("hl_micro")).cast("long")
+            .as("ssq_pico"))
+        .select(col("series"), col("n_days"), col("ssq_pico"),
+          expr("CAST(CAST(ssq_pico AS DECIMAL(38,0)) * 1000000 " +
+            "div (2772589 * CAST(n_days AS DECIMAL(38,0))) " +
+            "AS BIGINT)").as("park_var_pico"))
+        .orderBy(col("series"))
+    },
+
+    // Garman–Klass OHLC volatility per series: per day
+    // 0.5·ln(H/L)² − (2ln2−1)·ln(C/O)², folded to the series mean.
+    // Same micro-ln discipline as Parkinson; the (2ln2−1) constant is
+    // the fixed micro literal 386294, and the per-day cross term
+    // rides DECIMAL(38,0)/HUGEINT so pico² intermediates never
+    // overflow. A day can contribute negatively (the classic
+    // estimator's known quirk) — signed floor division agrees across
+    // engines by the established div ≡ // parity.
+    QuerySpec.sql(
+      "ts_garman_klass_vol", {
+        def lnm(e: String) = s"CAST(CAST(ln(CAST($e AS DOUBLE)) " +
+          s"AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+        s"""WITH $dailyOhlcSql,
+           |l AS (SELECT series, day,
+           |    ${lnm("high_c")} - ${lnm("low_c")} AS hl_micro,
+           |    ${lnm("close_c")} - ${lnm("open_c")} AS co_micro
+           |  FROM daily WHERE low_c > 0 AND open_c > 0),
+           |g AS (SELECT series,
+           |    CAST(hl_micro * hl_micro // 2
+           |      - CAST(co_micro AS HUGEINT) * co_micro * 386294
+           |        // 1000000 AS BIGINT) AS gk_pico
+           |  FROM l),
+           |a AS (SELECT series, CAST(COUNT(*) AS BIGINT) AS n_days,
+           |    CAST(SUM(gk_pico) AS BIGINT) AS gk_sum_pico
+           |  FROM g GROUP BY 1)
+           |SELECT series, n_days, gk_sum_pico,
+           |  CAST(gk_sum_pico // n_days AS BIGINT) AS gk_var_pico
+           |FROM a ORDER BY series""".stripMargin
+      }) { (s, dir) =>
+      val lnm = (e: String) => s"CAST(CAST(ln(CAST($e AS DOUBLE)) " +
+        s"AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+      dailyOhlc(s, dir)
+        .filter(col("low_c") > 0 && col("open_c") > 0)
+        .select(col("series"),
+          (expr(lnm("high_c")) - expr(lnm("low_c"))).as("hl_micro"),
+          (expr(lnm("close_c")) - expr(lnm("open_c"))).as("co_micro"))
+        .select(col("series"),
+          expr("CAST(hl_micro * hl_micro div 2 " +
+            "- CAST(co_micro AS DECIMAL(38,0)) * co_micro * 386294 " +
+            "div 1000000 AS BIGINT)").as("gk_pico"))
+        .groupBy(col("series"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("gk_pico")).cast("long").as("gk_sum_pico"))
+        .select(col("series"), col("n_days"), col("gk_sum_pico"),
+          expr("CAST(gk_sum_pico div n_days AS BIGINT)")
+            .as("gk_var_pico"))
+        .orderBy(col("series"))
+    },
+
+    // Durbin–Watson first-order autocorrelation statistic per series
+    // on the two-regime daily frame: d = Σ(Δy)² / Σ(y−ȳ)², made an
+    // EXACT integer rational by multiplying both sides by n²
+    // (num = n²·Σ(Δy)², den = Σ(n·y − S)²), reported in milli
+    // (0–4000; ≈2000 = no autocorrelation, the trending cum_users
+    // regime reads near 0). All products ride DECIMAL(38,0)/HUGEINT;
+    // the only window is the series-keyed LAG the diff frame already
+    // uses. Constant series → den 0 → NULL, guarded in both engines.
+    QuerySpec.sql(
+      "ts_durbin_watson",
+      s"""WITH $seriesDiffCtes,
+         |sq AS (SELECT series,
+         |    CAST(SUM(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sdd
+         |  FROM dd WHERE dx IS NOT NULL GROUP BY 1),
+         |st AS (SELECT series, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx,
+         |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+         |  FROM daily GROUP BY 1)
+         |SELECT st.series AS series, st.n AS n,
+         |  CAST(sq.sdd AS BIGINT) AS sum_sq_diff,
+         |  CAST(CASE WHEN st.n * sxx - CAST(sx AS HUGEINT) * sx > 0
+         |    THEN CAST(st.n AS HUGEINT) * st.n * sq.sdd * 1000
+         |      // (st.n * (st.n * sxx - CAST(sx AS HUGEINT) * sx))
+         |    END AS BIGINT) AS dw_milli
+         |FROM st JOIN sq ON sq.series = st.series
+         |ORDER BY series""".stripMargin) { (s, dir) =>
+      val sq = seriesDiffs(s, dir)
+        .filter(col("dx").isNotNull)
+        .groupBy(col("series"))
+        .agg(sum(expr("CAST(dx AS DECIMAL(38,0)) * dx"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .as("sdd"))
+      val st = seriesDaily(s, dir)
+        .groupBy(col("series"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            .as("sxx"))
+      st.join(sq, Seq("series"))
+        .select(col("series"), col("n"),
+          col("sdd").cast("long").as("sum_sq_diff"),
+          expr("CAST(CASE WHEN n * sxx - CAST(sx AS DECIMAL(38,0)) " +
+            "* sx > 0 THEN CAST(n AS DECIMAL(38,0)) * n * sdd * 1000" +
+            " div (n * (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)) " +
+            "END AS BIGINT)").as("dw_milli"))
+        .orderBy(col("series"))
     })
 
   /** Daily OHLC candle in exact cents, shared by the five
