@@ -3629,6 +3629,64 @@ object TextOps {
             "+ st2) AS BIGINT)").as("ac1_ppm"))
     },
 
+    // Coleman–Liau readability per source — the grade-level readout
+    // quality filters gate on, chosen over Flesch BECAUSE it needs no
+    // syllable model: CLI = 0.0588·L − 0.296·S − 15.8 with
+    // L = 100·chars/words, S = 100·sentences/words collapses to ONE
+    // exact centi rational, (588·C − 2960·Snt − 1580·W) // W, over
+    // three per-source integer counts. Letters count via a
+    // global-flag regexp strip (DuckDB needs the explicit 'g' — its
+    // default is first-match, the er_phonetic_blocking lesson);
+    // sentences by the text_sentences splitter verbatim. One
+    // map-side-combinable fold; C·588 rides HUGEINT/DECIMAL(38,0) so
+    // a 10¹⁶-char source can't wrap.
+    QuerySpec.sql(
+      "text_coleman_liau",
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |      AS BIGINT) AS c,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(len(string_split_regex(text, '[.!?] ')) AS BIGINT)
+        |      AS snt
+        |  FROM documents),
+        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(c) AS BIGINT) AS n_alpha,
+        |    CAST(SUM(w) AS BIGINT) AS n_words,
+        |    CAST(SUM(snt) AS BIGINT) AS n_sentences
+        |  FROM d GROUP BY 1)
+        |SELECT source, n_docs, n_alpha, n_words, n_sentences,
+        |  CAST((588 * CAST(n_alpha AS HUGEINT) - 2960 * n_sentences
+        |    - 1580 * n_words) // n_words AS BIGINT) AS cli_centi,
+        |  CASE WHEN (588 * CAST(n_alpha AS HUGEINT)
+        |      - 2960 * n_sentences - 1580 * n_words) // n_words >= 1200
+        |    THEN 'college'
+        |    WHEN (588 * CAST(n_alpha AS HUGEINT) - 2960 * n_sentences
+        |      - 1580 * n_words) // n_words >= 800 THEN 'secondary'
+        |    ELSE 'primary' END AS band
+        |FROM a ORDER BY source""".stripMargin) { (s, dir) =>
+      val a = docs(s, dir)
+        .select(col("source"),
+          length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+            .cast("long").as("c"),
+          size(split(col("text"), " ")).cast("long").as("w"),
+          size(split(col("text"), "[.!?] ")).cast("long").as("snt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("c")).cast("long").as("n_alpha"),
+          sum(col("w")).cast("long").as("n_words"),
+          sum(col("snt")).cast("long").as("n_sentences"))
+      val cli = "(588 * CAST(n_alpha AS DECIMAL(38,0)) " +
+        "- 2960 * n_sentences - 1580 * n_words) div n_words"
+      a.select(col("source"), col("n_docs"), col("n_alpha"),
+          col("n_words"), col("n_sentences"),
+          expr(s"CAST($cli AS BIGINT)").as("cli_centi"),
+          expr(s"CASE WHEN $cli >= 1200 THEN 'college' " +
+            s"WHEN $cli >= 800 THEN 'secondary' " +
+            "ELSE 'primary' END").as("band"))
+        .orderBy(col("source"))
+    },
+
     // Corpus-level BLEU-2 between source-adjacent documents — the
     // n-gram-overlap translation metric repurposed as a SOURCE
     // SELF-SIMILARITY readout (how templated is each source's

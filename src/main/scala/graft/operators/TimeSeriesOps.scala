@@ -8443,6 +8443,74 @@ object TimeSeriesOps {
             " div (n * (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)) " +
             "END AS BIGINT)").as("dw_milli"))
         .orderBy(col("series"))
+    },
+
+    // Transition latency — the process-mining bottleneck readout
+    // beside events_transitions: for each (from, to) event-type edge,
+    // the p50/p90 of the in-user gap. Gaps quantize to whole seconds
+    // (one floor division — the histogram key), so the quantile
+    // selection runs over a per-pair SECONDS histogram (bounded by
+    // the time span, never row-scale) with one pair-keyed prefix
+    // window; p50/p90 pick by exact integer rank thresholds
+    // (2·cum ≥ n+1 / 10·cum ≥ 9n — ceil semantics shared verbatim).
+    // One user_id shuffle + one hash aggregate is all the row-scale
+    // work.
+    QuerySpec.sql(
+      "events_transition_latency",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_type
+        |  FROM events),
+        |p AS (SELECT event_type AS from_type, us,
+        |    LEAD(event_type) OVER w AS to_type,
+        |    LEAD(us) OVER w AS to_us
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY us, event_id)),
+        |h AS (SELECT from_type, to_type,
+        |    CAST((to_us - us) // 1000000 AS BIGINT) AS gap_s,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2, 3),
+        |r AS (SELECT from_type, to_type, gap_s, c,
+        |    CAST(SUM(c) OVER (PARTITION BY from_type, to_type
+        |      ORDER BY gap_s ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) AS cum
+        |  FROM h),
+        |n AS (SELECT from_type, to_type, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM h GROUP BY 1, 2)
+        |SELECT r.from_type AS from_type, r.to_type AS to_type,
+        |  MAX(n.n) AS n_trans,
+        |  CAST(MIN(CASE WHEN 2 * r.cum >= n.n + 1 THEN r.gap_s END)
+        |    AS BIGINT) AS p50_gap_s,
+        |  CAST(MIN(CASE WHEN 10 * r.cum >= 9 * n.n THEN r.gap_s END)
+        |    AS BIGINT) AS p90_gap_s
+        |FROM r JOIN n ON n.from_type = r.from_type
+        |  AND n.to_type = r.to_type
+        |GROUP BY 1, 2
+        |ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val h = events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .withColumn("to_us", lead(col("us"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"),
+          expr("CAST((to_us - us) div 1000000 AS BIGINT)").as("gap_s"))
+        .agg(count(lit(1)).as("c"))
+      val cumW = Window.partitionBy(col("from_type"), col("to_type"))
+        .orderBy(col("gap_s"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val r = h.withColumn("cum", sum(col("c")).over(cumW).cast("long"))
+      val n = h.groupBy(col("from_type"), col("to_type"))
+        .agg(sum(col("c")).cast("long").as("n"))
+      r.join(n, Seq("from_type", "to_type"))
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(max(col("n")).as("n_trans"),
+          min(when(lit(2) * col("cum") >= col("n") + 1, col("gap_s")))
+            .cast("long").as("p50_gap_s"),
+          min(when(lit(10) * col("cum") >= lit(9) * col("n"),
+            col("gap_s"))).cast("long").as("p90_gap_s"))
+        .orderBy(col("from_type"), col("to_type"))
     })
 
   /** Daily OHLC candle in exact cents, shared by the five

@@ -507,7 +507,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "ts_stochastic", "ts_chaikin_mf", "stats_wilcoxon_signed_rank",
         "eval_krippendorff_alpha", "eval_gwet_ac1", "graph_rich_club",
         "graph_hits", "ts_parkinson_vol", "ts_garman_klass_vol",
-        "ts_durbin_watson")) {
+        "ts_durbin_watson", "events_transition_latency",
+        "text_coleman_liau")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
