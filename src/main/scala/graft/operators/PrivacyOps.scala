@@ -416,5 +416,48 @@ object PrivacyOps {
             .as("classes_at_risk"),
           sum(col("sz") * col("sz")).cast("long").as("discernibility"))
         .orderBy(col("level"))
+    },
+
+    // Re-identification risk calculus per nation — the disclosure-risk
+    // numbers a release decision actually reads, over the SAME
+    // (nation, segment, balance-bucket) quasi-identifier as
+    // privacy_k_anon: PROSECUTOR risk (an adversary targeting a known
+    // individual succeeds with 1/k of their class — report the worst,
+    // 10⁶ // min k) and JOURNALIST/expected risk (a random record's
+    // Σ sz·(1/sz)/n = n_classes·10⁶ // n_rows), plus the
+    // population-unique count. All exact ppm off the one class-size
+    // fold every privacy gate shares.
+    QuerySpec.sql(
+      "privacy_reid_risk",
+      s"""WITH q AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    $balBucketSql AS bal_bucket,
+         |    COUNT(*) AS sz
+         |  FROM customer GROUP BY 1, 2, 3)
+         |SELECT c_nationkey AS nation_key,
+         |  CAST(SUM(sz) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+         |  CAST(COALESCE(SUM(CASE WHEN sz = 1 THEN 1 END), 0)
+         |    AS BIGINT) AS n_unique_rows,
+         |  CAST(1000000 // MIN(sz) AS BIGINT)
+         |    AS prosecutor_risk_ppm,
+         |  CAST(COUNT(*) * 1000000 // SUM(sz) AS BIGINT)
+         |    AS journalist_risk_ppm
+         |FROM q GROUP BY 1
+         |ORDER BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("c_nationkey").as("nation_key"))
+        .agg(sum(col("sz")).cast("long").as("n_rows"),
+          count(lit(1)).as("n_classes"),
+          coalesce(sum(when(col("sz") === 1, 1L)), lit(0L))
+            .cast("long").as("n_unique_rows"),
+          expr("CAST(1000000 div MIN(sz) AS BIGINT)")
+            .as("prosecutor_risk_ppm"),
+          expr("CAST(COUNT(*) * 1000000 div SUM(sz) AS BIGINT)")
+            .as("journalist_risk_ppm"))
+        .orderBy(col("nation_key"))
     })
 }

@@ -8511,6 +8511,88 @@ object TimeSeriesOps {
           min(when(lit(10) * col("cum") >= lit(9) * col("n"),
             col("gap_s"))).cast("long").as("p90_gap_s"))
         .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // Kaufman efficiency ratio (10-day): |net 9-day move| over the
+    // sum of the 9 daily |moves| — 10⁶ = perfectly trending, → 0 =
+    // pure chop. The trend-regime detector adaptive averages key on,
+    // exact in ppm off the cents close series: one series-keyed LAG
+    // pair + one 9-row window sum.
+    QuerySpec.sql(
+      "ts_kaufman_er",
+      s"""WITH $dailyOhlcSql,
+         |d AS (SELECT series, day, close_c,
+         |    close_c - LAG(close_c) OVER w AS diff,
+         |    close_c - LAG(close_c, 9) OVER w AS net9
+         |  FROM daily WINDOW w AS (PARTITION BY series ORDER BY day)),
+         |v AS (SELECT series, day, net9,
+         |    CAST(SUM(ABS(diff)) OVER win AS BIGINT) AS vol9,
+         |    CAST(COUNT(diff) OVER win AS BIGINT) AS nd
+         |  FROM d WINDOW win AS (PARTITION BY series ORDER BY day
+         |    ROWS BETWEEN 8 PRECEDING AND CURRENT ROW))
+         |SELECT series, day, CAST(net9 AS BIGINT) AS net9_c,
+         |  vol9 AS vol9_c,
+         |  CAST(CASE WHEN vol9 > 0
+         |    THEN ABS(net9) * 1000000 // vol9 END AS BIGINT) AS er_ppm
+         |FROM v WHERE nd = 9
+         |ORDER BY series, day""".stripMargin) { (s, dir) =>
+      val lagW = Window.partitionBy(col("series")).orderBy(col("day"))
+      val w9 = lagW.rowsBetween(-8, 0)
+      dailyOhlc(s, dir)
+        .withColumn("diff",
+          col("close_c") - lag(col("close_c"), 1).over(lagW))
+        .withColumn("net9",
+          col("close_c") - lag(col("close_c"), 9).over(lagW))
+        .withColumn("vol9", sum(abs(col("diff"))).over(w9).cast("long"))
+        .withColumn("nd", count(col("diff")).over(w9).cast("long"))
+        .filter(col("nd") === 9)
+        .select(col("series"), col("day"),
+          col("net9").cast("long").as("net9_c"),
+          col("vol9").as("vol9_c"),
+          when(col("vol9") > 0,
+            expr("ABS(net9) * 1000000 div vol9"))
+            .cast("long").as("er_ppm"))
+        .orderBy(col("series"), col("day"))
+    },
+
+    // Amihud illiquidity per series: mean of the daily
+    // |return| / volume price-impact ratio — how many pico units of
+    // relative move one cent of volume buys. Each day's ratio is one
+    // exact floor division (|Δclose|·10¹² // (prev_close·vol), the
+    // 10¹² numerator through HUGEINT/DECIMAL(38,0)), then a per-series
+    // mean and max. One keyed LAG + one fold.
+    QuerySpec.sql(
+      "ts_amihud_illiq",
+      s"""WITH $dailyOhlcSql,
+         |d AS (SELECT series, day, close_c, vol_c,
+         |    LAG(close_c) OVER (PARTITION BY series ORDER BY day)
+         |      AS pc
+         |  FROM daily),
+         |r AS (SELECT series,
+         |    CAST(ABS(close_c - pc) * CAST(1000000000000 AS HUGEINT)
+         |      // (pc * CAST(vol_c AS HUGEINT)) AS BIGINT) AS ratio
+         |  FROM d WHERE pc IS NOT NULL AND pc > 0 AND vol_c > 0)
+         |SELECT series, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  CAST(SUM(ratio) // COUNT(*) AS BIGINT) AS illiq_pico,
+         |  CAST(MAX(ratio) AS BIGINT) AS max_illiq_pico
+         |FROM r GROUP BY 1
+         |ORDER BY series""".stripMargin) { (s, dir) =>
+      val lagW = Window.partitionBy(col("series")).orderBy(col("day"))
+      dailyOhlc(s, dir)
+        .withColumn("pc", lag(col("close_c"), 1).over(lagW))
+        .filter(col("pc").isNotNull && col("pc") > 0 &&
+          col("vol_c") > 0)
+        .select(col("series"),
+          expr("CAST(ABS(close_c - pc) " +
+            "* CAST(1000000000000 AS DECIMAL(38,0)) " +
+            "div (pc * CAST(vol_c AS DECIMAL(38,0))) AS BIGINT)")
+            .as("ratio"))
+        .groupBy(col("series"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("CAST(SUM(ratio) div COUNT(*) AS BIGINT)")
+            .as("illiq_pico"),
+          max(col("ratio")).cast("long").as("max_illiq_pico"))
+        .orderBy(col("series"))
     })
 
   /** Daily OHLC candle in exact cents, shared by the five

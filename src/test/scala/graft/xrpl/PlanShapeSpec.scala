@@ -508,7 +508,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "eval_krippendorff_alpha", "eval_gwet_ac1", "graph_rich_club",
         "graph_hits", "ts_parkinson_vol", "ts_garman_klass_vol",
         "ts_durbin_watson", "events_transition_latency",
-        "text_coleman_liau")) {
+        "text_coleman_liau", "ts_kaufman_er", "ts_amihud_illiq",
+        "privacy_reid_risk")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
