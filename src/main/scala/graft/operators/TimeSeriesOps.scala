@@ -8605,7 +8605,7 @@ object TimeSeriesOps {
     * engines fold identical integers. One row per (series, day):
     * bounded metadata at any scale.
     */
-  private def dailyOhlc(s: SparkSession, dir: String): DataFrame =
+  private[graft] def dailyOhlc(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(col("event_type").as("series"),
         to_date(col("ts")).as("day"))
