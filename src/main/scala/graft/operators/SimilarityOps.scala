@@ -1828,6 +1828,117 @@ object SimilarityOps {
         .orderBy(col("qid"), col("rnk"))
     },
 
+    // Rank-biased overlap (RBO, Webber 2010) between the two hybrid
+    // retrieval rankings — HOW MUCH do the lexical and vector top-10
+    // lists agree, weighted toward the top (the diagnostic that says
+    // whether hybrid fusion is even buying diversity)? Truncated
+    // RBO@10 with p = 0.9: Σ_d w_d·|A_:d ∩ B_:d|/d over a FIXED
+    // 10-entry weight literal (w_d = (1−p)p^(d−1) in ppm — the
+    // ndcg-discount discipline), each term one exact floor division,
+    // so the classically-float overlap measure hash-compares. An item
+    // enters the intersection at depth max(rank_A, rank_B); per query
+    // the joined frame is ≤ 10 rows × a 10-row broadcast depth grid.
+    QuerySpec.sql(
+      "sim_rank_overlap",
+      s"""WITH sig AS ($quantizedSql),
+         |vec AS (
+         |  SELECT qid, vid, rnk FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS vid,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |        list_dot_product(a.qv, b.qv)
+         |          / (sqrt(CAST(a.norm2 AS DOUBLE))
+         |            * sqrt(CAST(b.norm2 AS DOUBLE))) DESC, b.vec_id) AS rnk
+         |    FROM sig a JOIN sig b
+         |      ON a.vec_id < 10 AND b.vec_id <> a.vec_id) t
+         |  WHERE rnk <= 10),
+         |tf AS (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents) t0
+         |  GROUP BY 1, 2),
+         |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |qtok AS (SELECT doc_id AS qid, tok FROM tf WHERE doc_id < 10),
+         |lexscore AS (
+         |  SELECT q.qid, c.doc_id AS vid,
+         |    CAST(SUM(CAST(CAST(CAST(c.tf AS DOUBLE) / d.df
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS score
+         |  FROM qtok q
+         |  JOIN tf c ON c.tok = q.tok AND c.doc_id <> q.qid
+         |  JOIN df d ON d.tok = q.tok
+         |  GROUP BY 1, 2),
+         |lex AS (
+         |  SELECT qid, vid, rnk FROM (
+         |    SELECT qid, vid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY score DESC, vid) AS rnk
+         |    FROM lexscore) t
+         |  WHERE rnk <= 10),
+         |j AS (SELECT v.qid AS qid, GREATEST(v.rnk, l.rnk) AS dmin
+         |  FROM vec v JOIN lex l ON l.qid = v.qid AND l.vid = v.vid),
+         |w AS (SELECT * FROM (VALUES $rboWeightsSql) t(d, wt)),
+         |x AS (SELECT q.qid, w.d, w.wt,
+         |    CAST(COALESCE(SUM(CASE WHEN j.dmin <= w.d THEN 1 END), 0)
+         |      AS BIGINT) AS xd
+         |  FROM (SELECT DISTINCT qid FROM vec) q
+         |  CROSS JOIN w
+         |  LEFT JOIN j ON j.qid = q.qid
+         |  GROUP BY 1, 2, 3)
+         |SELECT qid,
+         |  CAST(SUM(xd * wt // d) AS BIGINT) AS rbo_ppm,
+         |  CAST(MAX(CASE WHEN d = 10 THEN xd END) AS BIGINT)
+         |    AS overlap10
+         |FROM x GROUP BY 1
+         |ORDER BY qid""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val base = signatures(s, dir)
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("qa"),
+          col("norm2").as("q_norm2"))
+      val cand = base.select(col("vec_id").as("vid"), col("qv").as("qb"),
+        col("norm2").as("c_norm2"))
+      val vec = TopKPerKey.topKRanked(
+          broadcast(q).join(cand, col("qid") =!= col("vid"))
+            .withColumn("cos",
+              dot_long(col("qa"), col("qb")).cast("double") /
+                (sqrt(col("q_norm2").cast("double")) *
+                  sqrt(col("c_norm2").cast("double"))))
+            .select(col("qid"), col("vid"), col("cos")),
+          Seq("qid"), Seq("cos" -> true, "vid" -> false), 10, "rnk")
+        .select(col("qid"), col("vid"), col("rnk"))
+      val tf = corpusTf(s, dir)
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val qtok = tf.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("tok"))
+      val qdf = dfreq.join(qtok.select(col("tok")).distinct(), Seq("tok"))
+      val lex = TopKPerKey.topKRanked(
+          tf.select(col("doc_id").as("vid"), col("tok"), col("tf"))
+            .join(broadcast(qtok), Seq("tok"))
+            .filter(col("vid") =!= col("qid"))
+            .join(broadcast(qdf), Seq("tok"))
+            .groupBy(col("qid"), col("vid"))
+            .agg(sum(graft.functions.Cols.micros6(
+              col("tf").cast("double") / col("df").cast("double")))
+              .cast("long").as("score"))
+            .select(col("qid"), col("vid"), col("score")),
+          Seq("qid"), Seq("score" -> true, "vid" -> false), 10, "rnk")
+        .select(col("qid"), col("vid"), col("rnk"))
+      val j = vec.withColumnRenamed("rnk", "rv")
+        .join(lex.withColumnRenamed("rnk", "rl"), Seq("qid", "vid"))
+        .select(col("qid"), greatest(col("rv"), col("rl")).as("dmin"))
+      val w = rboWeights.toDF("d", "wt")
+      vec.select(col("qid")).distinct()
+        .crossJoin(broadcast(w))
+        .join(j, Seq("qid"), "left")
+        .groupBy(col("qid"), col("d"), col("wt"))
+        .agg(coalesce(sum(when(col("dmin") <= col("d"), 1L)), lit(0L))
+          .cast("long").as("xd"))
+        .groupBy(col("qid"))
+        .agg(sum(expr("xd * wt div d")).cast("long").as("rbo_ppm"),
+          max(when(col("d") === 10, col("xd"))).cast("long")
+            .as("overlap10"))
+        .orderBy(col("qid"))
+    },
+
     // MMR diversified re-ranking (Carbonell & Goldstein 1998): retrieve
     // a top-[[MmrPool]] relevance pool per query, then greedily pick
     // [[MmrK]] results maximizing λ·relevance − μ·max-sim-to-selected —
@@ -2102,4 +2213,16 @@ object SimilarityOps {
          |SELECT qid, mmr_rank, vid, score FROM sel$MmrK
          |ORDER BY qid, mmr_rank""".stripMargin
   }
+
+  /** RBO truncated weights, depth 1-10: round((1-p)·p^(d-1)·10⁶) at
+    * p = 0.9 — fixed literals shared verbatim with the oracle so the
+    * overlap sum is float-free in both engines.
+    */
+  private val rboWeights: Seq[(Long, Long)] = Seq(
+    (1L, 100000L), (2L, 90000L), (3L, 81000L), (4L, 72900L),
+    (5L, 65610L), (6L, 59049L), (7L, 53144L), (8L, 47830L),
+    (9L, 43047L), (10L, 38742L))
+
+  private val rboWeightsSql: String =
+    rboWeights.map { case (d, w) => s"($d, $w)" }.mkString(", ")
 }

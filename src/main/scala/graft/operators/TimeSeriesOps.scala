@@ -8593,6 +8593,90 @@ object TimeSeriesOps {
             .as("illiq_pico"),
           max(col("ratio")).cast("long").as("max_illiq_pico"))
         .orderBy(col("series"))
+    },
+
+    // Bartlett's test of equal variances across the event-type groups
+    // — the normal-theory sibling of stats_levene_bf (Brown–Forsythe
+    // is robust; Bartlett is the more powerful test when normality
+    // holds, and the pair is the standard cross-check). Group
+    // variances are EXACT integer rationals over cents
+    // (num_i = n_iΣx²−S_i², den_i = n_i(n_i−1), DECIMAL(38,0)/
+    // HUGEINT); each ln goes through the ONE shared micro-ln
+    // expression, so T = (N−k)·ln(s²_p) − Σ(n_i−1)·ln(s²_i) is an
+    // exact micro integer (the pooled numerator takes one documented
+    // floor division num_i // n_i — deterministic in both engines,
+    // error < k units on ~10¹⁴ magnitudes). The Bartlett correction
+    // C folds exactly in nano; χ² = T·10⁹ // C_nano. Plan: one
+    // per-group fold + one k-row broadcast fold — no window.
+    QuerySpec.sql(
+      "stats_bartlett", {
+        def lnm(e: String) = s"CAST(CAST(ln(CAST($e AS DOUBLE)) " +
+          s"AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+        s"""WITH g AS (
+           |  SELECT event_type,
+           |    CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |      AS sx,
+           |    CAST(SUM(CAST(CAST(round(value * 100) AS BIGINT)
+           |      AS HUGEINT) * CAST(round(value * 100) AS BIGINT))
+           |      AS HUGEINT) AS sxx
+           |  FROM events GROUP BY 1),
+           |v AS (
+           |  SELECT event_type, n,
+           |    n * sxx - CAST(sx AS HUGEINT) * sx AS num,
+           |    CAST(n AS HUGEINT) * (n - 1) AS den
+           |  FROM g WHERE n >= 2),
+           |p AS (
+           |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+           |    CAST(COUNT(*) AS BIGINT) AS k,
+           |    CAST(SUM(num // n) AS HUGEINT) AS pnum,
+           |    CAST(SUM((n - 1) * (${lnm("num")} - ${lnm("den")}))
+           |      AS BIGINT) AS sum_ln,
+           |    CAST(SUM(1000000000 // (n - 1)) AS BIGINT) AS inv_sum
+           |  FROM v)
+           |SELECT nn AS n_total, k AS n_groups,
+           |  CAST((nn - k) * (${lnm("pnum")} - ${lnm("nn - k")})
+           |    - sum_ln AS BIGINT) AS t_micro,
+           |  CAST(1000000000 + (inv_sum - 1000000000 // (nn - k))
+           |    // (3 * (k - 1)) AS BIGINT) AS c_nano,
+           |  CAST(((nn - k) * (${lnm("pnum")} - ${lnm("nn - k")})
+           |      - sum_ln) * 1000000000
+           |    // (1000000000 + (inv_sum - 1000000000 // (nn - k))
+           |      // (3 * (k - 1))) AS BIGINT) AS chi2_micro
+           |FROM p""".stripMargin
+      }) { (s, dir) =>
+      val lnm = (e: String) => s"CAST(CAST(ln(CAST($e AS DOUBLE)) " +
+        s"AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val g = events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("xc"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xc")).cast("long").as("sx"),
+          sum(expr("CAST(xc AS DECIMAL(38,0)) * xc")).cast(d38)
+            .as("sxx"))
+      val v = g.filter(col("n") >= 2)
+        .select(col("event_type"), col("n"),
+          expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx").cast(d38)
+            .as("num"),
+          expr("CAST(n AS DECIMAL(38,0)) * (n - 1)").cast(d38)
+            .as("den"))
+      val p = v.agg(
+        sum(col("n")).cast("long").as("nn"),
+        count(lit(1)).as("k"),
+        sum(expr("num div n")).cast(d38).as("pnum"),
+        sum(expr(s"(n - 1) * (${lnm("num")} - ${lnm("den")})"))
+          .cast("long").as("sum_ln"),
+        sum(expr("1000000000 div (n - 1)")).cast("long").as("inv_sum"))
+      val t = s"(nn - k) * (${lnm("pnum")} - ${lnm("nn - k")}) - sum_ln"
+      val c = "1000000000 + (inv_sum - 1000000000 div (nn - k)) " +
+        "div (3 * (k - 1))"
+      p.select(col("nn").as("n_total"), col("k").as("n_groups"),
+        expr(s"CAST($t AS BIGINT)").as("t_micro"),
+        expr(s"CAST($c AS BIGINT)").as("c_nano"),
+        expr(s"CAST(($t) * 1000000000 div ($c) AS BIGINT)")
+          .as("chi2_micro"))
     })
 
   /** Daily OHLC candle in exact cents, shared by the five
