@@ -1649,6 +1649,64 @@ object ClusterOps {
           coalesce(col("h"), lit(0L)).cast("long").as("hub_micro"),
           coalesce(col("a"), lit(0L)).cast("long").as("auth_micro"))
         .orderBy(col("auth_micro").desc, col("vec_id"))
+    },
+
+    // Edge embeddedness distribution — per edge, the Jaccard overlap
+    // of its endpoints' OTHER neighborhoods (|N(u)∩N(v)| /
+    // |N(u)∪N(v)\{u,v}|): embeddedness 0 marks a LOCAL BRIDGE (the
+    // Granovetter weak tie information flows across), deciles near 10
+    // mark redundant intra-cluster ties. Common-neighbor counts come
+    // from the same wedge join graph_link_predict pays; the output
+    // folds to an 11-bucket decile histogram (+ the degenerate
+    // no-other-neighbor bucket at −1), so the per-edge frame never
+    // leaves the cluster. Exact ppm floor division per edge.
+    QuerySpec.sql(
+      "graph_edge_embeddedness",
+      s"""WITH sig AS (${SimilarityOps.quantizedSql}),
+         |knn AS (SELECT vec_id, nbr_id FROM (${SimilarityOps.knnEdgesSql(3)}) k),
+         |und AS (SELECT DISTINCT LEAST(vec_id, nbr_id) AS u,
+         |    GREATEST(vec_id, nbr_id) AS v FROM knn),
+         |sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         |deg AS (SELECT u AS z, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM sym GROUP BY 1),
+         |cm AS (SELECT a.v AS u, b.v AS v,
+         |    CAST(COUNT(*) AS BIGINT) AS common
+         |  FROM sym a JOIN sym b ON a.u = b.u AND a.v < b.v
+         |  GROUP BY 1, 2),
+         |e AS (SELECT und.u, und.v, COALESCE(cm.common, 0) AS common,
+         |    du.d AS du, dv.d AS dv
+         |  FROM und LEFT JOIN cm ON cm.u = und.u AND cm.v = und.v
+         |  JOIN deg du ON du.z = und.u JOIN deg dv ON dv.z = und.v),
+         |b AS (SELECT CASE WHEN du + dv - 2 - common <= 0 THEN -1
+         |    ELSE common * 1000000 // (du + dv - 2 - common) // 100000
+         |    END AS bucket
+         |  FROM e)
+         |SELECT CAST(bucket AS BIGINT) AS decile,
+         |  CAST(COUNT(*) AS BIGINT) AS n_edges
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val und = undirectedEdges(s, dir)
+      val sym = und.unionByName(
+        und.select(col("v").as("u"), col("u").as("v")))
+      val deg = sym.groupBy(col("u").as("z")).agg(count(lit(1)).as("d"))
+      val cm = sym.select(col("u").as("z"), col("v").as("cu"))
+        .join(sym.select(col("u").as("z"), col("v").as("cv")),
+          Seq("z"))
+        .filter(col("cu") < col("cv"))
+        .groupBy(col("cu").as("u"), col("cv").as("v"))
+        .agg(count(lit(1)).as("common"))
+      und.join(cm, Seq("u", "v"), "left")
+        .join(deg.select(col("z").as("u"), col("d").as("du")),
+          Seq("u"))
+        .join(deg.select(col("z").as("v"), col("d").as("dv")),
+          Seq("v"))
+        .select(coalesce(col("common"), lit(0L)).as("common"),
+          col("du"), col("dv"))
+        .select(expr("CASE WHEN du + dv - 2 - common <= 0 THEN -1 " +
+          "ELSE common * 1000000 div (du + dv - 2 - common) " +
+          "div 100000 END").as("decile"))
+        .groupBy(col("decile").cast("long").as("decile"))
+        .agg(count(lit(1)).as("n_edges"))
+        .orderBy(col("decile"))
     })
 
   /** Peel threshold and round cap for [[graph_kcore_peel]]'s oracle

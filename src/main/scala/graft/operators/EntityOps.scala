@@ -136,6 +136,57 @@ object EntityOps {
         .orderBy(col("a_name"), col("b_name"))
     },
 
+    // Character-bigram Dice similarity over the same blocked pairs —
+    // the SET-based matcher beside the edit-based Jaro-Winkler (Dice
+    // is insensitive to token order, JW to local transpositions; real
+    // ER stacks score both and let the threshold model arbitrate).
+    // Bigram sets build per ROW (a transform over the name's char
+    // positions + distinct — no explode, names are bounded strings),
+    // the intersection is a per-pair array op, and the score is one
+    // exact ppm floor division: 2|A∩B|·10⁶ // (|A|+|B|). Same
+    // broadcast value-domain block join as er_jw_match.
+    QuerySpec.sql(
+      "er_qgram_dice",
+      s"""WITH d AS ($dictSql),
+         |g AS (SELECT name, blk,
+         |    list_distinct(list_transform(
+         |      generate_series(1, length(name) - 1),
+         |      i -> name[i:i+1])) AS grams
+         |  FROM d)
+         |SELECT a.name AS a_name, b.name AS b_name,
+         |  CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT)
+         |    AS n_common,
+         |  CAST(len(a.grams) AS BIGINT) AS a_grams,
+         |  CAST(len(b.grams) AS BIGINT) AS b_grams,
+         |  CAST(2 * len(list_intersect(a.grams, b.grams)) * 1000000
+         |    // (len(a.grams) + len(b.grams)) AS BIGINT) AS dice_ppm
+         |FROM g a JOIN g b ON a.blk = b.blk AND a.name < b.name
+         |WHERE 2 * len(list_intersect(a.grams, b.grams)) * 1000000
+         |  // (len(a.grams) + len(b.grams)) >= 400000
+         |ORDER BY a_name, b_name""".stripMargin) { (s, dir) =>
+      val g = dict(s, dir)
+        .select(col("name"), col("blk"),
+          array_distinct(expr(
+            "transform(sequence(1, length(name) - 1), " +
+              "i -> substring(name, i, 2))")).as("grams"))
+      val a = g.select(col("name").as("a_name"),
+        col("grams").as("a_g"), col("blk"))
+      val b = g.select(col("name").as("b_name"),
+        col("grams").as("b_g"), col("blk"))
+      a.join(broadcast(b), Seq("blk"))
+        .filter(col("a_name") < col("b_name"))
+        .select(col("a_name"), col("b_name"),
+          size(array_intersect(col("a_g"), col("b_g"))).cast("long")
+            .as("n_common"),
+          size(col("a_g")).cast("long").as("a_grams"),
+          size(col("b_g")).cast("long").as("b_grams"))
+        .withColumn("dice_ppm",
+          expr("CAST(2 * n_common * 1000000 " +
+            "div (a_grams + b_grams) AS BIGINT)"))
+        .filter(col("dice_ppm") >= 400000)
+        .orderBy(col("a_name"), col("b_name"))
+    },
+
     // Match-threshold sweep — the calibration curve an ER engineer
     // reads before fixing the JW cutoff (the er counterpart of
     // dedup_threshold_sweep): candidate-pair yield at every threshold

@@ -8677,6 +8677,84 @@ object TimeSeriesOps {
         expr(s"CAST($c AS BIGINT)").as("c_nano"),
         expr(s"CAST(($t) * 1000000000 div ($c) AS BIGINT)")
           .as("chi2_micro"))
+    },
+
+    // Cochran–Armitage trend test: does the fulfilled-order rate move
+    // MONOTONICALLY with order priority (dose = the priority digit
+    // 1–5)? The dose-response test an A/B/n ladder reads instead of
+    // the omnibus chi-square. Entirely closed-form over the 5-row
+    // dose table: T = Σw(xN − nX), z² = T²N² / (X(N−X)(NΣw²n −
+    // (Σwn)²)) — every product in DECIMAL(38,0)/HUGEINT, one floor
+    // division to micro, verdict against the exact χ²(1) 5% critical
+    // micro literal. One orders fold; no join, no window.
+    QuerySpec.sql(
+      "stats_cochran_armitage",
+      """WITH d AS (
+        |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |a0 AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(x) AS BIGINT) AS xx FROM d),
+        |a AS (SELECT a0.nn AS nn, a0.xx AS xx,
+        |    CAST(SUM(w * n) AS BIGINT) AS swn,
+        |    CAST(SUM(w * w * n) AS BIGINT) AS sw2n,
+        |    CAST(SUM(CAST(w AS HUGEINT) * (x * CAST(a0.nn AS HUGEINT)
+        |      - n * CAST(a0.xx AS HUGEINT))) AS HUGEINT) AS t
+        |  FROM d CROSS JOIN a0 GROUP BY 1, 2)
+        |SELECT nn AS n_total, xx AS n_success,
+        |  CAST(t AS BIGINT) AS t_stat,
+        |  CAST(CASE WHEN xx > 0 AND xx < nn
+        |      AND nn * CAST(sw2n AS HUGEINT) - CAST(swn AS HUGEINT)
+        |        * swn > 0
+        |    THEN t * t * 1000000
+        |      // (CAST(xx AS HUGEINT) * (nn - xx)
+        |        * (nn * CAST(sw2n AS HUGEINT)
+        |          - CAST(swn AS HUGEINT) * swn) // (CAST(nn AS
+        |            HUGEINT) * nn))
+        |    END AS BIGINT) AS z2_micro,
+        |  CASE WHEN CAST(CASE WHEN xx > 0 AND xx < nn
+        |      AND nn * CAST(sw2n AS HUGEINT) - CAST(swn AS HUGEINT)
+        |        * swn > 0
+        |    THEN t * t * 1000000
+        |      // (CAST(xx AS HUGEINT) * (nn - xx)
+        |        * (nn * CAST(sw2n AS HUGEINT)
+        |          - CAST(swn AS HUGEINT) * swn) // (CAST(nn AS
+        |            HUGEINT) * nn))
+        |    END AS BIGINT) > 3841459 THEN 'trend'
+        |    ELSE 'no_trend' END AS verdict
+        |FROM a""".stripMargin) { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val d = Tables(s, dir, "orders")
+        .groupBy(expr("CAST(substr(o_orderpriority, 1, 1) AS BIGINT)")
+          .as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .cast("long").as("x"))
+      // the 5-row dose table folds on the driver-free scalar path:
+      // totals as window-free second fold via crossJoin(broadcast)
+      val tot = d.agg(sum(col("n")).cast("long").as("nn"),
+        sum(col("x")).cast("long").as("xx"))
+      val a = d.crossJoin(broadcast(tot))
+        .agg(max(col("nn")).as("nn"), max(col("xx")).as("xx"),
+          sum(col("w") * col("n")).cast("long").as("swn"),
+          sum(col("w") * col("w") * col("n")).cast("long").as("sw2n"),
+          sum(expr("CAST(w AS DECIMAL(38,0)) * " +
+            "(x * CAST(nn AS DECIMAL(38,0)) - " +
+            "n * CAST(xx AS DECIMAL(38,0)))")).cast(d38).as("t"))
+      val z2 = "CASE WHEN xx > 0 AND xx < nn AND nn * " +
+        "CAST(sw2n AS DECIMAL(38,0)) - CAST(swn AS DECIMAL(38,0)) " +
+        "* swn > 0 THEN t * t * 1000000 " +
+        "div (CAST(xx AS DECIMAL(38,0)) * (nn - xx) " +
+        "* (nn * CAST(sw2n AS DECIMAL(38,0)) " +
+        "- CAST(swn AS DECIMAL(38,0)) * swn) " +
+        "div (CAST(nn AS DECIMAL(38,0)) * nn)) END"
+      a.select(col("nn").as("n_total"), col("xx").as("n_success"),
+        col("t").cast("long").as("t_stat"),
+        expr(s"CAST($z2 AS BIGINT)").as("z2_micro"),
+        expr(s"CASE WHEN CAST($z2 AS BIGINT) > 3841459 " +
+          "THEN 'trend' ELSE 'no_trend' END").as("verdict"))
     })
 
   /** Daily OHLC candle in exact cents, shared by the five

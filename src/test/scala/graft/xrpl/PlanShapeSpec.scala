@@ -509,7 +509,9 @@ class PlanShapeSpec extends AnyFunSuite {
         "graph_hits", "ts_parkinson_vol", "ts_garman_klass_vol",
         "ts_durbin_watson", "events_transition_latency",
         "text_coleman_liau", "ts_kaufman_er", "ts_amihud_illiq",
-        "privacy_reid_risk", "sim_rank_overlap", "stats_bartlett")) {
+        "privacy_reid_risk", "sim_rank_overlap", "stats_bartlett",
+        "graph_edge_embeddedness", "stats_cochran_armitage",
+        "er_qgram_dice")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
