@@ -3629,6 +3629,67 @@ object TextOps {
             "+ st2) AS BIGINT)").as("ac1_ppm"))
     },
 
+    // Linear-WEIGHTED Cohen's kappa between the char-tercile and
+    // token-tercile annotators (the fleiss frame's r1/r2, thresholds
+    // verbatim): for ORDINAL labels the unweighted kappa punishes a
+    // short↔medium slip as hard as short↔long — the weighted form is
+    // what an ordinal-rubric audit actually reads. With w_ij = |i−j|:
+    // κ_w = 1 − N·Σw·O / Σw·(a_i·b_j), one exact ppm rational (N²
+    // marginal products in DECIMAL(38,0)/HUGEINT). Plan: one per-row
+    // annotate → 3×3 confusion fold → 3-row marginal cross (bounded)
+    // → scalar.
+    QuerySpec.sql(
+      "eval_weighted_kappa",
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 350 THEN 1
+        |      ELSE 2 END AS r1,
+        |    CASE WHEN len(string_split(text, ' ')) < 37 THEN 0
+        |      WHEN len(string_split(text, ' ')) < 64 THEN 1 ELSE 2
+        |      END AS r2
+        |  FROM documents),
+        |o AS (SELECT r1, r2, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM r GROUP BY 1, 2),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM o),
+        |ma AS (SELECT r1, CAST(SUM(c) AS BIGINT) AS a FROM o
+        |  GROUP BY 1),
+        |mb AS (SELECT r2, CAST(SUM(c) AS BIGINT) AS b FROM o
+        |  GROUP BY 1),
+        |od AS (SELECT CAST(SUM(ABS(r1 - r2) * c) AS BIGINT) AS wo
+        |  FROM o),
+        |ed AS (SELECT CAST(SUM(ABS(ma.r1 - mb.r2)
+        |    * CAST(ma.a AS HUGEINT) * mb.b) AS HUGEINT) AS we
+        |  FROM ma CROSS JOIN mb)
+        |SELECT nn AS n_docs, wo AS obs_disagree_w,
+        |  CAST(we AS BIGINT) AS exp_disagree_w_xn,
+        |  CAST(1000000 - CAST(nn AS HUGEINT) * wo * 1000000 // we
+        |    AS BIGINT) AS kappa_w_ppm
+        |FROM n, od, ed""".stripMargin) { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val o = docs(s, dir)
+        .select(
+          when(col("n_chars") < 200, 0L)
+            .when(col("n_chars") < 350, 1L).otherwise(2L).as("r1"),
+          when(size(split(col("text"), " ")) < 37, 0L)
+            .when(size(split(col("text"), " ")) < 64, 1L)
+            .otherwise(2L).as("r2"))
+        .groupBy(col("r1"), col("r2"))
+        .agg(count(lit(1)).as("c"))
+      val n = o.agg(sum(col("c")).cast("long").as("nn"))
+      val ma = o.groupBy(col("r1")).agg(sum(col("c")).as("a"))
+      val mb = o.groupBy(col("r2")).agg(sum(col("c")).as("b"))
+      val od = o.agg(sum(abs(col("r1") - col("r2")) * col("c"))
+        .cast("long").as("wo"))
+      val ed = ma.crossJoin(broadcast(mb))
+        .agg(sum(expr("ABS(r1 - r2) * CAST(a AS DECIMAL(38,0)) * b"))
+          .cast(d38).as("we"))
+      n.crossJoin(broadcast(od)).crossJoin(broadcast(ed))
+        .select(col("nn").as("n_docs"), col("wo").as("obs_disagree_w"),
+          col("we").cast("long").as("exp_disagree_w_xn"),
+          expr("CAST(1000000 - CAST(nn AS DECIMAL(38,0)) * wo " +
+            "* 1000000 div we AS BIGINT)").as("kappa_w_ppm"))
+    },
+
     // Coleman–Liau readability per source — the grade-level readout
     // quality filters gate on, chosen over Flesch BECAUSE it needs no
     // syllable model: CLI = 0.0588·L − 0.296·S − 15.8 with

@@ -8755,6 +8755,135 @@ object TimeSeriesOps {
         expr(s"CAST($z2 AS BIGINT)").as("z2_micro"),
         expr(s"CASE WHEN CAST($z2 AS BIGINT) > 3841459 " +
           "THEN 'trend' ELSE 'no_trend' END").as("verdict"))
+    },
+
+    // Theil's uncertainty coefficient U(type | day-of-week) — the
+    // ASYMMETRIC categorical-association measure beside the symmetric
+    // stats_cramers_v: what fraction of event-type entropy does
+    // knowing the weekday remove? (Directionality is the point: U is
+    // a proper "how predictable is X from Y" readout; V is not.)
+    // N·H(X) and N·H(X|Y) fold as exact micro integers through the
+    // ONE shared micro-ln over the |types|×7 contingency counts
+    // (DECIMAL(38,0)/HUGEINT products, the c·ln c discipline of
+    // text_entropy_rate); U is one ppm floor division. Plan: one
+    // contingency hash fold + two marginal folds, no window.
+    QuerySpec.sql(
+      "stats_theil_u", {
+        def lnm(e: String) = s"CAST(CAST(ln(CAST($e AS DOUBLE)) " +
+          s"AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+        s"""WITH c AS (
+           |  SELECT event_type AS x,
+           |    CAST(dayofweek(ts) AS BIGINT) AS y,
+           |    CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1, 2),
+           |mx AS (SELECT x, CAST(SUM(n) AS BIGINT) AS c FROM c
+           |  GROUP BY 1),
+           |my AS (SELECT y, CAST(SUM(n) AS BIGINT) AS c FROM c
+           |  GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c),
+           |hx AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * ${lnm("c")})
+           |    AS HUGEINT) AS sx FROM mx),
+           |hy AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * ${lnm("c")})
+           |    AS HUGEINT) AS sy FROM my),
+           |hxy AS (SELECT CAST(SUM(CAST(n AS HUGEINT) * ${lnm("n")})
+           |    AS HUGEINT) AS sxy FROM c)
+           |SELECT nn AS n_total,
+           |  CAST((CAST(nn AS HUGEINT) * ${lnm("nn")} - sx) // nn
+           |    AS BIGINT) AS hx_micro,
+           |  CAST((sy - sxy) // nn AS BIGINT) AS hx_given_y_micro,
+           |  CAST((CAST(nn AS HUGEINT) * ${lnm("nn")} - sx
+           |      - (sy - sxy)) * 1000000
+           |    // (CAST(nn AS HUGEINT) * ${lnm("nn")} - sx)
+           |    AS BIGINT) AS u_ppm
+           |FROM tot, hx, hy, hxy""".stripMargin
+      }) { (s, dir) =>
+      val lnm = (e: String) => s"CAST(CAST(ln(CAST($e AS DOUBLE)) " +
+        s"AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val c = events(s, dir)
+        .groupBy(col("event_type").as("x"),
+          dayofweek(col("ts")).cast("long").as("y"))
+        .agg(count(lit(1)).as("n"))
+      def entSum(df: DataFrame, cnt: String) =
+        df.agg(sum(expr(s"CAST($cnt AS DECIMAL(38,0)) " +
+          s"* ${lnm(cnt)}")).cast(d38))
+      val mx = entSum(c.groupBy(col("x"))
+        .agg(sum(col("n")).cast("long").as("c")), "c").toDF("sx")
+      val my = entSum(c.groupBy(col("y"))
+        .agg(sum(col("n")).cast("long").as("c")), "c").toDF("sy")
+      val sxy = entSum(c, "n").toDF("sxy")
+      val tot = c.agg(sum(col("n")).cast("long").as("nn"))
+      tot.crossJoin(broadcast(mx))
+        .crossJoin(broadcast(my))
+        .crossJoin(broadcast(sxy))
+        .select(col("nn").as("n_total"),
+          expr(s"CAST((CAST(nn AS DECIMAL(38,0)) * ${lnm("nn")} - sx)" +
+            " div nn AS BIGINT)").as("hx_micro"),
+          expr("CAST((sy - sxy) div nn AS BIGINT)")
+            .as("hx_given_y_micro"),
+          expr(s"CAST((CAST(nn AS DECIMAL(38,0)) * ${lnm("nn")} - sx" +
+            s" - (sy - sxy)) * 1000000 div (CAST(nn AS DECIMAL(38,0))" +
+            s" * ${lnm("nn")} - sx) AS BIGINT)").as("u_ppm"))
+    },
+
+    // Rolling market beta per series (14-day): cov(series, market) /
+    // var(market) over the trailing window, where "market" is the
+    // all-types daily total — which series amplifies the aggregate
+    // flow and which is idiosyncratic. The OLS sufficient statistics
+    // fold inside ONE series-keyed 14-row window over exact daily
+    // counts, and beta is one milli floor division of the closed
+    // form (nΣxy − ΣxΣy)·1000 // (nΣxx − (Σx)²) — BIGINT-safe while
+    // a 14-day count product stays under ~9e18 (10⁸-row days);
+    // larger grains route the sums through DECIMAL(38,0) like the
+    // kendall machinery.
+    QuerySpec.sql(
+      "ts_rolling_beta",
+      """WITH cnts AS (
+        |  SELECT event_type AS series,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |mkt AS (SELECT day, CAST(SUM(y) AS BIGINT) AS x
+        |  FROM cnts GROUP BY 1),
+        |j AS (SELECT c.series, c.day, c.y, m.x
+        |  FROM cnts c JOIN mkt m ON m.day = c.day),
+        |w AS (SELECT series, day,
+        |    CAST(COUNT(*) OVER win AS BIGINT) AS n,
+        |    CAST(SUM(x) OVER win AS BIGINT) AS sx,
+        |    CAST(SUM(y) OVER win AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) OVER win AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) OVER win AS BIGINT) AS sxx
+        |  FROM j WINDOW win AS (PARTITION BY series ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT series, day,
+        |  CAST(CASE WHEN n * sxx - sx * sx > 0
+        |    THEN (n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx)
+        |    END AS BIGINT) AS beta_milli
+        |FROM w WHERE n = 14
+        |ORDER BY series, day""".stripMargin) { (s, dir) =>
+      val cnts = events(s, dir)
+        .groupBy(col("event_type").as("series"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("y"))
+      val mkt = cnts.groupBy(col("day"))
+        .agg(sum(col("y")).cast("long").as("x"))
+      val w14 = Window.partitionBy(col("series")).orderBy(col("day"))
+        .rowsBetween(-13, 0)
+      cnts.join(mkt, Seq("day"))
+        .withColumn("n", count(lit(1)).over(w14).cast("long"))
+        .withColumn("sx", sum(col("x")).over(w14).cast("long"))
+        .withColumn("sy", sum(col("y")).over(w14).cast("long"))
+        .withColumn("sxy",
+          sum(col("x") * col("y")).over(w14).cast("long"))
+        .withColumn("sxx",
+          sum(col("x") * col("x")).over(w14).cast("long"))
+        .filter(col("n") === 14)
+        .select(col("series"), col("day"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+            expr("(n * sxy - sx * sy) * 1000 " +
+              "div (n * sxx - sx * sx)"))
+            .cast("long").as("beta_milli"))
+        .orderBy(col("series"), col("day"))
     })
 
   /** Daily OHLC candle in exact cents, shared by the five

@@ -511,7 +511,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "text_coleman_liau", "ts_kaufman_er", "ts_amihud_illiq",
         "privacy_reid_risk", "sim_rank_overlap", "stats_bartlett",
         "graph_edge_embeddedness", "stats_cochran_armitage",
-        "er_qgram_dice")) {
+        "er_qgram_dice", "stats_theil_u", "eval_weighted_kappa",
+        "ts_rolling_beta")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
