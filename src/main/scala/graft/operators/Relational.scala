@@ -2207,6 +2207,53 @@ object Relational {
         .limit(20)
     },
 
+    // Item-item JACCARD similarity over the same cached baskets — the
+    // set-overlap CF scorer beside rec_copurchase_topk's cosine²
+    // (Jaccard penalizes popularity-driven co-occurrence: a pair that
+    // co-occurs only because both items are everywhere scores low).
+    // jac = cooc/(n_i + n_j − cooc), one exact ppm floor division per
+    // pair; ranked by similarity with a support ≥ 2 floor so the
+    // top-k isn't all singleton flukes. Zero new row-scale work: the
+    // basket build is the shared cache.
+    QuerySpec.sql(
+      "rec_item_jaccard",
+      """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pr AS (SELECT a.l_partkey AS i, b.l_partkey AS j,
+        |    CAST(COUNT(*) AS BIGINT) AS cooc
+        |  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |n AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM po GROUP BY 1)
+        |SELECT pr.i, pr.j, pr.cooc, ni.n AS n_i, nj.n AS n_j,
+        |  CAST(pr.cooc * 1000000 // (ni.n + nj.n - pr.cooc) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM pr
+        |JOIN n ni ON ni.l_partkey = pr.i
+        |JOIN n nj ON nj.l_partkey = pr.j
+        |ORDER BY jaccard_ppm DESC, i, j LIMIT 20""".stripMargin) { (s, dir) =>
+      val bk = baskets(s, dir)
+      val pairs = bk
+        .select(explode(expr(
+          """flatten(transform(parts, (x, ix) ->
+            |  transform(slice(parts, ix + 2, size(parts)),
+            |    y -> struct(x AS i, y AS j))))""".stripMargin)).as("p"))
+        .select(col("p.i").as("i"), col("p.j").as("j"))
+      val cooc = pairs.groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("cooc"))
+        .filter(col("cooc") >= 2)
+      val n = bk.select(explode(col("parts")).as("l_partkey"))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      cooc
+        .join(n.select(col("l_partkey").as("i"), col("n").as("n_i")), Seq("i"))
+        .join(n.select(col("l_partkey").as("j"), col("n").as("n_j")), Seq("j"))
+        .select(col("i"), col("j"), col("cooc"), col("n_i"), col("n_j"),
+          expr("CAST(cooc * 1000000 div (n_i + n_j - cooc) AS BIGINT)")
+            .as("jaccard_ppm"))
+        .orderBy(col("jaccard_ppm").desc, col("i"), col("j"))
+        .limit(20)
+    },
+
     // Association rules — Apriori's read-out over the same cached
     // baskets: directed i→j rules with support ≥ 2, scored by
     // confidence (cooc/n_antecedent) and lift (cooc·N/(n_i·n_j)),
