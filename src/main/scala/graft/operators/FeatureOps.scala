@@ -1090,5 +1090,83 @@ object FeatureOps {
         .agg(count(lit(1)).as("n_tokens"),
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("bucket"))
+    },
+
+    // Pairwise Pearson correlation matrix over the four lineitem
+    // numeric features — the first feature-selection screen (drop one
+    // of any near-collinear pair before it poisons a linear model).
+    // ONE pass collects every sufficient statistic (4 sums, 4 squared
+    // sums, 6 cross sums) as exact BIGINTs over a unit/percent
+    // quantization chosen so every statistic stays inside int64 —
+    // int64→double conversion is correctly rounded in BOTH engines,
+    // where a 128-bit-integer→double cast is not (measured: ulp-level
+    // divergence at sf0.1 with cents quantization). Each r is the
+    // shared closed-form float over those exact integers (the
+    // assortativity discipline), 6 literal-labeled rows. ANSI-loud
+    // envelope: Σe² < 9.2e18 holds to ~10⁸ lineitem rows; beyond
+    // that, coarsen the price quantization another decade.
+    QuerySpec.sql(
+      "feat_corr_matrix", {
+        def r(a: String, b: String) =
+          s"(CAST(n AS DOUBLE) * CAST(s$a$b AS DOUBLE)" +
+            s" - CAST(s$a AS DOUBLE) * CAST(s$b AS DOUBLE))" +
+            s" / sqrt((CAST(n AS DOUBLE) * CAST(s$a$a AS DOUBLE)" +
+            s" - CAST(s$a AS DOUBLE) * CAST(s$a AS DOUBLE))" +
+            s" * (CAST(n AS DOUBLE) * CAST(s$b$b AS DOUBLE)" +
+            s" - CAST(s$b AS DOUBLE) * CAST(s$b AS DOUBLE)))"
+        val pairs = Seq("q" -> "e", "q" -> "d", "q" -> "x",
+          "e" -> "d", "e" -> "x", "d" -> "x")
+        val names = Map("q" -> "quantity", "e" -> "extendedprice",
+          "d" -> "discount", "x" -> "tax")
+        s"""WITH v AS (
+           |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+           |    CAST(round(l_extendedprice) AS BIGINT) AS e,
+           |    CAST(round(l_discount * 100) AS BIGINT) AS d,
+           |    CAST(round(l_tax * 100) AS BIGINT) AS x
+           |  FROM lineitem),
+           |s AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |${Seq("q", "e", "d", "x").map(c =>
+              s"    CAST(SUM($c) AS BIGINT) AS s$c," +
+                s" CAST(SUM($c * $c) AS BIGINT)" +
+                s" AS s$c$c,").mkString("\n")}
+           |${pairs.map { case (a, b) =>
+              s"    CAST(SUM($a * $b) AS BIGINT)" +
+                s" AS s$a$b," }.mkString("\n").dropRight(1)}
+           |  FROM v)
+           |${pairs.map { case (a, b) =>
+              s"SELECT '${names(a)}' AS x_col, '${names(b)}' AS y_col," +
+                s" n, ${r(a, b)} AS r FROM s" }
+              .mkString("\nUNION ALL\n")}
+           |ORDER BY x_col, y_col""".stripMargin
+      }) { (s, dir) =>
+      def rr(a: String, b: String) =
+        s"(CAST(n AS DOUBLE) * CAST(s$a$b AS DOUBLE)" +
+          s" - CAST(s$a AS DOUBLE) * CAST(s$b AS DOUBLE))" +
+          s" / sqrt((CAST(n AS DOUBLE) * CAST(s$a$a AS DOUBLE)" +
+          s" - CAST(s$a AS DOUBLE) * CAST(s$a AS DOUBLE))" +
+          s" * (CAST(n AS DOUBLE) * CAST(s$b$b AS DOUBLE)" +
+          s" - CAST(s$b AS DOUBLE) * CAST(s$b AS DOUBLE)))"
+      val pairs = Seq("q" -> "e", "q" -> "d", "q" -> "x",
+        "e" -> "d", "e" -> "x", "d" -> "x")
+      val names = Map("q" -> "quantity", "e" -> "extendedprice",
+        "d" -> "discount", "x" -> "tax")
+      val v = t(s, dir, "lineitem").select(
+        expr("CAST(round(l_quantity) AS BIGINT)").as("q"),
+        expr("CAST(round(l_extendedprice) AS BIGINT)").as("e"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("d"),
+        expr("CAST(round(l_tax * 100) AS BIGINT)").as("x"))
+      val aggs =
+        Seq("q", "e", "d", "x").flatMap(c => Seq(
+          sum(col(c)).cast("long").as(s"s$c"),
+          sum(col(c) * col(c)).cast("long").as(s"s$c$c"))) ++
+        pairs.map { case (a, b) =>
+          sum(col(a) * col(b)).cast("long").as(s"s$a$b") }
+      val st = v.agg(count(lit(1)).as("n"), aggs: _*)
+      pairs.map { case (a, b) =>
+        st.select(lit(names(a)).as("x_col"), lit(names(b)).as("y_col"),
+          col("n"), expr(rr(a, b)).as("r"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("x_col"), col("y_col"))
     })
 }

@@ -8884,6 +8884,65 @@ object TimeSeriesOps {
               "div (n * sxx - sx * sx)"))
             .cast("long").as("beta_milli"))
         .orderBy(col("series"), col("day"))
+    },
+
+    // Heavy-user concentration: what share of ALL events does the
+    // most-active decile of USERS generate? The abuse/bot-screening
+    // and capacity-planning readout (a healthy product reads well
+    // under 10⁶ ppm; a scraper farm pins it). Exact: per-user counts
+    // collapse to the count-of-counts histogram, the top-decile cut
+    // runs on the PrefixSum global cumsum of that BOUNDED histogram
+    // (users and events cumulated in ONE pass), and the boundary
+    // class contributes exactly the users needed — no row-scale sort,
+    // no approximation. need = ceil(U/10); share one ppm division.
+    QuerySpec.sql(
+      "events_user_concentration",
+      """WITH uc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS u,
+        |    CAST(c * COUNT(*) AS BIGINT) AS ev
+        |  FROM uc GROUP BY 1),
+        |r AS (SELECT c, u, ev,
+        |    CAST(SUM(u) OVER w AS BIGINT) AS cumu,
+        |    CAST(SUM(ev) OVER w AS BIGINT) AS cumev
+        |  FROM h WINDOW w AS (ORDER BY c DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT CAST(SUM(u) AS BIGINT) AS uu,
+        |    CAST(SUM(ev) AS BIGINT) AS ee,
+        |    CAST((SUM(u) + 9) // 10 AS BIGINT) AS need
+        |  FROM h)
+        |SELECT t.uu AS n_users, t.ee AS n_events,
+        |  t.need AS top_users,
+        |  CAST(SUM(CASE WHEN r.cumu <= t.need THEN r.ev
+        |    WHEN r.cumu - r.u < t.need
+        |      THEN (t.need - (r.cumu - r.u)) * r.c
+        |    ELSE 0 END) AS BIGINT) AS top_events,
+        |  CAST(SUM(CASE WHEN r.cumu <= t.need THEN r.ev
+        |    WHEN r.cumu - r.u < t.need
+        |      THEN (t.need - (r.cumu - r.u)) * r.c
+        |    ELSE 0 END) * 1000000 // t.ee AS BIGINT) AS share_ppm
+        |FROM r CROSS JOIN t
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val h = events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .groupBy(col("c"))
+        .agg(count(lit(1)).as("u"),
+          (col("c") * count(lit(1))).cast("long").as("ev"))
+      val r = graft.functions.PrefixSum.globalCumsumMulti(h,
+        Seq(-col("c")), Seq(col("u") -> "cumu", col("ev") -> "cumev"))
+      val t = h.agg(sum(col("u")).cast("long").as("uu"),
+        sum(col("ev")).cast("long").as("ee"),
+        expr("CAST((SUM(u) + 9) div 10 AS BIGINT)").as("need"))
+      val top = "CASE WHEN cumu <= need THEN ev " +
+        "WHEN cumu - u < need THEN (need - (cumu - u)) * c ELSE 0 END"
+      r.crossJoin(broadcast(t))
+        .groupBy(col("uu"), col("ee"), col("need"))
+        .agg(sum(expr(top)).cast("long").as("top_events"),
+          expr(s"CAST(SUM($top) * 1000000 div ee AS BIGINT)")
+            .as("share_ppm"))
+        .select(col("uu").as("n_users"), col("ee").as("n_events"),
+          col("need").as("top_users"), col("top_events"),
+          col("share_ppm"))
     })
 
   /** Daily OHLC candle in exact cents, shared by the five

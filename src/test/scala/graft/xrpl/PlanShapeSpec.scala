@@ -512,7 +512,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "privacy_reid_risk", "sim_rank_overlap", "stats_bartlett",
         "graph_edge_embeddedness", "stats_cochran_armitage",
         "er_qgram_dice", "stats_theil_u", "eval_weighted_kappa",
-        "ts_rolling_beta", "rec_item_jaccard")) {
+        "ts_rolling_beta", "rec_item_jaccard",
+        "events_user_concentration", "feat_corr_matrix")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
