@@ -1562,6 +1562,90 @@ object Relational {
         .orderBy(col("event_type"))
     },
 
+    // 1-D Wasserstein (earth-mover) drift per series, same first-half
+    // vs second-half split as dq_psi_drift — the drift metric that,
+    // unlike bucketed PSI/KL, is binning-free and carries UNITS (how
+    // many cents would each row have to move): on point masses
+    // EMD = Σ_i (v_{i+1}−v_i)·|F_ref(v_i) − F_cur(v_i)| over the
+    // sorted distinct cents values, and the CDF gap is the exact
+    // integer |cum_ref·n_cur − cum_cur·n_ref| / (n_ref·n_cur) — so
+    // the whole distance is ONE floor division of a
+    // DECIMAL(38,0)/HUGEINT sum. Per-series keyed cumsum + LEAD
+    // windows over the per-distinct-value histogram (value-domain
+    // bounded, never row-scale).
+    QuerySpec.sql(
+      "dq_wasserstein_drift",
+      """WITH c0 AS (
+        |  SELECT CAST(MIN(epoch_us(ts)) + (MAX(epoch_us(ts))
+        |    - MIN(epoch_us(ts))) // 2 AS BIGINT) AS mid
+        |  FROM events),
+        |e AS (
+        |  SELECT event_type,
+        |    CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END AS cur,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events, c0),
+        |cnt AS (
+        |  SELECT event_type, v,
+        |    CAST(SUM(1 - cur) AS BIGINT) AS cref,
+        |    CAST(SUM(cur) AS BIGINT) AS ccur
+        |  FROM e GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, v,
+        |    CAST(SUM(cref) OVER w AS BIGINT) AS cumr,
+        |    CAST(SUM(ccur) OVER w AS BIGINT) AS cumc,
+        |    LEAD(v) OVER (PARTITION BY event_type ORDER BY v) AS nv
+        |  FROM cnt WINDOW w AS (PARTITION BY event_type ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(cref) AS BIGINT) AS nref,
+        |    CAST(SUM(ccur) AS BIGINT) AS ncur
+        |  FROM cnt GROUP BY 1)
+        |SELECT r.event_type AS event_type,
+        |  MAX(t.nref) AS n_ref, MAX(t.ncur) AS n_cur,
+        |  CAST(SUM(CAST(r.nv - r.v AS HUGEINT)
+        |      * ABS(r.cumr * CAST(t.ncur AS HUGEINT)
+        |        - r.cumc * CAST(t.nref AS HUGEINT))) * 1000000
+        |    // (CAST(MAX(t.nref) AS HUGEINT) * MAX(t.ncur))
+        |    AS BIGINT) AS emd_microcents
+        |FROM r JOIN tot t ON t.event_type = r.event_type
+        |WHERE r.nv IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val mid = ev.agg(expr("CAST(MIN(unix_micros(ts)) + " +
+        "(MAX(unix_micros(ts)) - MIN(unix_micros(ts))) div 2 " +
+        "AS BIGINT)").as("mid"))
+      val cnt = ev.crossJoin(broadcast(mid))
+        .select(col("event_type"),
+          (unix_micros(col("ts")) >= col("mid")).cast("int").as("cur"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+        .groupBy(col("event_type"), col("v"))
+        .agg(sum(lit(1) - col("cur")).cast("long").as("cref"),
+          sum(col("cur")).cast("long").as("ccur"))
+      val ordW = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      val cumW = ordW.rowsBetween(Window.unboundedPreceding, 0)
+      val r = cnt
+        .withColumn("cumr", sum(col("cref")).over(cumW).cast("long"))
+        .withColumn("cumc", sum(col("ccur")).over(cumW).cast("long"))
+        .withColumn("nv", lead(col("v"), 1).over(ordW))
+        .filter(col("nv").isNotNull)
+      val tot = cnt.groupBy(col("event_type"))
+        .agg(sum(col("cref")).cast("long").as("nref"),
+          sum(col("ccur")).cast("long").as("ncur"))
+      r.join(broadcast(tot), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(max(col("nref")).as("n_ref"), max(col("ncur")).as("n_cur"),
+          sum(expr("CAST(nv - v AS DECIMAL(38,0)) " +
+            "* ABS(cumr * CAST(ncur AS DECIMAL(38,0)) " +
+            "- cumc * CAST(nref AS DECIMAL(38,0)))"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            .as("st"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          expr("CAST(st * 1000000 div (CAST(n_ref AS DECIMAL(38,0)) " +
+            "* n_cur) AS BIGINT)").as("emd_microcents"))
+        .orderBy(col("event_type"))
+    },
+
     // Data-quality audit (Deequ-style constraint report): referential
     // integrity, key uniqueness, and domain checks as ONE relation of
     // (check_name, checked, violations). Scale shape: every per-table

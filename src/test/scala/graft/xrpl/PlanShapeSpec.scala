@@ -513,7 +513,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "graph_edge_embeddedness", "stats_cochran_armitage",
         "er_qgram_dice", "stats_theil_u", "eval_weighted_kappa",
         "ts_rolling_beta", "rec_item_jaccard",
-        "events_user_concentration", "feat_corr_matrix")) {
+        "events_user_concentration", "feat_corr_matrix",
+        "dq_wasserstein_drift")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
