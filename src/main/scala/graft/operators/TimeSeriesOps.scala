@@ -8826,6 +8826,68 @@ object TimeSeriesOps {
             s" * ${lnm("nn")} - sx) AS BIGINT)").as("u_ppm"))
     },
 
+    // G-test of independence (log-likelihood ratio) on the same
+    // type×weekday contingency as stats_theil_u — the entropy-based
+    // sibling of stats_chi2_indep (G is additive across partitions
+    // and better-behaved at small expecteds; reporting both is the
+    // standard practice). G = 2·Σ O·ln(O·N/(R·C)) decomposes into
+    // four c·ln c folds through the ONE shared micro-ln —
+    // G_micro = 2·(Σ O·lnm(O) + N·lnm(N) − Σ R·lnm(R) − Σ C·lnm(C))
+    // — all exact integers in DECIMAL(38,0)/HUGEINT. Same plan as
+    // theil_u: one contingency fold + two marginal folds, no window.
+    QuerySpec.sql(
+      "stats_g_test", {
+        def lnm(e: String) = s"CAST(CAST(ln(CAST($e AS DOUBLE)) " +
+          s"AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+        s"""WITH c AS (
+           |  SELECT event_type AS x,
+           |    CAST(dayofweek(ts) AS BIGINT) AS y,
+           |    CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1, 2),
+           |so AS (SELECT CAST(SUM(CAST(n AS HUGEINT) * ${lnm("n")})
+           |    AS HUGEINT) AS v, CAST(COUNT(*) AS BIGINT) AS cells
+           |  FROM c),
+           |sr AS (SELECT CAST(SUM(CAST(t AS HUGEINT) * ${lnm("t")})
+           |    AS HUGEINT) AS v, CAST(COUNT(*) AS BIGINT) AS k
+           |  FROM (SELECT x, SUM(n) AS t FROM c GROUP BY 1)),
+           |sc AS (SELECT CAST(SUM(CAST(t AS HUGEINT) * ${lnm("t")})
+           |    AS HUGEINT) AS v, CAST(COUNT(*) AS BIGINT) AS m
+           |  FROM (SELECT y, SUM(n) AS t FROM c GROUP BY 1)),
+           |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c)
+           |SELECT nn AS n_total, so.cells AS n_cells,
+           |  CAST((sr.k - 1) * (sc.m - 1) AS BIGINT) AS dof,
+           |  CAST(2 * (so.v + CAST(nn AS HUGEINT) * ${lnm("nn")}
+           |    - sr.v - sc.v) AS BIGINT) AS g_micro
+           |FROM so, sr, sc, tt""".stripMargin
+      }) { (s, dir) =>
+      val lnm = (e: String) => s"CAST(CAST(ln(CAST($e AS DOUBLE)) " +
+        s"AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val c = events(s, dir)
+        .groupBy(col("event_type").as("x"),
+          dayofweek(col("ts")).cast("long").as("y"))
+        .agg(count(lit(1)).as("n"))
+      val so = c.agg(
+        sum(expr(s"CAST(n AS DECIMAL(38,0)) * ${lnm("n")}")).cast(d38)
+          .as("v"),
+        count(lit(1)).as("cells")).toDF("v", "cells")
+      val sr = c.groupBy(col("x")).agg(sum(col("n")).cast("long")
+          .as("t"))
+        .agg(sum(expr(s"CAST(t AS DECIMAL(38,0)) * ${lnm("t")}"))
+          .cast(d38).as("v"), count(lit(1)).as("k")).toDF("rv", "k")
+      val sc2 = c.groupBy(col("y")).agg(sum(col("n")).cast("long")
+          .as("t"))
+        .agg(sum(expr(s"CAST(t AS DECIMAL(38,0)) * ${lnm("t")}"))
+          .cast(d38).as("v"), count(lit(1)).as("m")).toDF("cv", "m")
+      val tt = c.agg(sum(col("n")).cast("long").as("nn"))
+      tt.crossJoin(broadcast(so)).crossJoin(broadcast(sr))
+        .crossJoin(broadcast(sc2))
+        .select(col("nn").as("n_total"), col("cells").as("n_cells"),
+          expr("CAST((k - 1) * (m - 1) AS BIGINT)").as("dof"),
+          expr(s"CAST(2 * (v + CAST(nn AS DECIMAL(38,0)) * " +
+            s"${lnm("nn")} - rv - cv) AS BIGINT)").as("g_micro"))
+    },
+
     // Rolling market beta per series (14-day): cov(series, market) /
     // var(market) over the trailing window, where "market" is the
     // all-types daily total — which series amplifies the aggregate
