@@ -1602,11 +1602,12 @@ object Relational {
         |  FROM cnt GROUP BY 1)
         |SELECT r.event_type AS event_type,
         |  MAX(t.nref) AS n_ref, MAX(t.ncur) AS n_cur,
-        |  CAST(SUM(CAST(r.nv - r.v AS HUGEINT)
+        |  CAST(CASE WHEN MAX(t.nref) > 0 AND MAX(t.ncur) > 0 THEN
+        |    SUM(CAST(r.nv - r.v AS HUGEINT)
         |      * ABS(r.cumr * CAST(t.ncur AS HUGEINT)
         |        - r.cumc * CAST(t.nref AS HUGEINT))) * 1000000
         |    // (CAST(MAX(t.nref) AS HUGEINT) * MAX(t.ncur))
-        |    AS BIGINT) AS emd_microcents
+        |    END AS BIGINT) AS emd_microcents
         |FROM r JOIN tot t ON t.event_type = r.event_type
         |WHERE r.nv IS NOT NULL
         |GROUP BY 1
@@ -1641,8 +1642,9 @@ object Relational {
             .cast(org.apache.spark.sql.types.DecimalType(38, 0))
             .as("st"))
         .select(col("event_type"), col("n_ref"), col("n_cur"),
-          expr("CAST(st * 1000000 div (CAST(n_ref AS DECIMAL(38,0)) " +
-            "* n_cur) AS BIGINT)").as("emd_microcents"))
+          expr("CAST(CASE WHEN n_ref > 0 AND n_cur > 0 THEN " +
+            "st * 1000000 div (CAST(n_ref AS DECIMAL(38,0)) " +
+            "* n_cur) END AS BIGINT)").as("emd_microcents"))
         .orderBy(col("event_type"))
     },
 
