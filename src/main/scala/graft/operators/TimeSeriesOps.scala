@@ -8826,6 +8826,139 @@ object TimeSeriesOps {
             s" * ${lnm("nn")} - sx) AS BIGINT)").as("u_ppm"))
     },
 
+    // Cohen's d between the click and view value distributions — the
+    // STANDARDIZED effect size beside the mannwhitney/cliffs-delta
+    // rank tests (those say "is there a shift"; d says "how many
+    // pooled standard deviations wide is it", the number a power
+    // analysis consumes). Sufficient statistics are exact cents
+    // integers (n, Σx, Σx² per group, DECIMAL(38,0)/HUGEINT squares);
+    // d evaluates once through the shared-text IEEE chain and floors
+    // to micro, with Hedges' small-sample correction as the exact
+    // rational (1 − 3/(4(n1+n2)−9)) folded in milli. One two-group
+    // fold; no window, no join.
+    QuerySpec.sql(
+      "stats_cohens_d", {
+        val d = "((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)" +
+          " / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)" +
+          " + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))" +
+          " / (n1 + n2 - 2)))"
+        s"""WITH g AS (
+           |  SELECT event_type,
+           |    CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |      AS s,
+           |    CAST(SUM(CAST(CAST(round(value * 100) AS BIGINT)
+           |      AS HUGEINT) * CAST(round(value * 100) AS BIGINT))
+           |      AS HUGEINT) AS q
+           |  FROM events WHERE event_type IN ('click', 'view')
+           |  GROUP BY 1),
+           |p AS (SELECT
+           |    MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+           |    MAX(CASE WHEN event_type = 'click' THEN s END) AS s1,
+           |    MAX(CASE WHEN event_type = 'click' THEN q END) AS q1,
+           |    MAX(CASE WHEN event_type = 'view' THEN n END) AS n2,
+           |    MAX(CASE WHEN event_type = 'view' THEN s END) AS s2,
+           |    MAX(CASE WHEN event_type = 'view' THEN q END) AS q2
+           |  FROM g)
+           |SELECT n1, n2,
+           |  CAST(FLOOR($d * 1000000) AS BIGINT) AS d_micro,
+           |  CAST(1000 - 3000 // (4 * (n1 + n2) - 9) AS BIGINT)
+           |    AS hedges_milli,
+           |  CAST(CAST(FLOOR($d * 1000000) AS BIGINT) * (1000 - 3000
+           |    // (4 * (n1 + n2) - 9)) // 1000 AS BIGINT) AS g_micro
+           |FROM p""".stripMargin
+      }) { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val dtxt = "((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)" +
+        " / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)" +
+        " + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))" +
+        " / (n1 + n2 - 2)))"
+      val g = events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("xc"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xc")).cast("long").as("s"),
+          sum(expr("CAST(xc AS DECIMAL(38,0)) * xc")).cast(d38)
+            .as("q"))
+      g.agg(
+          max(when(col("event_type") === "click", col("n"))).as("n1"),
+          max(when(col("event_type") === "click", col("s"))).as("s1"),
+          max(when(col("event_type") === "click", col("q"))).as("q1"),
+          max(when(col("event_type") === "view", col("n"))).as("n2"),
+          max(when(col("event_type") === "view", col("s"))).as("s2"),
+          max(when(col("event_type") === "view", col("q"))).as("q2"))
+        .select(col("n1"), col("n2"),
+          expr(s"CAST(FLOOR($dtxt * 1000000) AS BIGINT)")
+            .as("d_micro"),
+          expr("CAST(1000 - 3000 div (4 * (n1 + n2) - 9) AS BIGINT)")
+            .as("hedges_milli"),
+          expr(s"CAST(CAST(FLOOR($dtxt * 1000000) AS BIGINT) " +
+            "* (1000 - 3000 div (4 * (n1 + n2) - 9)) div 1000 " +
+            "AS BIGINT)").as("g_micro"))
+    },
+
+    // Goh–Barabási burstiness parameter per series on the in-user
+    // inter-event gaps: B = (σ − μ)/(σ + μ) ∈ (−1, 1) — the
+    // temporal-pattern classifier (B → 1 bursty/bot-retry, B ≈ 0
+    // Poisson, B < 0 pacemaker-regular). Gap moments are exact micros
+    // integers off the SAME user-keyed LAG every session gate pays
+    // (n, Σg, Σg² with the square in DECIMAL(38,0)/HUGEINT); σ is one
+    // shared-text sqrt and B floors to micro. Complements
+    // events_bot_regularity (per-user CV) with the per-SERIES
+    // population readout.
+    QuerySpec.sql(
+      "events_burstiness_gb", {
+        val b = "((sqrt((CAST(q AS DOUBLE) - CAST(sg AS DOUBLE) * sg" +
+          " / n) / n) - CAST(sg AS DOUBLE) / n)" +
+          " / (sqrt((CAST(q AS DOUBLE) - CAST(sg AS DOUBLE) * sg" +
+          " / n) / n) + CAST(sg AS DOUBLE) / n))"
+        s"""WITH e AS (SELECT user_id, event_id, event_type,
+           |    epoch_us(ts) AS us
+           |  FROM events),
+           |g0 AS (SELECT event_type AS series,
+           |    us - LAG(us) OVER (PARTITION BY user_id, event_type
+           |      ORDER BY us, event_id) AS g
+           |  FROM e),
+           |m AS (SELECT series, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(g) AS BIGINT) AS sg,
+           |    CAST(SUM(CAST(g AS HUGEINT) * g) AS HUGEINT) AS q
+           |  FROM g0 WHERE g IS NOT NULL AND g > 0 GROUP BY 1)
+           |SELECT series, n,
+           |  CAST(sg // n AS BIGINT) AS mean_gap_us,
+           |  CAST(FLOOR($b * 1000000) AS BIGINT) AS burstiness_micro
+           |FROM m WHERE n >= 2
+           |ORDER BY series""".stripMargin
+      }) { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val btxt = "((sqrt((CAST(q AS DOUBLE) - CAST(sg AS DOUBLE) * sg" +
+        " / n) / n) - CAST(sg AS DOUBLE) / n)" +
+        " / (sqrt((CAST(q AS DOUBLE) - CAST(sg AS DOUBLE) * sg" +
+        " / n) / n) + CAST(sg AS DOUBLE) / n))"
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("series"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("g", col("us") -
+          lag(col("us"), 1).over(Window
+            .partitionBy(col("user_id"), col("series"))
+            .orderBy(col("us"), col("event_id"))))
+        .filter(col("g").isNotNull && col("g") > 0)
+        .groupBy(col("series"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("g")).cast("long").as("sg"),
+          sum(expr("CAST(g AS DECIMAL(38,0)) * g")).cast(d38).as("q"))
+        .filter(col("n") >= 2)
+        .select(col("series"), col("n"),
+          expr("CAST(sg div n AS BIGINT)").as("mean_gap_us"),
+          expr(s"CAST(FLOOR($btxt * 1000000) AS BIGINT)")
+            .as("burstiness_micro"))
+        .orderBy(col("series"))
+    },
+
     // G-test of independence (log-likelihood ratio) on the same
     // type×weekday contingency as stats_theil_u — the entropy-based
     // sibling of stats_chi2_indep (G is additive across partitions

@@ -514,7 +514,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "er_qgram_dice", "stats_theil_u", "eval_weighted_kappa",
         "ts_rolling_beta", "rec_item_jaccard",
         "events_user_concentration", "feat_corr_matrix",
-        "dq_wasserstein_drift", "stats_g_test")) {
+        "dq_wasserstein_drift", "stats_g_test", "stats_cohens_d",
+        "events_burstiness_gb")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
