@@ -143,8 +143,12 @@ object EntityOps {
     // Bigram sets build per ROW (a transform over the name's char
     // positions + distinct — no explode, names are bounded strings),
     // the intersection is a per-pair array op, and the score is one
-    // exact ppm floor division: 2|A∩B|·10⁶ // (|A|+|B|). Same
-    // broadcast value-domain block join as er_jw_match.
+    // exact ppm division: 2|A∩B|·10⁶ // (|A|+|B|). Same broadcast
+    // value-domain block join as er_jw_match. Names shorter than 2
+    // chars are filtered in BOTH engines: Spark's sequence(1, 0)
+    // defaults to step −1 and yields [1, 0] (one bogus gram) where
+    // DuckDB's generate_series(1, 0) is empty — the filter keeps the
+    // gram domain identical (and a 1-char name has no bigrams anyway).
     QuerySpec.sql(
       "er_qgram_dice",
       s"""WITH d AS ($dictSql),
@@ -152,7 +156,7 @@ object EntityOps {
          |    list_distinct(list_transform(
          |      generate_series(1, length(name) - 1),
          |      i -> name[i:i+1])) AS grams
-         |  FROM d)
+         |  FROM d WHERE length(name) >= 2)
          |SELECT a.name AS a_name, b.name AS b_name,
          |  CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT)
          |    AS n_common,
@@ -165,6 +169,7 @@ object EntityOps {
          |  // (len(a.grams) + len(b.grams)) >= 400000
          |ORDER BY a_name, b_name""".stripMargin) { (s, dir) =>
       val g = dict(s, dir)
+        .filter(length(col("name")) >= 2)
         .select(col("name"), col("blk"),
           array_distinct(expr(
             "transform(sequence(1, length(name) - 1), " +

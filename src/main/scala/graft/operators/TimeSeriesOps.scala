@@ -8186,7 +8186,9 @@ object TimeSeriesOps {
     },
 
     // Chaikin money flow (20-day): the per-day money-flow volume is
-    // an exact per-row floor division (|mfv| ≤ vol by construction),
+    // an exact per-row truncating division (div ≡ //, toward zero —
+    // mfv is SIGNED, |mfv| ≤ vol by construction, so this is not a
+    // floor on negative days; a Python-// port would diverge),
     // folded against the volume sum in ppm. BIGINT-safe while a
     // series' 20-day cents volume stays under ~9.2e12 — the dsum
     // envelope; beyond that the multiplier column moves to
@@ -8353,8 +8355,10 @@ object TimeSeriesOps {
     // the fixed micro literal 386294, and the per-day cross term
     // rides DECIMAL(38,0)/HUGEINT so pico² intermediates never
     // overflow. A day can contribute negatively (the classic
-    // estimator's known quirk) — signed floor division agrees across
-    // engines by the established div ≡ // parity.
+    // estimator's known quirk) — for signed numerators the shared
+    // division is TRUNCATING (div ≡ //, toward zero; verified
+    // −7//2 = −3 in both engines), not floor — a Python-// port
+    // would diverge on negative operands.
     QuerySpec.sql(
       "ts_garman_klass_vol", {
         def lnm(e: String) = s"CAST(CAST(ln(CAST($e AS DOUBLE)) " +
@@ -8599,15 +8603,20 @@ object TimeSeriesOps {
     // — the normal-theory sibling of stats_levene_bf (Brown–Forsythe
     // is robust; Bartlett is the more powerful test when normality
     // holds, and the pair is the standard cross-check). Group
-    // variances are EXACT integer rationals over cents
-    // (num_i = n_iΣx²−S_i², den_i = n_i(n_i−1), DECIMAL(38,0)/
-    // HUGEINT); each ln goes through the ONE shared micro-ln
-    // expression, so T = (N−k)·ln(s²_p) − Σ(n_i−1)·ln(s²_i) is an
-    // exact micro integer (the pooled numerator takes one documented
-    // floor division num_i // n_i — deterministic in both engines,
-    // error < k units on ~10¹⁴ magnitudes). The Bartlett correction
-    // C folds exactly in nano; χ² = T·10⁹ // C_nano. Plan: one
-    // per-group fold + one k-row broadcast fold — no window.
+    // variances fold as exact integers over cents, then are reduced
+    // to the INT64-SAFE rational q_i = (n_iΣx²−S_i²) // n_i ≈
+    // (n_i−1)s²_i BEFORE any ln — every micro-ln argument (q_i,
+    // pnum = Σq_i, n_i−1, N−k) is an int64, never a HUGEINT/
+    // DECIMAL(38,0), because 128-bit→DOUBLE is not correctly rounded
+    // in DuckDB (the feat_corr_matrix rule; the raw numerator is
+    // already 54 bits at sf0.1 and grows ~n²  while q_i grows ~n).
+    // T = (N−k)·ln(pnum/(N−k)) − Σ(n_i−1)·ln(q_i/(n_i−1)) as exact
+    // micro integers; the q envelope (q_i ≤ 10¹⁸, so Σq over the
+    // 5-type events schema stays < 2⁶³) fails LOUDLY and
+    // symmetrically in both engines (error()/raise_error), never
+    // silently. The Bartlett correction C folds exactly in nano;
+    // χ² = T·10⁹ // C_nano. Plan: one per-group fold + one k-row
+    // broadcast fold — no window.
     QuerySpec.sql(
       "stats_bartlett", {
         def lnm(e: String) = s"CAST(CAST(ln(CAST($e AS DOUBLE)) " +
@@ -8623,14 +8632,19 @@ object TimeSeriesOps {
            |  FROM events GROUP BY 1),
            |v AS (
            |  SELECT event_type, n,
-           |    n * sxx - CAST(sx AS HUGEINT) * sx AS num,
-           |    CAST(n AS HUGEINT) * (n - 1) AS den
+           |    CASE WHEN (n * sxx - CAST(sx AS HUGEINT) * sx) // n
+           |        > CAST(1000000000000000000 AS HUGEINT)
+           |      THEN CAST(error('stats_bartlett: variance numerator'
+           |        || ' // n exceeds the int64 micro-ln envelope;'
+           |        || ' coarsen the cents quantization') AS BIGINT)
+           |      ELSE CAST((n * sxx - CAST(sx AS HUGEINT) * sx) // n
+           |        AS BIGINT) END AS q
            |  FROM g WHERE n >= 2),
            |p AS (
            |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
            |    CAST(COUNT(*) AS BIGINT) AS k,
-           |    CAST(SUM(num // n) AS HUGEINT) AS pnum,
-           |    CAST(SUM((n - 1) * (${lnm("num")} - ${lnm("den")}))
+           |    CAST(SUM(q) AS BIGINT) AS pnum,
+           |    CAST(SUM((n - 1) * (${lnm("q")} - ${lnm("n - 1")}))
            |      AS BIGINT) AS sum_ln,
            |    CAST(SUM(1000000000 // (n - 1)) AS BIGINT) AS inv_sum
            |  FROM v)
@@ -8657,16 +8671,25 @@ object TimeSeriesOps {
           sum(expr("CAST(xc AS DECIMAL(38,0)) * xc")).cast(d38)
             .as("sxx"))
       val v = g.filter(col("n") >= 2)
+        .withColumn("num",
+          expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx").cast(d38))
         .select(col("event_type"), col("n"),
-          expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx").cast(d38)
-            .as("num"),
-          expr("CAST(n AS DECIMAL(38,0)) * (n - 1)").cast(d38)
-            .as("den"))
+          // num div n on DECIMAL(38,0) yields LONG (null on overflow
+          // in non-ANSI mode) — the guard makes both the overflow
+          // null and the shared 10^18 envelope loud, mirroring the
+          // oracle's error() branch.
+          expr(
+            """CASE WHEN num div n IS NULL
+              |    OR num div n > 1000000000000000000
+              |  THEN raise_error(concat('stats_bartlett: variance ',
+              |    'numerator div n exceeds the int64 micro-ln ',
+              |    'envelope; coarsen the cents quantization'))
+              |  ELSE num div n END""".stripMargin).as("q"))
       val p = v.agg(
         sum(col("n")).cast("long").as("nn"),
         count(lit(1)).as("k"),
-        sum(expr("num div n")).cast(d38).as("pnum"),
-        sum(expr(s"(n - 1) * (${lnm("num")} - ${lnm("den")})"))
+        sum(col("q")).cast("long").as("pnum"),
+        sum(expr(s"(n - 1) * (${lnm("q")} - ${lnm("n - 1")})"))
           .cast("long").as("sum_ln"),
         sum(expr("1000000000 div (n - 1)")).cast("long").as("inv_sum"))
       val t = s"(nn - k) * (${lnm("pnum")} - ${lnm("nn - k")}) - sum_ln"
@@ -9026,7 +9049,8 @@ object TimeSeriesOps {
     // all-types daily total — which series amplifies the aggregate
     // flow and which is idiosyncratic. The OLS sufficient statistics
     // fold inside ONE series-keyed 14-row window over exact daily
-    // counts, and beta is one milli floor division of the closed
+    // counts, and beta is one milli truncating division (div ≡ //,
+    // toward zero — the covariance numerator is SIGNED) of the closed
     // form (nΣxy − ΣxΣy)·1000 // (nΣxx − (Σx)²) — BIGINT-safe while
     // a 14-day count product stays under ~9e18 (10⁸-row days);
     // larger grains route the sums through DECIMAL(38,0) like the

@@ -68,10 +68,16 @@ object DecayedVolumeStream {
       d9 += xs(i) * w9(age); d8 += xs(i) * w8(age)
       i += 1
     }
-    // mirror the gate's floor divisions (all quantities non-negative,
-    // so `div`/`//`/Java `/` agree)
+    // mirror the gate's truncating divisions (all quantities
+    // non-negative, so `div`/`//`/Java `/` agree). freshness is
+    // d9/raw — identical floor value to the gate's spelled
+    // d9·10⁶ // (raw·10⁶) but without the d9·10⁶ Long wrap once a
+    // series' 30-day decayed volume exceeds ~9.2e12. raw = 0 (a
+    // stream of zero-count closed days) would divide by zero where
+    // the batch gate's SQL emits NULL; DecayPoint is flat longs, so
+    // emit the −1 sentinel (unreachable for any ppm, which is ≥ 0).
     DecayPoint(series, frontier, n, raw, d9, d8, d9 / 1000000L,
-      d9 * 1000000L / (raw * 1000000L))
+      if (raw == 0L) -1L else d9 / raw)
   }
 
   private def update(series: String, it: Iterator[Bucket],

@@ -196,4 +196,37 @@ class IncrementalDaemonSpec extends AnyFunSuite {
     assert(DaemonStream.readStaging(spark, s"$dir/staging").count()
       == pay.count())
   }
+
+  test("crash-partial compact dir (no _SUCCESS) is invisible and purged") {
+    val dir = Files.createTempDirectory("graft-partial").toString
+    val pay = tables.payments.toDF()
+    def part(i: Int): DataFrame =
+      pay.filter(pmod(col("ledger_index"), lit(4)) === i)
+    // four committed batch dirs — a live staging tree
+    (0 to 3).foreach { i =>
+      part(i).write.parquet(s"$dir/staging/batch=$i")
+    }
+    // simulate a fold that crashed after writing its consolidated dir
+    // but before committing: compact=3 claims to cover batches 0..3
+    // yet holds only batch 0's rows, and carries no _SUCCESS marker
+    part(0).write.parquet(s"$dir/staging/compact=3")
+    val marker = new java.io.File(s"$dir/staging/compact=3/_SUCCESS")
+    assert(marker.delete(), "test setup: drop the commit marker")
+    // the reader must ignore the marker-less dir and see every staged
+    // row exactly once (a reader that preferred the partial compact=3
+    // would silently drop batches 1..3)
+    assert(DaemonStream.readStaging(spark, s"$dir/staging").count()
+      == pay.count(), "partial compact dir must be invisible to reads")
+    // the next fold lands on the SAME K = 3: the stale partial dir is
+    // deleted before the rewrite and the rewrite commits its marker
+    DaemonStream.compactStaging(spark, s"$dir/staging", 4L, minDirs = 2)
+    assert(new java.io.File(s"$dir/staging/compact=3/_SUCCESS").exists(),
+      "same-K fold must commit a consolidated dir with a marker")
+    val names = new java.io.File(s"$dir/staging").list()
+      .filter(n => n.startsWith("batch=") || n.startsWith("compact="))
+    assert(names.toSet == Set("compact=3"),
+      s"fold collapses the tree to one committed dir: ${names.toSeq}")
+    assert(DaemonStream.readStaging(spark, s"$dir/staging").count()
+      == pay.count(), "post-fold view is complete")
+  }
 }

@@ -1,29 +1,68 @@
 #!/bin/bash
-# Full-registry bench with CPU-steal bracketing: samples /proc/stat
-# steal jiffies before/after so a capture can be proven clean or
-# contended from artifacts alone (the r11/r12 lesson: never commit a
-# capture whose machine state is unknown).
+# Full-registry bench with machine-state bracketing: samples /proc/stat
+# steal jiffies AND the tools/machine_state.py probe (cpufreq, thermal,
+# loadavg, MemAvailable, and a pinned CPU+memory-bandwidth
+# micro-sentinel) before and after the capture, so a capture can be
+# proven clean, contended, OR machine-drifted from artifacts alone —
+# the r11/r12/r13 lesson: steal alone missed a ~1.18x uniform
+# frequency/bandwidth drift, and it had to be argued from uniformity.
+# On full runs the before/after probes are injected into
+# BENCH_FULL.json's env.machine, so the committed artifact carries its
+# own machine context and cross-round comparisons can normalize by the
+# sentinel throughputs instead of re-arguing.
 set -e
 cd /root/repo
+python3 tools/machine_state.py > /tmp/ms_before.json
 read -r _ u1 n1 s1 i1 w1 irq1 sirq1 st1 _ < /proc/stat
 t0=$(date +%s)
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   sbt -batch "runMain graft.Bench" > /tmp/bench_run.log 2>&1 || true
 t1=$(date +%s)
 read -r _ u2 n2 s2 i2 w2 irq2 sirq2 st2 _ < /proc/stat
+python3 tools/machine_state.py > /tmp/ms_after.json
 wall=$((t1 - t0))
 steal=$((st2 - st1))
-# jiffies -> seconds (USER_HZ=100), across 32 cpus
-python3 - "$wall" "$steal" <<'EOF'
-import sys, json
-wall, steal = int(sys.argv[1]), int(sys.argv[2])
+# jiffies -> seconds (USER_HZ=100), across 32 cpus; then inject the
+# machine bracket into BENCH_FULL.json's env (full runs only — a
+# subset run leaves the committed artifact untouched, matching
+# Bench.scala's own only-full-runs write).
+python3 - "$wall" "$steal" "$t0" <<'EOF'
+import sys, json, os
+wall, steal, t0 = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 steal_s = steal / 100.0
 pct = 100.0 * steal_s / (wall * 32) if wall else 0.0
+machine = {
+    "before": json.load(open('/tmp/ms_before.json')),
+    "after": json.load(open('/tmp/ms_after.json')),
+    "wall_s": wall,
+    "steal_s": round(steal_s, 1),
+    "steal_pct_of_32cpu": round(pct, 3),
+}
 try:
     d = json.load(open('target/bench.json'))
     print(f"bench total={d['value']:.1f}s queries={len(d['queries'])} "
           f"suspects={d.get('suspect')}")
 except Exception as e:
     print('no bench.json:', e)
+    d = None
+# inject only when Bench just rewrote BENCH_FULL.json (a full run)
+try:
+    if os.path.getmtime('BENCH_FULL.json') >= t0:
+        full = json.load(open('BENCH_FULL.json'))
+        full.setdefault('env', {})['machine'] = machine
+        with open('BENCH_FULL.json', 'w') as f:
+            json.dump(full, f)
+            f.write('\n')
+        print('machine bracket -> BENCH_FULL.json env.machine')
+    else:
+        print('subset run: BENCH_FULL.json untouched '
+              '(bracket in /tmp/ms_{before,after}.json)')
+except Exception as e:
+    print('bracket injection failed:', e)
+for tag in ('before', 'after'):
+    s = machine[tag].get('sentinel') or {}
+    print(f"{tag}: triad={s.get('mem_triad_gbps')} GB/s "
+          f"matmul={s.get('cpu_gflops')} GF/s "
+          f"load={machine[tag]['loadavg'][0]:.1f}")
 print(f"wall={wall}s steal={steal_s:.1f}s ({pct:.2f}% of 32-cpu time)")
 EOF
