@@ -86,8 +86,60 @@ object Verify {
     if (sortCols.isEmpty) one else one.sortWithinPartitions(sortCols: _*)
   }
 
+  /** Changed-gates-only selection for `--since <gitrev>` (VERDICT r13
+    * #7): at 493 gates a serial 3-SF digest refresh is ~3 full runs,
+    * so incremental waves re-digest only TOUCHED gates. A gate is
+    * "touched" when a source file changed since `rev` (committed or
+    * working-tree, `git diff --name-only`) contains its quoted name
+    * literal — gate definitions name themselves exactly once, in
+    * their defining file. CONSERVATIVE by construction: if git fails,
+    * or any changed main-source file contains no gate name (a shared
+    * helper, Tables, functions/ — whose blast radius is unknown), the
+    * selection falls back to the FULL sweep rather than guessing.
+    * This is the iteration fast path only — the round-close gate
+    * remains the full serial 3-SF sweep.
+    */
+  private def gatesChangedSince(rev: String): Option[Set[String]] = {
+    import scala.sys.process._
+    val changed =
+      try Process(Seq("git", "diff", "--name-only", rev, "--",
+          "src/main/scala")).!!.linesIterator
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] --since: git diff failed " +
+          s"(${e.getMessage}); falling back to the full sweep")
+        return None
+      }
+    val names = SparkEntry.queries.keySet
+    val picked = scala.collection.mutable.Set.empty[String]
+    changed.foreach { f =>
+      val p = Paths.get(f)
+      if (!Files.exists(p)) {
+        System.err.println(s"[verify] --since: $f deleted; full sweep")
+        return None
+      }
+      val text = Files.readString(p)
+      val here = names.filter(n => text.contains("\"" + n + "\""))
+      if (here.isEmpty) {
+        System.err.println(s"[verify] --since: $f defines no gate " +
+          "(shared helper?) — blast radius unknown, full sweep")
+        return None
+      }
+      picked ++= here
+    }
+    System.err.println(s"[verify] --since $rev: ${picked.size} gate(s)" +
+      s" from ${changed.size} changed file(s): " +
+      picked.toSeq.sorted.mkString(", "))
+    Some(picked.toSet)
+  }
+
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir, since) = args match {
+      case Array(s, o)                => (s, o, None)
+      case Array(s, o, "--since", r)  => (s, o, Some(r))
+      case _ => sys.error(
+        "usage: graft.Verify <sfDir> <outDir> [--since <gitrev>]")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.build(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
@@ -95,9 +147,15 @@ object Verify {
     // queries (comma-separated). The driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
-      case None => SparkEntry.queries
+    // --since narrows to gates touched since a git rev (None = full);
+    // an explicit SPARK_GRAFT_ONLY further intersects.
+    val sinceSel = since.flatMap(gatesChangedSince)
+    val selected = (only, sinceSel) match {
+      case (Some(names), Some(ch)) =>
+        SparkEntry.queries.filter(q => names(q._1) && ch(q._1))
+      case (Some(names), None) => SparkEntry.queries.filter(q => names(q._1))
+      case (None, Some(ch))    => SparkEntry.queries.filter(q => ch(q._1))
+      case (None, None)        => SparkEntry.queries
     }
     // Complete-by-construction: EVERY selected query writes an output
     // directory. On failure we still write a one-row sentinel parquet
