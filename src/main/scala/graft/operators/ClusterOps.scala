@@ -608,6 +608,78 @@ object ClusterOps {
         .orderBy(col("cid"))
     },
 
+    // Davies–Bouldin index (squared-distance variant) — the
+    // cluster-quality diagnostic that reads SEPARATION, complementing
+    // silhouette's per-point view: for each cluster, the worst-case
+    // ratio of summed scatters to centroid separation over all other
+    // clusters. On SQUARED distances every quantity is an exact
+    // integer: scatter s_i² = Σdist²/n_i rides the assignment step's
+    // own dist2 column (no second distance pass), separation d_ij² is
+    // the centroid-table dot product, and each candidate ratio
+    // (s_i² + s_j²)/d_ij² = (ssum_i·n_j + ssum_j·n_i)/(n_i·n_j·d_ij²)
+    // lands as ONE truncating division to micro in DECIMAL(38,0)/
+    // HUGEINT — the max picks over those deterministic integers, so
+    // even the argmax is engine-exact. Identical centroids (d² = 0)
+    // are skipped (NULL ratio). Plan: one K-row fold over the shared
+    // k-means assignment memo + a K²-row broadcast pair table —
+    // nothing at corpus scale beyond the memoized assignment.
+    QuerySpec.sql(
+      "cluster_davies_bouldin",
+      kmeansCtes.mkString("WITH ", ",\n", ",\n") +
+        s"""g AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(dist2) AS BIGINT) AS ssum
+           |  FROM a$KmeansIters GROUP BY 1),
+           |pd AS (SELECT a.cid AS ci, b.cid AS cj,
+           |    ca.cnorm2 - 2 * CAST(list_dot_product(ca.cv, cb.cv)
+           |      AS BIGINT) + cb.cnorm2 AS d2
+           |  FROM g a JOIN g b ON a.cid <> b.cid
+           |  JOIN c${KmeansIters - 1} ca ON ca.cid = a.cid
+           |  JOIN c${KmeansIters - 1} cb ON cb.cid = b.cid),
+           |r AS (SELECT pd.ci AS cid,
+           |    MAX(CASE WHEN pd.d2 > 0 THEN
+           |      (ga.ssum * CAST(gb.n AS HUGEINT)
+           |        + gb.ssum * CAST(ga.n AS HUGEINT)) * 1000000
+           |      // (CAST(ga.n AS HUGEINT) * gb.n * pd.d2) END) AS rm
+           |  FROM pd JOIN g ga ON ga.cid = pd.ci
+           |  JOIN g gb ON gb.cid = pd.cj
+           |  GROUP BY 1)
+           |SELECT g.cid, g.n, g.ssum,
+           |  CAST(r.rm AS BIGINT) AS db_ratio_micro
+           |FROM g JOIN r ON r.cid = g.cid ORDER BY g.cid""".stripMargin
+    ) { (s, dir) =>
+      val g = kmeansAssignments(s, dir)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("dist2")).cast("long").as("ssum"))
+      val cent = kmeansCentroids(s, dir)
+      val ga = g.select(col("cid").as("ci"), col("n").as("na"),
+        col("ssum").as("sa"))
+      val gb = g.select(col("cid").as("cj"), col("n").as("nb"),
+        col("ssum").as("sb"))
+      val ca = cent.select(col("cid").as("ci"), col("cv").as("cva"),
+        col("cnorm2").as("n2a"))
+      val cb = cent.select(col("cid").as("cj"), col("cv").as("cvb"),
+        col("cnorm2").as("n2b"))
+      val r = ga.join(broadcast(gb), col("ci") =!= col("cj"))
+        .join(broadcast(ca), Seq("ci"))
+        .join(broadcast(cb), Seq("cj"))
+        .withColumn("d2",
+          col("n2a") - lit(2L) * dot_long(col("cva"), col("cvb")) +
+            col("n2b"))
+        .select(col("ci").as("cid"),
+          expr("CASE WHEN d2 > 0 THEN " +
+            "CAST((sa * CAST(nb AS DECIMAL(38,0)) " +
+            "+ sb * CAST(na AS DECIMAL(38,0))) * 1000000 " +
+            "div (CAST(na AS DECIMAL(38,0)) * nb * d2) AS BIGINT) " +
+            "END").as("ratio"))
+        .groupBy(col("cid"))
+        .agg(max(col("ratio")).cast("long").as("db_ratio_micro"))
+      g.join(r, Seq("cid"))
+        .select(col("cid"), col("n"), col("ssum"),
+          col("db_ratio_micro"))
+        .orderBy(col("cid"))
+    },
+
     // External clustering evaluation against the ground-truth labels
     // the embeddings fixture carries: PURITY (Σ per-cluster majority
     // count / N — an exact rational, one shared-text division) and
@@ -1649,6 +1721,62 @@ object ClusterOps {
           coalesce(col("h"), lit(0L)).cast("long").as("hub_micro"),
           coalesce(col("a"), lit(0L)).cast("long").as("auth_micro"))
         .orderBy(col("auth_micro").desc, col("vec_id"))
+    },
+
+    // Katz centrality over the directed k-NN graph — the third
+    // classic link-analysis score beside PageRank (out-degree-
+    // normalized random walk) and HITS (mutual reinforcement): Katz
+    // counts ALL inbound walks, attenuated by length, so a node fed
+    // by long chains still accumulates mass where one PageRank round
+    // dilutes it. Exact truncated series in integer micro-mass:
+    // x₀ = 10⁶, x_{t+1}(v) = 10⁶ + (Σ_{u→v} x_t(u)) div 4 — the
+    // attenuation β = 1/4 is an exact truncating shift, and with
+    // out-degree 3 the spectral radius obeys βλ ≤ 3/4 < 1, so the
+    // 3-round truncation is the convergent series' exact integer
+    // partial sum (remainder < (3/4)³ of the mass, documented — not a
+    // float approximation of it). Per round: one shuffle-on-key join
+    // + one hash aggregate, the PageRank cost shape; the oracle
+    // unrolls identical MATERIALIZED CTEs.
+    QuerySpec.sql(
+      "graph_katz", {
+        def round(prev: String, out: String) =
+          s"""$out AS MATERIALIZED (SELECT n.vec_id,
+             |    CAST(1000000 + COALESCE(SUM(x.katz), 0) // 4
+             |      AS BIGINT) AS katz
+             |  FROM nodes n
+             |  LEFT JOIN knn k ON k.nbr_id = n.vec_id
+             |  LEFT JOIN $prev x ON x.vec_id = k.vec_id
+             |  GROUP BY 1)""".stripMargin
+        s"""WITH sig AS (${SimilarityOps.quantizedSql}),
+           |knn AS MATERIALIZED (SELECT vec_id, nbr_id
+           |  FROM (${SimilarityOps.knnEdgesSql(3)}) k),
+           |nodes AS (SELECT DISTINCT vec_id FROM sig),
+           |x0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS katz
+           |  FROM nodes),
+           |${round("x0", "x1")},
+           |${round("x1", "x2")},
+           |${round("x2", "x3")}
+           |SELECT vec_id, katz AS katz_micro FROM x3
+           |ORDER BY katz_micro DESC, vec_id""".stripMargin
+      }) { (s, dir) =>
+      val knn = Materialize.stable(
+        SimilarityOps.knnEdges(s, dir, 3)
+          .select(col("vec_id"), col("nbr_id")))
+      val nodes = SimilarityOps.signatures(s, dir)
+        .select(col("vec_id")).distinct()
+      def round(prev: DataFrame): DataFrame = Materialize.stable(
+        nodes
+          .join(knn.select(col("vec_id").as("src"),
+            col("nbr_id").as("vec_id")), Seq("vec_id"), "left")
+          .join(prev.select(col("vec_id").as("src"),
+            col("katz").as("xk")), Seq("src"), "left")
+          .groupBy(col("vec_id"))
+          .agg(expr("CAST(1000000 + COALESCE(SUM(xk), 0) div 4 " +
+            "AS BIGINT)").as("katz")))
+      val x0 = nodes.withColumn("katz", lit(1000000L))
+      val x3 = round(round(round(x0)))
+      x3.select(col("vec_id"), col("katz").as("katz_micro"))
+        .orderBy(col("katz_micro").desc, col("vec_id"))
     },
 
     // Edge embeddedness distribution — per edge, the Jaccard overlap

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QuerySpec, Tables}
 import graft.functions.Cols._
-import graft.functions.{AsOfJoin, PrefixSum, RangeJoin}
+import graft.functions.{AsOfJoin, Materialize, PrefixSum, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,6 +37,40 @@ object FeatureOps {
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("event_id")).as("touch_id"),
         max_by(col("event_type"), col("event_id")).as("touch_type"))
+
+  /** Shared two-sample (click vs view) per-distinct-value histogram
+    * CTEs for the ECDF/rank test family (CvM, Anderson–Darling,
+    * Brunner–Munzel): per-value counts c1/c2, inclusive cumulatives,
+    * totals. Spark mirrors through [[twoSampleCums]].
+    */
+  private val twoSampleHistCtes: String =
+    """s AS (
+      |  SELECT value,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY 1),
+      |r AS (SELECT c1, c2,
+      |    SUM(c1) OVER wo AS cum1, SUM(c2) OVER wo AS cum2
+      |  FROM s WINDOW wo AS (ORDER BY value
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+      |    CAST(SUM(c2) AS BIGINT) AS n2 FROM s)""".stripMargin
+
+  /** Spark side of [[twoSampleHistCtes]]: (value, c1, c2, cum1, cum2)
+    * through the range-partitioned two-pass [[PrefixSum]] — no global
+    * sort, no unpartitioned window. Totals read off max(cum). */
+  private def twoSampleCums(s: SparkSession, dir: String): DataFrame = {
+    val hist = events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("c1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("c2"))
+    PrefixSum.globalCumsumMulti(hist, Seq(col("value")),
+      Seq(col("c1") -> "cum1", col("c2") -> "cum2"))
+  }
 
   /** Shared Welch t / degrees-of-freedom expression text — compiled by
     * BOTH engines over identical exact-moment inputs (n1, n2 integer;
@@ -673,6 +707,189 @@ object FeatureOps {
         .withColumn("ks_d", col("d_num").cast("double") /
           (col("n1").cast("double") * col("n2").cast("double")))
         .select(col("n1"), col("n2"), col("d_num"), col("ks_d"))
+    },
+
+    // Two-sample Cramér–von Mises: the INTEGRATED squared ECDF gap
+    // beside KS's sup gap (KS is sensitive to one large deviation,
+    // CvM to many small ones — the standard pair). Evaluated at every
+    // observation: T = Σ_v w·(cum1·n2 − cum2·n1)² / (n1·n2·N²) over
+    // the per-distinct-value histogram — ENTIRELY exact integers, not
+    // one float anywhere: the gap cross-product rides DECIMAL(38,0)/
+    // HUGEINT (gap ≤ n1·n2, squared ~10¹⁷ at sf0.1), and T lands as
+    // one truncating division to micro. Same [[PrefixSum]] two-pass
+    // histogram machinery as KS/Mann-Whitney — no global sort, no
+    // unpartitioned window.
+    QuerySpec.sql(
+      "stats_cvm_twosample",
+      s"""WITH $twoSampleHistCtes,
+         |dd AS (SELECT c1 + c2 AS w,
+         |    cum1 * CAST(n2 AS HUGEINT) - cum2 * CAST(n1 AS HUGEINT)
+         |      AS d
+         |  FROM r, tot)
+         |SELECT n1, n2,
+         |  CAST(SUM(CAST(w AS HUGEINT) * d * d) * 1000000
+         |    // (CAST(n1 AS HUGEINT) * n2 * (n1 + n2) * (n1 + n2))
+         |    AS BIGINT) AS cvm_micro
+         |FROM dd, tot GROUP BY n1, n2""".stripMargin) { (s, dir) =>
+      val cums = twoSampleCums(s, dir)
+      val tot = cums.agg(max(col("cum1")).cast("long").as("n1"),
+        max(col("cum2")).cast("long").as("n2"))
+      cums.crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"),
+          expr("cum1 * CAST(n2 AS DECIMAL(38,0)) " +
+            "- cum2 * CAST(n1 AS DECIMAL(38,0))").as("d"),
+          (col("c1") + col("c2")).as("w"))
+        .groupBy(col("n1"), col("n2"))
+        .agg(sum(expr("w * d * d"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("st"))
+        .select(col("n1"), col("n2"),
+          expr("CAST(st * 1000000 div (CAST(n1 AS DECIMAL(38,0)) " +
+            "* n2 * (n1 + n2) * (n1 + n2)) AS BIGINT)")
+            .as("cvm_micro"))
+    },
+
+    // Two-sample Anderson–Darling: the ECDF-gap test that WEIGHTS the
+    // tails (the 1/(k(N−k)) variance normalizer blows up at the
+    // distribution edges, where KS and CvM are blind) — the standard
+    // third member of the two-sample family. Tie-blocked discrete
+    // form: one term per distinct value (block-end cumulatives M and
+    // k, weighted by the block size w), which reduces to the classic
+    // Σ_{k=1}^{N−1} (M_k·N − n1·k)²/(k(N−k)) when every multiplicity
+    // is 1. Each term takes ONE truncating division to micro (the
+    // per-group floor discipline of stats_anova_f — deterministic in
+    // both engines, error < #distinct-values micro units on ~10¹⁶
+    // magnitudes), folded in DECIMAL(38,0)/HUGEINT throughout; the
+    // Spark floors use the subtract-remainder form so no intermediate
+    // quotient squeezes through a LONG. Same PrefixSum histogram as
+    // KS/CvM.
+    QuerySpec.sql(
+      "stats_anderson_darling",
+      s"""WITH $twoSampleHistCtes,
+         |terms AS (SELECT c1 + c2 AS w,
+         |    cum1 * CAST(n1 + n2 AS HUGEINT)
+         |      - CAST(n1 AS HUGEINT) * (cum1 + cum2) AS mn,
+         |    CAST(cum1 + cum2 AS BIGINT) AS kk
+         |  FROM r, tot WHERE cum1 + cum2 < n1 + n2)
+         |SELECT n1, n2,
+         |  CAST(SUM(CAST(w AS HUGEINT) * (mn * mn * 1000000
+         |      // (kk * CAST(n1 + n2 - kk AS HUGEINT))))
+         |    // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS a2_micro
+         |FROM terms, tot GROUP BY n1, n2""".stripMargin) { (s, dir) =>
+      val cums = twoSampleCums(s, dir)
+      val tot = cums.agg(max(col("cum1")).cast("long").as("n1"),
+        max(col("cum2")).cast("long").as("n2"))
+      cums.crossJoin(broadcast(tot))
+        .filter(col("cum1") + col("cum2") < col("n1") + col("n2"))
+        .select(col("n1"), col("n2"),
+          (col("c1") + col("c2")).as("w"),
+          expr("cum1 * CAST(n1 + n2 AS DECIMAL(38,0)) " +
+            "- CAST(n1 AS DECIMAL(38,0)) * (cum1 + cum2)").as("mn"),
+          expr("CAST(cum1 + cum2 AS BIGINT)").as("kk"))
+        .select(col("n1"), col("n2"), col("w"),
+          // exact per-term floor without a LONG intermediate
+          expr("CAST((mn * mn * 1000000 " +
+            "- (mn * mn * 1000000) % (kk * CAST(n1 + n2 - kk " +
+            "AS DECIMAL(38,0)))) / (kk * CAST(n1 + n2 - kk " +
+            "AS DECIMAL(38,0))) AS DECIMAL(38,0))").as("term"))
+        .groupBy(col("n1"), col("n2"))
+        .agg(sum(expr("w * term"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("st"))
+        .select(col("n1"), col("n2"),
+          expr("CAST(st div (CAST(n1 AS DECIMAL(38,0)) * n2) " +
+            "AS BIGINT)").as("a2_micro"))
+    },
+
+    // Brunner–Munzel: the modern two-sample location test — valid
+    // under UNEQUAL variances and shapes, where Mann-Whitney's null
+    // needs exchangeability (the test scipy/R recommend over U when
+    // spread differs). Everything reduces to midrank placements over
+    // the shared histogram: p̂ = P(X<Y) + ½P(X=Y) is the exact ppm
+    // rational T2/(2·n1·n2); the placement variances fold as
+    // V_i = Σ c_i·(n_i·P_i − T_i)² in DECIMAL(38,0)/HUGEINT and land
+    // as exact micro integers S_i² = V_i/(4n_i²(n_i−1)); the
+    // studentized statistic is ONE shared-text IEEE chain over those
+    // int64s (the LinReg discipline — int64→double is correctly
+    // rounded in both engines). BIGINT envelope: n_i·P_i ≤ 2·n_i·N
+    // and n_i·s_i_micro stay under 2⁶³ to ~10⁶-row samples; beyond
+    // that the placement products move to DECIMAL(38,0) like the
+    // variance fold already does.
+    QuerySpec.sql(
+      "stats_brunner_munzel",
+      s"""WITH $twoSampleHistCtes,
+         |pl AS (SELECT c1, c2,
+         |    2 * (cum2 - c2) + c2 AS p1x2,
+         |    2 * (cum1 - c1) + c1 AS p2x2,
+         |    2 * (cum1 + cum2 - c1 - c2) + c1 + c2 + 1 AS rx2
+         |  FROM r),
+         |t AS (SELECT
+         |    CAST(SUM(c1 * p1x2) AS BIGINT) AS t1,
+         |    CAST(SUM(c2 * p2x2) AS BIGINT) AS t2,
+         |    CAST(SUM(c1 * rx2) AS BIGINT) AS r1x2,
+         |    CAST(SUM(c2 * rx2) AS BIGINT) AS r2x2
+         |  FROM pl),
+         |v AS (SELECT
+         |    CAST(SUM(CAST(c1 AS HUGEINT) * (n1 * p1x2 - t1)
+         |      * (n1 * p1x2 - t1)) AS HUGEINT) AS v1,
+         |    CAST(SUM(CAST(c2 AS HUGEINT) * (n2 * p2x2 - t2)
+         |      * (n2 * p2x2 - t2)) AS HUGEINT) AS v2
+         |  FROM pl, t, tot),
+         |sm AS (SELECT n1, n2, r1x2, r2x2, t2,
+         |    CAST(v1 * 1000000
+         |      // (4 * CAST(n1 AS HUGEINT) * n1 * (n1 - 1)) AS BIGINT)
+         |      AS s1m,
+         |    CAST(v2 * 1000000
+         |      // (4 * CAST(n2 AS HUGEINT) * n2 * (n2 - 1)) AS BIGINT)
+         |      AS s2m
+         |  FROM t, v, tot WHERE n1 > 1 AND n2 > 1)
+         |SELECT n1, n2,
+         |  CAST(t2 * 1000000 // (2 * n1 * n2) AS BIGINT) AS p_hat_ppm,
+         |  s1m AS s1_micro, s2m AS s2_micro,
+         |  CASE WHEN n1 * s1m + n2 * s2m > 0 THEN
+         |    CAST(n1 * r2x2 - n2 * r1x2 AS DOUBLE)
+         |      / (2 * CAST(n1 + n2 AS DOUBLE)
+         |        * sqrt((CAST(n1 AS DOUBLE) * CAST(s1m AS DOUBLE)
+         |          + CAST(n2 AS DOUBLE) * CAST(s2m AS DOUBLE))
+         |          / 1000000.0))
+         |  END AS w_bm
+         |FROM sm""".stripMargin) { (s, dir) =>
+      val D = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cums = Materialize.stable(twoSampleCums(s, dir))
+      val tot = cums.agg(max(col("cum1")).cast("long").as("n1"),
+        max(col("cum2")).cast("long").as("n2"))
+      val pl = cums.select(col("c1"), col("c2"),
+        expr("2 * (cum2 - c2) + c2").as("p1x2"),
+        expr("2 * (cum1 - c1) + c1").as("p2x2"),
+        expr("2 * (cum1 + cum2 - c1 - c2) + c1 + c2 + 1").as("rx2"))
+      val t0 = pl.agg(
+        sum(col("c1") * col("p1x2")).cast("long").as("t1"),
+        sum(col("c2") * col("p2x2")).cast("long").as("t2"),
+        sum(col("c1") * col("rx2")).cast("long").as("r1x2"),
+        sum(col("c2") * col("rx2")).cast("long").as("r2x2"))
+      val v0 = pl.crossJoin(broadcast(t0)).crossJoin(broadcast(tot))
+        .agg(
+          sum(expr("CAST(c1 AS DECIMAL(38,0)) * (n1 * p1x2 - t1) " +
+            "* (n1 * p1x2 - t1)")).cast(D).as("v1"),
+          sum(expr("CAST(c2 AS DECIMAL(38,0)) * (n2 * p2x2 - t2) " +
+            "* (n2 * p2x2 - t2)")).cast(D).as("v2"))
+      t0.crossJoin(broadcast(v0)).crossJoin(broadcast(tot))
+        .filter(col("n1") > 1 && col("n2") > 1)
+        .select(col("n1"), col("n2"), col("r1x2"), col("r2x2"),
+          col("t2"),
+          expr("CAST(v1 * 1000000 div (4 * CAST(n1 AS DECIMAL(38,0)) " +
+            "* n1 * (n1 - 1)) AS BIGINT)").as("s1m"),
+          expr("CAST(v2 * 1000000 div (4 * CAST(n2 AS DECIMAL(38,0)) " +
+            "* n2 * (n2 - 1)) AS BIGINT)").as("s2m"))
+        .select(col("n1"), col("n2"),
+          expr("CAST(t2 * 1000000 div (2 * n1 * n2) AS BIGINT)")
+            .as("p_hat_ppm"),
+          col("s1m").as("s1_micro"), col("s2m").as("s2_micro"),
+          expr("""CASE WHEN n1 * s1m + n2 * s2m > 0 THEN
+            |    CAST(n1 * r2x2 - n2 * r1x2 AS DOUBLE)
+            |      / (2 * CAST(n1 + n2 AS DOUBLE)
+            |        * sqrt((CAST(n1 AS DOUBLE) * CAST(s1m AS DOUBLE)
+            |          + CAST(n2 AS DOUBLE) * CAST(s2m AS DOUBLE))
+            |          / 1000000.0))
+            |  END""".stripMargin).as("w_bm"))
     },
 
     // Welch's unequal-variance t-test between click and view values:

@@ -4034,6 +4034,88 @@ object TimeSeriesOps {
             "AS BIGINT) > 2371900 END").as("significant"))
     },
 
+    // Tukey HSD post-hoc — the pairwise follow-up a significant ANOVA
+    // demands (which GROUPS differ, with the familywise error rate
+    // controlled; the parametric sibling of stats_dunn_posthoc). Per
+    // pair: the mean difference as the exact rational
+    // |s_a·n_b − s_b·n_a|/(n_a·n_b), and the studentized range
+    // q = diff / sqrt(MSW·(n_a+n_b)/(2·df_w·n_a·n_b)) as ONE
+    // shared-text IEEE chain over int64 inputs only (the within
+    // sum-of-squares folds per group through the same exact
+    // (n·q − s²)//n floor as stats_anova_f, summed to an int64 b_num
+    // — BIGINT-safe while Σ(n_i−1)·s_i² cents² stays under 2⁶³,
+    // i.e. to ~10¹⁰ rows at this value scale). The 5% verdict
+    // compares the identical double against the fixed studentized-
+    // range literal 3.858 (k = 5, df → ∞ — df_w is ~10⁵ here, where
+    // the ∞ row is exact to the quoted precision). Plan: one events
+    // fold + a k-row broadcast self-join (k = 5 → 10 pair rows).
+    QuerySpec.sql(
+      "stats_tukey_hsd", {
+        val q = "(CAST(ABS(a_s * b_n - b_s * a_n) AS DOUBLE)" +
+          " / (CAST(a_n AS DOUBLE) * CAST(b_n AS DOUBLE)))" +
+          " / sqrt(CAST(b_num AS DOUBLE) * CAST(a_n + b_n AS DOUBLE)" +
+          " / (2 * CAST(nt - k AS DOUBLE)" +
+          " * CAST(a_n AS DOUBLE) * CAST(b_n AS DOUBLE)))"
+        s"""WITH v AS (
+           |  SELECT event_type AS grp,
+           |    CAST(round(value * 100) AS BIGINT) AS m
+           |  FROM events),
+           |g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(m) AS BIGINT) AS s,
+           |    CAST(SUM(CAST(m AS HUGEINT) * m) AS HUGEINT) AS q
+           |  FROM v GROUP BY 1 HAVING COUNT(*) >= 2),
+           |w AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+           |    CAST(COUNT(*) AS BIGINT) AS k,
+           |    CAST(SUM((n * q - CAST(s AS HUGEINT) * s) // n)
+           |      AS BIGINT) AS b_num
+           |  FROM g),
+           |p AS (SELECT a.grp AS type_a, b.grp AS type_b,
+           |    a.n AS a_n, b.n AS b_n, a.s AS a_s, b.s AS b_s,
+           |    w.nt AS nt, w.k AS k, w.b_num AS b_num
+           |  FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN w)
+           |SELECT type_a, type_b, a_n AS n_a, b_n AS n_b,
+           |  CAST(ABS(a_s * b_n - b_s * a_n) AS BIGINT) AS diff_x,
+           |  CASE WHEN b_num > 0 AND nt > k THEN $q END AS q_stat,
+           |  CASE WHEN b_num > 0 AND nt > k THEN $q >= 3.858 END
+           |    AS significant
+           |FROM p ORDER BY type_a, type_b""".stripMargin
+      }) { (s, dir) =>
+      val q = "(CAST(ABS(a_s * b_n - b_s * a_n) AS DOUBLE)" +
+        " / (CAST(a_n AS DOUBLE) * CAST(b_n AS DOUBLE)))" +
+        " / sqrt(CAST(b_num AS DOUBLE) * CAST(a_n + b_n AS DOUBLE)" +
+        " / (2 * CAST(nt - k AS DOUBLE)" +
+        " * CAST(a_n AS DOUBLE) * CAST(b_n AS DOUBLE)))"
+      val g = Materialize.stable(events(s, dir)
+        .select(col("event_type").as("grp"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("m"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("m")).cast("long").as("s"),
+          sum(expr("CAST(m AS DECIMAL(38,0)) * m"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            .as("q"))
+        .filter(col("n") >= 2))
+      val w = g.agg(sum(col("n")).cast("long").as("nt"),
+        count(lit(1)).cast("long").as("k"),
+        sum(expr("(n * q - CAST(s AS DECIMAL(38,0)) * s) div n"))
+          .cast("long").as("b_num"))
+      val a = g.select(col("grp").as("type_a"), col("n").as("a_n"),
+        col("s").as("a_s"))
+      val b = g.select(col("grp").as("type_b"), col("n").as("b_n"),
+        col("s").as("b_s"))
+      a.join(broadcast(b), col("type_a") < col("type_b"))
+        .crossJoin(broadcast(w))
+        .select(col("type_a"), col("type_b"),
+          col("a_n").as("n_a"), col("b_n").as("n_b"),
+          expr("CAST(ABS(a_s * b_n - b_s * a_n) AS BIGINT)")
+            .as("diff_x"),
+          expr(s"CASE WHEN b_num > 0 AND nt > k THEN $q END")
+            .as("q_stat"),
+          expr(s"CASE WHEN b_num > 0 AND nt > k THEN $q >= 3.858 END")
+            .as("significant"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
     // DAU/WAU/MAU stickiness — the engagement ratio dashboard (what
     // fraction of the weekly/monthly audience shows up on a given
     // day). Windowed DISTINCT users can't ride a window function;

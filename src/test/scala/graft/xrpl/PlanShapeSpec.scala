@@ -536,6 +536,26 @@ class PlanShapeSpec extends AnyFunSuite {
       "stats_cramers_v plans an unbroadcast cartesian join")
   }
 
+  test("round-14 additions: no cartesian, every window keyed") {
+    // The ECDF/rank trio (CvM, Anderson-Darling, Brunner-Munzel)
+    // rides the PrefixSum two-pass histogram — no unpartitioned
+    // window by construction; Tukey HSD and Davies-Bouldin fold to
+    // k-row broadcast pair tables; Katz is three join+aggregate
+    // rounds over the k-NN edge list.
+    for (name <- Seq("stats_cvm_twosample", "stats_anderson_darling",
+        "stats_brunner_munzel", "stats_tukey_hsd",
+        "cluster_davies_bouldin", "graph_katz")) {
+      val all = collectNodes(planOf(name))
+      val s = all.map(_.toString).mkString("\n")
+      assert(!s.contains("CartesianProduct"),
+        s"$name plans an unbroadcast cartesian join")
+      val bad = all.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name plans an unpartitioned WindowExec")
+    }
+  }
+
   test("ranking-eval gates: corpus-scale work ends at the top-10 cut") {
     // eval_ndcg / eval_map_mrr may window, but only AFTER a
     // TakeOrdered/limit-10 boundary: assert the plan contains a
