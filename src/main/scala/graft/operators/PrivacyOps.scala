@@ -459,5 +459,98 @@ object PrivacyOps {
           expr("CAST(COUNT(*) * 1000000 div SUM(sz) AS BIGINT)")
             .as("journalist_risk_ppm"))
         .orderBy(col("nation_key"))
+    },
+
+    // Differentially-private median (exponential mechanism, ε = 1) —
+    // the DP release for a QUANTILE, where Laplace noise on the value
+    // itself would be unbounded-sensitivity nonsense: per event type,
+    // every observed cents value is a candidate scored by its
+    // twice-rank distance from the median mass (utility −|2·cum_below
+    // + c − n|, an exact integer; sensitivity 2 in this ×2 scale, so
+    // the exponential weight is ε·u/4), and the draw is the
+    // Gumbel-max trick — argmax of score + g where g = −ln(−ln(u01))
+    // over the SAME engine-portable md5 uniform as privacy_dp_counts,
+    // keyed by (type, value): deterministic, coordination-free, and
+    // the identical float expression text runs in both engines, so
+    // even the sampled winner is bit-reproducible. Candidates are the
+    // observed distinct values (the standard finite-domain
+    // simplification — a fixed public grid drops in without plan
+    // changes). The exact true median rides along, so the mechanism's
+    // utility (|error| in cents) is itself oracle-checked. Plan: one
+    // hash aggregate to the value histogram, a KEYED cumsum window,
+    // two k-row folds.
+    QuerySpec.sql(
+      "privacy_dp_quantile", {
+        val score = "CAST(-ABS(2 * cumb + c - n) AS DOUBLE) / 4" +
+          " - ln(-ln(greatest(u," +
+          " CAST(2.220446049250313e-16 AS DOUBLE))))"
+        s"""WITH h AS (
+           |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+           |    CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM events GROUP BY 1, 2),
+           |r AS (SELECT event_type, v, c,
+           |    COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS cumb
+           |  FROM h),
+           |nn AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+           |  FROM h GROUP BY 1),
+           |sc AS (SELECT r.event_type, r.v, r.c, r.cumb, nn.n,
+           |    CAST(CAST(('0x' || substr(md5(r.event_type || ':' ||
+           |        CAST(r.v AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
+           |      / CAST(4503599627370496 AS DOUBLE) AS u
+           |  FROM r JOIN nn ON nn.event_type = r.event_type),
+           |sc2 AS (SELECT event_type, v, c, cumb, n,
+           |    $score AS score FROM sc),
+           |win AS (SELECT event_type, v AS dp_median_c FROM (
+           |    SELECT event_type, v, ROW_NUMBER() OVER (
+           |      PARTITION BY event_type ORDER BY score DESC, v) AS rn
+           |    FROM sc2) t WHERE rn = 1),
+           |med AS (SELECT event_type,
+           |    MIN(CASE WHEN cumb + c >= (n + 1) // 2 THEN v END)
+           |      AS true_median_c
+           |  FROM sc2 GROUP BY 1)
+           |SELECT m.event_type, nn.n, m.true_median_c, w.dp_median_c,
+           |  ABS(w.dp_median_c - m.true_median_c) AS abs_err_c
+           |FROM med m JOIN win w ON w.event_type = m.event_type
+           |JOIN nn ON nn.event_type = m.event_type
+           |ORDER BY m.event_type""".stripMargin
+      }) { (s, dir) =>
+      val score = "CAST(-ABS(2 * cumb + c - n) AS DOUBLE) / 4" +
+        " - ln(-ln(greatest(u," +
+        " CAST(2.220446049250313e-16 AS DOUBLE))))"
+      val h = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val cw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val nn = h.groupBy(col("event_type"))
+        .agg(sum(col("c")).cast("long").as("n"))
+      val sc = h
+        .withColumn("cumb", coalesce(sum(col("c")).over(cw), lit(0L)))
+        .join(broadcast(nn), Seq("event_type"))
+        .withColumn("u",
+          Md5Prefix.md5_prefix_long(
+            concat(col("event_type"), lit(":"),
+              col("v").cast("string")), 13).cast("double") /
+            lit(4503599627370496L).cast("double"))
+        .withColumn("score", expr(score))
+      val win = sc.groupBy(col("event_type"))
+        .agg(max_by(col("v"),
+          struct(col("score"), (lit(0L) - col("v"))))
+          .as("dp_median_c"))
+      val med = sc.groupBy(col("event_type"))
+        .agg(expr("MIN(CASE WHEN cumb + c >= (n + 1) div 2 THEN v END)")
+          .as("true_median_c"))
+      med.join(win, Seq("event_type")).join(broadcast(nn),
+          Seq("event_type"))
+        .select(col("event_type"), col("n"), col("true_median_c"),
+          col("dp_median_c"),
+          abs(col("dp_median_c") - col("true_median_c"))
+            .as("abs_err_c"))
+        .orderBy(col("event_type"))
     })
 }

@@ -544,7 +544,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // rounds over the k-NN edge list.
     for (name <- Seq("stats_cvm_twosample", "stats_anderson_darling",
         "stats_brunner_munzel", "stats_tukey_hsd",
-        "cluster_davies_bouldin", "graph_katz")) {
+        "cluster_davies_bouldin", "graph_katz",
+        "privacy_dp_quantile")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
