@@ -4116,6 +4116,102 @@ object TimeSeriesOps {
         .orderBy(col("type_a"), col("type_b"))
     },
 
+    // Dynamic time warping between the event-type daily-count series
+    // — the sequence-ALIGNMENT distance beside ts_xcorr_lag's fixed
+    // lags (xcorr slides the whole series; DTW lets the alignment
+    // stretch locally, the standard time-series similarity primitive
+    // this engine otherwise lacks). Exact integer DP over |a_i − b_j|
+    // cents... counts: no float anywhere. The recurrence's within-row
+    // scan dependency (dp[i][j] needs dp[i][j−1]) is ELIMINATED by
+    // the min-plus unroll dp[i][j] = C[j] + min_{k≤j}(min(prev[k],
+    // prev[k−1]) − C[k−1]) (C = the cost row's prefix sums — the path
+    // enters row i at k and only moves right), so both engines
+    // express the whole DP with MAP-ONLY higher-order functions:
+    // Spark aggregate/transform, DuckDB list_reduce/list_transform —
+    // no recursive CTE, no UDF. Scale shape: each pair's DP is one
+    // projection over two calendar-bounded arrays (≤ 31 days — the
+    // frame is metadata, never row-scale); pairs are embarrassingly
+    // parallel, and a Sakoe–Chiba band is the constant change
+    // (restrict the k-slice) if the frame ever grows.
+    QuerySpec.sql(
+      "ts_dtw_pairs",
+      s"""WITH d AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE)
+         |    AS day, CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |s AS (SELECT event_type, list(x ORDER BY day) AS xs
+         |  FROM d GROUP BY 1)
+         |SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |  CAST(len(a.xs) AS BIGINT) AS n_a,
+         |  CAST(len(b.xs) AS BIGINT) AS n_b,
+         |  CAST(list_reduce(
+         |    list_transform(generate_series(1, len(a.xs)), i ->
+         |      CASE WHEN i = 1 THEN
+         |        list_transform(generate_series(1, len(b.xs)), j ->
+         |          CAST(list_sum(list_transform(generate_series(1, j),
+         |            t -> abs(a.xs[1] - b.xs[t]))) AS BIGINT))
+         |      ELSE
+         |        list_transform(generate_series(1, len(b.xs)), j ->
+         |          CAST(abs(a.xs[i] - b.xs[j]) AS BIGINT)) END),
+         |    (acc, x) -> list_transform(
+         |      generate_series(1, len(x)), j ->
+         |        CAST(list_sum(list_slice(x, 1, j)) AS BIGINT)
+         |        + list_min(list_transform(generate_series(1, j),
+         |          k -> least(acc[k],
+         |              acc[CASE WHEN k > 1 THEN k - 1 ELSE k END])
+         |            - CASE WHEN k > 1 THEN
+         |                CAST(list_sum(list_slice(x, 1, k - 1))
+         |                  AS BIGINT)
+         |              ELSE 0 END)))
+         |  )[len(b.xs)] AS BIGINT) AS dtw
+         |FROM s a JOIN s b ON a.event_type < b.event_type
+         |ORDER BY type_a, type_b""".stripMargin) { (s, dir) =>
+      val ser = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("x"))
+        .groupBy(col("event_type"))
+        .agg(expr("transform(array_sort(collect_list(" +
+          "struct(day, x))), p -> p.x)").as("xs"))
+      val a = ser.select(col("event_type").as("type_a"),
+        col("xs").as("xa"))
+      val b = ser.select(col("event_type").as("type_b"),
+        col("xs").as("xb"))
+      val dtw =
+        """aggregate(
+          |  slice(transform(sequence(1, size(xa)), i ->
+          |    CASE WHEN i = 1 THEN
+          |      transform(sequence(1, size(xb)), j ->
+          |        aggregate(transform(sequence(1, j),
+          |          t -> abs(element_at(xa, 1) - element_at(xb, t))),
+          |          CAST(0 AS BIGINT), (s, t) -> s + t))
+          |    ELSE
+          |      transform(sequence(1, size(xb)), j ->
+          |        abs(element_at(xa, i) - element_at(xb, j))) END),
+          |    2, size(xa) - 1),
+          |  transform(sequence(1, size(xb)), j ->
+          |    aggregate(transform(sequence(1, j),
+          |      t -> abs(element_at(xa, 1) - element_at(xb, t))),
+          |      CAST(0 AS BIGINT), (s, t) -> s + t)),
+          |  (acc, x) -> transform(sequence(1, size(x)), j ->
+          |    aggregate(slice(x, 1, j), CAST(0 AS BIGINT),
+          |      (s, t) -> s + t)
+          |    + array_min(transform(sequence(1, j), k ->
+          |        least(element_at(acc, k),
+          |          element_at(acc,
+          |            CASE WHEN k > 1 THEN k - 1 ELSE k END))
+          |        - CASE WHEN k > 1 THEN
+          |            aggregate(slice(x, 1, k - 1), CAST(0 AS BIGINT),
+          |              (s, t) -> s + t)
+          |          ELSE CAST(0 AS BIGINT) END))))""".stripMargin
+      a.join(broadcast(b), col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          size(col("xa")).cast("long").as("n_a"),
+          size(col("xb")).cast("long").as("n_b"),
+          expr(s"CAST(element_at($dtw, size(xb)) AS BIGINT)")
+            .as("dtw"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
     // DAU/WAU/MAU stickiness — the engagement ratio dashboard (what
     // fraction of the weekly/monthly audience shows up on a given
     // day). Windowed DISTINCT users can't ride a window function;
