@@ -3891,6 +3891,107 @@ object TextOps {
         .orderBy(col("source"))
     },
 
+    // ROUGE-L over a 20% evaluation sample of the same adjacent
+    // candidate↔reference pairs as eval_bleu_pairs — the RECALL-side
+    // text-overlap metric (BLEU clips n-gram precision; ROUGE-L
+    // rewards the longest common SUBSEQUENCE, order-sensitive but
+    // gap-tolerant). The LCS is an exact integer DP with the
+    // map-only discipline of ts_dtw_pairs, processed by
+    // ANTI-DIAGONALS: every cell on diagonal d = i+j depends only on
+    // diagonals d−1 and d−2, so each fold step is ONE transform that
+    // builds the whole diagonal — no growing-array append (a
+    // row-by-row fold spends O(n·m²) COPYING immutable arrays; this
+    // shape measured 8× faster), no scan dependency, no recursive
+    // CTE, no UDF. DuckDB's list_reduce pins acc type = element
+    // type, so the two carried diagonals ride as a 2-element
+    // list-of-lists and the step index as [[d]]. P/R/F₁ land as
+    // exact ppm divisions (F₁ = 2L/(n_c + n_r)); per-source macro
+    // means of those exact ppms. Each pair's DP is O(n·m) on
+    // ≤ 100-token frames — bounded metadata work, embarrassingly
+    // parallel; the % 5 sample is the eval-harness shape (score a
+    // held-out slice, not the corpus).
+    QuerySpec.sql(
+      "eval_rouge_l",
+      """WITH pr AS (
+        |  SELECT source, doc_id AS cand_id,
+        |    LAG(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS ref_id
+        |  FROM documents),
+        |p AS (SELECT * FROM pr
+        |  WHERE ref_id IS NOT NULL AND cand_id % 5 = 0),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |lc AS (
+        |  SELECT p.source, p.cand_id,
+        |    CAST(len(c.ws) AS BIGINT) AS nc,
+        |    CAST(len(r.ws) AS BIGINT) AS nr,
+        |    list_reduce(
+        |      list_concat(
+        |        [[list_transform(generate_series(0, len(c.ws)),
+        |            z -> CAST(0 AS BIGINT)),
+        |          list_transform(generate_series(0, len(c.ws)),
+        |            z -> CAST(0 AS BIGINT))]],
+        |        list_transform(
+        |          generate_series(2, len(c.ws) + len(r.ws)),
+        |          d -> [[CAST(d AS BIGINT)]])),
+        |      (acc, x) -> [
+        |        list_transform(generate_series(0, len(c.ws)), i ->
+        |          CASE WHEN i >= 1 AND i <= len(c.ws)
+        |              AND x[1][1] - i >= 1 AND x[1][1] - i <= len(r.ws)
+        |            THEN greatest(acc[1][i + 1], acc[1][i],
+        |              acc[2][i] + CASE WHEN c.ws[i] = r.ws[x[1][1] - i]
+        |                THEN 1 ELSE 0 END)
+        |            ELSE CAST(0 AS BIGINT) END),
+        |        acc[1]]
+        |    )[1][len(c.ws) + 1] AS lcs
+        |  FROM p JOIN w c ON c.doc_id = p.cand_id
+        |  JOIN w r ON r.doc_id = p.ref_id),
+        |f AS (SELECT source, lcs,
+        |    CAST(lcs * 1000000 // nc AS BIGINT) AS p_ppm,
+        |    CAST(lcs * 1000000 // nr AS BIGINT) AS r_ppm,
+        |    CAST(2 * lcs * 1000000 // (nc + nr) AS BIGINT) AS f_ppm
+        |  FROM lc)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(lcs) AS BIGINT) AS sum_lcs,
+        |  CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS mean_p_ppm,
+        |  CAST(SUM(r_ppm) // COUNT(*) AS BIGINT) AS mean_r_ppm,
+        |  CAST(SUM(f_ppm) // COUNT(*) AS BIGINT) AS mean_f_ppm
+        |FROM f GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val p = d.select(col("source"), col("doc_id").as("cand_id"),
+          lag(col("doc_id"), 1).over(Window.partitionBy(col("source"))
+            .orderBy(col("doc_id"))).as("ref_id"))
+        .filter(col("ref_id").isNotNull && col("cand_id") % 5 === 0)
+      val w = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      p.join(w.select(col("doc_id").as("cand_id"),
+          col("ws").as("cws")), Seq("cand_id"))
+        .join(w.select(col("doc_id").as("ref_id"),
+          col("ws").as("rws")), Seq("ref_id"))
+        .select(col("source"),
+          size(col("cws")).cast("long").as("nc"),
+          size(col("rws")).cast("long").as("nr"),
+          // native codegen'd DP kernel; the oracle's anti-diagonal
+          // list_reduce is the executable spec it is hash-checked
+          // against (two independent implementations must agree)
+          graft.functions.LcsLen.lcs_len(col("cws"), col("rws"))
+            .as("lcs"))
+        .select(col("source"), col("lcs"),
+          expr("CAST(lcs * 1000000 div nc AS BIGINT)").as("p_ppm"),
+          expr("CAST(lcs * 1000000 div nr AS BIGINT)").as("r_ppm"),
+          expr("CAST(2 * lcs * 1000000 div (nc + nr) AS BIGINT)")
+            .as("f_ppm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("lcs")).cast("long").as("sum_lcs"),
+          expr("CAST(SUM(p_ppm) div COUNT(*) AS BIGINT)")
+            .as("mean_p_ppm"),
+          expr("CAST(SUM(r_ppm) div COUNT(*) AS BIGINT)")
+            .as("mean_r_ppm"),
+          expr("CAST(SUM(f_ppm) div COUNT(*) AS BIGINT)")
+            .as("mean_f_ppm"))
+        .orderBy(col("source"))
+    },
+
     // DeLong variance + significance for the ROC-AUC — the
     // companion eval_score_auc owes its consumers: is this AUC
     // DISTINGUISHABLE from a coin flip? The per-positive placement

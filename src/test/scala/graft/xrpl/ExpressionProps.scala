@@ -132,4 +132,32 @@ object ExpressionProps extends Properties("Expressions") {
         (j <= 0.7 || a.isEmpty || b.isEmpty || a(0) != b(0) || w > j ||
           j == 1.0)
     }
+
+  // ---------------------------------------------------------------
+  // LcsLen (rolling two-row DP kernel) vs the textbook full matrix
+  // ---------------------------------------------------------------
+  // small token alphabet so matches are dense (the hard case)
+  private val toksGen: Gen[List[String]] = Gen.chooseNum(0, 40).flatMap(
+    n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", "xy")))
+
+  private def refLcs(a: List[String], b: List[String]): Long = {
+    val dp = Array.fill(a.size + 1, b.size + 1)(0L)
+    for (i <- 1 to a.size; j <- 1 to b.size)
+      dp(i)(j) = math.max(
+        math.max(dp(i - 1)(j), dp(i)(j - 1)),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 1L else 0L))
+    dp(a.size)(b.size)
+  }
+
+  private def arr(xs: List[String]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      xs.map(UTF8String.fromString).toArray[Any])
+
+  property("LcsLen equals the textbook DP; symmetric; bounded") =
+    forAll(toksGen, toksGen) { (a, b) =>
+      val v = graft.functions.LcsLen.lcs(arr(a), arr(b))
+      v == refLcs(a, b) &&
+        v == graft.functions.LcsLen.lcs(arr(b), arr(a)) &&
+        v <= math.min(a.size, b.size)
+    }
 }
