@@ -3992,6 +3992,127 @@ object TextOps {
         .orderBy(col("source"))
     },
 
+    // chrF2 over the same adjacent candidate↔reference pairs — the
+    // third member of the MT-eval triad (BLEU: clipped word-n-gram
+    // precision; ROUGE-L: subsequence recall; chrF: CHARACTER-n-gram
+    // F-score, the metric of the three that is robust to tokenization
+    // and morphology). Whitespace is removed (the sacrebleu default),
+    // char 2- and 3-gram multisets are counted per doc, clipped
+    // matches come from the same doc-keyed hash joins as
+    // eval_bleu_pairs' m2 (over the same 20% eval sample as
+    // eval_rouge_l), and P/R macro-average the two gram orders
+    // as exact ppm integers; chrF2's β = 2 folds as the exact
+    // rational 5·P·R // (4·P + R) over those ppms — no float
+    // anywhere. Corpus-scale work is two hash aggregates over the
+    // exploded gram table (uniform doc_id keys); pairs never carry
+    // text, only counts.
+    QuerySpec.sql(
+      "eval_chrf", {
+        def grams(n: Int) =
+          s"""SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+             |    SELECT doc_id, t[i:i+${n - 1}] AS g
+             |    FROM (SELECT doc_id, replace(text, ' ', '') AS t
+             |          FROM documents) d,
+             |      LATERAL (SELECT UNNEST(generate_series(1,
+             |        len(t) - ${n - 1})) AS i) s
+             |    WHERE len(t) >= $n)
+             |  GROUP BY 1, 2""".stripMargin
+        s"""WITH pr AS (
+           |  SELECT source, doc_id AS cand_id,
+           |    LAG(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+           |      AS ref_id
+           |  FROM documents),
+           |p AS (SELECT * FROM pr
+           |  WHERE ref_id IS NOT NULL AND cand_id % 5 = 0),
+           |g2 AS (${grams(2)}),
+           |g3 AS (${grams(3)}),
+           |gl2 AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS len
+           |  FROM g2 GROUP BY 1),
+           |gl3 AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS len
+           |  FROM g3 GROUP BY 1),
+           |m2 AS (
+           |  SELECT p.cand_id, CAST(SUM(LEAST(c.cnt, r.cnt)) AS BIGINT)
+           |    AS clip
+           |  FROM p JOIN g2 c ON c.doc_id = p.cand_id
+           |  JOIN g2 r ON r.doc_id = p.ref_id AND r.g = c.g
+           |  GROUP BY 1),
+           |m3 AS (
+           |  SELECT p.cand_id, CAST(SUM(LEAST(c.cnt, r.cnt)) AS BIGINT)
+           |    AS clip
+           |  FROM p JOIN g3 c ON c.doc_id = p.cand_id
+           |  JOIN g3 r ON r.doc_id = p.ref_id AND r.g = c.g
+           |  GROUP BY 1),
+           |f AS (
+           |  SELECT p.source,
+           |    (COALESCE(m2.clip, 0) * 1000000 // c2.len
+           |      + COALESCE(m3.clip, 0) * 1000000 // c3.len) // 2
+           |      AS p_ppm,
+           |    (COALESCE(m2.clip, 0) * 1000000 // r2.len
+           |      + COALESCE(m3.clip, 0) * 1000000 // r3.len) // 2
+           |      AS r_ppm
+           |  FROM p
+           |  JOIN gl2 c2 ON c2.doc_id = p.cand_id
+           |  JOIN gl3 c3 ON c3.doc_id = p.cand_id
+           |  JOIN gl2 r2 ON r2.doc_id = p.ref_id
+           |  JOIN gl3 r3 ON r3.doc_id = p.ref_id
+           |  LEFT JOIN m2 ON m2.cand_id = p.cand_id
+           |  LEFT JOIN m3 ON m3.cand_id = p.cand_id)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |  CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS mean_p_ppm,
+           |  CAST(SUM(r_ppm) // COUNT(*) AS BIGINT) AS mean_r_ppm,
+           |  CAST(SUM(CASE WHEN 4 * p_ppm + r_ppm > 0 THEN
+           |      5 * p_ppm * r_ppm // (4 * p_ppm + r_ppm)
+           |    ELSE 0 END) // COUNT(*) AS BIGINT) AS mean_chrf2_ppm
+           |FROM f GROUP BY 1 ORDER BY source""".stripMargin
+      }) { (s, dir) =>
+      val d = docs(s, dir)
+      val p = d.select(col("source"), col("doc_id").as("cand_id"),
+          lag(col("doc_id"), 1).over(Window.partitionBy(col("source"))
+            .orderBy(col("doc_id"))).as("ref_id"))
+        .filter(col("ref_id").isNotNull && col("cand_id") % 5 === 0)
+      // native per-pair kernel instead of the declarative gram
+      // pipeline: the exploded-gram build costs an interpreted lambda
+      // + struct alloc per character position (~4 s at sf0.1 before
+      // any join — HOF lambdas are not codegen'd) and shuffles
+      // corpus-scale gram tables for a per-PAIR statistic; ChrfClip
+      // walks each pair's two strings once with a small hash map, so
+      // the gate is bounded by the PAIR count (the DuckDB oracle
+      // keeps the gram-table spelling — the hash compare pins two
+      // independent implementations, the LcsLen discipline)
+      val txt = d.select(col("doc_id"),
+        regexp_replace(col("text"), " ", "").as("t"))
+      p.join(txt.select(col("doc_id").as("cand_id"),
+          col("t").as("ct")), Seq("cand_id"))
+        .join(txt.select(col("doc_id").as("ref_id"),
+          col("t").as("rt")), Seq("ref_id"))
+        .filter(length(col("ct")) >= 3 && length(col("rt")) >= 3)
+        .select(col("source"),
+          graft.functions.ChrfClip.chrf_clip(col("ct"), col("rt"), 2)
+            .as("clip2"),
+          graft.functions.ChrfClip.chrf_clip(col("ct"), col("rt"), 3)
+            .as("clip3"),
+          (length(col("ct")) - 1).cast("long").as("c2len"),
+          (length(col("ct")) - 2).cast("long").as("c3len"),
+          (length(col("rt")) - 1).cast("long").as("r2len"),
+          (length(col("rt")) - 2).cast("long").as("r3len"))
+        .select(col("source"),
+          expr("(clip2 * 1000000 div c2len " +
+            "+ clip3 * 1000000 div c3len) div 2").as("p_ppm"),
+          expr("(clip2 * 1000000 div r2len " +
+            "+ clip3 * 1000000 div r3len) div 2").as("r_ppm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("CAST(SUM(p_ppm) div COUNT(*) AS BIGINT)")
+            .as("mean_p_ppm"),
+          expr("CAST(SUM(r_ppm) div COUNT(*) AS BIGINT)")
+            .as("mean_r_ppm"),
+          expr("CAST(SUM(CASE WHEN 4 * p_ppm + r_ppm > 0 THEN " +
+            "5 * p_ppm * r_ppm div (4 * p_ppm + r_ppm) " +
+            "ELSE 0 END) div COUNT(*) AS BIGINT)")
+            .as("mean_chrf2_ppm"))
+        .orderBy(col("source"))
+    },
+
     // DeLong variance + significance for the ROC-AUC — the
     // companion eval_score_auc owes its consumers: is this AUC
     // DISTINGUISHABLE from a coin flip? The per-positive placement

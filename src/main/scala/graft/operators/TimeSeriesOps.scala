@@ -7220,6 +7220,148 @@ object TimeSeriesOps {
             "ELSE 'independent' END END").as("verdict"))
     },
 
+    // Breslow–Day homogeneity test — the companion stats_cmh owes its
+    // consumers: CMH assumes the odds ratio is COMMON across strata;
+    // BD tests that assumption (a significant CMH with heterogeneous
+    // ORs is a Simpson's-paradox report waiting to happen). Same
+    // exposure/outcome/strata as stats_cmh. The MH common-OR
+    // components fold as exact micro integers (a·d·10⁶ // N per
+    // stratum through HUGEINT/DECIMAL(38,0) — order-safe integer
+    // sums, never a float accumulation); ψ = rr/ss, each stratum's
+    // expected a-cell is the in-range root of the BD quadratic
+    // (ψ−1)E² − [ψ(r1+c1) + N−r1−c1]E + ψ·r1·c1 = 0 (root picked by
+    // the margin box, linear branch at |ψ−1| < 1e−12), the variance
+    // is the 4-cell harmonic form, and each (a−E)²/V term quantizes
+    // to micro BEFORE the cross-stratum sum (the anova lesson: a
+    // 5-row DOUBLE sum is partition-order-nondeterministic; a 5-row
+    // integer sum is not). Every float op is ONE shared expression
+    // text over int64 margins + the ψ micros. Verdict vs the fixed
+    // χ²(4) 5% micro literal 9487729 (df = strata − 1 = 4). Plan: one
+    // broadcast dim join + a 5-row CTE chain.
+    QuerySpec.sql(
+      "stats_breslow_day",
+      """WITH j AS (
+        |  SELECT o.o_orderpriority AS stratum,
+        |    CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+        |      AS e,
+        |    CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |s AS (
+        |  SELECT stratum,
+        |    CAST(SUM(e * y) AS BIGINT) AS a,
+        |    CAST(SUM(e * (1 - y)) AS BIGINT) AS b,
+        |    CAST(SUM((1 - e) * y) AS BIGINT) AS c,
+        |    CAST(SUM((1 - e) * (1 - y)) AS BIGINT) AS d
+        |  FROM j GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |    CAST(SUM(CAST(a AS HUGEINT) * d * 1000000
+        |      // (a + b + c + d)) AS BIGINT) AS rr_micro,
+        |    CAST(SUM(CAST(b AS HUGEINT) * c * 1000000
+        |      // (a + b + c + d)) AS BIGINT) AS ss_micro
+        |  FROM s),
+        |g AS (SELECT s.a, s.b, s.c, s.d,
+        |    s.a + s.b + s.c + s.d AS n, s.a + s.b AS r1,
+        |    s.a + s.c AS c1, m.n_strata, m.rr_micro, m.ss_micro,
+        |    CAST(m.rr_micro AS DOUBLE) / CAST(m.ss_micro AS DOUBLE)
+        |      AS psi
+        |  FROM s, m),
+        |q2 AS (SELECT *, psi - 1 AS qa,
+        |    -(psi * CAST(r1 + c1 AS DOUBLE)
+        |      + CAST(n - r1 - c1 AS DOUBLE)) AS qb,
+        |    psi * CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE) AS qc
+        |  FROM g),
+        |q3 AS (SELECT *, sqrt(qb * qb - 4 * qa * qc) AS sq FROM q2),
+        |q4 AS (SELECT *, CASE WHEN ABS(qa) < 1e-12 THEN -qc / qb
+        |    ELSE CASE WHEN (-qb - sq) / (2 * qa)
+        |          > GREATEST(CAST(0 AS DOUBLE),
+        |            CAST(r1 + c1 - n AS DOUBLE))
+        |        AND (-qb - sq) / (2 * qa)
+        |          < LEAST(CAST(r1 AS DOUBLE), CAST(c1 AS DOUBLE))
+        |      THEN (-qb - sq) / (2 * qa)
+        |      ELSE (-qb + sq) / (2 * qa) END END AS ea FROM q3),
+        |q5 AS (SELECT *,
+        |    CASE WHEN ea > 0 AND CAST(r1 AS DOUBLE) - ea > 0
+        |        AND CAST(c1 AS DOUBLE) - ea > 0
+        |        AND CAST(n - r1 - c1 AS DOUBLE) + ea > 0 THEN
+        |      1 / (1 / ea + 1 / (CAST(r1 AS DOUBLE) - ea)
+        |        + 1 / (CAST(c1 AS DOUBLE) - ea)
+        |        + 1 / (CAST(n - r1 - c1 AS DOUBLE) + ea)) END AS vv
+        |  FROM q4),
+        |tm AS (SELECT n_strata, rr_micro, ss_micro,
+        |    CAST(CAST(CASE WHEN vv > 0 THEN
+        |        (CAST(a AS DOUBLE) - ea) * (CAST(a AS DOUBLE) - ea)
+        |          / vv
+        |      ELSE CAST(0 AS DOUBLE) END AS DECIMAL(18,6)) * 1000000
+        |      AS BIGINT) AS term
+        |  FROM q5)
+        |SELECT n_strata, rr_micro, ss_micro,
+        |  CAST(SUM(term) AS BIGINT) AS bd_micro,
+        |  CASE WHEN CAST(SUM(term) AS BIGINT) > 9487729
+        |    THEN 'heterogeneous' ELSE 'homogeneous' END AS verdict
+        |FROM tm GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val j = Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"))),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderpriority").as("stratum"),
+          when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+            .as("e"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L)
+            .as("y"))
+      val sdf = j.groupBy(col("stratum"))
+        .agg(sum(col("e") * col("y")).cast("long").as("a"),
+          sum(col("e") * (lit(1L) - col("y"))).cast("long").as("b"),
+          sum((lit(1L) - col("e")) * col("y")).cast("long").as("c"),
+          sum((lit(1L) - col("e")) * (lit(1L) - col("y")))
+            .cast("long").as("d"))
+      val m = sdf.agg(count(lit(1)).as("n_strata"),
+        sum(expr("CAST(a AS DECIMAL(38,0)) * d * 1000000 " +
+          "div (a + b + c + d)")).cast("long").as("rr_micro"),
+        sum(expr("CAST(b AS DECIMAL(38,0)) * c * 1000000 " +
+          "div (a + b + c + d)")).cast("long").as("ss_micro"))
+      sdf.crossJoin(broadcast(m))
+        .withColumn("n", expr("a + b + c + d"))
+        .withColumn("r1", expr("a + b"))
+        .withColumn("c1", expr("a + c"))
+        .withColumn("psi", expr(
+          "CAST(rr_micro AS DOUBLE) / CAST(ss_micro AS DOUBLE)"))
+        .withColumn("qa", expr("psi - 1"))
+        .withColumn("qb", expr("-(psi * CAST(r1 + c1 AS DOUBLE) " +
+          "+ CAST(n - r1 - c1 AS DOUBLE))"))
+        .withColumn("qc", expr(
+          "psi * CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE)"))
+        .withColumn("sq", expr("sqrt(qb * qb - 4 * qa * qc)"))
+        .withColumn("ea", expr(
+          """CASE WHEN ABS(qa) < 1e-12 THEN -qc / qb
+            |  ELSE CASE WHEN (-qb - sq) / (2 * qa)
+            |        > GREATEST(CAST(0 AS DOUBLE),
+            |          CAST(r1 + c1 - n AS DOUBLE))
+            |      AND (-qb - sq) / (2 * qa)
+            |        < LEAST(CAST(r1 AS DOUBLE), CAST(c1 AS DOUBLE))
+            |    THEN (-qb - sq) / (2 * qa)
+            |    ELSE (-qb + sq) / (2 * qa) END END""".stripMargin))
+        .withColumn("vv", expr(
+          """CASE WHEN ea > 0 AND CAST(r1 AS DOUBLE) - ea > 0
+            |    AND CAST(c1 AS DOUBLE) - ea > 0
+            |    AND CAST(n - r1 - c1 AS DOUBLE) + ea > 0 THEN
+            |  1 / (1 / ea + 1 / (CAST(r1 AS DOUBLE) - ea)
+            |    + 1 / (CAST(c1 AS DOUBLE) - ea)
+            |    + 1 / (CAST(n - r1 - c1 AS DOUBLE) + ea)) END"""
+            .stripMargin))
+        .withColumn("term", expr(
+          """CAST(CAST(CASE WHEN vv > 0 THEN
+            |    (CAST(a AS DOUBLE) - ea) * (CAST(a AS DOUBLE) - ea)
+            |      / vv
+            |  ELSE CAST(0 AS DOUBLE) END AS DECIMAL(18,6)) * 1000000
+            |  AS BIGINT)""".stripMargin))
+        .groupBy(col("n_strata"), col("rr_micro"), col("ss_micro"))
+        .agg(sum(col("term")).cast("long").as("bd_micro"))
+        .select(col("n_strata"), col("rr_micro"), col("ss_micro"),
+          col("bd_micro"),
+          expr("CASE WHEN bd_micro > 9487729 THEN 'heterogeneous' " +
+            "ELSE 'homogeneous' END").as("verdict"))
+    },
+
     // Page–Hinkley drift monitor with a STEP-RESPONSE calibration —
     // the sequential change-of-mean detector (Page 1954, the PH test
     // every streaming drift library ships next to CUSUM): M_t

@@ -160,4 +160,28 @@ object ExpressionProps extends Properties("Expressions") {
         v == graft.functions.LcsLen.lcs(arr(b), arr(a)) &&
         v <= math.min(a.size, b.size)
     }
+
+  // ---------------------------------------------------------------
+  // ChrfClip vs a naive per-gram multiset-min, across code points
+  // ---------------------------------------------------------------
+  private def refClip(a: String, b: String, n: Int): Long = {
+    def grams(s: String): Map[String, Long] = {
+      val cps = s.codePointCount(0, s.length)
+      (0 until math.max(0, cps - n + 1)).map { i =>
+        val off = s.offsetByCodePoints(0, i)
+        s.substring(off, s.offsetByCodePoints(off, n))
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    }
+    val ga = grams(a); val gb = grams(b)
+    ga.map { case (g, c) => math.min(c, gb.getOrElse(g, 0L)) }.sum
+  }
+
+  property("ChrfClip equals the naive gram multiset-min (n = 2, 3)") =
+    forAll(textGen, textGen) { (a, b) =>
+      val (ua, ub) = (UTF8String.fromString(a), UTF8String.fromString(b))
+      graft.functions.ChrfClip.clip(ua, ub, 2) == refClip(a, b, 2) &&
+        graft.functions.ChrfClip.clip(ua, ub, 3) == refClip(a, b, 3) &&
+        graft.functions.ChrfClip.clip(ua, ua, 2) ==
+          math.max(0, a.codePointCount(0, a.length) - 1)
+    }
 }

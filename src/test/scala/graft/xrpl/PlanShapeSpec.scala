@@ -545,7 +545,8 @@ class PlanShapeSpec extends AnyFunSuite {
     for (name <- Seq("stats_cvm_twosample", "stats_anderson_darling",
         "stats_brunner_munzel", "stats_tukey_hsd",
         "cluster_davies_bouldin", "graph_katz",
-        "privacy_dp_quantile", "ts_dtw_pairs", "eval_rouge_l")) {
+        "privacy_dp_quantile", "ts_dtw_pairs", "eval_rouge_l",
+        "eval_chrf", "stats_breslow_day")) {
       val all = collectNodes(planOf(name))
       val s = all.map(_.toString).mkString("\n")
       assert(!s.contains("CartesianProduct"),
