@@ -9,6 +9,11 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Escalate the silent-unboxing hazard class to a hard error: comparing
+// a java.util-collection value of a Scala value type against null is
+// always-true (null unboxes to 0), which compiles with only a warning
+// and yields silently-wrong zeros (seen once in ChrfClip, r14 nit #1).
+ThisBuild / scalacOptions += "-Wconf:msg=comparing values of types:e"
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -24,6 +24,16 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.build(cpus, "graft-bench")
 
+    // Machine-state bracket EMBEDDED in the capture (VERDICT r14 #1):
+    // driver-invoked runs never pass through tools/bench_steal.sh, so
+    // their BENCH_r*.json carried no machine context and same-code
+    // wall-time deltas needed a separate builder capture to
+    // adjudicate. Probe before warmup and after the suite; both
+    // objects ride in env.machine of every artifact this main writes.
+    val wallT0 = System.nanoTime()
+    val (stealJ0, totalJ0) = MachineState.stealAndTotalJiffies
+    val msBefore = MachineState.probeJson(withSentinel = true)
+
     def evalFull(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
@@ -216,10 +226,21 @@ object Bench {
     // different parallelism is visibly not like-for-like.
     val envJson = {
       val rt = Runtime.getRuntime
+      val msAfter = MachineState.probeJson(withSentinel = true)
+      val (stealJ1, totalJ1) = MachineState.stealAndTotalJiffies
+      val wallS = math.rint((System.nanoTime() - wallT0) / 1e9 * 10) / 10
+      // steal as a % of ALL cpu jiffies elapsed over the run — the
+      // bench_steal.sh bracketing figure, now artifact-embedded
+      val stealPct =
+        if (totalJ1 > totalJ0) math.rint(10000.0 * (stealJ1 - stealJ0) /
+          (totalJ1 - totalJ0).toDouble) / 100
+        else 0.0
+      val machineJson = s"""{"before":$msBefore,"after":$msAfter,""" +
+        s""""wall_s":$wallS,"steal_pct_of_cpu_time":$stealPct}"""
       s"""{"cpus":"$cpus","shuffle_partitions":"${
         spark.conf.get("spark.sql.shuffle.partitions")}","jvm_max_heap_mb":${
         rt.maxMemory() / (1024 * 1024)},"jvm_available_processors":${
-        rt.availableProcessors()},"reps":$reps}"""
+        rt.availableProcessors()},"reps":$reps,"machine":$machineJson}"""
     }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"errors":$errs,"suspect":$suspectJson,"env":$envJson,"sf":"$sfDir"}"""
@@ -240,8 +261,12 @@ object Bench {
     if (only.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (json + "\n").getBytes("UTF-8"))
+    // env (with the machine bracket) rides at the END of the stdout
+    // line: the driver keeps a bounded stdout TAIL, so trailing fields
+    // are what survive into BENCH_r*.json when the full 500-query line
+    // outgrows the window (r14's did — "parsed": null, tail-only).
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"suspect":$suspectJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"suspect":$suspectJson,"env":$envJson,"sf":"$sfDir"}""")
     println(s"bench: ${finalResults.size} queries, total ${math.rint(total * 10) / 10} s, " +
       s"errors=${finalResults.count(_._2 < 0)}, reps=$reps, " +
       s"suspects=${suspects0.size} (unrecovered=${stillSuspect.size}), " +

@@ -73,8 +73,11 @@ object ChrfClip {
     val it = ma.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val cb = mb.get(e.getKey)
-      if (cb != null) acc += math.min(e.getValue, cb)
+      // getOrDefault avoids the `get` null-unboxing trap: on a
+      // java.util map with a Scala value type, a missing key's null
+      // silently unboxes to 0L, so a `!= null` guard is always-true.
+      val cb = mb.getOrDefault(e.getKey, 0L)
+      acc += math.min(e.getValue, cb)
     }
     acc
   }

@@ -472,7 +472,18 @@ object PrivacyOps {
     // over the SAME engine-portable md5 uniform as privacy_dp_counts,
     // keyed by (type, value): deterministic, coordination-free, and
     // the identical float expression text runs in both engines, so
-    // even the sampled winner is bit-reproducible. Candidates are the
+    // even the sampled winner is bit-reproducible.
+    //
+    // IMPORTANT — this gate is a DETERMINISTIC SIMULATION of the
+    // exponential mechanism, not a privacy-preserving release: the
+    // Gumbel draw is seeded from md5(type, value), i.e. DATA-DERIVED
+    // and adversary-predictable, which voids any actual DP guarantee.
+    // The determinism is deliberate here — it is what lets the
+    // sampled winner be cross-engine hash-compared (the gate verifies
+    // the mechanism's SHAPE: scoring, sensitivity scaling, argmax,
+    // utility accounting). A deployment substitutes fresh
+    // cryptographic randomness for `u` (one column swap); nothing
+    // else in the plan changes. Candidates are the
     // observed distinct values (the standard finite-domain
     // simplification — a fixed public grid drops in without plan
     // changes). The exact true median rides along, so the mechanism's

@@ -4044,7 +4044,10 @@ object TimeSeriesOps {
     // sum-of-squares folds per group through the same exact
     // (n·q − s²)//n floor as stats_anova_f, summed to an int64 b_num
     // — BIGINT-safe while Σ(n_i−1)·s_i² cents² stays under 2⁶³,
-    // i.e. to ~10¹⁰ rows at this value scale). The 5% verdict
+    // i.e. to ~10¹⁰ rows at this value scale; past the envelope BOTH
+    // engines fail loudly — Spark via a bartlett-style raise_error
+    // on the per-group quotient, DuckDB via its HUGEINT→BIGINT cast
+    // — never silently). The 5% verdict
     // compares the identical double against the fixed studentized-
     // range literal 3.858 (k = 5, df → ∞ — df_w is ~10⁵ here, where
     // the ∞ row is exact to the quoted precision). Plan: one events
@@ -4095,10 +4098,27 @@ object TimeSeriesOps {
             .cast(org.apache.spark.sql.types.DecimalType(38, 0))
             .as("q"))
         .filter(col("n") >= 2))
-      val w = g.agg(sum(col("n")).cast("long").as("nt"),
-        count(lit(1)).cast("long").as("k"),
-        sum(expr("(n * q - CAST(s AS DECIMAL(38,0)) * s) div n"))
-          .cast("long").as("b_num"))
+      // The per-group DECIMAL(38,0) div n yields LONG — null on
+      // overflow in non-ANSI mode, which sum() would silently SKIP
+      // while the DuckDB oracle errors loudly on its HUGEINT→BIGINT
+      // cast. The bartlett-style guard makes the failure symmetric:
+      // loud in both engines past the 10¹⁸ per-group envelope (k = 5
+      // groups ⇒ Σ ≤ 5·10¹⁸ < 2⁶³, so b_num itself stays BIGINT-safe
+      // whenever every group passes).
+      val w = g
+        .withColumn("num",
+          expr("n * q - CAST(s AS DECIMAL(38,0)) * s")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .withColumn("q_g", expr(
+          """CASE WHEN num div n IS NULL
+            |    OR num div n > 1000000000000000000
+            |  THEN raise_error(concat('stats_tukey_hsd: variance ',
+            |    'numerator div n exceeds the int64 envelope; ',
+            |    'coarsen the cents quantization'))
+            |  ELSE num div n END""".stripMargin))
+        .agg(sum(col("n")).cast("long").as("nt"),
+          count(lit(1)).cast("long").as("k"),
+          sum(col("q_g")).cast("long").as("b_num"))
       val a = g.select(col("grp").as("type_a"), col("n").as("a_n"),
         col("s").as("a_s"))
       val b = g.select(col("grp").as("type_b"), col("n").as("b_n"),

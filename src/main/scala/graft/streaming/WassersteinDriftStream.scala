@@ -26,8 +26,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * (2·CellW·10⁶ microcents) of the gate's exact value, for any data
   * inside the grid span. Values outside [GridLo, GridLo + Cells·w)
   * clamp to the edge cells, which voids the bound for the clamped
-  * mass — deployments size the span to the metric's domain (the spec
-  * asserts the events domain fits; resizing is a constant change).
+  * mass — that mass is EXPOSED as [[DriftPoint.n_clamped]] so a
+  * deployment alarms (and resizes the span — a constant change)
+  * instead of trusting a silently degraded figure; the spec asserts
+  * n_clamped = 0 on the events domain and > 0 on an out-of-span
+  * series.
   *
   * Scale design: state is 2·[[Cells]] longs per series (32 KiB at the
   * defaults) — series-count-bounded, independent of rows and of the
@@ -57,12 +60,24 @@ object WassersteinDriftStream {
 
   /** Per-series drift readout after a micro-batch: exact snapped-EMD
     * in microcents, −1 while either side is still empty (the batch
-    * gate's NULL). */
+    * gate's NULL). `n_clamped` counts observations (both sides,
+    * cumulative) whose cents fell OUTSIDE [GridLo, GridLo + Cells·w)
+    * and were clamped to an edge cell — for that mass the 2·CellW
+    * error bound is VOID, so a deployment alarms on n_clamped > 0
+    * (and resizes the span) rather than trusting a silently degraded
+    * figure. */
   final case class DriftPoint(series: String, n_ref: Long, n_cur: Long,
-      emd_grid_microcents: Long)
+      emd_grid_microcents: Long, n_clamped: Long)
 
-  /** Keyed state: two fixed-width cell-count vectors. */
-  final case class St(ref: Array[Long], cur: Array[Long])
+  /** Keyed state: two fixed-width cell-count vectors plus the
+    * cumulative out-of-span (bound-voiding) observation count. */
+  final case class St(ref: Array[Long], cur: Array[Long],
+      clamped: Long)
+
+  private def inSpan(cents: Long): Boolean = {
+    val c = (cents - GridLo) / CellW
+    c >= 0 && c < Cells
+  }
 
   private def cellOf(cents: Long): Int = {
     val c = (cents - GridLo) / CellW
@@ -91,18 +106,21 @@ object WassersteinDriftStream {
 
   private def update(series: String, it: Iterator[Obs],
       state: GroupState[St]): Iterator[DriftPoint] = {
-    val st = state.getOption.getOrElse(
-      St(new Array[Long](Cells), new Array[Long](Cells)))
+    val st0 = state.getOption.getOrElse(
+      St(new Array[Long](Cells), new Array[Long](Cells), 0L))
     var any = false
+    var clamped = st0.clamped
     it.foreach { o =>
       any = true
       val c = cellOf(o.cents)
-      if (o.cur) st.cur(c) += 1 else st.ref(c) += 1
+      if (!inSpan(o.cents)) clamped += 1
+      if (o.cur) st0.cur(c) += 1 else st0.ref(c) += 1
     }
+    val st = st0.copy(clamped = clamped)
     state.update(st)
     if (!any) Iterator.empty
     else Iterator.single(DriftPoint(series,
-      st.ref.sum, st.cur.sum, emdMicro(st.ref, st.cur)))
+      st.ref.sum, st.cur.sum, emdMicro(st.ref, st.cur), st.clamped))
   }
 
   /** Drift points over a (possibly streaming) observation frame; one
@@ -131,14 +149,18 @@ object WassersteinDriftStream {
       rest = tail
       batch.groupBy(_.series).toSeq.sortBy(_._1).foreach {
         case (series, os) =>
-          val s = st.getOrElseUpdate(series,
-            St(new Array[Long](Cells), new Array[Long](Cells)))
+          val s0 = st.getOrElseUpdate(series,
+            St(new Array[Long](Cells), new Array[Long](Cells), 0L))
+          var clamped = s0.clamped
           os.foreach { o =>
             val c = cellOf(o.cents)
-            if (o.cur) s.cur(c) += 1 else s.ref(c) += 1
+            if (!inSpan(o.cents)) clamped += 1
+            if (o.cur) s0.cur(c) += 1 else s0.ref(c) += 1
           }
+          val s = s0.copy(clamped = clamped)
+          st(series) = s
           out += DriftPoint(series, s.ref.sum, s.cur.sum,
-            emdMicro(s.ref, s.cur))
+            emdMicro(s.ref, s.cur), s.clamped)
       }
     }
     out.toSeq

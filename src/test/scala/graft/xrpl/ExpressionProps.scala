@@ -184,4 +184,28 @@ object ExpressionProps extends Properties("Expressions") {
         graft.functions.ChrfClip.clip(ua, ua, 2) ==
           math.max(0, a.codePointCount(0, a.length) - 1)
     }
+
+  // Missing-key path: every left gram is absent from right (disjoint
+  // alphabets) yet occurs with nonzero count on the left — the case
+  // the r14 dead null-guard pretended to handle (a java.util get on a
+  // Scala Long map unboxes a missing key's null to 0L, so `!= null`
+  // was always-true; clip stayed correct only because min(c, 0) = 0).
+  private val leftAlphaGen: Gen[String] =
+    Gen.chooseNum(0, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+  private val rightAlphaGen: Gen[String] =
+    Gen.chooseNum(0, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('x', 'y', 'z')).map(_.mkString))
+
+  property("ChrfClip is 0 when every left gram is absent from right") =
+    forAll(leftAlphaGen, rightAlphaGen) { (a, b) =>
+      val (ua, ub) = (UTF8String.fromString(a), UTF8String.fromString(b))
+      graft.functions.ChrfClip.clip(ua, ub, 2) == 0L &&
+        graft.functions.ChrfClip.clip(ua, ub, 3) == 0L &&
+        // and grafting a shared prefix onto both counts ONLY the
+        // shared-prefix grams plus at most one junction gram per side
+        graft.functions.ChrfClip.clip(
+          UTF8String.fromString("qq" + a),
+          UTF8String.fromString("qq" + b), 2) >= 1L
+    }
 }

@@ -91,6 +91,26 @@ class WassersteinDriftStreamSpec extends AnyFunSuite {
       // the bound must be doing work on real data, not comparing zeros
       assert(exact > bound,
         s"${p.series}: degenerate comparison (exact EMD under the bound)")
+      // the bound is VALID here: no observation was clamped
+      assert(p.n_clamped == 0L,
+        s"${p.series}: events domain should fit the grid span")
     }
+  }
+
+  test("n_clamped counts out-of-span mass (bound-voiding alarm)") {
+    val hi = GridLo + Cells * CellW // first cents value PAST the span
+    val obs = Seq(
+      Obs("s", cur = false, GridLo + 5),     // in span
+      Obs("s", cur = false, GridLo - 1),     // below → clamped
+      Obs("s", cur = true, hi),              // at span end → clamped
+      Obs("s", cur = true, hi + 12345),      // far above → clamped
+      Obs("s", cur = true, GridLo))          // in span (left edge)
+    val pts = WassersteinDriftStream.reference(obs, Seq(2))
+    assert(pts.map(_.n_clamped) == Seq(1L, 3L),
+      "clamped count must accumulate across micro-batches")
+    val fin = pts.last
+    assert(fin.n_ref == 2L && fin.n_cur == 3L &&
+      fin.emd_grid_microcents >= 0L,
+      "clamped rows still land in edge cells (mass is never dropped)")
   }
 }

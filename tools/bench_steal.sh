@@ -7,9 +7,14 @@
 # the r11/r12/r13 lesson: steal alone missed a ~1.18x uniform
 # frequency/bandwidth drift, and it had to be argued from uniformity.
 # On full runs the before/after probes are injected into
-# BENCH_FULL.json's env.machine, so the committed artifact carries its
-# own machine context and cross-round comparisons can normalize by the
-# sentinel throughputs instead of re-arguing.
+# BENCH_FULL.json's env.machine_pinned, so the committed artifact
+# carries its own machine context and cross-round comparisons can
+# normalize by the sentinel throughputs instead of re-arguing.
+# (Since r15, Bench.scala embeds its OWN unpinned JVM probe as
+# env.machine in every capture — driver-invoked ones included; this
+# script's pinned python probe is the outer, out-of-JVM bracket and
+# lives under the separate machine_pinned key so neither clobbers the
+# other.)
 set -e
 cd /root/repo
 python3 tools/machine_state.py > /tmp/ms_before.json
@@ -49,11 +54,11 @@ except Exception as e:
 try:
     if os.path.getmtime('BENCH_FULL.json') >= t0:
         full = json.load(open('BENCH_FULL.json'))
-        full.setdefault('env', {})['machine'] = machine
+        full.setdefault('env', {})['machine_pinned'] = machine
         with open('BENCH_FULL.json', 'w') as f:
             json.dump(full, f)
             f.write('\n')
-        print('machine bracket -> BENCH_FULL.json env.machine')
+        print('machine bracket -> BENCH_FULL.json env.machine_pinned')
     else:
         print('subset run: BENCH_FULL.json untouched '
               '(bracket in /tmp/ms_{before,after}.json)')
@@ -61,7 +66,7 @@ except Exception as e:
     print('bracket injection failed:', e)
 for tag in ('before', 'after'):
     s = machine[tag].get('sentinel') or {}
-    print(f"{tag}: triad={s.get('mem_triad_gbps')} GB/s "
+    print(f"{tag}: mem_bw={s.get('mem_bw_proxy_gbps')} GB/s "
           f"matmul={s.get('cpu_gflops')} GF/s "
           f"load={machine[tag]['loadavg'][0]:.1f}")
 print(f"wall={wall}s steal={steal_s:.1f}s ({pct:.2f}% of 32-cpu time)")

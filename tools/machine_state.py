@@ -16,9 +16,15 @@ cross-round comparison can normalize by, and prints ONE JSON object:
   observed rather than silently omitting it;
 - loadavg and MemAvailable;
 - the micro-sentinel, pinned to cpu 0 (sched_setaffinity):
-  * mem_triad_gbps — best-of-5 STREAM-triad a = b + 0.5*c over
+  * mem_bw_proxy_gbps — best-of-5 two-pass a = b + 0.5*c over
     8M-element float64 arrays (3 x 64 MiB, far beyond LLC): memory-
-    bandwidth bound, 24 B/element effective traffic counted;
+    bandwidth bound. The numpy spelling is TWO streaming passes
+    (multiply: read c + write a = 16 B/elem; add: read a + read b +
+    write a = 24 B/elem), so the real traffic is ~40 B/element and
+    that is what is counted — this is a bandwidth PROXY for
+    cross-round ratio normalization, not a STREAM-comparable figure
+    (r13/r14 captures named it mem_triad_gbps and counted 24 B/elem
+    over the SAME kernel: old_value = new_value * 24/40);
   * cpu_gflops — best-of-5 256x256 float64 matmul (in-cache): ALU /
     effective-frequency bound.
   Together they split "memory bandwidth degraded" from "cpu slowed"
@@ -92,13 +98,13 @@ def sentinel():
     b = np.full(n, 1.5)
     c = np.full(n, 2.5)
     a = np.empty(n)
-    best_triad = 0.0
+    best_bw = 0.0
     for _ in range(5):
         t0 = time.perf_counter()
-        np.multiply(c, 0.5, out=a)
-        np.add(a, b, out=a)
+        np.multiply(c, 0.5, out=a)  # read c, write a: 16 B/elem
+        np.add(a, b, out=a)         # read a+b, write a: 24 B/elem
         dt = time.perf_counter() - t0
-        best_triad = max(best_triad, 24.0 * n / dt / 1e9)
+        best_bw = max(best_bw, 40.0 * n / dt / 1e9)
     m = np.full((256, 256), 1.0 / 256)
     best_mm = 0.0
     reps = 40
@@ -108,7 +114,7 @@ def sentinel():
             m = m @ m
         dt = time.perf_counter() - t0
         best_mm = max(best_mm, reps * 2.0 * 256 ** 3 / dt / 1e9)
-    return {"mem_triad_gbps": round(best_triad, 2),
+    return {"mem_bw_proxy_gbps": round(best_bw, 2),
             "cpu_gflops": round(best_mm, 2)}
 
 
