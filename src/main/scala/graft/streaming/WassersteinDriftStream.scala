@@ -74,10 +74,12 @@ object WassersteinDriftStream {
   final case class St(ref: Array[Long], cur: Array[Long],
       clamped: Long)
 
-  private def inSpan(cents: Long): Boolean = {
-    val c = (cents - GridLo) / CellW
-    c >= 0 && c < Cells
-  }
+  // direct bound test, NOT via the cell division: JVM `/` truncates
+  // toward zero, so (cents − GridLo)/CellW is 0 for the whole open
+  // interval (GridLo − CellW, GridLo) and a division-based test would
+  // misread just-below-span values as in-span
+  private def inSpan(cents: Long): Boolean =
+    cents >= GridLo && cents < GridLo + Cells * CellW
 
   private def cellOf(cents: Long): Int = {
     val c = (cents - GridLo) / CellW
