@@ -87,17 +87,36 @@ object Verify {
   }
 
   /** Changed-gates-only selection for `--since <gitrev>` (VERDICT r13
-    * #7): at 493 gates a serial 3-SF digest refresh is ~3 full runs,
+    * #7): at ~500 gates a serial 3-SF digest refresh is ~3 full runs,
     * so incremental waves re-digest only TOUCHED gates. A gate is
-    * "touched" when a source file changed since `rev` (committed or
-    * working-tree, `git diff --name-only`) contains its quoted name
-    * literal — gate definitions name themselves exactly once, in
-    * their defining file. CONSERVATIVE by construction: if git fails,
-    * or any changed main-source file contains no gate name (a shared
-    * helper, Tables, functions/ — whose blast radius is unknown), the
-    * selection falls back to the FULL sweep rather than guessing.
-    * This is the iteration fast path only — the round-close gate
-    * remains the full serial 3-SF sweep.
+    * "touched" when a source file in the changed files' REVERSE-
+    * DEPENDENCY CLOSURE contains its quoted name literal — gate
+    * definitions name themselves exactly once, in their defining
+    * file. The closure (r15, ADVICE): gate-defining files also export
+    * public helpers consumed elsewhere (SimilarityOps.knnEdgesSql
+    * feeds ClusterOps' graph gates), so selecting only the changed
+    * file's OWN gates under-selects and merge_digests.py could bake a
+    * stale baseline mid-round. Instead: collect the top-level
+    * object/class/trait names each closure file defines, pull in
+    * every main-source file whose text mentions any of them, and
+    * iterate to a fixpoint — substring matching over-selects (safe),
+    * never under-selects, because any cross-file use of a Scala
+    * symbol must spell the enclosing type's name (import or
+    * qualified access).
+    *
+    * CONSERVATIVE fallbacks to the FULL sweep: git fails; a changed
+    * file was deleted; a changed file defines no gate AND no
+    * top-level type (blast radius unknowable by name); any closure
+    * file declares a `package object` (whose members are usable with
+    * no name mention).
+    *
+    * GRAIN NOTE (VERDICT r14 #7): selection is FILE-grained — a
+    * one-line edit to a 9.5k-line family file (TimeSeriesOps)
+    * re-verifies every gate that file defines, and the closure pulls
+    * in referencing files wholesale, so edits to widely-referenced
+    * files approach a full sweep. Conservative-safe by design; budget
+    * accordingly. This is the iteration fast path only — the
+    * round-close gate remains the full serial 3-SF sweep.
     */
   private def gatesChangedSince(rev: String): Option[Set[String]] = {
     import scala.sys.process._
@@ -110,27 +129,56 @@ object Verify {
           s"(${e.getMessage}); falling back to the full sweep")
         return None
       }
-    val names = SparkEntry.queries.keySet
-    val picked = scala.collection.mutable.Set.empty[String]
-    changed.foreach { f =>
-      val p = Paths.get(f)
-      if (!Files.exists(p)) {
-        System.err.println(s"[verify] --since: $f deleted; full sweep")
-        return None
-      }
-      val text = Files.readString(p)
-      val here = names.filter(n => text.contains("\"" + n + "\""))
-      if (here.isEmpty) {
-        System.err.println(s"[verify] --since: $f defines no gate " +
-          "(shared helper?) — blast radius unknown, full sweep")
-        return None
-      }
-      picked ++= here
+    changed.find(f => !Files.exists(Paths.get(f))).foreach { f =>
+      System.err.println(s"[verify] --since: $f deleted; full sweep")
+      return None
     }
+    val names = SparkEntry.queries.keySet
+    val typeName =
+      ("""(?m)^\s*(?:final\s+|case\s+|abstract\s+|sealed\s+|""" +
+        """private(?:\[\w+\])?\s+|implicit\s+)*""" +
+        """(?:object|class|trait)\s+([A-Za-z_][A-Za-z0-9_]*)""").r
+    // every main-source file, read once
+    val allFiles = {
+      val s = Files.walk(Paths.get("src/main/scala"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(p =>
+          p.toString.endsWith(".scala")).toVector
+      } finally s.close()
+    }
+    val texts = allFiles.map(p => p.toString -> Files.readString(p)).toMap
+    def gatesIn(f: String): Set[String] =
+      names.filter(n => texts(f).contains("\"" + n + "\""))
+    changed.find(f => gatesIn(f).isEmpty &&
+        typeName.findFirstIn(texts(f)).isEmpty).foreach { f =>
+      System.err.println(s"[verify] --since: $f defines no gate and " +
+        "no top-level type — blast radius unknown, full sweep")
+      return None
+    }
+    // reverse-dependency fixpoint over top-level-name mentions
+    var closure = changed.toSet
+    var frontier = changed.toSet
+    while (frontier.nonEmpty) {
+      val syms = frontier.flatMap(f =>
+        typeName.findAllMatchIn(texts(f)).map(_.group(1)))
+      frontier = texts.keySet.diff(closure).filter(g =>
+        syms.exists(s => texts(g).contains(s)))
+      closure ++= frontier
+    }
+    val pkgObject = """(?m)^\s*package\s+object\s+\w""".r
+    closure.find(f => pkgObject.findFirstIn(texts(f)).nonEmpty)
+      .foreach { f =>
+        System.err.println(s"[verify] --since: $f declares a package " +
+          "object (members usable without a name mention) — full sweep")
+        return None
+      }
+    val picked = closure.flatMap(gatesIn)
     System.err.println(s"[verify] --since $rev: ${picked.size} gate(s)" +
-      s" from ${changed.size} changed file(s): " +
+      s" from ${changed.size} changed file(s) " +
+      s"(+${closure.size - changed.size} via reverse deps): " +
       picked.toSeq.sorted.mkString(", "))
-    Some(picked.toSet)
+    Some(picked)
   }
 
   def main(args: Array[String]): Unit = {
