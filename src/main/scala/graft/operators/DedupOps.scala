@@ -43,13 +43,35 @@ object DedupOps {
     */
   val MaxBandBucket = 100000
 
-  /** Stop-phrase ceiling for the n-gram Jaccard path: n-grams shared
-    * by more docs than this within a (lang, source) block are treated
-    * as stop phrases and removed from the sets (sizes and
-    * intersections alike). Bounds every posting list in the pair join;
-    * never triggers at test scale (max df there is 5).
-    */
+  /** HARD stop-phrase ceiling for the n-gram Jaccard path: no posting
+    * list in the pair join ever exceeds this, whatever the corpus.
+    * Since r15 it is the upper clamp of an ADAPTIVE per-block ceiling
+    * (see [[MinNgramDf]] / [[NgramDfQuantilePermyriad]]): the r14
+    * measurement showed a fixed 1000 cannot engage below n ≈ 256k on
+    * a natural 30k-word vocabulary (hottest per-block df ~350 at
+    * n = 64k), leaving the operator ×15.7-per-×4 — near-quadratic —
+    * in exactly the regime real corpora occupy. */
   val MaxNgramDf = 1000
+
+  /** FLOOR of the adaptive n-gram df ceiling: a block's ceiling never
+    * drops below this, so low-skew corpora (the driver testdata's max
+    * df is 4) are NEVER pruned — the adaptive rule only engages where
+    * skew exists. */
+  val MinNgramDf = 16
+
+  /** The adaptive ceiling's df-quantile, in permyriad (per-10000) of
+    * a block's DISTINCT grams: a block's ceiling is the smallest df d
+    * with (# grams with df ≤ d) · 10000 ≥ 9999 · (# grams), clamped
+    * to [[[MinNgramDf]], [[MaxNgramDf]]] — i.e. the top 0.01% most-
+    * shared grams are stop phrases. Why a quantile of DISTINCT grams
+    * bends the growth curve where fixed-1000 could not: on a zipfian
+    * corpus the hot head is a vanishing fraction of distinct grams
+    * (# grams with df ≥ d grows ~n/d while distinct grams grow ~n),
+    * so the quantile cap grows SUBLINEARLY in n (measured n^0.46:
+    * caps 16 → 16–20 → 27–37 at n = 4k/16k/64k) and the joined
+    * surface Σ C(min(df, cap), 2) bends from the unbounded ×10–16 to
+    * a measured ×6.5 per ×4 corpus (SCALING.md). */
+  val NgramDfQuantilePermyriad = 9999
 
   /** Edit-distance ceiling for the levenshtein verification gate: a
     * candidate pair is a character-level near-dup when the distance
@@ -223,8 +245,12 @@ object DedupOps {
 
   /** Full word-3-gram Jaccard oracle (pairs ≥ 0.02 within blocks,
     * df-ceiling-consistent) — shared by the jaccard gate and the
-    * banded-recall gate, which embeds it as the truth set.
-    */
+    * banded-recall gate, which embeds it as the truth set. The
+    * stop-phrase ceiling is the ADAPTIVE per-block df-quantile rule
+    * (see [[NgramDfQuantilePermyriad]]), mirrored exactly: integer
+    * cumulative counts over the per-block df histogram, never an
+    * engine quantile builtin (whose interpolation conventions
+    * differ). */
   private[operators] val ngramJaccardSql: String =
     s"""WITH toks AS (
         |  SELECT doc_id, lang, source, string_split(text, ' ') AS ts
@@ -235,10 +261,31 @@ object DedupOps {
         |  FROM toks,
         |    LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) g
         |  WHERE len(ts) >= 3),
+        |dfs AS (
+        |  SELECT lang, source, ng, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM ngrams0 GROUP BY 1, 2, 3),
+        |hist AS (
+        |  SELECT lang, source, df, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM dfs GROUP BY 1, 2, 3),
+        |qd AS (
+        |  SELECT lang, source, MIN(df) AS qd FROM (
+        |    SELECT lang, source, df,
+        |      SUM(k) OVER (PARTITION BY lang, source ORDER BY df)
+        |        AS cum,
+        |      SUM(k) OVER (PARTITION BY lang, source) AS tot
+        |    FROM hist) h
+        |  WHERE cum * 10000 >= tot * $NgramDfQuantilePermyriad
+        |  GROUP BY 1, 2),
+        |caps AS (
+        |  SELECT lang, source,
+        |    LEAST($MaxNgramDf, GREATEST(qd, $MinNgramDf)) AS dcap
+        |  FROM qd),
         |ngrams AS (
-        |  SELECT * FROM ngrams0
-        |  QUALIFY COUNT(*) OVER (PARTITION BY lang, source, ng)
-        |    <= $MaxNgramDf),
+        |  SELECT n.doc_id, n.lang, n.source, n.ng
+        |  FROM ngrams0 n
+        |  JOIN dfs USING (lang, source, ng)
+        |  JOIN caps USING (lang, source)
+        |  WHERE df <= dcap),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ngrams GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
@@ -299,20 +346,27 @@ object DedupOps {
       // Two-pass posting-list construction so the stop-phrase ceiling
       // bounds every list BY CONSTRUCTION, not after the fact: pass 1
       // is a pure hash-agg count per (block, n-gram) — constant-size
-      // aggregation buffers however hot the n-gram — whose over-ceiling
-      // survivors (the stop phrases, a tiny set: at most
-      // total-occurrences / MaxNgramDf entries) anti-join the exploded
-      // table; only then does pass 2 collect_list, every buffer now
-      // ≤ MaxNgramDf ids. A single-pass collect-then-filter would
-      // materialize a hot stop-phrase's ENTIRE doc list in one
-      // aggregation buffer first — the exact unbounded state this
-      // ceiling exists to prevent. The anti-join is left un-hinted so
-      // AQE broadcasts the stop-phrase set when it is small (the
-      // common case) without betting correctness on it.
-      val hot = exploded
+      // aggregation buffers however hot the n-gram — whose
+      // over-ceiling survivors (the stop phrases, the top-0.01%
+      // hottest grams per block under the adaptive quantile rule)
+      // anti-join the exploded table; only then does pass 2
+      // collect_list, every buffer now ≤ the block's ceiling. A
+      // single-pass collect-then-filter would materialize a hot
+      // stop-phrase's ENTIRE doc list in one aggregation buffer first
+      // — the exact unbounded state this ceiling exists to prevent.
+      // The df table is Materialize.stable'd because TWO consumers
+      // read it (the per-block ceiling fold and the stop-phrase
+      // filter) — one count pass over the exploded corpus, not two.
+      // The ceiling table is one row per block — broadcast. The
+      // anti-join is left un-hinted so AQE broadcasts the stop-phrase
+      // set when it is small (the common case) without betting
+      // correctness on it.
+      val dfc = graft.functions.Materialize.stable(exploded
         .groupBy(col("lang"), col("source"), col("ng"))
-        .agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > MaxNgramDf)
+        .agg(count(lit(1)).as("__df")))
+      val hot = dfc
+        .join(broadcast(ngramCeilings(dfc)), Seq("lang", "source"))
+        .filter(col("__df") > col("__dcap"))
         .select(col("lang"), col("source"), col("ng"))
       // posting lists are the bounded intermediate both downstream
       // consumers (sizes, intersections) read — materialize them once
@@ -323,6 +377,52 @@ object DedupOps {
         .join(hot, Seq("lang", "source", "ng"), "left_anti")
         .groupBy(col("lang"), col("source"), col("ng"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ds")))
+  }
+
+  /** The adaptive per-block df ceiling (r15, VERDICT r14 #2): for
+    * each (lang, source) block, the smallest df `d` such that grams
+    * with df ≤ d are ≥ [[NgramDfQuantilePermyriad]]/10000 of the
+    * block's distinct grams, clamped to [MinNgramDf, MaxNgramDf] —
+    * exact integer cumulative counts over the df histogram, the same
+    * arithmetic the oracle SQL spells. Input: the (lang, source, ng,
+    * __df) count table; output: one (lang, source, __dcap) row per
+    * block. The windows run over the per-block df HISTOGRAM (distinct
+    * df values — dozens of rows per block), never the gram table.
+    */
+  private[graft] def ngramCeilings(dfc: DataFrame): DataFrame = {
+    val byBlock = Window.partitionBy(col("lang"), col("source"))
+    dfc.groupBy(col("lang"), col("source"), col("__df"))
+      .agg(count(lit(1)).as("__k"))
+      .withColumn("__cum",
+        sum(col("__k")).over(byBlock.orderBy(col("__df"))))
+      .withColumn("__tot", sum(col("__k")).over(byBlock))
+      .filter(col("__cum") * 10000 >=
+        col("__tot") * NgramDfQuantilePermyriad)
+      .groupBy(col("lang"), col("source"))
+      .agg(min(col("__df")).as("__qd"))
+      .select(col("lang"), col("source"),
+        least(lit(MaxNgramDf.toLong),
+          greatest(col("__qd"), lit(MinNgramDf.toLong))).as("__dcap"))
+  }
+
+  /** Per-block adaptive ceilings for a corpus dir — the measurement
+    * surface [[graft.Scaling]] reads (one row per (lang, source):
+    * __dcap). */
+  private[graft] def ngramBlockCeilings(s: SparkSession, dir: String)
+      : DataFrame = {
+    val dfc = docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("lang"), col("source"),
+        explode(expr(
+          """array_distinct(transform(sequence(1, size(ts)-2),
+            |  i -> concat(element_at(ts, i), ' ', element_at(ts, i+1),
+            |              ' ', element_at(ts, i+2))))""".stripMargin))
+          .as("ng"))
+      .groupBy(col("lang"), col("source"), col("ng"))
+      .agg(count(lit(1)).as("__df"))
+    ngramCeilings(dfc)
   }
 
   private def buildNgramJaccardPairs(s: SparkSession, dir: String)
@@ -450,11 +550,16 @@ object DedupOps {
 
     // N-gram Jaccard near-dup: distinct word-3-gram sets, candidate
     // pairs within (lang, source) blocks, |A∩B| / |A∪B| ≥ 0.02.
-    // Stop-phrase guard: n-grams shared by more than MaxNgramDf docs in
-    // a block are removed from the sets ENTIRELY (sizes and
-    // intersections — consistent Jaccard over non-stop n-grams), so no
-    // posting list can explode the pair join. The ceiling never
-    // triggers at test scale (max df there is 5).
+    // Stop-phrase guard (ADAPTIVE since r15): each block's df ceiling
+    // is the top-0.01%-of-distinct-grams quantile clamped to
+    // [MinNgramDf, MaxNgramDf]; over-ceiling grams are removed from
+    // the sets ENTIRELY (sizes and intersections — consistent Jaccard
+    // over non-stop n-grams), so no posting list can explode the pair
+    // join AND the joined surface stays ~×6.5 per ×4 corpus on a
+    // natural vocabulary (SCALING.md) where the old fixed-1000
+    // ceiling was ×15.7. The MinNgramDf floor means the guard never
+    // triggers at test scale (max df there is 4) — low-skew corpora
+    // are never pruned.
     QuerySpec.sql("dedup_ngram_jaccard", ngramJaccardSql) { (s, dir) =>
       ngramJaccardPairs(s, dir).orderBy(col("a_id"), col("b_id"))
     },
