@@ -61,17 +61,23 @@ object DedupOps {
 
   /** The adaptive ceiling's df-quantile, in permyriad (per-10000) of
     * a block's DISTINCT grams: a block's ceiling is the smallest df d
-    * with (# grams with df ≤ d) · 10000 ≥ 9999 · (# grams), clamped
-    * to [[[MinNgramDf]], [[MaxNgramDf]]] — i.e. the top 0.01% most-
-    * shared grams are stop phrases. Why a quantile of DISTINCT grams
+    * with (# grams with df ≤ d) · 10000 ≥ 999·10 · (# grams), clamped
+    * to [[[MinNgramDf]], [[MaxNgramDf]]] — i.e. the top 0.1% most-
+    * shared grams are stop phrases (conservative by text-dedup
+    * standards; near-dup pairs are identified by their RARE shared
+    * grams, and the measured true-pair retention under this rule is
+    * 97–99.6% at n = 16k–64k). Why a quantile of DISTINCT grams
     * bends the growth curve where fixed-1000 could not: on a zipfian
     * corpus the hot head is a vanishing fraction of distinct grams
     * (# grams with df ≥ d grows ~n/d while distinct grams grow ~n),
-    * so the quantile cap grows SUBLINEARLY in n (measured n^0.46:
-    * caps 16 → 16–20 → 27–37 at n = 4k/16k/64k) and the joined
-    * surface Σ C(min(df, cap), 2) bends from the unbounded ×10–16 to
-    * a measured ×6.5 per ×4 corpus (SCALING.md). */
-  val NgramDfQuantilePermyriad = 9999
+    * so the quantile cap grows SUBLINEARLY in n (~n^0.35 measured:
+    * P99.9 df = 3–4 / 5–6 / 7–10 at n = 4k/16k/64k, under the
+    * MinNgramDf floor until n ≈ 512k) and the measured DISTINCT
+    * candidate growth bends from the fixed rule's ×15.7 per ×4
+    * corpus to ×7.4 (SCALING.md). 9990 rather than 9999: the 0.01%
+    * variant measured ×10.8 — the hot head below its quantile still
+    * carried most of the C(df,2) mass. */
+  val NgramDfQuantilePermyriad = 9990
 
   /** Edit-distance ceiling for the levenshtein verification gate: a
     * candidate pair is a character-level near-dup when the distance
@@ -551,15 +557,15 @@ object DedupOps {
     // N-gram Jaccard near-dup: distinct word-3-gram sets, candidate
     // pairs within (lang, source) blocks, |A∩B| / |A∪B| ≥ 0.02.
     // Stop-phrase guard (ADAPTIVE since r15): each block's df ceiling
-    // is the top-0.01%-of-distinct-grams quantile clamped to
+    // is the top-0.1%-of-distinct-grams quantile clamped to
     // [MinNgramDf, MaxNgramDf]; over-ceiling grams are removed from
     // the sets ENTIRELY (sizes and intersections — consistent Jaccard
     // over non-stop n-grams), so no posting list can explode the pair
-    // join AND the joined surface stays ~×6.5 per ×4 corpus on a
-    // natural vocabulary (SCALING.md) where the old fixed-1000
-    // ceiling was ×15.7. The MinNgramDf floor means the guard never
-    // triggers at test scale (max df there is 4) — low-skew corpora
-    // are never pruned.
+    // join AND the measured candidate growth bends to ×7.4 per ×4
+    // corpus on a natural vocabulary (SCALING.md) where the old
+    // fixed-1000 ceiling was ×15.7, at 97–99.6% true-pair retention.
+    // The MinNgramDf floor means the guard never triggers at test
+    // scale (max df there is 4) — low-skew corpora are never pruned.
     QuerySpec.sql("dedup_ngram_jaccard", ngramJaccardSql) { (s, dir) =>
       ngramJaccardPairs(s, dir).orderBy(col("a_id"), col("b_id"))
     },
