@@ -535,30 +535,37 @@ object Scaling {
           |
           |The ~10 most expensive non-dedup gates, timed (noop sink,
           |min of 3 reps after an untimed cache-warm pass) at each
-          |driver SF — every table grows x10 per step, so the
-          |per-step growth exponent is e = ln(t_hi/t_lo)/ln(10).
-          |n log n cost reads as e ~ 1.05 at these scales; e <= ~1.1
-          |passes, anything above is explained. CAVEAT: at the small
-          |end (sf0.001 -> sf0.01) Spark's fixed per-query overhead
-          |(~0.1-0.3 s of planning + 32-partition task dispatch)
-          |dominates, so those exponents read artificially LOW; the
-          |sf0.01 -> sf0.1 step is the operative figure.
+          |driver SF. The driver ladder is NOT uniform per table
+          |(documents: 500/500/5000; embeddings: 500/500/2000;
+          |events: 1k/10k/100k; lineitem: 6k/60k/600k), so each
+          |per-step growth exponent uses the gate's dominant-table
+          |row ratio: e = ln(t_hi/t_lo)/ln(n_hi/n_lo), '-' where the
+          |table did not grow over the step. n log n cost reads as
+          |e ~ 1.05 at these scales; e <= ~1.1 passes, anything above
+          |is explained. CAVEAT: at these absolute sizes Spark's
+          |fixed per-query overhead (~0.3-1.3 s of planning +
+          |32-partition task dispatch across multi-stage plans)
+          |dominates the wall time, so exponents read LOW — the
+          |signal is that none of them TREND quadratic (e ~ 2), not
+          |the absolute values.
           |
           |""".stripMargin
-        t ++= "| gate | dominant table | " +
+        t ++= "| gate | dominant table | n rows (3 SFs) | " +
           "t(sf0.001) s | t(sf0.01) s | t(sf0.1) s | " +
-          "e(0.001->0.01) | e(0.01->0.1) |\n"
-        t ++= "|---|---|---|---|---|---|---|\n"
+          "e(step 1) | e(step 2) |\n"
+        t ++= "|---|---|---|---|---|---|---|---|\n"
         val bySf = hotTimes.groupBy(_.gate)
         hotGates.foreach { case (g, table) =>
           val m = bySf.getOrElse(g, Seq.empty)
-            .map(h => h.sf -> h.sec).toMap
+            .map(h => h.sf -> ((h.sec, h.nRows))).toMap
           (m.get("sf0.001"), m.get("sf0.01"), m.get("sf0.1")) match {
-            case (Some(a), Some(b), Some(c)) =>
-              val e1 = math.log(b / a) / math.log(10)
-              val e2 = math.log(c / b) / math.log(10)
-              t ++= f"| $g | $table | $a%.3f | $b%.3f | $c%.3f | " +
-                f"$e1%.2f | $e2%.2f |\n"
+            case (Some((a, na)), Some((b, nb)), Some((c, nc))) =>
+              def e(tLo: Double, tHi: Double, nLo: Long, nHi: Long) =
+                if (nHi <= nLo) "-"
+                else f"${math.log(tHi / tLo) / math.log(nHi.toDouble / nLo)}%.2f"
+              t ++= f"| $g | $table | $na/$nb/$nc | " +
+                f"$a%.3f | $b%.3f | $c%.3f | " +
+                s"${e(a, b, na, nb)} | ${e(b, c, nb, nc)} |\n"
             case _ => ()
           }
         }
