@@ -9395,6 +9395,240 @@ object TimeSeriesOps {
     // a 14-day count product stays under ~9e18 (10⁸-row days);
     // larger grains route the sums through DECIMAL(38,0) like the
     // kendall machinery.
+    // Grubbs' outlier statistic per event type — the single-outlier
+    // screen beside events_mad_outliers (MAD flags many; Grubbs
+    // scores THE most extreme point against the normal-theory null).
+    // Exact integers throughout: with cents m, n, S = Σm, Q = Σm²,
+    // G² = (n−1)·devmax² / (n·(nQ − S²)) where devmax =
+    // max|n·m − S| — the ×n-scaled deviation, so no division happens
+    // before the single floor-to-micro at the end. The flagged value
+    // rides along (min m among devmax achievers — a deterministic
+    // tie-break both engines spell identically). No verdict column:
+    // the 5% critical value depends on n through the t-quantile,
+    // which has no closed form — report-grade, like dq_column_profile.
+    // Plan: one events fold + one broadcast-join deviation pass
+    // (Materialize.stable'd, TWO consumers: the max fold and the
+    // argmax filter); no window.
+    QuerySpec.sql(
+      "stats_grubbs",
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS m
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(m) AS BIGINT) AS s,
+        |    CAST(SUM(CAST(m AS HUGEINT) * m) AS HUGEINT) AS q
+        |  FROM v GROUP BY 1 HAVING COUNT(*) >= 3),
+        |dv AS (
+        |  SELECT v.event_type, g.n, g.s, g.q, v.m,
+        |    ABS(g.n * CAST(v.m AS HUGEINT) - g.s) AS dev
+        |  FROM v JOIN g USING (event_type)),
+        |d AS (
+        |  SELECT event_type, n, s, q, MAX(dev) AS devmax
+        |  FROM dv GROUP BY 1, 2, 3, 4),
+        |o AS (
+        |  SELECT dv.event_type, CAST(MIN(dv.m) AS BIGINT) AS outlier_c
+        |  FROM dv JOIN d USING (event_type)
+        |  WHERE dv.dev = d.devmax GROUP BY 1)
+        |SELECT d.event_type, d.n, o.outlier_c,
+        |  CAST(CASE WHEN d.n * d.q - CAST(d.s AS HUGEINT) * d.s > 0
+        |    THEN (d.n - 1) * d.devmax * d.devmax * 1000000
+        |      // (d.n * (d.n * d.q - CAST(d.s AS HUGEINT) * d.s))
+        |    END AS BIGINT) AS g2_micro
+        |FROM d JOIN o USING (event_type)
+        |ORDER BY d.event_type""".stripMargin) { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val v = events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("m"))
+      val g = v.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("m")).cast("long").as("s"),
+          sum(expr("CAST(m AS DECIMAL(38,0)) * m")).cast(d38).as("q"))
+        .filter(col("n") >= 3)
+      val dv = Materialize.stable(v
+        .join(broadcast(g), Seq("event_type"))
+        .withColumn("dev",
+          expr("ABS(n * CAST(m AS DECIMAL(38,0)) - s)").cast(d38)))
+      val d = dv.groupBy(col("event_type"), col("n"), col("s"),
+          col("q"))
+        .agg(max(col("dev")).cast(d38).as("devmax"))
+      val o = dv
+        .join(broadcast(d.select(col("event_type"), col("devmax"))),
+          Seq("event_type"))
+        .filter(col("dev") === col("devmax"))
+        .groupBy(col("event_type"))
+        .agg(min(col("m")).cast("long").as("outlier_c"))
+      d.join(broadcast(o), Seq("event_type"))
+        .select(col("event_type"), col("n"), col("outlier_c"),
+          expr("CAST(CASE WHEN n * q - CAST(s AS DECIMAL(38,0)) * s > 0" +
+            " THEN (n - 1) * devmax * devmax * 1000000" +
+            " div (n * (n * q - CAST(s AS DECIMAL(38,0)) * s))" +
+            " END AS BIGINT)").as("g2_micro"))
+        .orderBy(col("event_type"))
+    },
+
+    // Holm step-down adjusted p-values over the sign-test family —
+    // the FWER-controlling sibling of stats_fdr_bh (BH bounds the
+    // false-DISCOVERY rate; Holm bounds ANY false positive, the bar
+    // a go/no-go family of launch tests actually needs, uniformly
+    // more powerful than the flat Bonferroni the BH gate reports).
+    // Rides the SAME exact-rational sign-test frame: p = p_num/2ⁿ
+    // scaled to a common 2^nmax denominator, ranked ascending;
+    // reject ranks 1..r* where r* + 1 is the FIRST rank with
+    // 20·(m−rank+1)·p_scaled > 2^nmax (α = 5%, exact integers), and
+    // the adjusted p is the running max of min(1, (m−rank+1)·p) in
+    // micro. The running max runs as a triangle self-join on the
+    // ≤ m-row test table (m = series count, ~10) — keyed-join
+    // shaped, no unpartitioned window; ranking via the PrefixSum
+    // global cumsum like the BH gate.
+    QuerySpec.sql(
+      "stats_holm", {
+        s"""WITH RECURSIVE $signTestCtes,
+           |mm AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           |    CAST(MAX(n) AS BIGINT) AS nmax
+           |  FROM sgn),
+           |sc AS (
+           |  SELECT s.series, s.n, s.k, s.p_num, s.p_den, mm.m,
+           |    mm.nmax,
+           |    s.p_num * (1::BIGINT << CAST(mm.nmax - s.n AS INT))
+           |      AS p_scaled
+           |  FROM sgn s, mm),
+           |rk AS (
+           |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_scaled,
+           |    series) AS BIGINT) AS rnk
+           |  FROM sc),
+           |tm AS (
+           |  SELECT rnk AS j, LEAST(CAST(1000000 AS BIGINT),
+           |    CAST((m - rnk + 1) * CAST(p_scaled AS HUGEINT)
+           |      * 1000000
+           |      // (1::BIGINT << CAST(nmax AS INT)) AS BIGINT))
+           |    AS term
+           |  FROM rk),
+           |ff AS (
+           |  SELECT COALESCE(MIN(CASE WHEN
+           |      20 * (m - rnk + 1) * CAST(p_scaled AS HUGEINT) >
+           |      (1::BIGINT << CAST(nmax AS INT))
+           |    THEN rnk END), MAX(m) + 1) AS first_fail
+           |  FROM rk)
+           |SELECT r.series, r.n, r.k, r.p_num, r.p_den, r.rnk AS rank,
+           |  CAST(MAX(t.term) AS BIGINT) AS holm_p_micro,
+           |  r.rnk < ff.first_fail AS holm_reject
+           |FROM rk r JOIN tm t ON t.j <= r.rnk, ff
+           |GROUP BY ALL
+           |ORDER BY rank, series""".stripMargin
+      }) { (s, dir) =>
+      import graft.functions.PrefixSum
+      val sgn = Materialize.stable(signTest(s, dir))
+      val mm = sgn.agg(count(lit(1)).cast("long").as("m"),
+        max(col("n")).cast("long").as("nmax"))
+      val sc = sgn.crossJoin(broadcast(mm))
+        .withColumn("p_scaled", expr(
+          "p_num * shiftleft(CAST(1 AS BIGINT), CAST(nmax - n AS INT))"))
+      val rk = Materialize.stable(PrefixSum.globalCumsum(sc,
+        Seq(col("p_scaled"), col("series")), lit(1L), "rnk"))
+      val tm = rk.select(col("rnk").as("j"),
+        least(lit(1000000L), expr(
+          "CAST((m - rnk + 1) * CAST(p_scaled AS DECIMAL(38,0))" +
+            " * 1000000" +
+            " div shiftleft(CAST(1 AS BIGINT), CAST(nmax AS INT))" +
+            " AS BIGINT)")).as("term"))
+      val ff = rk.agg(coalesce(min(when(expr(
+          "20 * (m - rnk + 1) * CAST(p_scaled AS DECIMAL(38,0)) > " +
+            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(nmax AS INT))" +
+            " AS DECIMAL(38,0))"), col("rnk"))),
+          max(col("m")) + 1).as("first_fail"))
+      rk.join(broadcast(tm), col("j") <= col("rnk"))
+        .groupBy(col("series"), col("n"), col("k"), col("p_num"),
+          col("p_den"), col("rnk"))
+        .agg(max(col("term")).cast("long").as("holm_p_micro"))
+        .crossJoin(broadcast(ff))
+        .select(col("series"), col("n"), col("k"), col("p_num"),
+          col("p_den"), col("rnk").as("rank"), col("holm_p_micro"),
+          (col("rnk") < col("first_fail")).as("holm_reject"))
+        .orderBy(col("rank"), col("series"))
+    },
+
+    // Jackknife variance of the ratio estimator — the resampling
+    // companion to stats_bootstrap_means for a NON-linear statistic
+    // (a ratio's plug-in variance has no exact closed form; the
+    // delete-one jackknife is the classical distribution-free
+    // answer). Per return flag over lineitem: R = Σprice/Σqty, the
+    // delete-one pseudovalue θ_i = (Sy − y_i)/(Sx − x_i) quantized
+    // to an exact MILLI integer per row FIRST (milli, not micro: the
+    // variance is a SQUARE, and at small n — where delete-one moves
+    // the ratio most — the micro² figure overflowed int64 at
+    // sf0.001; milli² peaks ~1.5e13 there and SHRINKS with n) (the established
+    // discipline — integer sums are order-independent where float
+    // accumulation is not), then Var_jk = (n−1)/n · Σ(θ − θ̄)² as
+    // one exact rational over Σθ, Σθ²: ((nΣθ² − (Σθ)²) // n ·
+    // (n−1)) // n — divided EARLY so the 38-digit envelope holds at
+    // any SF. Plan: one lineitem fold to 3-row group totals,
+    // broadcast back over one row-scale pass, one fold; no window,
+    // no per-row shuffle.
+    QuerySpec.sql(
+      "stats_jackknife_ratio",
+      """WITH r AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+        |    CAST(l_quantity AS BIGINT) AS x
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x) AS BIGINT) AS sx
+        |  FROM r GROUP BY 1 HAVING COUNT(*) >= 2),
+        |t AS (
+        |  SELECT r.flag,
+        |    CAST((g.sy - r.y) * CAST(1000 AS HUGEINT)
+        |      // (g.sx - r.x) AS BIGINT) AS th
+        |  FROM r JOIN g USING (flag) WHERE g.sx - r.x > 0),
+        |a AS (
+        |  SELECT flag, CAST(COUNT(*) AS BIGINT) AS nt,
+        |    CAST(SUM(CAST(th AS HUGEINT)) AS HUGEINT) AS st,
+        |    CAST(SUM(CAST(th AS HUGEINT) * th) AS HUGEINT) AS st2
+        |  FROM t GROUP BY 1)
+        |SELECT g.flag, g.n,
+        |  CAST(CAST(g.sy AS HUGEINT) * 1000 // g.sx AS BIGINT)
+        |    AS ratio_milli,
+        |  CAST((((a.nt * a.st2 - a.st * a.st) // a.nt) * (a.nt - 1))
+        |    // a.nt AS BIGINT) AS jk_var_milli2
+        |FROM g JOIN a USING (flag)
+        |ORDER BY g.flag""".stripMargin) { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val r = Materialize.stable(Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"),
+          col("l_quantity").cast("long").as("x")))
+      val g = r.groupBy(col("flag"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(col("x")).cast("long").as("sx"))
+        .filter(col("n") >= 2)
+      val a = r.join(broadcast(g), Seq("flag"))
+        .filter(col("sx") - col("x") > 0)
+        .select(col("flag"), expr(
+          "CAST((sy - y) * CAST(1000 AS DECIMAL(38,0))" +
+            " div (sx - x) AS BIGINT)").as("th"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).cast("long").as("nt"),
+          sum(expr("CAST(th AS DECIMAL(38,0))")).cast(d38).as("st"),
+          sum(expr("CAST(th AS DECIMAL(38,0)) * th")).cast(d38)
+            .as("st2"))
+      g.join(broadcast(a), Seq("flag"))
+        .select(col("flag"), col("n"),
+          expr("CAST(CAST(sy AS DECIMAL(38,0)) * 1000 div sx" +
+            " AS BIGINT)").as("ratio_milli"),
+          // the inner quotient re-enters DECIMAL(38,0) before the
+          // (nt − 1) product: Spark's div yields LONG, and the bare
+          // long×long overflows where DuckDB's HUGEINT carries on
+          expr("CAST((CAST((nt * st2 - st * st) div nt" +
+            " AS DECIMAL(38,0)) * (nt - 1))" +
+            " div nt AS BIGINT)").as("jk_var_milli2"))
+        .orderBy(col("flag"))
+    },
+
     QuerySpec.sql(
       "ts_rolling_beta",
       """WITH cnts AS (

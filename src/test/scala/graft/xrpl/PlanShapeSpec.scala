@@ -558,6 +558,25 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("round-15 additions: no cartesian, every window keyed") {
+    // Grubbs folds to a per-type broadcast deviation pass; Holm
+    // ranks via the PrefixSum global cumsum and runs its cummax as
+    // a triangle self-join on the ~10-row test table; the jackknife
+    // is one group-totals broadcast over a row-scale pass. The only
+    // windows any of them plan are PrefixSum's pid-keyed locals.
+    for (name <- Seq("stats_grubbs", "stats_holm",
+        "stats_jackknife_ratio")) {
+      val all = collectNodes(planOf(name))
+      val s = all.map(_.toString).mkString("\n")
+      assert(!s.contains("CartesianProduct"),
+        s"$name plans an unbroadcast cartesian join")
+      val bad = all.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name plans an unpartitioned WindowExec")
+    }
+  }
+
   test("ranking-eval gates: corpus-scale work ends at the top-10 cut") {
     // eval_ndcg / eval_map_mrr may window, but only AFTER a
     // TakeOrdered/limit-10 boundary: assert the plan contains a
