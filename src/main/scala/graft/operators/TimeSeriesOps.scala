@@ -9446,10 +9446,15 @@ object TimeSeriesOps {
           sum(col("m")).cast("long").as("s"),
           sum(expr("CAST(m AS DECIMAL(38,0)) * m")).cast(d38).as("q"))
         .filter(col("n") >= 3)
-      val dv = Materialize.stable(v
+      // not Materialize.stable'd: dev is a row-scale derived column;
+      // its two consumers (max fold, argmax filter) re-derive it from
+      // a column-pruned scan + broadcast join — cheaper than
+      // checkpoint-writing the row-scale deviation table, which is
+      // also the 100 TB posture (recompute, never materialize rows)
+      val dv = v
         .join(broadcast(g), Seq("event_type"))
         .withColumn("dev",
-          expr("ABS(n * CAST(m AS DECIMAL(38,0)) - s)").cast(d38)))
+          expr("ABS(n * CAST(m AS DECIMAL(38,0)) - s)").cast(d38))
       val d = dv.groupBy(col("event_type"), col("n"), col("s"),
           col("q"))
         .agg(max(col("dev")).cast(d38).as("devmax"))
@@ -9597,10 +9602,14 @@ object TimeSeriesOps {
         |FROM g JOIN a USING (flag)
         |ORDER BY g.flag""".stripMargin) { (s, dir) =>
       val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val r = Materialize.stable(Tables(s, dir, "lineitem")
+      // NOT Materialize.stable'd: r is row-scale, and its two
+      // consumers (the 3-row totals fold and the pseudovalue pass)
+      // each re-read a column-pruned parquet scan — two cheap scans
+      // beat checkpoint-writing the whole fact table
+      val r = Tables(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"),
-          col("l_quantity").cast("long").as("x")))
+          col("l_quantity").cast("long").as("x"))
       val g = r.groupBy(col("flag"))
         .agg(count(lit(1)).cast("long").as("n"),
           sum(col("y")).cast("long").as("sy"),
