@@ -267,6 +267,14 @@ object Bench {
     // outgrows the window (r14's did — "parsed": null, tail-only).
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"suspect":$suspectJson,"env":$envJson,"sf":"$sfDir"}""")
+    // A second, COMPACT line (no per-query map) that always fits the
+    // driver's bounded stdout tail intact: the full line above has
+    // outgrown the tail window since ~r6 (its head gets cut, so the
+    // driver's parse reads null). Any tail-side scan for a complete
+    // {"metric":"total"...} object finds this one; per-query numbers
+    // live in the committed BENCH_FULL.json.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_queries":${finalResults.size},"queries_full":"BENCH_FULL.json","errors":$errs,"suspect":$suspectJson,"env":$envJson,"sf":"$sfDir"}""")
     println(s"bench: ${finalResults.size} queries, total ${math.rint(total * 10) / 10} s, " +
       s"errors=${finalResults.count(_._2 < 0)}, reps=$reps, " +
       s"suspects=${suspects0.size} (unrecovered=${stillSuspect.size}), " +
