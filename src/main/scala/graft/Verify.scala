@@ -148,6 +148,16 @@ object Verify {
       } finally s.close()
     }
     val texts = allFiles.map(p => p.toString -> Files.readString(p)).toMap
+    // `changed` is ANY path under src/main/scala from git diff, but the
+    // index above holds only .scala files — a changed non-.scala file
+    // (an embedded resource, a stray .md) exists on disk, passes the
+    // deleted-file check, and used to throw NoSuchElementException here
+    // instead of taking the conservative fallback (ADVICE r15).
+    changed.find(f => !texts.contains(f)).foreach { f =>
+      System.err.println(s"[verify] --since: $f is not an indexed " +
+        "main-source .scala file — blast radius unknowable, full sweep")
+      return None
+    }
     def gatesIn(f: String): Set[String] =
       names.filter(n => texts(f).contains("\"" + n + "\""))
     changed.find(f => gatesIn(f).isEmpty &&

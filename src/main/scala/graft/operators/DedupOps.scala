@@ -353,7 +353,7 @@ object DedupOps {
       // bounds every list BY CONSTRUCTION, not after the fact: pass 1
       // is a pure hash-agg count per (block, n-gram) — constant-size
       // aggregation buffers however hot the n-gram — whose
-      // over-ceiling survivors (the stop phrases, the top-0.01%
+      // over-ceiling survivors (the stop phrases, the top-0.1%
       // hottest grams per block under the adaptive quantile rule)
       // anti-join the exploded table; only then does pass 2
       // collect_list, every buffer now ≤ the block's ceiling. A

@@ -20,7 +20,13 @@ cd /root/repo
 python3 tools/machine_state.py > /tmp/ms_before.json
 read -r _ u1 n1 s1 i1 w1 irq1 sirq1 st1 _ < /proc/stat
 t0=$(date +%s)
+# SPARK_GRAFT_CLOSE=1: this script is the round-close capture path, so
+# it is the one invocation allowed to (re)write the tracked
+# BENCH_FULL.json — driver/iteration runs of graft.Bench write only to
+# gitignored target/bench_full.json and leave the worktree clean
+# (r15 verdict #4).
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
+  SPARK_GRAFT_CLOSE=1 \
   sbt -batch "runMain graft.Bench" > /tmp/bench_run.log 2>&1 || true
 t1=$(date +%s)
 read -r _ u2 n2 s2 i2 w2 irq2 sirq2 st2 _ < /proc/stat
