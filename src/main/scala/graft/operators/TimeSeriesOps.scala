@@ -348,6 +348,75 @@ object TimeSeriesOps {
       |    CAST(1::BIGINT << CAST(j.n AS INT) AS BIGINT) AS p_den
       |  FROM jj j JOIN tl t ON t.series = j.series)""".stripMargin
 
+  /** α = 5% two-sided Grubbs critical values, squared, in micro, for
+    * n = 3..42 — floor(G²crit·10⁶) where G²crit = ((n−1)²/n) ·
+    * t²/(ν+t²), t the upper-tail t-quantile at p = α/(2n), ν = n−2.
+    * Computed offline from the exact t distribution (50-digit
+    * incomplete-beta bisection); spot-checked against the published
+    * two-sided table (n=10 → G=2.290, n=20 → 2.708, n=30 → 2.908).
+    * Emitted as an identical CASE literal in BOTH engines, so the
+    * small-n branch is exact-integer parity by construction. */
+  private[graft] val grubbsSmallN: Seq[(Int, Long)] = Seq(
+    3 -> 1332419L, 4 -> 2194101L, 5 -> 2941352L, 6 -> 3561316L,
+    7 -> 4080272L, 8 -> 4522619L, 9 -> 4906243L, 10 -> 5243889L,
+    11 -> 5544753L, 12 -> 5815619L, 13 -> 6061605L, 14 -> 6286657L,
+    15 -> 6493872L, 16 -> 6685722L, 17 -> 6864209L, 18 -> 7030977L,
+    19 -> 7187391L, 20 -> 7334594L, 21 -> 7473555L, 22 -> 7605099L,
+    23 -> 7729939L, 24 -> 7848688L, 25 -> 7961885L, 26 -> 8069997L,
+    27 -> 8173439L, 28 -> 8272578L, 29 -> 8367740L, 30 -> 8459215L,
+    31 -> 8547264L, 32 -> 8632123L, 33 -> 8714002L, 34 -> 8793094L,
+    35 -> 8869573L, 36 -> 8943599L, 37 -> 9015315L, 38 -> 9084856L,
+    39 -> 9152342L, 40 -> 9217887L, 41 -> 9281593L, 42 -> 9343557L)
+
+  /** Shared Spark/DuckDB column chain deriving `gcrit2_micro` (the
+    * α = 5% two-sided Grubbs critical value, squared, micro) from a
+    * BIGINT group size `n` ≥ 3. Small n (≤ 42) reads the exact
+    * [[grubbsSmallN]] table; larger n evaluates ONE shared-text IEEE
+    * chain whose only transcendental beyond sqrt is a single ln,
+    * quantized through the proven micro-ln discipline
+    * (DECIMAL(18,6)-rounded before any further arithmetic, so both
+    * engines continue from the same exact integer):
+    *  - zq   = sqrt(−2·ln p) for p = α/(2n) = 1/(40n) — n ≥ 43 keeps
+    *           p < 0.02425, the single-branch region of the tail
+    *           formula below;
+    *  - zn   = Φ⁻¹(1−p) via Acklam's rational tail approximation
+    *           (|rel err| < 1.2e−9, public constants);
+    *  - tq   = the t-quantile at ν = n−2 via the Cornish–Fisher
+    *           expansion (Abramowitz & Stegun 26.7.5, through ν⁻⁴ —
+    *           ν ≥ 41 here, where the expansion is ~1e−7);
+    *  - gf   = G²crit = ((n−1)²/n) · t²/(ν+t²).
+    * Every step past the micro-ln is +,−,×,÷,sqrt over identical
+    * text — IEEE-correctly-rounded and therefore bit-identical in
+    * both engines. Validated offline against the exact t quantile at
+    * 38 points spanning n = 43..10⁸ (including every driver-SF group
+    * size): max relative error on G²crit is 2.9e−7, i.e. ≤ ~3 micro
+    * units at the threshold — far inside the statistical meaning of
+    * "α = 5%". Column order matters: each entry may reference the
+    * names before it (Spark folds withColumn; DuckDB layers CTEs). */
+  private[graft] val grubbsCritCols: Seq[(String, String)] = Seq(
+    "l40n" -> ("CAST(CAST(ln(CAST(40 * n AS DOUBLE)) AS DECIMAL(18,6))" +
+      " * 1000000 AS BIGINT)"),
+    "zq" -> "sqrt(CAST(2 * l40n AS DOUBLE) / 1000000.0)",
+    "zn" -> ("0.0 - (((((((-0.007784894002430293) * zq + " +
+      "(-0.3223964580411365)) * zq + (-2.400758277161838)) * zq + " +
+      "(-2.549732539343734)) * zq + 4.374664141464968) * zq + " +
+      "2.938163982698783) / ((((0.007784695709041462 * zq + " +
+      "0.3224671290700398) * zq + 2.445134137142996) * zq + " +
+      "3.754408661907416) * zq + 1.0))"),
+    "zz" -> "zn * zn",
+    "nud" -> "CAST(n - 2 AS DOUBLE)",
+    "tq" -> ("zn + (zn * zz + zn) / (4.0 * nud) + ((5.0 * zz * zz + " +
+      "16.0 * zz + 3.0) * zn) / (96.0 * nud * nud) + ((3.0 * zz * zz " +
+      "* zz + 19.0 * zz * zz + 17.0 * zz + (-15.0)) * zn) / (384.0 * " +
+      "nud * nud * nud) + ((79.0 * zz * zz * zz * zz + 776.0 * zz * " +
+      "zz * zz + 1482.0 * zz * zz + (-1920.0) * zz + (-945.0)) * zn) " +
+      "/ (92160.0 * nud * nud * nud * nud)"),
+    "gf" -> ("(CAST(n - 1 AS DOUBLE) * CAST(n - 1 AS DOUBLE) / " +
+      "CAST(n AS DOUBLE)) * (tq * tq) / (nud + tq * tq)"),
+    "gcrit2_micro" -> ("CASE " + grubbsSmallN.map { case (n, m) =>
+      s"WHEN n = $n THEN CAST($m AS BIGINT)" }.mkString(" ") +
+      " ELSE CAST(floor(gf * 1000000.0) AS BIGINT) END"))
+
   /** Spark side of [[signTestCtes]]: per event_type, the day-over-day
     * sign counts and the exact two-sided binomial p as a p_num/p_den
     * rational. The binomial tail is a per-series `aggregate` fold
@@ -9395,7 +9464,7 @@ object TimeSeriesOps {
     // a 14-day count product stays under ~9e18 (10⁸-row days);
     // larger grains route the sums through DECIMAL(38,0) like the
     // kendall machinery.
-    // Grubbs' outlier statistic per event type — the single-outlier
+    // Grubbs' outlier test per event type — the single-outlier
     // screen beside events_mad_outliers (MAD flags many; Grubbs
     // scores THE most extreme point against the normal-theory null).
     // Exact integers throughout: with cents m, n, S = Σm, Q = Σm²,
@@ -9403,15 +9472,34 @@ object TimeSeriesOps {
     // max|n·m − S| — the ×n-scaled deviation, so no division happens
     // before the single floor-to-micro at the end. The flagged value
     // rides along (min m among devmax achievers — a deterministic
-    // tie-break both engines spell identically). No verdict column:
-    // the 5% critical value depends on n through the t-quantile,
-    // which has no closed form — report-grade, like dq_column_profile.
-    // Plan: one events fold + one broadcast-join deviation pass
-    // (Materialize.stable'd, TWO consumers: the max fold and the
-    // argmax filter); no window.
+    // tie-break both engines spell identically). The α=5% two-sided
+    // VERDICT compares g2_micro against gcrit2_micro from the shared
+    // [[grubbsCritCols]] chain — an exact 40-row critical-value
+    // literal for n ≤ 42, the micro-ln → Acklam → Cornish–Fisher
+    // IEEE chain past it (max rel err 2.9e−7 vs the exact t
+    // quantile across n = 43..10⁸) — so reject/accept is a BIGINT
+    // compare in both engines, like stats_holm/stats_fdr_bh.
+    // Overflow is loud in BOTH engines: the (n−1)·devmax²·10⁶
+    // multiply throws under ANSI (Spark 4 default — probed, so no
+    // dead is-null guard) as DuckDB's HUGEINT does, and the one
+    // SILENT Spark path — decimal `div` wrapping its long quotient —
+    // is closed by an explicit raise_error at the documented
+    // n > 9·10¹² envelope. Plan: one events fold + one broadcast-join
+    // deviation pass, NOT Materialize.stable'd — dev is a row-scale
+    // derived column whose two consumers re-derive it from a
+    // column-pruned scan + broadcast join (recompute beats
+    // materializing rows; the 100 TB posture); the critical-value
+    // chain runs on the ≤ k-row aggregate frame; no window.
     QuerySpec.sql(
-      "stats_grubbs",
-      """WITH v AS (
+      "stats_grubbs", {
+        // layer the shared critical-value chain as one CTE per
+        // column over the ≤ k-row result frame r
+        val zc = grubbsCritCols.zipWithIndex.map { case ((c, e), i) =>
+          val src = if (i == 0) "r" else s"z$i"
+          s"z${i + 1} AS (SELECT *, $e AS $c FROM $src)"
+        }.mkString(",\n")
+        val zLast = s"z${grubbsCritCols.size}"
+        s"""WITH v AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS m
         |  FROM events),
         |g AS (
@@ -9429,14 +9517,19 @@ object TimeSeriesOps {
         |o AS (
         |  SELECT dv.event_type, CAST(MIN(dv.m) AS BIGINT) AS outlier_c
         |  FROM dv JOIN d USING (event_type)
-        |  WHERE dv.dev = d.devmax GROUP BY 1)
-        |SELECT d.event_type, d.n, o.outlier_c,
-        |  CAST(CASE WHEN d.n * d.q - CAST(d.s AS HUGEINT) * d.s > 0
-        |    THEN (d.n - 1) * d.devmax * d.devmax * 1000000
-        |      // (d.n * (d.n * d.q - CAST(d.s AS HUGEINT) * d.s))
-        |    END AS BIGINT) AS g2_micro
-        |FROM d JOIN o USING (event_type)
-        |ORDER BY d.event_type""".stripMargin) { (s, dir) =>
+        |  WHERE dv.dev = d.devmax GROUP BY 1),
+        |r AS (
+        |  SELECT d.event_type, d.n, o.outlier_c,
+        |    CAST(CASE WHEN d.n * d.q - CAST(d.s AS HUGEINT) * d.s > 0
+        |      THEN (d.n - 1) * d.devmax * d.devmax * 1000000
+        |        // (d.n * (d.n * d.q - CAST(d.s AS HUGEINT) * d.s))
+        |      END AS BIGINT) AS g2_micro
+        |  FROM d JOIN o USING (event_type)),
+        |$zc
+        |SELECT event_type, n, outlier_c, g2_micro, gcrit2_micro,
+        |  g2_micro > gcrit2_micro AS reject
+        |FROM $zLast ORDER BY event_type""".stripMargin
+      }) { (s, dir) =>
       val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val v = events(s, dir)
         .select(col("event_type"),
@@ -9464,12 +9557,33 @@ object TimeSeriesOps {
         .filter(col("dev") === col("devmax"))
         .groupBy(col("event_type"))
         .agg(min(col("m")).cast("long").as("outlier_c"))
-      d.join(broadcast(o), Seq("event_type"))
+      // Overflow posture, checked empirically under this session's
+      // ANSI=true (Spark 4 default): the (n−1)·devmax²·10⁶ DECIMAL
+      // multiply THROWS (NUMERIC_VALUE_OUT_OF_RANGE) past the 38-digit
+      // envelope — already loud, symmetric with the oracle's HUGEINT
+      // error, so a ChrfClip-style is-null guard here would be dead
+      // code. The SILENT hole is the quotient: Spark's decimal `div`
+      // WRAPS to a bogus long past 2⁶³ (probed: 10³⁸ div 1 returns a
+      // wrapped positive) where DuckDB's HUGEINT→BIGINT cast errors.
+      // The quotient is mathematically ≤ ((n−1)²/n + 1)·10⁶, so the
+      // sign-test-style envelope guard on n below makes that failure
+      // loud at the documented bound (n > 9·10¹² rows per group)
+      // instead of wrapping.
+      val r = d.join(broadcast(o), Seq("event_type"))
         .select(col("event_type"), col("n"), col("outlier_c"),
-          expr("CAST(CASE WHEN n * q - CAST(s AS DECIMAL(38,0)) * s > 0" +
-            " THEN (n - 1) * devmax * devmax * 1000000" +
-            " div (n * (n * q - CAST(s AS DECIMAL(38,0)) * s))" +
-            " END AS BIGINT)").as("g2_micro"))
+          expr("""CAST(CASE WHEN n > 9000000000000
+            |  THEN raise_error(concat('stats_grubbs: G2*1e6 can ',
+            |    'exceed the BIGINT quotient envelope at n > 9e12; ',
+            |    'rescale before dividing'))
+            |  WHEN n * q - CAST(s AS DECIMAL(38,0)) * s > 0
+            |  THEN (n - 1) * devmax * devmax * 1000000
+            |    div (n * (n * q - CAST(s AS DECIMAL(38,0)) * s))
+            |  END AS BIGINT)""".stripMargin).as("g2_micro"))
+      grubbsCritCols.foldLeft(r) { case (df, (c, e)) =>
+          df.withColumn(c, expr(e)) }
+        .select(col("event_type"), col("n"), col("outlier_c"),
+          col("g2_micro"), col("gcrit2_micro"),
+          expr("g2_micro > gcrit2_micro").as("reject"))
         .orderBy(col("event_type"))
     },
 
