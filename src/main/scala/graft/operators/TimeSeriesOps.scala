@@ -4167,10 +4167,10 @@ object TimeSeriesOps {
             .cast(org.apache.spark.sql.types.DecimalType(38, 0))
             .as("q"))
         .filter(col("n") >= 2))
-      // The per-group DECIMAL(38,0) div n yields LONG — null on
-      // overflow in non-ANSI mode, which sum() would silently SKIP
+      // The per-group DECIMAL(38,0) div n yields LONG — and Spark's
+      // decimal div WRAPS that quotient past 2⁶³ (silent wrong value)
       // while the DuckDB oracle errors loudly on its HUGEINT→BIGINT
-      // cast. The bartlett-style guard makes the failure symmetric:
+      // cast. The pre-div envelope guard makes the failure symmetric:
       // loud in both engines past the 10¹⁸ per-group envelope (k = 5
       // groups ⇒ Σ ≤ 5·10¹⁸ < 2⁶³, so b_num itself stays BIGINT-safe
       // whenever every group passes).
@@ -4178,9 +4178,18 @@ object TimeSeriesOps {
         .withColumn("num",
           expr("n * q - CAST(s AS DECIMAL(38,0)) * s")
             .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        // Envelope check on num BEFORE the div (r16): under ANSI (on
+        // by default, probed) the decimal multiply throws on its own,
+        // so the old `div ... IS NULL` arm was dead — and the old
+        // `div ... > 1e18` arm was unsound, because Spark's decimal
+        // div WRAPS its long quotient past 2⁶³ (probed: 10³⁸ div 1
+        // returns a wrapped positive), so a wrap landing under 1e18
+        // passed a wrong value silently. Bounding num ≤ n·10¹⁸ as a
+        // pure decimal compare (no overflow, no wrap) enforces the
+        // same quotient envelope totally; num ≥ 0 by Cauchy–Schwarz.
         .withColumn("q_g", expr(
-          """CASE WHEN num div n IS NULL
-            |    OR num div n > 1000000000000000000
+          """CASE WHEN num >
+            |    CAST(n AS DECIMAL(38,0)) * 1000000000000000000
             |  THEN raise_error(concat('stats_tukey_hsd: variance ',
             |    'numerator div n exceeds the int64 envelope; ',
             |    'coarsen the cents quantization'))
@@ -9083,13 +9092,15 @@ object TimeSeriesOps {
         .withColumn("num",
           expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx").cast(d38))
         .select(col("event_type"), col("n"),
-          // num div n on DECIMAL(38,0) yields LONG (null on overflow
-          // in non-ANSI mode) — the guard makes both the overflow
-          // null and the shared 10^18 envelope loud, mirroring the
-          // oracle's error() branch.
+          // Envelope check on num BEFORE the div (r16, same fix as
+          // stats_tukey_hsd): ANSI makes the old IS NULL arm dead and
+          // Spark's decimal div WRAPS its long quotient past 2⁶³, so
+          // a post-div > 1e18 check missed wraps landing low. The
+          // pure decimal compare num > n·10¹⁸ enforces the quotient
+          // envelope totally, mirroring the oracle's error() branch.
           expr(
-            """CASE WHEN num div n IS NULL
-              |    OR num div n > 1000000000000000000
+            """CASE WHEN num >
+              |    CAST(n AS DECIMAL(38,0)) * 1000000000000000000
               |  THEN raise_error(concat('stats_bartlett: variance ',
               |    'numerator div n exceeds the int64 micro-ln ',
               |    'envelope; coarsen the cents quantization'))
