@@ -244,10 +244,10 @@ object ClusterOps {
     * is dropped (not redistributed) — the conventional simplification,
     * mirrored exactly by the oracle.
     */
-  def pagerank(s: SparkSession, dir: String): DataFrame = {
+  def pagerank(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val sig = SimilarityOps.signatures(s, dir)
     val edges = Materialize.stable(
-      SimilarityOps.knnEdges(s, dir, 3).select(col("vec_id"), col("nbr_id")))
+      SimilarityOps.knnEdges(s, dir, k).select(col("vec_id"), col("nbr_id")))
     val outdeg = edges.groupBy(col("vec_id")).agg(count(lit(1)).as("outdeg"))
     val withDeg = edges.join(outdeg, Seq("vec_id"))
     val nodes = sig.select(col("vec_id"))

@@ -50,7 +50,26 @@ object DedupOps {
     * measurement showed a fixed 1000 cannot engage below n ≈ 256k on
     * a natural 30k-word vocabulary (hottest per-block df ~350 at
     * n = 64k), leaving the operator ×15.7-per-×4 — near-quadratic —
-    * in exactly the regime real corpora occupy. */
+    * in exactly the regime real corpora occupy.
+    *
+    * ROUTING RULE (measured, SCALING.md "Vocabulary-skew knob" V=60
+    * table, r16): when a corpus is DEGENERATE — its per-block P99.9
+    * df caps sit an order of magnitude-plus above the MinNgramDf=16
+    * floor (47–66 / 121–179 / 328–467 at n = 4k/16k/64k on the V=60
+    * knob, vs 16 on the natural 30k-word corpus through n = 256k) —
+    * the df-driven families (ngram-jaccard, tfidf-cosine,
+    * containment-by-grams) are measuring the corpus's degeneracy,
+    * not near-duplication: their adaptive surface still grows
+    * ×12–13 per ×4 there. Route that regime to
+    * `dedup_minhash_banded` / `dedup_containment`: at the same V=60
+    * corpus the banded candidate surface is ×13.7–21.7 SMALLER at
+    * every measured n (6.46M vs 88.2M at n = 64k). Honest caveat,
+    * measured in the same row: banded's own V=60 growth is
+    * ×17.0/×15.8 per ×4 — in a fully degenerate corpus both
+    * families trend near-quadratic, so the routing win is the
+    * absolute surface gap (plus cheaper per-candidate verification
+    * and MaxBandBucket triangle-blocking), not a complexity-class
+    * change. */
   val MaxNgramDf = 1000
 
   /** FLOOR of the adaptive n-gram df ceiling: a block's ceiling never
@@ -71,12 +90,16 @@ object DedupOps {
     * corpus the hot head is a vanishing fraction of distinct grams
     * (# grams with df ≥ d grows ~n/d while distinct grams grow ~n),
     * so the quantile cap grows SUBLINEARLY in n (~n^0.35 measured:
-    * P99.9 df = 3–4 / 5–6 / 7–10 at n = 4k/16k/64k, under the
-    * MinNgramDf floor until n ≈ 512k) and the measured DISTINCT
-    * candidate growth bends from the fixed rule's ×15.7 per ×4
-    * corpus to ×7.4 (SCALING.md). 9990 rather than 9999: the 0.01%
-    * variant measured ×10.8 — the hot head below its quantile still
-    * carried most of the C(df,2) mass. */
+    * P99.9 df = 3–4 / 5–6 / 7–10 / 11–14 at n = 4k/16k/64k/256k —
+    * the 256k point, added r16, lands inside the extrapolation's
+    * predicted 11–16 band, with the MinNgramDf floor still binding
+    * there and the handover still on course for n ≈ 512k) and the
+    * measured DISTINCT candidate growth bends from the fixed rule's
+    * ×15.7 per ×4 corpus to ×7.4 at 16k→64k and ×6.3 at 64k→256k
+    * (SCALING.md "quantile takeover" table — the ≤ ×8-per-×4 bar
+    * holds through the approach to the handover). 9990 rather than
+    * 9999: the 0.01% variant measured ×10.8 — the hot head below its
+    * quantile still carried most of the C(df,2) mass. */
   val NgramDfQuantilePermyriad = 9990
 
   /** Edit-distance ceiling for the levenshtein verification gate: a

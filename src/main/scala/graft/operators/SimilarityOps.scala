@@ -398,7 +398,7 @@ object SimilarityOps {
     * scale it is the materialized `knn_edges` table all graph
     * analytics read.
     */
-  private[operators] def knnEdges(s: SparkSession, dir: String,
+  private[graft] def knnEdges(s: SparkSession, dir: String,
       k: Int = 3): DataFrame = {
     val pairs = cellPairs(signatures(s, dir), PairBlockSize)
       .withColumn("dot", dot_long(col("qa"), col("qb")))
