@@ -637,9 +637,16 @@ object ClusterOps {
            |  JOIN c${KmeansIters - 1} cb ON cb.cid = b.cid),
            |r AS (SELECT pd.ci AS cid,
            |    MAX(CASE WHEN pd.d2 > 0 THEN
+           |      CASE WHEN ga.ssum // ga.n + gb.ssum // gb.n >
+           |          CAST(9000000000000 AS HUGEINT) * pd.d2
+           |        THEN CAST(error('cluster_davies_bouldin: scatter/'
+           |          || 'separation ratio exceeds the int64 micro'
+           |          || ' envelope') AS HUGEINT)
+           |        ELSE
            |      (ga.ssum * CAST(gb.n AS HUGEINT)
            |        + gb.ssum * CAST(ga.n AS HUGEINT)) * 1000000
-           |      // (CAST(ga.n AS HUGEINT) * gb.n * pd.d2) END) AS rm
+           |      // (CAST(ga.n AS HUGEINT) * gb.n * pd.d2) END
+           |      END) AS rm
            |  FROM pd JOIN g ga ON ga.cid = pd.ci
            |  JOIN g gb ON gb.cid = pd.cj
            |  GROUP BY 1)
@@ -667,11 +674,27 @@ object ClusterOps {
           col("n2a") - lit(2L) * dot_long(col("cva"), col("cvb")) +
             col("n2b"))
         .select(col("ci").as("cid"),
+          // Pre-div envelope guard (r16 div-wrap audit): the micro
+          // ratio is avg-scatter²/d2 scaled by 1e6, and d2 (squared
+          // centroid separation) is a DATA VALUE that can be one
+          // micro² unit — so the quotient is reachable past 2⁶³ by
+          // scatter scale alone, where Spark's decimal div WRAPS
+          // silently. The per-cluster mean-scatter compare (floor
+          // divs, then a decimal product that cannot overflow:
+          // 9e12·d2 ≤ ~1e31) bounds the quotient under ~9e18,
+          // conservative vs the 9.223e18 wrap point, mirrored as the
+          // oracle's error() branch.
           expr("CASE WHEN d2 > 0 THEN " +
+            "CASE WHEN CAST(sa div na AS DECIMAL(38,0)) + (sb div nb)" +
+            " > CAST(9000000000000 AS DECIMAL(38,0)) * d2" +
+            " THEN raise_error(concat('cluster_davies_bouldin: '," +
+            "'scatter/separation ratio exceeds the int64 micro '," +
+            "'envelope'))" +
+            " ELSE " +
             "CAST((sa * CAST(nb AS DECIMAL(38,0)) " +
             "+ sb * CAST(na AS DECIMAL(38,0))) * 1000000 " +
             "div (CAST(na AS DECIMAL(38,0)) * nb * d2) AS BIGINT) " +
-            "END").as("ratio"))
+            "END END").as("ratio"))
         .groupBy(col("cid"))
         .agg(max(col("ratio")).cast("long").as("db_ratio_micro"))
       g.join(r, Seq("cid"))

@@ -319,8 +319,13 @@ object PipelineOps {
         |  CAST(CAST(mt // 10 AS HUGEINT)
         |    * (CAST(m AS HUGEINT) * q_pm * q_pm) // w AS BIGINT)
         |    AS phase2_tokens,
-        |  CAST(CAST(m AS HUGEINT) * q_pm * q_pm * mt * 1000000
-        |    // (w * m) AS BIGINT) AS boost_ppm
+        |  CAST(CASE WHEN mt // w >= 9
+        |      AND CAST(q_pm AS HUGEINT) * q_pm * mt * 1000000 >=
+        |        CAST(9000000000000000000 AS HUGEINT) * w
+        |    THEN CAST(error('curate_mix_anneal: quality boost'
+        |      || ' exceeds the int64 ppm envelope') AS HUGEINT)
+        |    ELSE CAST(m AS HUGEINT) * q_pm * q_pm * mt * 1000000
+        |    // (w * m) END AS BIGINT) AS boost_ppm
         |FROM s CROSS JOIN t
         |ORDER BY source""".stripMargin) { (s, dir) =>
       val q = docs(s, dir)
@@ -349,8 +354,24 @@ object PipelineOps {
           expr("CAST(CAST(mt div 10 AS DECIMAL(38,0))" +
             " * (CAST(m AS DECIMAL(38,0)) * q_pm * q_pm) div w" +
             " AS BIGINT)").as("phase2_tokens"),
-          expr("CAST(CAST(m AS DECIMAL(38,0)) * q_pm * q_pm * mt" +
-            " * 1000000 div (w * m) AS BIGINT)").as("boost_ppm"))
+          // Pre-div envelope guard (r16 div-wrap audit): boost =
+          // q_pm²·mt·1e6/w, and with an (almost-)all-zero-quality
+          // corpus w can be arbitrarily small relative to mt — the
+          // one shape where this quotient passes 2⁶³ and Spark's
+          // decimal div WRAPS silently where the oracle's HUGEINT→
+          // BIGINT cast errors. The mt div w ≥ 9 pre-condition is
+          // necessary for any wrap (q_pm ≤ 1000 ⇒ mt/w ≥ 9.2 at the
+          // wrap point) and bounds w ≤ mt/9 ≤ 1e18, so the guarded
+          // decimal compare 9e18·w can never itself overflow; the
+          // compare is mirrored verbatim as the oracle's error()
+          // branch.
+          expr("CAST(CASE WHEN mt div w >= 9" +
+            " AND CAST(q_pm AS DECIMAL(38,0)) * q_pm * mt * 1000000" +
+            " >= CAST(9000000000000000000 AS DECIMAL(38,0)) * w" +
+            " THEN raise_error(concat('curate_mix_anneal: quality'," +
+            " ' boost exceeds the int64 ppm envelope'))" +
+            " ELSE CAST(m AS DECIMAL(38,0)) * q_pm * q_pm * mt" +
+            " * 1000000 div (w * m) END AS BIGINT)").as("boost_ppm"))
         .orderBy(col("source"))
     },
 

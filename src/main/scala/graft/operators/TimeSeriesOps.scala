@@ -8991,8 +8991,14 @@ object TimeSeriesOps {
          |      AS pc
          |  FROM daily),
          |r AS (SELECT series,
+         |    CASE WHEN ABS(close_c - pc) >
+         |        9000000 * (pc * CAST(vol_c AS HUGEINT))
+         |      THEN CAST(error('ts_amihud_illiq: price-impact ratio'
+         |        || ' exceeds the int64 pico envelope; rescale the'
+         |        || ' quote') AS BIGINT)
+         |      ELSE
          |    CAST(ABS(close_c - pc) * CAST(1000000000000 AS HUGEINT)
-         |      // (pc * CAST(vol_c AS HUGEINT)) AS BIGINT) AS ratio
+         |      // (pc * CAST(vol_c AS HUGEINT)) AS BIGINT) END AS ratio
          |  FROM d WHERE pc IS NOT NULL AND pc > 0 AND vol_c > 0)
          |SELECT series, CAST(COUNT(*) AS BIGINT) AS n_days,
          |  CAST(SUM(ratio) // COUNT(*) AS BIGINT) AS illiq_pico,
@@ -9005,9 +9011,22 @@ object TimeSeriesOps {
         .filter(col("pc").isNotNull && col("pc") > 0 &&
           col("vol_c") > 0)
         .select(col("series"),
-          expr("CAST(ABS(close_c - pc) " +
+          // Pre-div envelope guard (r16 div-wrap audit): the divisor
+          // here is a DATA VALUE (pc·vol can be one cent²), so unlike
+          // the row-count-bounded ratio gates the pico quotient is
+          // reachable past 2⁶³ by value scale alone — where Spark's
+          // decimal div WRAPS silently and the oracle's HUGEINT→
+          // BIGINT cast errors. |Δ| > 9e6·pc·vol bounds the quotient
+          // under 9e18 (conservative vs the 9.223e18 wrap point) and
+          // is mirrored verbatim as the oracle's error() branch.
+          expr("CAST(CASE WHEN ABS(close_c - pc) > " +
+            "9000000 * (pc * CAST(vol_c AS DECIMAL(38,0)))" +
+            " THEN raise_error(concat('ts_amihud_illiq: price-impact" +
+            " ratio exceeds the int64 pico envelope; rescale the" +
+            " quote'))" +
+            " ELSE ABS(close_c - pc) " +
             "* CAST(1000000000000 AS DECIMAL(38,0)) " +
-            "div (pc * CAST(vol_c AS DECIMAL(38,0))) AS BIGINT)")
+            "div (pc * CAST(vol_c AS DECIMAL(38,0))) END AS BIGINT)")
             .as("ratio"))
         .groupBy(col("series"))
         .agg(count(lit(1)).as("n_days"),

@@ -20,17 +20,21 @@ class GuardEnvelopeSpec extends AnyFunSuite {
 
   lazy val spark = SparkTest.session
 
-  /** Write an events dir with the given (event_type, value) rows. */
-  private def eventsDir(rows: Seq[(String, Double)]): String = {
+  /** Write an events dir with the given (event_type, ts, value) rows;
+    * event_id follows row order (dailyOhlc's close is max_by event_id). */
+  private def eventsDirAt(rows: Seq[(String, String, Double)]): String = {
     val d = Files.createTempDirectory("graft-guard").toString
     import spark.implicits._
-    rows.zipWithIndex.map { case ((t, v), i) =>
-      (i.toLong, Timestamp.valueOf("2024-01-01 00:00:00"), i.toLong,
-        t, v, "{}")
+    rows.zipWithIndex.map { case ((t, ts, v), i) =>
+      (i.toLong, Timestamp.valueOf(ts), i.toLong, t, v, "{}")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.parquet(s"$d/events.parquet")
     d
   }
+
+  private def eventsDir(rows: Seq[(String, Double)]): String =
+    eventsDirAt(rows.map { case (t, v) =>
+      (t, "2024-01-01 00:00:00", v) })
 
   private def run(gate: String, dir: String) =
     graft.SparkEntry.queries(gate)(spark, dir).collect()
@@ -68,6 +72,22 @@ class GuardEnvelopeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("NUMERIC_VALUE_OUT_OF_RANGE") ||
       e.getMessage.contains("cannot be represented"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
+  test("ts_amihud_illiq envelope guard fires on a value-scale wrap") {
+    // day 1: one 1-cent event (prev close 1, the divisor's pc);
+    // day 2: -99999.99 then +100000.00 → close_c = 1e7 (max event_id)
+    // while vol_c = Σcents = 1 — the divisor is one cent² and
+    // |Δclose|·1e12 ≈ 1e19 > 2⁶³, exactly the silent-wrap shape the
+    // r16 guard closes (9999999 > 9e6·pc·vol fires it).
+    val e = intercept[Exception] {
+      run("ts_amihud_illiq", eventsDirAt(Seq(
+        ("click", "2024-01-01 00:00:00", 0.01),
+        ("click", "2024-01-02 00:00:00", -99999.99),
+        ("click", "2024-01-02 01:00:00", 100000.00))))
+    }
+    assert(e.getMessage.contains("pico envelope"),
       s"wrong failure: ${e.getMessage}")
   }
 
