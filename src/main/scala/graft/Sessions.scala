@@ -27,6 +27,11 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // exchange reuse is Spark's default; pinned explicitly because
+      // several multi-consumer plans (shared signature caches, the
+      // cumsum fan-out gates) count on one materialization per
+      // identical exchange for their cost claims in PLANS.md
+      .config("spark.sql.exchange.reuse", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

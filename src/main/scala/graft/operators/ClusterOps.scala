@@ -257,12 +257,17 @@ object ClusterOps {
         .select(col("nbr_id").as("vec_id"),
           floor(col("rank").cast("double") / col("outdeg")).cast("long").as("c"))
       val summed = contrib.groupBy(col("vec_id")).agg(sum(col("c")).as("sc"))
-      ranks = Materialize.stable(
-        nodes.join(summed, Seq("vec_id"), "left")
-          .select(col("vec_id"),
-            (lit(TeleportMass) +
-              floor(lit(0.85) * coalesce(col("sc"), lit(0L)).cast("double"))
-                .cast("long")).as("rank")))
+      // rounds CHAIN in one Catalyst tree (r16): with a FIXED small
+      // iteration count the per-round eager localCheckpoint bought
+      // nothing — the lineage grows linearly, and the 5 checkpoint
+      // jobs (write + re-read per round) cost more than planning the
+      // 5-deep ladder once. The edge list stays stable'd above (it is
+      // the one row-scale input every round re-reads).
+      ranks = nodes.join(summed, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(TeleportMass) +
+            floor(lit(0.85) * coalesce(col("sc"), lit(0L)).cast("double"))
+              .cast("long")).as("rank"))
     }
     ranks.orderBy(col("rank").desc, col("vec_id"))
   }

@@ -2900,8 +2900,12 @@ object Relational {
         val counts = t(s, dir, "orders")
           .groupBy(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
           .agg(count(lit(1)).as("cnt"))
-        val cum = graft.functions.PrefixSum.globalCumsum(
-          counts, Seq(col("g"), col("v")), col("cnt"), "gcum")
+        // stable'd: cum fans out to the per-group offset fold AND the
+        // rank-probe join — one truncation beats replanning the cumsum
+        // subtree per consumer (r16 measured on this gate family)
+        val cum = graft.functions.Materialize.stable(
+          graft.functions.PrefixSum.globalCumsum(
+            counts, Seq(col("g"), col("v")), col("cnt"), "gcum"))
         // Per-group offset straight from the one cumsum: at each
         // group's FIRST row (g-order prefixes (g,v)-order), gcum − cnt
         // is exactly the count of all earlier groups — so min(gcum −
@@ -2950,8 +2954,10 @@ object Relational {
         .groupBy(col("o_orderpriority").as("g"),
           col("o_totalprice").as("v"))
         .agg(count(lit(1)).as("cnt"))
-      val cum = graft.functions.PrefixSum.globalCumsum(
-        counts, Seq(col("g"), col("v")), col("cnt"), "gcum")
+      // stable'd: two consumers (offset fold + threshold probe join)
+      val cum = graft.functions.Materialize.stable(
+        graft.functions.PrefixSum.globalCumsum(
+          counts, Seq(col("g"), col("v")), col("cnt"), "gcum"))
       val offs = cum.groupBy(col("g")).agg(
         sum(col("cnt")).as("ng"),
         min(col("gcum") - col("cnt")).as("off"))
@@ -3018,8 +3024,10 @@ object Relational {
       val counts = t(s, dir, "orders")
         .groupBy(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
         .agg(count(lit(1)).as("cnt"))
-      val cum = graft.functions.PrefixSum.globalCumsum(
-        counts, Seq(col("g"), col("v")), col("cnt"), "gcum")
+      // stable'd: two consumers (offset fold + rank-probe join)
+      val cum = graft.functions.Materialize.stable(
+        graft.functions.PrefixSum.globalCumsum(
+          counts, Seq(col("g"), col("v")), col("cnt"), "gcum"))
       val offs = cum.groupBy(col("g")).agg(
         sum(col("cnt")).as("ng"),
         min(col("gcum") - col("cnt")).as("off"))

@@ -2056,13 +2056,15 @@ object TextOps {
             floor(col("rank").cast("double") / col("d")).cast("long")
               .as("c"))
           .groupBy(col("w")).agg(sum(col("c")).as("sc"))
-        ranks = Materialize.stable(
-          nodes.join(contrib, Seq("w"), "left")
-            .select(col("w"),
-              (lit(150000000000L) +
-                floor(lit(0.85) *
-                  coalesce(col("sc"), lit(0L)).cast("double"))
-                  .cast("long")).as("rank")))
+        // rounds chain in one tree (r16): fixed 5-round ladder — the
+        // per-round eager checkpoint cost 5 jobs per construction;
+        // sym/nodes stay stable'd (the inputs every round re-reads)
+        ranks = nodes.join(contrib, Seq("w"), "left")
+          .select(col("w"),
+            (lit(150000000000L) +
+              floor(lit(0.85) *
+                coalesce(col("sc"), lit(0L)).cast("double"))
+                .cast("long")).as("rank"))
       }
       ranks.orderBy(col("rank").desc, col("w"))
         .limit(20)

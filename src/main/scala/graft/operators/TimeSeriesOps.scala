@@ -2023,10 +2023,12 @@ object TimeSeriesOps {
           .select(col("t").as("st"),
             expr("mass * c div n").as("m"))
           .groupBy(col("st")).agg(sum(col("m")).as("sm"))
-        p = Materialize.stable(
-          states.join(contrib, Seq("st"), "left")
-            .select(col("st"),
-              coalesce(col("sm"), lit(0L)).as("mass")))
+        // rounds chain in one tree (r16): the 5-round ladder over the
+        // |states|-bounded frame planned+checkpointed per round for no
+        // benefit; tc stays cached (the one row-scale input)
+        p = states.join(contrib, Seq("st"), "left")
+          .select(col("st"),
+            coalesce(col("sm"), lit(0L)).as("mass"))
       }
       p.select(col("st").as("state"), col("mass"))
         .orderBy(col("state"))
@@ -5047,9 +5049,12 @@ object TimeSeriesOps {
         .withColumn("p_scaled", expr(
           "p_num * shiftleft(CAST(1 AS BIGINT), CAST(nmax - n AS INT))"))
       // global rank over the (tiny, bounded-by-event-type-domain)
-      // test table without an unpartitioned window
-      val rk = PrefixSum.globalCumsum(sc,
-        Seq(col("p_scaled"), col("series")), lit(1L), "rnk")
+      // test table without an unpartitioned window; stable'd because
+      // the rank table fans out to TWO consumers (threshold fold +
+      // final verdict join) — one truncation beats replanning the
+      // cumsum subtree per consumer (r16 measured)
+      val rk = Materialize.stable(PrefixSum.globalCumsum(sc,
+        Seq(col("p_scaled"), col("series")), lit(1L), "rnk"))
       val th = rk.agg(coalesce(max(when(expr(
           "10 * m * CAST(p_scaled AS DECIMAL(38,0)) <= " +
             "CAST(rnk AS DECIMAL(38,0)) * shiftleft(CAST(1 AS BIGINT)," +
@@ -8267,8 +8272,10 @@ object TimeSeriesOps {
       val sc = sgn.crossJoin(broadcast(mm))
         .withColumn("p_scaled", expr(
           "p_num * shiftleft(CAST(1 AS BIGINT), CAST(nmax - n AS INT))"))
-      val rk = PrefixSum.globalCumsum(sc,
-        Seq(col("p_scaled"), col("series")), lit(1L), "rnk")
+      // stable'd: rk fans out to the two-cutoff fold AND the verdict
+      // join (same two-consumer argument as stats_fdr_bh)
+      val rk = Materialize.stable(PrefixSum.globalCumsum(sc,
+        Seq(col("p_scaled"), col("series")), lit(1L), "rnk"))
       val th = rk.agg(
         coalesce(max(when(expr(
           "10 * m * CAST(c_micros AS DECIMAL(38,0)) * p_scaled <= " +
