@@ -21,7 +21,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def build(cpus: String, appName: String = "graft"): SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,7 +34,20 @@ object Sessions {
       .config("spark.sql.exchange.reuse", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Deploy-specific overrides (r16): SPARK_GRAFT_CONF carries
+    // semicolon-separated k=v pairs so a cluster deployment (or an
+    // A/B measurement) can adjust scale-dependent knobs — advisory
+    // partition sizes, codecs, broadcast thresholds — WITHOUT a code
+    // edit. Overrides apply after the pinned posture above, and the
+    // posture invariants PlanShapeSpec asserts (AQE, skew join, UTC)
+    // still fail the suite if an override breaks them.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => b.config(k.trim, v.trim)
+        case _ => ()
+      }
+    })
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
