@@ -38,17 +38,40 @@ object Sessions {
     // semicolon-separated k=v pairs so a cluster deployment (or an
     // A/B measurement) can adjust scale-dependent knobs — advisory
     // partition sizes, codecs, broadcast thresholds — WITHOUT a code
-    // edit. Overrides apply after the pinned posture above, and the
-    // posture invariants PlanShapeSpec asserts (AQE, skew join, UTC)
-    // still fail the suite if an override breaks them.
+    // edit. Since r17 (ADVICE): keys that would override the pinned
+    // SEMANTIC posture above (AQE/skew-join/exchange-reuse/timezone/
+    // ansi — the execution model every plan audit and oracle digest
+    // was graded under) are REJECTED loudly instead of silently
+    // applied, and every accepted override is logged so an A/B run's
+    // config divergence is visible in its captured output.
+    val pinnedPosture = Set(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.exchange.reuse",
+      "spark.sql.session.timeZone",
+      "spark.sql.ansi.enabled")
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) if k.trim.nonEmpty => b.config(k.trim, v.trim)
+        case Array(k, v) if k.trim.nonEmpty =>
+          if (pinnedPosture(k.trim))
+            System.err.println(
+              s"graft: REJECTED SPARK_GRAFT_CONF override of pinned " +
+                s"posture key '${k.trim}' (semantics-affecting; edit " +
+                "Sessions.build deliberately instead)")
+          else {
+            System.err.println(
+              s"graft: SPARK_GRAFT_CONF override ${k.trim}=${v.trim}")
+            b.config(k.trim, v.trim)
+          }
         case _ => ()
       }
     })
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // custom physical operators (GlobalCumsum, RangeForwardFill) are
+    // planned by one session-registered strategy; the operator
+    // builders also register defensively for externally-built sessions
+    graft.plans.GraftStrategies.register(s)
     s
   }
 }

@@ -13,12 +13,25 @@ import org.apache.spark.sql.functions._
   * per-probe-row subquery: both sides union into one stream tagged so
   * build rows sort immediately BEFORE probe rows at equal timestamps
   * (≤ semantics), then one per-key ordered window forward-fills the
-  * latest payload onto each probe row. Cost = one shuffle on the key
-  * + one local sort per partition — same shape as a sort-merge join,
-  * no range explosion, no driver loops. Keys partition uniformly when
-  * the key is an entity id; a single pathological key serializes its
-  * own rows only (and can be time-bucketed two-pass like [[PrefixSum]]
-  * if ever needed).
+  * latest payload onto each probe row. Cost = one hash shuffle on the
+  * key + one local sort per partition — same shape as a sort-merge
+  * join, no range explosion, no driver loops. Keys partition uniformly
+  * when the key is an entity id; for a pathological hot key use
+  * [[asofBackwardBucketed]], which runs the same relation through the
+  * [[graft.plans.RangeForwardFill]] custom operator (range exchange —
+  * a hot key spans many partitions — with bounded boundary carries).
+  *
+  * Why TWO spellings (r17, measured): the custom operator's range
+  * exchange pays a RangePartitioner bound-sampling pass that
+  * re-executes the tagged-union subtree once before the shuffle, and
+  * its boundary pass re-reads the shuffle output. On balanced keys
+  * that is all cost and no benefit — back-to-back A/B at sf0.1 read
+  * j_asof_latest_order 0.65 s (window) vs 0.72-0.87 s (operator),
+  * with the control gate flat — while on the skewed gate the operator
+  * is the difference between a serialized hot-key task and parallel
+  * fills (j_asof_skewed 1.42 → 0.66 s, −53%). So the balanced-key
+  * default keeps the cheaper hash-exchange window and the skew-proof
+  * entry point keeps the operator.
   *
   * The build side must be unique per (key, time) — pre-aggregate it
   * (e.g. max_by of the tiebreak column) so "latest at t" is
@@ -100,75 +113,32 @@ object AsOfJoin {
     * no per-key window over the raw rows — a single pathological key
     * (one currency, one global feed) cannot serialize into one task.
     *
-    * Same two-pass shape as [[PrefixSum]]:
-    *   1. range-partition the tagged union on (key, time, side) —
-    *      global order, a hot key spans many partitions;
-    *   2. forward-fill locally per (partition, key) — every task in
-    *      parallel, no cross-partition dependency;
-    *   3. per-(partition, key) latest build payload → per-key carry-in
-    *      from earlier partitions. The carry table is bounded by the
-    *      number of PARTITION BOUNDARIES a key crosses (≤ partitions),
-    *      not by data — so it broadcasts;
-    *   4. coalesce(local fill, carry-in).
+    * Since r17 this is the [[graft.plans.RangeForwardFill]] custom
+    * physical operator: ONE range exchange on (key, time, side) — a
+    * hot key spans many partitions — and a streamed O(1)-state fill
+    * whose partition boundaries are stitched by a bounded carry
+    * collected inside the operator (over the SAME shuffled RDD, so
+    * both passes see one partition assignment by construction). The
+    * pre-r17 stock-operator spelling paid a second full-data hash
+    * exchange (the pid-keyed window), a persist, a separate carry
+    * aggregate + broadcast join, and an eager localCheckpoint per
+    * call — all gone (j_asof_skewed 1.42 → 0.66 s at sf0.1, −53%).
     *
-    * The step-3 window runs over the per-(partition, key) aggregate
-    * (≤ keys + partitions rows, one tiny row each), the exact analogue
-    * of PrefixSum's driver-side offsets.
+    * `partitions` is accepted for source compatibility but IGNORED:
+    * the operator's range exchange is sized by the session (shuffle
+    * partitions + AQE coalescing). Results are partition-count
+    * independent under the (key, time)-uniqueness contract.
     */
   def asofBackwardBucketed(probe: DataFrame, probeKey: String,
       probeTime: String, build: DataFrame, buildKey: String,
       buildTime: String, payload: Seq[String],
-      partitions: Int = 32): DataFrame = {
-    val (plan, ranged) = asofBackwardBucketedPlan(probe, probeKey,
-      probeTime, build, buildKey, buildTime, payload, partitions)
-    val out = Materialize.stable(plan)
-    ranged.unpersist()
-    out
-  }
-
-  /** The un-materialized bucketed plan plus its pinned range cache —
-    * split out so tests can inspect the physical plan before
-    * [[Materialize.stable]] truncates the lineage. Callers must
-    * unpersist the returned cache once done.
-    */
-  private[graft] def asofBackwardBucketedPlan(probe: DataFrame,
-      probeKey: String, probeTime: String, build: DataFrame,
-      buildKey: String, buildTime: String, payload: Seq[String],
-      partitions: Int): (DataFrame, DataFrame) = {
-    // Persisted for the same reason as PrefixSum: the carry pass and
-    // the final plan must see the SAME range-partition assignment.
-    val ranged =
+      partitions: Int = 0): DataFrame = {
+    val filled = graft.plans.RangeForwardFill.fill(
       taggedUnion(probe, probeKey, probeTime, build, buildKey, buildTime,
-        payload)
-        .repartitionByRange(partitions, col("__k"), col("__t"), col("__side"))
-        .withColumn("__pid", spark_partition_id())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val wLocal = Window.partitionBy(col("__pid"), col("__k"))
-      .orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged
-      .withColumn("__fill", last(col("__pl"), ignoreNulls = true).over(wLocal))
-
-    // latest build payload per (partition, key); null when a partition
-    // holds only probe rows for the key
-    val perBucket = ranged
-      .groupBy(col("__pid"), col("__k"))
-      .agg(max_by(when(col("__side") === 0, col("__pl")),
-        when(col("__side") === 0, col("__t"))).as("__last"))
-    // carry-in = latest build payload from any EARLIER partition of the
-    // same key; non-null only where a key crosses a partition boundary
-    // with build history behind it, so ≤ `partitions` rows survive
-    val wCarry = Window.partitionBy(col("__k")).orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = perBucket
-      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wCarry))
-      .filter(col("__carry").isNotNull)
-      .select(col("__pid"), col("__k"), col("__carry"))
-
-    val filled = local
-      .join(broadcast(carry), Seq("__pid", "__k"), "left")
-      .withColumn("__fill", coalesce(col("__fill"), col("__carry")))
-    (project(filled, probe, payload, "__fill"), ranged)
+        payload),
+      keys = Seq(col("__k")),
+      order = Seq(col("__t").asc, col("__side").asc),
+      value = col("__pl"), outName = "__fill")
+    project(filled, probe, payload, "__fill")
   }
 }

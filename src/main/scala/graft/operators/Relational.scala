@@ -975,25 +975,51 @@ object Relational {
            |${one("nation", "n_regionkey", "region", "r_regionkey")})
            |ORDER BY fk_edge""".stripMargin
       }) { (s, dir) =>
-      def edge(child: String, ck: String, parent: String, pk: String) = {
+      // ONE base-stats scan per CHILD (not per edge): lineitem is the
+      // child of three FK edges, so its row count and the three
+      // distinct-key counts fold into a single aggregate over a single
+      // scan (guide §6 — before r17 every edge re-scanned its child
+      // for base stats: 3 lineitem base scans → 1). The per-edge
+      // orphan counts keep their anti-joins (broadcast for the
+      // dimension parents, keyed + AQE-skew-splittable for the one
+      // fact-to-fact edge); all the one-row aggregates then cross-join
+      // (1×1 broadcast loops) and fan out to edge rows via inline —
+      // one Generate over one row, no recompute per edge.
+      def edgesOf(child: String, eds: Seq[(String, String, String)])
+          : DataFrame = {
         val c = t(s, dir, child)
-        val base = c.agg(count(lit(1)).as("child_rows"),
-          countDistinct(col(ck)).as("child_keys"))
-        val orph = c.select(col(ck))
-          .join(t(s, dir, parent).select(col(pk)),
-            col(ck) === col(pk), "left_anti")
-          .agg(count(lit(1)).as("orphan_rows"))
-        base.crossJoin(orph)
-          .select(lit(s"$child.$ck->$parent.$pk").as("fk_edge"),
-            col("child_rows"), col("child_keys"), col("orphan_rows"))
+        val baseAggs = count(lit(1)).as("child_rows") +:
+          eds.map { case (ck, _, _) =>
+            countDistinct(col(ck)).as(s"__keys_$ck") }
+        val base = c.agg(baseAggs.head, baseAggs.tail: _*)
+        val withOrphans = eds.foldLeft(base) {
+          case (acc, (ck, parent, pk)) =>
+            acc.crossJoin(
+              c.select(col(ck))
+                .join(t(s, dir, parent).select(col(pk)),
+                  col(ck) === col(pk), "left_anti")
+                .agg(count(lit(1)).as(s"__orph_$ck")))
+        }
+        withOrphans.select(inline(array(eds.map {
+          case (ck, parent, pk) => struct(
+            lit(s"$child.$ck->$parent.$pk").as("fk_edge"),
+            col("child_rows"),
+            col(s"__keys_$ck").as("child_keys"),
+            col(s"__orph_$ck").as("orphan_rows"))
+        }: _*)))
       }
-      edge("lineitem", "l_orderkey", "orders", "o_orderkey")
-        .unionAll(edge("lineitem", "l_partkey", "part", "p_partkey"))
-        .unionAll(edge("lineitem", "l_suppkey", "supplier", "s_suppkey"))
-        .unionAll(edge("orders", "o_custkey", "customer", "c_custkey"))
-        .unionAll(edge("customer", "c_nationkey", "nation", "n_nationkey"))
-        .unionAll(edge("supplier", "s_nationkey", "nation", "n_nationkey"))
-        .unionAll(edge("nation", "n_regionkey", "region", "r_regionkey"))
+      edgesOf("lineitem", Seq(
+          ("l_orderkey", "orders", "o_orderkey"),
+          ("l_partkey", "part", "p_partkey"),
+          ("l_suppkey", "supplier", "s_suppkey")))
+        .unionAll(edgesOf("orders",
+          Seq(("o_custkey", "customer", "c_custkey"))))
+        .unionAll(edgesOf("customer",
+          Seq(("c_nationkey", "nation", "n_nationkey"))))
+        .unionAll(edgesOf("supplier",
+          Seq(("s_nationkey", "nation", "n_nationkey"))))
+        .unionAll(edgesOf("nation",
+          Seq(("n_regionkey", "region", "r_regionkey"))))
         .orderBy(col("fk_edge"))
     },
 

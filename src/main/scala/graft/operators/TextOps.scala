@@ -3125,21 +3125,29 @@ object TextOps {
         |FROM pd JOIN lp ON pd.w1 = lp.w1 AND pd.w2 = lp.w2
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val ws = docs(s, dir)
+      // ONE tokenize pass + ONE (doc, w1, w2) aggregate feeds BOTH
+      // surfaces (r17): every token position emits exactly one pair
+      // row — (token, next-token) inside a document, (token, NULL) at
+      // the last position — so the per-doc bigram table is the
+      // w2-non-null slice and the corpus unigram counts are
+      // sum(cnt) GROUP BY w1 over ALL rows. Before r17 `uni` re-read
+      // and re-split every document in a second scan subtree no
+      // exchange reuse could deduplicate (different explode shape);
+      // now all consumers hang off the one aggregate exchange.
+      val g = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-      val pd = ws
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ws) - 1), " +
-            "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+          "transform(sequence(1, size(ws)), " +
+            "i -> struct(element_at(ws, i) AS w1, " +
+            "if(i < size(ws), element_at(ws, i + 1), null) AS w2))"))
           .as("b"))
         .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
         .agg(count(lit(1)).as("cnt"))
+      val pd = g.filter(col("w2").isNotNull)
       val bc = pd.groupBy(col("w1"), col("w2"))
         .agg(sum(col("cnt")).as("c12"))
-      val uni = docs(s, dir)
-        .select(explode(split(col("text"), " ")).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val uni = g.groupBy(col("w1").as("tok"))
+        .agg(sum(col("cnt")).as("c"))
       val tot = uni.agg(sum(col("c")).as("n_total"),
         count(lit(1)).as("v_size"))
       val lp = bc

@@ -2108,62 +2108,32 @@ object TimeSeriesOps {
            |  FROM p WHERE i = np - 1) u
            |ORDER BY event_type, sel""".stripMargin
       }) { (s, dir) =>
+      // Selection is inherently sequential in the BUCKET dimension but
+      // embarrassingly parallel in the SERIES dimension — so since r17
+      // the whole 8-step ladder runs inside ONE scalar expression
+      // ([[graft.functions.LttbSelect]], the MmrSelect pattern) over
+      // each series' collected (x, y) array, instead of 8 chained
+      // join+argmax rounds each behind an eager Materialize.stable
+      // localCheckpoint (~10 jobs, 8 materializations, 21 Exchange
+      // nodes → 2 aggregate exchanges + the output sort). x is unique
+      // per series and monotone in day, so the sort_array position
+      // replaces the old ROW_NUMBER()-1 index; the integer area/edge
+      // math is bit-identical (truncating div, exact longs).
       val nb = 8
-      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       val pts = events(s, dir)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("y"))
         .select(col("event_type"),
-          (row_number().over(w) - 1).cast("long").as("i"),
           datediff(col("day"), lit("1970-01-01")).cast("long").as("x"),
           col("y"))
-      val n = pts.groupBy(col("event_type")).agg(count(lit(1)).as("np"))
-      val p = pts.join(broadcast(n), Seq("event_type")).cache()
-      def anchorOf(df: DataFrame) =
-        df.select(col("event_type"), col("x").as("xa"), col("y").as("ya"))
-      var anchor = anchorOf(p.filter(col("i") === 0))
-      var out = p.filter(col("i") === 0)
-        .select(col("event_type"), lit(0L).as("sel"), col("x"), col("y"))
-      for (k <- 0 until nb) {
-        val nxt =
-          if (k < nb - 1)
-            p.filter(col("i") >= expr(s"1 + (${k + 1} * (np - 2)) div $nb") &&
-              col("i") < expr(s"1 + (${k + 2} * (np - 2)) div $nb"))
-              .groupBy(col("event_type"))
-              .agg(sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-                count(lit(1)).as("m"))
-          else
-            p.filter(col("i") === col("np") - 1)
-              .select(col("event_type"), col("x").as("sx"),
-                col("y").as("sy"), lit(1L).as("m"))
-        val selK = p
-          .filter(col("i") >= expr(s"1 + ($k * (np - 2)) div $nb") &&
-            col("i") < expr(s"1 + (${k + 1} * (np - 2)) div $nb"))
-          .join(anchor, Seq("event_type"))
-          .join(nxt, Seq("event_type"))
-          .withColumn("area",
-            abs((col("m") * col("xa") - col("sx")) *
-              (col("y") - col("ya")) -
-              (col("xa") - col("x")) *
-                (col("sy") - col("m") * col("ya"))))
-          .groupBy(col("event_type"))
-          .agg(min_by(struct(col("x"), col("y")),
-            struct((col("area") * -1).as("na"), col("x"))).as("pt"))
-          .select(col("event_type"), col("pt.x").as("x"),
-            col("pt.y").as("y"))
-        // truncate lineage per step (one row per series): without
-        // this, every union branch re-evaluates the whole anchor
-        // chain below it — O(buckets²) plan blow-up (measured 5.3 s
-        // → 1.7 s at sf0.1; the remainder is the 8 sequential
-        // micro-jobs' fixed scheduling cost)
-        val selKStable = graft.functions.Materialize.stable(selK)
-        anchor = anchorOf(selKStable)
-        out = out.unionByName(selKStable.select(col("event_type"),
-          lit((k + 1).toLong).as("sel"), col("x"), col("y")))
-      }
-      out.unionByName(p.filter(col("i") === col("np") - 1)
-          .select(col("event_type"), lit(9L).as("sel"), col("x"),
-            col("y")))
+      pts.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("x"), col("y"))))
+          .as("pts"))
+        .select(col("event_type"),
+          explode(graft.functions.LttbSelect.lttb_select(col("pts"), nb))
+            .as("p"))
+        .select(col("event_type"), col("p.sel").as("sel"),
+          col("p.x").as("x"), col("p.y").as("y"))
         .orderBy(col("event_type"), col("sel"))
     },
 

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution,
   OrderedDistribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.types._
 
 /** Whole-operator global cumulative sum — the scale-safe two-pass
@@ -57,8 +57,15 @@ import org.apache.spark.sql.types._
   * Determinism contract (unchanged): ties must be fully broken by the
   * sort keys. Accumulation is sequential in sort order within each
   * partition and partition-by-partition for the offsets, so integer /
-  * decimal results are exact and double results are the same
-  * fold-left order the old keyed window produced.
+  * decimal results are exact. Double accumulation SEEDS each
+  * partition with its exclusive offset ((offset + v1) + v2 + …),
+  * which is a different FP association than the old keyed window's
+  * local-sum-then-offset ((v1 + … + vk) + offset) — last-ulp drift on
+  * non-first partitions is possible in principle; the committed
+  * digests are byte-identical because every double-valued call site
+  * quantizes or the inputs are dyadic (r16 ADVICE, scaladoc corrected
+  * r17). Results are run-to-run deterministic either way: one
+  * materialization, one partition assignment, one fold order.
   *
   * Overflow parity with the ANSI Sum the old window used: Long
   * accumulation uses `Math.addExact` (throws past 2^63), decimal
@@ -68,16 +75,33 @@ import org.apache.spark.sql.types._
   */
 object GlobalCumsum {
 
+  /** Which running aggregate each value column accumulates. */
+  sealed trait Agg extends Serializable
+  case object AggSum extends Agg
+  case object AggMax extends Agg
+
   /** `df` ++ one running-sum column per (value, outName), over rows
     * globally ordered by `sortKeys`.
     */
   def cumsum(df: DataFrame, sortKeys: Seq[Column],
-      values: Seq[(Column, String)]): DataFrame = {
+      values: Seq[(Column, String)]): DataFrame =
+    runningAgg(df, sortKeys, values, AggSum, exclusive = false)
+
+  /** `df` ++ one EXCLUSIVE running-max column per (value, outName):
+    * the max over all STRICTLY PRECEDING rows in the global
+    * `sortKeys` order (null on the first row) — the skyline/Pareto
+    * prefix-max, `max(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)` without the single-task window.
+    */
+  def runningMaxExclusive(df: DataFrame, sortKeys: Seq[Column],
+      values: Seq[(Column, String)]): DataFrame =
+    runningAgg(df, sortKeys, values, AggMax, exclusive = true)
+
+  private def runningAgg(df: DataFrame, sortKeys: Seq[Column],
+      values: Seq[(Column, String)], agg: Agg, exclusive: Boolean)
+      : DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.exists(
-        _.isInstanceOf[GlobalCumsumStrategy.type]))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ GlobalCumsumStrategy
+    GraftStrategies.register(spark)
 
     // Pre-project the value expressions so ordinary analysis resolves
     // them (they may be arbitrary expressions, not just columns); the
@@ -101,41 +125,62 @@ object GlobalCumsum {
 
     val cumAttrs: Seq[Attribute] = values.zipWithIndex.map {
       case ((_, out), i) =>
-        AttributeReference(out, sumResultType(valueAttrs(i).dataType))()
+        AttributeReference(out,
+          resultType(valueAttrs(i).dataType, agg))()
     }
-    val node = GlobalCumsumNode(sortOrder, valueAttrs, cumAttrs, analyzed)
+    val node = GlobalCumsumNode(sortOrder, valueAttrs, cumAttrs, agg,
+      exclusive, analyzed)
     GraftPlanBridge.ofRows(spark, node)
       .drop(values.indices.map(vCol): _*)
   }
 
-  /** Accumulator per value column: null-skipping running sum with the
-    * old window-Sum's semantics (stays null until the first non-null).
+  /** Accumulator per value column: null-skipping running sum/max with
+    * the stock window aggregate's semantics (stays null until the
+    * first non-null). Narrow integer/float inputs dispatch on their
+    * actual type (an UnsafeRow zero-fills its slot before putInt /
+    * putFloat, so an unconditional getLong/getDouble would read
+    * zero-extended or bit-reinterpreted garbage — latent until r17,
+    * when no call site passed narrow types).
     */
-  private[plans] def makeAccs(inTypes: Seq[DataType]): Array[CumAcc] =
-    inTypes.map {
+  private[plans] def makeAccs(inTypes: Seq[DataType], agg: Agg)
+      : Array[CumAcc] = agg match {
+    case AggSum => inTypes.map {
       case dt: DecimalType => new DecimalAcc(dt.precision, dt.scale): CumAcc
-      case ByteType | ShortType | IntegerType | LongType => new LongAcc: CumAcc
-      case FloatType | DoubleType => new DoubleAcc: CumAcc
+      case dt @ (ByteType | ShortType | IntegerType | LongType) =>
+        new LongAcc(dt): CumAcc
+      case dt @ (FloatType | DoubleType) => new DoubleAcc(dt): CumAcc
       case other => throw new IllegalStateException(s"cumsum over $other")
     }.toArray
+    case AggMax => inTypes.map {
+      case dt => new MaxAcc(dt): CumAcc
 
-  /** Result type of the running sum — matches Catalyst's `Sum` so the
-    * operator is a drop-in for the old `sum(...).over(window)` local
-    * pass (dtype parity with the DuckDB oracle depends on it).
-    */
-  private[plans] def sumResultType(dt: DataType): DataType = dt match {
-    case dt: DecimalType =>
-      DecimalType(math.min(dt.precision + 10, DecimalType.MAX_PRECISION),
-        dt.scale)
-    case ByteType | ShortType | IntegerType | LongType => LongType
-    case FloatType | DoubleType => DoubleType
-    case other => throw new IllegalArgumentException(
-      s"cumsum over unsupported type $other")
+    }.toArray
   }
+
+  /** Result type of the running aggregate — Sum matches Catalyst's
+    * `Sum` so the operator is a drop-in for the old
+    * `sum(...).over(window)` local pass (dtype parity with the DuckDB
+    * oracle depends on it); Max preserves the input type like
+    * Catalyst's `Max`.
+    */
+  private[plans] def resultType(dt: DataType, agg: Agg): DataType =
+    agg match {
+      case AggMax => dt
+      case AggSum => dt match {
+        case dt: DecimalType =>
+          DecimalType(math.min(dt.precision + 10, DecimalType.MAX_PRECISION),
+            dt.scale)
+        case ByteType | ShortType | IntegerType | LongType => LongType
+        case FloatType | DoubleType => DoubleType
+        case other => throw new IllegalArgumentException(
+          s"cumsum over unsupported type $other")
+      }
+    }
 }
 
 case class GlobalCumsumNode(sortOrder: Seq[SortOrder],
     valueAttrs: Seq[Attribute], cumAttrs: Seq[Attribute],
+    agg: GlobalCumsum.Agg, exclusive: Boolean,
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output ++ cumAttrs
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -144,17 +189,9 @@ case class GlobalCumsumNode(sortOrder: Seq[SortOrder],
     copy(child = c)
 }
 
-object GlobalCumsumStrategy extends SparkStrategy {
-  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GlobalCumsumNode(sortOrder, valueAttrs, cumAttrs, child) =>
-      GlobalCumsumExec(sortOrder, valueAttrs, cumAttrs,
-        planLater(child)) :: Nil
-    case _ => Nil
-  }
-}
-
 case class GlobalCumsumExec(sortOrder: Seq[SortOrder],
     valueAttrs: Seq[Attribute], cumAttrs: Seq[Attribute],
+    agg: GlobalCumsum.Agg, exclusive: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output ++ cumAttrs
@@ -175,6 +212,8 @@ case class GlobalCumsumExec(sortOrder: Seq[SortOrder],
     val outAttrs = output
     val inTypes = valueAttrs.map(_.dataType)
     val outTypes = cumAttrs.map(_.dataType)
+    val aggKind = agg
+    val excl = exclusive
     val makeAccs = GlobalCumsum.makeAccs _
     val shuffled = child.execute()
 
@@ -184,7 +223,7 @@ case class GlobalCumsumExec(sortOrder: Seq[SortOrder],
     val totals: Array[(Int, Array[Any])] = shuffled
       .mapPartitionsWithIndex { (idx, iter) =>
         val proj = UnsafeProjection.create(vAttrs, childOutput)
-        val accs = makeAccs(inTypes)
+        val accs = makeAccs(inTypes, aggKind)
         iter.foreach { row =>
           val v = proj(row)
           var i = 0
@@ -201,17 +240,19 @@ case class GlobalCumsumExec(sortOrder: Seq[SortOrder],
     // index order on the driver (bounded by the partition count).
     val nParts = shuffled.getNumPartitions
     val offsets = Array.fill[Array[Any]](nParts)(null)
-    val running = makeAccs(inTypes)
+    val running = makeAccs(inTypes, aggKind)
     totals.sortBy(_._1).foreach { case (idx, tot) =>
       offsets(idx) = running.map(_.state)
       var i = 0
       while (i < running.length) { running(i).merge(tot(i)); i += 1 }
     }
 
-    // Pass 2: stream each partition once, emitting row ++ cumsums.
+    // Pass 2: stream each partition once, emitting row ++ running
+    // aggregates (in exclusive mode the row's own value is added
+    // AFTER emission, so each row sees only strict predecessors).
     shuffled.mapPartitionsWithIndex { (idx, iter) =>
       val proj = UnsafeProjection.create(vAttrs, childOutput)
-      val accs = makeAccs(inTypes)
+      val accs = makeAccs(inTypes, aggKind)
       val off = offsets(idx)
       var i = 0
       while (i < accs.length) { accs(i).merge(off(i)); i += 1 }
@@ -222,8 +263,13 @@ case class GlobalCumsumExec(sortOrder: Seq[SortOrder],
         val v = proj(row)
         var j = 0
         while (j < accs.length) {
-          accs(j).add(v, j)
-          cumRow.update(j, accs(j).emit(outTypes(j)))
+          if (excl) {
+            cumRow.update(j, accs(j).emit(outTypes(j)))
+            accs(j).add(v, j)
+          } else {
+            accs(j).add(v, j)
+            cumRow.update(j, accs(j).emit(outTypes(j)))
+          }
           j += 1
         }
         outProj(joined(row, cumRow))
@@ -245,12 +291,23 @@ private[plans] sealed trait CumAcc extends Serializable {
   def emit(outType: DataType): Any
 }
 
-private[plans] final class LongAcc extends CumAcc {
+private[plans] final class LongAcc(inType: DataType) extends CumAcc {
   private var has = false
   private var acc = 0L
+  // dispatch on the INPUT type: an UnsafeRow stores narrow integers in
+  // a zero-filled 8-byte slot, so getLong on an IntegerType column
+  // would zero-extend negatives into garbage (r16 ADVICE)
+  private def read(row: InternalRow, i: Int): Long = inType match {
+    case LongType => row.getLong(i)
+    case IntegerType => row.getInt(i).toLong
+    case ShortType => row.getShort(i).toLong
+    case ByteType => row.getByte(i).toLong
+    case other => throw new IllegalStateException(s"LongAcc over $other")
+  }
   def add(row: InternalRow, i: Int): Unit =
     if (!row.isNullAt(i)) {
-      acc = if (has) Math.addExact(acc, row.getLong(i)) else row.getLong(i)
+      val v = read(row, i)
+      acc = if (has) Math.addExact(acc, v) else v
       has = true
     }
   def merge(state: Any): Unit = state match {
@@ -263,12 +320,17 @@ private[plans] final class LongAcc extends CumAcc {
   def emit(outType: DataType): Any = state
 }
 
-private[plans] final class DoubleAcc extends CumAcc {
+private[plans] final class DoubleAcc(inType: DataType) extends CumAcc {
   private var has = false
   private var acc = 0.0
+  private def read(row: InternalRow, i: Int): Double = inType match {
+    case DoubleType => row.getDouble(i)
+    case FloatType => row.getFloat(i).toDouble
+    case other => throw new IllegalStateException(s"DoubleAcc over $other")
+  }
   def add(row: InternalRow, i: Int): Unit =
     if (!row.isNullAt(i)) {
-      acc = if (has) acc + row.getDouble(i) else row.getDouble(i)
+      acc = if (has) acc + read(row, i) else read(row, i)
       has = true
     }
   def merge(state: Any): Unit = state match {
@@ -279,6 +341,31 @@ private[plans] final class DoubleAcc extends CumAcc {
   }
   def state: Any = if (has) java.lang.Double.valueOf(acc) else null
   def emit(outType: DataType): Any = state
+}
+
+/** Null-skipping running max over any atomic (orderable) type — the
+  * [[GlobalCumsum.runningMaxExclusive]] accumulator. Values are
+  * copied out of their source rows ([[InternalRow.copyValue]]) so the
+  * retained max never aliases a reused row buffer; the state crosses
+  * the driver in the totals collect like the sum states (UTF8String /
+  * Decimal / boxed primitives are all serializable).
+  */
+private[plans] final class MaxAcc(inType: DataType) extends CumAcc {
+  private val ordering =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(inType)
+  private var acc: Any = null
+  def add(row: InternalRow, i: Int): Unit =
+    if (!row.isNullAt(i)) {
+      val v = row.get(i, inType)
+      if (acc == null || ordering.compare(v, acc) > 0)
+        acc = InternalRow.copyValue(v)
+    }
+  def merge(state: Any): Unit =
+    if (state != null && (acc == null || ordering.compare(state, acc) > 0))
+      acc = state
+  def state: Any = acc
+  def emit(outType: DataType): Any = acc
 }
 
 private[plans] final class DecimalAcc(p: Int, s: Int) extends CumAcc {

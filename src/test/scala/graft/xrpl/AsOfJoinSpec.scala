@@ -50,10 +50,11 @@ class AsOfJoinSpec extends AnyFunSuite {
         Seq("rate"), partitions = 4)) === expected)
   }
 
-  test("bucketed equals window formulation on random skewed data") {
+  test("matches a brute-force scan on random skewed data") {
     import spark.implicits._
     // deterministic pseudo-random data with one hot key (0) carrying
     // half of all rows, so several range partitions hold only key 0
+    // — the boundary-carry path of RangeForwardFill is exercised
     val rnd = new scala.util.Random(20260812L)
     val build = Seq.tabulate(400) { i =>
       val k = if (i % 2 == 0) 0L else 1L + rnd.nextInt(5)
@@ -63,64 +64,54 @@ class AsOfJoinSpec extends AnyFunSuite {
       val k = if (i % 2 == 0) 0L else rnd.nextInt(8).toLong
       (i.toLong, k, rnd.nextInt(1100).toLong)
     }
-    val b = build.toDF("k", "t", "v")
-    val p = probe.toDF("id", "k", "t")
+    val expected = probe.map { case (id, k, t) =>
+      id -> build.filter(b => b._1 == k && b._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+    }.toMap
     def toMapOf(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
       .toMap
-    val window = toMapOf(
-      AsOfJoin.asofBackward(p, "k", "t", b, "k", "t", Seq("v")))
-    val bucketed = toMapOf(
-      AsOfJoin.asofBackwardBucketed(p, "k", "t", b, "k", "t", Seq("v"),
-        partitions = 8))
-    assert(bucketed === window)
+    val window = toMapOf(AsOfJoin.asofBackward(
+      probe.toDF("id", "k", "t"), "k", "t",
+      build.toDF("k", "t", "v"), "k", "t", Seq("v")))
+    val bucketed = toMapOf(AsOfJoin.asofBackwardBucketed(
+      probe.toDF("id", "k", "t"), "k", "t",
+      build.toDF("k", "t", "v"), "k", "t", Seq("v")))
+    assert(window === expected)
+    assert(bucketed === expected)
     assert(window.size === 2000)
   }
 
-  test("bucketed plan has no per-key window over the raw rows") {
+  test("bucketed plan is one range exchange, no window, no checkpoint stub") {
     import spark.implicits._
     // one single key: the window formulation would serialize all rows
-    // into one task; the bucketed plan must keep every data-sized
-    // window partitioned by the physical partition id
+    // into one task; the custom operator must range-partition the
+    // stream (hot key spans partitions) and use no WindowExec
     val b = Seq.tabulate(500)(i => (7L, i.toLong * 2, i.toDouble))
       .toDF("k", "t", "v")
     val p = Seq.tabulate(3000)(i => (i.toLong, 7L, i.toLong % 1000))
       .toDF("id", "k", "t")
-    val (plan, ranged) = AsOfJoin.asofBackwardBucketedPlan(
-      p, "k", "t", b, "k", "t", Seq("v"), 8)
-    try {
-      // run first so AQE finalizes, then recurse through the adaptive
-      // wrapper to reach the physical window nodes
-      val rows = plan.collect()
-      def allWindows(sp: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[WindowExec] = sp.collect {
-        case w: WindowExec => Seq(w)
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          allWindows(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          allWindows(q.plan)
-      }.flatten
-      val windows = allWindows(plan.queryExecution.executedPlan)
-      assert(windows.nonEmpty)
-      windows.foreach { w =>
-        // a window ordering raw rows by event time must be bucketed:
-        // partition spec = (pid, key), never the key alone
-        val ordersByTime = w.orderSpec.exists(_.child.toString.contains("__t"))
-        if (ordersByTime)
-          assert(w.partitionSpec.size === 2,
-            s"data-sized window not pid-bucketed: $w")
-        else
-          // the carry window runs over the per-(pid,key) aggregate —
-          // ordered by pid, bounded by keys + partitions rows
-          assert(w.orderSpec.exists(_.child.toString.contains("__pid")))
-      }
-      // and the results still match the window formulation
-      val got = rows.map(r =>
-        r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
-      val want = AsOfJoin.asofBackward(p, "k", "t", b, "k", "t", Seq("v"))
-        .collect().map(r =>
-          r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
-      assert(got === want)
-    } finally ranged.unpersist()
+    val joined = AsOfJoin.asofBackwardBucketed(
+      p, "k", "t", b, "k", "t", Seq("v"))
+    joined.write.format("noop").mode("overwrite").save()
+    def nodes(sp: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = sp.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        nodes(q.plan)
+      case other => Seq(other)
+    }.flatten
+    val all = nodes(joined.queryExecution.executedPlan)
+    assert(all.exists(_.isInstanceOf[graft.plans.RangeForwardFillExec]))
+    assert(!all.exists(_.isInstanceOf[WindowExec]),
+      "as-of plan must not contain a per-key WindowExec")
+    val exchanges = all.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size === 1, s"expected ONE exchange, got $exchanges")
+    assert(exchanges.head.outputPartitioning.toString.toLowerCase
+      .contains("range"), s"expected range partitioning: ${
+        exchanges.head.outputPartitioning}")
   }
 }

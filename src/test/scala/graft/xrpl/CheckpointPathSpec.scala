@@ -54,38 +54,60 @@ class CheckpointPathSpec extends AnyFunSuite {
     assert(local(5L) === 1L && local(12L) === 10L && local(30L) === 30L)
   }
 
-  test("prefix sum agrees across checkpoint modes") {
+  // The prefix-sum and as-of operators stopped routing through
+  // Materialize.stable in r16/r17 (they are single custom physical
+  // operators now, with no checkpoint in the path), which made the old
+  // "agrees across checkpoint modes" assertions vacuous — both runs
+  // exercised the identical code path (r16 ADVICE). Repurposed: each
+  // operator is asserted against the STOCK unpartitioned-window oracle
+  // it replaced, and the assertion still runs under both checkpoint
+  // modes so an ambient checkpoint dir (the cluster default) can never
+  // change operator results.
+
+  test("prefix sum matches the unpartitioned-window oracle in both modes") {
     import spark.implicits._
     val df = (1 to 500).map(i => (i.toLong, (i * 7 % 13).toDouble))
       .toDF("id", "v")
+    val oracle = df
+      .withColumn("cum", sum(col("v")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+          .rowsBetween(Long.MinValue, 0)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     def run() = PrefixSum
-      .globalCumsum(df, Seq(col("id")), col("v"), "cum", partitions = 8)
+      .globalCumsum(df, Seq(col("id")), col("v"), "cum")
       .collect()
       .map(r => r.getLong(0) -> r.getDouble(2))
       .toMap
     val local = run()
     val reliable = withCheckpointDir { run() }
-    assert(reliable === local)
+    assert(local === oracle)
+    assert(reliable === oracle)
     assert(local.size === 500)
   }
 
-  test("bucketed as-of join agrees across checkpoint modes") {
+  test("as-of join matches the per-key-window oracle in both modes") {
     import spark.implicits._
     val build = Seq.tabulate(50)(i => (i.toLong % 3, i.toLong * 5, i.toDouble))
       .distinctBy(r => (r._1, r._2))
       .toDF("k", "t", "v")
     val probe = Seq.tabulate(300)(i => (i.toLong, i.toLong % 4, i.toLong))
-      .toDF("id", "k", "t")
+    val oracle = probe.map { case (id, k, t) =>
+      id -> Seq.tabulate(50)(i => (i.toLong % 3, i.toLong * 5, i.toDouble))
+        .distinctBy(r => (r._1, r._2))
+        .filter(b => b._1 == k && b._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+    }.toMap
     def run() = AsOfJoin
-      .asofBackwardBucketed(probe, "k", "t", build, "k", "t", Seq("v"),
-        partitions = 6)
+      .asofBackwardBucketed(probe.toDF("id", "k", "t"), "k", "t",
+        build, "k", "t", Seq("v"))
       .collect()
       .map(r => r.getLong(0) ->
         (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
       .toMap
     val local = run()
     val reliable = withCheckpointDir { run() }
-    assert(reliable === local)
+    assert(local === oracle)
+    assert(reliable === oracle)
     assert(local.size === 300)
   }
 }
