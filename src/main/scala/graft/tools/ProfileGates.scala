@@ -83,11 +83,19 @@ object ProfileGates {
           val df2 = SparkEntry.queries(q.name)(spark, sfDir)
           df2.queryExecution.executedPlan
           val planMs2 = (System.nanoTime() - t2) / 1e6
-          val (j0, s0, k0) = (jobs.get, stages.get, tasks.get)
+          // drain the async listener bus before sampling counters:
+          // late-delivered Stage/JobEnd events would otherwise be
+          // attributed to the NEXT gate (r16 ADVICE)
+          def drained[A](sample: => A): A = {
+            org.apache.spark.GraftListenerBridge
+              .drainListenerBus(spark.sparkContext, 10000)
+            sample
+          }
+          val (j0, s0, k0) = drained((jobs.get, stages.get, tasks.get))
           val t3 = System.nanoTime()
           df2.write.mode("overwrite").format("noop").save()
           val execMs2 = (System.nanoTime() - t3) / 1e6
-          val (j1, s1, k1) = (jobs.get, stages.get, tasks.get)
+          val (j1, s1, k1) = drained((jobs.get, stages.get, tasks.get))
           sb.append(f"${q.name}\t$planMs%.1f\t$execMs%.1f\t$planMs2%.1f\t$execMs2%.1f\t${j1 - j0}\t${s1 - s0}\t${k1 - k0}\t$exchanges\n")
         } catch {
           case e: Throwable =>
